@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set spans the cost spectrum: scan+agg, multiway join, window,
+self-join co-occurrence, shingle-join jaccard, brute-force knn, text
+profiling, sessionization — the queries whose plans matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from project_bigdata_recsys_spark.plans.queries import QUERIES
+from project_bigdata_recsys_spark.session import get_spark
+
+HEADLINE = [
+    "course_stats",
+    "conditional_pivot",
+    "multiway_join",
+    "user_activity",
+    "cooccurrence_pairs",
+    "latest_order_per_customer",
+    "sessionize",
+    "top_n_per_group",
+    "doc_quality_profile",
+    "token_frequencies",
+    "ngram_jaccard_pairs",
+    "knn_brute_force",
+    "json_extraction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest table so per-query numbers measure
+    # the plan, not first-run compilation
+    QUERIES["label_histogram"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if name != "knn_brute_force" else len(df.collect())
+        _ = n
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Table catalog for the driver test data.
+
+The driver ships a deterministic TPC-H-ish star schema plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings`` (vector
+table) as parquet under ``/root/testdata/sf*/`` (see TESTDATA.md).
+
+The reference's system of record is five PostgreSQL heap tables
+(reference sql/init.sql:1-77); our system of record is columnar parquet
+read through Spark's vectorized reader, which gives predicate pushdown and
+column pruning for free — the two optimizations the reference manually
+approximates with narrow SELECT lists (reference dashboard/app.py:273-283).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+#: At 100 TB the facts (lineitem/orders/events/documents) grow ~linearly but
+#: region/nation stay tiny and supplier/part/customer stay orders of
+#: magnitude smaller than the facts — broadcast joins avoid shuffling the
+#: fact side entirely.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong);
+    convert to a real timestamp by truncating to microseconds — the same
+    truncation DuckDB applies when it reads nanos into its microsecond
+    TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test-data table.  Parquet carries the schema; no inference."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view so Spark SQL can address them by
+    the same names the DuckDB oracle uses."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,266 @@
+"""Deduplication operators over the documents corpus (SURVEY.md §2.12).
+
+Five dedup families, each with the scale strategy a 100 TB corpus needs:
+
+  exact        sha/groupBy — one shuffle keyed by hash; no full-text shuffle
+               (group on the 32-byte digest, carry min(doc_id)).
+  minhash-LSH  shingle → MinHash signature → band-bucket join — candidate
+               pairs only meet inside a bucket, so the cross product never
+               materializes.  Uses pyspark.ml's MinHashLSH.
+  simhash      64-bit weighted-token hash; near-dups differ in few bits.
+               Banding on 4x16-bit keys turns Hamming search into equi-joins.
+  ngram-jaccard exact Jaccard on word n-gram shingle sets via explode+join —
+               the verification pass run *after* LSH candidate generation.
+  embedding    cosine near-dup over the embeddings table (see similarity.py).
+
+Exact + jaccard are DuckDB-oracle-checkable; LSH/simhash are probabilistic
+(declared rows-only to the driver, golden-tested in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.text import tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: keep the min doc_id as the canonical copy.
+
+    Scale: groupBy(sha2) shuffles 32-byte digests + ids, never the text.
+    Returned as (canonical doc_id, n_copies) for every text that appears
+    more than once, plus the distinct-corpus size check is a trivial
+    follow-up count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The actual dedup transform: one row per distinct text, keeping the
+    smallest id (deterministic winner, unlike dropDuplicates which keeps an
+    arbitrary row)."""
+    w_key = F.sha2(F.col(text_col), 256)
+    winners = (
+        docs.select(w_key.alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(winners, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard (the verify pass)
+# --------------------------------------------------------------------------
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (built-in only:
+    split + transform over offsets + filters)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # guard: Spark's sequence(0, -1) counts *down*, so short docs need an
+    # explicit empty array rather than a negative-length sequence
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.20,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all document pairs above a
+    threshold, computed distributively:
+
+        explode shingles -> equi-join on shingle -> count intersections
+        -> join per-doc shingle counts -> jaccard = inter/(|A|+|B|-inter)
+
+    Scale: the shingle join only pairs documents *sharing a shingle* — the
+    O(n²) cross product never exists.  Hot shingles (stopword-only grams)
+    are the skew risk; AQE skew-join handles moderate skew and a
+    document-frequency cap (drop shingles appearing in >X% of docs) is the
+    production mitigation.  This same plan is the LSH verification pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dup candidate generation)
+# --------------------------------------------------------------------------
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs.
+
+    shingle set -> HashingTF sparse vector -> MinHashLSH signatures ->
+    approxSimilarityJoin at (1 - jaccard_threshold) Jaccard *distance*.
+
+    Scale: LSH banding means each row is replicated num_hash_tables times
+    and joined on (table, bucket) — linear in corpus size, never quadratic.
+    Probabilistic → declared rows-only to the correctness driver; exactness
+    is covered by the ngram_jaccard verify pass above (run it on these
+    candidates in production).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", shingles(F.col("text"), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(with_sh)
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) with banded bucketing
+# --------------------------------------------------------------------------
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash from whitespace tokens using Spark's xxhash64.
+
+    For each bit position, sum +1/-1 weighted by token hash bits, then take
+    the sign.  Implemented fully with built-in higher-order array functions
+    (transform/aggregate) so it runs JVM-side.  Approximation note: uses 64
+    independent bit tests derived from xxhash64(token, salt=bit) — standard
+    SimHash with per-bit salted hashes.
+    """
+    toks = F.array_distinct(tokens(text_col))
+
+    def vote_fn(bit: int):
+        # closure (not a default arg: Spark counts lambda params strictly)
+        return lambda acc, t: acc + F.when(
+            F.pmod(F.xxhash64(t, F.lit(bit)), 2) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for bit in range(64):
+        # +1 when the salted 64-bit hash of the token is odd, else -1
+        vote = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(bit))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long") * F.lit(1 << bit).cast("long") if bit < 63 else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint + 4x16-bit band keys per document.
+
+    Near-dup search at scale: self-join on each band key (4 equi-joins,
+    union, distinct) finds every pair within Hamming distance 3 of each
+    other with certainty (pigeonhole: ≤3 differing bits can't hit all 4
+    bands) — no pairwise scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    out = sh
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out.orderBy("doc_id")
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Banded SimHash near-duplicate pairs: candidates from 4 band
+    equi-joins, verified by exact popcount on the XOR of fingerprints."""
+    banded = simhash_bands(spark, sf_dir)
+    cands = None
+    for band in range(4):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(f"band{band}").alias("k")
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(f"band{band}").alias("k")
+        )
+        p = a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    return (
+        cands.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,209 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.12).
+
+Embedding column is ``array<float>`` (64-dim in the driver data).  Three
+tiers:
+
+  brute-force   exact cosine top-k — F.zip_with/F.aggregate dot products,
+                JVM-side, no Python.  O(n·d) per query: the correctness
+                baseline and the oracle-checkable path.
+  LSH-bucketed  BucketedRandomProjectionLSH (pyspark.ml) — sub-linear
+                candidate generation for euclidean-normalized vectors.
+  IVF-style     coarse k-means-ish partition via random-projection sign
+                buckets; queries probe only their bucket (+neighbors).
+
+Also: embedding-cosine near-duplicate pairs (the 5th dedup family of
+functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, computed in double precision
+    JVM-side (zip_with + aggregate — no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_brute_force(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for one stored query vector against the corpus.
+
+    Scale: the query row is a broadcast (1 row); the scan is
+    embarrassingly parallel; top-k is TakeOrderedAndProject (per-partition
+    heaps, no global sort).  This is the exact baseline ANN variants are
+    validated against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.40
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    O(n²) by construction — correct at test SFs and the verification
+    oracle for the LSH variant below, which is the 100 TB path.  The
+    self-join condition vec_id < vec_id halves the work; AQE picks the
+    join strategy.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _normalized(emb_col: str = "embedding") -> Column:
+    n = l2_norm(F.col(emb_col))
+    return F.transform(F.col(emb_col), lambda x: x.cast("double") / n)
+
+
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via BucketedRandomProjectionLSH on
+    L2-normalized vectors (euclidean distance on the unit sphere is
+    monotone in cosine: cos = 1 - d²/2).
+
+    Scale: signatures are computed in one pass; approxNearestNeighbors
+    probes matching buckets only.  Probabilistic → rows-only check;
+    validated against knn_brute_force in tests (recall@k assertion).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "label", array_to_vector(_normalized()).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    query_row = normed.filter(F.col("vec_id") == query_vec_id).head()
+    if query_row is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    neighbors = model.approxNearestNeighbors(
+        normed.filter(F.col("vec_id") != query_vec_id), query_row.features, k
+    )
+    return neighbors.select(
+        "vec_id",
+        "label",
+        F.round(1.0 - F.col("distCol") * F.col("distCol") / 2.0, 6).alias("cos_sim"),
+    ).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+
+def ivf_bucketed_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+) -> DataFrame:
+    """IVF-style ANN with sign-of-random-projection coarse buckets.
+
+    Partition the corpus into 2^n_planes buckets by the sign pattern of
+    n_planes fixed pseudo-random hyperplanes (derived deterministically
+    from dimension index — no RNG, reproducible).  A query probes only its
+    own bucket.  At 100 TB: write the corpus bucketed/partitioned by
+    bucket_id once, then each query reads one partition — partition
+    pruning does the candidate selection.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def plane_sign(p: int):
+        # closure (not a default arg: Spark counts lambda params strictly)
+        return lambda x, i: x.cast("double") * F.when(
+            F.pmod(i * 31 + p * 17, 2) == 0, 1.0
+        ).otherwise(-1.0)
+
+    def bucket_id(col: Column) -> Column:
+        planes = []
+        for p in range(n_planes):
+            # deterministic pseudo-plane: alternating +/- pattern keyed by
+            # (dim*31 + p) parity — fixed, engine-agnostic
+            proj = F.aggregate(
+                F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), plane_sign(p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            planes.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = planes[0]
+        for pl in planes[1:]:
+            out = out + pl
+        return out
+
+    bucketed = emb.withColumn("bucket", bucket_id(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

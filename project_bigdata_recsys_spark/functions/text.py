@@ -1,0 +1,176 @@
+"""Text-analysis functions for the documents corpus (SURVEY.md §2.12).
+
+The reference has no text pipeline; these are the training-data-pipeline
+operators a 100 TB corpus needs: token counting, quality scoring,
+language-ID, document fingerprinting.  All hot-path functions are built-in
+column expressions (JVM-side, whole-stage codegen) — no Python UDFs.
+
+Column-level builders return Column objects so they compose into any query;
+the ``*_profile`` query builders in plans/queries.py assemble them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+#: Tiny fixed stopword list used by the quality score.  Deliberately small
+#: and explicit so the DuckDB oracle can replicate it exactly.
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization.  BPE-ish sub-token counts are approximated
+    separately (see token_stats) — whitespace is the oracle-stable base."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / token / stopword-ratio quality heuristics — the standard
+    cheap filters of large-corpus curation pipelines.  All expressible in
+    ANSI SQL for oracle checking."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    return {
+        "n_tokens": n_tok,
+        "n_chars_obs": n_chars,
+        "avg_token_len": F.round(n_alpha.cast("double") / n_tok, 4),
+        "stopword_ratio": F.round(stopword_count(text).cast("double") / n_tok, 4),
+        "alpha_ratio": F.round(n_alpha.cast("double") / n_chars, 4),
+    }
+
+
+def fingerprint_sha(text: Column) -> Column:
+    """Exact content fingerprint: SHA-256 hex (lowercase in both Spark and
+    DuckDB, so oracle-comparable)."""
+    return F.sha2(text, 256)
+
+
+def fingerprint_rolling(text: Column, mod: int = 1_000_000_007, base: int = 131) -> Column:
+    """Rolling polynomial hash over whitespace tokens: for each token use
+    (first-char code * 256 + length) as the symbol, then
+    ``h = (h*base + sym) % mod``.  Stays within int64 (mod ~1e9, base 131,
+    sym < 32k → max intermediate ~1.3e14), so Spark and DuckDB agree
+    bit-for-bit.  A cheap shift-resistant fingerprint for near-dup
+    prefiltering at corpus scale."""
+    sym = lambda t: (F.ascii(t) * 256 + F.length(t)).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + sym(t)) % mod,
+    )
+
+
+#: Marker-word tables for the n-gram/keyword language-ID heuristic.  The
+#: synthetic corpus is English-like for all langs, so this heuristic is a
+#: *mechanism* demonstration: real deployments swap in real char-trigram
+#: tables.  Deterministic and SQL-expressible.
+LANG_MARKERS = {
+    "en": ("the", "and", "fast"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "bu"),
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language-ID: score = count of marker-word hits per
+    language, argmax wins, 'en' on ties/zero (deterministic tie-break by
+    fixed language order)."""
+    toks = tokens(text)
+
+    def marker_hits(markers: tuple[str, ...]):
+        # closure (not a default arg: Spark counts lambda params strictly)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(lang, marker_hits(markers)) for lang, markers in LANG_MARKERS.items()]
+    best_lang, best_score = scores[0]
+    result = F.lit(best_lang)
+    best = scores[0][1]
+    for lang, score in scores[1:]:
+        result = F.when(score > best, F.lit(lang)).otherwise(result)
+        best = F.when(score > best, score).otherwise(best)
+    return result
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set to a documents DataFrame."""
+    c = F.col(text_col)
+    out = df
+    for name, col in quality_features(c).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("fingerprint", fingerprint_sha(c))
+        .withColumn("rolling_fp", fingerprint_rolling(c))
+        .withColumn("lang_pred", lang_id(c))
+    )
+
+
+def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features, ordered by doc_id (oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    feats = quality_features(c)
+    return docs.select(
+        "doc_id",
+        "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: doc counts, token/char stats — the
+    groupBy-level rollup of the quality features."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 + rolling-hash fingerprints per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_sha(F.col("text")).alias("fingerprint"),
+        fingerprint_rolling(F.col("text")).alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """Corpus token frequency top-N — explode+count, the canonical
+    vocabulary-building pass.  Map-side partial agg bounds the shuffle by
+    |vocab|, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )

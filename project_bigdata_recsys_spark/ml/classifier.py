@@ -1,0 +1,130 @@
+"""Binary dropout-risk classifier (SURVEY.md §2.9, M3, M6–M8).
+
+Capability-parity port of the reference's LightGBM trainer
+(core-logic/train_module.py:208-370): stratified seeded split, gradient-
+boosted trees, AUC / logloss / accuracy-at-threshold metrics.  Spark-native
+substitution is GBTClassifier (SURVEY.md §7.4.6 — metric-level parity, not
+bit parity; LightGBM isn't in the dependency budget and SynapseML is out of
+scope).
+
+Scale: GBT training is iterative over the cluster; feature assembly is a
+single narrow VectorAssembler pass.  Scoring (M8) is model.transform —
+distributed, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+FEATURE_COLS = ["n_items", "avg_qty", "avg_discount", "n_parts", "sum_price"]
+
+
+def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label + features per order — mirrors the reference's 24-feature
+    interactions frame (sql/init.sql:14-37) built by join + fillna
+    (core-logic/train_module.py:239-301).
+
+    Label: bulky order (total quantity > 100, ~46/54 class balance).  The
+    driver data is synthetic-random across tables (o_orderstatus and
+    o_totalprice are independent of line items), so no natural
+    cross-column signal exists; a learnable mechanism test needs a label
+    derivable from order shape.  sum_qty itself is excluded from the
+    features (avg_qty = sum/n replaces it) so the learner must compose
+    n_items x avg_qty rather than read the label back.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_discount").alias("avg_discount"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_price"),
+    )
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "O", "P"))  # P3: label isin
+        .join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .na.fill(0, FEATURE_COLS + ["sum_qty"])  # P4: null-default projection
+        .select(
+            "o_orderkey",
+            F.when(F.col("sum_qty") > 100.0, 1.0).otherwise(0.0).alias("label"),
+            *FEATURE_COLS,
+        )
+    )
+
+
+def stratified_split(
+    df: DataFrame, label_col: str = "label", train_frac: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Stratified seeded split — reference train_test_split(stratify=y)
+    (core-logic/train_module.py:314-315).  sampleBy draws the train
+    fraction per label; the remainder (left_anti on PK) is the test set."""
+    train = df.sampleBy(label_col, fractions={0.0: train_frac, 1.0: train_frac}, seed=seed)
+    test = df.join(train.select("o_orderkey"), "o_orderkey", "left_anti")
+    return train, test
+
+
+@dataclass
+class ClassifierResult:
+    model: object
+    metrics: dict = field(default_factory=dict)
+
+
+def train_classifier(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+    threshold: float = 0.6,
+) -> ClassifierResult:
+    """Train + evaluate — reference core-logic/train_module.py:317-369.
+    Metrics mirror the reference's ledger row: auc, logloss, accuracy at
+    the reference's 0.6 threshold (train_module.py:349)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    frame = training_frame(spark, sf_dir)
+    train, test = stratified_split(frame, seed=seed)
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    gbt = GBTClassifier(
+        labelCol="label",
+        featuresCol="features",
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    model = gbt.fit(assembler.transform(train).cache())
+
+    preds = model.transform(assembler.transform(test)).withColumn(
+        "p1", vector_to_array("probability")[1]
+    ).cache()
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(preds)
+    logloss = MulticlassClassificationEvaluator(
+        labelCol="label", probabilityCol="probability", metricName="logLoss"
+    ).evaluate(preds)
+    # accuracy at the reference's custom threshold (not the default 0.5)
+    acc_at = preds.select(
+        F.avg(
+            F.when(
+                (F.col("p1") >= threshold).cast("int") == F.col("label").cast("int"), 1.0
+            ).otherwise(0.0)
+        ).alias("acc")
+    ).head()[0]
+    preds.unpersist()
+    return ClassifierResult(
+        model, {"auc": auc, "logloss": logloss, f"accuracy_at_{threshold}": acc_at}
+    )

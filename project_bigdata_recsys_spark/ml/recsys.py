@@ -1,0 +1,263 @@
+"""Recommendation-model pipeline (SURVEY.md §2.9, M1–M5, M9, M12).
+
+Re-expresses the reference's two training jobs on the star schema:
+
+  - ALS implicit-feedback factorization (reference
+    spark_jobs/batch_als_train.py:101-302): StringIndexer -> cast ->
+    randomSplit(0.8/0.2, seed 42) -> ALS(implicitPrefs, nonnegative,
+    coldStartStrategy="drop") -> RMSE/MAE eval -> factor export.
+  - knowledge-base build (reference core-logic/train_module.py:393-424):
+    co-occurrence pair counts, popularity top-K, success-profile averages —
+    three DataFrames instead of a pickled dict of Python Counters.
+
+Differences from the reference, by design (SURVEY.md §7.4):
+  - the repeated-count anti-pattern is fixed with .cache() before the
+    multiple actions (reference re-executes the whole scan per count,
+    spark_jobs/batch_als_train.py:270-294);
+  - factors keep their native array<float> type; to_json only at an
+    external-sink boundary (reference stores JSON-in-TEXT,
+    sql/init.sql:44-52);
+  - the metrics ledger is append-only + a latest-wins window view instead
+    of UPDATE ... SET is_active=FALSE (reference core-logic/
+    train_module.py:110-148).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+def interactions_from_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the reference's (user, item, rating) interaction table
+    from the star schema: customer x part with quantity as implicit
+    strength.  Mirrors the interactions fact of reference sql/init.sql:10-41
+    in shape (user key, item key, numeric signal)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.sum("l_quantity").alias("strength"))
+    )
+
+
+@dataclass
+class ALSResult:
+    model: object
+    user_factors: DataFrame
+    item_factors: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def train_als(
+    spark: SparkSession,
+    sf_dir: str,
+    rank: int = 10,
+    max_iter: int = 5,
+    reg_param: float = 0.01,
+    seed: int = 42,
+    evaluate: bool = True,
+) -> ALSResult:
+    """ALS training job — reference spark_jobs/batch_als_train.py:101-302.
+
+    Keeps the reference's semantics: implicitPrefs=True, nonnegative=True,
+    coldStartStrategy="drop" (eval rows with unseen ids vanish, reference
+    :154-166), seed-42 80/20 split (:151).  Rank/iters are parameters; the
+    reference's rank-50/iter-10 is the production setting, smaller defaults
+    keep the test loop fast.
+
+    Scale: ALS's block factorization shuffles by user/item blocks —
+    numUserBlocks/numItemBlocks should track cluster parallelism.  The
+    indexed frame is cached once and reused for split + maps (fixes the
+    reference's triple re-scan).
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.recommendation import ALS
+
+    raw = interactions_from_star(spark, sf_dir)
+
+    # reference uses StringIndexer on string ids (batch_als_train.py:127-143);
+    # our keys are already integral but we keep the same two-stage pipeline so
+    # string ids work unchanged.
+    user_idx = StringIndexer(
+        inputCol="user_id", outputCol="user_idx", handleInvalid="skip"
+    ).fit(raw)
+    item_idx = StringIndexer(
+        inputCol="item_id", outputCol="item_idx", handleInvalid="skip"
+    ).fit(raw)
+    indexed = (
+        item_idx.transform(user_idx.transform(raw))
+        .withColumn("user_idx", F.col("user_idx").cast("int"))
+        .withColumn("item_idx", F.col("item_idx").cast("int"))
+        .cache()
+    )
+
+    train, test = indexed.randomSplit([0.8, 0.2], seed=seed)
+    als = ALS(
+        userCol="user_idx",
+        itemCol="item_idx",
+        ratingCol="strength",
+        implicitPrefs=True,
+        nonnegative=True,
+        coldStartStrategy="drop",
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        seed=seed,
+    )
+    model = als.fit(train)
+
+    metrics: dict = {}
+    if evaluate:
+        for split_name, split_df in (("train", train), ("test", test)):
+            preds = model.transform(split_df)
+            for metric in ("rmse", "mae"):
+                evaluator = RegressionEvaluator(
+                    metricName=metric, labelCol="strength", predictionCol="prediction"
+                )
+                metrics[f"{split_name}_{metric}"] = evaluator.evaluate(preds)
+
+    # factor export joined back to original ids — reference
+    # batch_als_train.py:213-234; id maps are small => broadcast joins.
+    user_map = indexed.select("user_id", "user_idx").distinct()
+    item_map = indexed.select("item_id", "item_idx").distinct()
+    user_factors = model.userFactors.join(
+        F.broadcast(user_map), model.userFactors.id == user_map.user_idx
+    ).select("user_id", "features")
+    item_factors = model.itemFactors.join(
+        F.broadcast(item_map), model.itemFactors.id == item_map.item_idx
+    ).select("item_id", "features")
+    indexed.unpersist()
+    return ALSResult(model, user_factors, item_factors, metrics)
+
+
+def factors_as_json(factors: DataFrame, id_col: str) -> DataFrame:
+    """JSON-at-the-boundary export — the reference stores factor arrays as
+    JSON text (sql/init.sql:44-52 via batch_als_train.py:222,232).  Only
+    the sink serializes; internal type stays array<float>."""
+    return factors.select(id_col, F.to_json("features").alias("features_json"))
+
+
+# --------------------------------------------------------------------------
+# Knowledge base (M9): three DataFrames replacing the pickled dict
+# --------------------------------------------------------------------------
+def kb_pair_counts(spark: SparkSession, sf_dir: str, top_n: int = 1000) -> DataFrame:
+    """Item co-occurrence counts — reference builds Counter[(c1,c2)] in a
+    driver loop (core-logic/train_module.py:396-405); distributed form is
+    the J4 self-join (operators/relational.py:cooccurrence_pairs)."""
+    from project_bigdata_recsys_spark.operators.relational import cooccurrence_pairs
+
+    return cooccurrence_pairs(spark, sf_dir).limit(top_n)
+
+
+def kb_popular_items(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
+    """Popularity top-K — reference value_counts().head(50)
+    (core-logic/train_module.py:411-413)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(top_n)
+    )
+
+
+def kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global success-cohort feature means — reference
+    success_users[ACTION_COLS].mean() (core-logic/train_module.py:407-409).
+    Here: mean order stats over fulfilled orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+        F.count(F.lit(1)).alias("n_success"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-history ledger (M12): append-only + latest-wins view
+# --------------------------------------------------------------------------
+LEDGER_COLUMNS = [
+    "model_name",
+    "model_version",
+    "metrics_json",
+    "hyperparameters_json",
+    "created_at",
+]
+
+
+def ledger_append(
+    spark: SparkSession,
+    existing: DataFrame | None,
+    model_name: str,
+    model_version: str,
+    metrics: dict,
+    hyperparameters: dict,
+    created_at: str,
+) -> DataFrame:
+    """Append a training-run row — replaces the reference's transactional
+    deactivate-then-insert (core-logic/train_module.py:106-157).  The
+    'active' model is *derived* (latest_active_view), never mutated, so no
+    UPDATE capability is needed.  ``created_at`` is a parameter, not
+    wall-clock, to stay deterministic (SURVEY.md §7.4.4)."""
+    import json
+
+    row = spark.createDataFrame(
+        [
+            (
+                model_name,
+                model_version,
+                json.dumps(metrics, sort_keys=True),
+                json.dumps(hyperparameters, sort_keys=True),
+                created_at,
+            )
+        ],
+        schema="model_name string, model_version string, metrics_json string, "
+        "hyperparameters_json string, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    if existing is None:
+        return row
+    return existing.unionByName(row)
+
+
+def latest_active_view(ledger: DataFrame) -> DataFrame:
+    """Latest row per model_name — the reference's partial index on
+    is_active (sql/init.sql:80-82) becomes a row_number window."""
+    w = Window.partitionBy("model_name").orderBy(
+        F.desc("created_at"), F.desc("model_version")
+    )
+    return ledger.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def metric_drift(ledger: DataFrame, metric_key: str) -> DataFrame:
+    """Latest-vs-previous metric drift per model — reference
+    dashboard/app.py:2476-2536 (pandas iloc[-1] vs iloc[-2])."""
+    w = Window.partitionBy("model_name").orderBy(F.asc("created_at"))
+    with_metric = ledger.withColumn(
+        "metric_value",
+        F.get_json_object("metrics_json", f"$.{metric_key}").cast("double"),
+    )
+    return (
+        with_metric.withColumn("prev_value", F.lag("metric_value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "model_name",
+            "model_version",
+            "metric_value",
+            "prev_value",
+            F.round(
+                (F.col("metric_value") - F.col("prev_value"))
+                * 100.0
+                / F.col("prev_value"),
+                4,
+            ).alias("drift_pct"),
+        )
+    )

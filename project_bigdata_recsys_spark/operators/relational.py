@@ -1,0 +1,405 @@
+"""Batch relational operators (SURVEY.md §2.2–§2.4, §2.6–§2.8).
+
+Each function is a query builder ``(spark, sf_dir) -> DataFrame`` that
+re-expresses one of the reference's analytic computations (the ~12 dashboard
+SQL queries, the ETL predicates, the trainer's pandas aggregations) on the
+driver's star schema.  Reference citations are in each docstring.
+
+Design rules applied throughout:
+  - Declarative DataFrame API only — Catalyst does pushdown/pruning/join
+    selection.  No ``collect()``-and-loop anywhere.
+  - Every computed column is aliased so the DuckDB oracle can match it.
+  - Floating aggregates are rounded so order-of-summation noise cannot break
+    the order-insensitive value hash.
+  - Every LIMIT query has a *total* ordering (unique tiebreak column) so the
+    selected row set is deterministic across engines.
+  - Small dimensions are broadcast explicitly (scale: avoids shuffling the
+    fact side; at 100 TB lineitem never moves for a nation/region join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# §2.4 A4/A5/A11 + §2.6 O1 — the flagship "course stats" shape
+# --------------------------------------------------------------------------
+def course_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part enrollment/pass/fail stats with derived pass-rate, top-50.
+
+    Re-expresses the reference dashboard's per-course enrollment query
+    (reference dashboard/app.py:301-320): scan -> join -> conditional agg
+    (SUM(CASE WHEN ...)) -> AVG -> derived ratio -> ORDER BY ... LIMIT 50.
+
+    Scale: join key is l_orderkey/o_orderkey (both fact tables) — a shuffle
+    hash/sort-merge join that AQE will size; the per-part aggregation does
+    map-side partial aggregation before the shuffle.  Top-50 compiles to
+    TakeOrderedAndProject (no global sort).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("attempts"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("passed"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("failed"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("passed") * 100.0 / F.col("attempts"), 4),
+        )
+        .orderBy(F.desc("attempts"), F.asc("l_partkey"))
+        .limit(50)
+    )
+
+
+def label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY label + COUNT — reference dashboard/app.py:227-241
+    (label distribution over ``interactions.truth``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join dim<-fact then per-user aggregates, top-100 by activity.
+
+    Reference dashboard/app.py:337-351 (users LEFT JOIN interactions,
+    GROUP BY user, ORDER BY activity DESC LIMIT 100).  customer is the
+    smaller side but left-join direction requires customer as build side;
+    at scale customer still shuffles — acceptable because the aggregation
+    output is bounded by |customer|.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) — reference dashboard/app.py:244-246,
+    core-logic/train_module.py:267-268 (nunique of users/courses)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation — reference
+    dashboard/app.py:301-314 (SUM(CASE WHEN truth=0 ...) AS pass_count).
+
+    Map-side partial aggregation keeps the shuffle tiny regardless of
+    input size: |groups| = |returnflag| = 3.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.round(F.sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range predicate + aggregate — reference dashboard/app.py:2176-2199
+    (``created_at > NOW() - INTERVAL 'x days'``) with a fixed literal so the
+    result is deterministic.  The filter is pushed to the parquet scan
+    (PushedFilters in .explain) — at 100 TB with date-partitioned data this
+    becomes partition pruning.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def derived_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column arithmetic projection — reference
+    dashboard/app.py:318-320, 1308-1314 (pass_rate, total_attempts) and
+    core-logic/run_consumer.py:278-294 (blended feature arithmetic).
+    Pure narrow transformation: no shuffle at all.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 0.3, 4).alias("blended_low"),
+            F.round(F.col("o_totalprice") * 0.7, 4).alias("blended_high"),
+            (F.col("o_orderkey") % 7).alias("bucket"),
+            F.when(F.col("o_totalprice") > 100000.0, "high")
+            .when(F.col("o_totalprice") > 50000.0, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+        .orderBy(F.asc("o_orderkey"))
+        .limit(1000)
+    )
+
+
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... DESC LIMIT N — reference dashboard/app.py:281-283,
+    313-314 and pandas ``nlargest`` (dashboard/app.py:1183).  Spark plans
+    this as TakeOrderedAndProject: each partition keeps a 20-row heap, the
+    driver merges — O(n) not O(n log n), no global sort even at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-default projection + NOT-NULL / set-membership filters —
+    reference core-logic/train_module.py:251-254,297-301 (fillna(0),
+    y.isin([0,1])) and dashboard/app.py:228-233 (WHERE truth IS NOT NULL).
+
+    The star schema has no NULL columns, so the null path is exercised via
+    a LEFT join that manufactures them: customers with no orders get
+    coalesced defaults.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)
+            ).alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 0)
+        .orderBy(F.asc("c_custkey"))
+        .limit(500)
+    )
+
+
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way equi-join revenue rollup (TPC-H Q5 shape) — the reference has
+    only 2-way joins (SURVEY.md §2.3) but its dashboard composes
+    users⨝interactions⨝history; this exercises Catalyst join reordering +
+    broadcast selection in one plan.
+
+    Scale: nation/region/supplier are broadcast (no shuffle of the fact
+    side for dims); lineitem⨝orders⨝customer shuffle on their keys; AQE
+    picks the final strategy at runtime.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grand total — reference computes grand totals by
+    re-summing group results in pandas (dashboard/app.py:1270-1274, A12);
+    the native operator is a single-pass rollup."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.asc_nulls_last("l_returnflag"))
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface (SURVEY.md §2.8): date formatting (F4),
+    string slice (F5), rounding (F7), arithmetic (F8), clamp (F9),
+    conditional tiers (F10), epoch conversion (F3).
+    All whole-stage-codegen'd column expressions — no Python boundary.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+            F.year("o_orderdate").alias("order_year"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            F.concat(F.lit("ORD-"), F.col("o_orderkey").cast("string")).alias("order_tag"),
+            F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+            F.greatest(F.lit(0.0), F.round(F.col("o_totalprice") - 200000.0, 2)).alias(
+                "over_200k"
+            ),
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+        .orderBy(F.asc("o_orderkey"))
+        .limit(1000)
+    )
+
+
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregate — reference parses JSON event
+    payloads and hyperparameter blobs in Python (core-logic/
+    run_consumer.py:163, dashboard/app.py:2614-2624, F2); engine-native
+    equivalent is get_json_object pushed into the scan projection."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set semantics (SURVEY.md §2.7): the reference merges two event
+    sources with preference order (dashboard/app.py:1020-1040) and dedups
+    on PK at write time (S4/J5).  Native shape: unionByName + distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 150000.0).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return high.unionByName(urgent).distinct().orderBy("o_custkey")
+
+
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert emulation via anti-join (SURVEY.md S4/J5): the reference's
+    ``INSERT ... ON CONFLICT (pk) DO NOTHING`` (etl/load_users_from_minio.py:
+    93-97) = keep only rows whose PK is absent from the existing table.
+    Here: orders from 2000+ whose customer never ordered before 2000.
+
+    Scale: both sides shuffle on the key; if 'existing keys' is small it
+    broadcasts.  This is the single-writer upsert path; a transactional
+    store (Delta MERGE) is the multi-writer answer (SURVEY.md §7.4.2).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")).select(
+        "o_custkey"
+    )
+    incoming = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        incoming.join(existing, "o_custkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership against another table (left semi) — the reference
+    does this with Python sets ("not already passed",
+    core-logic/run_consumer.py:247-259); engine-native is a semi join that
+    never materializes the probe side's payload columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent_cust = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        customer.join(
+            urgent_cust, customer.c_custkey == urgent_cust.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence via self-join (SURVEY.md J4/A8): the
+    reference builds course co-occurrence with per-user
+    ``itertools.combinations`` in a driver loop (core-logic/
+    train_module.py:396-405) — O(rows) through one Python process.  The
+    distributed form is a self-equi-join on the grouping key with a ``<``
+    residual, then count.
+
+    Scale: the join key (order) bounds the blowup — pairs per order =
+    C(items_per_order, 2), so skew is bounded by the largest basket, not
+    the table size.  Dedup before the join (an order can list a part
+    twice) keeps the pair space tight.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .orderBy(F.desc("n_cooccur"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random sample — the reference samples with
+    ``ORDER BY RANDOM() LIMIT n`` (scripts/modify_training_data.py:43-51)
+    and unseeded ``random.sample`` (run_producer.py:42-54).  For
+    oracle-checkable determinism we key the "randomness" on a hash of the
+    PK — the same technique a distributed engine uses for repeatable
+    sampling without a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 97 == 3)
+        .orderBy("o_orderkey")
+    )

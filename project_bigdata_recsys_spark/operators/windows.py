@@ -1,0 +1,159 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference contains **zero** window functions — every top-N-per-group /
+latest-per-key / version-over-version computation is done with flags +
+UPDATEs, pandas ``iloc``, or Python sorts.  These builders are the
+engine-native replacements, each mapped to the reference computation it
+subsumes.
+
+Scale: a window over PARTITION BY k is one shuffle on k; ranking within the
+partition is streaming (no materialization of the full frame) for
+row_number/rank/lag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key via row_number — replaces the reference's
+    mutable ``is_active`` flag + ``UPDATE ... SET is_active=FALSE`` ledger
+    dance (core-logic/train_module.py:110-148; sql/init.sql:80-82).
+    Append-only + latest-wins view needs no UPDATE support at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def drift_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-vs-previous delta via lag() — replaces the reference's drift
+    detection comparing ``iloc[-1]`` vs ``iloc[-2]`` of training history in
+    pandas (dashboard/app.py:2476-2536).  Emits per-customer order-price
+    drift; >5%-style movement checks become a simple filter on delta_pct."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .filter(F.col("prev_price").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") - F.col("prev_price"), 2).alias("delta"),
+            F.round(
+                (F.col("o_totalprice") - F.col("prev_price"))
+                * 100.0
+                / F.col("prev_price"),
+                4,
+            ).alias("delta_pct"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
+def power_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking over aggregates — replaces the reference's "power users"
+    pandas filter+sort (dashboard/app.py:1276-1330).  dense_rank over the
+    order count; deterministic because ties share a rank and no LIMIT cuts
+    inside a tie group."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_user = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    w = Window.orderBy(F.desc("n_orders"))
+    return (
+        per_user.withColumn("activity_rank", F.dense_rank().over(w))
+        .filter(F.col("n_orders") > 5)
+        .orderBy(F.asc("activity_rank"), F.asc("o_custkey"))
+    )
+
+
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per key — the reference sorts candidate scores in Python and
+    slices 5 per event (core-logic/run_consumer.py:303,330).  Engine-native:
+    row_number over (key ORDER BY metric) <= N.  One shuffle on the key;
+    no global sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_suppkey", "rn", "l_orderkey", "l_partkey", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gaps-and-islands) — the reference receives
+    session features pre-computed offline (sql/init.sql:36-37, T9) and
+    never computes them.  Native form: lag() to flag gaps > threshold,
+    running sum to number sessions, then per-session aggregates.
+
+    This is the batch-equivalent of ``session_window`` in
+    streaming/windows.py — kept as windows so the DuckDB oracle can express
+    the identical computation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregate (rowsBetween) — beyond reference parity
+    (SURVEY.md §2.5 notes frame specs unused there) but core engine
+    capability: running spend per customer over order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )

@@ -1,0 +1,452 @@
+"""The engine's declared query surface (driver contract).
+
+``QUERIES`` maps every implemented operator from SURVEY.md §2 to a builder
+``(spark, sf_dir) -> DataFrame``; ``ORACLES`` holds the equivalent ANSI SQL
+for DuckDB where the operator is SQL-expressible.  Probabilistic /
+iterative operators (LSH, SimHash bands, ALS, GBT) are declared without an
+oracle — the driver applies its rows-only check and tests/ cover them with
+golden/property tests (SURVEY.md §5.2).
+
+Oracle-parity rules (see operators/relational.py header): identical
+aliases, rounded floats, total orderings under every LIMIT, BIGINT casts
+where DuckDB would widen to HUGEINT, INTEGER casts where DuckDB widens
+rank/size functions to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_bigdata_recsys_spark.functions import dedup, similarity, text
+from project_bigdata_recsys_spark.operators import relational, windows
+from project_bigdata_recsys_spark.sources import multimodal
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS factor export (M1–M5) — rows-only check (iterative, seeded)."""
+    from project_bigdata_recsys_spark.ml.recsys import factors_as_json, train_als
+
+    result = train_als(spark, sf_dir, rank=8, max_iter=5, evaluate=False)
+    return factors_as_json(result.user_factors, "user_id")
+
+
+def _kb_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
+
+    return kb_popular_items(spark, sf_dir)
+
+
+def _kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.recsys import kb_success_profile
+
+    return kb_success_profile(spark, sf_dir)
+
+
+QUERIES: dict[str, QueryFn] = {
+    # --- §2.2–§2.4, §2.6–§2.8: relational core -------------------------
+    "course_stats": relational.course_stats,
+    "label_histogram": relational.label_histogram,
+    "user_activity": relational.user_activity,
+    "distinct_counts": relational.distinct_counts,
+    "conditional_pivot": relational.conditional_pivot,
+    "time_range_filter": relational.time_range_filter,
+    "derived_projection": relational.derived_projection,
+    "top_k_orders": relational.top_k_orders,
+    "null_handling": relational.null_handling,
+    "multiway_join": relational.multiway_join,
+    "rollup_totals": relational.rollup_totals,
+    "scalar_functions": relational.scalar_functions,
+    "json_extraction": relational.json_extraction,
+    "union_dedup": relational.union_dedup,
+    "anti_join_new_keys": relational.anti_join_new_keys,
+    "semi_join_filter": relational.semi_join_filter,
+    "cooccurrence_pairs": relational.cooccurrence_pairs,
+    "sample_deterministic": relational.sample_deterministic,
+    # --- §2.5: window functions ----------------------------------------
+    "latest_order_per_customer": windows.latest_order_per_customer,
+    "drift_lag": windows.drift_lag,
+    "power_user_rank": windows.power_user_rank,
+    "top_n_per_group": windows.top_n_per_group,
+    "sessionize": windows.sessionize,
+    "running_total": windows.running_total,
+    # --- §2.12: text analysis ------------------------------------------
+    "doc_quality_profile": text.doc_quality_profile,
+    "lang_profile": text.lang_profile,
+    "doc_fingerprints": text.doc_fingerprints,
+    "token_frequencies": text.token_frequencies,
+    # --- §2.12: dedup ----------------------------------------------------
+    "exact_duplicates": dedup.exact_duplicates,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_candidates": dedup.minhash_candidates,  # rows-only (LSH)
+    "simhash_near_pairs": dedup.simhash_near_pairs,  # rows-only (hash-dependent)
+    # --- §2.12: similarity search ----------------------------------------
+    "knn_brute_force": similarity.knn_brute_force,
+    "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+    "knn_ivf_bucketed": similarity.ivf_bucketed_knn,  # rows-only (ANN)
+    # --- §2.12: multimodal ------------------------------------------------
+    "media_profile": multimodal.media_profile,
+    # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
+    "als_user_factors": _als_user_factors,
+    "kb_popular_items": _kb_popular,
+    "kb_success_profile": _kb_success_profile,
+}
+
+
+ORACLES: dict[str, str] = {
+    "course_stats": """
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS attempts,
+               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+               CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+               round(avg(l_quantity), 4) AS avg_quantity,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pass_rate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_partkey
+        ORDER BY attempts DESC, l_partkey
+        LIMIT 50
+    """,
+    "label_histogram": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "user_activity": """
+        SELECT c_custkey, c_name,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY n_orders DESC, c_custkey
+        LIMIT 100
+    """,
+    "distinct_counts": """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem
+    """,
+    "conditional_pivot": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "time_range_filter": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "derived_projection": """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 0.3, 4) AS blended_low,
+               round(o_totalprice * 0.7, 4) AS blended_high,
+               CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+               CASE WHEN o_totalprice > 100000.0 THEN 'high'
+                    WHEN o_totalprice > 50000.0 THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    "top_k_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "null_handling": """
+        SELECT c_custkey,
+               CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        GROUP BY c_custkey
+        ORDER BY c_custkey LIMIT 500
+    """,
+    "multiway_join": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "rollup_totals": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag)
+        ORDER BY l_returnflag NULLS LAST
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               'ORD-' || CAST(o_orderkey AS VARCHAR) AS order_tag,
+               round(o_totalprice / 1000.0, 3) AS price_k,
+               greatest(0.0, round(o_totalprice - 200000.0, 2)) AS over_200k,
+               CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    "json_extraction": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "union_dedup": """
+        SELECT DISTINCT o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ) ORDER BY o_custkey
+    """,
+    "anti_join_new_keys": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          AND NOT EXISTS (
+              SELECT 1 FROM orders e
+              WHERE e.o_orderdate < TIMESTAMP '2000-01-01'
+                AND e.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+    """,
+    "semi_join_filter": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    "cooccurrence_pairs": """
+        WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_cooccur
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_cooccur DESC, part_a, part_b
+        LIMIT 50
+    """,
+    "sample_deterministic": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 3 ORDER BY o_orderkey
+    """,
+    # --- windows ---------------------------------------------------------
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+               o_totalprice
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "drift_lag": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - prev_price, 2) AS delta,
+               round((o_totalprice - prev_price) * 100.0 / prev_price, 4) AS delta_pct
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     lag(o_totalprice) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev_price
+              FROM orders)
+        WHERE prev_price IS NOT NULL
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 2000
+    """,
+    "power_user_rank": """
+        SELECT o_custkey, n_orders, total_spend,
+               CAST(activity_rank AS INTEGER) AS activity_rank
+        FROM (SELECT o_custkey,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_spend,
+                     dense_rank() OVER (ORDER BY count(*) DESC) AS activity_rank
+              FROM orders GROUP BY o_custkey)
+        WHERE n_orders > 5
+        ORDER BY activity_rank, o_custkey
+    """,
+    "top_n_per_group": """
+        SELECT l_suppkey, CAST(rn AS INTEGER) AS rn,
+               l_orderkey, l_partkey, l_extendedprice
+        FROM (SELECT l_suppkey, l_orderkey, l_partkey, l_extendedprice,
+                     row_number() OVER (
+                         PARTITION BY l_suppkey
+                         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+        WHERE rn <= 5 ORDER BY l_suppkey, rn
+    """,
+    "sessionize": """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts > prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM lagged),
+        sess AS (
+            SELECT user_id, value,
+                   CAST(sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "running_total": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
+    # --- text ------------------------------------------------------------
+    "doc_quality_profile": """
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               round(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4) AS alpha_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "lang_profile": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               sha256(text) AS fingerprint,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS rolling_fp
+        FROM documents ORDER BY doc_id
+    """,
+    "token_frequencies": """
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE length(token) > 0
+        GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+    # --- dedup -------------------------------------------------------------
+    "exact_duplicates": """
+        SELECT sha256(text) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY sha256(text)
+        HAVING count(*) > 1 ORDER BY canonical_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                            ELSE [] END)) AS shingle
+            FROM toks),
+        sh2 AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh2 GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+               round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.20
+        ORDER BY doc_a, doc_b
+    """,
+    # --- similarity ---------------------------------------------------------
+    "knn_brute_force": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "embedding_near_dup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])))), 6) >= 0.40
+        ORDER BY id_a, id_b
+    """,
+    # --- multimodal ----------------------------------------------------------
+    "media_profile": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   sha256(text) AS checksum
+            FROM documents)
+        SELECT media_type,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               round(avg(n_bytes), 4) AS avg_bytes,
+               CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct
+        FROM media GROUP BY media_type ORDER BY media_type
+    """,
+    # --- ML / recsys ---------------------------------------------------------
+    "kb_popular_items": """
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY n DESC, l_partkey LIMIT 50
+    """,
+    "kb_success_profile": """
+        SELECT round(avg(o_totalprice), 4) AS avg_totalprice,
+               CAST(count(*) AS BIGINT) AS n_success
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+}

@@ -1,0 +1,172 @@
+"""Batch ingest layer (SURVEY.md §2.1 S2–S4, S18–S19).
+
+The reference ingests CSV row-by-row through one Python process with
+per-field try/except coercion and 5,000-row INSERT batches
+(etl/load_users_from_minio.py, etl/load_interactions_from_minio.py).  The
+engine-native form is a schema'd PERMISSIVE CSV scan — coercion failures
+become NULLs engine-side, bad-PK rows are dropped with one filter, and the
+"ON CONFLICT DO NOTHING" upsert becomes dropDuplicates + left-anti append.
+
+Scale: the CSV scan parallelizes per file-split; the upsert's anti-join
+shuffles on the PK (broadcast when the incoming slice is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: users table schema — reference sql/init.sql:1-7 + README.md:386-392.
+USERS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("gender", StringType()),
+        StructField("education", StringType()),
+        StructField("birth_year", IntegerType()),
+    ]
+)
+
+#: 22 behavioral counters + 2 session aggregates — reference sql/init.sql:14-37.
+ACTION_COLS = [
+    "action_problem_get",
+    "action_problem_check",
+    "action_problem_save",
+    "action_reset_problem",
+    "action_problem_check_correct",
+    "action_problem_check_incorrect",
+    "action_create_thread",
+    "action_create_comment",
+    "action_delete_thread",
+    "action_delete_comment",
+    "action_click_info",
+    "action_click_courseware",
+    "action_click_about",
+    "action_click_forum",
+    "action_click_progress",
+    "action_pause_video",
+    "action_play_video",
+    "action_seek_video",
+    "action_stop_video",
+    "action_load_video",
+    "action_close_courseware",
+    "action_close_forum",
+]
+SESSION_COLS = ["unique_session_count", "avg_nActions_per_session"]
+
+INTERACTIONS_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("course_id", StringType())]
+    + [StructField("truth", IntegerType())]
+    + [StructField(c, DoubleType()) for c in ACTION_COLS + SESSION_COLS]
+    + [StructField("event_ts", LongType())]
+)
+
+
+def read_csv_tolerant(
+    spark: SparkSession, path: str, schema: StructType, pk_cols: list[str]
+) -> DataFrame:
+    """Header CSV scan with per-field NULL coercion and bad-PK row drop —
+    reference parse_birth_year / parse_float / parse_int + key-error drop
+    (etl/load_users_from_minio.py:43-49,79-84;
+    etl/load_interactions_from_minio.py:57-72,100-113).
+
+    PERMISSIVE mode makes unparseable fields NULL (exactly the reference's
+    tolerant parsers); dropping rows with NULL PKs reproduces the
+    bad-key-drops-row rule.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+    cond = None
+    for c in pk_cols:
+        this = F.col(c).isNotNull()
+        cond = this if cond is None else (cond & this)
+    return df.filter(cond)
+
+
+def upsert_append(
+    existing: DataFrame | None, incoming: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """First-writer-wins upsert (S4/J5): dedup incoming on PK, then keep
+    only PKs absent from existing — ``INSERT ... ON CONFLICT DO NOTHING``
+    (etl/load_users_from_minio.py:93-97) without a transactional store.
+    Single-writer semantics; multi-writer needs a table format with MERGE
+    (SURVEY.md §7.4.2)."""
+    deduped = incoming.dropDuplicates(pk_cols)
+    if existing is None:
+        return deduped
+    new_rows = deduped.join(existing.select(*pk_cols), pk_cols, "left_anti")
+    return existing.unionByName(new_rows)
+
+
+def synthetic_interactions(
+    spark: SparkSession, n: int = 5000, seed: int = 42
+) -> DataFrame:
+    """Seeded synthetic interaction generator — reference
+    scripts/add_synthetic_data.py:29-140: engagement tier drives action
+    ranges and pass probability (85/60/30%).  spark.range + rand(seed)
+    keeps it fully distributed and reproducible (the reference's version is
+    an unseeded single-process loop)."""
+    base = spark.range(n).withColumnRenamed("id", "row_id")
+    tier = F.when(F.rand(seed) < 0.3, "high").when(F.rand(seed) < 0.7, "mid").otherwise("low")
+    df = base.withColumn("tier", tier)
+    plays = (
+        F.when(F.col("tier") == "high", 50 + F.rand(seed + 1) * 150)
+        .when(F.col("tier") == "mid", 10 + F.rand(seed + 1) * 40)
+        .otherwise(F.rand(seed + 1) * 10)
+    )
+    checks = (
+        F.when(F.col("tier") == "high", 20 + F.rand(seed + 2) * 80)
+        .when(F.col("tier") == "mid", 5 + F.rand(seed + 2) * 15)
+        .otherwise(F.rand(seed + 2) * 5)
+    )
+    pass_prob = (
+        F.when(F.col("tier") == "high", 0.85)
+        .when(F.col("tier") == "mid", 0.60)
+        .otherwise(0.30)
+    )
+    return df.select(
+        (F.col("row_id") % 1000).alias("user_id"),
+        F.concat(F.lit("course-"), (F.col("row_id") % 200).cast("string")).alias(
+            "course_id"
+        ),
+        F.when(F.rand(seed + 3) < pass_prob, 0).otherwise(1).alias("truth"),
+        F.round(plays, 2).alias("action_play_video"),
+        F.round(checks, 2).alias("action_problem_check"),
+        (F.lit(1700000000) + F.col("row_id")).alias("event_ts"),
+    )
+
+
+def mutate_with_noise(
+    df: DataFrame,
+    numeric_cols: list[str],
+    label_col: str = "truth",
+    sample_fraction: float = 0.10,
+    flip_fraction: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Drift simulator — reference scripts/modify_training_data.py:28-133:
+    multiply a random sample's features by noise, flip 5% of labels,
+    clamp at 0.  In-place UPDATE becomes read → withColumn → overwrite."""
+    in_sample = F.rand(seed) < sample_fraction
+    out = df
+    for i, c in enumerate(numeric_cols):
+        noisy = F.greatest(
+            F.lit(0.0), F.round(F.col(c) * (0.8 + F.rand(seed + i) * 0.4), 2)
+        )  # F9 clamp
+        out = out.withColumn(c, F.when(in_sample, noisy).otherwise(F.col(c)))
+    flip = F.rand(seed + 100) < flip_fraction
+    return out.withColumn(
+        label_col,
+        F.when(in_sample & flip, 1 - F.col(label_col)).otherwise(F.col(label_col)),
+    )

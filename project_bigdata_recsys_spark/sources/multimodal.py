@@ -1,0 +1,131 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2.12).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` passes.  The decode kernels themselves are
+STUBBED (no image/audio libs in this container — see ``decode_image``),
+but everything Spark-side is real and tested: schema, batch iteration,
+partition-parallel execution, metadata extraction.
+
+Scale: mapInPandas streams Arrow record batches through Python — payload
+bytes are never row-pickled; a 100 TB binary corpus processes at partition
+parallelism with per-batch (not per-row) Python overhead.  Keep binary
+payloads in their own column so column pruning skips them for
+metadata-only queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+#: Typed metadata carried beside every binary payload.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("crc32", LongType()),
+        StructField("entropy_bucket", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real deployments decode with PIL/opencv/ffmpeg here.  The
+    container ships no media libraries, so actual decoding raises; the
+    deterministic feature path below never calls this."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; swap this stub for PIL.Image.open(io.BytesIO(payload))"
+    )
+
+
+def synthesize_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media corpus: each document's text bytes stand in
+    for an encoded payload.  Gives the binary-column pipeline real bytes
+    with reproducible content at every scale factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+    )
+
+
+def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The per-batch kernel is where decode/resize/frame-sample plugs in; the
+    shipped kernel computes deterministic stand-ins (crc32, a byte-entropy
+    bucket) so the full pipeline is testable without media libs.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            crc = payloads.map(lambda b: zlib.crc32(bytes(b)) & 0xFFFFFFFF)
+            # entropy bucket: distinct-byte count quantized to 0..15 — the
+            # deterministic stand-in for a decoded-content feature
+            ent = payloads.map(lambda b: min(15, len(set(bytes(b))) // 16))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": pdf["checksum"],
+                    "crc32": crc.astype("int64"),
+                    "entropy_bucket": ent.astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per media type over the extracted features —
+    metadata-only aggregate that (thanks to column pruning) never touches
+    payload bytes when run on a stored media table."""
+    feats = extract_media_features(synthesize_media_table(spark, sf_dir))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.countDistinct("checksum").alias("n_distinct"),
+        )
+        .orderBy("media_type")
+    )

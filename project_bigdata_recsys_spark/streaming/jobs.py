@@ -1,0 +1,251 @@
+"""Streaming jobs (SURVEY.md §2.10 T1–T9, §3.3).
+
+The reference's streaming layer is a hand-rolled Kafka poll loop with
+unbounded Python-dict state (core-logic/run_consumer.py:116-375) and a
+producer that emits ~1 event/s (core-logic/run_producer.py:94-118).  The
+engine-native form is one Structured Streaming query per concern:
+
+  file-replay source   offline stand-in for the Kafka topic — the events
+                       parquet replayed with maxFilesPerTrigger (tests and
+                       CI have no broker; swapping in format("kafka") +
+                       from_json is a two-line change, schema included).
+  event-time + watermark  the reference carries event time but uses
+                       processing time everywhere (T1) and grows state
+                       forever (T2); here every aggregation is event-time
+                       with a watermark so state is bounded.
+  tumbling rate metric T5 — groupBy(window(ts, "1 minute")).
+  session windows      T9 — session_window(ts, gap) per user.
+  stateful features    T3 — applyInPandasWithState keeps the per-key
+                       running counters the consumer kept in defaultdicts
+                       (run_consumer.py:202-211), with a state timeout
+                       instead of unbounded growth.
+  top-5 per key        the consumer's per-event candidate scoring
+                       (run_consumer.py:235-330) as a batch-scoring
+                       function applied per micro-batch via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from project_bigdata_recsys_spark.catalog import load_table, table_path
+
+#: Kafka-event schema (reference core-logic/run_producer.py:99-104) —
+#: used by kafka_events_stream for real-broker deployments.
+KAFKA_EVENT_SCHEMA = StructType(
+    [
+        StructField("username", StringType()),
+        StructField("course_id", StringType()),
+        StructField("action", StringType()),
+        StructField("timestamp", DoubleType()),
+    ]
+)
+
+
+def replay_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Bounded replay of the events table as a stream (S11 stand-in).
+    Schema is pinned from the raw file — never inferred on the stream.
+    The file source requires a directory, so read the sf dir with a glob
+    pinned to the events file; ts is normalized exactly as in batch."""
+    from project_bigdata_recsys_spark.catalog import normalize_events
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events(stream)
+
+
+def kafka_events_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka source with tolerant JSON parse — reference consumer
+    (run_consumer.py:159-192).  from_json is PERMISSIVE: malformed values
+    become NULL columns, mirroring the reference's drop-bad-rows coercion
+    (SURVEY.md S3)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA).alias("e")
+    ).select(
+        F.col("e.username").alias("username"),
+        F.col("e.course_id").alias("course_id"),
+        F.col("e.action").alias("action"),
+        F.timestamp_seconds(F.col("e.timestamp")).alias("ts"),
+    )
+
+
+def tumbling_rate(events: DataFrame, width: str = "1 minute") -> DataFrame:
+    """Events-per-window rate metric (T5) — reference computes
+    n/(max-min) in pandas (dashboard/app.py:1060-1066).  Event-time window
+    + 10-minute watermark bounds state."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_aggregation(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """True sessionization (T9) — session_window merges events separated by
+    < gap; the reference only ever *receives* session features computed
+    offline (sql/init.sql:36-37)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T3/T2: stateful per-key feature accumulation with timeout
+# --------------------------------------------------------------------------
+STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("total_value", DoubleType())]
+)
+FEATURES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _accumulate_features(key, pdfs, state: GroupState):
+    """Per-(user, event_type) running counters — the engine-managed
+    replacement for the reference's ``user_state[(user, course)]``
+    defaultdict (run_consumer.py:116-117, 202-211).  State is checkpointed
+    and evicted on timeout instead of growing forever (T2)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+        }
+    )
+
+
+def stateful_feature_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState over (user_id, event_type)."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _accumulate_features,
+        outputStructType=FEATURES_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def batch_equivalent_features(events: DataFrame) -> DataFrame:
+    """The batch aggregation the stateful stream must converge to after a
+    full replay — the stream/batch equivalence oracle (SURVEY.md §5.2.3)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-micro-batch top-K scoring (M8/M10 consumer parity)
+# --------------------------------------------------------------------------
+def score_topk_per_user(microbatch: DataFrame, popularity: DataFrame, k: int = 5) -> DataFrame:
+    """The consumer's per-event candidate scoring, vectorized per
+    micro-batch: stream-static join against the (broadcast) popularity KB,
+    blend a score, rank top-K per user (run_consumer.py:235-330).
+    Candidate generation = popularity fallback (M10); blending 0.3/0.7
+    mirrors M11."""
+    users = microbatch.select("user_id").distinct()
+    candidates = users.crossJoin(F.broadcast(popularity.limit(15)))  # O8 cap
+    scored = candidates.withColumn(
+        "score",
+        F.round(0.3 * F.col("user_id") % 10 + 0.7 * F.col("n"), 4),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("l_partkey"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("user_id", F.col("l_partkey").alias("item_id"), "score", "rn")
+    )
+
+
+def recommendations_query(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+):
+    """End-to-end streaming recommendation job: replay source ->
+    foreachBatch(top-K scoring vs broadcast KB) -> parquet sink.
+
+    foreachBatch re-resolves the KB each micro-batch — the engine-native
+    form of the reference's mtime-poll hot model reload (T7,
+    run_consumer.py:40-89,179-182).
+    """
+    from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
+
+    events = replay_events_stream(spark, sf_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # hot reload point: re-read KB/model artifacts here each batch
+        popularity = kb_popular_items(spark, sf_dir)
+        out = score_topk_per_user(batch_df, popularity, k=k)
+        out.write.mode("append").parquet(os.path.join(output_dir, f"batch={batch_id}"))
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_bounded(query, timeout_seconds: int = 600) -> None:
+    """Timed streaming run (T8) — reference wraps consumers in
+    ``timeout 600`` (airflow/dags/recsys_pipeline.py:24,115-131)."""
+    query.awaitTermination(timeout_seconds)
+    if query.isActive:
+        query.stop()

@@ -1,0 +1,74 @@
+"""Golden/property tests for the probabilistic dedup + ANN operators
+(SURVEY.md §5.2.2) — the ones DuckDB can't oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.functions.dedup import (
+    dedup_exact,
+    minhash_candidates,
+    shingles,
+    simhash64,
+)
+from project_bigdata_recsys_spark.functions.similarity import (
+    ivf_bucketed_knn,
+    knn_brute_force,
+    knn_lsh,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (7, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = dedup_exact(docs).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    got = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert got[0].s == []
+    assert got[1].s == ["a b c", "b c d"]
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.h for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_minhash_finds_planted_near_dup(spark, tmp_path):
+    # plant a near-duplicate pair in a small corpus and require LSH to find it
+    base = "spark engine shuffle partition broadcast join aggregate filter window sort " * 3
+    near = base + "extra token"
+    rows = [(0, base), (1, near)] + [
+        (i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(2, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = minhash_candidates(spark, str(tmp_path), jaccard_threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert (0, 1) in pairs
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    exact = [r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()]
+    approx = [r.vec_id for r in knn_lsh(spark, SF_SMALL, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH recall@10 too low: {recall}"
+
+
+def test_ivf_results_are_true_neighbors(spark):
+    # every IVF result must carry the same cosine the brute-force path computes
+    ivf = {r.vec_id: r.cos_sim for r in ivf_bucketed_knn(spark, SF_SMALL, k=5).collect()}
+    brute = {r.vec_id: r.cos_sim for r in knn_brute_force(spark, SF_SMALL, k=500).collect()}
+    for vid, sim in ivf.items():
+        assert abs(brute[vid] - sim) < 1e-6
