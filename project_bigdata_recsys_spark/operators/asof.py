@@ -1,0 +1,104 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively
+(SURVEY.md §2.3 notes the reference has none either; this is a first-class
+capability for event/feature-store workloads, composed from built-ins per
+the task's custom-operator ladder: composition > pandas UDF > RDD).
+
+Implementation: union both sides tagged, then one window pass per key
+ordered by (ts, side) carrying the right side's payload forward with
+``last_value(..., ignorenulls)``.  Exactly one shuffle (the window
+partition), no range-explosion, no per-row Python.
+
+Scale: equivalent to a single sort-merge pass per key — the same plan a
+native ASOF JOIN executes; skewed keys behave like any window skew (salt
+or AQE).  Memory is O(1) per row beyond the sort (running frame is
+unbounded-preceding..current with a scalar carry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    key and right_ts <= left_ts (or < when inclusive=False).
+
+    Returns all left columns plus ``asof_<col>`` for each right payload
+    column (NULL when no earlier right row exists — LEFT ASOF semantics).
+    """
+    lcols = left.columns
+    # side tag orders right rows before left rows at equal timestamps when
+    # inclusive (so an exactly-simultaneous right row is visible to left)
+    side_left = 1 if inclusive else 0
+    side_right = 0 if inclusive else 1
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(side_left).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(side_right).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*right_payload).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__l").isNotNull())
+    out = carried.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    return out
+
+
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's most recent click at-or-before
+    it — the canonical attribution query an as-of join answers."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round(F.col("asof_click_value"), 4).alias("click_value"),
+    ).orderBy("event_id")

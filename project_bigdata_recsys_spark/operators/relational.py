@@ -403,3 +403,108 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 97 == 3)
         .orderBy("o_orderkey")
     )
+
+
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — full grouping-sets capability
+    (SURVEY.md §2.4 notes the reference's nearest analog is re-summing
+    group results in pandas, A12)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
+        )
+    )
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — absent from the reference
+    (SURVEY.md §2.4 'not present: median/percentile'); first-class here.
+    Spark's percentile() matches DuckDB's quantile_cont (linear
+    interpolation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (groupBy().pivot().agg()) — the engine-native form of the
+    reference's SUM(CASE WHEN ...) pivot emulation (dashboard/app.py:
+    301-314, A4).  Pivot values are pinned so the schema is static (a
+    requirement for any production pipeline — and for streaming)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucket aggregation over the event stream table — daily counts,
+    distinct users, value sums (the dashboard's activity-over-time charts,
+    reference dashboard/app.py:1060-1119)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+def user_topk_recommendations(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """The consumer's candidate-scoring query as a set-level batch op
+    (SURVEY.md M10/M11 + O3): candidates = distinct event users x top-15
+    popular parts (popularity fallback, run_consumer.py:247-263), score =
+    0.3*user-signal + 0.7*popularity blend (run_consumer.py:278-294),
+    keep top-5 per user (run_consumer.py:303,330).
+
+    Scale: popularity is tiny (top-15) => broadcast crossJoin; ranking is
+    one window shuffle on user_id.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    popularity = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(15)
+    )
+    users = events.select("user_id").distinct()
+    scored = users.crossJoin(F.broadcast(popularity)).withColumn(
+        "score", F.round(0.3 * (F.col("user_id") % 10) + 0.7 * F.col("n"), 4)
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("l_partkey"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "user_id",
+            F.col("l_partkey").alias("item_id"),
+            "score",
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("user_id", "rank")
+    )

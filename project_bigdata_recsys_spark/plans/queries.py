@@ -20,8 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_bigdata_recsys_spark.functions import dedup, similarity, text
-from project_bigdata_recsys_spark.operators import relational, windows
+from project_bigdata_recsys_spark.operators import asof, relational, windows
 from project_bigdata_recsys_spark.sources import multimodal
+from project_bigdata_recsys_spark.streaming import replay
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -66,6 +67,12 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join_filter": relational.semi_join_filter,
     "cooccurrence_pairs": relational.cooccurrence_pairs,
     "sample_deterministic": relational.sample_deterministic,
+    "cube_totals": relational.cube_totals,
+    "percentile_stats": relational.percentile_stats,
+    "pivot_status_by_priority": relational.pivot_status_by_priority,
+    "events_per_day": relational.events_per_day,
+    "user_topk_recommendations": relational.user_topk_recommendations,
+    "purchase_asof_click": asof.purchase_asof_click,
     # --- §2.5: window functions ----------------------------------------
     "latest_order_per_customer": windows.latest_order_per_customer,
     "drift_lag": windows.drift_lag,
@@ -93,6 +100,10 @@ QUERIES: dict[str, QueryFn] = {
     "als_user_factors": _als_user_factors,
     "kb_popular_items": _kb_popular,
     "kb_success_profile": _kb_success_profile,
+    # --- §2.10: streaming (real bounded streams, batch-checked) -----------
+    "stream_stateful_features": replay.stream_stateful_features,
+    "stream_tumbling_counts": replay.stream_tumbling_counts,
+    "stream_session_windows": replay.stream_session_windows,
 }
 
 
@@ -245,6 +256,100 @@ ORACLES: dict[str, str] = {
     "sample_deterministic": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderkey % 97 = 3 ORDER BY o_orderkey
+    """,
+    "cube_totals": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    "percentile_stats": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "events_per_day": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "user_topk_recommendations": """
+        WITH popularity AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY n DESC, l_partkey LIMIT 15),
+        scored AS (
+            SELECT u.user_id, p.l_partkey, p.n,
+                   round(0.3 * (u.user_id % 10) + 0.7 * p.n, 4) AS score
+            FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN popularity p),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY score DESC, l_partkey) AS rn
+            FROM scored)
+        SELECT user_id, l_partkey AS item_id, score, CAST(rn AS INTEGER) AS rank
+        FROM ranked WHERE rn <= 5 ORDER BY user_id, rank
+    """,
+    "purchase_asof_click": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               round(c.value, 4) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    # --- streaming (bounded replay; oracle = batch equivalent) -----------
+    "stream_stateful_features": """
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    "stream_tumbling_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "stream_session_windows": """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts >= prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM lagged),
+        sess AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
     """,
     # --- windows ---------------------------------------------------------
     "latest_order_per_customer": """

@@ -1,0 +1,91 @@
+"""Streaming-replay query builders for the driver gate.
+
+Each runs a *real* Structured Streaming query (bounded with
+``trigger(availableNow=True)``) over the replayed events source, collects
+the final result from a memory sink, and returns it as a batch DataFrame —
+so the driver's DuckDB oracle can check streaming semantics exactly
+(stream/batch equivalence, SURVEY.md §5.2.3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.streaming.jobs import (
+    replay_events_stream,
+    stateful_feature_stream,
+)
+
+
+def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    ck = os.path.join(tempfile.mkdtemp(prefix="spark_ck_"), "ck")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def stream_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-(user, event_type) counters via applyInPandasWithState,
+    replayed to completion.  After a full replay the final state equals the
+    batch groupBy — which is exactly what the SQL oracle asserts."""
+    stream = stateful_feature_stream(replay_events_stream(spark, sf_dir))
+    table = _run_replay(stream, spark, "update")
+    # update mode emits one row per key per micro-batch; final value wins
+    return (
+        table.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour counts per event_type, streamed in
+    complete mode so every window emits (no watermark holdback) — the
+    oracle is a date_trunc groupBy."""
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_replay(agg, spark, "complete")
+    return table.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user in complete mode.  Spark defines
+    session end = last event + gap; the oracle reproduces that with a
+    gaps-and-islands rewrite."""
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+    table = _run_replay(agg, spark, "complete")
+    return table.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")

@@ -9,7 +9,7 @@ from project_bigdata_recsys_spark.functions.dedup import (
     dedup_exact,
     minhash_candidates,
     shingles,
-    simhash64,
+    simhash_features,
 )
 from project_bigdata_recsys_spark.functions.similarity import (
     ivf_bucketed_knn,
@@ -40,7 +40,7 @@ def test_simhash_identical_and_different(spark):
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zeta eta theta iota kappa")],
         "doc_id long, text string",
     )
-    rows = {r.doc_id: r.h for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    rows = {r.doc_id: r.simhash for r in simhash_features(df).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
 
