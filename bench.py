@@ -25,6 +25,11 @@ HEADLINE = [
     "course_stats",
     "conditional_pivot",
     "multiway_join",
+    "pricing_summary",
+    "local_supplier_volume",
+    "big_orders",
+    "purchase_asof_click",
+    "moving_avg_range",
     "user_activity",
     "cooccurrence_pairs",
     "latest_order_per_customer",

@@ -1,0 +1,192 @@
+"""TPC-H-shaped analytical queries — the multi-join / agg plans whose
+physical shape is what matters at 100 TB.
+
+The reference has no multi-join analytics (SURVEY.md §2.3: "the driver's
+TPC-H-ish harness will exercise multi-way equi-joins"); these queries are
+the engine's declaration that the relational core handles the canonical
+warehouse shapes: wide-scan aggregation (Q1), selective 3-way join top-K
+(Q3), 6-way star join with region filter (Q5), decorrelated scalar
+subquery (Q17), and group-HAVING semi join (Q18).
+
+Scale notes applied throughout:
+  - Dimension tables (region/nation/customer/supplier/part at any sf are
+    tiny next to lineitem) are broadcast explicitly, so the fact table
+    never shuffles for dimension joins.
+  - Aggregations always map-side combine (hash partial) before the one
+    shuffle on the grouping key.
+  - Date filters are literal predicates on scan columns so parquet
+    row-group pruning and vectorized-reader filter pushdown engage
+    (verify with .explain: PushedFilters).
+  - Top-K via orderBy().limit() => TakeOrderedAndProject, never a global
+    sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass wide aggregation over the fact table
+    with derived expressions (disc price, charge) computed pre-aggregation
+    inside whole-stage codegen.  One shuffle (4 groups)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both dimension and fact sides,
+    3-way join, revenue aggregation, top-10.
+
+    Scale: customer filter (1/5 selectivity) broadcasts; orders⨝lineitem
+    is the only big shuffle; date predicates push to both scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (region→nation→{customer,supplier}
+    →orders→lineitem) with the extra c_nationkey = s_nationkey "local"
+    condition, revenue per nation.
+
+    Scale: the entire dimension chain (region⨝nation⨝customer and
+    supplier) broadcasts; lineitem⨝orders is the sole repartition; the
+    local-supplier condition is applied as a post-join filter on two
+    broadcast-sourced columns, so no extra shuffle."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nation"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nation"))
+
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nation") == F.col("s_nation"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: scalar correlated subquery (per-part average
+    quantity) decorrelated into an aggregate-then-join — the rewrite
+    Catalyst itself applies to the SQL form, expressed directly.
+
+    Scale: the per-part average is a small aggregate (|part| rows) =>
+    broadcast back against lineitem; total cost is two scans of lineitem
+    and zero fact-side shuffles."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING on the fact table, then semi
+    join the qualifying keys back through orders⨝customer, top-100.
+
+    Scale: the HAVING output is small => broadcast semi join; orders and
+    customer join on the reduced key set only."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big_keys = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big_keys), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

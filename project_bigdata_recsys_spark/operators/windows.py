@@ -157,3 +157,73 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(2000)
     )
+
+
+def moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: 30-day trailing average order value per
+    customer, framed on the *value* axis (rangeBetween over epoch days)
+    rather than row counts — the frame spec SURVEY.md §2.5 notes the
+    reference never uses.  Same single shuffle as any per-customer
+    window."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.avg("o_totalprice").over(w), 4).alias("avg_30d"),
+            F.count(F.lit(1)).over(w).alias("n_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over customer balances per
+    nation — the distribution-analytic family (completes the ranking
+    inventory beyond row_number/rank/dense_rank)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+        .limit(2000)
+    )
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() — days until the customer's next order (lag's forward
+    sibling, used by the drift view in reverse; completes the analytic
+    pair)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).alias("days_to_next"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )

@@ -20,7 +20,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_bigdata_recsys_spark.functions import dedup, similarity, text
-from project_bigdata_recsys_spark.operators import asof, relational, windows
+from project_bigdata_recsys_spark.operators import (
+    analytics,
+    asof,
+    relational,
+    setops,
+    windows,
+)
 from project_bigdata_recsys_spark.sources import multimodal
 from project_bigdata_recsys_spark.streaming import replay
 
@@ -73,6 +79,16 @@ QUERIES: dict[str, QueryFn] = {
     "events_per_day": relational.events_per_day,
     "user_topk_recommendations": relational.user_topk_recommendations,
     "purchase_asof_click": asof.purchase_asof_click,
+    # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
+    "pricing_summary": analytics.pricing_summary,
+    "shipping_priority": analytics.shipping_priority,
+    "local_supplier_volume": analytics.local_supplier_volume,
+    "small_quantity_revenue": analytics.small_quantity_revenue,
+    "big_orders": analytics.big_orders,
+    # --- §2.7: set operations -------------------------------------------
+    "customers_intersect": setops.customers_intersect,
+    "customers_except": setops.customers_except,
+    "priority_union_all": setops.priority_union_all,
     # --- §2.5: window functions ----------------------------------------
     "latest_order_per_customer": windows.latest_order_per_customer,
     "drift_lag": windows.drift_lag,
@@ -80,6 +96,9 @@ QUERIES: dict[str, QueryFn] = {
     "top_n_per_group": windows.top_n_per_group,
     "sessionize": windows.sessionize,
     "running_total": windows.running_total,
+    "moving_avg_range": windows.moving_avg_range,
+    "ntile_quartiles": windows.ntile_quartiles,
+    "order_gaps": windows.order_gaps,
     # --- §2.12: text analysis ------------------------------------------
     "doc_quality_profile": text.doc_quality_profile,
     "lang_profile": text.lang_profile,
@@ -312,6 +331,124 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id
+    """,
+    # --- TPC-H-shaped analytics ------------------------------------------
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "small_quantity_revenue": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS a_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+        JOIN avg_qty ON a_partkey = l_partkey
+        WHERE l_quantity < half_avg_qty
+    """,
+    "big_orders": """
+        WITH big AS (
+            SELECT l_orderkey AS k, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(total_qty, 2) AS total_qty
+        FROM orders JOIN big ON o_orderkey = k
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+    # --- set operations ---------------------------------------------------
+    "customers_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+    """,
+    "customers_except": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+    """,
+    "priority_union_all": """
+        WITH u AS (
+            SELECT o_custkey, 'urgent' AS src, o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_custkey, 'big' AS src, o_totalprice FROM orders
+            WHERE o_totalprice > 300000)
+        SELECT src, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               round(sum(o_totalprice), 2) AS total
+        FROM u GROUP BY src ORDER BY src
+    """,
+    # --- window variants --------------------------------------------------
+    "moving_avg_range": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(avg(o_totalprice) OVER w, 4) AS avg_30d,
+               CAST(count(*) OVER w AS BIGINT) AS n_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
+    "ntile_quartiles": """
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_nationkey, c_custkey LIMIT 2000
+    """,
+    "order_gaps": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(datediff('day', o_orderdate,
+                    lead(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)) AS INTEGER) AS days_to_next
+        FROM orders
+        ORDER BY o_custkey, o_orderkey LIMIT 2000
     """,
     # --- streaming (bounded replay; oracle = batch equivalent) -----------
     "stream_stateful_features": """

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the scale contract, made testable.
+
+Correctness says the query returns the right rows at sf0.01; these tests
+say the *plan* is the one that survives 100 TB: filters reach the parquet
+scan, small dimensions broadcast (the fact table never shuffles for
+them), and top-K compiles to TakeOrderedAndProject instead of a global
+sort.  A regression here is a performance bug even while results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_bigdata_recsys_spark.operators import analytics, relational, setops
+from tests.conftest import SF_SMALL
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    df = analytics.pricing_summary(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    # map-side combine: a partial_ aggregate must appear below the shuffle
+    plan = _physical(analytics.pricing_summary(spark, SF_SMALL))
+    assert "partial_sum" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _physical(analytics.local_supplier_volume(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # the region/nation/customer chain must never shuffle the fact table:
+    # exactly one Exchange may involve lineitem side before aggregation;
+    # assert no SortMergeJoin was chosen for the dimension joins
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_top_k_is_take_ordered(spark):
+    plan = _physical(relational.course_stats(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.course_stats(spark, SF_SMALL)
+    plan = _physical(df)
+    # lineitem scan must not read all 11 columns for a 4-column query
+    assert "l_comment" not in plan
+    assert "l_shipdate" not in plan.split("FileScan")[1].split("PushedFilters")[0] if "FileScan" in plan else True
+
+
+def test_intersect_plans_as_semi_join(spark):
+    plan = _optimized(setops.customers_intersect(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+
+
+def test_except_plans_as_anti_join(spark):
+    plan = _optimized(setops.customers_except(spark, SF_SMALL))
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        analytics.pricing_summary,
+        analytics.shipping_priority,
+        analytics.local_supplier_volume,
+        analytics.small_quantity_revenue,
+        analytics.big_orders,
+    ],
+)
+def test_no_cartesian_products(spark, fn):
+    plan = _physical(fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,73 @@
+"""Scale-infrastructure operators: salted skew join, bucketed co-located
+join.  Assertions cover both result equivalence and the plan property
+each operator exists to deliver."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from project_bigdata_recsys_spark.operators.skew import salted_join
+from tests.conftest import SF_SMALL
+
+
+def test_salted_join_matches_plain_join(spark):
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = lineitem.join(orders, "l_orderkey").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    salted = salted_join(lineitem, orders, "l_orderkey", salt_buckets=4).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_left_semantics(spark):
+    # left join keeps unmatched big-side rows exactly once
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "z")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    out = salted_join(big, small, "k", salt_buckets=3, how="left")
+    rows = {(r.k, r.v, r.w) for r in out.collect()}
+    assert rows == {(1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (99, "z", None)}
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    with tempfile.TemporaryDirectory(prefix="spark_buckets_") as tmp:
+        lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, SF_SMALL, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, location=tmp)
+        write_bucketed(orders, "b_orders", "l_orderkey", 8, location=tmp)
+        # at sf0.001 the planner would broadcast (and rightly skip bucketed
+        # scans); disable broadcast to observe the co-located-join property
+        # that matters when BOTH sides are too big to broadcast
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and the result matches the plain (shuffled) join
+            assert joined.count() == lineitem.join(orders, "l_orderkey").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
