@@ -121,6 +121,7 @@ QUERIES: dict[str, QueryFn] = {
     "kb_success_profile": _kb_success_profile,
     # --- §2.10: streaming (real bounded streams, batch-checked) -----------
     "stream_stateful_features": replay.stream_stateful_features,
+    "stream_bootstrapped_features": replay.stream_bootstrapped_features,
     "stream_tumbling_counts": replay.stream_tumbling_counts,
     "stream_session_windows": replay.stream_session_windows,
 }
@@ -456,6 +457,27 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                round(sum(value), 4) AS total_value
         FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    "stream_bootstrapped_features": """
+        WITH seed AS (
+            SELECT * FROM (VALUES
+                (5, 'click', 40, 123.5),
+                (10, 'purchase', 7, 900.25),
+                (999999, 'view', 3, 1.5)
+            ) s(user_id, event_type, n_events, total_value)),
+        merged AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(total_value AS DOUBLE) AS total_value
+            FROM seed
+            UNION ALL
+            SELECT user_id, event_type, count(*), sum(value)
+            FROM events GROUP BY user_id, event_type)
+        SELECT user_id, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(sum(total_value), 4) AS total_value
+        FROM merged GROUP BY user_id, event_type
         ORDER BY user_id, event_type
     """,
     "stream_tumbling_counts": """

@@ -144,39 +144,144 @@ FEATURES_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _accumulate_features(key, pdfs, state: GroupState):
-    """Per-(user, event_type) running counters — the engine-managed
-    replacement for the reference's ``user_state[(user, course)]``
-    defaultdict (run_consumer.py:116-117, 202-211).  State is checkpointed
-    and evicted on timeout instead of growing forever (T2)."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(3600 * 1000)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "event_type": [key[1]],
-            "n_events": [n],
-            "total_value": [round(total, 4)],
-        }
+def _make_feature_accumulator(ttl_ms: int | None):
+    """Build the per-(user, event_type) running-counter function — the
+    engine-managed replacement for the reference's
+    ``user_state[(user, course)]`` defaultdict (run_consumer.py:116-117,
+    202-211).  State is checkpointed, and with ``ttl_ms`` set it is
+    evicted on processing-time timeout instead of growing forever (T2).
+
+    Seed rows (T4 bootstrap): a row whose ``props`` carries ``"seed_n"``
+    contributes pre-aggregated history — n += seed_n, total += value —
+    instead of counting as one event.  See bootstrapped_feature_stream for
+    why bootstrap arrives in-band: PySpark's applyInPandasWithState has no
+    initialState parameter (that is transformWithState's handleInitialState,
+    unavailable in this container), so the snapshot is staged as the first
+    replay file."""
+    import json
+
+    def accumulate(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if "props" in pdf.columns:
+                seed_mask = (
+                    pdf["props"].fillna("").str.contains('"seed_n"', regex=False)
+                )
+                if seed_mask.any():
+                    seeds = pdf.loc[seed_mask]
+                    n += int(
+                        seeds["props"].map(lambda s: json.loads(s)["seed_n"]).sum()
+                    )
+                    total += float(seeds["value"].sum())
+                    pdf = pdf.loc[~seed_mask]
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    return accumulate
+
+
+def stateful_feature_stream(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """applyInPandasWithState over (user_id, event_type).
+
+    ``ttl_ms`` is the production knob: on an infinite source set a
+    processing-time TTL so cold keys evict (T2).  Leave it None for
+    bounded replay/backfill — with a TTL armed, Structured Streaming must
+    keep scheduling no-data micro-batches until every key's timeout has
+    fired, so an ``availableNow`` replay would spin for the full TTL
+    instead of terminating when the input is exhausted (measured: ~1.6
+    empty batches/s for the whole TTL window)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
     )
-
-
-def stateful_feature_stream(events: DataFrame) -> DataFrame:
-    """applyInPandasWithState over (user_id, event_type)."""
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
-        _accumulate_features,
+        _make_feature_accumulator(ttl_ms),
         outputStructType=FEATURES_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
+
+
+def stage_bootstrapped_replay(
+    spark: SparkSession, sf_dir: str, snapshot: DataFrame, work_dir: str
+) -> str:
+    """Stage a replay directory whose first file is the state snapshot
+    (T4): seed rows in the events schema, ``props`` carrying the
+    pre-aggregated count as ``{"seed_n": N}`` and ``value`` the running
+    total, followed by the real events file with a later mtime so the
+    file source replays seeds first.
+
+    This is the engine's bootstrap-from-snapshot (reference
+    run_consumer.py:127-154 reloads its dict state from a CSV snapshot).
+    In-band seeding is deliberate: PySpark's applyInPandasWithState has
+    no initialState parameter, and the native alternative
+    (transformWithState handleInitialState) is unavailable here; staging
+    the snapshot as the first micro-batch gives identical semantics with
+    checkpointable, replayable state.
+    """
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(work_dir, exist_ok=True)
+    snap_pdf = snapshot.toPandas()  # snapshot is small by contract (keyed state)
+    n = len(snap_pdf)
+    seed_tbl = pa.table(
+        {
+            "event_id": pa.array(range(-1, -n - 1, -1), pa.int64()),
+            "ts": pa.array([0] * n, pa.int64()),  # read as nanos-long
+            "user_id": pa.array(snap_pdf["user_id"], pa.int64()),
+            "event_type": pa.array(snap_pdf["event_type"], pa.string()),
+            "value": pa.array(snap_pdf["total_value"], pa.float64()),
+            "props": pa.array(
+                ['{"seed_n": %d}' % int(k) for k in snap_pdf["n_events"]],
+                pa.string(),
+            ),
+        }
+    )
+    seed_path = os.path.join(work_dir, "000_seed.parquet")
+    pq.write_table(seed_tbl, seed_path)
+    events_path = os.path.join(work_dir, "events.parquet")
+    shutil.copyfile(table_path(sf_dir, "events"), events_path)
+    now = _time.time()
+    os.utime(seed_path, (now - 100, now - 100))
+    os.utime(events_path, (now, now))
+    return work_dir
+
+
+def bootstrapped_feature_stream(
+    spark: SparkSession, sf_dir: str, snapshot: DataFrame, work_dir: str
+) -> DataFrame:
+    """Stateful feature stream with initial state from a snapshot (T4):
+    final counters equal snapshot ⊕ full-replay aggregation."""
+    from project_bigdata_recsys_spark.catalog import normalize_events
+
+    staged = stage_bootstrapped_replay(spark, sf_dir, snapshot, work_dir)
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    return stateful_feature_stream(normalize_events(stream))
 
 
 def batch_equivalent_features(events: DataFrame) -> DataFrame:

@@ -17,9 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.streaming.jobs import (
+    bootstrapped_feature_stream,
     replay_events_stream,
     stateful_feature_stream,
 )
+
+#: Deterministic state snapshot for the bootstrapped-stream gate query —
+#: includes a user absent from the events table (999999) so the oracle
+#: also checks state-only keys survive to the output.
+BOOTSTRAP_SNAPSHOT = [
+    (5, "click", 40, 123.5),
+    (10, "purchase", 7, 900.25),
+    (999999, "view", 3, 1.5),
+]
 
 
 def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
@@ -33,7 +43,14 @@ def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    terminated = q.awaitTermination(600)
+    if not terminated:
+        q.stop()
+        raise RuntimeError(
+            f"bounded replay {name} did not terminate — check that no "
+            "processing-time state TTL is armed (it forces no-data "
+            "micro-batches until every timeout fires)"
+        )
     return spark.table(name)
 
 
@@ -44,6 +61,27 @@ def stream_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stateful_feature_stream(replay_events_stream(spark, sf_dir))
     table = _run_replay(stream, spark, "update")
     # update mode emits one row per key per micro-batch; final value wins
+    return (
+        table.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def stream_bootstrapped_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: stateful counters bootstrapped from a snapshot, then replayed
+    to completion — final state must equal snapshot ⊕ batch aggregation
+    (which is what the SQL oracle computes with a VALUES union)."""
+    snapshot = spark.createDataFrame(
+        BOOTSTRAP_SNAPSHOT,
+        "user_id long, event_type string, n_events long, total_value double",
+    )
+    work = tempfile.mkdtemp(prefix="spark_boot_")
+    stream = bootstrapped_feature_stream(spark, sf_dir, snapshot, work)
+    table = _run_replay(stream, spark, "update")
     return (
         table.groupBy("user_id", "event_type")
         .agg(

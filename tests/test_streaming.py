@@ -72,3 +72,47 @@ def test_recommendations_topk(spark, tmp_path):
     per_user = recs.groupBy("user_id").count()
     assert per_user.filter("count > 5").count() == 0
     assert recs.count() > 0
+
+
+def test_bootstrapped_features_equal_snapshot_plus_batch(spark, tmp_path):
+    """T4: after a bootstrapped replay, counters equal snapshot ⊕ batch
+    aggregation — including a key that exists only in the snapshot."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.streaming.jobs import (
+        bootstrapped_feature_stream,
+    )
+
+    snapshot = spark.createDataFrame(
+        [(1, "click", 10, 100.0), (424242, "view", 5, 2.5)],
+        "user_id long, event_type string, n_events long, total_value double",
+    )
+    stream = bootstrapped_feature_stream(
+        spark, SF_SMALL, snapshot, str(tmp_path / "staged")
+    )
+    _run_to_memory(stream, "boot_t", str(tmp_path), "update")
+    got = spark.sql(
+        "SELECT user_id, event_type, max(n_events) AS n_events, "
+        "max(total_value) AS total_value FROM boot_t GROUP BY 1, 2"
+    )
+    events = load_table(spark, SF_SMALL, "events")
+    want = (
+        batch_equivalent_features(events)
+        .unionByName(snapshot)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 4).alias("total_value"),
+        )
+    )
+    assert got.count() == want.count()
+    # tolerate float-addition-order noise in total_value
+    j = got.alias("g").join(
+        want.alias("w"), ["user_id", "event_type"], "full"
+    ).select(
+        F.col("g.n_events").alias("gn"),
+        F.col("w.n_events").alias("wn"),
+        (F.abs(F.col("g.total_value") - F.col("w.total_value")) < 1e-6).alias("veq"),
+    )
+    bad = j.filter((F.col("gn") != F.col("wn")) | ~F.col("veq")).count()
+    assert bad == 0
