@@ -23,6 +23,7 @@ from project_bigdata_recsys_spark.functions import dedup, similarity, text
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
+    ranges,
     relational,
     setops,
     windows,
@@ -85,6 +86,10 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": analytics.local_supplier_volume,
     "small_quantity_revenue": analytics.small_quantity_revenue,
     "big_orders": analytics.big_orders,
+    # --- range / banded joins + grouping sets ---------------------------
+    "quantity_band_stats": ranges.quantity_band_stats,
+    "price_tier_join": ranges.price_tier_join,
+    "grouping_sets_stats": ranges.grouping_sets_stats,
     # --- §2.7: set operations -------------------------------------------
     "customers_intersect": setops.customers_intersect,
     "customers_except": setops.customers_except,
@@ -123,6 +128,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_stateful_features": replay.stream_stateful_features,
     "stream_bootstrapped_features": replay.stream_bootstrapped_features,
     "stream_tumbling_counts": replay.stream_tumbling_counts,
+    "stream_sliding_counts": replay.stream_sliding_counts,
     "stream_session_windows": replay.stream_session_windows,
 }
 
@@ -396,6 +402,34 @@ ORACLES: dict[str, str] = {
         JOIN customer ON c_custkey = o_custkey
         ORDER BY totalprice DESC, o_orderkey LIMIT 100
     """,
+    # --- range / banded joins + grouping sets -----------------------------
+    "quantity_band_stats": """
+        SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS band,
+               floor(l_quantity / 10.0) * 10.0 AS band_lo,
+               (floor(l_quantity / 10.0) + 1) * 10.0 AS band_hi,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY 1, 2, 3 ORDER BY band
+    """,
+    "price_tier_join": """
+        WITH tiers AS (SELECT * FROM (VALUES
+            ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+            ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1e12))
+            t(tier, lo, hi))
+        SELECT tier, CAST(count(*) AS BIGINT) AS n,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier ORDER BY tier
+    """,
+    "grouping_sets_stats": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
     # --- set operations ---------------------------------------------------
     "customers_intersect": """
         SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -485,6 +519,18 @@ ORACLES: dict[str, str] = {
                event_type,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "stream_sliding_counts": """
+        WITH starts AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+            FROM events)
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM starts GROUP BY 1 ORDER BY window_start
     """,
     "stream_session_windows": """
         WITH lagged AS (

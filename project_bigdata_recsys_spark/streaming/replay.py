@@ -108,6 +108,25 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h width, 30 min slide) — every event
+    contributes to exactly two windows; the oracle reproduces that with a
+    two-bucket UNION ALL."""
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    table = _run_replay(agg, spark, "complete")
+    return table.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    ).orderBy("window_start")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(ts, 30 min) per user in complete mode.  Spark defines
     session end = last event + gap; the oracle reproduces that with a
