@@ -118,6 +118,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_brute_force": similarity.knn_brute_force,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,  # rows-only (ANN)
+    "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
@@ -713,6 +714,22 @@ ORACLES: dict[str, str] = {
         FROM embeddings e CROSS JOIN q
         WHERE e.vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "embedding_stats": """
+        WITH per_vec AS (
+            SELECT label,
+                   len(embedding) AS dim,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS norm,
+                   list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS max_component
+            FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(dim) AS INTEGER) AS min_dim,
+               CAST(max(dim) AS INTEGER) AS max_dim,
+               round(avg(norm), 6) AS avg_norm,
+               round(max(norm), 6) AS max_norm,
+               round(avg(max_component), 6) AS avg_max_component
+        FROM per_vec GROUP BY label ORDER BY label
     """,
     "embedding_near_dup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

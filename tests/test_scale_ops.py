@@ -71,3 +71,25 @@ def test_bucketed_join_has_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
             spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Writing partitioned by a date bucket and filtering on it must prune
+    at the file-index level (PartitionFilters), not scan-and-filter —
+    the mechanism that turns a 100 TB table scan into a single-day read."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(out)
+    one_day = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [" in plan
+    # pruning must reduce files read: count partitions touched
+    n_days = events.select("day").distinct().count()
+    assert one_day.count() == events.filter(F.col("day") == "2024-01-05").count()
+    scanned = one_day.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
+    assert scanned < all_files / max(1, n_days // 2)
