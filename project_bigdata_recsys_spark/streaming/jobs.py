@@ -354,3 +354,49 @@ def run_bounded(query, timeout_seconds: int = 600) -> None:
     query.awaitTermination(timeout_seconds)
     if query.isActive:
         query.stop()
+
+
+def model_scoring_stream(
+    spark: SparkSession,
+    model,
+    feature_dir: str,
+    feature_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    feature_cols: list[str],
+):
+    """M8: per-micro-batch model scoring with a broadcast MLlib model.
+
+    The reference scores each Kafka event row-by-row in driver Python
+    (run_consumer.py:222-231, 261-298); the engine form streams feature
+    rows and applies ``model.transform`` inside ``foreachBatch`` — the
+    model is closure-broadcast to executors once and every batch scores
+    vectorized, with zero per-row Python.
+
+    Scale: scoring throughput is bounded by the scan, not the model —
+    GBT transform is a narrow map over assembled vectors; checkpointing
+    makes the sink exactly-once per batch directory.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    stream = (
+        spark.readStream.schema(feature_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feature_dir)
+    )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = model.transform(assembler.transform(batch_df)).select(
+            batch_df.columns[0],
+            F.round(vector_to_array("probability")[1], 6).alias("p1"),
+        )
+        scored.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

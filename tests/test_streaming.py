@@ -116,3 +116,44 @@ def test_bootstrapped_features_equal_snapshot_plus_batch(spark, tmp_path):
     )
     bad = j.filter((F.col("gn") != F.col("wn")) | ~F.col("veq")).count()
     assert bad == 0
+
+
+def test_model_scoring_stream_matches_batch(spark, tmp_path):
+    """M8: streamed model scoring (foreachBatch + broadcast model) must
+    produce exactly the batch model.transform scores."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.ml.classifier import (
+        FEATURE_COLS,
+        train_classifier,
+        training_frame,
+    )
+    from project_bigdata_recsys_spark.streaming.jobs import model_scoring_stream
+
+    result = train_classifier(spark, SF_SMALL, max_iter=5, max_depth=3)
+    frame = training_frame(spark, SF_SMALL)
+    feature_dir = str(tmp_path / "features")
+    # several files => several micro-batches
+    frame.repartition(3).write.parquet(feature_dir)
+
+    out_dir = str(tmp_path / "scored")
+    q = model_scoring_stream(
+        spark,
+        result.model,
+        feature_dir,
+        frame.schema,
+        out_dir,
+        str(tmp_path / "ck"),
+        FEATURE_COLS,
+    )
+    assert q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    want = result.model.transform(assembler.transform(frame)).select(
+        "o_orderkey", F.round(vector_to_array("probability")[1], 6).alias("p1")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
