@@ -55,6 +55,8 @@ class ALSResult:
     user_factors: DataFrame
     item_factors: DataFrame
     metrics: dict = field(default_factory=dict)
+    user_map: DataFrame | None = None
+    item_map: DataFrame | None = None
 
 
 def train_als(
@@ -137,7 +139,35 @@ def train_als(
         F.broadcast(item_map), model.itemFactors.id == item_map.item_idx
     ).select("item_id", "features")
     indexed.unpersist()
-    return ALSResult(model, user_factors, item_factors, metrics)
+    return ALSResult(model, user_factors, item_factors, metrics, user_map, item_map)
+
+
+def als_top_recommendations(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k item recommendations per user from the trained ALS model —
+    the engine-native form of the consumer's per-event candidate scoring
+    against ALS factors (SURVEY.md M8/M10; the reference exports factors
+    and scores in Python, run_consumer.py:261-330).
+
+    Scale: recommendForAllUsers is a blocked factor cross-product with
+    per-block top-k pruning inside MLlib — no n_users x n_items
+    materialization.  Output maps idx back to real ids via broadcast.
+    """
+    result = train_als(spark, sf_dir, rank=8, max_iter=5, evaluate=False)
+    recs = result.model.recommendForAllUsers(k)
+    exploded = recs.select(
+        "user_idx", F.posexplode("recommendations").alias("rank0", "rec")
+    ).select(
+        "user_idx",
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("rec.item_idx").alias("item_idx"),
+        F.round(F.col("rec.rating"), 6).alias("score"),
+    )
+    return (
+        exploded.join(F.broadcast(result.user_map), "user_idx")
+        .join(F.broadcast(result.item_map), "item_idx")
+        .select("user_id", "item_id", "rank", "score")
+        .orderBy("user_id", "rank")
+    )
 
 
 def factors_as_json(factors: DataFrame, id_col: str) -> DataFrame:

@@ -42,6 +42,13 @@ def _als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return factors_as_json(result.user_factors, "user_id")
 
 
+def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS top-5 per user (M8/M10) — rows-only check (iterative, seeded)."""
+    from project_bigdata_recsys_spark.ml.recsys import als_top_recommendations
+
+    return als_top_recommendations(spark, sf_dir, k=5)
+
+
 def _kb_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
 
@@ -123,6 +130,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_profile": multimodal.media_profile,
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
     "als_user_factors": _als_user_factors,
+    "als_top_recommendations": _als_top_recs,
     "kb_popular_items": _kb_popular,
     "kb_success_profile": _kb_success_profile,
     # --- §2.10: streaming (real bounded streams, batch-checked) -----------

@@ -400,3 +400,24 @@ def model_scoring_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_progress_summary(query) -> dict:
+    """Throughput/lag introspection for a StreamingQuery (S12/S13 parity:
+    the reference hand-computes Kafka offset lag per partition,
+    dashboard/app.py:380-411; Structured Streaming exposes the same
+    signals in progress events)."""
+    progresses = [p for p in query.recentProgress if p]
+    if not progresses:
+        return {"batches": 0, "rows": 0, "rows_per_sec": 0.0}
+    rows = sum(int(p.get("numInputRows", 0)) for p in progresses)
+    secs = sum(
+        float(p.get("durationMs", {}).get("triggerExecution", 0)) / 1000.0
+        for p in progresses
+    )
+    return {
+        "batches": len(progresses),
+        "rows": rows,
+        "rows_per_sec": round(rows / secs, 2) if secs > 0 else 0.0,
+        "last_batch_id": int(progresses[-1].get("batchId", -1)),
+    }

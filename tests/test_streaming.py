@@ -157,3 +157,27 @@ def test_model_scoring_stream_matches_batch(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_progress_summary(spark, tmp_path):
+    """S13: progress introspection reports batches and row throughput."""
+    import os
+
+    from project_bigdata_recsys_spark.streaming.jobs import (
+        streaming_progress_summary,
+    )
+
+    stream = replay_events_stream(spark, SF_SMALL)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("prog_t")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_prog"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    summary = streaming_progress_summary(q)
+    assert summary["batches"] >= 1
+    assert summary["rows"] == load_table(spark, SF_SMALL, "events").count()
+    assert summary["rows_per_sec"] > 0
