@@ -508,3 +508,28 @@ def user_topk_recommendations(spark: SparkSession, sf_dir: str, k: int = 5) -> D
         )
         .orderBy("user_id", "rank")
     )
+
+
+def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling — approx_count_distinct (HyperLogLog++) and
+    percentile_approx (KLL-style quantile sketch) per order priority.
+
+    At 100 TB these replace their exact forms: the sketches are fixed-size
+    mergeable state, so the aggregation stays one map-side-combined
+    shuffle regardless of cardinality, where exact distinct would shuffle
+    every distinct value.  Deterministic for a fixed Spark version but not
+    bit-identical to DuckDB's sketches => rows-only gate check; accuracy
+    is asserted against the exact values in tests (within rsd/rank
+    tolerance).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

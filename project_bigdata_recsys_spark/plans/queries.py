@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join_filter": relational.semi_join_filter,
     "cooccurrence_pairs": relational.cooccurrence_pairs,
     "sample_deterministic": relational.sample_deterministic,
+    "approx_profile": relational.approx_profile,  # rows-only (sketches)
     "cube_totals": relational.cube_totals,
     "percentile_stats": relational.percentile_stats,
     "pivot_status_by_priority": relational.pivot_status_by_priority,

@@ -93,3 +93,29 @@ def test_partition_pruning(spark, tmp_path):
     scanned = one_day.select(F.input_file_name()).distinct().count()
     all_files = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
     assert scanned < all_files / max(1, n_days // 2)
+
+
+def test_approx_profile_accuracy(spark):
+    """Sketches must track exact values: HLL++ within 3x its configured
+    rsd; KLL quantiles within the value-neighborhood of the exact rank."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.operators.relational import approx_profile
+
+    approx = {r.o_orderpriority: r for r in approx_profile(spark, SF_SMALL).collect()}
+    orders = load_table(spark, SF_SMALL, "orders")
+    exact = {
+        r.o_orderpriority: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for prio, e in exact.items():
+        a = approx[prio]
+        assert abs(a.approx_customers - e.nd) <= max(3, 0.06 * e.nd)
+        assert abs(a.approx_p50 - e.p50) / e.p50 < 0.05
+        assert abs(a.approx_p95 - e.p95) / e.p95 < 0.05

@@ -181,3 +181,151 @@ def test_streaming_progress_summary(spark, tmp_path):
     assert summary["batches"] >= 1
     assert summary["rows"] == load_table(spark, SF_SMALL, "events").count()
     assert summary["rows_per_sec"] > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """T6: a stream killed between micro-batches and restarted from its
+    checkpoint must neither drop nor double-count rows.  Staged as four
+    replay files with maxFilesPerTrigger=1; the first run processes part
+    of the input, the restart finishes it; final counters must equal the
+    batch aggregate exactly."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table, table_path
+    from project_bigdata_recsys_spark.streaming.jobs import (
+        stateful_feature_stream,
+    )
+
+    # stage 4 files so there are 4 micro-batches
+    events = load_table(spark, SF_SMALL, "events")
+    staged = str(tmp_path / "staged")
+    events.repartition(4).write.parquet(staged)
+    raw_schema = spark.read.parquet(staged).schema
+    ck = str(tmp_path / "ck")
+
+    out_dir = str(tmp_path / "out")
+
+    def append_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        return (
+            stateful_feature_stream(stream)
+            .writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: stop after the first progress event (mid-stream kill)
+    q1 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and not q1.recentProgress:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # restart from the same checkpoint; availableNow finishes the rest
+    q2 = start()
+    assert q2.awaitTermination(300)
+
+    # merge all update-mode emissions: final value per key wins; keys
+    # fully processed before the kill appear only in run 1's output
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    assert final.count() == want.count()
+    diff = final.exceptAll(want).count() + want.exceptAll(final).count()
+    assert diff == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """T2: watermark late-data contract, as Spark actually defines it —
+    the filtering watermark lags one batch (batch N filters with the
+    watermark finalized at the end of batch N-1), and once a window is
+    emitted in append mode it is never re-emitted.  Staged as three
+    single-row-batch files: 60 on-time events; a same-window row arriving
+    one batch later (accepted: filter watermark still initial); another
+    arriving two batches later (dropped: numRowsDroppedByWatermark)."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_bigdata_recsys_spark.streaming.jobs import tumbling_rate
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    base = datetime(2024, 1, 5, 10, 0, 0)
+    on_time = pd.DataFrame(
+        {
+            "ts": [base + timedelta(minutes=i) for i in range(60)],
+            "event_type": ["click"] * 60,
+            "value": [1.0] * 60,
+        }
+    )
+    late = pd.DataFrame(
+        {"ts": [base + timedelta(minutes=5)], "event_type": ["click"], "value": [9.0]}
+    )
+    very_late = pd.DataFrame(
+        {"ts": [base + timedelta(minutes=6)], "event_type": ["click"], "value": [9.0]}
+    )
+    t0 = _time.time() - 100
+    for i, df in enumerate([on_time, late, very_late]):
+        f = os.path.join(staged, f"{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), f, coerce_timestamps="us")
+        os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    )
+    q = (
+        tumbling_rate(stream, width="10 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_t")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_wm"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    dropped = sum(
+        int(p.get("stateOperators", [{}])[0].get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        if p
+    )
+    assert dropped == 1  # the batch-2 row, filtered by the 10:49 watermark
+
+    rows = spark.table("wm_t").collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r.window_start, []).append(r.n)
+    # every finalized window emitted exactly once (append contract)
+    assert all(len(v) == 1 for v in by_window.values())
+    # 10:00 window: 10 on-time + the batch-1 row (filter lag), NOT the
+    # dropped batch-2 row
+    assert by_window[base] == [11]
