@@ -533,3 +533,24 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-minute rate per event type (A10) — the dashboard's
+    n/(max-min) throughput metric (reference dashboard/app.py:1060-1066)
+    as a single aggregation: count, time span, ratio."""
+    events = load_table(spark, sf_dir, "events")
+    # fractional epoch (cast to double) — unix_timestamp truncates to
+    # whole seconds and would disagree with the oracle's epoch() in the
+    # 6th decimal of the rate
+    span_min = (F.max("ts").cast("double") - F.min("ts").cast("double")) / 60.0
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round(F.count(F.lit(1)) / span_min, 6).alias("events_per_min"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,6 +86,7 @@ QUERIES: dict[str, QueryFn] = {
     "percentile_stats": relational.percentile_stats,
     "pivot_status_by_priority": relational.pivot_status_by_priority,
     "events_per_day": relational.events_per_day,
+    "event_rate": relational.event_rate,
     "user_topk_recommendations": relational.user_topk_recommendations,
     "purchase_asof_click": asof.purchase_asof_click,
     # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
@@ -315,6 +316,14 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
                CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "event_rate": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               round(count(*) / ((epoch(max(ts)) - epoch(min(ts))) / 60.0), 6)
+                   AS events_per_min
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "events_per_day": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
