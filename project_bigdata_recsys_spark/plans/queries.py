@@ -49,6 +49,30 @@ def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_top_recommendations(spark, sf_dir, k=5)
 
 
+def _synthetic_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 seeded synthetic generator — rows-only (Spark's rand(seed)
+    stream is engine-specific, so no cross-engine oracle; determinism is
+    asserted in tests)."""
+    from project_bigdata_recsys_spark.sources.ingest import synthetic_interactions
+
+    return synthetic_interactions(spark, n=2000, seed=42).orderBy(
+        "user_id", "course_id", "event_ts"
+    )
+
+
+def _mutated_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 drift simulator (noise + label flips) — rows-only."""
+    from project_bigdata_recsys_spark.sources.ingest import (
+        mutate_with_noise,
+        synthetic_interactions,
+    )
+
+    base = synthetic_interactions(spark, n=2000, seed=42)
+    return mutate_with_noise(
+        base, ["action_play_video", "action_problem_check"], seed=7
+    ).orderBy("user_id", "course_id", "event_ts")
+
+
 def _kb_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
 
@@ -127,9 +151,13 @@ QUERIES: dict[str, QueryFn] = {
     "knn_brute_force": similarity.knn_brute_force,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,  # rows-only (ANN)
+    "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
+    # --- §2.1 S18/S19: generator sources (rows-only: engine-seeded rand) --
+    "synthetic_interactions": _synthetic_interactions,
+    "mutated_interactions": _mutated_interactions,
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
     "als_user_factors": _als_user_factors,
     "als_top_recommendations": _als_top_recs,

@@ -60,3 +60,84 @@ def test_asof_join_matches_brute_force(spark, left, right):
         ((r.k, r.ts, r.v, r.asof_rv) for r in got.collect()), key=_key
     )
     assert got_rows == brute_force_asof(left, right)
+
+
+sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=300),  # minute offset
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+def brute_force_sessions(events, gap_minutes=30):
+    """Per user: sort timestamps, split where the gap exceeds the
+    threshold, return per-session event counts."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, m in events:
+        by_user[u].append(m)
+    out = []
+    for u, ms in by_user.items():
+        ms.sort()
+        runs, cur = [], [ms[0]]
+        for m in ms[1:]:
+            if m - cur[-1] > gap_minutes:
+                runs.append(cur)
+                cur = [m]
+            else:
+                cur.append(m)
+        runs.append(cur)
+        out.extend((u, i + 1, len(r)) for i, r in enumerate(runs))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=sess_events)
+def test_sessionize_matches_brute_force(spark, events):
+    """Gaps-and-islands sessionization (operators/windows.py::sessionize
+    logic) agrees with a per-user brute-force split on random event sets."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + timedelta(minutes=m), 1.0)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    # same computation as windows.sessionize, on arbitrary input
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = df.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = sorted(
+        (r.user_id, r.session_id, r.n)
+        for r in sessioned.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == brute_force_sessions(events)
