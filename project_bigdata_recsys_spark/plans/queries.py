@@ -23,6 +23,7 @@ from project_bigdata_recsys_spark.functions import dedup, similarity, text
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
+    quality,
     ranges,
     relational,
     setops,
@@ -106,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "cooccurrence_pairs": relational.cooccurrence_pairs,
     "sample_deterministic": relational.sample_deterministic,
     "approx_profile": relational.approx_profile,  # rows-only (sketches)
+    "data_quality_report": quality.data_quality_report,
     "cube_totals": relational.cube_totals,
     "percentile_stats": relational.percentile_stats,
     "pivot_status_by_priority": relational.pivot_status_by_priority,
@@ -448,6 +450,39 @@ ORACLES: dict[str, str] = {
         FROM orders JOIN big ON o_orderkey = k
         JOIN customer ON c_custkey = o_custkey
         ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "data_quality_report": """
+        WITH c AS (
+          SELECT 'lineitem_orphan_orderkey' AS check,
+                 (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey=o.o_orderkey WHERE o.o_orderkey IS NULL) AS violations
+          UNION ALL SELECT 'lineitem_orphan_partkey',
+                 (SELECT count(*) FROM lineitem l LEFT JOIN part p
+                  ON l.l_partkey=p.p_partkey WHERE p.p_partkey IS NULL)
+          UNION ALL SELECT 'lineitem_orphan_suppkey',
+                 (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+                  ON l.l_suppkey=s.s_suppkey WHERE s.s_suppkey IS NULL)
+          UNION ALL SELECT 'orders_orphan_custkey',
+                 (SELECT count(*) FROM orders o LEFT JOIN customer cu
+                  ON o.o_custkey=cu.c_custkey WHERE cu.c_custkey IS NULL)
+          UNION ALL SELECT 'orders_pk_duplicates',
+                 (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                  GROUP BY o_orderkey HAVING count(*)>1))
+          UNION ALL SELECT 'lineitem_pk_duplicates',
+                 (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber
+                  FROM lineitem GROUP BY 1,2 HAVING count(*)>1))
+          UNION ALL SELECT 'lineitem_negative_quantity',
+                 (SELECT coalesce(sum(CASE WHEN l_quantity<=0 THEN 1 ELSE 0 END),0)
+                  FROM lineitem)
+          UNION ALL SELECT 'lineitem_discount_out_of_range',
+                 (SELECT coalesce(sum(CASE WHEN l_discount<0 OR l_discount>1
+                  THEN 1 ELSE 0 END),0) FROM lineitem)
+          UNION ALL SELECT 'orders_null_orderdate',
+                 (SELECT coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),0)
+                  FROM orders)
+        )
+        SELECT "check", CAST(violations AS BIGINT) AS violations
+        FROM c ORDER BY "check"
     """,
     # --- range / banded joins + grouping sets -----------------------------
     "quantity_band_stats": """

@@ -119,3 +119,48 @@ def test_approx_profile_accuracy(spark):
         assert abs(a.approx_customers - e.nd) <= max(3, 0.06 * e.nd)
         assert abs(a.approx_p50 - e.p50) / e.p50 < 0.05
         assert abs(a.approx_p95 - e.p95) / e.p95 < 0.05
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appends with a widened schema must coexist: mergeSchema reads the
+    union of columns, with nulls backfilled for pre-evolution files —
+    how a long-lived 100 TB table absorbs new feature columns without
+    rewrite."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    v1 = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    v1.write.parquet(out)
+    v2 = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("priority_code", F.lit("NEW"))
+        .limit(100)
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority_code"}
+    assert merged.filter(F.col("priority_code").isNull()).count() == v1.count()
+    assert merged.filter(F.col("priority_code") == "NEW").count() == 100
+
+
+def test_join_strategy_hints(spark):
+    """The engine exposes physical join strategy control: merge and
+    shuffle_hash hints must be honored over the planner's default."""
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    merge_plan = (
+        lineitem.join(orders.hint("merge"), "l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in merge_plan
+    hash_plan = (
+        lineitem.join(orders.hint("shuffle_hash"), "l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in hash_plan
