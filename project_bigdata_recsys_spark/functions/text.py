@@ -174,3 +174,50 @@ def token_frequencies(spark: SparkSession, sf_dir: str, top_n: int = 100) -> Dat
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(top_n)
     )
+
+
+#: GPT-style pre-tokenization approximation: letter runs, digit runs,
+#: single punctuation marks.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate, fully JVM-side: regex pre-tokenization
+    (letter/digit runs + punctuation), then each pre-token contributes
+    ceil(len/4) subword units — the ~4-chars-per-token rate real BPE
+    vocabularies average on English text.  Deterministic and
+    oracle-checkable, unlike a learned merges table."""
+    pretoks = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return F.aggregate(
+        pretoks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per language — the two
+    counting modes a data pipeline budgets corpora with (brief: token
+    counting = whitespace + a BPE-ish regex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum("bpe_tokens") / F.sum("ws_tokens"), 6).alias(
+                "bpe_per_word"
+            ),
+            F.round(F.sum("n_chars") / F.sum("bpe_tokens"), 6).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("lang")
+    )

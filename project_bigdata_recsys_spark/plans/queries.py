@@ -144,6 +144,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_profile": text.lang_profile,
     "doc_fingerprints": text.doc_fingerprints,
     "token_frequencies": text.token_frequencies,
+    "token_stats": text.token_stats,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -749,6 +750,22 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE length(token) > 0
         GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+    "token_stats": r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   list_sum(list_transform(
+                       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                       w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               round(sum(bpe_tokens) * 1.0 / sum(ws_tokens), 6) AS bpe_per_word,
+               round(sum(n_chars) * 1.0 / sum(bpe_tokens), 6) AS chars_per_bpe_token
+        FROM per_doc GROUP BY lang ORDER BY lang
     """,
     # --- dedup -------------------------------------------------------------
     "exact_duplicates": """
