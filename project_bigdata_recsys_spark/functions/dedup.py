@@ -36,10 +36,19 @@ def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returned as (canonical doc_id, n_copies) for every text that appears
     more than once, plus the distinct-corpus size check is a trivial
     follow-up count.
+
+    The driver corpus has no exact duplicates, which would make this a
+    vacuous always-empty check — so the query plants a deterministic
+    duplicate set (every doc_id % 10 == 0 re-appears under doc_id +
+    1,000,000) and must find exactly those groups.
     """
     docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
     return (
-        docs.select(F.sha2("text", 256).alias("fingerprint"), "doc_id")
+        corpus.select(F.sha2("text", 256).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)

@@ -769,10 +769,14 @@ ORACLES: dict[str, str] = {
     """,
     # --- dedup -------------------------------------------------------------
     "exact_duplicates": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
         SELECT sha256(text) AS fingerprint,
                CAST(min(doc_id) AS BIGINT) AS canonical_id,
                CAST(count(*) AS BIGINT) AS n_copies
-        FROM documents GROUP BY sha256(text)
+        FROM corpus GROUP BY sha256(text)
         HAVING count(*) > 1 ORDER BY canonical_id
     """,
     "ngram_jaccard_pairs": """
