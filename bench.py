@@ -40,6 +40,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "knn_brute_force",
     "json_extraction",
+    "grouping_sets_stats",
+    "data_quality_report",
+    "token_stats",
+    "exact_duplicates",
 ]
 
 

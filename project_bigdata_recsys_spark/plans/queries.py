@@ -158,6 +158,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
+    "video_frame_profile": multimodal.video_frame_profile,  # rows-only
     # --- §2.1 S18/S19: generator sources (rows-only: engine-seeded rand) --
     "synthetic_interactions": _synthetic_interactions,
     "mutated_interactions": _mutated_interactions,

@@ -129,3 +129,105 @@ def media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize kernel over mapInPandas.  Real deployments decode + resample
+    here (PIL/opencv — not in this container, see decode_image); the
+    shipped kernel produces the deterministic stand-in: payload truncated
+    or cycled to exactly width*height bytes.  The Spark-side contract —
+    Arrow batches, binary column in/out, pinned schema — is identical to
+    the real kernel's."""
+
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fit(b: bytes) -> bytes:
+                raw = bytes(b)
+                if not raw:
+                    return bytes(target)
+                reps = -(-target // len(raw))  # ceil division
+                return (raw * reps)[:target]
+
+            payloads = pdf["payload"].map(fit)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": payloads.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: emit n equally-spaced byte
+    windows per payload (the deterministic stand-in for ffmpeg keyframe
+    extraction).  One input row fans out to n output rows inside the
+    Arrow batch — the same row-expansion shape a real decoder has.
+
+    Scale: mapInPandas keeps the fan-out executor-side; no shuffle is
+    introduced, and downstream per-frame feature extraction parallelizes
+    over the same partitions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame": [], "frame_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                window = max(1, len(raw) // max(1, n_frames))
+                for i in range(n_frames):
+                    frame = raw[i * window : (i + 1) * window] or b"\x00"
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame"].append(frame)
+                    out["frame_checksum"].append(hashlib.sha256(frame).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .mapInPandas(kernel, schema=FRAMES_SCHEMA)
+    )
+
+
+def video_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame-sample profile — the declared multimodal
+    frame-extraction surface (rows-only: byte-window stand-in)."""
+    media = synthesize_media_table(spark, sf_dir)
+    frames = sample_frames(media, n_frames=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_frame_bytes"),
+            F.countDistinct("frame_checksum").alias("distinct_frames"),
+        )
+        .orderBy("media_id")
+    )

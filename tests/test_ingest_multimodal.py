@@ -77,3 +77,35 @@ def test_media_features_deterministic_and_pruned(spark):
     prof = media_profile(spark, SF_SMALL).collect()
     assert {r.media_type for r in prof} == {"image", "audio", "video"}
     assert sum(r.n_media for r in prof) == n
+
+
+def test_resize_media_deterministic(spark):
+    from project_bigdata_recsys_spark.sources.multimodal import (
+        resize_media,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, SF_SMALL).limit(20)
+    resized = resize_media(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.n_bytes == 64 and len(bytes(r.payload)) == 64 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.payload) for r in resize_media(media, 8, 8).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_sample_frames_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.sources.multimodal import (
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, SF_SMALL)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == n_videos * 4
+    per = frames.groupBy("media_id").count()
+    assert per.filter("count != 4").count() == 0

@@ -65,3 +65,20 @@ def test_ledger_latest_wins_and_drift(spark):
     assert len(drift) == 2
     assert abs(drift[0].drift_pct - round((0.80 - 0.70) / 0.70 * 100, 4)) < 1e-6
     assert drift[1].drift_pct < 0  # regression v1 -> v2 is visible
+
+
+def test_als_model_save_load_roundtrip(spark, tmp_path):
+    """S9/M13 artifact persistence: a saved ALS model reloads and
+    produces identical factors (the reference pickles artifacts and
+    hot-reloads on mtime; MLlib's save/load is the engine-native form)."""
+    from pyspark.ml.recommendation import ALSModel
+
+    from project_bigdata_recsys_spark.ml.recsys import train_als
+
+    result = train_als(spark, SF_SMALL, rank=4, max_iter=3, evaluate=False)
+    path = str(tmp_path / "als_model")
+    result.model.save(path)
+    loaded = ALSModel.load(path)
+    orig = {r.id: list(r.features) for r in result.model.userFactors.collect()}
+    re = {r.id: list(r.features) for r in loaded.userFactors.collect()}
+    assert orig == re
