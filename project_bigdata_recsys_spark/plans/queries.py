@@ -173,6 +173,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_bootstrapped_features": replay.stream_bootstrapped_features,
     "stream_tumbling_counts": replay.stream_tumbling_counts,
     "stream_sliding_counts": replay.stream_sliding_counts,
+    "stream_dedup_events": replay.stream_dedup_events,
+    "stream_stream_attribution": replay.stream_stream_attribution,
     "stream_session_windows": replay.stream_session_windows,
 }
 
@@ -625,6 +627,22 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 4) AS total_value
         FROM starts GROUP BY 1 ORDER BY window_start
+    """,
+    "stream_stream_attribution": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               round(c.value, 4) AS click_value
+        FROM (SELECT * FROM events WHERE event_type='purchase') p
+        JOIN (SELECT * FROM events WHERE event_type='click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        ORDER BY purchase_id, click_ts
+    """,
+    "stream_dedup_events": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "stream_session_windows": """
         WITH lagged AS (

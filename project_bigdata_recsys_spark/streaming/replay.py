@@ -146,3 +146,89 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     ).orderBy("user_id", "session_start")
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events file replayed TWICE (two files,
+    two micro-batches) through dropDuplicatesWithinWatermark on event_id —
+    cross-batch duplicates are dropped while state stays bounded by the
+    watermark (the streaming form of the batch dedup family in
+    functions/dedup.py).  After the replay, per-type counts must equal
+    the single-copy batch aggregate — which is what the oracle asserts."""
+    import os
+    import shutil
+    import time as _time
+
+    from project_bigdata_recsys_spark.catalog import normalize_events, table_path
+
+    work = tempfile.mkdtemp(prefix="spark_dedup_replay_")
+    src = table_path(sf_dir, "events")
+    f1 = os.path.join(work, "00_events.parquet")
+    f2 = os.path.join(work, "01_events_again.parquet")
+    shutil.copyfile(src, f1)
+    shutil.copyfile(src, f2)
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work)
+    )
+    deduped = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    table = _run_replay(agg, spark, "complete")
+    return table.orderBy("event_type")
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks from the preceding hour — both sides watermarked so join state
+    is evicted once the time-range condition can no longer match
+    (Structured Streaming's bounded-state two-stream join; the batch
+    oracle is the identical interval join).
+
+    Scale: state per side is bounded by watermark delay + interval width;
+    the join itself shuffles both streams by user_id once."""
+    purchases = (
+        replay_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        replay_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    )
+    out = joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+    table = _run_replay(out, spark, "append")
+    return table.orderBy("purchase_id", "click_ts")
