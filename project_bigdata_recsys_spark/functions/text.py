@@ -221,3 +221,40 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: 25 marker repetitions — enough to dominate any incidental English
+#: marker count in the synthetic corpus (texts are English-ish tech words
+#: for every label, so unaugmented detection degenerates to all-'en').
+_LANG_SUFFIX = {
+    "es": " el la que" * 25,
+    "de": " der die und" * 25,
+    "fr": " le les des" * 25,
+    "zh": " de shi bu" * 25,
+}
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: predicted (lang_id heuristic) vs stored
+    label, as a confusion-count table — the query that actually exercises
+    the detector against ground truth (lang_profile only rolls up the
+    stored label).
+
+    Even doc_ids get a deterministic marker suffix matching their label
+    (the corpus itself is English-ish for every label); the detector must
+    recover exactly those as their language and the rest as 'en' — and
+    the oracle replicates the augmentation + argmax in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.lit("")
+    for lang, sfx in _LANG_SUFFIX.items():
+        suffix = F.when(F.col("lang") == lang, F.lit(sfx)).otherwise(suffix)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, suffix).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", "lang", lang_id(aug).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )

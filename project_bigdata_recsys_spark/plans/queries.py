@@ -146,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": text.doc_fingerprints,
     "token_frequencies": text.token_frequencies,
     "token_stats": text.token_stats,
+    "lang_id_confusion": text.lang_id_confusion,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -779,6 +780,39 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE length(token) > 0
         GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+    "lang_id_confusion": """
+        WITH aug AS (
+            SELECT lang,
+                   text || CASE WHEN doc_id % 2 = 0 THEN
+                       CASE lang
+                           WHEN 'es' THEN repeat(' el la que', 25)
+                           WHEN 'de' THEN repeat(' der die und', 25)
+                           WHEN 'fr' THEN repeat(' le les des', 25)
+                           WHEN 'zh' THEN repeat(' de shi bu', 25)
+                           ELSE '' END
+                   ELSE '' END AS t
+            FROM documents),
+        scored AS (
+            SELECT lang,
+                   len(list_filter(string_split(t, ' '), x -> x IN ('the','and','fast'))) AS s_en,
+                   len(list_filter(string_split(t, ' '), x -> x IN ('el','la','que'))) AS s_es,
+                   len(list_filter(string_split(t, ' '), x -> x IN ('der','die','und'))) AS s_de,
+                   len(list_filter(string_split(t, ' '), x -> x IN ('le','les','des'))) AS s_fr,
+                   len(list_filter(string_split(t, ' '), x -> x IN ('de','shi','bu'))) AS s_zh
+            FROM aug),
+        pred AS (
+            SELECT lang,
+                   CASE
+                     WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+                     WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+                     WHEN s_de > greatest(s_en, s_es) THEN 'de'
+                     WHEN s_es > s_en THEN 'es'
+                     ELSE 'en'
+                   END AS lang_pred
+            FROM scored)
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
     """,
     "token_stats": r"""
         WITH per_doc AS (
