@@ -154,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_pairs": dedup.simhash_near_pairs,  # rows-only (hash-dependent)
     # --- §2.12: similarity search ----------------------------------------
     "knn_brute_force": similarity.knn_brute_force,
+    "knn_multi_query": similarity.knn_multi_query,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,  # rows-only (ANN)
     "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
@@ -879,6 +880,27 @@ ORACLES: dict[str, str] = {
         FROM embeddings e CROSS JOIN q
         WHERE e.vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "knn_multi_query": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.q_emb AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                                    CAST(q.q_emb AS DOUBLE[])))), 6)
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+                AS rank
+            FROM scored)
+        SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
     """,
     "embedding_stats": """
         WITH per_vec AS (
