@@ -141,3 +141,32 @@ def test_sessionize_matches_brute_force(spark, events):
         .collect()
     )
     assert got == brute_force_sessions(events)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows, right=rows)
+def test_asof_join_exclusive_matches_brute_force(spark, left, right):
+    """inclusive=False: only strictly-earlier right rows match."""
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+
+    ldf = spark.createDataFrame(left or [(0, 0, 0)], "k long, ts long, v long")
+    if not left:
+        ldf = ldf.limit(0)
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k long, ts long, rv long")
+    if not right:
+        rdf = rdf.limit(0)
+
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["rv"], inclusive=False,
+    )
+    got_rows = sorted(((r.k, r.ts, r.v, r.asof_rv) for r in got.collect()), key=_key)
+    want = []
+    for k, lts, lv in left:
+        cand = [(rts, rv) for rk, rts, rv in right if rk == k and rts < lts]
+        want.append((k, lts, lv, max(cand)[1] if cand else None))
+    assert got_rows == sorted(want, key=_key)
