@@ -578,3 +578,27 @@ def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (year → month → grand total) over order
+    revenue — the hypertable-style continuous-aggregate shape, computed
+    as one Expand + hash aggregate pass (no per-level rescan).
+
+    Scale: rollup multiplies input rows by hierarchy depth inside the
+    Expand operator BEFORE the shuffle, but partial aggregation collapses
+    each level map-side, so the shuffle carries |years| + |year-months|
+    + 1 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+        .rollup("o_year", "o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_last("o_year"), F.asc_nulls_last("o_month")
+        )
+    )

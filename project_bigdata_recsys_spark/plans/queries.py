@@ -114,6 +114,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_per_day": relational.events_per_day,
     "event_rate": relational.event_rate,
     "cheapest_order_per_customer": relational.cheapest_order_per_customer,
+    "time_rollup": relational.time_rollup,
     "user_topk_recommendations": relational.user_topk_recommendations,
     "purchase_asof_click": asof.purchase_asof_click,
     # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
@@ -353,6 +354,15 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
                CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "time_rollup": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_year, o_month)
+        ORDER BY o_year NULLS LAST, o_month NULLS LAST
     """,
     "cheapest_order_per_customer": """
         SELECT o_custkey,

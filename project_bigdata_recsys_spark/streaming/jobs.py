@@ -421,3 +421,54 @@ def streaming_progress_summary(query) -> dict:
         "rows_per_sec": round(rows / secs, 2) if secs > 0 else 0.0,
         "last_batch_id": int(progresses[-1].get("batchId", -1)),
     }
+
+
+def latest_document_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+):
+    """S15: single-document "latest state" sink — the reference
+    overwrites realtime_recommendations.json per event
+    (run_consumer.py:348-360); the engine form overwrites one small JSON
+    file per micro-batch from foreachBatch with the max-event-time row
+    per user.
+
+    The overwrite is idempotent per batch (same batch re-run produces
+    the same document), which is what makes the non-transactional
+    single-file sink safe under checkpoint recovery."""
+    import json
+
+    events = replay_events_stream(spark, sf_dir)
+
+    def write_latest(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            )
+            .orderBy("user_id")
+            .collect()  # bounded: one row per user in the batch
+        )
+        doc = {
+            "batch_id": batch_id,
+            "n_users": len(latest),
+            "users": [row.asDict() for row in latest],
+        }
+        tmp = output_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, sort_keys=True)
+        os.replace(tmp, output_path)
+
+    return (
+        events.writeStream.foreachBatch(write_latest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -329,3 +329,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 10:00 window: 10 on-time + the batch-1 row (filter lag), NOT the
     # dropped batch-2 row
     assert by_window[base] == [11]
+
+
+def test_latest_document_sink(spark, tmp_path):
+    """S15: the single-JSON 'latest' document reflects each user's
+    max-event-time row after the bounded replay."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.streaming.jobs import latest_document_sink
+
+    out = str(tmp_path / "latest.json")
+    q = latest_document_sink(spark, SF_SMALL, out, str(tmp_path / "ck_doc"))
+    assert q.awaitTermination(180)
+
+    doc = json.load(open(out))
+    events = load_table(spark, SF_SMALL, "events")
+    want_users = events.select("user_id").distinct().count()
+    assert doc["n_users"] == want_users
+    # spot-check one user's latest event id
+    some = doc["users"][0]
+    w_max = (
+        events.filter(F.col("user_id") == some["user_id"])
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .head()
+    )
+    assert some["last_event_id"] == w_max.event_id
