@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -49,3 +50,30 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — planned with
     zero Exchange when bucket counts match."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_sorted_partitioned(
+    df,
+    path: str,
+    partition_col: str,
+    sort_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write the scan-optimal layout: directory-partitioned on the prune
+    column, rows sorted within every file on the filter/merge columns.
+
+    At 100 TB this is the difference between reading a day's partition
+    with min/max row-group skipping on the sort key versus scanning
+    everything: partition pruning handles the coarse cut, and the
+    within-file sort makes parquet column statistics selective for the
+    fine cut.  repartition(partition_col) before partitionBy keeps one
+    writer task per partition value (no small-file explosion);
+    sortWithinPartitions orders rows inside each task's output."""
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, *sort_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -164,3 +164,71 @@ def test_join_strategy_hints(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffledHashJoin" in hash_plan
+
+
+def test_write_sorted_partitioned_layout(spark, tmp_path):
+    """Layout writer: every output file belongs to one partition value
+    and is internally sorted on the sort key (what makes parquet
+    row-group min/max stats selective)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.operators.bucketing import (
+        write_sorted_partitioned,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "layout")
+    write_sorted_partitioned(events, out, "day", ["user_id", "ts"])
+
+    files = glob.glob(out + "/day=*/**/*.parquet", recursive=True)
+    assert files, "no files written"
+    for f in files[:10]:
+        t = pq.read_table(f, columns=["user_id"])
+        vals = t.column("user_id").to_pylist()
+        assert vals == sorted(vals), f"file {f} not sorted on user_id"
+    # round trip: nothing lost
+    assert spark.read.parquet(out).count() == events.count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: with a pathologically skewed key and
+    thresholds lowered to observe it at test scale, the post-execution
+    plan must mark the sort-merge join as skew-handled."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows all sharing key 0 vs a uniform right side
+        big = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(5_000).select(
+                (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(101).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        joined = big.join(right, "k")
+        # collect() executes THIS DataFrame's queryExecution (count()
+        # would run a different aggregated plan and leave this one
+        # unfinalized, isFinalPlan=false)
+        joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
