@@ -351,3 +351,106 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: connected components over candidate pairs
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components (doc_id → cluster_id
+    = min doc_id in its component) by iterative min-label propagation —
+    the step that turns pairwise similarity output into deduplicatable
+    groups, which none of the pairwise operators alone provide.
+
+    Algorithm: each round every vertex adopts the minimum label among
+    itself and its neighbors (one hop), then a pointer-halving shortcut
+    replaces each label with its label's label — plain neighbor
+    propagation alone is O(diameter) rounds (a 30-edge chain blows a
+    20-round budget; caught by test), the shortcut makes it
+    O(log diameter).  Near-dup graphs are unions of small cliques, so
+    2-3 rounds typical.
+
+    Scale notes:
+      - Each round is two hash-join shuffles (labels ⨝ edges) + one
+        aggregation; edges are the candidate pairs (already pruned by
+        banding), NOT all-pairs.
+      - localCheckpoint() per round truncates the lineage — without it
+        the plan doubles every iteration and the driver OOMs planning
+        round ~15.
+      - The convergence check is a driver-side count of changed labels
+        (one scalar per round, not a collect of data).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer halving: label <- label(label) — every label value is a
+        # vertex id, so the self-join lookup always resolves
+        lbl_map = propagated.select(
+            F.col("id").alias("m_id"), F.col("label").alias("m_label")
+        )
+        shortcut = propagated.join(
+            lbl_map, propagated.label == lbl_map.m_id, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("m_label"), F.col("label"))
+            ).alias("label"),
+        )
+        new_labels = shortcut.localCheckpoint()
+        n_changed = (
+            labels.select("id", F.col("label").alias("old_label"))
+            .join(new_labels, "id")
+            .filter(F.col("label") < F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: banded SimHash pairs → connected
+    components → cluster summary (rows-only: SimHash is hash-dependent)."""
+    pairs = simhash_near_pairs(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )

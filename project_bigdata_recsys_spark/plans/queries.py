@@ -153,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_candidates": dedup.minhash_candidates,  # rows-only (LSH)
     "simhash_near_pairs": dedup.simhash_near_pairs,  # rows-only (hash-dependent)
+    "near_dup_clusters": dedup.near_dup_clusters,  # rows-only (iterative CC)
     # --- §2.12: similarity search ----------------------------------------
     "knn_brute_force": similarity.knn_brute_force,
     "knn_multi_query": similarity.knn_multi_query,

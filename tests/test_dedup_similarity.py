@@ -72,3 +72,39 @@ def test_ivf_results_are_true_neighbors(spark):
     brute = {r.vec_id: r.cos_sim for r in knn_brute_force(spark, SF_SMALL, k=500).collect()}
     for vid, sim in ivf.items():
         assert abs(brute[vid] - sim) < 1e-6
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a known graph: {1-2, 2-3} ∪ {10-11} ∪ {20-21, 21-22, 22-23}
+    must produce 3 components labeled by their min ids."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long chain (worst-case diameter) still converges to one
+    component within the iteration budget."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    comps = connected_components(pairs)
+    assert comps.select("cluster_id").distinct().count() == 1
+    assert comps.count() == 31
+
+
+def test_near_dup_clusters_runs(spark):
+    from project_bigdata_recsys_spark.functions.dedup import near_dup_clusters
+
+    out = near_dup_clusters(spark, SF_SMALL)
+    rows = out.collect()
+    # every cluster has >= 2 members and canonical == cluster label
+    assert all(r.cluster_size >= 2 and r.canonical_id == r.cluster_id for r in rows)
