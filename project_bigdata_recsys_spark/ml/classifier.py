@@ -128,3 +128,14 @@ def train_classifier(
     return ClassifierResult(
         model, {"auc": auc, "logloss": logloss, f"accuracy_at_{threshold}": acc_at}
     )
+
+
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 as a declared query: seeded stratified train sample per label
+    with per-label counts — rows-only (sampleBy's Bernoulli draw is
+    engine-seeded; determinism within Spark is covered by tests)."""
+    frame = training_frame(spark, sf_dir)
+    train, test = stratified_split(frame, seed=42)
+    t = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
+    e = test.groupBy("label").agg(F.count(F.lit(1)).alias("n_test"))
+    return t.join(e, "label").orderBy("label")

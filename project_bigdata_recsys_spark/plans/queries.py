@@ -50,6 +50,13 @@ def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_top_recommendations(spark, sf_dir, k=5)
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 stratified seeded split — rows-only (engine-seeded Bernoulli)."""
+    from project_bigdata_recsys_spark.ml.classifier import stratified_sample_query
+
+    return stratified_sample_query(spark, sf_dir)
+
+
 def _synthetic_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S18 seeded synthetic generator — rows-only (Spark's rand(seed)
     stream is engine-specific, so no cross-engine oracle; determinism is
@@ -167,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- §2.1 S18/S19: generator sources (rows-only: engine-seeded rand) --
     "synthetic_interactions": _synthetic_interactions,
     "mutated_interactions": _mutated_interactions,
+    "stratified_sample": _stratified_sample,  # rows-only (engine-seeded)
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
     "als_user_factors": _als_user_factors,
     "als_top_recommendations": _als_top_recs,

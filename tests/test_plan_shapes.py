@@ -81,3 +81,13 @@ def test_except_plans_as_anti_join(spark):
 def test_no_cartesian_products(spark, fn):
     plan = _physical(fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_single_expand_pass(spark):
+    """Grouping-set queries must compute all hierarchy levels in ONE
+    Expand + aggregate pass, not one scan per level."""
+    from project_bigdata_recsys_spark.operators.relational import time_rollup
+
+    plan = _physical(time_rollup(spark, SF_SMALL))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
