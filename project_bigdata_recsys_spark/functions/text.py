@@ -258,3 +258,50 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Overlapping token-window chunking via a Python UDTF (one input doc
+    → many chunk rows) — the RAG-prep text→rows explosion SURVEY.md §2.11
+    notes the UDTF surface exists for.
+
+    Scale: the UDTF runs partition-parallel with Arrow batching; chunk
+    boundaries depend only on the row, so no shuffle is introduced —
+    downstream per-chunk embedding/scoring parallelizes over the same
+    partitions.  Declared rows-only (chunk text equality is asserted in
+    tests; a SQL oracle would re-implement the tokenizer)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_no int, chunk string, n_tokens int")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            toks = (text or "").split()
+            i, chunk_no = 0, 0
+            while i < len(toks):
+                window = toks[i : i + chunk_tokens]
+                yield doc_id, chunk_no, " ".join(window), len(window)
+                if i + chunk_tokens >= len(toks):
+                    break
+                i += stride
+                chunk_no += 1
+
+    spark.udtf.register("chunk_documents_udtf", Chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("chunk_src")
+    chunks = spark.sql(
+        "SELECT c.* FROM chunk_src, LATERAL chunk_documents_udtf(doc_id, text) c"
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+            F.max("n_tokens").alias("max_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -227,3 +227,45 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(2000)
     )
+
+
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median over a trailing 10-row window per customer — an
+    aggregate function used as a framed window function (the holistic-
+    aggregate-in-window case; approx sketches are the 100 TB variant
+    when the frame is huge)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderkey"))
+        .rowsBetween(-9, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.expr("percentile(o_totalprice, 0.5)").over(w), 4
+            ).alias("rolling_median"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
+def deterministic_group_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """K rows per group, pseudo-randomly but deterministically chosen:
+    rank by md5(key) inside each group (identical across engines, unlike
+    rand(seed)) — the oracle-checkable form of per-group sampling (the
+    reference samples with ORDER BY RANDOM() LIMIT n,
+    scripts/modify_training_data.py:43-51)."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_custkey").orderBy(h.asc(), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+        .orderBy("o_custkey", "rn")
+    )

@@ -148,6 +148,8 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg_range": windows.moving_avg_range,
     "ntile_quartiles": windows.ntile_quartiles,
     "order_gaps": windows.order_gaps,
+    "rolling_median": windows.rolling_median,
+    "deterministic_group_sample": windows.deterministic_group_sample,
     # --- §2.12: text analysis ------------------------------------------
     "doc_quality_profile": text.doc_quality_profile,
     "lang_profile": text.lang_profile,
@@ -155,6 +157,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_frequencies": text.token_frequencies,
     "token_stats": text.token_stats,
     "lang_id_confusion": text.lang_id_confusion,
+    "chunk_documents": text.chunk_documents,  # rows-only (Python UDTF)
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -601,6 +604,23 @@ ORACLES: dict[str, str] = {
                         ORDER BY o_orderdate, o_orderkey)) AS INTEGER) AS days_to_next
         FROM orders
         ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
+    "rolling_median": """
+        SELECT o_custkey, o_orderkey,
+               round(quantile_cont(o_totalprice, 0.5) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
+    "deterministic_group_sample": """
+        WITH r AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                       AS INTEGER) AS rn
+            FROM orders)
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+        FROM r WHERE rn <= 3 ORDER BY o_custkey, rn
     """,
     # --- streaming (bounded replay; oracle = batch equivalent) -----------
     "stream_stateful_features": """

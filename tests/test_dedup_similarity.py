@@ -108,3 +108,26 @@ def test_near_dup_clusters_runs(spark):
     rows = out.collect()
     # every cluster has >= 2 members and canonical == cluster label
     assert all(r.cluster_size >= 2 and r.canonical_id == r.cluster_id for r in rows)
+
+
+def test_chunk_documents_udtf(spark):
+    """UDTF chunking: every doc covered, overlap = chunk - stride, chunk
+    sizes within bounds, token accounting consistent."""
+    from project_bigdata_recsys_spark.functions.text import chunk_documents
+
+    out = chunk_documents(spark, SF_SMALL, chunk_tokens=50, stride=40)
+    rows = {r.doc_id: r for r in out.collect()}
+    docs = {
+        r.doc_id: len(r.text.split())
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, n_tok in docs.items():
+        r = rows[doc_id]
+        assert r.max_chunk_tokens <= 50
+        # total chunk tokens = n_tok + overlap double-counting
+        if n_tok <= 50:
+            assert r.n_chunks == 1 and r.total_chunk_tokens == n_tok
+        else:
+            overlap = 10 * (r.n_chunks - 1)
+            assert r.total_chunk_tokens == n_tok + overlap
