@@ -44,6 +44,9 @@ HEADLINE = [
     "data_quality_report",
     "token_stats",
     "exact_duplicates",
+    "cheapest_order_per_customer",
+    "rolling_median",
+    "time_rollup",
 ]
 
 
