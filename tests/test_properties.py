@@ -170,3 +170,48 @@ def test_asof_join_exclusive_matches_brute_force(spark, left, right):
         cand = [(rts, rv) for rk, rts, rv in right if rk == k and rts < lts]
         want.append((k, lts, lv, max(cand)[1] if cand else None))
     assert got_rows == sorted(want, key=_key)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation (+pointer halving) must agree
+    with a sequential union-find on arbitrary small graphs."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    want = union_find_components(edges)
+    # union-find roots are component minima by construction (min-merge)
+    assert got == want
