@@ -602,3 +602,22 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_last("o_year"), F.asc_nulls_last("o_month")
         )
     )
+
+
+def paginated_orders(spark: SparkSession, sf_dir: str, page: int = 3, size: int = 100) -> DataFrame:
+    """OFFSET/LIMIT pagination (page 3 of 100) over a total ordering —
+    the dashboard's interactive result paging, engine-native via
+    DataFrame.offset (Spark plans limit+offset together as
+    CollectLimit(offset, limit); a total ordering is what makes pages
+    stable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .offset(page * size)
+        .limit(size)
+    )

@@ -122,6 +122,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_rate": relational.event_rate,
     "cheapest_order_per_customer": relational.cheapest_order_per_customer,
     "time_rollup": relational.time_rollup,
+    "paginated_orders": relational.paginated_orders,
     "user_topk_recommendations": relational.user_topk_recommendations,
     "purchase_asof_click": asof.purchase_asof_click,
     # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
@@ -366,6 +367,11 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
                CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "paginated_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        FROM orders ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100 OFFSET 300
     """,
     "time_rollup": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
