@@ -58,8 +58,25 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness confs that must hold in ANY session, not just one built
+    by :func:`session.get_spark` — e.g. an externally created driver/gate
+    session.  Both are runtime-settable SQL confs, so setting them here is
+    cheap (a conf-map write) and idempotent:
+
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS), which Spark
+      has no native type for; read as long, converted in
+      :func:`normalize_events` (truncation to micros matches DuckDB).
+    - UTC session timezone: keeps timestamp formatting identical to the
+      DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test-data table.  Parquet carries the schema; no inference."""
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events(df)

@@ -30,12 +30,18 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     inclusive: bool = True,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with the same
     key and right_ts <= left_ts (or < when inclusive=False).
 
     Returns all left columns plus ``asof_<col>`` for each right payload
     column (NULL when no earlier right row exists — LEFT ASOF semantics).
+
+    ``right_tiebreak``: column that deterministically orders right rows
+    sharing (key, right_ts); the row with the greatest tiebreak wins.
+    Without it the carried payload among exact-timestamp ties depends on
+    physical row order (partitioning/run-dependent).
     """
     lcols = left.columns
     # side tag orders right rows before left rows at equal timestamps when
@@ -47,6 +53,7 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(side_left).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
         F.struct(*lcols).alias("__l"),
         F.lit(None).cast(
             right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
@@ -56,15 +63,23 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(side_right).alias("__side"),
+        (
+            F.col(right_tiebreak).cast("long")
+            if right_tiebreak
+            else F.lit(0).cast("long")
+        ).alias("__tb"),
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("__l"),
         F.struct(*right_payload).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # __tb ascending => among right rows tied on (ts, side), F.last picks
+    # the greatest tiebreak; left rows carry __tb NULL (sorts first, which
+    # is irrelevant — left rows never feed the carried payload)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc_nulls_first("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
@@ -85,7 +100,7 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
     )
     joined = asof_join(
         purchases,
@@ -94,6 +109,7 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_payload=["ts", "click_value"],
+        right_tiebreak="event_id",
     )
     return joined.select(
         "event_id",

@@ -517,19 +517,38 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB these replace their exact forms: the sketches are fixed-size
     mergeable state, so the aggregation stays one map-side-combined
     shuffle regardless of cardinality, where exact distinct would shuffle
-    every distinct value.  Deterministic for a fixed Spark version but not
-    bit-identical to DuckDB's sketches => rows-only gate check; accuracy
-    is asserted against the exact values in tests (within rsd/rank
-    tolerance).
+    every distinct value.
+
+    Oracle signal: raw sketch outputs are engine-specific (not
+    bit-identical to DuckDB's), so the hashed output carries the EXACT
+    aggregates plus booleans asserting each sketch landed within its
+    published tolerance of the exact value (HLL++ rsd=0.02 → 3σ = 6%;
+    percentile_approx accuracy=10000 → ~rank-exact, checked at 2%
+    relative).  The DuckDB oracle computes the same exact aggregates and
+    literal TRUEs, turning the former rows-only grey row into a full
+    hash-checked pass that still exercises the sketches.
     """
     orders = load_table(spark, sf_dir, "orders")
+    profile = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx_customers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("__exact_p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("__exact_p95"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("__approx_p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("__approx_p95"),
+    )
+    rel_err = lambda a, b: F.abs(F.col(a) - F.col(b)) / F.col(b)  # noqa: E731
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
-            F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
-            F.count(F.lit(1)).alias("n"),
+        profile.select(
+            "o_orderpriority",
+            "n_orders",
+            "n_customers",
+            (rel_err("__approx_customers", "n_customers") <= 0.06).alias(
+                "approx_customers_ok"
+            ),
+            (rel_err("__approx_p50", "__exact_p50") <= 0.02).alias("approx_p50_ok"),
+            (rel_err("__approx_p95", "__exact_p95") <= 0.02).alias("approx_p95_ok"),
         )
         .orderBy("o_orderpriority")
     )

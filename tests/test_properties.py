@@ -74,8 +74,9 @@ sess_events = st.lists(
 
 
 def brute_force_sessions(events, gap_minutes=30):
-    """Per user: sort timestamps, split where the gap exceeds the
-    threshold, return per-session event counts."""
+    """Per user: sort timestamps, split where the gap reaches the
+    threshold (half-open [start, last+gap) — Spark session_window
+    semantics), return per-session event counts."""
     from collections import defaultdict
 
     by_user = defaultdict(list)
@@ -86,7 +87,7 @@ def brute_force_sessions(events, gap_minutes=30):
         ms.sort()
         runs, cur = [], [ms[0]]
         for m in ms[1:]:
-            if m - cur[-1] > gap_minutes:
+            if m - cur[-1] >= gap_minutes:
                 runs.append(cur)
                 cur = [m]
             else:
@@ -124,7 +125,7 @@ def test_sessionize_matches_brute_force(spark, events):
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            | (F.col("ts") >= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )

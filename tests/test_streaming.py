@@ -74,6 +74,29 @@ def test_recommendations_topk(spark, tmp_path):
     assert recs.count() > 0
 
 
+def test_stream_blend_matches_batch_topk(spark):
+    """M10/M11 stream/batch parity: score_topk_per_user on a static frame
+    must reproduce user_topk_recommendations exactly (same 0.3/0.7 blend,
+    same precedence, same ranking) — regression for the round-1
+    (0.3*user_id) % 10 precedence bug."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        user_topk_recommendations,
+    )
+    from project_bigdata_recsys_spark.streaming.jobs import score_topk_per_user
+
+    batch = user_topk_recommendations(spark, SF_SMALL)
+
+    from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
+
+    events = load_table(spark, SF_SMALL, "events")
+    stream_shaped = score_topk_per_user(
+        events, kb_popular_items(spark, SF_SMALL)
+    ).withColumnRenamed("rn", "rank")
+
+    assert batch.exceptAll(stream_shaped).count() == 0
+    assert stream_shaped.exceptAll(batch).count() == 0
+
+
 def test_bootstrapped_features_equal_snapshot_plus_batch(spark, tmp_path):
     """T4: after a bootstrapped replay, counters equal snapshot ⊕ batch
     aggregation — including a key that exists only in the snapshot."""
