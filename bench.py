@@ -47,6 +47,13 @@ HEADLINE = [
     "cheapest_order_per_customer",
     "rolling_median",
     "time_rollup",
+    # LLM-pipeline hot path (round 2): near-dup candidate generation,
+    # banded simhash, clustering, batched ANN, plus one streaming replay
+    "minhash_candidates",
+    "simhash_near_pairs",
+    "near_dup_clusters",
+    "knn_multi_query",
+    "stream_tumbling_counts",
 ]
 
 

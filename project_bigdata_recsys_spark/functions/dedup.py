@@ -89,11 +89,33 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+#: Default hot-shingle document-frequency cap.  A shingle shared by more
+#: than this many documents (stopword-only grams, boilerplate) generates
+#: O(df²) candidate pairs while carrying no discriminative signal; at the
+#: driver SFs no shingle comes near it, so the default is a no-op there.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     n: int = 3,
     threshold: float = 0.20,
+    max_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all document pairs above a
+    threshold (see :func:`ngram_jaccard_pairs_for`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_for(
+        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+
+
+def ngram_jaccard_pairs_for(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.20,
+    max_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all document pairs above a
     threshold, computed distributively:
@@ -107,14 +129,19 @@ def ngram_jaccard_pairs(
     self-join-on-shingle plans the explode subtree four times: two join
     sides + two size branches — measured ~1.4x slower), and per-doc sizes
     come from ``F.size`` on the shingle array with no shuffle at all.
-    Hot shingles (stopword-only grams) are the skew risk: their doc
-    lists inflate quadratically, so at corpus scale drop shingles whose
-    document frequency exceeds a cap (they carry no discriminative
-    signal) — AQE skew-join cannot help here because the blowup is in
-    the generated pairs, not partition sizes.  This same plan is the LSH
+
+    Hot shingles (stopword-only grams, boilerplate headers) are the skew
+    risk: a shingle shared by df documents generates df(df-1)/2 pair rows
+    — quadratic in generated ROWS, so AQE skew-join cannot help (the
+    blowup is not in partition sizes).  ``max_doc_freq`` drops shingles
+    whose document frequency exceeds the cap before pair generation,
+    bounding any single shingle's contribution; dropped shingles still
+    count in the per-doc set sizes, so Jaccard for pairs that shared a
+    dropped shingle is (slightly, conservatively) underestimated — the
+    standard df-pruning trade for near-dup detection.  ``None`` disables
+    the cap (exact oracle semantics).  This same plan is the LSH
     verification pass.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
     ).filter(F.length("shingle") > 0)
@@ -132,6 +159,8 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_doc_freq is not None:
+        doc_lists = doc_lists.filter(F.size("ds") <= max_doc_freq)
     pair_expr = F.flatten(
         F.transform(
             F.col("ds"),
@@ -285,7 +314,32 @@ def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+#: Default per-band-key group cap: a band key shared by df docs generates
+#: O(df²) candidate pairs.  No key approaches this at the driver SFs
+#: (no-op there); at corpus scale it bounds degenerate keys (e.g. the
+#: near-constant band of boilerplate-heavy or near-empty docs).
+DEFAULT_MAX_BAND_KEY_DOCS = 10_000
+
+
+def simhash_near_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_band_key_docs: int | None = DEFAULT_MAX_BAND_KEY_DOCS,
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs (see
+    :func:`simhash_near_pairs_for`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs_for(
+        docs, max_hamming=max_hamming, max_band_key_docs=max_band_key_docs
+    )
+
+
+def simhash_near_pairs_for(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_band_key_docs: int | None = DEFAULT_MAX_BAND_KEY_DOCS,
+) -> DataFrame:
     """Banded SimHash near-duplicate pairs, verified by exact popcount on
     the XOR of fingerprints.
 
@@ -296,11 +350,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
     end-to-end).  Same recall guarantee (pigeonhole over 4x16-bit bands:
     any pair within Hamming distance 3 shares at least one band).
 
-    Skew note (100 TB): a degenerate band key shared by a large doc set
-    inflates its pair array quadratically — cap per-key list size (or
-    pre-split hot keys) in production; candidate lists here are tiny.
+    Skew (100 TB): a degenerate band key shared by df docs inflates its
+    pair array to df(df-1)/2 generated rows — quadratic in ROWS, beyond
+    AQE's reach.  ``max_band_key_docs`` drops band-key groups larger than
+    the cap before pair generation.  Recall trade: a pair meeting ONLY in
+    a dropped band is missed; pairs within the Hamming budget usually
+    agree on several bands, and a >cap-sized identical band is precisely
+    the non-discriminative case (near-identical boilerplate) that
+    upstream exact dedup already collapses.  ``None`` disables the cap.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sh = simhash_features(docs)
     band_structs = F.array(
         *[
@@ -325,6 +383,8 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
         )
         .filter(F.size("ds") >= 2)
     )
+    if max_band_key_docs is not None:
+        doc_lists = doc_lists.filter(F.size("ds") <= max_band_key_docs)
     pair_expr = F.flatten(
         F.transform(
             F.col("ds"),

@@ -81,6 +81,15 @@ def _mutated_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "course_id", "event_ts")
 
 
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S3 tolerant CSV scan + S8 CSV snapshot sink, gate-checkable:
+    orders → CSV (+injected malformed shard) → tolerant re-scan →
+    aggregate must equal the oracle's aggregate over the parquet."""
+    from project_bigdata_recsys_spark.sources.ingest import csv_roundtrip_query
+
+    return csv_roundtrip_query(spark, sf_dir)
+
+
 def _kb_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.ml.recsys import kb_popular_items
 
@@ -93,64 +102,14 @@ def _kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb_success_profile(spark, sf_dir)
 
 
+# Registration order matters: the driver's correctness gate executes the
+# FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
+# driver verification is newest-needed come first — §2.12 text/dedup/
+# similarity/multimodal, generators, ML, streaming, and the events-backed
+# queries fixed this round.  The relational core that the round-1 gate
+# already hash-verified green sits last; it stays regression-protected by
+# tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 QUERIES: dict[str, QueryFn] = {
-    # --- §2.2–§2.4, §2.6–§2.8: relational core -------------------------
-    "course_stats": relational.course_stats,
-    "label_histogram": relational.label_histogram,
-    "user_activity": relational.user_activity,
-    "distinct_counts": relational.distinct_counts,
-    "conditional_pivot": relational.conditional_pivot,
-    "time_range_filter": relational.time_range_filter,
-    "derived_projection": relational.derived_projection,
-    "top_k_orders": relational.top_k_orders,
-    "null_handling": relational.null_handling,
-    "multiway_join": relational.multiway_join,
-    "rollup_totals": relational.rollup_totals,
-    "scalar_functions": relational.scalar_functions,
-    "json_extraction": relational.json_extraction,
-    "union_dedup": relational.union_dedup,
-    "anti_join_new_keys": relational.anti_join_new_keys,
-    "semi_join_filter": relational.semi_join_filter,
-    "cooccurrence_pairs": relational.cooccurrence_pairs,
-    "sample_deterministic": relational.sample_deterministic,
-    "approx_profile": relational.approx_profile,  # sketches checked vs exact
-    "data_quality_report": quality.data_quality_report,
-    "cube_totals": relational.cube_totals,
-    "percentile_stats": relational.percentile_stats,
-    "pivot_status_by_priority": relational.pivot_status_by_priority,
-    "events_per_day": relational.events_per_day,
-    "event_rate": relational.event_rate,
-    "cheapest_order_per_customer": relational.cheapest_order_per_customer,
-    "time_rollup": relational.time_rollup,
-    "paginated_orders": relational.paginated_orders,
-    "user_topk_recommendations": relational.user_topk_recommendations,
-    "purchase_asof_click": asof.purchase_asof_click,
-    # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
-    "pricing_summary": analytics.pricing_summary,
-    "shipping_priority": analytics.shipping_priority,
-    "local_supplier_volume": analytics.local_supplier_volume,
-    "small_quantity_revenue": analytics.small_quantity_revenue,
-    "big_orders": analytics.big_orders,
-    # --- range / banded joins + grouping sets ---------------------------
-    "quantity_band_stats": ranges.quantity_band_stats,
-    "price_tier_join": ranges.price_tier_join,
-    "grouping_sets_stats": ranges.grouping_sets_stats,
-    # --- §2.7: set operations -------------------------------------------
-    "customers_intersect": setops.customers_intersect,
-    "customers_except": setops.customers_except,
-    "priority_union_all": setops.priority_union_all,
-    # --- §2.5: window functions ----------------------------------------
-    "latest_order_per_customer": windows.latest_order_per_customer,
-    "drift_lag": windows.drift_lag,
-    "power_user_rank": windows.power_user_rank,
-    "top_n_per_group": windows.top_n_per_group,
-    "sessionize": windows.sessionize,
-    "running_total": windows.running_total,
-    "moving_avg_range": windows.moving_avg_range,
-    "ntile_quartiles": windows.ntile_quartiles,
-    "order_gaps": windows.order_gaps,
-    "rolling_median": windows.rolling_median,
-    "deterministic_group_sample": windows.deterministic_group_sample,
     # --- §2.12: text analysis ------------------------------------------
     "doc_quality_profile": text.doc_quality_profile,
     "lang_profile": text.lang_profile,
@@ -192,6 +151,67 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_events": replay.stream_dedup_events,
     "stream_stream_attribution": replay.stream_stream_attribution,
     "stream_session_windows": replay.stream_session_windows,
+    # --- window variants past the round-1 gate window ---------------------
+    "rolling_median": windows.rolling_median,
+    "deterministic_group_sample": windows.deterministic_group_sample,
+    # --- events-backed queries fixed this round (nanosAsLong in catalog) --
+    "json_extraction": relational.json_extraction,
+    "events_per_day": relational.events_per_day,
+    "event_rate": relational.event_rate,
+    "user_topk_recommendations": relational.user_topk_recommendations,
+    "purchase_asof_click": asof.purchase_asof_click,
+    "sessionize": windows.sessionize,
+    "approx_profile": relational.approx_profile,  # sketches checked vs exact
+    # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
+    "csv_roundtrip_ingest": _csv_roundtrip,
+    # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
+    "course_stats": relational.course_stats,
+    "label_histogram": relational.label_histogram,
+    "user_activity": relational.user_activity,
+    "distinct_counts": relational.distinct_counts,
+    "conditional_pivot": relational.conditional_pivot,
+    "time_range_filter": relational.time_range_filter,
+    "derived_projection": relational.derived_projection,
+    "top_k_orders": relational.top_k_orders,
+    "null_handling": relational.null_handling,
+    "multiway_join": relational.multiway_join,
+    "rollup_totals": relational.rollup_totals,
+    "scalar_functions": relational.scalar_functions,
+    "union_dedup": relational.union_dedup,
+    "anti_join_new_keys": relational.anti_join_new_keys,
+    "semi_join_filter": relational.semi_join_filter,
+    "cooccurrence_pairs": relational.cooccurrence_pairs,
+    "sample_deterministic": relational.sample_deterministic,
+    "data_quality_report": quality.data_quality_report,
+    "cube_totals": relational.cube_totals,
+    "percentile_stats": relational.percentile_stats,
+    "pivot_status_by_priority": relational.pivot_status_by_priority,
+    "cheapest_order_per_customer": relational.cheapest_order_per_customer,
+    "time_rollup": relational.time_rollup,
+    "paginated_orders": relational.paginated_orders,
+    # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
+    "pricing_summary": analytics.pricing_summary,
+    "shipping_priority": analytics.shipping_priority,
+    "local_supplier_volume": analytics.local_supplier_volume,
+    "small_quantity_revenue": analytics.small_quantity_revenue,
+    "big_orders": analytics.big_orders,
+    # --- range / banded joins + grouping sets ---------------------------
+    "quantity_band_stats": ranges.quantity_band_stats,
+    "price_tier_join": ranges.price_tier_join,
+    "grouping_sets_stats": ranges.grouping_sets_stats,
+    # --- §2.7: set operations -------------------------------------------
+    "customers_intersect": setops.customers_intersect,
+    "customers_except": setops.customers_except,
+    "priority_union_all": setops.priority_union_all,
+    # --- §2.5: window functions ----------------------------------------
+    "latest_order_per_customer": windows.latest_order_per_customer,
+    "drift_lag": windows.drift_lag,
+    "power_user_rank": windows.power_user_rank,
+    "top_n_per_group": windows.top_n_per_group,
+    "running_total": windows.running_total,
+    "moving_avg_range": windows.moving_avg_range,
+    "ntile_quartiles": windows.ntile_quartiles,
+    "order_gaps": windows.order_gaps,
 }
 
 
@@ -369,6 +389,12 @@ ORACLES: dict[str, str] = {
                TRUE AS approx_p50_ok,
                TRUE AS approx_p95_ok
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "csv_roundtrip_ingest": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "pivot_status_by_priority": """
         SELECT o_orderpriority,

@@ -24,6 +24,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from project_bigdata_recsys_spark.catalog import load_table
+
 #: users table schema — reference sql/init.sql:1-7 + README.md:386-392.
 USERS_SCHEMA = StructType(
     [
@@ -107,6 +109,48 @@ def upsert_append(
         return deduped
     new_rows = deduped.join(existing.select(*pk_cols), pk_cols, "left_anti")
     return existing.unionByName(new_rows)
+
+
+def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable S1–S3 + S8 exercise: snapshot ``orders`` to a CSV
+    sink, inject malformed rows (unparseable numerics, NULL PKs — the
+    reference's tolerant-parser cases), re-scan with
+    :func:`read_csv_tolerant`, and aggregate.
+
+    Every injected row carries an empty PK, so the tolerant scan must
+    coerce its bad fields to NULL *and* drop it; the aggregate then equals
+    the same aggregate over the original parquet — which is exactly what
+    the DuckDB oracle computes.  Any coercion or PK-drop regression makes
+    the counts diverge and the gate row go red.
+    """
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = os.path.join(tempfile.mkdtemp(prefix="spark_csv_snapshot_"), "orders_csv")
+    # S8: CSV snapshot sink (header'd, engine-parallel writer)
+    orders.write.mode("overwrite").option("header", True).csv(snap)
+
+    # inject a malformed shard: header + rows with empty PK / garbage fields
+    header = ",".join(orders.columns)
+    n_cols = len(orders.columns)
+    bad_rows = [
+        ",".join([""] + ["not_a_number"] * (n_cols - 1)),
+        ",".join([""] + ["?"] * (n_cols - 1)),
+        "," * (n_cols - 1),
+    ]
+    with open(os.path.join(snap, "part-99999-malformed.csv"), "w") as fh:
+        fh.write(header + "\n" + "\n".join(bad_rows) + "\n")
+
+    clean = read_csv_tolerant(spark, snap, orders.schema, pk_cols=["o_orderkey"])
+    return (
+        clean.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 def synthetic_interactions(

@@ -95,6 +95,49 @@ def kafka_events_stream(spark: SparkSession, bootstrap: str, topic: str) -> Data
     )
 
 
+def kafka_event_payload(events: DataFrame, key_col: str = "username") -> DataFrame:
+    """Serialize event rows to the Kafka (key, value) wire shape — the
+    exact inverse of :func:`kafka_events_stream`'s parse, so a produce →
+    consume round trip is schema-lossless (asserted in tests without a
+    broker).
+
+    value = JSON of KAFKA_EVENT_SCHEMA (reference producer payload,
+    run_producer.py:79-106); ts goes back to fractional epoch seconds.
+    key = username, so a user's events land in one partition and the
+    consumer's per-user state sees them in order.
+    """
+    return events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("username"),
+                F.col("course_id"),
+                F.col("action"),
+                F.col("ts").cast("double").alias("timestamp"),
+            )
+        ).alias("value"),
+    )
+
+
+def events_to_kafka(
+    events: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str
+):
+    """Kafka producer sink, symmetrical to :func:`kafka_events_stream`
+    (S10; reference run_producer.py:79-106).  Exactly-once to the extent
+    Kafka allows: checkpointed offsets + idempotent-producer defaults.
+    Requires a live broker — the payload serialization above is the
+    broker-free testable part.
+    """
+    return (
+        kafka_event_payload(events)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def tumbling_rate(events: DataFrame, width: str = "1 minute") -> DataFrame:
     """Events-per-window rate metric (T5) — reference computes
     n/(max-min) in pandas (dashboard/app.py:1060-1066).  Event-time window

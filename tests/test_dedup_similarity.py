@@ -45,6 +45,65 @@ def test_simhash_identical_and_different(spark):
     assert rows[1] != rows[3]
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Hot-shingle df cap: a boilerplate shingle shared by every doc must
+    not generate O(n²) pairs when capped; normal near-dup pairs survive,
+    and on a corpus with no hot shingles the cap is a no-op."""
+    from project_bigdata_recsys_spark.functions.dedup import ngram_jaccard_pairs_for
+
+    boiler = "all rights reserved"  # one 3-gram shared by every doc
+    near_a = "spark shuffle partition broadcast join aggregate"
+    rows = [(0, f"{near_a} {boiler}"), (1, f"{near_a} extra {boiler}")] + [
+        (i, " ".join(f"tok{i}_{j}" for j in range(8)) + f" {boiler}")
+        for i in range(2, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs_for(docs, threshold=0.05, max_doc_freq=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the planted near-dup pair survives (shares discriminative shingles)
+    assert (0, 1) in got
+    # the 40-doc boilerplate clique (780 pairs) does not appear
+    assert len(got) < 50
+
+    uncapped = ngram_jaccard_pairs_for(docs, threshold=0.05, max_doc_freq=None)
+    assert uncapped.count() > len(got)  # cap really pruned the hot shingle
+
+    # no-op on a hot-shingle-free corpus: capped == uncapped exactly
+    clean = spark.createDataFrame(rows[:2] + rows[2:10], "doc_id long, text string")
+    clean = clean.withColumn("text", F.regexp_replace("text", boiler, ""))
+    a = ngram_jaccard_pairs_for(clean, threshold=0.05, max_doc_freq=10).collect()
+    b = ngram_jaccard_pairs_for(clean, threshold=0.05, max_doc_freq=None).collect()
+    assert a == b
+
+
+def test_simhash_band_key_cap(spark):
+    """Degenerate band-key cap: docs engineered to share band keys en
+    masse must not blow up pair generation when capped; identical-doc
+    pairs (Hamming 0, all four bands agree) still found via the no-op
+    path, and a hot-key-free corpus is unaffected by the cap."""
+    from project_bigdata_recsys_spark.functions.dedup import simhash_near_pairs_for
+
+    # 30 identical docs => every band key shared by all 30 (degenerate),
+    # plus distinct docs that share no keys
+    rows = [(i, "identical boilerplate text body here") for i in range(30)] + [
+        (100 + i, " ".join(f"uniq{i}_{j}" for j in range(12))) for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_near_pairs_for(docs, max_band_key_docs=10)
+    # every band key of the identical clique exceeds the cap => no pairs
+    assert capped.count() == 0
+
+    uncapped = simhash_near_pairs_for(docs, max_band_key_docs=None)
+    assert uncapped.count() == 30 * 29 // 2  # full clique at Hamming 0
+
+    clean = spark.createDataFrame(rows[30:], "doc_id long, text string")
+    a = simhash_near_pairs_for(clean, max_band_key_docs=10).collect()
+    b = simhash_near_pairs_for(clean, max_band_key_docs=None).collect()
+    assert a == b
+
+
 def test_minhash_finds_planted_near_dup(spark, tmp_path):
     # plant a near-duplicate pair in a small corpus and require LSH to find it
     base = "spark engine shuffle partition broadcast join aggregate filter window sort " * 3
