@@ -70,6 +70,40 @@ def stratified_split(
     return train, test
 
 
+def deterministic_stratified_split(
+    df: DataFrame,
+    label_col: str = "label",
+    pk_col: str = "o_orderkey",
+    train_frac: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-fraction stratified split, reproducible across engines (M3).
+
+    Closer to the reference's sklearn ``train_test_split(stratify=y)``
+    than Bernoulli sampling: each stratum contributes EXACTLY
+    ceil(frac·n) rows, and membership depends only on data (rank by
+    md5(pk) within the stratum), not an engine's RNG stream — so a DuckDB
+    oracle reproduces it bit-for-bit and a re-run on different
+    partitioning returns the same split.
+
+    Scale: one window shuffle keyed by the label (few strata → few heavy
+    partitions; for extreme per-stratum cardinality switch the rank to a
+    two-pass percentile threshold on the md5 key).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.col(pk_col).cast("string")), F.col(pk_col)
+    )
+    counts = Window.partitionBy(label_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(counts)
+    )
+    cut = F.ceil(F.lit(train_frac) * F.col("__n"))
+    train = ranked.filter(F.col("__rn") <= cut).drop("__rn", "__n")
+    test = ranked.filter(F.col("__rn") > cut).drop("__rn", "__n")
+    return train, test
+
+
 @dataclass
 class ClassifierResult:
     model: object
@@ -131,11 +165,11 @@ def train_classifier(
 
 
 def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 as a declared query: seeded stratified train sample per label
-    with per-label counts — rows-only (sampleBy's Bernoulli draw is
-    engine-seeded; determinism within Spark is covered by tests)."""
+    """M3 as a declared query: deterministic stratified split per label
+    with per-label counts — fully oracle-checkable (md5-rank membership,
+    no engine RNG; see :func:`deterministic_stratified_split`)."""
     frame = training_frame(spark, sf_dir)
-    train, test = stratified_split(frame, seed=42)
+    train, test = deterministic_stratified_split(frame)
     t = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
     e = test.groupBy("label").agg(F.count(F.lit(1)).alias("n_test"))
     return t.join(e, "label").orderBy("label")

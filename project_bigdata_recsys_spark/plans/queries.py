@@ -911,6 +911,21 @@ ORACLES: dict[str, str] = {
                round(sum(n_chars) * 1.0 / sum(bpe_tokens), 6) AS chars_per_bpe_token
         FROM per_doc GROUP BY lang ORDER BY lang
     """,
+    "chunk_documents": """
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        k AS (
+            SELECT doc_id, n,
+                   CASE WHEN n <= 50 THEN 1
+                        ELSE 1 + CAST(ceil((n - 50) / 40.0) AS BIGINT) END AS n_chunks
+            FROM t WHERE n > 0)
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(list_sum(list_transform(range(0, CAST(n_chunks AS INTEGER)),
+                        j -> least(50, n - 40 * j))) AS BIGINT) AS total_chunk_tokens,
+               CAST(least(50, n) AS INTEGER) AS max_chunk_tokens
+        FROM k ORDER BY doc_id
+    """,
     # --- dedup -------------------------------------------------------------
     "exact_duplicates": """
         WITH corpus AS (
@@ -1033,6 +1048,106 @@ ORACLES: dict[str, str] = {
         FROM media GROUP BY media_type ORDER BY media_type
     """,
     # --- ML / recsys ---------------------------------------------------------
+    # hash_uniform(salt, key) — sources/ingest.py — is md5-based, so the
+    # oracle reproduces the "random" draws bit-for-bit:
+    "synthetic_interactions": """
+        WITH base AS (SELECT range AS row_id FROM range(0, 2000)),
+        u AS (
+            SELECT row_id,
+                   ('0x' || substr(md5('42:tier:'   || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_tier,
+                   ('0x' || substr(md5('42:plays:'  || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_plays,
+                   ('0x' || substr(md5('42:checks:' || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_checks,
+                   ('0x' || substr(md5('42:truth:'  || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_truth
+            FROM base),
+        t AS (
+            SELECT *, CASE WHEN u_tier < 0.3 THEN 'high'
+                           WHEN u_tier < 0.7 THEN 'mid'
+                           ELSE 'low' END AS tier
+            FROM u)
+        SELECT CAST(row_id % 1000 AS BIGINT) AS user_id,
+               'course-' || CAST(row_id % 200 AS VARCHAR) AS course_id,
+               CAST(CASE WHEN u_truth < (CASE tier WHEN 'high' THEN 0.85
+                                                   WHEN 'mid' THEN 0.60
+                                                   ELSE 0.30 END)
+                         THEN 0 ELSE 1 END AS INTEGER) AS truth,
+               round(CASE tier WHEN 'high' THEN 50 + u_plays * 150
+                               WHEN 'mid'  THEN 10 + u_plays * 40
+                               ELSE u_plays * 10 END, 2) AS action_play_video,
+               round(CASE tier WHEN 'high' THEN 20 + u_checks * 80
+                               WHEN 'mid'  THEN 5 + u_checks * 15
+                               ELSE u_checks * 5 END, 2) AS action_problem_check,
+               CAST(1700000000 + row_id AS BIGINT) AS event_ts
+        FROM t ORDER BY user_id, course_id, event_ts
+    """,
+    "mutated_interactions": """
+        WITH base AS (SELECT range AS row_id FROM range(0, 2000)),
+        u AS (
+            SELECT row_id,
+                   ('0x' || substr(md5('42:tier:'   || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_tier,
+                   ('0x' || substr(md5('42:plays:'  || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_plays,
+                   ('0x' || substr(md5('42:checks:' || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_checks,
+                   ('0x' || substr(md5('42:truth:'  || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_truth
+            FROM base),
+        t AS (
+            SELECT *, CASE WHEN u_tier < 0.3 THEN 'high'
+                           WHEN u_tier < 0.7 THEN 'mid'
+                           ELSE 'low' END AS tier
+            FROM u),
+        gen AS (
+            SELECT CAST(row_id % 1000 AS BIGINT) AS user_id,
+                   'course-' || CAST(row_id % 200 AS VARCHAR) AS course_id,
+                   CAST(CASE WHEN u_truth < (CASE tier WHEN 'high' THEN 0.85
+                                                       WHEN 'mid' THEN 0.60
+                                                       ELSE 0.30 END)
+                             THEN 0 ELSE 1 END AS INTEGER) AS truth,
+                   round(CASE tier WHEN 'high' THEN 50 + u_plays * 150
+                                   WHEN 'mid'  THEN 10 + u_plays * 40
+                                   ELSE u_plays * 10 END, 2) AS action_play_video,
+                   round(CASE tier WHEN 'high' THEN 20 + u_checks * 80
+                                   WHEN 'mid'  THEN 5 + u_checks * 15
+                                   ELSE u_checks * 5 END, 2) AS action_problem_check,
+                   CAST(1700000000 + row_id AS BIGINT) AS event_ts
+            FROM t),
+        m AS (
+            SELECT *,
+                   ('0x' || substr(md5('7:sample:' || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.10 AS in_sample,
+                   ('0x' || substr(md5('7:noise0:' || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_n0,
+                   ('0x' || substr(md5('7:noise1:' || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_n1,
+                   ('0x' || substr(md5('7:flip:'   || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_flip
+            FROM gen)
+        SELECT user_id, course_id,
+               CAST(CASE WHEN in_sample AND u_flip < 0.05
+                         THEN 1 - truth ELSE truth END AS INTEGER) AS truth,
+               CASE WHEN in_sample
+                    THEN greatest(0.0, round(action_play_video * (0.8 + u_n0 * 0.4), 2))
+                    ELSE action_play_video END AS action_play_video,
+               CASE WHEN in_sample
+                    THEN greatest(0.0, round(action_problem_check * (0.8 + u_n1 * 0.4), 2))
+                    ELSE action_problem_check END AS action_problem_check,
+               event_ts
+        FROM m ORDER BY user_id, course_id, event_ts
+    """,
+    "stratified_sample": """
+        WITH frame AS (
+            SELECT o.o_orderkey,
+                   CASE WHEN coalesce(sum(l.l_quantity), 0) > 100.0
+                        THEN 1.0 ELSE 0.0 END AS label
+            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus IN ('F', 'O', 'P')
+            GROUP BY o.o_orderkey),
+        r AS (
+            SELECT label,
+                   row_number() OVER (PARTITION BY label
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+            FROM frame)
+        SELECT label,
+               CAST(sum(CASE WHEN rn <= ceil(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(sum(CASE WHEN rn > ceil(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test
+        FROM r GROUP BY label ORDER BY label
+    """,
     "kb_popular_items": """
         SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
         FROM lineitem GROUP BY l_partkey

@@ -153,26 +153,42 @@ def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_uniform(col, salt: str):
+    """Deterministic uniform [0, 1) from md5(salt || value) — the seeded
+    draw of the synthetic/mutation sources.  Unlike ``F.rand(seed)``
+    (engine-private RNG stream), this depends only on DATA, so the same
+    draw reproduces bit-for-bit in any engine: DuckDB's
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0`` is the
+    identical expression, which makes the generator oracle-checkable."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("double") / F.lit(4294967296.0)
+
+
 def synthetic_interactions(
     spark: SparkSession, n: int = 5000, seed: int = 42
 ) -> DataFrame:
     """Seeded synthetic interaction generator — reference
     scripts/add_synthetic_data.py:29-140: engagement tier drives action
-    ranges and pass probability (85/60/30%).  spark.range + rand(seed)
-    keeps it fully distributed and reproducible (the reference's version is
-    an unseeded single-process loop)."""
+    ranges and pass probability (85/60/30%).  spark.range + hash-based
+    uniforms keep it fully distributed AND engine-independent (the
+    reference's version is an unseeded single-process loop); ``seed``
+    salts every draw."""
     base = spark.range(n).withColumnRenamed("id", "row_id")
-    tier = F.when(F.rand(seed) < 0.3, "high").when(F.rand(seed) < 0.7, "mid").otherwise("low")
+    rid = F.col("row_id")
+    u = lambda tag: hash_uniform(rid, f"{seed}:{tag}:")  # noqa: E731
+    tier = (
+        F.when(u("tier") < 0.3, "high").when(u("tier") < 0.7, "mid").otherwise("low")
+    )
     df = base.withColumn("tier", tier)
     plays = (
-        F.when(F.col("tier") == "high", 50 + F.rand(seed + 1) * 150)
-        .when(F.col("tier") == "mid", 10 + F.rand(seed + 1) * 40)
-        .otherwise(F.rand(seed + 1) * 10)
+        F.when(F.col("tier") == "high", 50 + u("plays") * 150)
+        .when(F.col("tier") == "mid", 10 + u("plays") * 40)
+        .otherwise(u("plays") * 10)
     )
     checks = (
-        F.when(F.col("tier") == "high", 20 + F.rand(seed + 2) * 80)
-        .when(F.col("tier") == "mid", 5 + F.rand(seed + 2) * 15)
-        .otherwise(F.rand(seed + 2) * 5)
+        F.when(F.col("tier") == "high", 20 + u("checks") * 80)
+        .when(F.col("tier") == "mid", 5 + u("checks") * 15)
+        .otherwise(u("checks") * 5)
     )
     pass_prob = (
         F.when(F.col("tier") == "high", 0.85)
@@ -184,7 +200,7 @@ def synthetic_interactions(
         F.concat(F.lit("course-"), (F.col("row_id") % 200).cast("string")).alias(
             "course_id"
         ),
-        F.when(F.rand(seed + 3) < pass_prob, 0).otherwise(1).alias("truth"),
+        F.when(u("truth") < pass_prob, 0).otherwise(1).alias("truth"),
         F.round(plays, 2).alias("action_play_video"),
         F.round(checks, 2).alias("action_problem_check"),
         (F.lit(1700000000) + F.col("row_id")).alias("event_ts"),
@@ -198,18 +214,23 @@ def mutate_with_noise(
     sample_fraction: float = 0.10,
     flip_fraction: float = 0.05,
     seed: int = 42,
+    key_col: str = "event_ts",
 ) -> DataFrame:
     """Drift simulator — reference scripts/modify_training_data.py:28-133:
     multiply a random sample's features by noise, flip 5% of labels,
-    clamp at 0.  In-place UPDATE becomes read → withColumn → overwrite."""
-    in_sample = F.rand(seed) < sample_fraction
+    clamp at 0.  In-place UPDATE becomes read → withColumn → overwrite.
+    Draws are hash-uniforms keyed on ``key_col`` (engine-independent, so
+    the whole mutation is oracle-checkable)."""
+    key = F.col(key_col)
+    u = lambda tag: hash_uniform(key, f"{seed}:{tag}:")  # noqa: E731
+    in_sample = u("sample") < sample_fraction
     out = df
     for i, c in enumerate(numeric_cols):
         noisy = F.greatest(
-            F.lit(0.0), F.round(F.col(c) * (0.8 + F.rand(seed + i) * 0.4), 2)
+            F.lit(0.0), F.round(F.col(c) * (0.8 + u(f"noise{i}") * 0.4), 2)
         )  # F9 clamp
         out = out.withColumn(c, F.when(in_sample, noisy).otherwise(F.col(c)))
-    flip = F.rand(seed + 100) < flip_fraction
+    flip = u("flip") < flip_fraction
     return out.withColumn(
         label_col,
         F.when(in_sample & flip, 1 - F.col(label_col)).otherwise(F.col(label_col)),
