@@ -83,6 +83,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input has FEWER partitions.
+
+    Compute-heavy per-row stages (md5 hashing, tokenize+shingle) otherwise
+    inherit the scan's partitioning — and a small parquet file is ONE split,
+    so the whole hash stage runs on a single core while 31 idle (measured
+    ~6x wall-clock on the minhash signature stage at sf0.1).  On a real
+    corpus the scan already has >= parallelism splits and this is a no-op —
+    it never coalesces, so it cannot hurt the scaled-up plan."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -6,15 +6,17 @@ Five dedup families, each with the scale strategy a 100 TB corpus needs:
                (group on the 32-byte digest, carry min(doc_id)).
   minhash-LSH  shingle → MinHash signature → band-bucket join — candidate
                pairs only meet inside a bucket, so the cross product never
-               materializes.  Uses pyspark.ml's MinHashLSH.
+               materializes.  Signatures are md5-derived higher-order
+               functions (no shuffle until banding, no ML fit pass).
   simhash      64-bit weighted-token hash; near-dups differ in few bits.
                Banding on 4x16-bit keys turns Hamming search into equi-joins.
   ngram-jaccard exact Jaccard on word n-gram shingle sets via explode+join —
                the verification pass run *after* LSH candidate generation.
   embedding    cosine near-dup over the embeddings table (see similarity.py).
 
-Exact + jaccard are DuckDB-oracle-checkable; LSH/simhash are probabilistic
-(declared rows-only to the driver, golden-tested in tests/).
+Every hash here derives from md5 of the DATA (never an engine-private RNG
+or hash function), so all four families — including minhash and simhash —
+reproduce bit-for-bit in DuckDB and are oracle-checked by the driver.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.catalog import fan_out, load_table
 from project_bigdata_recsys_spark.functions.text import tokens
 
 
@@ -89,11 +91,81 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def hash32(col, salt: str = ""):
+    """Data-derived 32-bit hash: first 8 hex chars of md5(salt || value) as
+    a long in [0, 2^32).  Engine-independent — DuckDB computes the identical
+    value as ``('0x' || substr(md5(salt || v), 1, 8))::BIGINT`` — which is
+    what makes the minhash/simhash operators oracle-checkable, unlike
+    ``xxhash64``/``F.hash`` (engine-private algorithms)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def sorted_pairs(ds_col):
+    """All (a, b) combinations with a < b from a SORTED array column, via
+    array combinatorics (transform over suffix slices + flatten).  This is
+    THE pair-generation kernel of the dedup family: documents grouped per
+    bucket key never meet in a join — the O(n²) cross product over the
+    corpus is replaced by per-bucket combinations of an in-memory array."""
+    return F.flatten(
+        F.transform(
+            ds_col,
+            lambda x, i: F.transform(
+                F.slice(ds_col, i + 2, F.size(ds_col)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+#: Group-size threshold between the two pair-generation strategies below.
+PAIR_GEN_ARRAY_MAX = 64
+
+
+def bucket_pairs(doc_lists: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Generate all intra-bucket (a, b) pairs (a < b) from a DataFrame of
+    ``key_cols + ds`` rows, where ``ds`` is the SORTED member array of the
+    bucket — hybrid strategy, one column ``p`` = struct(a, b) out.
+
+    Small buckets (≤ PAIR_GEN_ARRAY_MAX members) use array combinatorics:
+    the whole pair set is built inline in the row, no join, no shuffle.
+
+    Large buckets switch to an explode + self-equi-join on the bucket key:
+    a d-member bucket's d(d-1)/2 pairs are produced by parallel join tasks
+    instead of a single d²/2-element array in one row — one giant template
+    family would otherwise serialize on one core and one allocation
+    (measured: a 1.6k-doc bucket = 1.3M pairs in a single row, ~2x the
+    whole query's runtime).  Hot keys in the join are exactly the shape
+    AQE skew-join splits at scale.  Struct comparison ``a < b`` orders by
+    the first field (the id), so both strategies emit identical pair sets.
+    """
+    small = doc_lists.filter(F.size("ds") <= PAIR_GEN_ARRAY_MAX).select(
+        F.explode(sorted_pairs(F.col("ds"))).alias("p")
+    )
+    big = doc_lists.filter(F.size("ds") > PAIR_GEN_ARRAY_MAX)
+    left = big.select(*key_cols, F.explode("ds").alias("a"))
+    right = big.select(*key_cols, F.explode("ds").alias("b"))
+    big_pairs = (
+        left.join(right, key_cols)
+        .filter(F.col("a") < F.col("b"))
+        .select(F.struct("a", "b").alias("p"))
+    )
+    return small.unionByName(big_pairs)
+
+
 #: Default hot-shingle document-frequency cap.  A shingle shared by more
 #: than this many documents (stopword-only grams, boilerplate) generates
 #: O(df²) candidate pairs while carrying no discriminative signal; at the
 #: driver SFs no shingle comes near it, so the default is a no-op there.
 DEFAULT_MAX_SHINGLE_DF = 10_000
+
+#: Default per-band-key group cap (minhash + simhash banding): a band key
+#: shared by df docs generates O(df²) candidate pairs.  No key approaches
+#: this at the driver SFs (no-op there); at corpus scale it bounds
+#: degenerate keys (e.g. the near-constant band of boilerplate-heavy or
+#: near-empty docs).
+DEFAULT_MAX_BAND_KEY_DOCS = 10_000
 
 
 def ngram_jaccard_pairs(
@@ -142,6 +214,7 @@ def ngram_jaccard_pairs_for(
     the cap (exact oracle semantics).  This same plan is the LSH
     verification pass.
     """
+    docs = fan_out(docs)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
     ).filter(F.length("shingle") > 0)
@@ -161,17 +234,8 @@ def ngram_jaccard_pairs_for(
     )
     if max_doc_freq is not None:
         doc_lists = doc_lists.filter(F.size("ds") <= max_doc_freq)
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     inter = (
-        doc_lists.select(F.explode(pair_expr).alias("p"))
+        bucket_pairs(doc_lists, ["shingle"])
         .groupBy(
             F.col("p.a").alias("doc_a"),
             F.col("p.b").alias("doc_b"),
@@ -204,50 +268,101 @@ def ngram_jaccard_pairs_for(
 # --------------------------------------------------------------------------
 # MinHash + LSH (the scale path for near-dup candidate generation)
 # --------------------------------------------------------------------------
+#: Signature width / banding for minhash LSH: 16 hashes in 8 bands of 2.
+#: Collision probability for a pair with Jaccard s is 1-(1-s²)^8 — ~0.82 at
+#: s=0.5, ~0.99 at s=0.7 — the standard curve for near-dup candidate
+#: generation at threshold ~0.5.
+N_MINHASH = 16
+MINHASH_BAND_ROWS = 2
+
+
+def minhash_signature(sh_col, n_hashes: int = N_MINHASH):
+    """Array of ``n_hashes`` minhash values over a shingle-array column.
+
+    Pure higher-order functions: hash_i(s) = md5-derived 32-bit value of
+    ('mh{i}:' || shingle); min over the array.  One projection pass, zero
+    shuffle, whole-stage codegen — no HashingTF vectorization, no LSH model
+    fit (the reference ML-pipeline shape costs a full extra pass and is
+    engine-seeded, i.e. unverifiable).  Being data-derived, the signature
+    reproduces exactly in DuckDB (``list_min(list_transform(...))``)."""
+
+    def _mh(i: int):
+        return lambda s: hash32(s, f"mh{i}:")
+
+    return F.array(*[F.array_min(F.transform(sh_col, _mh(i))) for i in range(n_hashes)])
+
+
 def minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
     n: int = 3,
-    num_hash_tables: int = 8,
+    n_hashes: int = N_MINHASH,
     jaccard_threshold: float = 0.5,
-    seed: int = 42,
+    max_band_key_docs: int | None = DEFAULT_MAX_BAND_KEY_DOCS,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs.
 
-    shingle set -> HashingTF sparse vector -> MinHashLSH signatures ->
-    approxSimilarityJoin at (1 - jaccard_threshold) Jaccard *distance*.
+    shingle set -> md5-minhash signature (HOFs, no shuffle) -> explode into
+    8 bands of 2 rows -> group docs per (band, key) -> pair combinatorics ->
+    estimated Jaccard = fraction of agreeing signature positions.
 
-    Scale: LSH banding means each row is replicated num_hash_tables times
-    and joined on (table, bucket) — linear in corpus size, never quadratic.
-    Probabilistic → declared rows-only to the correctness driver; exactness
-    is covered by the ngram_jaccard verify pass above (run it on these
-    candidates in production).
+    Scale: each doc is replicated once per band and pairs are generated
+    only inside a band bucket — linear in corpus size, never quadratic;
+    ``max_band_key_docs`` bounds degenerate buckets exactly like the
+    simhash band cap.  Replaces round-1's pyspark.ml MinHashLSH
+    approxSimilarityJoin: ~4x faster end-to-end (no fit pass, no sparse
+    vectors, no join-side explode) and deterministic, so the driver
+    oracle-checks it instead of rows-only.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    docs = load_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", shingles(F.col("text"), n).alias("sh")).filter(
-        F.size("sh") > 0
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)
+    with_sig = (
+        docs.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(with_sh)
-    lsh = MinHashLSH(
-        inputCol="features",
-        outputCol="hashes",
-        numHashTables=num_hash_tables,
-        seed=seed,
+    n_bands = n_hashes // MINHASH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.col("sig")[2 * b].alias("k1"),
+                F.col("sig")[2 * b + 1].alias("k2"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    exploded = with_sig.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "sig", "bk.band_no", "bk.k1", "bk.k2")
+    doc_lists = (
+        exploded.groupBy("band_no", "k1", "k2")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    if max_band_key_docs is not None:
+        doc_lists = doc_lists.filter(F.size("ds") <= max_band_key_docs)
+    cands = (
+        bucket_pairs(doc_lists, ["band_no", "k1", "k2"])
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.sig").alias("sig_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = F.round(matches / F.lit(float(n_hashes)), 6)
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -260,9 +375,9 @@ def simhash_features(
 ) -> DataFrame:
     """64-bit SimHash per document, set-based for whole-stage codegen:
 
-        explode distinct tokens -> xxhash64 once per token ->
-        groupBy(doc) with 64 columnar SUMs of +/-1 bit votes ->
-        sign of each sum assembles the fingerprint long.
+        explode distinct tokens -> one md5 per token, split into two
+        32-bit halves -> groupBy(doc) with 64 columnar SUMs of +/-1 bit
+        votes -> sign of each sum assembles the fingerprint long.
 
     This shape keeps everything in Tungsten hash aggregation (one shuffle
     keyed by doc id, partial aggregation map-side) — measured ~5x faster
@@ -270,19 +385,29 @@ def simhash_features(
     gap widens with document length.  Docs with zero tokens drop out
     (no rows after explode); guard upstream if empty docs must keep a
     fingerprint.
+
+    The 64 hash bits come from md5 (hi/lo 8-hex-char halves), not
+    ``xxhash64``: md5 is data-derived and engine-independent, so the whole
+    simhash pipeline reproduces bit-for-bit in the DuckDB oracle; xxhash64
+    would be marginally cheaper but unverifiable outside the JVM.
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+    md5 = F.md5("tok")
+    halves = tok.select(
+        id_col,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def _bit(b: int):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+
+    votes = halves.groupBy(id_col).agg(
+        *[F.sum(_bit(b).cast("long") * 2 - 1).alias(f"v{b}") for b in range(64)]
     )
     out = F.lit(0).cast("long")
     for b in range(64):
@@ -314,13 +439,6 @@ def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-#: Default per-band-key group cap: a band key shared by df docs generates
-#: O(df²) candidate pairs.  No key approaches this at the driver SFs
-#: (no-op there); at corpus scale it bounds degenerate keys (e.g. the
-#: near-constant band of boilerplate-heavy or near-empty docs).
-DEFAULT_MAX_BAND_KEY_DOCS = 10_000
-
-
 def simhash_near_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -339,6 +457,7 @@ def simhash_near_pairs_for(
     docs: DataFrame,
     max_hamming: int = 3,
     max_band_key_docs: int | None = DEFAULT_MAX_BAND_KEY_DOCS,
+    sort: bool = True,
 ) -> DataFrame:
     """Banded SimHash near-duplicate pairs, verified by exact popcount on
     the XOR of fingerprints.
@@ -385,17 +504,8 @@ def simhash_near_pairs_for(
     )
     if max_band_key_docs is not None:
         doc_lists = doc_lists.filter(F.size("ds") <= max_band_key_docs)
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     cands = (
-        doc_lists.select(F.explode(pair_expr).alias("p"))
+        bucket_pairs(doc_lists, ["band_no", "k"])
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.a.simhash").alias("sim_a"),
@@ -405,12 +515,14 @@ def simhash_near_pairs_for(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    return (
+    out = (
         cands.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    # presentation sort only — skipped when feeding connected components,
+    # where the next op reshuffles anyway
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 # --------------------------------------------------------------------------
@@ -501,8 +613,11 @@ def connected_components(
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: banded SimHash pairs → connected
-    components → cluster summary (rows-only: SimHash is hash-dependent)."""
-    pairs = simhash_near_pairs(spark, sf_dir)
+    components → cluster summary.  Deterministic end-to-end (md5-based
+    simhash + min-label components), so the driver oracle-checks it via a
+    recursive-CTE connected components in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs_for(docs, sort=False)
     comps = connected_components(pairs)
     return (
         comps.groupBy("cluster_id")

@@ -121,9 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-    "minhash_candidates": dedup.minhash_candidates,  # rows-only (LSH)
-    "simhash_near_pairs": dedup.simhash_near_pairs,  # rows-only (hash-dependent)
-    "near_dup_clusters": dedup.near_dup_clusters,  # rows-only (iterative CC)
+    "minhash_candidates": dedup.minhash_candidates,
+    "simhash_near_pairs": dedup.simhash_near_pairs,
+    "near_dup_clusters": dedup.near_dup_clusters,
     # --- §2.12: similarity search ----------------------------------------
     "knn_brute_force": similarity.knn_brute_force,
     "knn_multi_query": similarity.knn_multi_query,
@@ -1159,3 +1159,148 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_orderstatus = 'F'
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Generated oracles for the hash-sketch dedup family.  minhash and simhash
+# derive every bit from md5 of the data (functions/dedup.py::hash32), so the
+# oracle reproduces the sketches exactly; the SQL is assembled here because
+# writing 64 bit-vote sums by hand is noise, not information.
+# ---------------------------------------------------------------------------
+def _dd_hash32(expr: str, salt: str) -> str:
+    """DuckDB replica of functions.dedup.hash32: first 8 md5 hex chars of
+    (salt || value) as a BIGINT in [0, 2^32)."""
+    return f"('0x' || substr(md5('{salt}' || {expr}), 1, 8))::BIGINT"
+
+
+#: Shared shingle CTEs (3-gram, distinct, empties dropped) — the SQL twin of
+#: functions.dedup.shingles.
+_DD_SHINGLES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shl AS (SELECT doc_id,
+                 list_filter(list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                        ELSE [] END), s -> length(s) > 0) AS gs
+               FROM toks),
+        sh2 AS (SELECT doc_id, gs FROM shl WHERE len(gs) > 0)"""
+
+
+def _minhash_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
+    mins = ",\n               ".join(
+        f"list_min(list_transform(gs, s -> {_dd_hash32('s', f'mh{i}:')})) AS m{i}"
+        for i in range(n_hashes)
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, m{2 * b} AS k1, m{2 * b + 1} AS k2 FROM sig"
+        for b in range(n_hashes // 2)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n_hashes))
+    return f"""
+        WITH {_DD_SHINGLES},
+        sig AS (SELECT doc_id,
+               {mins}
+           FROM sh2),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_no = b.band_no AND a.k1 = b.k1 AND a.k2 = b.k2
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(({matches}) / {float(n_hashes)}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE round(({matches}) / {float(n_hashes)}, 6) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_ctes() -> str:
+    """CTE chain ending in ``ham(doc_a, doc_b, hamming)`` — the SQL twin of
+    functions.dedup.simhash_features + simhash_near_pairs (64 md5-derived
+    bit votes, 4x16-bit bands, XOR popcount)."""
+    votes = ",\n               ".join(
+        f"sum((({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    fp = (
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+            for b in range(63)
+        )
+        + " + (CASE WHEN v63 > 0 THEN (-9223372036854775808)::BIGINT"
+        " ELSE 0::BIGINT END)"
+    )
+    band_cols = ",\n               ".join(
+        " + ".join(
+            f"(CASE WHEN v{16 * k + j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+            for j in range(16)
+        )
+        + f" AS band{k}"
+        for k in range(4)
+    )
+    return f"""tok AS (SELECT doc_id,
+                   unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                      t -> length(t) > 0)) AS tok
+                FROM documents),
+        h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+              FROM tok),
+        votes AS (SELECT doc_id,
+               {votes}
+              FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fp} AS simhash,
+               {band_cols}
+              FROM votes),
+        bands AS (SELECT doc_id, simhash, 0 AS band_no, band0 AS k FROM fp
+                  UNION ALL SELECT doc_id, simhash, 1, band1 FROM fp
+                  UNION ALL SELECT doc_id, simhash, 2, band2 FROM fp
+                  UNION ALL SELECT doc_id, simhash, 3, band3 FROM fp),
+        spairs AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                          b.doc_id AS doc_b, b.simhash AS sim_b
+                   FROM bands a JOIN bands b
+                     ON a.band_no = b.band_no AND a.k = b.k
+                        AND a.doc_id < b.doc_id),
+        ham AS (SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+                FROM spairs)"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    return f"""
+        WITH {_simhash_ctes()}
+        SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+        FROM ham WHERE hamming <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _clusters_oracle(max_hamming: int = 3) -> str:
+    """Connected components over the simhash pairs as a recursive CTE:
+    every vertex reaches every label in its component (edges are
+    symmetrized), so min(label) per vertex is the component id — the same
+    min-label fixpoint the Spark propagation loop converges to."""
+    return f"""
+        WITH RECURSIVE {_simhash_ctes()},
+        pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= {max_hamming}),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        SELECT label AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               min(id) AS canonical_id,
+               max(id) AS max_doc_id
+        FROM cc GROUP BY label HAVING count(*) >= 2
+        ORDER BY cluster_size DESC, cluster_id
+    """
+
+
+ORACLES["minhash_candidates"] = _minhash_oracle()
+ORACLES["simhash_near_pairs"] = _simhash_oracle()
+ORACLES["near_dup_clusters"] = _clusters_oracle()
