@@ -51,16 +51,14 @@ def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 stratified seeded split — rows-only (engine-seeded Bernoulli)."""
+    """M3 deterministic stratified split (md5-rank membership) — oracle-checked."""
     from project_bigdata_recsys_spark.ml.classifier import stratified_sample_query
 
     return stratified_sample_query(spark, sf_dir)
 
 
 def _synthetic_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S18 seeded synthetic generator — rows-only (Spark's rand(seed)
-    stream is engine-specific, so no cross-engine oracle; determinism is
-    asserted in tests)."""
+    """S18 seeded synthetic generator — md5-uniform draws, oracle-checked."""
     from project_bigdata_recsys_spark.sources.ingest import synthetic_interactions
 
     return synthetic_interactions(spark, n=2000, seed=42).orderBy(
@@ -69,7 +67,7 @@ def _synthetic_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mutated_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S19 drift simulator (noise + label flips) — rows-only."""
+    """S19 drift simulator (noise + label flips) — md5-uniform draws, oracle-checked."""
     from project_bigdata_recsys_spark.sources.ingest import (
         mutate_with_noise,
         synthetic_interactions,
@@ -117,7 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_frequencies": text.token_frequencies,
     "token_stats": text.token_stats,
     "lang_id_confusion": text.lang_id_confusion,
-    "chunk_documents": text.chunk_documents,  # rows-only (Python UDTF)
+    "chunk_documents": text.chunk_documents,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -128,12 +126,12 @@ QUERIES: dict[str, QueryFn] = {
     "knn_brute_force": similarity.knn_brute_force,
     "knn_multi_query": similarity.knn_multi_query,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-    "knn_ivf_bucketed": similarity.ivf_bucketed_knn,  # rows-only (ANN)
+    "knn_ivf_bucketed": similarity.ivf_bucketed_knn,
     "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
-    "video_frame_profile": multimodal.video_frame_profile,  # rows-only
+    "video_frame_profile": multimodal.video_frame_profile,
     # --- §2.1 S18/S19: generator sources (rows-only: engine-seeded rand) --
     "synthetic_interactions": _synthetic_interactions,
     "mutated_interactions": _mutated_interactions,
@@ -1301,6 +1299,58 @@ def _clusters_oracle(max_hamming: int = 3) -> str:
     """
 
 
+def _ivf_oracle(n_planes: int = 4, k: int = 10) -> str:
+    """SQL twin of functions.similarity.ivf_bucketed_knn: the hyperplane
+    sign pattern is parity of (dim*31 + p*17) — i.e. parity of (dim + p) —
+    fixed and engine-agnostic, so the bucket assignment reproduces
+    exactly."""
+    bucket = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                 i -> embedding[i + 1]::DOUBLE *
+                      (CASE WHEN (i + {p}) % 2 = 0 THEN 1.0 ELSE -1.0 END)))
+                 > 0 THEN {1 << p} ELSE 0 END)"""
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                   {bucket} AS bucket
+            FROM embeddings),
+        q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, b.label,
+               round(list_dot_product(b.emb, q.q_emb)
+                     / (sqrt(list_dot_product(b.emb, b.emb))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM b JOIN q ON b.bucket = q.q_bucket
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id LIMIT {k}
+    """
+
+
+#: SQL twin of sources.multimodal.video_frame_profile.  The synthetic media
+#: payload is the document text's UTF-8 bytes; driver corpora are ASCII-only
+#: (asserted at oracle-build time in tests), so VARCHAR substring windows
+#: equal the Python byte windows.  Texts are >= 4 bytes, so the
+#: empty-frame fallback branch never fires at driver SFs.
+_VIDEO_FRAME_ORACLE = """
+    WITH media AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+    f AS (
+        SELECT media_id,
+               substring(text, i * greatest(1, n // 4) + 1,
+                         greatest(1, n // 4)) AS frame
+        FROM media, range(0, 4) t(i))
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(length(frame)) AS BIGINT) AS total_frame_bytes,
+           CAST(count(DISTINCT frame) AS BIGINT) AS distinct_frames
+    FROM f GROUP BY media_id ORDER BY media_id
+"""
+
+
 ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
+ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
+ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE

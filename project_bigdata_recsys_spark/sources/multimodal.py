@@ -219,7 +219,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def video_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video frame-sample profile — the declared multimodal
-    frame-extraction surface (rows-only: byte-window stand-in)."""
+    frame-extraction surface.  The byte-window stand-in is deterministic,
+    so the driver oracle-checks it (ASCII corpus: char windows == byte
+    windows, asserted in tests)."""
     media = synthesize_media_table(spark, sf_dir)
     frames = sample_frames(media, n_frames=4)
     return (

@@ -109,3 +109,19 @@ def test_sample_frames_fanout(spark):
     assert frames.count() == n_videos * 4
     per = frames.groupBy("media_id").count()
     assert per.filter("count != 4").count() == 0
+
+
+def test_documents_ascii_so_video_oracle_valid(spark):
+    """The video_frame_profile oracle windows VARCHAR text where the Spark
+    kernel windows UTF-8 bytes; equal only while the corpus is ASCII with
+    payloads >= 4 bytes.  Assert that precondition on the driver data."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bad = docs.filter(
+        (F.length(F.encode(F.col("text"), "UTF-8")) != F.length("text"))
+        | F.col("text").isNull()
+        | (F.length("text") < 4)
+    ).count()
+    assert bad == 0
