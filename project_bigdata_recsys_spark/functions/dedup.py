@@ -275,21 +275,51 @@ def ngram_jaccard_pairs_for(
 N_MINHASH = 16
 MINHASH_BAND_ROWS = 2
 
+#: 2-universal hash family modulus (Mersenne prime 2^31-1).  Keeping the
+#: base hash and multipliers below 2^31 bounds a_i * x under 2^62, so the
+#: multiply-mod never overflows a signed 64-bit long in either engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(n_hashes: int = N_MINHASH) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) multiplier/offset pairs for the universal hash
+    family h_i(x) = (a_i*x + b_i) mod p — Knuth-constant derived, nonzero,
+    identical constants embedded in the DuckDB oracle."""
+    return [
+        (
+            (i * 2_654_435_761 + 1) % MINHASH_PRIME,
+            (i * 40_503 + 17) % MINHASH_PRIME,
+        )
+        for i in range(n_hashes)
+    ]
+
 
 def minhash_signature(sh_col, n_hashes: int = N_MINHASH):
     """Array of ``n_hashes`` minhash values over a shingle-array column.
 
-    Pure higher-order functions: hash_i(s) = md5-derived 32-bit value of
-    ('mh{i}:' || shingle); min over the array.  One projection pass, zero
-    shuffle, whole-stage codegen — no HashingTF vectorization, no LSH model
-    fit (the reference ML-pipeline shape costs a full extra pass and is
-    engine-seeded, i.e. unverifiable).  Being data-derived, the signature
-    reproduces exactly in DuckDB (``list_min(list_transform(...))``)."""
+    Pure higher-order functions, one md5 per SHINGLE (not per shingle x
+    hash): base = md5-derived 32-bit value mod p computed once into a
+    bases array, then each of the n universal hashes is a multiply-mod
+    over that array — minwise hashing via a 2-universal family, the
+    textbook construction.  Zero shuffle, whole-stage codegen, no
+    HashingTF vectorization, no LSH model fit (the reference ML-pipeline
+    shape costs a full extra pass and is engine-seeded, i.e.
+    unverifiable).  Every value is data-derived, so the signature
+    reproduces exactly in DuckDB."""
+    bases = F.transform(sh_col, lambda s: hash32(s) % MINHASH_PRIME)
+    return _minhash_from_bases(bases, n_hashes)
 
-    def _mh(i: int):
-        return lambda s: hash32(s, f"mh{i}:")
 
-    return F.array(*[F.array_min(F.transform(sh_col, _mh(i))) for i in range(n_hashes)])
+def _minhash_from_bases(bases_col, n_hashes: int = N_MINHASH):
+    def _mh(a: int, b: int):
+        return lambda x: (x * a + b) % MINHASH_PRIME
+
+    return F.array(
+        *[
+            F.array_min(F.transform(bases_col, _mh(a, b)))
+            for a, b in minhash_params(n_hashes)
+        ]
+    )
 
 
 def minhash_candidates(
@@ -316,11 +346,21 @@ def minhash_candidates(
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)
-    with_sig = (
+    # materialize the md5 base hashes ONCE; the 16 universal hashes are
+    # multiply-mods over this array (CollapseProject won't inline a
+    # non-cheap alias into 16 consumers, so the md5 pass stays single)
+    with_bases = (
         docs.select("doc_id", sh.alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: hash32(s) % MINHASH_PRIME).alias(
+                "bases"
+            ),
+        )
     )
+    sig = _minhash_from_bases(F.col("bases"), n_hashes)
+    with_sig = with_bases.select("doc_id", sig.alias("sig"))
     n_bands = n_hashes // MINHASH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -332,26 +372,27 @@ def minhash_candidates(
             for b in range(n_bands)
         ]
     )
-    exploded = with_sig.select(
-        "doc_id", "sig", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "sig", "bk.band_no", "bk.k1", "bk.k2")
+    exploded = with_sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_no", "bk.k1", "bk.k2"
+    )
     doc_lists = (
         exploded.groupBy("band_no", "k1", "k2")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     if max_band_key_docs is not None:
         doc_lists = doc_lists.filter(F.size("ds") <= max_band_key_docs)
+    # candidate pairs are bare (doc_a, doc_b) ids: an identical-doc family
+    # collides in EVERY band, so pre-dedup pair rows are ~n_bands x the
+    # final set — carrying the 16-long signatures through that blowup
+    # shuffles ~20x more bytes than joining them back afterwards
     cands = (
         bucket_pairs(doc_lists, ["band_no", "k1", "k2"])
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.a.sig").alias("sig_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.b.sig").alias("sig_b"),
-        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = with_sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = with_sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -360,7 +401,9 @@ def minhash_candidates(
     )
     est = F.round(matches / F.lit(float(n_hashes)), 6)
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
@@ -540,12 +583,13 @@ def connected_components(
     groups, which none of the pairwise operators alone provide.
 
     Algorithm: each round every vertex adopts the minimum label among
-    itself and its neighbors (one hop), then a pointer-halving shortcut
-    replaces each label with its label's label — plain neighbor
-    propagation alone is O(diameter) rounds (a 30-edge chain blows a
-    20-round budget; caught by test), the shortcut makes it
-    O(log diameter).  Near-dup graphs are unions of small cliques, so
-    2-3 rounds typical.
+    itself and its neighbors (one hop), then TWO pointer-halving shortcut
+    steps replace each label with its label's label (twice) — plain
+    neighbor propagation alone is O(diameter) rounds (a 30-edge chain
+    blows a 20-round budget; caught by test); each halving step jumps
+    label chains a power of two, so doubling up quarters the rounds a
+    chain-shaped component needs (the sf0.1 corpus has drift chains, not
+    just cliques — measured round counts drop ~2x).
 
     Scale notes:
       - Each round is two hash-join shuffles (labels ⨝ edges) + one
@@ -557,6 +601,10 @@ def connected_components(
       - The convergence check is a driver-side count of changed labels
         (one scalar per round, not a collect of data).
     """
+    # materialize the candidate pairs ONCE: the symmetrized edge union
+    # consumes `pairs` twice, and without this the whole upstream pair
+    # pipeline (simhash + banding) executes once per branch
+    pairs = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -585,19 +633,21 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        # pointer halving: label <- label(label) — every label value is a
-        # vertex id, so the self-join lookup always resolves
-        lbl_map = propagated.select(
-            F.col("id").alias("m_id"), F.col("label").alias("m_label")
-        )
-        shortcut = propagated.join(
-            lbl_map, propagated.label == lbl_map.m_id, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("m_label"), F.col("label"))
-            ).alias("label"),
-        )
+        # pointer halving x2: label <- label(label(label)) — every label
+        # value is a vertex id, so the self-join lookups always resolve
+        shortcut = propagated
+        for _hop in range(2):
+            lbl_map = shortcut.select(
+                F.col("id").alias("m_id"), F.col("label").alias("m_label")
+            )
+            shortcut = shortcut.join(
+                lbl_map, shortcut.label == lbl_map.m_id, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("m_label"), F.col("label"))
+                ).alias("label"),
+            )
         new_labels = shortcut.localCheckpoint()
         n_changed = (
             labels.select("id", F.col("label").alias("old_label"))

@@ -305,3 +305,137 @@ def chunk_documents(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style corpus filters)
+# --------------------------------------------------------------------------
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the standard duplicate-content
+    quality filters of LLM-corpus curation (fraction of tokens that are
+    repeats, most-common-token share, most-common-bigram share):
+
+        n_tokens          total (non-empty) tokens
+        distinct_ratio    distinct/total tokens
+        top_token_frac    occurrences of the modal token / total
+        top_bigram_frac   occurrences of the modal bigram / total bigrams
+
+    Shape: one explode per granularity -> two-level Tungsten aggregation
+    (count per (doc, term), then max/sum per doc) -> join of the two tiny
+    per-doc profiles on doc_id.  Partial aggregation absorbs term skew
+    map-side; nothing here is quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    n_toks = F.size(toks)
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def modal_stats(arr_col, prefix: str) -> DataFrame:
+        exploded = docs.select("doc_id", F.explode(arr_col).alias("term"))
+        per_term = exploded.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.max("c").alias(f"{prefix}_top"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        )
+
+    t = modal_stats(toks, "tok")
+    b = modal_stats(bigrams, "bg")
+    return (
+        t.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("tok_total").alias("n_tokens"),
+            F.round(F.col("tok_distinct") / F.col("tok_total"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("tok_top") / F.col("tok_total"), 4).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("bg_top") / F.col("bg_total"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction
+# --------------------------------------------------------------------------
+#: Detection patterns — deliberately in the common RE2/Java-regex subset so
+#: the DuckDB oracle runs the identical expressions.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask every PII match with its type tag ([EMAIL]/[URL]/[PHONE]) —
+    single projection, three chained regexp_replace, all JVM-side."""
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return df.withColumn(text_col, c)
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """Append doc_id-derived emails/URLs/phones to fixed doc subsets —
+    the corpus ships with no PII, so the scrub operators plant their own
+    test signal (mirroring how exact_duplicates plants its duplicates)."""
+    did = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(
+        did % 7 == 0,
+        F.concat(
+            text, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise(text)
+    text = F.when(
+        did % 11 == 0,
+        F.concat(text, F.lit(" see https://docs.example/"), did.cast("string")),
+    ).otherwise(text)
+    text = F.when(
+        did % 13 == 0,
+        F.concat(
+            F.lit("call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            text,
+        ),
+    ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: detect (regexp_extract_all counts) and
+    mask (redact_pii), returning per-affected-doc match counts plus the
+    redacted length so both detector and masker are oracle-verified."""
+    planted = plant_pii(load_table(spark, sf_dir, "documents"))
+    counts = planted.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+    redacted = redact_pii(planted).select(
+        "doc_id", F.length("text").alias("redacted_len")
+    )
+    return (
+        counts.join(redacted, "doc_id")
+        .filter((F.col("n_email") + F.col("n_url") + F.col("n_phone")) > 0)
+        .orderBy("doc_id")
+    )

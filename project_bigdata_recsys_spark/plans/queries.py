@@ -116,6 +116,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_stats": text.token_stats,
     "lang_id_confusion": text.lang_id_confusion,
     "chunk_documents": text.chunk_documents,
+    "repetition_profile": text.repetition_profile,
+    "pii_redaction_profile": text.pii_redaction_profile,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -132,10 +134,10 @@ QUERIES: dict[str, QueryFn] = {
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
     "video_frame_profile": multimodal.video_frame_profile,
-    # --- §2.1 S18/S19: generator sources (rows-only: engine-seeded rand) --
+    # --- §2.1 S18/S19: generator sources (md5-uniform, oracle-checked) ----
     "synthetic_interactions": _synthetic_interactions,
     "mutated_interactions": _mutated_interactions,
-    "stratified_sample": _stratified_sample,  # rows-only (engine-seeded)
+    "stratified_sample": _stratified_sample,
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
     "als_user_factors": _als_user_factors,
     "als_top_recommendations": _als_top_recs,
@@ -1185,9 +1187,15 @@ _DD_SHINGLES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docu
 
 
 def _minhash_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
+    from project_bigdata_recsys_spark.functions.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
     mins = ",\n               ".join(
-        f"list_min(list_transform(gs, s -> {_dd_hash32('s', f'mh{i}:')})) AS m{i}"
-        for i in range(n_hashes)
+        f"list_min(list_transform(bases, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     )
     bands = "\n            UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_no, m{2 * b} AS k1, m{2 * b + 1} AS k2 FROM sig"
@@ -1196,9 +1204,13 @@ def _minhash_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
     matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n_hashes))
     return f"""
         WITH {_DD_SHINGLES},
+        basesq AS (SELECT doc_id,
+               list_transform(gs, s -> {_dd_hash32('s', '')} % {MINHASH_PRIME})
+                   AS bases
+           FROM sh2),
         sig AS (SELECT doc_id,
                {mins}
-           FROM sh2),
+           FROM basesq),
         bands AS ({bands}),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
@@ -1349,8 +1361,71 @@ _VIDEO_FRAME_ORACLE = """
 """
 
 
+_REPETITION_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0) AS t
+        FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    uc AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY 1, 2),
+    us AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS dist
+           FROM uc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])) AS term
+           FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT doc_id, term, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM bc GROUP BY doc_id)
+    SELECT us.doc_id,
+           CAST(us.total AS BIGINT) AS n_tokens,
+           round(us.dist * 1.0 / us.total, 4) AS distinct_ratio,
+           round(us.top * 1.0 / us.total, 4) AS top_token_frac,
+           round(coalesce(bs.top * 1.0 / bs.total, 0.0), 4) AS top_bigram_frac
+    FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    ORDER BY us.doc_id
+"""
+
+#: Planted-PII CTE shared shape: phone prefix, then text, then email, then
+#: URL suffix — the exact concatenation order of functions.text.plant_pii.
+_PII_ORACLE = r"""
+    WITH planted AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 13 = 0
+                     THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+                     ELSE '' END)
+               || text
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' see https://docs.example/' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END) AS text
+        FROM documents),
+    scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_url,
+               CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+               CAST(length(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                           'https?://[^ ]+', '[URL]', 'g'),
+                       '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')
+               ) AS INTEGER) AS redacted_len
+        FROM planted)
+    SELECT doc_id, n_email, n_url, n_phone, redacted_len
+    FROM scrubbed WHERE n_email + n_url + n_phone > 0
+    ORDER BY doc_id
+"""
+
+
 ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE
+ORACLES["repetition_profile"] = _REPETITION_ORACLE
+ORACLES["pii_redaction_profile"] = _PII_ORACLE
