@@ -54,6 +54,9 @@ HEADLINE = [
     "near_dup_clusters",
     "knn_multi_query",
     "stream_tumbling_counts",
+    # corpus-quality operators added round 2
+    "repetition_profile",
+    "pii_redaction_profile",
 ]
 
 

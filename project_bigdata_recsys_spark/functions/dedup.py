@@ -661,6 +661,40 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: which held-out benchmark
+    documents appear verbatim in the training corpus — the dedup-family
+    check every LLM training pipeline runs before reporting eval numbers.
+
+    The corpus ships no benchmark set, so one is planted (every doc_id %
+    17 == 0 becomes an 'eval' doc whose text is by construction also in
+    training).  Exact overlap = equi-join on sha2 fingerprints: shuffles
+    32-byte digests only, never text — same 100 TB shape as exact dedup;
+    at scale the small benchmark side broadcasts.  Near-miss
+    contamination (paraphrase) is the ngram_jaccard/minhash path run with
+    the benchmark as one side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.select("doc_id", "lang", F.sha2("text", 256).alias("fp"))
+    benchmark = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("eval_id"),
+            F.sha2("text", 256).alias("fp"),
+        )
+    )
+    hits = train.join(F.broadcast(benchmark), "fp").select("lang", "eval_id", "doc_id")
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.countDistinct("eval_id").alias("n_contaminated_eval"),
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.min("doc_id").alias("first_train_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: banded SimHash pairs → connected
     components → cluster summary.  Deterministic end-to-end (md5-based

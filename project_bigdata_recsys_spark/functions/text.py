@@ -366,6 +366,44 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_percentile_filter(
+    spark: SparkSession, sf_dir: str, keep_above: float = 0.25
+) -> DataFrame:
+    """Percentile-threshold corpus filtering — keep documents whose
+    composite quality score clears the corpus p25, the standard
+    distribution-relative cut of curation pipelines (an absolute
+    threshold rots as the corpus drifts; a percentile doesn't).
+
+    Score = alpha_ratio - stopword_ratio (both already oracle-checked
+    features).  percent_rank over (score, doc_id) is deterministic and
+    engine-identical; one window pass, no join.  At 100 TB replace the
+    global window with approx quantile thresholds per partition-friendly
+    group (lang), which is the same cut without a single-partition sort —
+    here the exact rank IS the point (oracle-verifiable semantics).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("score"),
+    )
+    w = Window.orderBy("score", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.filter(F.col("pr") >= keep_above)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection + redaction
 # --------------------------------------------------------------------------

@@ -118,12 +118,14 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": text.chunk_documents,
     "repetition_profile": text.repetition_profile,
     "pii_redaction_profile": text.pii_redaction_profile,
+    "quality_percentile_filter": text.quality_percentile_filter,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_candidates": dedup.minhash_candidates,
     "simhash_near_pairs": dedup.simhash_near_pairs,
     "near_dup_clusters": dedup.near_dup_clusters,
+    "contamination_check": dedup.contamination_check,
     # --- §2.12: similarity search ----------------------------------------
     "knn_brute_force": similarity.knn_brute_force,
     "knn_multi_query": similarity.knn_multi_query,
@@ -1429,3 +1431,36 @@ ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE
 ORACLES["repetition_profile"] = _REPETITION_ORACLE
 ORACLES["pii_redaction_profile"] = _PII_ORACLE
+
+ORACLES["quality_percentile_filter"] = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4)
+               - round(len(list_filter(string_split(text, ' '),
+                                       t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                       / len(string_split(text, ' ')), 4) AS score
+        FROM documents),
+    ranked AS (
+        SELECT lang, score,
+               percent_rank() OVER (ORDER BY score, doc_id) AS pr
+        FROM scored)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(score), 6) AS avg_score,
+           round(min(score), 6) AS min_score
+    FROM ranked WHERE pr >= 0.25
+    GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["contamination_check"] = """
+    WITH train AS (SELECT doc_id, lang, sha256(text) AS fp FROM documents),
+    bench AS (SELECT doc_id + 2000000 AS eval_id, sha256(text) AS fp
+              FROM documents WHERE doc_id % 17 = 0)
+    SELECT lang,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_contaminated_eval,
+           CAST(count(*) AS BIGINT) AS n_train_matches,
+           min(doc_id) AS first_train_doc
+    FROM train JOIN bench USING (fp)
+    GROUP BY lang ORDER BY lang
+"""
