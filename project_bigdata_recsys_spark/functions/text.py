@@ -460,20 +460,21 @@ def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask (redact_pii), returning per-affected-doc match counts plus the
     redacted length so both detector and masker are oracle-verified."""
     planted = plant_pii(load_table(spark, sf_dir, "documents"))
-    counts = planted.select(
-        "doc_id",
-        *[
-            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
-            for name, pat in PII_PATTERNS.items()
-        ],
-    )
-    redacted = redact_pii(planted).select(
-        "doc_id", F.length("text").alias("redacted_len")
-    )
+    masked = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, pat, f"[{name.upper()}]")
+    # detect + mask in ONE projection — no second scan, no self-join
     return (
-        counts.join(redacted, "doc_id")
+        planted.select(
+            "doc_id",
+            *[
+                F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+                    f"n_{name}"
+                )
+                for name, pat in PII_PATTERNS.items()
+            ],
+            F.length(masked).alias("redacted_len"),
+        )
         .filter((F.col("n_email") + F.col("n_url") + F.col("n_phone")) > 0)
         .orderBy("doc_id")
     )

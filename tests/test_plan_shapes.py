@@ -91,3 +91,34 @@ def test_rollup_single_expand_pass(spark):
     plan = _physical(time_rollup(spark, SF_SMALL))
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_corpus_operators_prune_to_needed_columns(spark):
+    """The documents scan under every corpus operator must read only the
+    columns the operator uses -- a scan that drags source/n_chars (or, for
+    text-only ops, lang) through a 100 TB corpus is a plan bug even while
+    results stay correct."""
+    from project_bigdata_recsys_spark.plans.queries import QUERIES
+
+    expected = {
+        "minhash_candidates": "struct<doc_id:bigint,text:string>",
+        "simhash_near_pairs": "struct<doc_id:bigint,text:string>",
+        "repetition_profile": "struct<doc_id:bigint,text:string>",
+        "pii_redaction_profile": "struct<doc_id:bigint,text:string>",
+    }
+    for name, schema in expected.items():
+        plan = _physical(QUERIES[name](spark, SF_SMALL))
+        read_schemas = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schemas, f"{name}: no parquet scan found"
+        for line in read_schemas:
+            assert schema in line, f"{name}: unpruned scan: {line.strip()}"
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    from project_bigdata_recsys_spark.functions.dedup import contamination_check
+
+    plan = _physical(contamination_check(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
