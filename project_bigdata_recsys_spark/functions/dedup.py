@@ -613,10 +613,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # seed labels with min(self, min neighbor): one aggregation over the
+    # symmetrized edges does exactly what the first propagation round
+    # would, at a fraction of its cost (no join, no halving, no count)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("m")).alias("label"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -629,6 +635,7 @@ def connected_components(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -644,18 +651,17 @@ def connected_components(
                 lbl_map, shortcut.label == lbl_map.m_id, "left"
             ).select(
                 "id",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("m_label"), F.col("label"))
                 ).alias("label"),
             )
+        # carrying old_label through the round folds change detection into
+        # the checkpointed frame: convergence is a filter-count over it,
+        # not an extra labels ⨝ new_labels job
         new_labels = shortcut.localCheckpoint()
-        n_changed = (
-            labels.select("id", F.col("label").alias("old_label"))
-            .join(new_labels, "id")
-            .filter(F.col("label") < F.col("old_label"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
+        labels = new_labels.select("id", "label")
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
