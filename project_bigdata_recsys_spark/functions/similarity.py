@@ -214,6 +214,104 @@ def ivf_bucketed_knn(
     )
 
 
+#: Rademacher plane weight: +1/-1 chosen by a Knuth-multiplier scramble of
+#: (dim, plane, table) — sign-random-projection LSH with a weight function
+#: both engines compute exactly (no RNG, no stored plane matrix).
+_RP_KNUTH = 2_654_435_761
+_RP_MOD = 1 << 32
+_RP_HALF = 1 << 31
+
+
+def _rp_weight(i, p: int, t: int):
+    mixed = (i * 31 + p * 17 + t * 101) * F.lit(_RP_KNUTH) % F.lit(_RP_MOD)
+    return F.when(mixed < F.lit(_RP_HALF), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rp_bucket(col: Column, t: int, n_planes: int) -> Column:
+    """Sign-pattern bucket id of one hash table: bit p = sign of the
+    projection onto pseudo-random Rademacher plane (t, p)."""
+    out = F.lit(0)
+    for p in range(n_planes):
+
+        def w(p: int = p, t: int = t):
+            return lambda x, i: x.cast("double") * _rp_weight(i, p, t)
+
+        proj = F.aggregate(
+            F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), w()),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def knn_rp_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH with exact cosine rerank — the
+    deterministic sibling of :func:`knn_lsh` (pyspark.ml's LSH draws its
+    planes from an engine-private RNG, so only this variant can be
+    oracle-checked).
+
+    Each vector gets ``n_tables`` sign-pattern buckets; a query probes its
+    bucket in EVERY table (union of probes — recall compounds per table,
+    unlike single-probe IVF), candidates are deduped, then reranked by
+    exact cosine.
+
+    Scale shape: ONE corpus scan exploded into (table, bucket) rows, one
+    broadcast join against the query's n_tables probe rows, distinct on
+    candidate id, then a semi-join-shaped rerank over the candidate set
+    only.  At 100 TB the (table, bucket) explosion is the LSH index you'd
+    persist (partitioned by table+bucket → partition pruning per probe).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        rp_bucket(F.col("embedding"), t, n_planes).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+    q_buckets = buckets.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("t").alias("q_t"), F.col("bucket").alias("q_bucket")
+    )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(q_buckets),
+            (F.col("t") == F.col("q_t")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus profile computed with higher-order array
     functions only (transform/aggregate/size — all JVM-side, no UDF):

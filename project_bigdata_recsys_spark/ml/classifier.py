@@ -164,6 +164,27 @@ def train_classifier(
     )
 
 
+def classifier_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7 as a declared query: GBT train + eval, returning the
+    reference ledger's metric row (auc / logloss / accuracy@0.6 —
+    reference core-logic/train_module.py:317-369).  Iterative tree
+    boosting — rows-only to the driver (within-engine deterministic via
+    the fixed seed; asserted in test_ml.py), small maxIter so the gate
+    pays seconds, not minutes."""
+    res = train_classifier(spark, sf_dir, max_iter=5, max_depth=3)
+    m = res.metrics
+    return spark.createDataFrame(
+        [
+            (
+                round(float(m["auc"]), 4),
+                round(float(m["logloss"]), 4),
+                round(float(m["accuracy_at_0.6"]), 4),
+            )
+        ],
+        "auc double, logloss double, accuracy_at_06 double",
+    )
+
+
 def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 as a declared query: deterministic stratified split per label
     with per-label counts — fully oracle-checkable (md5-rank membership,

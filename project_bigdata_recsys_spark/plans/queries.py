@@ -50,6 +50,13 @@ def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_top_recommendations(spark, sf_dir, k=5)
 
 
+def _classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7 GBT train+eval metric row — rows-only (iterative boosting)."""
+    from project_bigdata_recsys_spark.ml.classifier import classifier_metrics_query
+
+    return classifier_metrics_query(spark, sf_dir)
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 deterministic stratified split (md5-rank membership) — oracle-checked."""
     from project_bigdata_recsys_spark.ml.classifier import stratified_sample_query
@@ -132,6 +139,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,
     "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
+    "knn_rp_lsh": similarity.knn_rp_lsh,
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
@@ -143,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
     "als_user_factors": _als_user_factors,
     "als_top_recommendations": _als_top_recs,
+    "classifier_metrics": _classifier_metrics,
     "kb_popular_items": _kb_popular,
     "kb_success_profile": _kb_success_profile,
     # --- §2.10: streaming (real bounded streams, batch-checked) -----------
@@ -1341,6 +1350,44 @@ def _ivf_oracle(n_planes: int = 4, k: int = 10) -> str:
     """
 
 
+def _rp_lsh_oracle(n_tables: int = 4, n_planes: int = 6, k: int = 10) -> str:
+    """SQL twin of functions.similarity.knn_rp_lsh: Rademacher plane
+    weights from the same Knuth-multiplier scramble, multi-table probe
+    union, exact cosine rerank."""
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"""(CASE WHEN list_sum(list_transform(range(0, len(emb)),
+                 i -> emb[i + 1] *
+                      (CASE WHEN ((i * 31 + {p} * 17 + {t} * 101) * 2654435761)
+                                 % 4294967296 < 2147483648
+                            THEN 1.0 ELSE -1.0 END))) > 0
+                 THEN {1 << p} ELSE 0 END)"""
+            for p in range(n_planes)
+        )
+
+    tables = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({tables}),
+        qb AS (SELECT t, bucket FROM buck WHERE vec_id = 0),
+        cand AS (SELECT DISTINCT buck.vec_id
+                 FROM buck JOIN qb ON buck.t = qb.t AND buck.bucket = qb.bucket
+                 WHERE buck.vec_id <> 0),
+        q AS (SELECT emb AS q_emb FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, b.label,
+               round(list_dot_product(b.emb, q.q_emb)
+                     / (sqrt(list_dot_product(b.emb, b.emb))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM b JOIN cand ON b.vec_id = cand.vec_id CROSS JOIN q
+        ORDER BY cos_sim DESC, b.vec_id LIMIT {k}
+    """
+
+
 #: SQL twin of sources.multimodal.video_frame_profile.  The synthetic media
 #: payload is the document text's UTF-8 bytes; driver corpora are ASCII-only
 #: (asserted at oracle-build time in tests), so VARCHAR substring windows
@@ -1428,6 +1475,7 @@ ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
+ORACLES["knn_rp_lsh"] = _rp_lsh_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE
 ORACLES["repetition_profile"] = _REPETITION_ORACLE
 ORACLES["pii_redaction_profile"] = _PII_ORACLE

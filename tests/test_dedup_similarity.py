@@ -125,6 +125,21 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall@10 too low: {recall}"
 
 
+def test_rp_lsh_recall_and_true_cosines(spark):
+    """Deterministic multi-table RP-LSH: decent recall vs brute force, and
+    every returned cosine must equal the exact brute-force value (the
+    rerank is exact; only candidate selection is approximate)."""
+    from project_bigdata_recsys_spark.functions.similarity import knn_rp_lsh
+
+    exact = {r.vec_id: r.cos_sim for r in knn_brute_force(spark, SF_SMALL, k=500).collect()}
+    top10 = [r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()]
+    approx = {r.vec_id: r.cos_sim for r in knn_rp_lsh(spark, SF_SMALL, k=10).collect()}
+    recall = len(set(top10) & set(approx)) / 10
+    assert recall >= 0.4, f"RP-LSH recall@10 too low: {recall}"
+    for vid, sim in approx.items():
+        assert abs(exact[vid] - sim) < 1e-6
+
+
 def test_ivf_results_are_true_neighbors(spark):
     # every IVF result must carry the same cosine the brute-force path computes
     ivf = {r.vec_id: r.cos_sim for r in ivf_bucketed_knn(spark, SF_SMALL, k=5).collect()}
