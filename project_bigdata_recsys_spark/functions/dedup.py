@@ -192,15 +192,19 @@ def ngram_jaccard_pairs_for(
     """Exact n-gram Jaccard similarity for all document pairs above a
     threshold, computed distributively:
 
-        explode shingles -> equi-join on shingle -> count intersections
-        -> join per-doc shingle counts -> jaccard = inter/(|A|+|B|-inter)
+        explode shingles -> window count (set size per doc) -> group docs
+        per shingle -> intra-bucket pairs -> count intersections ->
+        jaccard = inter/(|A|+|B|-inter)
 
-    Scale: documents are grouped per shingle and pairs generated with
-    array combinatorics — the O(n²) cross product never exists, the
-    expensive tokenize+shingle explode runs ONCE (a naive
-    self-join-on-shingle plans the explode subtree four times: two join
-    sides + two size branches — measured ~1.4x slower), and per-doc sizes
-    come from ``F.size`` on the shingle array with no shuffle at all.
+    Scale: documents are grouped per shingle and pairs generated with the
+    hybrid bucket kernel — the O(n²) cross product never exists, and the
+    expensive tokenize+shingle explode runs ONCE in the only scan of the
+    text (a naive self-join-on-shingle plans it four times; measured
+    ~1.4x slower).  Per-doc set sizes ride along as a window count over
+    the exploded rows and travel with each doc id inside the pair
+    structs, so the final Jaccard needs no size joins and no second
+    tokenize pass.  The corpus is fanned out first so tokenize+shingle
+    uses every core even when the scan is a single small file.
 
     Hot shingles (stopword-only grams, boilerplate headers) are the skew
     risk: a shingle shared by df documents generates df(df-1)/2 pair rows
@@ -214,22 +218,23 @@ def ngram_jaccard_pairs_for(
     the cap (exact oracle semantics).  This same plan is the LSH
     verification pass.
     """
+    from pyspark.sql import Window
+
     docs = fan_out(docs)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
     ).filter(F.length("shingle") > 0)
-    # sizes: array length per doc — no explode, no shuffle
-    sizes = docs.select(
-        "doc_id",
-        F.size(F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)).alias(
-            "n_shingles"
-        ),
+    # per-doc set size as a window count over the same exploded rows —
+    # shares the doc_id shuffle, no second scan of the text
+    sh = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
 
-    # all (a < b) doc pairs sharing each shingle, via one groupBy + HOF
+    # all (a < b) doc pairs sharing each shingle; each member struct
+    # carries its set size so Jaccard is computable without joins
     doc_lists = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     if max_doc_freq is not None:
@@ -237,21 +242,15 @@ def ngram_jaccard_pairs_for(
     inter = (
         bucket_pairs(doc_lists, ["shingle"])
         .groupBy(
-            F.col("p.a").alias("doc_a"),
-            F.col("p.b").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("size_a"),
+            F.col("p.b.n").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
-    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
