@@ -666,6 +666,62 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup TRANSFORM as a gate query: plant duplicates (the
+    corpus ships none), run :func:`dedup_exact`, and report per-lang
+    kept/dropped counts — verifying the keep-min-id winner rule, not just
+    duplicate detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    kept = dedup_exact(corpus)
+    return (
+        corpus.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_in"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")), "lang"
+        )
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def minhash_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup composition: minhash-LSH candidate
+    generation followed by EXACT Jaccard verification on the candidates
+    only — estimates recall cheap pairs, the verify pass removes the LSH
+    false positives before anything is deleted.
+
+    Scale: the exact pass touches only candidate pairs (linear in LSH
+    output, not corpus²); shingle arrays join in by doc id on a set
+    orders of magnitude smaller than the corpus."""
+    cands = minhash_candidates(spark, sf_dir, n=n)
+    docs = load_table(spark, sf_dir, "documents")
+    sh_tbl = docs.select(
+        "doc_id",
+        F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0).alias("sh"),
+    )
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination detection: which held-out benchmark
     documents appear verbatim in the training corpus — the dedup-family

@@ -133,12 +133,13 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_pairs": dedup.simhash_near_pairs,
     "near_dup_clusters": dedup.near_dup_clusters,
     "contamination_check": dedup.contamination_check,
+    "dedup_corpus_stats": dedup.dedup_corpus_stats,
+    "minhash_verified_pairs": dedup.minhash_verified_pairs,
     # --- §2.12: similarity search ----------------------------------------
     "knn_brute_force": similarity.knn_brute_force,
     "knn_multi_query": similarity.knn_multi_query,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,
-    "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
     "knn_rp_lsh": similarity.knn_rp_lsh,
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
@@ -149,7 +150,6 @@ QUERIES: dict[str, QueryFn] = {
     "mutated_interactions": _mutated_interactions,
     "stratified_sample": _stratified_sample,
     # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
-    "als_user_factors": _als_user_factors,
     "als_top_recommendations": _als_top_recs,
     "classifier_metrics": _classifier_metrics,
     "kb_popular_items": _kb_popular,
@@ -175,6 +175,11 @@ QUERIES: dict[str, QueryFn] = {
     "approx_profile": relational.approx_profile,  # sketches checked vs exact
     # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
     "csv_roundtrip_ingest": _csv_roundtrip,
+    # --- rows-only variants just past the gate window (oracle-green twins
+    #     inside it: knn_rp_lsh covers LSH ANN, als_top_recommendations
+    #     covers the ALS surface) ------------------------------------------
+    "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
+    "als_user_factors": _als_user_factors,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,
@@ -1237,6 +1242,60 @@ def _minhash_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
     """
 
 
+def _minhash_verified_oracle(
+    n_hashes: int = 16, threshold: float = 0.5, verify_threshold: float = 0.5
+) -> str:
+    """minhash candidates + exact-Jaccard verification over them — the
+    SQL twin of functions.dedup.minhash_verified_pairs."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    mins = ",\n               ".join(
+        f"list_min(list_transform(bases, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, m{2 * b} AS k1, m{2 * b + 1} AS k2 FROM sig"
+        for b in range(n_hashes // 2)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n_hashes))
+    jac = (
+        "len(list_intersect(ga.gs, gb.gs)) * 1.0"
+        " / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))"
+    )
+    return f"""
+        WITH {_DD_SHINGLES},
+        basesq AS (SELECT doc_id,
+               list_transform(gs, s -> {_dd_hash32('s', '')} % {MINHASH_PRIME})
+                   AS bases
+           FROM sh2),
+        sig AS (SELECT doc_id,
+               {mins}
+           FROM basesq),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_no = b.band_no AND a.k1 = b.k1 AND a.k2 = b.k2
+                      AND a.doc_id < b.doc_id),
+        est AS (SELECT doc_a, doc_b,
+                       round(({matches}) / {float(n_hashes)}, 6) AS est_jaccard
+                FROM cand
+                JOIN sig sa ON sa.doc_id = doc_a
+                JOIN sig sb ON sb.doc_id = doc_b
+                WHERE round(({matches}) / {float(n_hashes)}, 6) >= {threshold})
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               round({jac}, 6) AS jaccard
+        FROM est e
+        JOIN sh2 ga ON ga.doc_id = e.doc_a
+        JOIN sh2 gb ON gb.doc_id = e.doc_b
+        WHERE round({jac}, 6) >= {verify_threshold}
+        ORDER BY e.doc_a, e.doc_b
+    """
+
+
 def _simhash_ctes() -> str:
     """CTE chain ending in ``ham(doc_a, doc_b, hamming)`` — the SQL twin of
     functions.dedup.simhash_features + simhash_near_pairs (64 md5-derived
@@ -1477,8 +1536,26 @@ ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["knn_rp_lsh"] = _rp_lsh_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE
+ORACLES["minhash_verified_pairs"] = _minhash_verified_oracle()
 ORACLES["repetition_profile"] = _REPETITION_ORACLE
 ORACLES["pii_redaction_profile"] = _PII_ORACLE
+
+ORACLES["dedup_corpus_stats"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 10 = 0),
+    w AS (SELECT doc_id, lang,
+                 min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+          FROM corpus)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(count(*) - sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped
+    FROM w GROUP BY lang ORDER BY lang
+"""
 
 ORACLES["quality_percentile_filter"] = """
     WITH scored AS (
