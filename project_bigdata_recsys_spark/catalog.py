@@ -45,16 +45,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong);
-    convert to a real timestamp by truncating to microseconds — the same
-    truncation DuckDB applies when it reads nanos into its microsecond
-    TIMESTAMP."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """Normalize ``events.ts`` to session-zoned TIMESTAMP regardless of how
+    the parquet writer encoded it.  Two encodings appear in the wild:
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    - parquet TIMESTAMP(NANOS): Spark has no nanos type, so with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a LongType of
+      epoch nanos — truncate to micros (same truncation DuckDB applies).
+    - parquet ``timestamp[us]`` without timezone: Spark reads TIMESTAMP_NTZ.
+      Watermarks, double-casts and epoch arithmetic all require the
+      session-zoned TIMESTAMP type, so cast — the session timezone is pinned
+      UTC (:func:`_ensure_session_confs`), making the cast a pure type-tag
+      change with identical wall-clock values to what DuckDB reads.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

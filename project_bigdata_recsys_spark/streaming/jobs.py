@@ -287,10 +287,20 @@ def stage_bootstrapped_replay(
     os.makedirs(work_dir, exist_ok=True)
     snap_pdf = snapshot.toPandas()  # snapshot is small by contract (keyed state)
     n = len(snap_pdf)
+    # The seed file must carry ts in the SAME physical type as the real
+    # events file — the file-source stream reads both under one schema, and
+    # parquet readers reject a column whose physical type disagrees with the
+    # expected one.  Derive it from the events parquet footer: timestamp[us]
+    # stays timestamp[us] (epoch 0), nanos-as-int64 stays int64.
+    ev_ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    if pa.types.is_timestamp(ev_ts_type):
+        seed_ts = pa.array([0] * n, pa.int64()).cast(ev_ts_type)
+    else:
+        seed_ts = pa.array([0] * n, pa.int64())
     seed_tbl = pa.table(
         {
             "event_id": pa.array(range(-1, -n - 1, -1), pa.int64()),
-            "ts": pa.array([0] * n, pa.int64()),  # read as nanos-long
+            "ts": seed_ts,
             "user_id": pa.array(snap_pdf["user_id"], pa.int64()),
             "event_type": pa.array(snap_pdf["event_type"], pa.string()),
             "value": pa.array(snap_pdf["total_value"], pa.float64()),
