@@ -157,6 +157,69 @@ def knn_lsh(
     ).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
 
 
+def knn_lsh_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    min_recall: float = 0.5,
+) -> DataFrame:
+    """Driver-checkable profile of the BucketedRandomProjectionLSH path.
+
+    pyspark.ml's LSH draws its hyperplanes from an engine-private RNG, so
+    the raw neighbor rows of :func:`knn_lsh` cannot be reproduced by a SQL
+    oracle.  Checkable instead: exact anchors the oracle recomputes
+    (corpus size; mean cosine of the TRUE top-k, which the DuckDB oracle
+    computes with list_dot_product exactly as the knn_brute_force oracle
+    does) plus quality booleans asserted as literal TRUE:
+
+      recall_ok     |LSH top-k ∩ exact top-k| / k >= min_recall
+                    (same bar as tests/test_dedup_similarity.py)
+      sims_exact_ok the cosines LSH reports (1 - d²/2 on unit vectors)
+                    match brute-force cosines to 1e-5 for its returned ids
+      k_rows_ok     LSH returned exactly k neighbors
+    """
+    exact = knn_brute_force(spark, sf_dir, query_vec_id, k).select(
+        "vec_id", F.col("cos_sim").alias("exact_sim")
+    )
+    approx = knn_lsh(spark, sf_dir, query_vec_id, k).select(
+        "vec_id", F.col("cos_sim").alias("lsh_sim")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    anchors = exact.agg(
+        F.round(F.avg("exact_sim"), 6).alias("exact_topk_avg_sim")
+    ).crossJoin(emb.agg(F.count(F.lit(1)).alias("n_corpus")))
+    overlap = approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    # LSH-reported cosine must equal the true cosine for every id it
+    # returned (the approximation is in WHICH ids, never in the values)
+    true_sims = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_emb"))
+        .crossJoin(emb.select("vec_id", "embedding"))
+        .select("vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("true_sim"))
+    )
+    sim_check = approx.join(true_sims, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_lsh"),
+        (F.max(F.abs(F.col("lsh_sim") - F.col("true_sim"))) <= 1e-5).alias(
+            "sims_exact_ok"
+        ),
+    )
+    return (
+        anchors.crossJoin(overlap)
+        .crossJoin(sim_check)
+        .select(
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            "exact_topk_avg_sim",
+            (F.col("n_overlap") >= F.lit(min_recall) * k).alias("recall_ok"),
+            "sims_exact_ok",
+            (F.col("n_lsh") == k).alias("k_rows_ok"),
+        )
+    )
+
+
 def ivf_bucketed_knn(
     spark: SparkSession,
     sf_dir: str,

@@ -117,10 +117,16 @@ def train_classifier(
     max_depth: int = 5,
     seed: int = 42,
     threshold: float = 0.6,
+    deterministic_split: bool = False,
 ) -> ClassifierResult:
     """Train + evaluate — reference core-logic/train_module.py:317-369.
     Metrics mirror the reference's ledger row: auc, logloss, accuracy at
-    the reference's 0.6 threshold (train_module.py:349)."""
+    the reference's 0.6 threshold (train_module.py:349).
+
+    ``deterministic_split=True`` swaps the engine-RNG sampleBy split for
+    the md5-rank :func:`deterministic_stratified_split`, making the split
+    counts (and therefore the test population the metrics are computed
+    over) reproducible by a SQL oracle."""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.evaluation import (
         BinaryClassificationEvaluator,
@@ -130,7 +136,10 @@ def train_classifier(
     from pyspark.ml.functions import vector_to_array
 
     frame = training_frame(spark, sf_dir)
-    train, test = stratified_split(frame, seed=seed)
+    if deterministic_split:
+        train, test = deterministic_stratified_split(frame)
+    else:
+        train, test = stratified_split(frame, seed=seed)
     assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
     gbt = GBTClassifier(
         labelCol="label",
@@ -182,6 +191,54 @@ def classifier_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "auc double, logloss double, accuracy_at_06 double",
+    )
+
+
+def classifier_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable M6/M7 row (the approx_profile pattern,
+    operators/relational.py): exact data anchors a SQL oracle recomputes
+    — per-stratum train/test counts of the md5-rank deterministic split —
+    plus metric-range booleans any correctly trained GBT must satisfy,
+    asserted as literal TRUE by the oracle.
+
+    The label (total quantity > 100) is exactly composable from the
+    features (n_items * avg_qty = sum_qty), so a working learner clears
+    the majority-class rate with margin; ``acc_above_majority_ok`` is the
+    learnability check, the range booleans are the metric-sanity checks.
+    Raw metric values stay visible via tests/test_ml.py (seeded,
+    within-engine deterministic)."""
+    frame = training_frame(spark, sf_dir)
+    train, test = deterministic_stratified_split(frame)
+    n_train = train.count()
+    n_test = test.count()
+    majority = (
+        test.groupBy("label")
+        .count()
+        .agg((F.max("count") / F.sum("count")).alias("frac"))
+        .head()[0]
+    )
+    res = train_classifier(
+        spark, sf_dir, max_iter=5, max_depth=3, deterministic_split=True
+    )
+    m = res.metrics
+    auc, logloss, acc = (
+        float(m["auc"]),
+        float(m["logloss"]),
+        float(m["accuracy_at_0.6"]),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_train,
+                n_test,
+                0.5 < auc <= 1.0,
+                0.0 < logloss < 5.0,
+                0.0 <= acc <= 1.0,
+                acc > float(majority),
+            )
+        ],
+        "n_train long, n_test long, auc_ok boolean, logloss_ok boolean, "
+        "acc_ok boolean, acc_above_majority_ok boolean",
     )
 
 

@@ -170,6 +170,123 @@ def als_top_recommendations(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
     )
 
 
+def als_recommendation_profile(
+    spark: SparkSession, sf_dir: str, k: int = 5, min_coverage: float = 0.90
+) -> DataFrame:
+    """Driver-checkable invariant profile of the ALS top-k surface (M8/M10).
+
+    ALS is iterative and seeded inside the engine, so the raw rec rows
+    (:func:`als_top_recommendations`, tested in tests/test_ml.py) cannot be
+    reproduced by a SQL oracle.  What CAN be checked exactly is (a) data
+    anchors the oracle recomputes from the star schema — distinct user /
+    item counts of the interactions frame — and (b) structural invariants
+    any correct ALS top-k must satisfy, emitted as booleans the oracle
+    asserts as literal TRUE (the approx_profile pattern,
+    operators/relational.py):
+
+      k_per_user_ok       every covered user has exactly k recs
+      ranks_ok            per-user ranks are exactly 1..k
+      scores_monotone_ok  score is non-increasing in rank
+      scores_nonneg_ok    nonnegative=True factors => nonnegative scores
+      items_known_ok      every recommended item exists in interactions
+      coverage_ok         >= min_coverage of interaction users got recs
+                          (users whose few interactions all fall in the
+                          20% eval split have no factors — coverage is
+                          high but not guaranteed 100%)
+    """
+    recs = als_top_recommendations(spark, sf_dir, k=k)
+    inter = interactions_from_star(spark, sf_dir)
+    anchors = inter.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("item_id").alias("n_items"),
+    )
+
+    # monotone: rank is the positional order of recommendForAllUsers'
+    # score-sorted array, so scores sorted by rank must be sorted desc
+    w = Window.partitionBy("user_id").orderBy("rank")
+    with_prev = recs.withColumn("__prev", F.lag("score").over(w))
+    per_user = with_prev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.max("rank").alias("max_rank"),
+        F.count_distinct("rank").alias("n_ranks"),
+        F.min(
+            F.when(
+                F.col("__prev").isNull() | (F.col("score") <= F.col("__prev")), 1
+            ).otherwise(0)
+        ).alias("mono_ok"),
+    )
+    unknown_items = recs.join(
+        inter.select(F.col("item_id")).distinct(), "item_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_unknown"))
+
+    checks = per_user.agg(
+        F.count(F.lit(1)).alias("users_with_recs"),
+        (F.min("n_recs") == k).alias("__k_min"),
+        (F.max("n_recs") == k).alias("__k_max"),
+        ((F.min("max_rank") == k) & (F.min("n_ranks") == k)).alias("ranks_ok"),
+        (F.min("mono_ok") == 1).alias("scores_monotone_ok"),
+    )
+    score_ok = recs.agg((F.min("score") >= 0.0).alias("scores_nonneg_ok"))
+
+    return (
+        anchors.crossJoin(checks)
+        .crossJoin(score_ok)
+        .crossJoin(unknown_items)
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_items").cast("long").alias("n_items"),
+            (F.col("__k_min") & F.col("__k_max")).alias("k_per_user_ok"),
+            "ranks_ok",
+            "scores_monotone_ok",
+            "scores_nonneg_ok",
+            (F.col("n_unknown") == 0).alias("items_known_ok"),
+            (
+                F.col("users_with_recs")
+                >= F.lit(min_coverage) * F.col("n_users")
+            ).alias("coverage_ok"),
+        )
+    )
+
+
+def als_factor_profile(
+    spark: SparkSession, sf_dir: str, rank: int = 8, min_coverage: float = 0.90
+) -> DataFrame:
+    """Driver-checkable invariant profile of the factor-export surface
+    (F11/F12 + M4): dimensionality, nonnegativity, finiteness and JSON
+    export shape of the trained user factors, plus the same interaction
+    anchors/coverage as :func:`als_recommendation_profile`.  Raw factor
+    values are engine-seeded — booleans + anchors are what a SQL oracle
+    can assert."""
+    result = train_als(spark, sf_dir, rank=rank, max_iter=5, evaluate=False)
+    inter = interactions_from_star(spark, sf_dir)
+    anchors = inter.agg(F.count_distinct("user_id").alias("n_users"))
+
+    per_factor = result.user_factors.select(
+        F.size("features").alias("dim"),
+        F.exists("features", lambda x: F.isnan(x.cast("double"))).alias("has_nan"),
+        F.exists("features", lambda x: x.cast("double") < 0.0).alias("has_neg"),
+        F.length(F.to_json("features")).alias("json_len"),
+    )
+    checks = per_factor.agg(
+        F.count(F.lit(1)).alias("n_factor_rows"),
+        ((F.min("dim") == rank) & (F.max("dim") == rank)).alias("dims_ok"),
+        (F.sum(F.col("has_nan").cast("int")) == 0).alias("finite_ok"),
+        (F.sum(F.col("has_neg").cast("int")) == 0).alias("nonneg_ok"),
+        # a serialized rank-8 float array is at least "[0,0,0,0,0,0,0,0]"
+        (F.min("json_len") >= 2 * rank + 1).alias("json_export_ok"),
+    )
+    return anchors.crossJoin(checks).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        "dims_ok",
+        "finite_ok",
+        "nonneg_ok",
+        "json_export_ok",
+        (F.col("n_factor_rows") >= F.lit(min_coverage) * F.col("n_users")).alias(
+            "coverage_ok"
+        ),
+    )
+
+
 def factors_as_json(factors: DataFrame, id_col: str) -> DataFrame:
     """JSON-at-the-boundary export — the reference stores factor arrays as
     JSON text (sql/init.sql:44-52 via batch_als_train.py:222,232).  Only

@@ -36,25 +36,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS factor export (M1–M5) — rows-only check (iterative, seeded)."""
-    from project_bigdata_recsys_spark.ml.recsys import factors_as_json, train_als
+    """ALS factor-export surface (M1–M5, F11/F12) as an invariant profile —
+    ALS is engine-seeded, so the oracle checks exact data anchors plus
+    literal-TRUE structural booleans (see ml.recsys.als_factor_profile;
+    raw factor export = ml.recsys.factors_as_json, tested in test_ml.py)."""
+    from project_bigdata_recsys_spark.ml.recsys import als_factor_profile
 
-    result = train_als(spark, sf_dir, rank=8, max_iter=5, evaluate=False)
-    return factors_as_json(result.user_factors, "user_id")
+    return als_factor_profile(spark, sf_dir, rank=8)
 
 
 def _als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS top-5 per user (M8/M10) — rows-only check (iterative, seeded)."""
-    from project_bigdata_recsys_spark.ml.recsys import als_top_recommendations
+    """ALS top-5 per user (M8/M10) as an invariant profile — anchors +
+    literal-TRUE booleans (see ml.recsys.als_recommendation_profile; raw
+    rec rows = ml.recsys.als_top_recommendations, tested in test_ml.py)."""
+    from project_bigdata_recsys_spark.ml.recsys import als_recommendation_profile
 
-    return als_top_recommendations(spark, sf_dir, k=5)
+    return als_recommendation_profile(spark, sf_dir, k=5)
 
 
 def _classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7 GBT train+eval metric row — rows-only (iterative boosting)."""
-    from project_bigdata_recsys_spark.ml.classifier import classifier_metrics_query
+    """M6/M7 GBT train+eval as an invariant profile — md5-rank split
+    counts (oracle recomputes exactly) + metric-range booleans (see
+    ml.classifier.classifier_metrics_profile; raw metric values =
+    classifier_metrics_query, tested in test_ml.py)."""
+    from project_bigdata_recsys_spark.ml.classifier import classifier_metrics_profile
 
-    return classifier_metrics_query(spark, sf_dir)
+    return classifier_metrics_profile(spark, sf_dir)
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,8 +123,9 @@ def _kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 QUERIES: dict[str, QueryFn] = {
     # --- §2.12: text analysis ------------------------------------------
-    "doc_quality_profile": text.doc_quality_profile,
-    "lang_profile": text.lang_profile,
+    # (doc_quality_profile / lang_profile rotated below the gate window in
+    # round 3 — both r2-green — freeing slots for knn_lsh +
+    # als_user_factors, which had zero driver evidence across rounds)
     "doc_fingerprints": text.doc_fingerprints,
     "token_frequencies": text.token_frequencies,
     "token_stats": text.token_stats,
@@ -141,6 +149,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "knn_ivf_bucketed": similarity.ivf_bucketed_knn,
     "knn_rp_lsh": similarity.knn_rp_lsh,
+    # BucketedRandomProjectionLSH surface as an oracle-checkable profile
+    # (engine-private RNG => anchors + literal-TRUE quality booleans)
+    "knn_lsh": similarity.knn_lsh_profile,
     "embedding_stats": similarity.embedding_stats,
     # --- §2.12: multimodal ------------------------------------------------
     "media_profile": multimodal.media_profile,
@@ -149,8 +160,9 @@ QUERIES: dict[str, QueryFn] = {
     "synthetic_interactions": _synthetic_interactions,
     "mutated_interactions": _mutated_interactions,
     "stratified_sample": _stratified_sample,
-    # --- §2.9: ML pipeline (rows-only: iterative) -------------------------
+    # --- §2.9: ML pipeline (iterative models as invariant profiles) -------
     "als_top_recommendations": _als_top_recs,
+    "als_user_factors": _als_user_factors,
     "classifier_metrics": _classifier_metrics,
     "kb_popular_items": _kb_popular,
     "kb_success_profile": _kb_success_profile,
@@ -175,11 +187,10 @@ QUERIES: dict[str, QueryFn] = {
     "approx_profile": relational.approx_profile,  # sketches checked vs exact
     # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
     "csv_roundtrip_ingest": _csv_roundtrip,
-    # --- rows-only variants just past the gate window (oracle-green twins
-    #     inside it: knn_rp_lsh covers LSH ANN, als_top_recommendations
-    #     covers the ALS surface) ------------------------------------------
-    "knn_lsh": similarity.knn_lsh,  # rows-only (ANN, BucketedRandomProjectionLSH)
-    "als_user_factors": _als_user_factors,
+    # --- rotated out of the gate window in round 3 (r2-green; still
+    #     regression-guarded every test run by test_oracle_parity) ---------
+    "doc_quality_profile": text.doc_quality_profile,
+    "lang_profile": text.lang_profile,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,
@@ -1163,6 +1174,63 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN rn > ceil(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_test
         FROM r GROUP BY label ORDER BY label
+    """,
+    # --- iterative-model invariant profiles: the oracle recomputes the
+    # exact data anchors and asserts the structural booleans as literal
+    # TRUE (the approx_profile pattern — engine-seeded models can't be
+    # value-matched, their invariants can).
+    "als_top_recommendations": """
+        SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_items,
+               TRUE AS k_per_user_ok, TRUE AS ranks_ok,
+               TRUE AS scores_monotone_ok, TRUE AS scores_nonneg_ok,
+               TRUE AS items_known_ok, TRUE AS coverage_ok
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "als_user_factors": """
+        SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_users,
+               TRUE AS dims_ok, TRUE AS finite_ok, TRUE AS nonneg_ok,
+               TRUE AS json_export_ok, TRUE AS coverage_ok
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "classifier_metrics": """
+        WITH frame AS (
+            SELECT o.o_orderkey,
+                   CASE WHEN coalesce(sum(l.l_quantity), 0) > 100.0
+                        THEN 1.0 ELSE 0.0 END AS label
+            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus IN ('F', 'O', 'P')
+            GROUP BY o.o_orderkey),
+        r AS (
+            SELECT label,
+                   row_number() OVER (PARTITION BY label
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+            FROM frame)
+        SELECT CAST(sum(CASE WHEN rn <= ceil(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(sum(CASE WHEN rn > ceil(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               TRUE AS auc_ok, TRUE AS logloss_ok, TRUE AS acc_ok,
+               TRUE AS acc_above_majority_ok
+        FROM r
+    """,
+    "knn_lsh": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+               round(avg(cos_sim), 6) AS exact_topk_avg_sim,
+               TRUE AS recall_ok, TRUE AS sims_exact_ok, TRUE AS k_rows_ok
+        FROM sims
     """,
     "kb_popular_items": """
         SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
