@@ -77,6 +77,15 @@ def main() -> None:
         n = df.count() if name != "knn_brute_force" else len(df.collect())
         _ = n
         timings[name] = round(time.time() - t0, 3)
+        # Drop blocks the query pinned (persist()/localCheckpoint() in the
+        # iterative operators): left in place they accumulate across the
+        # run, and the resulting heap pressure taxes every LATER query —
+        # the r2 bench measured a uniform ~1.8x drift on queries whose
+        # code hadn't changed.  Cleanup time is charged between queries,
+        # not to any query's number.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

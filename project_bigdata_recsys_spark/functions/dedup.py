@@ -218,16 +218,16 @@ def ngram_jaccard_pairs_for(
     the cap (exact oracle semantics).  This same plan is the LSH
     verification pass.
     """
-    from pyspark.sql import Window
-
     docs = fan_out(docs)
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
-    ).filter(F.length("shingle") > 0)
-    # per-doc set size as a window count over the same exploded rows —
-    # shares the doc_id shuffle, no second scan of the text
-    sh = sh.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # per-doc set size computed on the ARRAY before exploding — it rides
+    # the projection for free.  (Round 2 computed it as a window count
+    # over the exploded rows "to share the shuffle"; the window IS a full
+    # shuffle+sort of the exploded data, ~2x this query's cost at sf0.1.)
+    sh_arr = F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)
+    # two-step select: the named intermediate stops CollapseProject from
+    # inlining the expensive shingle expression into both consumers
+    sh = docs.select("doc_id", sh_arr.alias("sh")).select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
     )
 
     # all (a < b) doc pairs sharing each shingle; each member struct
@@ -359,7 +359,13 @@ def minhash_candidates(
         )
     )
     sig = _minhash_from_bases(F.col("bases"), n_hashes)
-    with_sig = with_bases.select("doc_id", sig.alias("sig"))
+    # Persist the signatures: this frame feeds THREE consumers (band
+    # explosion + both sides of the signature re-join), and Spark has no
+    # cross-branch common-subexpression sharing — unpersisted, the whole
+    # scan+shingle+md5 pipeline executes three times (measured ~2x query
+    # cost at sf0.1).  Size is doc_id + 16 longs per doc — ~140 B/doc,
+    # memory-and-disk safe at any corpus scale.
+    with_sig = with_bases.select("doc_id", sig.alias("sig")).persist()
     n_bands = n_hashes // MINHASH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -594,11 +600,24 @@ def connected_components(
       - Each round is two hash-join shuffles (labels ⨝ edges) + one
         aggregation; edges are the candidate pairs (already pruned by
         banding), NOT all-pairs.
-      - localCheckpoint() per round truncates the lineage — without it
-        the plan doubles every iteration and the driver OOMs planning
-        round ~15.
-      - The convergence check is a driver-side count of changed labels
-        (one scalar per round, not a collect of data).
+      - The vertex/edge frames are re-partitioned to match their actual
+        size once edges are materialized (banding shrinks the graph far
+        below the corpus: post-band edge counts are thousands-per-GB of
+        corpus, and a 32-partition shuffle of a 3k-row label frame pays
+        31 empty-task overheads per join, every round).  The target keeps
+        ~256k edges per partition, so a 100 TB corpus's graph still fans
+        out across the cluster while the local[32] test graph collapses
+        to one partition.
+      - Lineage is truncated with localCheckpoint() every round.  This is
+        deliberate, not conservatism: the two pointer-halving steps are
+        SELF-joins, so each references its input twice — against an
+        unmaterialized input the whole upstream subtree is recomputed per
+        reference, and batching two rounds per checkpoint re-evaluates
+        round N's plan ~2^4 times inside round N+1 (measured 1.7x SLOWER
+        than per-round checkpoints at sf0.1).  The convergence check
+        rides the checkpointed frame: ``old_label`` is carried through
+        the round so convergence is a filter-count over already-
+        materialized data, never an extra join.
     """
     # materialize the candidate pairs ONCE: the symmetrized edge union
     # consumes `pairs` twice, and without this the whole upstream pair
@@ -612,6 +631,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    spark = pairs.sparkSession
+    n_edges = edges.count()  # cheap: edges are materialized
+    n_parts = max(1, min(
+        spark.sparkContext.defaultParallelism, n_edges // 262_144 + 1
+    ))
+    if edges.rdd.getNumPartitions() > n_parts:
+        edges = edges.repartition(n_parts, "dst").localCheckpoint()
     # seed labels with min(self, min neighbor): one aggregation over the
     # symmetrized edges does exactly what the first propagation round
     # would, at a fraction of its cost (no join, no halving, no count)
@@ -624,41 +650,41 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+
+    def _propagate(work: DataFrame) -> DataFrame:
+        """One min-label round: adopt min neighbor label, then pointer
+        halving x2 (label <- label(label(label)) — every label value is a
+        vertex id, so the self-join lookups always resolve).  Plain
+        neighbor propagation alone is O(diameter) rounds."""
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(work, edges.dst == work.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
+        out = work.join(neighbor_min, work.id == neighbor_min.src, "left").select(
             "id",
-            F.col("label").alias("old_label"),
+            "old_label",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        # pointer halving x2: label <- label(label(label)) — every label
-        # value is a vertex id, so the self-join lookups always resolve
-        shortcut = propagated
         for _hop in range(2):
-            lbl_map = shortcut.select(
+            lbl_map = out.select(
                 F.col("id").alias("m_id"), F.col("label").alias("m_label")
             )
-            shortcut = shortcut.join(
-                lbl_map, shortcut.label == lbl_map.m_id, "left"
-            ).select(
+            out = out.join(lbl_map, out.label == lbl_map.m_id, "left").select(
                 "id",
                 "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("m_label"), F.col("label"))
                 ).alias("label"),
             )
-        # carrying old_label through the round folds change detection into
-        # the checkpointed frame: convergence is a filter-count over it,
-        # not an extra labels ⨝ new_labels job
-        new_labels = shortcut.localCheckpoint()
+        return out
+
+    for _ in range(max_iterations):
+        work = labels.withColumn("old_label", F.col("label"))
+        work = _propagate(work)
+        new_labels = work.localCheckpoint()
         n_changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
         labels = new_labels.select("id", "label")
         if n_changed == 0:

