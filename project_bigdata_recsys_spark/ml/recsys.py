@@ -330,6 +330,72 @@ def kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Artifact versioning & retention (M13)
+# --------------------------------------------------------------------------
+def save_versioned_artifacts(
+    result: ALSResult,
+    base_dir: str,
+    version: str,
+    keep_n: int = 5,
+) -> str:
+    """Save the training run's artifacts under ``base_dir/version/`` and
+    prune old versions, keeping the most recent ``keep_n`` — the
+    reference's save_versioned_artifacts + cleanup_old_versions
+    (core-logic/train_module.py:160-204; KEEP_N_VERSIONS knob
+    airflow/dags/recsys_pipeline.py:168-172).
+
+    Artifacts: the MLlib ALS model (its own save format — distributed
+    parquet under the hood, reloadable with ALSModel.load), both factor
+    tables as parquet, and a metrics JSON.  ``version`` must sort
+    lexicographically by recency (e.g. ``v2026-08-13T0400``) — retention
+    sorts names descending exactly like the reference; pass it in rather
+    than reading a clock so runs stay deterministic (SURVEY.md §7.4.4).
+
+    Scale: factor tables write distributed (one parquet job each); only
+    directory listing and deletes run on the driver, and those are O(name
+    count), not data.
+    """
+    import json
+    import os
+
+    version_dir = os.path.join(base_dir, version)
+    if result.model is not None:
+        result.model.write().overwrite().save(os.path.join(version_dir, "als_model"))
+    result.user_factors.write.mode("overwrite").parquet(
+        os.path.join(version_dir, "user_factors.parquet")
+    )
+    result.item_factors.write.mode("overwrite").parquet(
+        os.path.join(version_dir, "item_factors.parquet")
+    )
+    os.makedirs(version_dir, exist_ok=True)
+    with open(os.path.join(version_dir, "metrics.json"), "w") as f:
+        json.dump(result.metrics, f, sort_keys=True)
+    cleanup_old_versions(base_dir, keep_n)
+    return version_dir
+
+
+def cleanup_old_versions(base_dir: str, keep_n: int = 5) -> list[str]:
+    """Remove version directories beyond the most recent ``keep_n``
+    (name-descending order, as the reference sorts) and return the names
+    removed — reference core-logic/train_module.py:187-204."""
+    import os
+    import shutil
+
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(base_dir)
+            if os.path.isdir(os.path.join(base_dir, d))
+        ),
+        reverse=True,
+    )
+    removed = versions[keep_n:]
+    for name in removed:
+        shutil.rmtree(os.path.join(base_dir, name))
+    return removed
+
+
+# --------------------------------------------------------------------------
 # Training-history ledger (M12): append-only + latest-wins view
 # --------------------------------------------------------------------------
 LEDGER_COLUMNS = [

@@ -82,3 +82,37 @@ def test_als_model_save_load_roundtrip(spark, tmp_path):
     orig = {r.id: list(r.features) for r in result.model.userFactors.collect()}
     re = {r.id: list(r.features) for r in loaded.userFactors.collect()}
     assert orig == re
+
+
+def test_versioned_artifacts_retention(spark, tmp_path):
+    """M13: versioned artifact dirs accumulate until keep_n, then the
+    oldest (name-ascending) are pruned — reference
+    core-logic/train_module.py:160-204 semantics."""
+    import json
+    import os
+
+    from project_bigdata_recsys_spark.ml.recsys import (
+        cleanup_old_versions,
+        save_versioned_artifacts,
+        train_als,
+    )
+
+    result = train_als(spark, SF_SMALL, rank=4, max_iter=2, evaluate=False)
+    result.metrics = {"train_rmse": 1.0}
+    base = str(tmp_path / "versions")
+    os.makedirs(base)
+    for i in range(4):
+        vdir = save_versioned_artifacts(result, base, f"v000{i}", keep_n=3)
+        assert os.path.isdir(os.path.join(vdir, "als_model"))
+        assert os.path.isdir(os.path.join(vdir, "user_factors.parquet"))
+        assert os.path.isdir(os.path.join(vdir, "item_factors.parquet"))
+        with open(os.path.join(vdir, "metrics.json")) as f:
+            assert json.load(f) == {"train_rmse": 1.0}
+    kept = sorted(os.listdir(base))
+    assert kept == ["v0001", "v0002", "v0003"]  # v0000 pruned at the 4th save
+
+    # factor tables reload readable from the latest version
+    re = spark.read.parquet(os.path.join(base, "v0003", "user_factors.parquet"))
+    assert re.count() == result.user_factors.count()
+    assert cleanup_old_versions(base, keep_n=1) == ["v0002", "v0001"]
+    assert sorted(os.listdir(base)) == ["v0003"]
