@@ -205,3 +205,16 @@ def test_chunk_documents_udtf(spark):
         else:
             overlap = 10 * (r.n_chunks - 1)
             assert r.total_chunk_tokens == n_tok + overlap
+
+
+def test_chunk_rows_hof_matches_udtf(spark):
+    """The JVM-side HOF chunk kernel and the declared UDTF surface must
+    be row-identical (same chunk text, numbering and token counts)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import chunk_rows, chunk_rows_udtf
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    hof = chunk_rows(docs).orderBy("doc_id", "chunk_no").collect()
+    udtf = chunk_rows_udtf(spark, docs).orderBy("doc_id", "chunk_no").collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in udtf]
+    assert len(hof) > 0

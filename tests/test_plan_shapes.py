@@ -122,3 +122,33 @@ def test_contamination_benchmark_side_broadcasts(spark):
     plan = _physical(contamination_check(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_percentile_filter_has_no_global_sort_window(spark):
+    """quality_percentile_filter computes an exact global percent_rank via
+    range-partitioned local ranks + partition offsets — the plan must show
+    the distributed range exchange, and its window sorts must be
+    PARTITIONED (pid), never an empty-partition-spec global window over
+    the corpus (a single-partition sort at scale)."""
+    from project_bigdata_recsys_spark.functions.text import quality_percentile_filter
+
+    plan = _physical(quality_percentile_filter(spark, SF_SMALL))
+    assert "rangepartitioning(score" in plan, plan
+    # the corpus-side row_number window must be keyed by pid; the only
+    # unkeyed windows left are the offset cumsums over the tiny
+    # per-partition-count frame
+    assert "windowspecdefinition(pid" in plan, plan
+
+
+def test_chunk_rows_is_jvm_side(spark):
+    """chunk_rows must plan as Generate(posexplode) inside codegen — no
+    BatchEvalPython / ArrowEvalPython / PythonUDTF node (the UDTF twin
+    exists as a declared surface, but the pipeline kernel stays JVM-side)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import chunk_rows
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _physical(chunk_rows(docs))
+    assert "Generate posexplode" in plan, plan
+    for marker in ("PythonUDTF", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan
