@@ -77,3 +77,79 @@ def test_jdbc_read_options_unpartitioned():
 
 def test_jdbc_live_round_trip():
     pytest.skip("no JDBC driver jar in the sandbox; wrappers are deploy-time")
+
+
+# --------------------------------------------------------------------------
+# Live integration tests — env-gated (skip cleanly where no broker/database
+# exists; see docs/DEPLOY_CONNECTORS.md for the compose file that provides
+# both and the spark-submit --packages line the Kafka source needs).
+# --------------------------------------------------------------------------
+import os
+import uuid
+
+
+@pytest.mark.skipif(
+    "KAFKA_BOOTSTRAP" not in os.environ,
+    reason="live Kafka round-trip: set KAFKA_BOOTSTRAP=host:9092 "
+    "(and launch with the spark-sql-kafka package on the classpath)",
+)
+def test_kafka_live_round_trip(spark):
+    """S10/S11 end-to-end against a real broker: serialize with the
+    producer payload, publish with the batch Kafka sink, read back from
+    earliest, parse with the consumer expressions — the live twin of
+    test_kafka_payload_round_trips."""
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"spark_graft_it_{uuid.uuid4().hex[:8]}"
+    rows = [
+        ("alice", "c101", "play_video", "2024-03-01 10:00:00"),
+        ("bob", "c202", "problem_check", "2024-03-01 10:05:30"),
+    ]
+    events = spark.createDataFrame(
+        rows, "username string, course_id string, action string, ts_s string"
+    ).select(
+        "username", "course_id", "action", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    from project_bigdata_recsys_spark.streaming.jobs import kafka_event_payload
+
+    (
+        kafka_event_payload(events)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA).alias("e")
+    ).select("e.username", "e.course_id", "e.action")
+    got = {(r.username, r.course_id, r.action) for r in parsed.collect()}
+    assert got == {(u, c, a) for u, c, a, _ in rows}
+
+
+@pytest.mark.skipif(
+    "JDBC_URL" not in os.environ,
+    reason="live JDBC round-trip: set JDBC_URL=jdbc:postgresql://host/db"
+    "?user=u&password=p (and launch with the driver jar on the classpath)",
+)
+def test_jdbc_live_round_trip(spark):
+    """S5/S6 end-to-end against a real database: bounded-fan-in write,
+    then a parallel bound-probed range scan back — asserts both the data
+    and the scan parallelism (the reference read single-partition)."""
+    from project_bigdata_recsys_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = os.environ["JDBC_URL"]
+    table = f"spark_graft_it_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    write_jdbc(df, url, table, mode="overwrite", max_connections=4)
+    back = read_jdbc(spark, url, table, partition_column="id", num_partitions=4)
+    assert back.count() == 1000
+    assert back.rdd.getNumPartitions() == 4  # the parallel range scan
+    assert back.agg(F.sum("bucket")).head()[0] == df.agg(F.sum("bucket")).head()[0]
