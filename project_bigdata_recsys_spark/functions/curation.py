@@ -1,0 +1,183 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md
+§2.12 extension): sequence packing, domain mixing, TF-IDF term profiling.
+
+These are the batch-prep steps between "deduplicated, quality-filtered
+corpus" (functions/dedup.py, functions/text.py) and "token stream fed to
+a trainer":
+
+  pack_sequences   concat-and-chop packing of documents into fixed
+                   token-budget training sequences — the standard
+                   pretraining batch-prep that turns ragged documents
+                   into dense, uniform-length sequences.
+  corpus_mixture   temperature-weighted domain sampling (w_d ∝ n_d^α):
+                   upweights small domains, the standard mixing rule for
+                   multi-domain / multilingual training corpora.
+  tfidf_top_terms  per-document top-k TF-IDF terms — the lightweight
+                   per-domain vocabulary profile used for corpus QA and
+                   domain-classifier features.
+
+Everything is deterministic (document-derived ordering, md5 sampling —
+never an engine RNG), so each operator is oracle-checked exactly like
+the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.text import tokens
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 256
+) -> DataFrame:
+    """Pack documents into fixed ``budget``-token training sequences by
+    concat-and-chop within each lang: documents stream in doc_id order,
+    token counts accumulate, and a document belongs to the sequence where
+    it STARTS (seq_no = floor(tokens-before-it / budget)).
+
+    Output: one row per (lang, seq_no) with document count, token count
+    and fill ratio — the packing manifest a trainer's data loader reads.
+
+    Scale: ONE window per lang partition (running token sum ordered by
+    doc_id) — no global sort.  Langs are few and heavy; at 100 TB shard
+    each lang by a hash of doc_id into ~cluster-parallelism sub-streams
+    and pack per shard: packing needs no cross-shard contiguity (every
+    shard yields dense sequences independently), so the window keys
+    become (lang, shard) and the plan stays fully parallel.  The
+    lang-keyed form here is the oracle-exact semantics at test scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
+    with_counts = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = with_counts.withColumn(
+        "seq_no",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return (
+        placed.groupBy("lang", "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "seq_no",
+            "n_docs",
+            "n_tokens",
+            F.round(F.least(F.lit(1.0), F.col("n_tokens") / budget), 4).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("lang", "seq_no")
+    )
+
+
+def corpus_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    target_docs: int = 200,
+) -> DataFrame:
+    """Temperature-weighted domain mixture: sample quota per lang
+    ∝ n_lang^alpha (alpha<1 upweights small domains — the standard
+    multilingual rebalancing rule), filled deterministically by md5-rank
+    within each lang so the drawn set is reproducible across engines and
+    re-runs (same discipline as ml.classifier.deterministic_stratified_split).
+
+    Output per lang: corpus size, mixture weight, the quota, and the
+    sampled token mass — the mixing manifest of the training job.
+
+    Scale: one count aggregation (tiny), one md5-rank window per lang
+    (shardable exactly like pack_sequences), one filtered aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
+    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+
+    sizes = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = sizes.withColumn("w_raw", F.pow("n_docs", F.lit(alpha)))
+    total_w = weighted.agg(F.sum("w_raw").alias("w_sum"))
+    quotas = (
+        weighted.crossJoin(F.broadcast(total_w))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("mix_weight"),
+            F.round(F.lit(target_docs) * F.col("w_raw") / F.col("w_sum"), 0)
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    sampled = (
+        ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
+    return (
+        quotas.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "mix_weight",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = 3, min_df: int = 1
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-document term count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed), ranked by rounded score then
+    term for a total cross-engine order.
+
+    Scale: explode → two Tungsten aggregations (term counts per doc;
+    document frequency per term) → broadcast-join the term dictionary
+    (small relative to the corpus; switch to a shuffle join if the
+    vocabulary outgrows the broadcast budget) → per-doc top-k window.
+    Partial aggregation absorbs token skew map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    term_rows = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )

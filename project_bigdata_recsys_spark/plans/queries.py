@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from project_bigdata_recsys_spark.functions import dedup, similarity, text
+from project_bigdata_recsys_spark.functions import curation, dedup, similarity, text
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
@@ -191,6 +191,10 @@ QUERIES: dict[str, QueryFn] = {
     #     regression-guarded every test run by test_oracle_parity) ---------
     "doc_quality_profile": text.doc_quality_profile,
     "lang_profile": text.lang_profile,
+    # --- §2.12 curation: corpus→trainer batch-prep (round 3) --------------
+    "pack_sequences": curation.pack_sequences,
+    "corpus_mixture": curation.corpus_mixture,
+    "tfidf_top_terms": curation.tfidf_top_terms,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,
@@ -1231,6 +1235,76 @@ ORACLES: dict[str, str] = {
                round(avg(cos_sim), 6) AS exact_topk_avg_sim,
                TRUE AS recall_ok, TRUE AS sims_exact_ok, TRUE AS k_rows_ok
         FROM sims
+    """,
+    # --- curation: packing / mixing / tf-idf ------------------------------
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS n_tokens
+            FROM documents),
+        p AS (
+            SELECT lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 256.0) AS BIGINT) AS seq_no
+            FROM t)
+        SELECT lang, seq_no, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(least(1.0, sum(n_tokens) / 256.0), 4) AS fill_ratio
+        FROM p GROUP BY lang, seq_no ORDER BY lang, seq_no
+    """,
+    "corpus_mixture": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS n_tokens
+            FROM documents),
+        sizes AS (SELECT lang, count(*) AS n_docs FROM t GROUP BY lang),
+        wts AS (SELECT lang, n_docs, pow(n_docs, 0.5) AS w_raw FROM sizes),
+        tot AS (SELECT sum(w_raw) AS w_sum FROM wts),
+        quotas AS (
+            SELECT lang, n_docs,
+                   round(w_raw / w_sum, 6) AS mix_weight,
+                   CAST(round(200 * w_raw / w_sum, 0) AS BIGINT) AS quota
+            FROM wts CROSS JOIN tot),
+        ranked AS (
+            SELECT lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM t),
+        sampled AS (
+            SELECT r.lang, count(*) AS n_sampled,
+                   sum(n_tokens) AS sampled_tokens
+            FROM ranked r JOIN quotas q ON r.lang = q.lang
+            WHERE r.rk <= q.quota GROUP BY r.lang)
+        SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.mix_weight,
+               CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+               CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+        FROM quotas q LEFT JOIN sampled s ON q.lang = s.lang
+        ORDER BY q.lang
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE length(term) > 0 GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1.0)) + 1.0),
+                         4) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rank
+            FROM scored)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
     """,
     "kb_popular_items": """
         SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
