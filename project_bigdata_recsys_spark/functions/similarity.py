@@ -308,6 +308,92 @@ def rp_bucket(col: Column, t: int, n_planes: int) -> Column:
     return out
 
 
+def rp_index_rows(emb: DataFrame, n_tables: int, n_planes: int) -> DataFrame:
+    """One (vec_id, t, bucket) row per vector per hash table — the RP-LSH
+    index relation, shared by the inline :func:`knn_rp_lsh` and the
+    persisted :func:`build_ann_index` paths."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        rp_bucket(F.col("embedding"), t, n_planes).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+
+
+def build_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> None:
+    """Persist the RP-LSH index, partitioned by (t, bucket).
+
+    This is the 100 TB similarity-search shape: the corpus is hashed ONCE
+    and written clustered by hash table + bucket; each query then reads
+    exactly ``n_tables`` partitions via partition pruning instead of
+    re-hashing the corpus per query (which the inline knn_rp_lsh — the
+    correctness/oracle form — necessarily does).  Deterministic
+    Rademacher planes mean index and probe always agree, with no stored
+    plane matrix to version."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rp_index_rows(emb, n_tables, n_planes).write.mode("overwrite").partitionBy(
+        "t", "bucket"
+    ).parquet(index_dir)
+
+
+def query_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Probe the persisted index: compute the query's ``n_tables`` bucket
+    ids (one row — driver-side collect is O(n_tables) scalars, not data),
+    scan ONLY those (t, bucket) partitions, then rerank candidates by
+    exact cosine.  Row-identical to :func:`knn_rp_lsh` by construction
+    (same planes, same buckets, same rerank) — asserted in tests, along
+    with the plan's partition filters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_emb_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding")
+    probes = rp_index_rows(
+        q_emb_row.withColumn("vec_id", F.lit(query_vec_id)), n_tables, n_planes
+    ).collect()
+    pred = None
+    for r in probes:
+        clause = (F.col("t") == r.t) & (F.col("bucket") == r.bucket)
+        pred = clause if pred is None else (pred | clause)
+    index = spark.read.parquet(index_dir).filter(pred)
+    cand_ids = (
+        index.filter(F.col("vec_id") != query_vec_id).select("vec_id").distinct()
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_rp_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -333,20 +419,7 @@ def knn_rp_lsh(
     persist (partitioned by table+bucket → partition pruning per probe).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        rp_bucket(F.col("embedding"), t, n_planes).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.bucket")
+    buckets = rp_index_rows(emb, n_tables, n_planes)
     q_buckets = buckets.filter(F.col("vec_id") == query_vec_id).select(
         F.col("t").alias("q_t"), F.col("bucket").alias("q_bucket")
     )

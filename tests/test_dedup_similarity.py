@@ -218,3 +218,32 @@ def test_chunk_rows_hof_matches_udtf(spark):
     udtf = chunk_rows_udtf(spark, docs).orderBy("doc_id", "chunk_no").collect()
     assert [tuple(r) for r in hof] == [tuple(r) for r in udtf]
     assert len(hof) > 0
+
+
+def test_persisted_ann_index_matches_inline_and_prunes(spark, tmp_path):
+    """The persisted RP-LSH index (build once, probe via partition
+    pruning) must return exactly the inline knn_rp_lsh result, and the
+    probe's scan must carry (t, bucket) partition filters — the
+    build-once/query-many scale path."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        build_ann_index,
+        knn_rp_lsh,
+        query_ann_index,
+    )
+
+    index_dir = str(tmp_path / "ann_index")
+    build_ann_index(spark, SF_SMALL, index_dir)
+    via_index = query_ann_index(spark, SF_SMALL, index_dir, query_vec_id=0, k=10)
+    inline = knn_rp_lsh(spark, SF_SMALL, query_vec_id=0, k=10)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    # partition pruning: the index scan must filter on the partition cols
+    import os
+
+    probe_plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in probe_plan
+    # and the index layout on disk is (t, bucket) directories
+    t_dirs = [d for d in os.listdir(index_dir) if d.startswith("t=")]
+    assert len(t_dirs) == 4
