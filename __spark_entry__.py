@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for
-    probabilistic/iterative operators → driver uses rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query.  EVERY declared query
+    has one (round 3): engine-seeded iterative/probabilistic operators
+    (ALS, GBT, ml-LSH) are declared as invariant profiles — exact data
+    anchors the oracle recomputes plus structural booleans it asserts as
+    literal TRUE (see plans/queries.py)."""
     return dict(ORACLES)
