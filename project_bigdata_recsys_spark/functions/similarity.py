@@ -277,6 +277,77 @@ def ivf_bucketed_knn(
     )
 
 
+def ivf_centroid_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN with DATA-SAMPLED centroids: Voronoi cells around
+    ``n_cells`` corpus vectors drawn by md5 rank (IVF training on a
+    random subset, zero Lloyd rounds — iterating means would make cell
+    means order-of-summation floats no SQL oracle could reproduce; the
+    sampled centroids are data values, bit-exact in both engines).
+
+    Complements :func:`ivf_bucketed_knn` (fixed sign-hyperplane cells):
+    sampled centroids ADAPT to the corpus distribution — clustered
+    corpora get proportionally more cells where the mass is, the known
+    weakness of data-oblivious sign buckets.
+
+    Shape: seed draw is a TakeOrderedAndProject over md5 (per-partition
+    heaps — no global sort); assignment is one broadcast cross join
+    (n_cells per row) + per-vector argmax window; the query probes its
+    ``n_probe`` nearest cells and reranks exactly.  At 100 TB, persist
+    the assignment partitioned by cell exactly like build_ann_index and
+    the probe becomes partition pruning.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = emb.orderBy(md5_key, "vec_id").limit(n_cells)
+    w_cell = Window.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
+    centroids = (
+        seeds.select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("c_emb")
+        )
+        .withColumn("cell", F.row_number().over(w_cell))
+    )
+    assign = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cs"),
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+    ranked = assign.withColumn("rn", F.row_number().over(w_best))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "label", "cell")
+    q_cells = ranked.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rn") <= n_probe)
+    ).select("cell")
+    cand = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 #: Rademacher plane weight: +1/-1 chosen by a Knuth-multiplier scramble of
 #: (dim, plane, table) — sign-random-projection LSH with a weight function
 #: both engines compute exactly (no RNG, no stored plane matrix).

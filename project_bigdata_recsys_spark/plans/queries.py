@@ -195,6 +195,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": curation.pack_sequences,
     "corpus_mixture": curation.corpus_mixture,
     "tfidf_top_terms": curation.tfidf_top_terms,
+    # --- data-adaptive IVF (sampled centroids; round 3) -------------------
+    "knn_ivf_centroid": similarity.ivf_centroid_knn,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,
@@ -1235,6 +1237,41 @@ ORACLES: dict[str, str] = {
                round(avg(cos_sim), 6) AS exact_topk_avg_sim,
                TRUE AS recall_ok, TRUE AS sims_exact_ok, TRUE AS k_rows_ok
         FROM sims
+    """,
+    "knn_ivf_centroid": """
+        WITH seeds AS (
+            SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS c_emb,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        assign AS (
+            SELECT e.vec_id, e.label, s.cell,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c_emb)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(s.c_emb, s.c_emb))), 6) AS cs
+            FROM embeddings e CROSS JOIN seeds s),
+        ranked AS (
+            SELECT vec_id, label, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cs DESC, cell) AS rn
+            FROM assign),
+        cells AS (SELECT vec_id, label, cell FROM ranked WHERE rn = 1),
+        qc AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+              FROM embeddings WHERE vec_id = 0)
+        SELECT c.vec_id, c.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM cells c
+        JOIN qc ON c.cell = qc.cell
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        CROSS JOIN q
+        WHERE c.vec_id <> 0
+        ORDER BY cos_sim DESC, c.vec_id LIMIT 10
     """,
     # --- curation: packing / mixing / tf-idf ------------------------------
     "pack_sequences": """

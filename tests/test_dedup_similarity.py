@@ -247,3 +247,23 @@ def test_persisted_ann_index_matches_inline_and_prunes(spark, tmp_path):
     # and the index layout on disk is (t, bucket) directories
     t_dirs = [d for d in os.listdir(index_dir) if d.startswith("t=")]
     assert len(t_dirs) == 4
+
+
+def test_ivf_centroid_results_are_true_cosines(spark):
+    """Sampled-centroid IVF: every returned similarity equals the exact
+    brute-force cosine for that id (approximation is in WHICH candidates
+    are probed, never the values), and overlap with the true top-10 is
+    nonzero with 2-of-8 probes."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        ivf_centroid_knn,
+        knn_brute_force,
+    )
+
+    exact = {r.vec_id: r.cos_sim for r in knn_brute_force(spark, SF_SMALL, k=100).collect()}
+    approx = ivf_centroid_knn(spark, SF_SMALL, query_vec_id=0, k=10).collect()
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        if r.vec_id in exact:
+            assert abs(r.cos_sim - exact[r.vec_id]) < 1e-6
+    top10 = {r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()}
+    assert len(top10 & {r.vec_id for r in approx}) >= 1
