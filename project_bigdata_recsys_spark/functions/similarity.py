@@ -107,6 +107,36 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.40
+) -> DataFrame:
+    """The fifth dedup family taken to completion: embedding-cosine
+    near-dup pairs → connected components → cluster summary — the same
+    pairs→clusters composition the text families get via
+    dedup.near_dup_clusters, so semantic-duplicate groups (paraphrases,
+    translations) are deduplicatable, not just detectable.
+
+    Scale: the pair stage here is the exact all-pairs oracle form; at
+    corpus scale feed :func:`connected_components` from the RP-LSH
+    banded candidates (build_ann_index buckets → intra-bucket pairs →
+    threshold) instead — the CC stage is shared and already banded-input
+    shaped."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir, threshold)
+    comps = connected_components(pairs, a_col="id_a", b_col="id_b")
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_vec_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
+
+
 def _normalized(emb_col: str = "embedding") -> Column:
     n = l2_norm(F.col(emb_col))
     return F.transform(F.col(emb_col), lambda x: x.cast("double") / n)

@@ -197,6 +197,8 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": curation.tfidf_top_terms,
     # --- data-adaptive IVF (sampled centroids; round 3) -------------------
     "knn_ivf_centroid": similarity.ivf_centroid_knn,
+    # --- embedding near-dup family completed: pairs -> clusters -----------
+    "embedding_dup_clusters": similarity.embedding_dup_clusters,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,
@@ -1272,6 +1274,32 @@ ORACLES: dict[str, str] = {
         CROSS JOIN q
         WHERE c.vec_id <> 0
         ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+    """,
+    "embedding_dup_clusters": """
+        WITH RECURSIVE pr AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(a.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])))),
+                        6) >= 0.40),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pr
+                  UNION SELECT id_b AS s, id_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        SELECT label AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               min(id) AS canonical_id,
+               max(id) AS max_vec_id
+        FROM cc GROUP BY label HAVING count(*) >= 2
+        ORDER BY cluster_size DESC, cluster_id
     """,
     # --- curation: packing / mixing / tf-idf ------------------------------
     "pack_sequences": """
