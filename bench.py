@@ -57,6 +57,11 @@ HEADLINE = [
     # corpus-quality operators added round 2
     "repetition_profile",
     "pii_redaction_profile",
+    # curation + adaptive-IVF operators added round 3
+    "pack_sequences",
+    "corpus_mixture",
+    "tfidf_top_terms",
+    "knn_ivf_centroid",
 ]
 
 
