@@ -2,10 +2,13 @@
 
 ``QUERIES`` maps every implemented operator from SURVEY.md §2 to a builder
 ``(spark, sf_dir) -> DataFrame``; ``ORACLES`` holds the equivalent ANSI SQL
-for DuckDB where the operator is SQL-expressible.  Probabilistic /
-iterative operators (LSH, SimHash bands, ALS, GBT) are declared without an
-oracle — the driver applies its rows-only check and tests/ cover them with
-golden/property tests (SURVEY.md §5.2).
+for DuckDB.  EVERY query has an oracle (round 3): deterministic operators
+are value-matched outright (including minhash/simhash/RP-LSH — all hashes
+are md5/data-derived, never an engine RNG), while engine-seeded iterative
+models (ALS, GBT, pyspark.ml LSH) are declared as INVARIANT PROFILES —
+exact data anchors the oracle recomputes plus structural booleans it
+asserts as literal TRUE; their raw outputs stay library functions under
+seeded tests (SURVEY.md §5.2).
 
 Oracle-parity rules (see operators/relational.py header): identical
 aliases, rounded floats, total orderings under every LIMIT, BIGINT casts
