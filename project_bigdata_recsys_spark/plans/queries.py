@@ -125,18 +125,21 @@ def _kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already hash-verified green sits last; it stays regression-protected by
 # tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 QUERIES: dict[str, QueryFn] = {
+    # Round-3 window rotation: queries with ZERO driver evidence come
+    # first (the driver gates the first ~50); r2-green queries rotated
+    # below the window stay regression-guarded by test_oracle_parity.
+    # --- §2.12 curation: corpus→trainer batch-prep (new in round 3) -------
+    "pack_sequences": curation.pack_sequences,
+    "corpus_mixture": curation.corpus_mixture,
+    "tfidf_top_terms": curation.tfidf_top_terms,
+    # --- new similarity surfaces (round 3) --------------------------------
+    "knn_ivf_centroid": similarity.ivf_centroid_knn,
+    "embedding_dup_clusters": similarity.embedding_dup_clusters,
     # --- §2.12: text analysis ------------------------------------------
-    # (doc_quality_profile / lang_profile rotated below the gate window in
-    # round 3 — both r2-green — freeing slots for knn_lsh +
-    # als_user_factors, which had zero driver evidence across rounds)
-    "doc_fingerprints": text.doc_fingerprints,
+    "chunk_documents": text.chunk_documents,  # re-kerneled round 3 (HOF)
+    "quality_percentile_filter": text.quality_percentile_filter,  # re-planned round 3
     "token_frequencies": text.token_frequencies,
-    "token_stats": text.token_stats,
-    "lang_id_confusion": text.lang_id_confusion,
-    "chunk_documents": text.chunk_documents,
     "repetition_profile": text.repetition_profile,
-    "pii_redaction_profile": text.pii_redaction_profile,
-    "quality_percentile_filter": text.quality_percentile_filter,
     # --- §2.12: dedup ----------------------------------------------------
     "exact_duplicates": dedup.exact_duplicates,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -194,14 +197,10 @@ QUERIES: dict[str, QueryFn] = {
     #     regression-guarded every test run by test_oracle_parity) ---------
     "doc_quality_profile": text.doc_quality_profile,
     "lang_profile": text.lang_profile,
-    # --- §2.12 curation: corpus→trainer batch-prep (round 3) --------------
-    "pack_sequences": curation.pack_sequences,
-    "corpus_mixture": curation.corpus_mixture,
-    "tfidf_top_terms": curation.tfidf_top_terms,
-    # --- data-adaptive IVF (sampled centroids; round 3) -------------------
-    "knn_ivf_centroid": similarity.ivf_centroid_knn,
-    # --- embedding near-dup family completed: pairs -> clusters -----------
-    "embedding_dup_clusters": similarity.embedding_dup_clusters,
+    "doc_fingerprints": text.doc_fingerprints,
+    "token_stats": text.token_stats,
+    "lang_id_confusion": text.lang_id_confusion,
+    "pii_redaction_profile": text.pii_redaction_profile,
     # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
     "course_stats": relational.course_stats,
     "label_histogram": relational.label_histogram,

@@ -68,3 +68,38 @@ def test_tfidf_ranks_and_monotonicity(spark):
         scores = [r.tfidf for r in rows]
         assert scores == sorted(scores, reverse=True)
         assert all(s > 0 for s in scores)
+
+
+def test_curation_degenerate_inputs(spark):
+    """Empty and extreme parameters must degrade gracefully: empty edge
+    set → empty components; tiny budget → token mass still conserved;
+    oversized mixture target → quotas clamp at corpus size per lang;
+    whitespace-only text → zero chunks."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+    from project_bigdata_recsys_spark.functions.text import chunk_rows
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+
+    tiny = pack_sequences(spark, SF_SMALL, budget=1).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    total_tokens = (
+        docs.select(
+            F.size(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .head()[0]
+    )
+    assert sum(r.n_tokens for r in tiny) == total_tokens
+
+    big = corpus_mixture(spark, SF_SMALL, alpha=0.5, target_docs=10_000_000).collect()
+    for r in big:
+        assert r.n_sampled == r.n_docs  # quota clamps at corpus size
+
+    blank = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "one two")], "doc_id long, text string"
+    )
+    rows = chunk_rows(blank, chunk_tokens=5, stride=4).collect()
+    assert {r.doc_id for r in rows} == {3}
