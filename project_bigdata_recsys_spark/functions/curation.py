@@ -144,6 +144,100 @@ def corpus_mixture(
     )
 
 
+def curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_above: float = 0.25,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    budget: int = 256,
+) -> DataFrame:
+    """The full corpus→trainer pipeline as ONE composed, gate-checkable
+    query: plant duplicates → exact dedup (keep-min-id) → quality
+    percentile cut → chunk → pack — reporting the funnel counts a
+    curation run logs at every stage.
+
+    Each stage reuses the exact kernel its standalone operator ships
+    (dedup.dedup_exact, text.with_exact_percent_rank, text.chunk_rows,
+    the pack_sequences window), so this row doubles as a composition
+    test: the oracle recomputes the whole pipeline in SQL and any
+    stage-boundary disagreement (lost rows, double-counted tokens,
+    misaligned chunk/pack arithmetic) breaks the hash.
+
+    Output (single row): n_raw, n_unique, n_kept, kept_tokens, n_chunks,
+    chunk_tokens, n_sequences.
+    """
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.dedup import dedup_exact
+    from project_bigdata_recsys_spark.functions.text import (
+        chunk_rows,
+        quality_features,
+        with_exact_percent_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    uniq = dedup_exact(corpus)
+
+    feats = quality_features(F.col("text"))
+    scored = uniq.select(
+        "doc_id",
+        "lang",
+        "text",
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("score"),
+    )
+    kept = with_exact_percent_rank(scored, ["score", "doc_id"]).filter(
+        F.col("pr") >= keep_above
+    )
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
+    kept_counted = kept.select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+
+    chunks = chunk_rows(
+        kept_counted.select("doc_id", "text"), chunk_tokens, stride
+    )
+    chunk_stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept_counted.withColumn(
+        "seq_no",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    pack_stats = packed.agg(
+        F.count_distinct("lang", "seq_no").alias("n_sequences"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = corpus.agg(F.count(F.lit(1)).alias("n_raw")).crossJoin(
+        uniq.agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        counts.crossJoin(pack_stats)
+        .crossJoin(chunk_stats)
+        .select(
+            "n_raw",
+            "n_unique",
+            "n_kept",
+            "kept_tokens",
+            "n_chunks",
+            "chunk_tokens",
+            "n_sequences",
+        )
+    )
+
+
 def tfidf_top_terms(
     spark: SparkSession, sf_dir: str, k: int = 3, min_df: int = 1
 ) -> DataFrame:

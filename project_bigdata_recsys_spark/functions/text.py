@@ -418,6 +418,57 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_exact_percent_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "pr"
+) -> DataFrame:
+    """Append an EXACT global percent_rank over ``order_cols`` (must be a
+    total order) without the single-partition sort an unkeyed window
+    forces.  Recipe: repartitionByRange puts ordered slices in
+    consecutive partitions; row_number per partition ranks locally; the
+    tiny per-partition counts cumsum into offsets; global rank = offset
+    + local rank; percent_rank = (rank-1)/(n-1).
+
+    The partition count is pinned explicitly — AQE never coalesces a
+    user-specified repartition, so BOTH consumers of the range exchange
+    (the local-rank window and the per-partition counts) see identical
+    pid assignment; with an implicit count AQE could coalesce the two
+    shuffle reads differently and desynchronize pid between branches.
+    The only single-partition work is the offset cumsum over the
+    ~num-partitions-row count frame."""
+    from pyspark.sql import Window
+
+    n_range_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_range_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    )
+    sizes = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n_part"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__n_part").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__n_part").over(
+            Window.orderBy("__pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n_total"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__n_total") > 1,
+                (F.col("__offset") + F.col("__lr") - 1) / (F.col("__n_total") - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__pid", "__lr", "__offset", "__n_total")
+    )
+
+
 def quality_percentile_filter(
     spark: SparkSession, sf_dir: str, keep_above: float = 0.25
 ) -> DataFrame:
@@ -444,8 +495,6 @@ def quality_percentile_filter(
     order so ties cannot occur.  The only single-partition work is the
     offset cumsum over the tiny per-partition count frame.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
     scored = docs.select(
@@ -453,36 +502,7 @@ def quality_percentile_filter(
         "lang",
         (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("score"),
     )
-    # explicit partition count: AQE never coalesces a user-specified
-    # repartition, so BOTH consumers of this exchange (the local-rank
-    # window and the per-partition counts) see identical pid assignment —
-    # with an implicit count, AQE could coalesce the two shuffle reads
-    # differently and desynchronize pid between branches
-    n_range_parts = spark.sparkContext.defaultParallelism
-    ranged = scored.repartitionByRange(
-        n_range_parts, "score", "doc_id"
-    ).withColumn("pid", F.spark_partition_id())
-    local = ranged.withColumn(
-        "lr",
-        F.row_number().over(Window.partitionBy("pid").orderBy("score", "doc_id")),
-    )
-    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n_part"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "pid",
-        F.coalesce(F.sum("n_part").over(w_off), F.lit(0)).alias("offset"),
-        F.sum("n_part").over(
-            Window.orderBy("pid").rangeBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_total"),
-    )
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
-        "pr",
-        F.when(F.col("n_total") > 1,
-               (F.col("offset") + F.col("lr") - 1) / (F.col("n_total") - 1)
-               ).otherwise(F.lit(0.0)),
-    )
+    ranked = with_exact_percent_rank(scored, ["score", "doc_id"])
     return (
         ranked.filter(F.col("pr") >= keep_above)
         .groupBy("lang")

@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": curation.pack_sequences,
     "corpus_mixture": curation.corpus_mixture,
     "tfidf_top_terms": curation.tfidf_top_terms,
+    "curation_funnel": curation.curation_funnel,
     # --- new similarity surfaces (round 3) --------------------------------
     "knn_ivf_centroid": similarity.ivf_centroid_knn,
     "embedding_dup_clusters": similarity.embedding_dup_clusters,
@@ -1302,6 +1303,64 @@ ORACLES: dict[str, str] = {
                max(id) AS max_vec_id
         FROM cc GROUP BY label HAVING count(*) >= 2
         ORDER BY cluster_size DESC, cluster_id
+    """,
+    "curation_funnel": """
+        WITH corpus AS (
+            SELECT doc_id, lang, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, lang, text FROM documents
+            WHERE doc_id % 10 = 0),
+        uniq AS (
+            SELECT c.doc_id, c.lang, c.text
+            FROM corpus c
+            JOIN (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text) w
+              ON c.doc_id = w.doc_id),
+        scored AS (
+            SELECT doc_id, lang, text,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                         / length(text), 4)
+                   - round(len(list_filter(string_split(text, ' '),
+                                           t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                           / len(string_split(text, ' ')), 4) AS score
+            FROM uniq),
+        ranked AS (
+            SELECT *, percent_rank() OVER (ORDER BY score, doc_id) AS pr
+            FROM scored),
+        kept AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0)) AS n_tokens
+            FROM ranked WHERE pr >= 0.25),
+        chunkstats AS (
+            SELECT sum(CASE WHEN n_tokens <= 0 THEN 0
+                            WHEN n_tokens <= 50 THEN 1
+                            ELSE CAST(ceil((n_tokens - 50) / 40.0) AS BIGINT) + 1
+                       END) AS n_chunks,
+                   sum(CASE WHEN n_tokens <= 0 THEN 0
+                            WHEN n_tokens <= 50 THEN n_tokens
+                            ELSE n_tokens + 10 *
+                                 CAST(ceil((n_tokens - 50) / 40.0) AS BIGINT)
+                       END) AS chunk_tokens
+            FROM kept),
+        packed AS (
+            SELECT lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 256.0) AS BIGINT) AS seq_no
+            FROM kept),
+        packstats AS (
+            SELECT (SELECT count(*) FROM (SELECT DISTINCT lang, seq_no
+                                          FROM packed)) AS n_sequences,
+                   sum(n_tokens) AS kept_tokens, count(*) AS n_kept
+            FROM packed)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_raw,
+               (SELECT CAST(count(*) AS BIGINT) FROM uniq) AS n_unique,
+               CAST(p.n_kept AS BIGINT) AS n_kept,
+               CAST(p.kept_tokens AS BIGINT) AS kept_tokens,
+               CAST(c.n_chunks AS BIGINT) AS n_chunks,
+               CAST(c.chunk_tokens AS BIGINT) AS chunk_tokens,
+               CAST(p.n_sequences AS BIGINT) AS n_sequences
+        FROM packstats p CROSS JOIN chunkstats c
     """,
     # --- curation: packing / mixing / tf-idf ------------------------------
     "pack_sequences": """

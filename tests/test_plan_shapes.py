@@ -137,7 +137,7 @@ def test_percentile_filter_has_no_global_sort_window(spark):
     # the corpus-side row_number window must be keyed by pid; the only
     # unkeyed windows left are the offset cumsums over the tiny
     # per-partition-count frame
-    assert "windowspecdefinition(pid" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
 
 
 def test_chunk_rows_is_jvm_side(spark):
