@@ -321,6 +321,29 @@ def _minhash_from_bases(bases_col, n_hashes: int = N_MINHASH):
     )
 
 
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, sig) minhash signature per document with a non-empty
+    shingle set.  The md5 base hashes are materialized ONCE into a bases
+    array; the ``n_hashes`` universal hashes are multiply-mods over it
+    (CollapseProject won't inline a non-cheap alias into 16 consumers,
+    so the md5 pass stays single)."""
+    sh = F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)
+    with_bases = (
+        docs.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: hash32(s) % MINHASH_PRIME).alias(
+                "bases"
+            ),
+        )
+    )
+    sig = _minhash_from_bases(F.col("bases"), n_hashes)
+    return with_bases.select("doc_id", sig.alias("sig"))
+
+
 def minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -344,28 +367,13 @@ def minhash_candidates(
     oracle-checks it instead of rows-only.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0)
-    # materialize the md5 base hashes ONCE; the 16 universal hashes are
-    # multiply-mods over this array (CollapseProject won't inline a
-    # non-cheap alias into 16 consumers, so the md5 pass stays single)
-    with_bases = (
-        docs.select("doc_id", sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(
-            "doc_id",
-            F.transform(F.col("sh"), lambda s: hash32(s) % MINHASH_PRIME).alias(
-                "bases"
-            ),
-        )
-    )
-    sig = _minhash_from_bases(F.col("bases"), n_hashes)
     # Persist the signatures: this frame feeds THREE consumers (band
     # explosion + both sides of the signature re-join), and Spark has no
     # cross-branch common-subexpression sharing — unpersisted, the whole
     # scan+shingle+md5 pipeline executes three times (measured ~2x query
     # cost at sf0.1).  Size is doc_id + 16 longs per doc — ~140 B/doc,
     # memory-and-disk safe at any corpus scale.
-    with_sig = with_bases.select("doc_id", sig.alias("sig")).persist()
+    with_sig = minhash_signatures(docs, n=n, n_hashes=n_hashes).persist()
     n_bands = n_hashes // MINHASH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -777,6 +785,138 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").alias("n_contaminated_eval"),
             F.count(F.lit(1)).alias("n_train_matches"),
             F.min("doc_id").alias("first_train_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: Appended-drift suffix for the planted near-duplicate batch docs —
+#: identical literal embedded in the DuckDB oracle.
+_DRIFT_SUFFIX = " drifted extra tokens appended here"
+
+
+def incremental_dedup_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (daily-ingest) dedup: admit a NEW batch against an
+    EXISTING corpus — the production shape, where yesterday's corpus is
+    settled and only new-vs-old comparisons run:
+
+      exact pass  batch anti-join on content fingerprint vs the corpus
+                  (digest-only shuffle, same as exact dedup).
+      near pass   minhash band join restricted to new-side × old-side —
+                  the one-sided LSH probe: old×old pairs are never
+                  generated, so daily cost is O(batch), not O(corpus).
+
+    The corpus ships no batch, so one is planted with known composition:
+    verbatim copies (doc_id%10==0 → exact drops), drift copies with an
+    appended suffix (%10==3 → survive exact, caught by minhash), and
+    fresh synthetic docs (%10==7 → admitted).  Deterministic md5
+    machinery end-to-end, so the driver hash-checks the full funnel:
+    per-lang batch size, exact drops, near drops, admissions.
+
+    At 100 TB: corpus signatures/bands are a persisted table (computed
+    once per corpus version, exactly like build_ann_index); only the
+    batch side is hashed per run.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new_id = (F.col("doc_id") + 3_000_000).alias("doc_id")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(new_id, "text", "lang")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 3).select(
+                new_id, F.concat(F.col("text"), F.lit(_DRIFT_SUFFIX)).alias("text"), "lang"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                new_id,
+                F.concat(F.lit("fresh doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+                "lang",
+            )
+        )
+    )
+
+    corpus_fp = docs.select(F.sha2("text", 256).alias("fp")).distinct()
+    batch_fp = batch.withColumn("fp", F.sha2("text", 256))
+    exact_dropped = batch_fp.join(F.broadcast(corpus_fp), "fp", "left_semi")
+    survivors = batch_fp.join(F.broadcast(corpus_fp), "fp", "left_anti").drop("fp")
+
+    # signatures over old ∪ surviving-new, computed once and persisted
+    # (feeds band explosion + both sides of the est re-join)
+    tagged = docs.withColumn("is_new", F.lit(False)).unionByName(
+        survivors.withColumn("is_new", F.lit(True))
+    )
+    sigs = (
+        minhash_signatures(fan_out(tagged), n=n, n_hashes=n_hashes)
+        .join(tagged.select("doc_id", "is_new"), "doc_id")
+        .persist()
+    )
+    n_bands = n_hashes // MINHASH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.col("sig")[2 * b].alias("k1"),
+                F.col("sig")[2 * b + 1].alias("k2"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "is_new", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "is_new", "bk.band_no", "bk.k1", "bk.k2")
+    new_bands = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_no", "k1", "k2"
+    )
+    old_bands = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band_no", "k1", "k2"
+    )
+    cand = (
+        new_bands.join(old_bands, ["band_no", "k1", "k2"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sig_new = sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"))
+    sig_old = sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_n"), F.col("sig_o"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    near_ids = (
+        cand.join(sig_new, "new_id")
+        .join(sig_old, "old_id")
+        .withColumn("est", matches / F.lit(float(n_hashes)))
+        .filter(F.col("est") >= jaccard_threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    near_dropped = survivors.join(near_ids, "doc_id", "left_semi")
+    admitted = survivors.join(near_ids, "doc_id", "left_anti")
+
+    def per_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        per_lang(batch, "n_batch")
+        .join(per_lang(exact_dropped, "n_exact_dropped"), "lang", "left")
+        .join(per_lang(near_dropped, "n_near_dropped"), "lang", "left")
+        .join(per_lang(admitted, "n_admitted"), "lang", "left")
+        .select(
+            "lang",
+            "n_batch",
+            F.coalesce("n_exact_dropped", F.lit(0)).alias("n_exact_dropped"),
+            F.coalesce("n_near_dropped", F.lit(0)).alias("n_near_dropped"),
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
         )
         .orderBy("lang")
     )

@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_mixture": curation.corpus_mixture,
     "tfidf_top_terms": curation.tfidf_top_terms,
     "curation_funnel": curation.curation_funnel,
+    "incremental_dedup": dedup.incremental_dedup_stats,
     # --- new similarity surfaces (round 3) --------------------------------
     "knn_ivf_centroid": similarity.ivf_centroid_knn,
     "embedding_dup_clusters": similarity.embedding_dup_clusters,
@@ -1510,6 +1511,96 @@ def _minhash_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
     """
 
 
+def _incremental_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
+    """SQL twin of functions.dedup.incremental_dedup_stats: planted batch
+    → exact drop on text equality (= sha2 fingerprint equality) → ONE-SIDED
+    minhash band probe (new × old only) → per-lang funnel counts."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        _DRIFT_SUFFIX,
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    mins = ",\n               ".join(
+        f"list_min(list_transform(bases, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band_no, m{2 * b} AS k1, "
+        f"m{2 * b + 1} AS k2 FROM sig"
+        for b in range(n_hashes // 2)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n_hashes))
+    return f"""
+        WITH batch AS (
+            SELECT doc_id + 3000000 AS doc_id, text, lang
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, text || '{_DRIFT_SUFFIX}', lang
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id + 3000000, 'fresh doc ' || CAST(doc_id AS VARCHAR), lang
+            FROM documents WHERE doc_id % 10 = 7),
+        corpus_texts AS (SELECT DISTINCT text FROM documents),
+        exact_dropped AS (
+            SELECT b.* FROM batch b JOIN corpus_texts c ON b.text = c.text),
+        survivors AS (
+            SELECT b.* FROM batch b LEFT JOIN corpus_texts c ON b.text = c.text
+            WHERE c.text IS NULL),
+        alldocs AS (
+            SELECT doc_id, text, FALSE AS is_new FROM documents
+            UNION ALL
+            SELECT doc_id, text, TRUE AS is_new FROM survivors),
+        toks AS (SELECT doc_id, is_new, string_split(text, ' ') AS t FROM alldocs),
+        shl AS (SELECT doc_id, is_new,
+                 list_filter(list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                        ELSE [] END), s -> length(s) > 0) AS gs
+               FROM toks),
+        sh2 AS (SELECT doc_id, is_new, gs FROM shl WHERE len(gs) > 0),
+        basesq AS (SELECT doc_id, is_new,
+               list_transform(gs, s -> {_dd_hash32('s', '')} % {MINHASH_PRIME})
+                   AS bases
+           FROM sh2),
+        sig AS (SELECT doc_id, is_new,
+               {mins}
+           FROM basesq),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM bands a JOIN bands b
+                   ON a.band_no = b.band_no AND a.k1 = b.k1 AND a.k2 = b.k2
+                 WHERE a.is_new AND NOT b.is_new),
+        near AS (SELECT DISTINCT cand.new_id AS doc_id FROM cand
+                 JOIN sig sa ON sa.doc_id = cand.new_id
+                 JOIN sig sb ON sb.doc_id = cand.old_id
+                 WHERE ({matches}) / {float(n_hashes)} >= {threshold}),
+        near_dropped AS (
+            SELECT s.* FROM survivors s JOIN near USING (doc_id)),
+        admitted AS (
+            SELECT s.* FROM survivors s
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM near)),
+        bstats AS (SELECT lang, count(*) AS n_batch FROM batch GROUP BY lang),
+        estats AS (SELECT lang, count(*) AS n_exact_dropped
+                   FROM exact_dropped GROUP BY lang),
+        nstats AS (SELECT lang, count(*) AS n_near_dropped
+                   FROM near_dropped GROUP BY lang),
+        astats AS (SELECT lang, count(*) AS n_admitted
+                   FROM admitted GROUP BY lang)
+        SELECT b.lang, CAST(b.n_batch AS BIGINT) AS n_batch,
+               CAST(coalesce(e.n_exact_dropped, 0) AS BIGINT) AS n_exact_dropped,
+               CAST(coalesce(n.n_near_dropped, 0) AS BIGINT) AS n_near_dropped,
+               CAST(coalesce(a.n_admitted, 0) AS BIGINT) AS n_admitted
+        FROM bstats b
+        LEFT JOIN estats e USING (lang)
+        LEFT JOIN nstats n USING (lang)
+        LEFT JOIN astats a USING (lang)
+        ORDER BY b.lang
+    """
+
+
 def _minhash_verified_oracle(
     n_hashes: int = 16, threshold: float = 0.5, verify_threshold: float = 0.5
 ) -> str:
@@ -1799,6 +1890,7 @@ _PII_ORACLE = r"""
 
 
 ORACLES["minhash_candidates"] = _minhash_oracle()
+ORACLES["incremental_dedup"] = _incremental_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
