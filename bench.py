@@ -62,6 +62,8 @@ HEADLINE = [
     "corpus_mixture",
     "tfidf_top_terms",
     "knn_ivf_centroid",
+    "curation_funnel",
+    "incremental_dedup",
 ]
 
 
