@@ -95,6 +95,9 @@ def main() -> None:
             rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
+    # host load at start/end: this box is shared, and measured co-tenant
+    # load swings totals ~2x run-to-run (26s vs 2s for the same bounded
+    # stream replay); the numbers only compare fairly at similar load
     print(
         json.dumps(
             {
@@ -103,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
