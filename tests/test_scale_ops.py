@@ -235,3 +235,31 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_quality_check_primitives(spark):
+    """The composable check primitives (null rates, FK orphans, PK dups)
+    work standalone — they are the building blocks users compose into
+    their own reports beyond the canned data_quality_report."""
+    from project_bigdata_recsys_spark.operators.quality import (
+        fk_orphans,
+        null_rates,
+        pk_duplicates,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+
+    rates = null_rates(child, ["fk"]).head()
+    assert abs(rates.fk - 0.25) < 1e-9
+
+    orphans = fk_orphans(child, parent, "fk", "pk").collect()
+    # 99 has no parent; NULL fk never matches either — both are orphans
+    assert sorted(r.id for r in orphans) == [3, 4]
+
+    dups = pk_duplicates(
+        spark.createDataFrame([(1,), (1,), (2,)], "k int"), ["k"]
+    ).collect()
+    assert len(dups) == 1 and dups[0].k == 1 and dups[0].n == 2
