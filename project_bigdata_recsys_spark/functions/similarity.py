@@ -107,6 +107,56 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup detection: candidate pairs
+    meet only inside an RP-LSH (table, bucket) cell, then exact cosine
+    verification — linear-ish in corpus size where
+    :func:`embedding_near_dup_pairs` (the declared exact oracle form) is
+    O(n²).  Every reported similarity is the true cosine; LSH only
+    bounds WHICH pairs are examined, so precision is exact and the
+    (deterministic) recall loss is pairs sharing no bucket in any table.
+
+    Reuses the deterministic Rademacher bucket kernel (rp_index_rows —
+    DuckDB reproduces every bucket bit) and the dedup family's hybrid
+    pair generator (array combinatorics for small cells, explode+join
+    above the cap — the same skew bound banded minhash uses).
+    """
+    from project_bigdata_recsys_spark.functions.dedup import bucket_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = rp_index_rows(emb, n_tables, n_planes)
+    doc_lists = (
+        buckets.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    cands = (
+        bucket_pairs(doc_lists, ["t", "bucket"])
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    normed = emb.select("vec_id", _normalized().alias("unit"))
+    a = normed.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a"))
+    b = normed.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("unit_a"), F.col("unit_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_dup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.40
 ) -> DataFrame:

@@ -134,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": curation.tfidf_top_terms,
     "curation_funnel": curation.curation_funnel,
     "incremental_dedup": dedup.incremental_dedup_stats,
+    "embedding_near_dup_lsh": similarity.embedding_near_dup_pairs_lsh,
     # --- new similarity surfaces (round 3) --------------------------------
     "knn_ivf_centroid": similarity.ivf_centroid_knn,
     "embedding_dup_clusters": similarity.embedding_dup_clusters,
@@ -1601,6 +1602,56 @@ def _incremental_oracle(n_hashes: int = 16, threshold: float = 0.5) -> str:
     """
 
 
+def _rp_lsh_pairs_oracle(
+    threshold: float = 0.40, n_tables: int = 4, n_planes: int = 6
+) -> str:
+    """SQL twin of functions.similarity.embedding_near_dup_pairs_lsh: the
+    Rademacher plane weight is ((i*31 + p*17 + t*101) * 2654435761) mod
+    2^32 compared to 2^31 — pure integer arithmetic both engines compute
+    identically, so bucket membership (and therefore the candidate pair
+    set) reproduces exactly."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({buck}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM buck x JOIN buck y
+                   ON x.t = y.t AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id)
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(ea.emb, eb.emb)
+                     / (sqrt(list_dot_product(ea.emb, ea.emb))
+                        * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos_sim
+        FROM cand
+        JOIN b ea ON ea.vec_id = cand.id_a
+        JOIN b eb ON eb.vec_id = cand.id_b
+        WHERE round(list_dot_product(ea.emb, eb.emb)
+                    / (sqrt(list_dot_product(ea.emb, ea.emb))
+                       * sqrt(list_dot_product(eb.emb, eb.emb))), 6)
+              >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
 def _minhash_verified_oracle(
     n_hashes: int = 16, threshold: float = 0.5, verify_threshold: float = 0.5
 ) -> str:
@@ -1891,6 +1942,7 @@ _PII_ORACLE = r"""
 
 ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["incremental_dedup"] = _incremental_oracle()
+ORACLES["embedding_near_dup_lsh"] = _rp_lsh_pairs_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()

@@ -267,3 +267,26 @@ def test_ivf_centroid_results_are_true_cosines(spark):
             assert abs(r.cos_sim - exact[r.vec_id]) < 1e-6
     top10 = {r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()}
     assert len(top10 & {r.vec_id for r in approx}) >= 1
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """The LSH-banded pair set must be a strict subset of the exact
+    all-pairs result with identical cosines (precision exact, recall
+    bounded by bucket collisions) and nonzero recall at test scale."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs_lsh(spark, SF_SMALL).collect()
+    }
+    assert lsh, "LSH variant found no pairs at test scale"
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert abs(sim - exact[pair]) < 1e-9
