@@ -158,7 +158,7 @@ def embedding_near_dup_pairs_lsh(
 
 
 def embedding_dup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.40
+    spark: SparkSession, sf_dir: str, threshold: float = 0.40, use_lsh: bool = False
 ) -> DataFrame:
     """The fifth dedup family taken to completion: embedding-cosine
     near-dup pairs → connected components → cluster summary — the same
@@ -166,14 +166,14 @@ def embedding_dup_clusters(
     dedup.near_dup_clusters, so semantic-duplicate groups (paraphrases,
     translations) are deduplicatable, not just detectable.
 
-    Scale: the pair stage here is the exact all-pairs oracle form; at
-    corpus scale feed :func:`connected_components` from the RP-LSH
-    banded candidates (build_ann_index buckets → intra-bucket pairs →
-    threshold) instead — the CC stage is shared and already banded-input
-    shaped."""
+    ``use_lsh=False`` (the gate/oracle form) feeds the exact all-pairs
+    stage; ``use_lsh=True`` is the corpus-scale path — the same clusters
+    from :func:`embedding_near_dup_pairs_lsh` banded candidates, no n²
+    stage anywhere (precision of the pair stage is exact either way)."""
     from project_bigdata_recsys_spark.functions.dedup import connected_components
 
-    pairs = embedding_near_dup_pairs(spark, sf_dir, threshold)
+    pair_fn = embedding_near_dup_pairs_lsh if use_lsh else embedding_near_dup_pairs
+    pairs = pair_fn(spark, sf_dir, threshold)
     comps = connected_components(pairs, a_col="id_a", b_col="id_b")
     return (
         comps.groupBy("cluster_id")
