@@ -30,30 +30,52 @@ from project_bigdata_recsys_spark.catalog import load_table
 from project_bigdata_recsys_spark.functions.text import tokens
 
 
+def shard_key(doc_id, n_shards: int):
+    """Deterministic shard id in [0, n_shards): md5-derived
+    ``hash32(doc_id) % n_shards`` — engine-independent (DuckDB:
+    ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % n``),
+    so sharded operators stay oracle-checkable.  hash32 is non-negative,
+    so ``%`` and ``pmod`` agree."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    return (hash32(doc_id.cast("string")) % n_shards).cast("int")
+
+
 def pack_sequences(
-    spark: SparkSession, sf_dir: str, budget: int = 256
+    spark: SparkSession, sf_dir: str, budget: int = 256, n_shards: int = 1
 ) -> DataFrame:
     """Pack documents into fixed ``budget``-token training sequences by
     concat-and-chop within each lang: documents stream in doc_id order,
     token counts accumulate, and a document belongs to the sequence where
     it STARTS (seq_no = floor(tokens-before-it / budget)).
 
-    Output: one row per (lang, seq_no) with document count, token count
-    and fill ratio — the packing manifest a trainer's data loader reads.
+    Output: one row per (lang[, shard], seq_no) with document count,
+    token count and fill ratio — the packing manifest a trainer's data
+    loader reads.
 
-    Scale: ONE window per lang partition (running token sum ordered by
-    doc_id) — no global sort.  Langs are few and heavy; at 100 TB shard
-    each lang by a hash of doc_id into ~cluster-parallelism sub-streams
-    and pack per shard: packing needs no cross-shard contiguity (every
-    shard yields dense sequences independently), so the window keys
-    become (lang, shard) and the plan stays fully parallel.  The
-    lang-keyed form here is the oracle-exact semantics at test scale.
+    Scale: with ``n_shards=1`` the running-sum window is keyed by lang
+    only — exact single-stream semantics, but parallelism capped at
+    #langs (a handful of fat partitions at 100 TB).  ``n_shards > 1`` is
+    the production form: each lang splits into ``n_shards`` deterministic
+    sub-streams (md5 of doc_id — :func:`shard_key`), the window keys
+    become (lang, shard), and every shard packs its own dense sequences
+    independently — packing needs no cross-shard contiguity, so the plan
+    parallelizes to #langs × n_shards partitions with no correctness
+    loss: per-shard fill ratios obey the same bound and the total token
+    mass is conserved (asserted in tests against the unsharded form).
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
     with_counts = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    if n_shards > 1:
+        with_counts = with_counts.withColumn(
+            "shard", shard_key(F.col("doc_id"), n_shards)
+        )
+        keys = ["lang", "shard"]
+    else:
+        keys = ["lang"]
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy(*keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -64,13 +86,13 @@ def pack_sequences(
         ).cast("long"),
     )
     return (
-        placed.groupBy("lang", "seq_no")
+        placed.groupBy(*keys, "seq_no")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
         .select(
-            "lang",
+            *keys,
             "seq_no",
             "n_docs",
             "n_tokens",
@@ -78,7 +100,7 @@ def pack_sequences(
                 "fill_ratio"
             ),
         )
-        .orderBy("lang", "seq_no")
+        .orderBy(*keys, "seq_no")
     )
 
 
