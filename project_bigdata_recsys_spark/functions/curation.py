@@ -34,10 +34,13 @@ def shard_key(doc_id, n_shards: int):
     """Deterministic shard id in [0, n_shards): md5-derived
     ``hash32(doc_id) % n_shards`` — engine-independent (DuckDB:
     ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % n``),
-    so sharded operators stay oracle-checkable.  hash32 is non-negative,
-    so ``%`` and ``pmod`` agree."""
+    so sharded operators stay oracle-checkable (the gate registers
+    ``pack_sequences_sharded`` against exactly that SQL).  hash32 is
+    non-negative, so ``%`` and ``pmod`` agree."""
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     return (hash32(doc_id.cast("string")) % n_shards).cast("int")
 
 
@@ -109,6 +112,7 @@ def corpus_mixture(
     sf_dir: str,
     alpha: float = 0.5,
     target_docs: int = 200,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Temperature-weighted domain mixture: sample quota per lang
     ∝ n_lang^alpha (alpha<1 upweights small domains — the standard
@@ -119,8 +123,17 @@ def corpus_mixture(
     Output per lang: corpus size, mixture weight, the quota, and the
     sampled token mass — the mixing manifest of the training job.
 
-    Scale: one count aggregation (tiny), one md5-rank window per lang
-    (shardable exactly like pack_sequences), one filtered aggregation.
+    Scale: one count aggregation (tiny), one md5-rank window per lang,
+    one filtered aggregation.  With ``n_shards=1`` the rank window is
+    keyed by lang only — parallelism capped at #langs.  ``n_shards > 1``
+    is the production form: each lang splits into deterministic md5
+    sub-streams (:func:`shard_key`), the lang quota splits across shards
+    (floor share + remainder to the lowest shard ids, so per-lang quotas
+    are conserved exactly), and each (lang, shard) fills its share by
+    local md5-rank.  The drawn SET differs from the unsharded draw (both
+    are valid deterministic uniform draws); per-lang n_sampled is
+    identical whenever every shard holds ≥ its share (asserted in
+    tests), and the whole plan parallelizes to #langs × n_shards.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
@@ -140,19 +153,40 @@ def corpus_mixture(
             .alias("quota"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = base.withColumn("rk", F.row_number().over(w))
-    sampled = (
-        ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
-        .filter(F.col("rk") <= F.col("quota"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_tokens").alias("sampled_tokens"),
+    if n_shards > 1:
+        base = base.withColumn("shard", shard_key(F.col("doc_id"), n_shards))
+        w = Window.partitionBy("lang", "shard").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
-    )
+        # per-shard quota share: floor + remainder to lowest shard ids —
+        # sums exactly to the lang quota
+        shard_quota = F.floor(F.col("quota") / n_shards) + F.when(
+            F.col("shard") < F.col("quota") % n_shards, F.lit(1)
+        ).otherwise(F.lit(0))
+        ranked = base.withColumn("rk", F.row_number().over(w))
+        sampled = (
+            ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
+            .filter(F.col("rk") <= shard_quota)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum("n_tokens").alias("sampled_tokens"),
+            )
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        ranked = base.withColumn("rk", F.row_number().over(w))
+        sampled = (
+            ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
+            .filter(F.col("rk") <= F.col("quota"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum("n_tokens").alias("sampled_tokens"),
+            )
+        )
     return (
         quotas.join(sampled, "lang", "left")
         .select(
@@ -173,6 +207,7 @@ def curation_funnel(
     chunk_tokens: int = 50,
     stride: int = 40,
     budget: int = 256,
+    n_shards: int = 1,
 ) -> DataFrame:
     """The full corpus→trainer pipeline as ONE composed, gate-checkable
     query: plant duplicates → exact dedup (keep-min-id) → quality
@@ -185,6 +220,13 @@ def curation_funnel(
     test: the oracle recomputes the whole pipeline in SQL and any
     stage-boundary disagreement (lost rows, double-counted tokens,
     misaligned chunk/pack arithmetic) breaks the hash.
+
+    ``n_shards > 1`` shards the pack stage exactly like
+    :func:`pack_sequences` (window keys (lang, shard) instead of lang
+    — parallelism #langs × n_shards at 100 TB); n_raw/n_unique/n_kept/
+    kept_tokens/n_chunks/chunk_tokens are shard-invariant and
+    n_sequences counts distinct (lang, shard, seq_no) — asserted
+    against the unsharded form in tests.
 
     Output (single row): n_raw, n_unique, n_kept, kept_tokens, n_chunks,
     chunk_tokens, n_sequences.
@@ -226,8 +268,15 @@ def curation_funnel(
         F.sum("n_tokens").alias("chunk_tokens"),
     )
 
+    if n_shards > 1:
+        kept_counted = kept_counted.withColumn(
+            "shard", shard_key(F.col("doc_id"), n_shards)
+        )
+        pack_keys = ["lang", "shard"]
+    else:
+        pack_keys = ["lang"]
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy(*pack_keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -238,7 +287,7 @@ def curation_funnel(
         ).cast("long"),
     )
     pack_stats = packed.agg(
-        F.count_distinct("lang", "seq_no").alias("n_sequences"),
+        F.count_distinct(*pack_keys, "seq_no").alias("n_sequences"),
         F.sum("n_tokens").alias("kept_tokens"),
         F.count(F.lit(1)).alias("n_kept"),
     )
@@ -271,10 +320,13 @@ def tfidf_top_terms(
     document frequency per term) → broadcast-join the term dictionary
     (small relative to the corpus; switch to a shuffle join if the
     vocabulary outgrows the broadcast budget) → per-doc top-k window.
-    Partial aggregation absorbs token skew map-side.
+    Partial aggregation absorbs token skew map-side.  The corpus size N
+    feeds the idf as a broadcast 1-row aggregate crossJoin (the
+    corpus_mixture w_sum trick) — ONE job, no separate driver-side
+    ``docs.count()`` scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs_row = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     term_rows = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.length("term") > 0)
@@ -284,11 +336,17 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * idf, 4).alias("tfidf"),
+    idf = (
+        F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs_row))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

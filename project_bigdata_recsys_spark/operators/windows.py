@@ -71,16 +71,36 @@ def power_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking over aggregates — replaces the reference's "power users"
     pandas filter+sort (dashboard/app.py:1276-1330).  dense_rank over the
     order count; deterministic because ties share a rank and no LIMIT cuts
-    inside a tie group."""
+    inside a tie group.
+
+    Scale: NO global window anywhere (round-2 shipped
+    ``Window.orderBy(desc(n_orders))`` — one fat partition at 100 TB).
+    dense_rank depends only on the DISTINCT n_orders values, and the
+    ``n_orders > 5`` filter commutes with it (every filtered-out row has
+    a strictly smaller count than every survivor, so survivor ranks are
+    unchanged).  So: filter first, collapse the distinct counts — at
+    most max-orders-per-customer values, bounded regardless of corpus
+    size — into one desc-sorted array (partial-aggregated collect_set),
+    posexplode it into a (rank, value) map, and broadcast the map back.
+    The per-customer aggregate stays fully parallel; dense rank of a
+    distinct value IS its position in the sorted distinct set."""
     orders = load_table(spark, sf_dir, "orders")
     per_user = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    ).filter(F.col("n_orders") > 5)
+    rank_map = (
+        per_user.agg(
+            F.sort_array(F.collect_set("n_orders"), asc=False).alias("vals")
+        )
+        .select(F.posexplode("vals").alias("rank0", "n_orders"))
+        .select(
+            "n_orders", (F.col("rank0") + 1).cast("int").alias("activity_rank")
+        )
     )
-    w = Window.orderBy(F.desc("n_orders"))
     return (
-        per_user.withColumn("activity_rank", F.dense_rank().over(w))
-        .filter(F.col("n_orders") > 5)
+        per_user.join(F.broadcast(rank_map), "n_orders")
+        .select("o_custkey", "n_orders", "total_spend", "activity_rank")
         .orderBy(F.asc("activity_rank"), F.asc("o_custkey"))
     )
 

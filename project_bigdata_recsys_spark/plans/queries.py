@@ -117,17 +117,97 @@ def _kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb_success_profile(spark, sf_dir)
 
 
+def _pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale packing: n_shards=4 splits each lang window into
+    md5 sub-streams (curation.shard_key) so parallelism is #langs ×
+    n_shards, not #langs.  The oracle replicates the md5 shard id with
+    DuckDB's identical hex arithmetic."""
+    return curation.pack_sequences(spark, sf_dir, n_shards=4)
+
+
+def _embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n²-free end-to-end embedding dedup path: RP-LSH banded
+    candidate pairs (exact-verified) → connected components → cluster
+    summary.  Same output contract as embedding_dup_clusters; the
+    oracle recomputes the LSH bucket arithmetic + recursive CC."""
+    return similarity.embedding_dup_clusters(spark, sf_dir, use_lsh=True)
+
+
 # Registration order matters: the driver's correctness gate executes the
 # FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
-# driver verification is newest-needed come first — §2.12 text/dedup/
-# similarity/multimodal, generators, ML, streaming, and the events-backed
-# queries fixed this round.  The relational core that the round-1 gate
-# already hash-verified green sits last; it stays regression-protected by
+# driver verification is newest-needed come first.  Round-5 rotation: the
+# two NEW queries lead, then the 53 entries whose last driver evidence is
+# r1/r2 (relational core, TPC-H, windows, setops, text profiles); the 50
+# r3/r4-green entries sit below the window, regression-protected by
 # tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
+# The ~5 entries past position 50 rotate into the next round's window.
 QUERIES: dict[str, QueryFn] = {
-    # Round-3 window rotation: queries with ZERO driver evidence come
-    # first (the driver gates the first ~50); r2-green queries rotated
-    # below the window stay regression-guarded by test_oracle_parity.
+    # --- new in round 5: sharded curation + LSH cluster scale paths ------
+    "pack_sequences_sharded": _pack_sequences_sharded,
+    "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
+    # --- round-5 window: last driver evidence r1/r2 — re-verify now -----
+    "purchase_asof_click": asof.purchase_asof_click,
+    "sessionize": windows.sessionize,
+    "approx_profile": relational.approx_profile,  # sketches checked vs exact
+    # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
+    "csv_roundtrip_ingest": _csv_roundtrip,
+    # --- rotated out of the gate window in round 3 (r2-green; still
+    #     regression-guarded every test run by test_oracle_parity) ---------
+    "doc_quality_profile": text.doc_quality_profile,
+    "lang_profile": text.lang_profile,
+    "doc_fingerprints": text.doc_fingerprints,
+    "token_stats": text.token_stats,
+    "lang_id_confusion": text.lang_id_confusion,
+    "pii_redaction_profile": text.pii_redaction_profile,
+    # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
+    "course_stats": relational.course_stats,
+    "label_histogram": relational.label_histogram,
+    "user_activity": relational.user_activity,
+    "distinct_counts": relational.distinct_counts,
+    "conditional_pivot": relational.conditional_pivot,
+    "time_range_filter": relational.time_range_filter,
+    "derived_projection": relational.derived_projection,
+    "top_k_orders": relational.top_k_orders,
+    "null_handling": relational.null_handling,
+    "multiway_join": relational.multiway_join,
+    "rollup_totals": relational.rollup_totals,
+    "scalar_functions": relational.scalar_functions,
+    "union_dedup": relational.union_dedup,
+    "anti_join_new_keys": relational.anti_join_new_keys,
+    "semi_join_filter": relational.semi_join_filter,
+    "cooccurrence_pairs": relational.cooccurrence_pairs,
+    "sample_deterministic": relational.sample_deterministic,
+    "data_quality_report": quality.data_quality_report,
+    "cube_totals": relational.cube_totals,
+    "percentile_stats": relational.percentile_stats,
+    "pivot_status_by_priority": relational.pivot_status_by_priority,
+    "cheapest_order_per_customer": relational.cheapest_order_per_customer,
+    "time_rollup": relational.time_rollup,
+    "paginated_orders": relational.paginated_orders,
+    # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
+    "pricing_summary": analytics.pricing_summary,
+    "shipping_priority": analytics.shipping_priority,
+    "local_supplier_volume": analytics.local_supplier_volume,
+    "small_quantity_revenue": analytics.small_quantity_revenue,
+    "big_orders": analytics.big_orders,
+    # --- range / banded joins + grouping sets ---------------------------
+    "quantity_band_stats": ranges.quantity_band_stats,
+    "price_tier_join": ranges.price_tier_join,
+    "grouping_sets_stats": ranges.grouping_sets_stats,
+    # --- §2.7: set operations -------------------------------------------
+    "customers_intersect": setops.customers_intersect,
+    "customers_except": setops.customers_except,
+    "priority_union_all": setops.priority_union_all,
+    # --- §2.5: window functions ----------------------------------------
+    "latest_order_per_customer": windows.latest_order_per_customer,
+    "drift_lag": windows.drift_lag,
+    "power_user_rank": windows.power_user_rank,
+    "top_n_per_group": windows.top_n_per_group,
+    "running_total": windows.running_total,
+    "moving_avg_range": windows.moving_avg_range,
+    "ntile_quartiles": windows.ntile_quartiles,
+    "order_gaps": windows.order_gaps,
+    # --- below the ~50-entry gate window: r3/r4 driver-green ------------
     # --- §2.12 curation: corpus→trainer batch-prep (new in round 3) -------
     "pack_sequences": curation.pack_sequences,
     "corpus_mixture": curation.corpus_mixture,
@@ -191,67 +271,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_per_day": relational.events_per_day,
     "event_rate": relational.event_rate,
     "user_topk_recommendations": relational.user_topk_recommendations,
-    "purchase_asof_click": asof.purchase_asof_click,
-    "sessionize": windows.sessionize,
-    "approx_profile": relational.approx_profile,  # sketches checked vs exact
-    # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
-    "csv_roundtrip_ingest": _csv_roundtrip,
-    # --- rotated out of the gate window in round 3 (r2-green; still
-    #     regression-guarded every test run by test_oracle_parity) ---------
-    "doc_quality_profile": text.doc_quality_profile,
-    "lang_profile": text.lang_profile,
-    "doc_fingerprints": text.doc_fingerprints,
-    "token_stats": text.token_stats,
-    "lang_id_confusion": text.lang_id_confusion,
-    "pii_redaction_profile": text.pii_redaction_profile,
-    # --- §2.2–§2.4, §2.6–§2.8: relational core (round-1 gate: all green) --
-    "course_stats": relational.course_stats,
-    "label_histogram": relational.label_histogram,
-    "user_activity": relational.user_activity,
-    "distinct_counts": relational.distinct_counts,
-    "conditional_pivot": relational.conditional_pivot,
-    "time_range_filter": relational.time_range_filter,
-    "derived_projection": relational.derived_projection,
-    "top_k_orders": relational.top_k_orders,
-    "null_handling": relational.null_handling,
-    "multiway_join": relational.multiway_join,
-    "rollup_totals": relational.rollup_totals,
-    "scalar_functions": relational.scalar_functions,
-    "union_dedup": relational.union_dedup,
-    "anti_join_new_keys": relational.anti_join_new_keys,
-    "semi_join_filter": relational.semi_join_filter,
-    "cooccurrence_pairs": relational.cooccurrence_pairs,
-    "sample_deterministic": relational.sample_deterministic,
-    "data_quality_report": quality.data_quality_report,
-    "cube_totals": relational.cube_totals,
-    "percentile_stats": relational.percentile_stats,
-    "pivot_status_by_priority": relational.pivot_status_by_priority,
-    "cheapest_order_per_customer": relational.cheapest_order_per_customer,
-    "time_rollup": relational.time_rollup,
-    "paginated_orders": relational.paginated_orders,
-    # --- TPC-H-shaped analytics (multi-join / agg at warehouse scale) ----
-    "pricing_summary": analytics.pricing_summary,
-    "shipping_priority": analytics.shipping_priority,
-    "local_supplier_volume": analytics.local_supplier_volume,
-    "small_quantity_revenue": analytics.small_quantity_revenue,
-    "big_orders": analytics.big_orders,
-    # --- range / banded joins + grouping sets ---------------------------
-    "quantity_band_stats": ranges.quantity_band_stats,
-    "price_tier_join": ranges.price_tier_join,
-    "grouping_sets_stats": ranges.grouping_sets_stats,
-    # --- §2.7: set operations -------------------------------------------
-    "customers_intersect": setops.customers_intersect,
-    "customers_except": setops.customers_except,
-    "priority_union_all": setops.priority_union_all,
-    # --- §2.5: window functions ----------------------------------------
-    "latest_order_per_customer": windows.latest_order_per_customer,
-    "drift_lag": windows.drift_lag,
-    "power_user_rank": windows.power_user_rank,
-    "top_n_per_group": windows.top_n_per_group,
-    "running_total": windows.running_total,
-    "moving_avg_range": windows.moving_avg_range,
-    "ntile_quartiles": windows.ntile_quartiles,
-    "order_gaps": windows.order_gaps,
 }
 
 
@@ -1382,6 +1401,25 @@ ORACLES: dict[str, str] = {
                round(least(1.0, sum(n_tokens) / 256.0), 4) AS fill_ratio
         FROM p GROUP BY lang, seq_no ORDER BY lang, seq_no
     """,
+    "pack_sequences_sharded": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 4 AS INT) AS shard,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS n_tokens
+            FROM documents),
+        p AS (
+            SELECT lang, shard, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 256.0) AS BIGINT) AS seq_no
+            FROM t)
+        SELECT lang, shard, seq_no, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(least(1.0, sum(n_tokens) / 256.0), 4) AS fill_ratio
+        FROM p GROUP BY lang, shard, seq_no ORDER BY lang, shard, seq_no
+    """,
     "corpus_mixture": """
         WITH t AS (
             SELECT doc_id, lang,
@@ -1943,6 +1981,68 @@ _PII_ORACLE = r"""
 ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["incremental_dedup"] = _incremental_oracle()
 ORACLES["embedding_near_dup_lsh"] = _rp_lsh_pairs_oracle()
+
+
+def _rp_lsh_clusters_oracle(
+    threshold: float = 0.40, n_tables: int = 4, n_planes: int = 6
+) -> str:
+    """SQL twin of similarity.embedding_dup_clusters(use_lsh=True): the
+    RP-LSH banded candidate pairs (same deterministic bucket arithmetic
+    as _rp_lsh_pairs_oracle) feed a recursive-CTE connected-components
+    pass and the cluster rollup."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH RECURSIVE b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({buck}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM buck x JOIN buck y
+                   ON x.t = y.t AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id),
+        pr AS (SELECT cand.id_a, cand.id_b
+               FROM cand
+               JOIN b ea ON ea.vec_id = cand.id_a
+               JOIN b eb ON eb.vec_id = cand.id_b
+               WHERE round(list_dot_product(ea.emb, eb.emb)
+                           / (sqrt(list_dot_product(ea.emb, ea.emb))
+                              * sqrt(list_dot_product(eb.emb, eb.emb))), 6)
+                     >= {threshold}),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pr
+                  UNION SELECT id_b AS s, id_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        SELECT label AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               min(id) AS canonical_id,
+               max(id) AS max_vec_id
+        FROM cc GROUP BY label HAVING count(*) >= 2
+        ORDER BY cluster_size DESC, cluster_id
+    """
+
+
+ORACLES["embedding_dup_clusters_lsh"] = _rp_lsh_clusters_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()

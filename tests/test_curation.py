@@ -103,3 +103,82 @@ def test_curation_degenerate_inputs(spark):
     )
     rows = chunk_rows(blank, chunk_tokens=5, stride=4).collect()
     assert {r.doc_id for r in rows} == {3}
+
+
+# ---------------------------------------------------------------------------
+# Sharded (production-scale) curation paths: n_shards > 1 splits each
+# lang's window into deterministic md5 sub-streams.  These assert the
+# sharded/unsharded equivalence contracts the docstrings promise.
+# ---------------------------------------------------------------------------
+
+
+def test_shard_key_rejects_nonpositive(spark):
+    import pytest
+
+    from project_bigdata_recsys_spark.functions.curation import shard_key
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            shard_key(F.lit(1), bad)
+
+
+def test_pack_sequences_sharded_conserves_mass(spark):
+    """Sharded vs unsharded packing: total doc count and token mass are
+    conserved, per-shard fill ratios obey the same <=1.0 bound, seq_nos
+    are dense from 0 per (lang, shard), and the window in the physical
+    plan is keyed by (lang, shard) — never a lang-only fat partition."""
+    flat = pack_sequences(spark, SF_SMALL, budget=256).collect()
+    sharded_df = pack_sequences(spark, SF_SMALL, budget=256, n_shards=4)
+    sharded = sharded_df.collect()
+
+    assert sum(r.n_docs for r in sharded) == sum(r.n_docs for r in flat)
+    assert sum(r.n_tokens for r in sharded) == sum(r.n_tokens for r in flat)
+    by_key: dict[tuple, list[int]] = {}
+    for r in sharded:
+        assert 0 < r.fill_ratio <= 1.0
+        assert 0 <= r.shard < 4
+        by_key.setdefault((r.lang, r.shard), []).append(r.seq_no)
+    for seqs in by_key.values():
+        assert sorted(seqs) == list(range(len(seqs)))  # dense from 0
+    assert len(by_key) > len({k[0] for k in by_key})  # really fanned out
+
+    plan = sharded_df._jdf.queryExecution().executedPlan().toString()
+    # the running-sum window must be partitioned by lang AND shard
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower())
+    assert win_specs, plan
+    assert any("shard" in s and "lang" in s for s in win_specs), win_specs
+
+
+def test_corpus_mixture_sharded_quota_conserved(spark):
+    """Sharded mixture: weights/quotas are shard-invariant; per-lang
+    n_sampled matches the unsharded draw exactly whenever every shard
+    holds at least its quota share (true at this SF/target)."""
+    flat = {r.lang: r for r in corpus_mixture(spark, SF_SMALL, alpha=0.5, target_docs=100).collect()}
+    sharded = {
+        r.lang: r
+        for r in corpus_mixture(
+            spark, SF_SMALL, alpha=0.5, target_docs=100, n_shards=4
+        ).collect()
+    }
+    assert set(flat) == set(sharded)
+    for lang, r in sharded.items():
+        assert r.n_docs == flat[lang].n_docs
+        assert r.mix_weight == flat[lang].mix_weight
+        assert r.n_sampled == flat[lang].n_sampled
+        assert r.sampled_tokens > 0
+
+
+def test_curation_funnel_sharded_stage_counts_invariant(spark):
+    """Sharding the pack stage must not change any stage count except
+    n_sequences, which can only grow (each shard rounds up its own last
+    sequence) and is bounded by unsharded + #langs*(n_shards-1)."""
+    from project_bigdata_recsys_spark.functions.curation import curation_funnel
+
+    flat = curation_funnel(spark, SF_SMALL).head()
+    sharded = curation_funnel(spark, SF_SMALL, n_shards=4).head()
+    for col in ("n_raw", "n_unique", "n_kept", "kept_tokens", "n_chunks", "chunk_tokens"):
+        assert getattr(sharded, col) == getattr(flat, col), col
+    n_langs = 5
+    assert flat.n_sequences <= sharded.n_sequences <= flat.n_sequences + n_langs * 3

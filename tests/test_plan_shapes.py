@@ -152,3 +152,15 @@ def test_chunk_rows_is_jvm_side(spark):
     assert "Generate posexplode" in plan, plan
     for marker in ("PythonUDTF", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, plan
+
+
+def test_power_user_rank_no_global_window(spark):
+    """The dense_rank must come from the broadcast distinct-count map,
+    never an unkeyed window over the per-customer frame (round-2's
+    single-partition scale bug)."""
+    from project_bigdata_recsys_spark.operators import windows
+
+    df = windows.power_user_rank(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "BroadcastHashJoin" in plan
