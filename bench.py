@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from project_bigdata_recsys_spark.caching import release_tracked
 from project_bigdata_recsys_spark.plans.queries import QUERIES
 from project_bigdata_recsys_spark.session import get_spark
 
@@ -84,13 +85,16 @@ def main() -> None:
         n = df.count() if name != "knn_brute_force" else len(df.collect())
         _ = n
         timings[name] = round(time.time() - t0, 3)
-        # Drop blocks the query pinned (persist()/localCheckpoint() in the
-        # iterative operators): left in place they accumulate across the
-        # run, and the resulting heap pressure taxes every LATER query —
-        # the r2 bench measured a uniform ~1.8x drift on queries whose
-        # code hadn't changed.  Cleanup time is charged between queries,
-        # not to any query's number.
-        spark.catalog.clearCache()
+        # Drop blocks the query pinned: persist()ed frames are registered
+        # via caching.persist_tracked and released scoped (no global
+        # clearCache — caller-owned caches would survive); the remaining
+        # sweep covers localCheckpoint blocks of the iterative operators
+        # (connected components), whose terminal frame the caller owns.
+        # Left in place they accumulate across the run and the heap
+        # pressure taxes every LATER query — the r2 bench measured a
+        # uniform ~1.8x drift on queries whose code hadn't changed.
+        # Cleanup time is charged between queries, not to any query.
+        release_tracked()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 

@@ -1,0 +1,42 @@
+"""Scoped lifecycle for persisted frames.
+
+Several operators persist() an intermediate frame that feeds multiple
+consumers of ONE returned plan (e.g. the minhash signature frame feeds
+the band explosion plus both sides of the signature re-join).  The
+returned DataFrame is lazy, so the operator itself can never know when
+the caller's action has run — unpersisting inside the builder would
+defeat the cache before it is ever hit.
+
+The contract here replaces round 2's "global ``clearCache()`` after
+every query" band-aid: builders register every persist through
+:func:`persist_tracked`, and the session owner (bench.py, a notebook, a
+long-lived service) calls :func:`release_tracked` once the action has
+materialized.  Only frames registered by this engine are touched —
+unlike ``clearCache()``, caller-owned cached tables survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() a frame and register it for scoped release."""
+    _TRACKED.append(df.persist())
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every frame registered since the last release; returns
+    how many were released.  Safe to call repeatedly; never touches
+    caches this engine did not create."""
+    n = 0
+    while _TRACKED:
+        try:
+            _TRACKED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

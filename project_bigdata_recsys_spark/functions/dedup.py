@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_bigdata_recsys_spark.caching import persist_tracked
 from project_bigdata_recsys_spark.catalog import fan_out, load_table
 from project_bigdata_recsys_spark.functions.text import tokens
 
@@ -372,8 +373,9 @@ def minhash_candidates(
     # cross-branch common-subexpression sharing — unpersisted, the whole
     # scan+shingle+md5 pipeline executes three times (measured ~2x query
     # cost at sf0.1).  Size is doc_id + 16 longs per doc — ~140 B/doc,
-    # memory-and-disk safe at any corpus scale.
-    with_sig = minhash_signatures(docs, n=n, n_hashes=n_hashes).persist()
+    # memory-and-disk safe at any corpus scale.  Tracked: the session
+    # owner frees it via caching.release_tracked() after the action.
+    with_sig = persist_tracked(minhash_signatures(docs, n=n, n_hashes=n_hashes))
     n_bands = n_hashes // MINHASH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -795,37 +797,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SUFFIX = " drifted extra tokens appended here"
 
 
-def incremental_dedup_stats(
-    spark: SparkSession,
-    sf_dir: str,
-    n: int = 3,
-    n_hashes: int = N_MINHASH,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Incremental (daily-ingest) dedup: admit a NEW batch against an
-    EXISTING corpus — the production shape, where yesterday's corpus is
-    settled and only new-vs-old comparisons run:
+#: Number of (k1 mod _DEDUP_INDEX_KB) sub-directories per band in the
+#: persisted dedup index — bounds the partition count at n_bands × 64
+#: while still letting a small daily batch prune most of the corpus bands.
+_DEDUP_INDEX_KB = 64
 
-      exact pass  batch anti-join on content fingerprint vs the corpus
-                  (digest-only shuffle, same as exact dedup).
-      near pass   minhash band join restricted to new-side × old-side —
-                  the one-sided LSH probe: old×old pairs are never
-                  generated, so daily cost is O(batch), not O(corpus).
 
-    The corpus ships no batch, so one is planted with known composition:
-    verbatim copies (doc_id%10==0 → exact drops), drift copies with an
-    appended suffix (%10==3 → survive exact, caught by minhash), and
-    fresh synthetic docs (%10==7 → admitted).  Deterministic md5
-    machinery end-to-end, so the driver hash-checks the full funnel:
-    per-lang batch size, exact drops, near drops, admissions.
+def minhash_band_rows(sigs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Explode (doc_id, sig) into LSH band rows (doc_id, band_no, k1, k2)
+    — the banding kernel shared by the inline probe and the persisted
+    index build, so both sides bucket identically by construction."""
+    n_bands = n_hashes // MINHASH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.col("sig")[2 * b].alias("k1"),
+                F.col("sig")[2 * b + 1].alias("k2"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_no", "bk.k1", "bk.k2"
+    )
 
-    At 100 TB: corpus signatures/bands are a persisted table (computed
-    once per corpus version, exactly like build_ann_index); only the
-    batch side is hashed per run.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+def planted_ingest_batch(docs: DataFrame) -> DataFrame:
+    """The synthetic daily-ingest batch with known composition (the test
+    corpus ships none): verbatim copies (doc_id%10==0 → exact drops),
+    drift copies with an appended suffix (%10==3 → survive exact, caught
+    by minhash), fresh synthetic docs (%10==7 → admitted).  Shared by
+    the inline and index-probe incremental paths and mirrored by the
+    DuckDB oracle."""
     new_id = (F.col("doc_id") + 3_000_000).alias("doc_id")
-    batch = (
+    return (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(new_id, "text", "lang")
         .unionByName(
@@ -844,48 +850,101 @@ def incremental_dedup_stats(
         )
     )
 
-    corpus_fp = docs.select(F.sha2("text", 256).alias("fp")).distinct()
-    batch_fp = batch.withColumn("fp", F.sha2("text", 256))
-    exact_dropped = batch_fp.join(F.broadcast(corpus_fp), "fp", "left_semi")
-    survivors = batch_fp.join(F.broadcast(corpus_fp), "fp", "left_anti").drop("fp")
 
-    # signatures over old ∪ surviving-new, computed once and persisted
-    # (feeds band explosion + both sides of the est re-join)
-    tagged = docs.withColumn("is_new", F.lit(False)).unionByName(
-        survivors.withColumn("is_new", F.lit(True))
+def build_dedup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+) -> None:
+    """Persist the corpus side of incremental dedup — the 100 TB shape,
+    mirroring :func:`similarity.build_ann_index`: hash the settled corpus
+    ONCE per corpus version, then every daily batch probes the stored
+    relations instead of re-hashing (and re-broadcasting) the corpus.
+
+    Layout under ``index_dir``:
+      fingerprints/  distinct sha256 content digests (exact pass).
+      signatures/    (doc_id, sig) minhash signatures (verify re-join).
+      bands/         (doc_id, k1, k2) partitioned by (band_no, kb) where
+                     kb = k1 mod 64 — at most n_bands × 64 directories, so
+                     a small batch's probe prunes to the band keys it
+                     actually hits (PartitionFilters, asserted in tests).
+
+    All hashes are md5/data-derived, so an index built today and a probe
+    run tomorrow agree bit-for-bit with the inline one-shot form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.select(F.sha2("text", 256).alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/fingerprints")
+    sigs = minhash_signatures(fan_out(docs), n=n, n_hashes=n_hashes)
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    # derive bands from the PERSISTED signatures: the build reads the tiny
+    # signature table back instead of re-running the shingle+md5 pass
+    stored_sigs = spark.read.parquet(f"{index_dir}/signatures")
+    minhash_band_rows(stored_sigs, n_hashes).withColumn(
+        "kb", (F.col("k1") % _DEDUP_INDEX_KB).cast("int")
+    ).write.mode("overwrite").partitionBy("band_no", "kb").parquet(
+        f"{index_dir}/bands"
     )
-    sigs = (
-        minhash_signatures(fan_out(tagged), n=n, n_hashes=n_hashes)
-        .join(tagged.select("doc_id", "is_new"), "doc_id")
-        .persist()
+
+
+def _incremental_funnel(
+    batch: DataFrame,
+    corpus_fp: DataFrame,
+    old_sigs: DataFrame,
+    old_bands: DataFrame,
+    n: int,
+    n_hashes: int,
+    jaccard_threshold: float,
+    prune_partitions: bool = False,
+) -> DataFrame:
+    """The shared new-vs-old admission funnel: exact fingerprint pass →
+    one-sided minhash band probe → per-lang stats.  ``old_bands`` must
+    carry (doc_id, band_no, k1, k2[, kb]); with ``prune_partitions`` the
+    new side's distinct (band_no, kb) keys — at most n_bands × 64 values,
+    a bounded driver-side collect — become a partition-pruning filter on
+    the stored band relation before the equi-join."""
+    # exact pass: plain shuffle join on the 32-byte digest.  NO broadcast
+    # hint: the corpus fingerprint set is O(corpus) — at 100 TB it cannot
+    # ship to every executor (AQE still auto-broadcasts genuinely small
+    # corpora on its own).
+    batch_fp = batch.withColumn("fp", F.sha2("text", 256))
+    exact_dropped = batch_fp.join(corpus_fp, "fp", "left_semi")
+    survivors = batch_fp.join(corpus_fp, "fp", "left_anti").drop("fp")
+
+    # batch-side signatures: O(batch) hashing, persisted — feeds the band
+    # explosion AND the est re-join (cache released by the session owner
+    # via caching.release_tracked()).
+    new_sigs = persist_tracked(
+        minhash_signatures(fan_out(survivors), n=n, n_hashes=n_hashes)
     )
-    n_bands = n_hashes // MINHASH_BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_no"),
-                F.col("sig")[2 * b].alias("k1"),
-                F.col("sig")[2 * b + 1].alias("k2"),
-            )
-            for b in range(n_bands)
+    new_bands = minhash_band_rows(new_sigs, n_hashes)
+
+    if prune_partitions:
+        new_bands = new_bands.withColumn(
+            "kb", (F.col("k1") % _DEDUP_INDEX_KB).cast("int")
+        )
+        # bounded collect: ≤ n_bands × 64 composite keys, never data-sized
+        hit_keys = [
+            r.band_no * _DEDUP_INDEX_KB + r.kb
+            for r in new_bands.select("band_no", "kb").distinct().collect()
         ]
-    )
-    bands = sigs.select(
-        "doc_id", "is_new", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "is_new", "bk.band_no", "bk.k1", "bk.k2")
-    new_bands = bands.filter(F.col("is_new")).select(
-        F.col("doc_id").alias("new_id"), "band_no", "k1", "k2"
-    )
-    old_bands = bands.filter(~F.col("is_new")).select(
-        F.col("doc_id").alias("old_id"), "band_no", "k1", "k2"
-    )
+        old_bands = old_bands.filter(
+            (F.col("band_no") * _DEDUP_INDEX_KB + F.col("kb")).isin(hit_keys)
+        )
+        join_keys = ["band_no", "kb", "k1", "k2"]
+    else:
+        join_keys = ["band_no", "k1", "k2"]
+
     cand = (
-        new_bands.join(old_bands, ["band_no", "k1", "k2"])
+        new_bands.withColumnRenamed("doc_id", "new_id")
+        .join(old_bands.withColumnRenamed("doc_id", "old_id"), join_keys)
         .select("new_id", "old_id")
         .distinct()
     )
-    sig_new = sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"))
-    sig_old = sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"))
+    sig_new = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"))
+    sig_old = old_sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"))
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_n"), F.col("sig_o"), lambda x, y: x == y),
@@ -919,6 +978,73 @@ def incremental_dedup_stats(
             F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
         )
         .orderBy("lang")
+    )
+
+
+def incremental_dedup_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (daily-ingest) dedup: admit a NEW batch against an
+    EXISTING corpus — the production shape, where yesterday's corpus is
+    settled and only new-vs-old comparisons run:
+
+      exact pass  batch anti-join on content fingerprint vs the corpus
+                  (digest-only shuffle, same as exact dedup).
+      near pass   minhash band join restricted to new-side × old-side —
+                  the one-sided LSH probe: old×old pairs are never
+                  generated.
+
+    This inline form (the gate/oracle query) hashes the corpus side in
+    the same run — O(corpus) once, fine for a one-shot.  The production
+    daily loop is :func:`build_dedup_index` once per corpus version +
+    :func:`probe_dedup_index` per batch: O(batch) hashing per day,
+    row-identical output (asserted in tests).
+
+    Batch composition and determinism: see :func:`planted_ingest_batch`;
+    the driver hash-checks the full funnel per lang."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    batch = planted_ingest_batch(docs)
+    corpus_fp = docs.select(F.sha2("text", 256).alias("fp")).distinct()
+    old_sigs = persist_tracked(
+        minhash_signatures(fan_out(docs), n=n, n_hashes=n_hashes)
+    )
+    old_bands = minhash_band_rows(old_sigs, n_hashes)
+    return _incremental_funnel(
+        batch, corpus_fp, old_sigs, old_bands, n, n_hashes, jaccard_threshold
+    )
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Admit a new batch against a PERSISTED corpus index (see
+    :func:`build_dedup_index`) — the O(batch)-per-day production path:
+    only the batch is hashed; the corpus fingerprints, signatures, and
+    band buckets stream from parquet, with the band scan pruned to the
+    (band_no, kb) partitions the batch actually hits.  Row-identical to
+    the inline :func:`incremental_dedup_stats` by construction (same
+    kernels both sides); asserted in tests."""
+    corpus_fp = spark.read.parquet(f"{index_dir}/fingerprints")
+    old_sigs = spark.read.parquet(f"{index_dir}/signatures")
+    old_bands = spark.read.parquet(f"{index_dir}/bands")
+    return _incremental_funnel(
+        batch,
+        corpus_fp,
+        old_sigs,
+        old_bands,
+        n,
+        n_hashes,
+        jaccard_threshold,
+        prune_partitions=True,
     )
 
 

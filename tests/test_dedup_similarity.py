@@ -290,3 +290,60 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     assert set(lsh) <= set(exact)
     for pair, sim in lsh.items():
         assert abs(sim - exact[pair]) < 1e-9
+
+
+def test_dedup_index_probe_matches_inline(spark, tmp_path):
+    """build_dedup_index + probe_dedup_index must reproduce the inline
+    incremental_dedup_stats funnel row-for-row (same md5 kernels both
+    sides), while the probe's band scan is pruned to the (band_no, kb)
+    partitions the batch hits — the O(batch)-per-day production shape."""
+    import os
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        build_dedup_index,
+        incremental_dedup_stats,
+        planted_ingest_batch,
+        probe_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "dedup_index")
+    build_dedup_index(spark, SF_SMALL, index_dir)
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    batch = planted_ingest_batch(docs)
+    via_index = probe_dedup_index(spark, index_dir, batch)
+    # capture the plan BEFORE the action: the post-run AQE final plan
+    # collapses materialized stages into QueryStage refs, hiding FileScans
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    inline = incremental_dedup_stats(spark, SF_SMALL)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    # disk layout: bands clustered by (band_no, kb) for pruning
+    band_dirs = [d for d in os.listdir(f"{index_dir}/bands") if d.startswith("band_no=")]
+    assert len(band_dirs) == 8  # 16 hashes / 2 rows per band
+    kb_dirs = os.listdir(f"{index_dir}/bands/{band_dirs[0]}")
+    assert all(d.startswith("kb=") for d in kb_dirs if not d.startswith(("_", ".")))
+
+    # partition pruning: the stored band scan (identified by its schema —
+    # plan paths truncate) must carry a NON-EMPTY PartitionFilters
+    scans = [seg for seg in plan.split("FileScan") if "band_no#" in seg[:400]]
+    assert scans and any("PartitionFilters: [(" in s for s in scans), plan
+
+
+def test_tracked_persists_are_released(spark):
+    """Query builders register every persist() through caching: after the
+    action, release_tracked() frees the blocks and the session carries no
+    cached RDDs it didn't have before (no clearCache hammer needed)."""
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.functions.dedup import incremental_dedup_stats
+
+    release_tracked()  # drain anything earlier tests pinned
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    incremental_dedup_stats(spark, SF_SMALL).collect()
+    assert release_tracked() >= 2  # old-corpus + batch signature frames
+    after = set(jsc.getPersistentRDDs().keys())
+    assert after <= before, after - before
