@@ -276,9 +276,14 @@ def chunk_rows(
     the round-2 Python UDTF paid an Arrow round-trip per batch.  Chunk
     boundaries depend only on the row: no shuffle is introduced, and
     downstream per-chunk embedding parallelizes over the same partitions.
+
+    Tokenization is the corpus-wide :func:`tokens` single-space split
+    (round 5: was ``\\s+`` regex here while every other curation stage
+    and oracle used single-space — a tab or newline inside a document
+    silently desynchronized chunk counts from pack/kept counts).  One
+    tokenizer everywhere; asserted on tab/newline/NBSP docs in tests.
     """
-    toks = F.split(F.col("text"), r"\s+")
-    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
     n_tok = F.size(toks)
     n_chunks = (
         F.when(n_tok <= 0, F.lit(0))
@@ -314,14 +319,17 @@ def chunk_rows_udtf(
     """The same chunk explosion as a Python UDTF — kept as the declared
     §2.11 UDTF surface (and the escape hatch for chunkers that need real
     Python, e.g. a BPE tokenizer); asserted row-identical to
-    :func:`chunk_rows` in tests.  Prefer chunk_rows in pipelines: the
-    UDTF pays a Python process round-trip per batch."""
+    :func:`chunk_rows` in tests — including tab/newline/NBSP documents:
+    both kernels use the corpus-wide single-space :func:`tokens` split
+    (round 5: was Python ``str.split()``, whose Unicode-whitespace rule
+    broke the row-identical contract on NBSP).  Prefer chunk_rows in
+    pipelines: the UDTF pays a Python process round-trip per batch."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, chunk_no int, chunk string, n_tokens int")
     class Chunker:
         def eval(self, doc_id: int, text: str):
-            toks = (text or "").split()
+            toks = [t for t in (text or "").split(" ") if t]
             i, chunk_no = 0, 0
             while i < len(toks):
                 window = toks[i : i + chunk_tokens]

@@ -220,6 +220,42 @@ def test_chunk_rows_hof_matches_udtf(spark):
     assert len(hof) > 0
 
 
+def test_chunkers_agree_on_pathological_whitespace(spark):
+    """One tokenizer everywhere (round-5 unification): tab, newline and
+    NBSP are NOT token separators — only the single space is, matching
+    text.tokens() and every DuckDB oracle's string_split(text, ' ').
+    Both chunk kernels must agree with that rule and with each other."""
+    from project_bigdata_recsys_spark.functions.text import chunk_rows, chunk_rows_udtf
+
+    weird = spark.createDataFrame(
+        [
+            (1, "a\tb c\nd e"),          # tab/newline glue tokens together
+            (2, "x\u00a0y z"),          # NBSP is not a separator
+            (3, "  leading  double  "),   # empty splits dropped
+            (4, "\t\n"),                  # whitespace-only, no space
+        ],
+        "doc_id long, text string",
+    )
+    hof = chunk_rows(weird, chunk_tokens=2, stride=1).orderBy(
+        "doc_id", "chunk_no"
+    ).collect()
+    udtf = chunk_rows_udtf(spark, weird, chunk_tokens=2, stride=1).orderBy(
+        "doc_id", "chunk_no"
+    ).collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in udtf]
+    by_doc = {}
+    for r in hof:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # "a\tb c\nd e" → single-space tokens: ["a\tb", "c\nd", "e"]
+    assert sum(1 for r in by_doc[1]) == 2  # windows of 2 with stride 1
+    assert by_doc[1][0].chunk == "a\tb c\nd"
+    assert {r.n_tokens for r in by_doc[2]} == {2}  # ["x y", "z"]
+    assert all(r.n_tokens <= 2 for r in by_doc[3])
+    assert "" not in " ".join(r.chunk for r in by_doc[3]).split(" ")
+    # doc 4 has one nonempty token "\t\n" under the single-space rule
+    assert by_doc[4][0].n_tokens == 1
+
+
 def test_persisted_ann_index_matches_inline_and_prunes(spark, tmp_path):
     """The persisted RP-LSH index (build once, probe via partition
     pruning) must return exactly the inline knn_rp_lsh result, and the
