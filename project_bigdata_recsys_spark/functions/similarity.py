@@ -428,6 +428,136 @@ def ivf_centroid_knn(
     )
 
 
+#: Fixed-point scale for Lloyd centroid means: component sums are taken
+#: over ``round(x * 1e6)`` BIGINTs, so the per-cell sum is exact integer
+#: arithmetic — order-independent, hence bit-identical across engines and
+#: shuffle schedules — and the mean is ONE double division at the end.
+_LLOYD_SCALE = 1_000_000
+
+
+def ivf_lloyd_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN with LLOYD-ITERATED centroids — the recall upgrade
+    over :func:`ivf_centroid_knn`'s zero-round sampled seeds: ``n_iters``
+    k-means rounds move the cells onto the corpus distribution, so
+    clustered corpora stop splitting a natural cluster across seed cells.
+
+    Staying oracle-checkable is the trick: a naive float mean is
+    order-of-summation dependent (no SQL oracle could reproduce a
+    shuffle-scheduled sum), so per-dimension sums run in FIXED-POINT —
+    ``round(x*1e6)`` BIGINTs, exact integer addition in any order — and
+    the centroid component is one double division ``s/(n*1e6)``, which
+    DuckDB computes bit-identically.  Cells that lose every member keep
+    their previous centroid (both engines apply the same rule).
+
+    Driver-side state is MODEL-sized, never data-sized: each round
+    collects n_cells × dim scalars (the centroids), exactly like the
+    query_ann_index probe collect.  Per round the corpus does one
+    broadcast cross join (n_cells rows) + argmax window + one fixed-point
+    aggregation — all distributed; at 100 TB persist the final assignment
+    partitioned by cell like build_ann_index and the probe is partition
+    pruning."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # seed draw: md5-ranked corpus vectors (TakeOrderedAndProject), then
+    # cell ids by md5 rank of the seed id — identical to ivf_centroid_knn
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    seed_rows = (
+        emb.orderBy(md5_key, "vec_id")
+        .limit(n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seed_rows.sort(
+        key=lambda r: (hashlib.md5(str(r.vec_id).encode()).hexdigest(), r.vec_id)
+    )
+    centroids = [
+        (cell + 1, [float(x) for x in r.embedding])
+        for cell, r in enumerate(seed_rows)
+    ]
+
+    def _assign(cent_rows: list) -> DataFrame:
+        cent_df = spark.createDataFrame(
+            cent_rows, "cell int, c_emb array<double>"
+        )
+        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cs"),
+        )
+        w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+        return scored.withColumn("rn", F.row_number().over(w_best))
+
+    for _ in range(n_iters):
+        assigned = _assign(centroids).filter(F.col("rn") == 1)
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * _LLOYD_SCALE, 0).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # bounded: n_cells x dim rows of scalars
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r.cell, {})[r.pos] = (r.s, r.n)
+        centroids = [
+            (
+                cell,
+                [
+                    by_cell[cell][p][0] / (by_cell[cell][p][1] * float(_LLOYD_SCALE))
+                    for p in sorted(by_cell[cell])
+                ]
+                if cell in by_cell
+                else prev,  # empty cell keeps its previous centroid
+            )
+            for cell, prev in centroids
+        ]
+
+    ranked = _assign(centroids)
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "label", "cell")
+    q_cells = ranked.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rn") <= n_probe)
+    ).select("cell")
+    cand = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 #: Rademacher plane weight: +1/-1 chosen by a Knuth-multiplier scramble of
 #: (dim, plane, table) — sign-random-projection LSH with a weight function
 #: both engines compute exactly (no RNG, no stored plane matrix).

@@ -142,9 +142,10 @@ def _embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 # The ~5 entries past position 50 rotate into the next round's window.
 QUERIES: dict[str, QueryFn] = {
-    # --- new in round 5: sharded curation + LSH cluster scale paths ------
+    # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
+    "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
     # --- round-5 window: last driver evidence r1/r2 — re-verify now -----
     "purchase_asof_click": asof.purchase_asof_click,
     "sessionize": windows.sessionize,
@@ -2043,6 +2044,85 @@ def _rp_lsh_clusters_oracle(
 
 
 ORACLES["embedding_dup_clusters_lsh"] = _rp_lsh_clusters_oracle()
+
+
+def _ivf_lloyd_oracle(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+    scale: int = 1_000_000,
+) -> str:
+    """SQL twin of functions.similarity.ivf_lloyd_knn: the Lloyd rounds
+    unroll into CTE pairs (assign_i, cents_i).  Means reproduce exactly
+    because the per-dimension sums run over round(x*1e6) BIGINTs —
+    order-independent integer arithmetic — with one double division at
+    the end; empty cells COALESCE to the previous centroid."""
+    cos = (
+        "round(list_dot_product(e.emb, c.c_emb)"
+        " / (sqrt(list_dot_product(e.emb, e.emb))"
+        " * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6)"
+    )
+    rounds = []
+    prev = "cents0"
+    for i in range(1, n_iters + 1):
+        rounds.append(
+            f"""asg{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cos} DESC, c.cell) AS rn
+                FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+        sums{i} AS (
+            SELECT cell, pos,
+                   sum(CAST(round(x * {scale}) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM (SELECT a.cell, unnest(e.emb) AS x,
+                         generate_subscripts(e.emb, 1) AS pos
+                  FROM asg{i} a JOIN e ON e.vec_id = a.vec_id)
+            GROUP BY cell, pos),
+        cents{i} AS (
+            SELECT p.cell, COALESCE(m.c_new, p.c_emb) AS c_emb
+            FROM {prev} p LEFT JOIN (
+                SELECT cell, list(s / (n * {scale}.0) ORDER BY pos) AS c_new
+                FROM sums{i} GROUP BY cell) m ON m.cell = p.cell)"""
+        )
+        prev = f"cents{i}"
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents0 AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+                   emb AS c_emb
+            FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+        {rounds_sql},
+        final_ranked AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cell) AS rn
+            FROM e CROSS JOIN {prev} c),
+        cells AS (SELECT vec_id, label, cell FROM final_ranked WHERE rn = 1),
+        qc AS (SELECT cell FROM final_ranked
+               WHERE vec_id = {query_vec_id} AND rn <= {n_probe}),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {query_vec_id})
+        SELECT c.vec_id, c.label,
+               round(list_dot_product(e.emb, q.q_emb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM cells c
+        JOIN qc ON c.cell = qc.cell
+        JOIN e ON e.vec_id = c.vec_id
+        CROSS JOIN q
+        WHERE c.vec_id <> {query_vec_id}
+        ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+ORACLES["knn_ivf_lloyd"] = _ivf_lloyd_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()

@@ -383,3 +383,27 @@ def test_tracked_persists_are_released(spark):
     assert release_tracked() >= 2  # old-corpus + batch signature frames
     after = set(jsc.getPersistentRDDs().keys())
     assert after <= before, after - before
+
+
+def test_ivf_lloyd_true_cosines_and_recall(spark):
+    """Lloyd-iterated IVF: returned similarities equal exact brute-force
+    cosines (approximation is in WHICH cells are probed, never values);
+    recall@10 is nonzero and no worse than a couple of hits; and the
+    centroid means must be reproducible — running the operator twice
+    yields identical rows (order-independent fixed-point sums)."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        ivf_lloyd_knn,
+        knn_brute_force,
+    )
+
+    exact = {r.vec_id: r.cos_sim for r in knn_brute_force(spark, SF_SMALL, k=100).collect()}
+    out1 = ivf_lloyd_knn(spark, SF_SMALL, query_vec_id=0, k=10).collect()
+    assert 0 < len(out1) <= 10
+    for r in out1:
+        if r.vec_id in exact:
+            assert abs(r.cos_sim - exact[r.vec_id]) < 1e-6
+    top10 = {r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()}
+    assert len(top10 & {r.vec_id for r in out1}) >= 1
+
+    out2 = ivf_lloyd_knn(spark, SF_SMALL, query_vec_id=0, k=10).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
