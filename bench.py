@@ -65,6 +65,10 @@ HEADLINE = [
     "knn_ivf_centroid",
     "curation_funnel",
     "incremental_dedup",
+    # round-5 scale paths: sharded curation windows + Lloyd IVF
+    "pack_sequences_sharded",
+    "corpus_mixture_sharded",
+    "knn_ivf_lloyd",
 ]
 
 

@@ -629,36 +629,60 @@ def connected_components(
         the round so convergence is a filter-count over already-
         materialized data, never an extra join.
     """
+    spark = pairs.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    # Superseded checkpoint blocks are freed EAGERLY (round 5): each round
+    # checkpoints a new label frame, and without cleanup a 20-round run
+    # leaves 20+ block sets pinned in a long-lived session (bench.py used
+    # to sweep them globally).  A checkpoint's blocks are identified by
+    # diffing the persistent-RDD registry around its creation; freeing is
+    # safe exactly when nothing references the frame anymore — enforced
+    # here by construction (only the PREVIOUS round's labels are freed,
+    # after the new checkpoint has materialized).  The FINAL labels frame
+    # is the caller's and stays pinned.
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set]:
+        before = set(jsc.getPersistentRDDs().keys())
+        out = df.localCheckpoint()
+        return out, set(jsc.getPersistentRDDs().keys()) - before
+
+    def _free(ids: set) -> None:
+        reg = jsc.getPersistentRDDs()
+        for i in ids:
+            if i in reg:
+                reg[i].unpersist()
+
     # materialize the candidate pairs ONCE: the symmetrized edge union
     # consumes `pairs` twice, and without this the whole upstream pair
     # pipeline (simhash + banding) executes once per branch
-    pairs = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint()
-    edges = (
+    pairs, pair_ids = _ckpt(pairs.select(F.col(a_col), F.col(b_col)))
+    edges, edge_ids = _ckpt(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    spark = pairs.sparkSession
     n_edges = edges.count()  # cheap: edges are materialized
+    _free(pair_ids)  # pairs feed nothing beyond the edge union
     n_parts = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 262_144 + 1
     ))
     if edges.rdd.getNumPartitions() > n_parts:
-        edges = edges.repartition(n_parts, "dst").localCheckpoint()
+        edges, new_edge_ids = _ckpt(edges.repartition(n_parts, "dst"))
+        edges.count()
+        _free(edge_ids)
+        edge_ids = new_edge_ids
     # seed labels with min(self, min neighbor): one aggregation over the
     # symmetrized edges does exactly what the first propagation round
     # would, at a fraction of its cost (no join, no halving, no count)
-    labels = (
+    labels, label_ids = _ckpt(
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
         .select(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("m")).alias("label"),
         )
-        .localCheckpoint()
     )
 
     def _propagate(work: DataFrame) -> DataFrame:
@@ -694,11 +718,14 @@ def connected_components(
     for _ in range(max_iterations):
         work = labels.withColumn("old_label", F.col("label"))
         work = _propagate(work)
-        new_labels = work.localCheckpoint()
+        new_labels, new_label_ids = _ckpt(work)
         n_changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
+        _free(label_ids)  # the new checkpoint is materialized; the old
+        label_ids = new_label_ids  # round's blocks are unreachable now
         labels = new_labels.select("id", "label")
         if n_changed == 0:
             break
+    _free(edge_ids)  # the returned frame projects only the final labels
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

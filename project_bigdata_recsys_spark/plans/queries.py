@@ -133,6 +133,35 @@ def _embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_clusters(spark, sf_dir, use_lsh=True)
 
 
+def _corpus_mixture_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale mixture draw: each lang quota splits across 4 md5
+    shards (floor share + remainder to low shard ids — quota-conserving);
+    the oracle replicates the shard arithmetic in DuckDB."""
+    return curation.corpus_mixture(spark, sf_dir, n_shards=4)
+
+
+def _incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(batch)-per-day dedup shape under driver evidence: build the
+    persisted corpus index (fingerprints + signatures + (band_no, kb)-
+    partitioned bands) into a temp dir, then probe it with the planted
+    batch.  Row-identical to the inline form by construction, so it
+    shares the SAME DuckDB oracle as `incremental_dedup` — a red row
+    here means the index path diverged from the one-shot path."""
+    import tempfile
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        build_dedup_index,
+        planted_ingest_batch,
+        probe_dedup_index,
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="spark_dedup_index_") + "/idx"
+    build_dedup_index(spark, sf_dir, index_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return probe_dedup_index(spark, index_dir, planted_ingest_batch(docs))
+
+
 # Registration order matters: the driver's correctness gate executes the
 # FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
 # driver verification is newest-needed come first.  Round-5 rotation: the
@@ -146,6 +175,10 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
     "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
+    "corpus_mixture_sharded": _corpus_mixture_sharded,
+    "incremental_dedup_indexed": _incremental_dedup_indexed,
+    # de-globalized this round — needs fresh driver evidence
+    "power_user_rank": windows.power_user_rank,
     # --- round-5 window: last driver evidence r1/r2 — re-verify now -----
     "purchase_asof_click": asof.purchase_asof_click,
     "sessionize": windows.sessionize,
@@ -202,7 +235,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- §2.5: window functions ----------------------------------------
     "latest_order_per_customer": windows.latest_order_per_customer,
     "drift_lag": windows.drift_lag,
-    "power_user_rank": windows.power_user_rank,
     "top_n_per_group": windows.top_n_per_group,
     "running_total": windows.running_total,
     "moving_avg_range": windows.moving_avg_range,
@@ -1421,6 +1453,40 @@ ORACLES: dict[str, str] = {
                round(least(1.0, sum(n_tokens) / 256.0), 4) AS fill_ratio
         FROM p GROUP BY lang, shard, seq_no ORDER BY lang, shard, seq_no
     """,
+    "corpus_mixture_sharded": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 4 AS INT) AS shard,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS n_tokens
+            FROM documents),
+        sizes AS (SELECT lang, count(*) AS n_docs FROM t GROUP BY lang),
+        wts AS (SELECT lang, n_docs, pow(n_docs, 0.5) AS w_raw FROM sizes),
+        tot AS (SELECT sum(w_raw) AS w_sum FROM wts),
+        quotas AS (
+            SELECT lang, n_docs,
+                   round(w_raw / w_sum, 6) AS mix_weight,
+                   CAST(round(200 * w_raw / w_sum, 0) AS BIGINT) AS quota
+            FROM wts CROSS JOIN tot),
+        ranked AS (
+            SELECT lang, shard, n_tokens,
+                   row_number() OVER (PARTITION BY lang, shard
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM t),
+        sampled AS (
+            SELECT r.lang, count(*) AS n_sampled,
+                   sum(n_tokens) AS sampled_tokens
+            FROM ranked r JOIN quotas q ON r.lang = q.lang
+            WHERE r.rk <= q.quota // 4
+                          + (CASE WHEN r.shard < q.quota % 4 THEN 1 ELSE 0 END)
+            GROUP BY r.lang)
+        SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.mix_weight,
+               CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+               CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+        FROM quotas q LEFT JOIN sampled s ON q.lang = s.lang
+        ORDER BY q.lang
+    """,
     "corpus_mixture": """
         WITH t AS (
             SELECT doc_id, lang,
@@ -1981,6 +2047,8 @@ _PII_ORACLE = r"""
 
 ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["incremental_dedup"] = _incremental_oracle()
+# the index-probe path must produce the IDENTICAL funnel — same oracle
+ORACLES["incremental_dedup_indexed"] = _incremental_oracle()
 ORACLES["embedding_near_dup_lsh"] = _rp_lsh_pairs_oracle()
 
 

@@ -407,3 +407,21 @@ def test_ivf_lloyd_true_cosines_and_recall(spark):
 
     out2 = ivf_lloyd_knn(spark, SF_SMALL, query_vec_id=0, k=10).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each CC round frees the previous round's localCheckpoint blocks
+    once the new one is materialized; after a full clustering run only
+    the caller-owned final label frame stays pinned (round 5 — a
+    20-round run used to leave 20+ block sets in a long-lived session)."""
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.functions.dedup import near_dup_clusters
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    rows = near_dup_clusters(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    release_tracked()
+    leftover = set(jsc.getPersistentRDDs().keys()) - before
+    assert len(leftover) <= 1, leftover  # only the final labels frame
