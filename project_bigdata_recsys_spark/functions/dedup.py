@@ -729,6 +729,49 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def update_components(
+    prior_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Incremental connected components: fold a DELTA of candidate pairs
+    (e.g. the new×old pairs a :func:`probe_dedup_index` run surfaces)
+    into a settled labeling WITHOUT re-propagating the whole graph — the
+    daily companion to :func:`connected_components`' full recompute
+    (docs/SCALE.md "what changes first" item 4).
+
+    Under min-label CC a settled component is equivalent to its STAR
+    (label → member edges), and prior labels are min member ids, so
+    running the same iterative kernel on stars ∪ delta yields exactly
+    the labeling a full recompute over old ∪ new edges would produce
+    (asserted in tests).  The win is round count and edge volume: stars
+    are depth-1, so convergence is bounded by the DELTA's structure —
+    a handful of rounds for daily drift — instead of the full graph's
+    diameter, and candidate generation stays O(batch) upstream.
+
+    ``prior_labels`` must cover every settled vertex (singletons as
+    id==label rows); vertices untouched by the delta keep their label
+    via a cheap anti-join union.
+    """
+    prior = prior_labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    star = prior.filter(F.col("id") != F.col("label")).select(
+        F.col("label").alias(a_col), F.col("id").alias(b_col)
+    )
+    delta = new_pairs.select(F.col(a_col), F.col(b_col))
+    merged = connected_components(star.unionByName(delta), a_col, b_col)
+    untouched = prior.join(
+        merged, prior["id"] == merged["doc_id"], "left_anti"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return merged.unionByName(untouched).withColumnsRenamed(
+        {"doc_id": id_col, "cluster_id": label_col}
+    )
+
+
 def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-dedup TRANSFORM as a gate query: plant duplicates (the
     corpus ships none), run :func:`dedup_exact`, and report per-lang

@@ -425,3 +425,56 @@ def test_connected_components_frees_superseded_checkpoints(spark):
     release_tracked()
     leftover = set(jsc.getPersistentRDDs().keys()) - before
     assert len(leftover) <= 1, leftover  # only the final labels frame
+
+
+def test_update_components_matches_full_recompute(spark):
+    """Incremental CC: folding a delta into a settled labeling must equal
+    a full recompute over old ∪ delta edges — including component merges
+    across the delta, chains, brand-new vertices, and untouched
+    singletons keeping their label."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        update_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    prior = connected_components(old_edges)
+    # 5 and 6 are settled singletons: in the labeling, in no edge;
+    # the delta will touch 5 and leave 6 alone
+    prior = prior.unionByName(
+        spark.createDataFrame([(5, 5), (6, 6)], "doc_id long, cluster_id long")
+    )
+
+    delta = spark.createDataFrame(
+        [
+            (3, 10),      # merges {1,2,3} with {10,11} -> label 1
+            (21, 100),    # extends {20,21} with a new vertex
+            (100, 101),   # chain through the new vertex
+            (5, 200),     # the singleton gains a partner
+        ],
+        "doc_a long, doc_b long",
+    )
+
+    incremental = {
+        (r.doc_id, r.cluster_id)
+        for r in update_components(prior, delta).collect()
+    }
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(old_edges.unionByName(delta)).collect()
+    }
+    # every vertex except the untouched singleton 6 touches an edge in
+    # old ∪ delta, so the labelings must agree exactly on those; 6 is
+    # invisible to the edge-driven full recompute but the incremental
+    # path must preserve it
+    assert incremental - {(6, 6)} == full
+    assert (6, 6) in incremental
+    # spot checks
+    by_id = dict(incremental)
+    assert by_id[1] == by_id[11] == 1
+    assert by_id[20] == by_id[101] == 20
+    assert by_id[5] == by_id[200] == 5
+    assert by_id[30] == 30 and by_id[40] == 40  # untouched components
