@@ -97,6 +97,11 @@ def test_curation_degenerate_inputs(spark):
     big = corpus_mixture(spark, SF_SMALL, alpha=0.5, target_docs=10_000_000).collect()
     for r in big:
         assert r.n_sampled == r.n_docs  # quota clamps at corpus size
+    big_sharded = corpus_mixture(
+        spark, SF_SMALL, alpha=0.5, target_docs=10_000_000, n_shards=4
+    ).collect()
+    for r in big_sharded:
+        assert r.n_sampled == r.n_docs  # every shard clamps at its size
 
     blank = spark.createDataFrame(
         [(1, "   "), (2, ""), (3, "one two")], "doc_id long, text string"
