@@ -395,11 +395,19 @@ def ivf_centroid_knn(
         )
         .withColumn("cell", F.row_number().over(w_cell))
     )
-    assign = emb.crossJoin(F.broadcast(centroids)).select(
+    # hoist each side's norm out of the cross join (float-identical —
+    # same expression, materialized once instead of once per pair)
+    with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    cent_norm = centroids.withColumn("c_norm", l2_norm(F.col("c_emb")))
+    assign = with_norm.crossJoin(F.broadcast(cent_norm)).select(
         "vec_id",
         "label",
         "cell",
-        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cs"),
+        F.round(
+            dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("v_norm") * F.col("c_norm")),
+            6,
+        ).alias("cs"),
     )
     w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
     ranked = assign.withColumn("rn", F.row_number().over(w_best))
@@ -490,13 +498,22 @@ def ivf_lloyd_knn(
     def _assign(cent_rows: list) -> DataFrame:
         cent_df = spark.createDataFrame(
             cent_rows, "cell int, c_emb array<double>"
-        )
-        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        ).withColumn("c_norm", l2_norm(F.col("c_emb")))
+        # precompute each side's norm ONCE (float-identical to the inline
+        # form — same expression, materialized): without this the vector
+        # norm re-evaluates once per (row, centroid) pair, n_cells× the
+        # work, every assignment pass
+        with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+        scored = with_norm.crossJoin(F.broadcast(cent_df)).select(
             "vec_id",
             "label",
             "embedding",
             "cell",
-            F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cs"),
+            F.round(
+                dot(F.col("embedding"), F.col("c_emb"))
+                / (F.col("v_norm") * F.col("c_norm")),
+                6,
+            ).alias("cs"),
         )
         w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
         return scored.withColumn("rn", F.row_number().over(w_best))
