@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from project_bigdata_recsys_spark.caching import release_tracked
 from project_bigdata_recsys_spark.catalog import TABLES, table_path
 from project_bigdata_recsys_spark.plans.queries import ORACLES, QUERIES
 from project_bigdata_recsys_spark.session import get_spark
@@ -92,6 +93,13 @@ def main() -> int:
             n_fail += 1
             continue
         elapsed = time.time() - t0
+        # scoped cache release between queries (same discipline as
+        # bench.py): 100+ queries share this session, and pinned
+        # signature frames / CC label checkpoints would otherwise
+        # accumulate across the whole run
+        release_tracked()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         if name not in ORACLES:
             print(f"rows  {name}: {len(spark_pdf)} rows (rows-only, {elapsed:.1f}s)")
             n_rows_only += 1
