@@ -133,6 +133,13 @@ def _embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_clusters(spark, sf_dir, use_lsh=True)
 
 
+def _curation_funnel_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline with its pack stage sharded 4 ways
+    (window keys (lang, shard)): every stage count except n_sequences is
+    shard-invariant, and the oracle recomputes the sharded packing."""
+    return curation.curation_funnel(spark, sf_dir, n_shards=4)
+
+
 def _corpus_mixture_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-scale mixture draw: each lang quota splits across 4 md5
     shards (floor share + remainder to low shard ids — quota-conserving);
@@ -176,6 +183,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
     "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
+    "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
     # de-globalized this round — needs fresh driver evidence
     "power_user_rank": windows.power_user_rank,
@@ -2049,6 +2057,35 @@ ORACLES["minhash_candidates"] = _minhash_oracle()
 ORACLES["incremental_dedup"] = _incremental_oracle()
 # the index-probe path must produce the IDENTICAL funnel — same oracle
 ORACLES["incremental_dedup_indexed"] = _incremental_oracle()
+
+
+def _sharded_funnel_oracle(n_shards: int = 4) -> str:
+    """curation_funnel's oracle with its pack stage sharded: derived from
+    the unsharded SQL by exactly four surgical rewrites (kept gains the
+    md5 shard id; the pack window and the distinct-sequence count key by
+    (lang, shard)).  Each rewrite asserts it matched exactly once, so any
+    drift in the base oracle breaks loudly here instead of silently
+    diverging."""
+    sql = ORACLES["curation_funnel"]
+    rewrites = [
+        (
+            "AS n_tokens\n            FROM ranked WHERE pr >= 0.25",
+            "AS n_tokens,\n"
+            "                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),"
+            f" 1, 8))::BIGINT % {n_shards} AS INT) AS shard\n"
+            "            FROM ranked WHERE pr >= 0.25",
+        ),
+        ("SELECT lang, n_tokens,", "SELECT lang, shard, n_tokens,"),
+        ("PARTITION BY lang\n", "PARTITION BY lang, shard\n"),
+        ("SELECT DISTINCT lang, seq_no", "SELECT DISTINCT lang, shard, seq_no"),
+    ]
+    for old, new in rewrites:
+        assert sql.count(old) == 1, f"funnel oracle drifted: {old!r}"
+        sql = sql.replace(old, new)
+    return sql
+
+
+ORACLES["curation_funnel_sharded"] = _sharded_funnel_oracle()
 ORACLES["embedding_near_dup_lsh"] = _rp_lsh_pairs_oracle()
 
 
