@@ -47,6 +47,15 @@ def shard_key(doc_id, n_shards: int):
 def pack_sequences(
     spark: SparkSession, sf_dir: str, budget: int = 256, n_shards: int = 1
 ) -> DataFrame:
+    """Gate wrapper: :func:`pack_sequences_for` over the documents table."""
+    return pack_sequences_for(
+        load_table(spark, sf_dir, "documents"), budget=budget, n_shards=n_shards
+    )
+
+
+def pack_sequences_for(
+    docs: DataFrame, budget: int = 256, n_shards: int = 1
+) -> DataFrame:
     """Pack documents into fixed ``budget``-token training sequences by
     concat-and-chop within each lang: documents stream in doc_id order,
     token counts accumulate, and a document belongs to the sequence where
@@ -65,9 +74,9 @@ def pack_sequences(
     independently — packing needs no cross-shard contiguity, so the plan
     parallelizes to #langs × n_shards partitions with no correctness
     loss: per-shard fill ratios obey the same bound and the total token
-    mass is conserved (asserted in tests against the unsharded form).
+    mass is conserved (asserted in tests against the unsharded form,
+    including hypothesis-generated corpora).
     """
-    docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
     with_counts = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
     if n_shards > 1:

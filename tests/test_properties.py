@@ -216,3 +216,69 @@ def test_connected_components_matches_union_find(spark, edges):
     want = union_find_components(edges)
     # union-find roots are component minima by construction (min-merge)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (curation.pack_sequences_for) vs a brute-force packer
+# ---------------------------------------------------------------------------
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),            # doc_id
+        st.sampled_from(["en", "de", "fr"]),               # lang
+        st.lists(                                          # tokens
+            st.sampled_from(["a", "bb", "ccc"]), min_size=0, max_size=9
+        ),
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _brute_force_pack(rows, budget):
+    """Reference packer: per lang, stream docs in doc_id order, a doc
+    belongs to the sequence where it starts."""
+    out = {}
+    by_lang = {}
+    for doc_id, lang, toks in rows:
+        by_lang.setdefault(lang, []).append((doc_id, len(toks)))
+    for lang, docs in by_lang.items():
+        acc = 0
+        for doc_id, n in sorted(docs):
+            seq_no = acc // budget
+            key = (lang, seq_no)
+            nd, nt = out.get(key, (0, 0))
+            out[key] = (nd + 1, nt + n)
+            acc += n
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_pack_docs, budget=st.sampled_from([1, 3, 7]))
+def test_pack_sequences_matches_brute_force(spark, rows, budget):
+    from project_bigdata_recsys_spark.functions.curation import pack_sequences_for
+
+    data = [(d, lang, " ".join(toks)) for d, lang, toks in rows]
+    df = spark.createDataFrame(
+        data or [(0, "en", "x")], "doc_id long, lang string, text string"
+    )
+    if not data:
+        df = df.limit(0)
+
+    got = {
+        (r.lang, r.seq_no): (r.n_docs, r.n_tokens)
+        for r in pack_sequences_for(df, budget=budget).collect()
+    }
+    want = _brute_force_pack(rows, budget)
+    assert got == want
+
+    # sharded form: same totals, and per-(lang, shard) streams also obey
+    # the brute-force packing on their own sub-streams
+    sharded = pack_sequences_for(df, budget=budget, n_shards=3).collect()
+    assert sum(r.n_tokens for r in sharded) == sum(v[1] for v in want.values())
+    assert sum(r.n_docs for r in sharded) == sum(v[0] for v in want.values())
