@@ -746,6 +746,74 @@ def knn_rp_lsh(
     )
 
 
+def knn_graph_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate kNN GRAPH: top-k neighbors for EVERY vector at once —
+    the building block curation pipelines need for diversity sampling,
+    semantic cluster maps, and graph-based dedup, where one-query-at-a-
+    time probes (:func:`knn_rp_lsh`) don't scale to "all vectors".
+
+    Shape: the corpus hashes once into (t, bucket) rows; a self-join per
+    (t, bucket) emits DIRECTED candidate edges (both orientations — each
+    side needs its own top-k); dedup across tables; exact-cosine rerank;
+    per-source row_number keeps the top-k.  Never an n² stage: pairs
+    exist only inside buckets, exactly like the near-dup pair path.  At
+    100 TB the bucket join runs against the persisted
+    :func:`build_ann_index` relation instead of re-hashing.
+
+    Output: (src_id, rank, nbr_id, cos_sim) — deterministic (md5-derived
+    buckets, rounded cosine, total tie-order), so the DuckDB oracle
+    reproduces the whole graph."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = rp_index_rows(emb, n_tables, n_planes)
+    a = buckets.select(F.col("vec_id").alias("src_id"), "t", "bucket")
+    b = buckets.select(F.col("vec_id").alias("nbr_id"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+    with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    e_src = with_norm.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+        F.col("v_norm").alias("src_norm"),
+    )
+    e_nbr = with_norm.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_emb"),
+        F.col("v_norm").alias("nbr_norm"),
+    )
+    scored = (
+        cand.join(e_src, "src_id")
+        .join(e_nbr, "nbr_id")
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(
+                dot(F.col("src_emb"), F.col("nbr_emb"))
+                / (F.col("src_norm") * F.col("nbr_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", F.col("rank").cast("int").alias("rank"), "nbr_id", "cos_sim")
+        .orderBy("src_id", "rank")
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus profile computed with higher-order array
     functions only (transform/aggregate/size — all JVM-side, no UDF):

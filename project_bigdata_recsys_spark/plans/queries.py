@@ -182,6 +182,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
     "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
+    "knn_graph": similarity.knn_graph_lsh,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -2228,6 +2229,62 @@ def _ivf_lloyd_oracle(
 
 
 ORACLES["knn_ivf_lloyd"] = _ivf_lloyd_oracle()
+
+
+def _knn_graph_oracle(
+    k: int = 3, n_tables: int = 4, n_planes: int = 6
+) -> str:
+    """SQL twin of functions.similarity.knn_graph_lsh: the same bucket
+    arithmetic as _rp_lsh_pairs_oracle, but DIRECTED candidate edges and
+    a per-source top-k window instead of a threshold filter."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({buck}),
+        cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
+                 FROM buck x JOIN buck y
+                   ON x.t = y.t AND x.bucket = y.bucket
+                      AND x.vec_id <> y.vec_id),
+        scored AS (
+            SELECT cand.src_id, cand.nbr_id,
+                   round(list_dot_product(ea.emb, eb.emb)
+                         / (sqrt(list_dot_product(ea.emb, ea.emb))
+                            * sqrt(list_dot_product(eb.emb, eb.emb))), 6)
+                       AS cos_sim
+            FROM cand
+            JOIN b ea ON ea.vec_id = cand.src_id
+            JOIN b eb ON eb.vec_id = cand.nbr_id),
+        ranked AS (
+            SELECT src_id, nbr_id, cos_sim,
+                   row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, nbr_id) AS rank
+            FROM scored)
+        SELECT src_id, CAST(rank AS INT) AS rank, nbr_id, cos_sim
+        FROM ranked WHERE rank <= {k}
+        ORDER BY src_id, rank
+    """
+
+
+ORACLES["knn_graph"] = _knn_graph_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()

