@@ -318,6 +318,53 @@ def curation_funnel(
     )
 
 
+def cluster_capped_sample(
+    spark: SparkSession, sf_dir: str, max_per_cluster: int = 2
+) -> DataFrame:
+    """Dedup-AWARE sampling: cap each near-duplicate cluster at
+    ``max_per_cluster`` deterministic representatives (md5-rank pick,
+    same discipline as corpus_mixture) instead of dropping all-but-one —
+    the curation policy that keeps paraphrase/boilerplate families
+    represented without letting them dominate the token budget.
+
+    Composition: banded simhash pairs → connected components → every doc
+    labeled (singletons form their own cluster) → per-cluster md5-rank →
+    per-lang kept/dropped rollup.  Deterministic end-to-end, so the
+    DuckDB oracle (recursive-CTE CC + the same window) hash-checks it.
+
+    Scale: the per-cluster window partitions on cluster_id — clusters
+    are band-bounded small and singletons dominate, so no fat
+    partitions; everything upstream is the already-audited pair/CC
+    machinery."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs_for(docs, sort=False)
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "lang")
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = labeled.withColumn("rk", F.row_number().over(w))
+    kept_flag = F.when(F.col("rk") <= max_per_cluster, 1).otherwise(0)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+            F.sum(1 - kept_flag).cast("long").alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
 def tfidf_top_terms(
     spark: SparkSession, sf_dir: str, k: int = 3, min_df: int = 1
 ) -> DataFrame:

@@ -183,6 +183,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
     "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
     "knn_graph": similarity.knn_graph_lsh,
+    "cluster_capped_sample": curation.cluster_capped_sample,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -2287,6 +2288,44 @@ def _knn_graph_oracle(
 ORACLES["knn_graph"] = _knn_graph_oracle()
 ORACLES["simhash_near_pairs"] = _simhash_oracle()
 ORACLES["near_dup_clusters"] = _clusters_oracle()
+
+
+def _cluster_capped_sample_oracle(
+    max_per_cluster: int = 2, max_hamming: int = 3
+) -> str:
+    """SQL twin of curation.cluster_capped_sample: the simhash CC from
+    _clusters_oracle, every document labeled (singletons self-labeled),
+    per-cluster md5-rank cap, per-lang kept/dropped rollup."""
+    return f"""
+        WITH RECURSIVE {_simhash_ctes()},
+        pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= {max_hamming}),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        labeled AS (
+            SELECT d.doc_id, d.lang, COALESCE(cc.label, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        ranked AS (
+            SELECT lang,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM labeled)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk <= {max_per_cluster} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rk > {max_per_cluster} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM ranked GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLES["cluster_capped_sample"] = _cluster_capped_sample_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["knn_rp_lsh"] = _rp_lsh_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE

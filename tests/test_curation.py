@@ -187,3 +187,31 @@ def test_curation_funnel_sharded_stage_counts_invariant(spark):
         assert getattr(sharded, col) == getattr(flat, col), col
     n_langs = 5
     assert flat.n_sequences <= sharded.n_sequences <= flat.n_sequences + n_langs * 3
+
+
+def test_cluster_capped_sample_invariants(spark):
+    """Cap semantics: kept + dropped = total per lang; a cap of 10^6
+    keeps everything; a cap of 1 keeps exactly one doc per cluster
+    (kept count equals the number of distinct clusters touched)."""
+    from project_bigdata_recsys_spark.functions.curation import cluster_capped_sample
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+
+    out = cluster_capped_sample(spark, SF_SMALL, max_per_cluster=2).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept > 0
+
+    keep_all = cluster_capped_sample(spark, SF_SMALL, max_per_cluster=1_000_000).collect()
+    assert all(r.n_dropped == 0 for r in keep_all)
+
+    one = cluster_capped_sample(spark, SF_SMALL, max_per_cluster=1).collect()
+    comps = connected_components(simhash_near_pairs_for(docs, sort=False))
+    n_clustered_docs = comps.count()
+    n_clusters = comps.select("cluster_id").distinct().count()
+    n_singletons = docs.count() - n_clustered_docs
+    assert sum(r.n_kept for r in one) == n_clusters + n_singletons
