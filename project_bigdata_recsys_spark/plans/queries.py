@@ -184,6 +184,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ivf_lloyd": similarity.ivf_lloyd_knn,
     "knn_graph": similarity.knn_graph_lsh,
     "cluster_capped_sample": curation.cluster_capped_sample,
+    "stream_ingest_dedup": replay.stream_ingest_dedup,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -2326,6 +2327,38 @@ def _cluster_capped_sample_oracle(
 
 
 ORACLES["cluster_capped_sample"] = _cluster_capped_sample_oracle()
+
+
+def _stream_ingest_dedup_oracle() -> str:
+    """SQL twin of streaming.replay.stream_ingest_dedup: the streaming
+    exact pass must equal the batch exact pass — the planted batch
+    classified against the distinct corpus texts (sha2 equality is text
+    equality), rolled up per lang."""
+    from project_bigdata_recsys_spark.functions.dedup import _DRIFT_SUFFIX
+
+    return f"""
+        WITH batch AS (
+            SELECT doc_id + 3000000 AS doc_id, text, lang
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, text || '{_DRIFT_SUFFIX}', lang
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id + 3000000, 'fresh doc ' || CAST(doc_id AS VARCHAR), lang
+            FROM documents WHERE doc_id % 10 = 7),
+        corpus_texts AS (SELECT DISTINCT text FROM documents)
+        SELECT b.lang,
+               CAST(count(*) AS BIGINT) AS n_batch,
+               CAST(sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_dropped,
+               CAST(sum(CASE WHEN c.text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_admitted
+        FROM batch b LEFT JOIN corpus_texts c ON b.text = c.text
+        GROUP BY b.lang ORDER BY b.lang
+    """
+
+
+ORACLES["stream_ingest_dedup"] = _stream_ingest_dedup_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["knn_rp_lsh"] = _rp_lsh_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE

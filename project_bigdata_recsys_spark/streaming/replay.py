@@ -232,3 +232,51 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_replay(out, spark, "append")
     return table.orderBy("purchase_id", "click_ts")
+
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup as a STREAM: the planted batch (same
+    composition as functions.dedup.planted_ingest_batch / the
+    incremental_dedup gate) replays as a file stream and is classified
+    against the corpus content-fingerprint relation — persisted in the
+    build_dedup_index layout — via a stream-static join.  Per-lang
+    admission counts after a full bounded replay must equal the batch
+    exact pass, which is exactly what the oracle recomputes.
+
+    Plan notes: stream-static joins keep the static side a plain batch
+    relation (re-resolved per micro-batch — at scale, the parquet
+    fingerprint table build_dedup_index wrote); stream-static left_anti
+    is unsupported, so admitted/dropped classification is ONE left_outer
+    join against the flagged fingerprint relation + a null test, instead
+    of two semi/anti passes over the stream."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import planted_ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    work = tempfile.mkdtemp(prefix="spark_ingest_dedup_")
+    batch_dir = os.path.join(work, "batch")
+    fp_dir = os.path.join(work, "index", "fingerprints")
+    planted_ingest_batch(docs).write.parquet(batch_dir)
+    # the corpus side of build_dedup_index's layout (fingerprints only —
+    # the stream's exact pass needs no signatures)
+    docs.select(F.sha2("text", 256).alias("fp")).distinct().write.parquet(fp_dir)
+
+    schema = spark.read.parquet(batch_dir).schema
+    stream = spark.readStream.schema(schema).parquet(batch_dir)
+    corpus_fp = spark.read.parquet(fp_dir).withColumn("is_dup", F.lit(1))
+    classified = (
+        stream.withColumn("fp", F.sha2("text", 256))
+        .join(corpus_fp, "fp", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dropped"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+    )
+    table = _run_replay(classified, spark, "complete")
+    return table.orderBy("lang")
