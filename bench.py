@@ -65,10 +65,11 @@ HEADLINE = [
     "knn_ivf_centroid",
     "curation_funnel",
     "incremental_dedup",
-    # round-5 scale paths: sharded curation windows + Lloyd IVF
+    # round-5 scale paths: sharded curation windows + Lloyd IVF + kNN graph
     "pack_sequences_sharded",
     "corpus_mixture_sharded",
     "knn_ivf_lloyd",
+    "knn_graph",
 ]
 
 

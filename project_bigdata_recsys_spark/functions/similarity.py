@@ -771,8 +771,14 @@ def knn_graph_lsh(
     reproduces the whole graph."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = rp_index_rows(emb, n_tables, n_planes)
+    # persist both multi-consumer frames: the bucket relation feeds BOTH
+    # sides of the self-join and the norm frame both rerank branches —
+    # Spark has no cross-branch CSE, so unpersisted the 24-projection
+    # RP hash (the dominant cost) runs twice (measured ~2x at sf0.1)
+    buckets = persist_tracked(rp_index_rows(emb, n_tables, n_planes))
     a = buckets.select(F.col("vec_id").alias("src_id"), "t", "bucket")
     b = buckets.select(F.col("vec_id").alias("nbr_id"), "t", "bucket")
     cand = (
@@ -781,7 +787,9 @@ def knn_graph_lsh(
         .select("src_id", "nbr_id")
         .distinct()
     )
-    with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    with_norm = persist_tracked(
+        emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    )
     e_src = with_norm.select(
         F.col("vec_id").alias("src_id"),
         F.col("embedding").alias("src_emb"),
