@@ -1,0 +1,94 @@
+"""Table-maintenance operators: compaction and multi-dimensional
+clustering (SURVEY.md §2 beyond-reference ops; the reference's only
+storage maintenance is keep-last-N artifact pruning, ml/recsys.py M13).
+
+At 100 TB these are the jobs that keep a lakehouse queryable:
+
+  compact_parquet   small-files compaction — streaming sinks and
+                    per-batch ingest leave thousands of KB-size files;
+                    scans then pay one task + one open per file.  Rewrite
+                    to a target rows-per-file in one distributed pass.
+  write_zordered    Z-ORDER (bit-interleaved) clustering on two columns —
+                    range-partitioning on ONE column gives min/max file
+                    skipping on that column only; interleaving the bit
+                    representations of both keys clusters files into
+                    rectangles of (a, b) space, so parquet footer min/max
+                    stats prune files for predicates on EITHER column.
+
+Both are plain parquet rewrites (no Delta/Iceberg dependency) and both
+are asserted in tests against pyarrow footer metadata: compaction by
+file count + row identity, z-order by measuring per-file min/max spans
+of BOTH columns against a single-column-sorted baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Rewrite a parquet directory into ceil(n / target) evenly-sized
+    files.  One count (metadata-cheap for parquet) + one round-robin
+    repartition + one write; rows are preserved exactly (asserted in
+    tests).  Returns a one-row stats frame (n_rows, n_files_target).
+
+    Scale: repartition(n) is a full shuffle of the data being rewritten
+    — unavoidable for even sizing, and exactly what a nightly compaction
+    job amortizes; the alternative coalesce(n) skips the shuffle but
+    inherits whatever skew the small files had."""
+    df = spark.read.parquet(src_dir)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return spark.createDataFrame(
+        [(n_rows, n_files)], "n_rows long, n_files_target int"
+    )
+
+
+def _zvalue(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Z-curve value (a's bit i at position 2i+1, b's at 2i)
+    — a pure JVM-side expression, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(abit, 2 * i + 1))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dst_dir: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered on the Z-curve of (col_a, col_b): compute
+    the interleaved z-value, range-partition on it (a distributed range
+    shuffle — no global sort), sort within each partition, write one
+    file per partition.  Each parquet file then covers a rectangle of
+    (a, b) space, so footer min/max stats prune files for predicates on
+    EITHER column — range-partitioning on one column alone leaves the
+    other column's per-file spans full-width (measured in tests).
+
+    Columns must be non-negative integers that fit in ``bits`` bits
+    (pre-scale/bucketize otherwise)."""
+    with_z = df.withColumn("__z", _zvalue(F.col(col_a), F.col(col_b), bits))
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )

@@ -263,3 +263,82 @@ def test_quality_check_primitives(spark):
         spark.createDataFrame([(1,), (1,), (2,)], "k int"), ["k"]
     ).collect()
     assert len(dups) == 1 and dups[0].k == 1 and dups[0].n == 2
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    """Compaction: 40 tiny files rewritten to the target count with the
+    exact same rows."""
+    import os
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.maintenance import compact_parquet
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, SF_SMALL, "orders")
+    orders.repartition(40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+
+    stats = compact_parquet(spark, src, dst, target_rows_per_file=10_000).head()
+    n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_big == stats.n_files_target < n_small
+    assert stats.n_rows == orders.count()
+
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+
+def test_zorder_narrows_both_column_spans(spark, tmp_path):
+    """Z-ordered files must cover rectangles of (a, b) space: the mean
+    per-file min/max span of the SECOND column shrinks materially vs a
+    layout range-partitioned on the first column alone (which leaves the
+    second column's spans at full width)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from project_bigdata_recsys_spark.operators.maintenance import write_zordered
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    z_dir = str(tmp_path / "zordered")
+    lin_dir = str(tmp_path / "linear")
+    write_zordered(df, "a", "b", z_dir, n_files=16, bits=8)
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(lin_dir)
+
+    def mean_span(d, col):
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    # rows preserved
+    assert sorted(map(tuple, spark.read.parquet(z_dir).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # the one-column layout keeps column b spans near full width (~64);
+    # z-order must cut the mean b-span at least in half while keeping
+    # a-spans bounded (rectangles, not stripes)
+    assert mean_span(lin_dir, "b") > 40
+    assert mean_span(z_dir, "b") < mean_span(lin_dir, "b") / 2
+    assert mean_span(z_dir, "a") < 64
