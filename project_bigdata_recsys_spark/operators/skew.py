@@ -43,3 +43,47 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(spark, sf_dir: str, top_k: int = 5):
+    """Hot-key diagnostic: for each candidate join/shuffle key of the
+    fact table, the top-K heaviest keys with their share of the table
+    and the key's skew factor (max key count / mean key count) — the
+    report that decides between AQE skew-split (moderate skew) and
+    :func:`salted_join` (pathological keys).
+
+    One aggregation per key column, unioned; each is a partial-agg
+    Tungsten groupBy followed by a TakeOrdered top-K — no global sort.
+    Deterministic, so the driver oracle hash-checks it.
+    """
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_rows_frame = lineitem.agg(F.count(F.lit(1)).alias("__n"))
+    reports = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = lineitem.groupBy(F.col(key).cast("long").alias("key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        stats = per_key.agg(
+            F.max("n").alias("__max_n"),
+            F.avg("n").alias("__avg_n"),
+        )
+        top = (
+            per_key.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(n_rows_frame))
+            .select(
+                F.lit(key).alias("join_key"),
+                "key",
+                "n",
+                F.round(F.col("n") * 100.0 / F.col("__n"), 4).alias("pct_of_table"),
+                F.round(F.col("__max_n") / F.col("__avg_n"), 4).alias("skew_factor"),
+            )
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(top_k)
+        )
+        reports.append(top)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("join_key", F.desc("n"), F.asc("key"))

@@ -30,6 +30,7 @@ from project_bigdata_recsys_spark.operators import (
     ranges,
     relational,
     setops,
+    skew,
     windows,
 )
 from project_bigdata_recsys_spark.sources import multimodal
@@ -185,6 +186,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_graph": similarity.knn_graph_lsh,
     "cluster_capped_sample": curation.cluster_capped_sample,
     "stream_ingest_dedup": replay.stream_ingest_dedup,
+    "skew_report": skew.skew_report,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -2359,6 +2361,44 @@ def _stream_ingest_dedup_oracle() -> str:
 
 
 ORACLES["stream_ingest_dedup"] = _stream_ingest_dedup_oracle()
+
+
+def _skew_report_oracle(top_k: int = 5) -> str:
+    """SQL twin of operators.skew.skew_report: per candidate join key,
+    top-K heaviest keys + table share + max/mean skew factor."""
+    blocks = []
+    for alias, col in (
+        ("per_o", "l_orderkey"),
+        ("per_p", "l_partkey"),
+        ("per_s", "l_suppkey"),
+    ):
+        blocks.append(
+            f"""(SELECT '{col}' AS join_key, key, n,
+                   round(n * 100.0 / total, 4) AS pct_of_table,
+                   round((SELECT max(n) FROM {alias}) * 1.0
+                         / (SELECT avg(n) FROM {alias}), 4) AS skew_factor
+            FROM {alias} CROSS JOIN tot
+            ORDER BY n DESC, key LIMIT {top_k})"""
+        )
+    union = "\n            UNION ALL\n            ".join(blocks)
+    return f"""
+        WITH per_o AS (SELECT CAST(l_orderkey AS BIGINT) AS key,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1),
+             per_p AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1),
+             per_s AS (SELECT CAST(l_suppkey AS BIGINT) AS key,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1),
+             tot AS (SELECT count(*) AS total FROM lineitem)
+        SELECT * FROM (
+            {union}
+        ) ORDER BY join_key, n DESC, key
+    """
+
+
+ORACLES["skew_report"] = _skew_report_oracle()
 ORACLES["knn_ivf_bucketed"] = _ivf_oracle()
 ORACLES["knn_rp_lsh"] = _rp_lsh_oracle()
 ORACLES["video_frame_profile"] = _VIDEO_FRAME_ORACLE
