@@ -187,6 +187,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_capped_sample": curation.cluster_capped_sample,
     "stream_ingest_dedup": replay.stream_ingest_dedup,
     "skew_report": skew.skew_report,
+    "media_dedup": multimodal.media_dedup,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -1151,6 +1152,38 @@ ORACLES: dict[str, str] = {
                round(avg(n_bytes), 4) AS avg_bytes,
                CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct
         FROM media GROUP BY media_type ORDER BY media_type
+    """,
+    "media_dedup": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   text,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents),
+        corpus AS (
+            SELECT media_id, media_type, text, n_bytes FROM media
+            UNION ALL
+            SELECT media_id + 5000000, media_type, text, n_bytes
+            FROM media WHERE media_id % 7 = 0),
+        winners AS (SELECT text, min(media_id) AS media_id
+                    FROM corpus GROUP BY text),
+        kept AS (SELECT c.* FROM corpus c
+                 JOIN winners w ON c.text = w.text AND c.media_id = w.media_id),
+        totals AS (SELECT media_type,
+                          CAST(count(*) AS BIGINT) AS n_total,
+                          CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+                   FROM corpus GROUP BY media_type),
+        uniq AS (SELECT media_type,
+                        CAST(count(*) AS BIGINT) AS n_unique,
+                        min(media_id) AS first_kept_id
+                 FROM kept GROUP BY media_type)
+        SELECT t.media_type, t.n_total, u.n_unique,
+               t.n_total - u.n_unique AS n_dropped,
+               t.total_bytes, u.first_kept_id
+        FROM totals t JOIN uniq u USING (media_type)
+        ORDER BY t.media_type
     """,
     # --- ML / recsys ---------------------------------------------------------
     # hash_uniform(salt, key) — sources/ingest.py — is md5-based, so the

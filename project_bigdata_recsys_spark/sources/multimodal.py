@@ -233,3 +233,43 @@ def video_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup: the digest-only-shuffle dedup family
+    (functions/dedup.py) applied to opaque media payloads — group on
+    sha2(payload) (the bytes never shuffle, only 32-byte digests + ids),
+    keep the min media_id per digest, report per-media-type counts.
+
+    The synthesized corpus ships no duplicate payloads, so verbatim
+    copies are planted (media_id % 7 == 0 → re-id'd copy), exactly like
+    the text-family gate queries; the oracle replicates the plant and
+    the keep-min-id rule on payload equality."""
+    media = synthesize_media_table(spark, sf_dir)
+    planted = media.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + 5_000_000
+    )
+    corpus = media.unionByName(planted)
+    fp = corpus.withColumn("fp", F.sha2("payload", 256))
+    winners = fp.groupBy("fp").agg(F.min("media_id").alias("media_id"))
+    kept = fp.join(winners, ["fp", "media_id"], "left_semi")
+    totals = corpus.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    uniques = kept.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.min("media_id").alias("first_kept_id"),
+    )
+    return (
+        totals.join(uniques, "media_type")
+        .select(
+            "media_type",
+            "n_total",
+            "n_unique",
+            (F.col("n_total") - F.col("n_unique")).alias("n_dropped"),
+            "total_bytes",
+            "first_kept_id",
+        )
+        .orderBy("media_type")
+    )
