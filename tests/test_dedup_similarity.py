@@ -517,3 +517,17 @@ def test_knn_graph_true_cosines_and_coverage(spark):
 
     for r in by_src[some_src]:
         assert abs(r.cos_sim - round(cos(e[some_src], e[r.nbr_id]), 6)) < 1e-5
+
+
+def test_probe_dedup_index_empty_batch(spark, tmp_path):
+    """Probing the persisted index with an EMPTY batch must return an
+    empty stats frame (no pruning-key collect crash, no null rows)."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_dedup_index(spark, SF_SMALL, index_dir)
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert probe_dedup_index(spark, index_dir, empty).count() == 0

@@ -164,3 +164,14 @@ def test_power_user_rank_no_global_window(spark):
     plan = _physical(df)
     assert "WindowExec" not in plan and "Window " not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_skew_report_no_global_sort(spark):
+    """Each per-column top-K must compile to TakeOrderedAndProject with
+    map-side partial aggregation — never a global sort of the key
+    counts."""
+    from project_bigdata_recsys_spark.operators.skew import skew_report
+
+    plan = _physical(skew_report(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
