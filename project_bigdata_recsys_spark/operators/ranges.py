@@ -97,3 +97,61 @@ def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
         """
     )
+
+
+def interval_overlap_counts(
+    spark: SparkSession, sf_dir: str, bucket_days: int = 7
+) -> DataFrame:
+    """INTERVAL OVERLAP join via bucketization — the range-join shape
+    Spark has no native optimization for: a naive ``s <= w_end AND e >=
+    w_start`` predicate compiles to BroadcastNestedLoopJoin (every row
+    against every window).  Bucketizing turns it into an equi-join:
+    each interval explodes into the coarse calendar buckets it touches
+    (~interval_len/bucket_days rows), each window lives in exactly ONE
+    aligned bucket, so a hash join on bucket + the exact overlap filter
+    gives identical results with O(rows × buckets-touched) work.
+
+    Data: deterministic delivery intervals synthesized from lineitem
+    ([shipdate, shipdate + (quantity % 14 + 1) days] — the corpus ships
+    no end-date column), overlap-counted against aligned weekly windows.
+    Plan-test-pinned: BroadcastHashJoin on bucket, never a nested-loop.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    origin = F.lit("1995-01-01").cast("date")
+    start = F.to_date("l_shipdate")
+    span = (F.col("l_quantity").cast("int") % 14 + 1)
+    iv = li.select(
+        start.alias("s"),
+        F.date_add(start, span).alias("e"),
+        "l_quantity",
+    )
+    b0 = F.floor(F.datediff(F.col("s"), origin) / bucket_days)
+    b1 = F.floor(F.datediff(F.col("e"), origin) / bucket_days)
+    exploded = iv.withColumn("bucket", F.explode(F.sequence(b0, b1)))
+    weeks = (
+        spark.sql(
+            "SELECT explode(sequence(to_date('1995-01-01'), "
+            "to_date('2002-01-01'), interval 7 days)) AS w_start"
+        )
+        .select(
+            "w_start",
+            F.date_add("w_start", bucket_days - 1).alias("w_end"),
+            F.floor(F.datediff("w_start", origin) / bucket_days).alias("bucket"),
+        )
+    )
+    joined = exploded.join(F.broadcast(weeks), "bucket").filter(
+        (F.col("s") <= F.col("w_end")) & (F.col("e") >= F.col("w_start"))
+    )
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.date_format("w_start", "yyyy-MM-dd").alias("week_start"),
+            "n_overlap",
+            "total_qty",
+        )
+        .orderBy("week_start")
+    )

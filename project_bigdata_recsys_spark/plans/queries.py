@@ -188,6 +188,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_ingest_dedup": replay.stream_ingest_dedup,
     "skew_report": skew.skew_report,
     "media_dedup": multimodal.media_dedup,
+    "interval_overlap_counts": ranges.interval_overlap_counts,
     "corpus_mixture_sharded": _corpus_mixture_sharded,
     "curation_funnel_sharded": _curation_funnel_sharded,
     "incremental_dedup_indexed": _incremental_dedup_indexed,
@@ -1152,6 +1153,24 @@ ORACLES: dict[str, str] = {
                round(avg(n_bytes), 4) AS avg_bytes,
                CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct
         FROM media GROUP BY media_type ORDER BY media_type
+    """,
+    "interval_overlap_counts": """
+        WITH iv AS (
+            SELECT CAST(l_shipdate AS DATE) AS s,
+                   CAST(l_shipdate AS DATE)
+                       + (CAST(l_quantity AS INTEGER) % 14 + 1) AS e,
+                   l_quantity
+            FROM lineitem),
+        weeks AS (
+            SELECT unnest(generate_series(DATE '1995-01-01',
+                                          DATE '2002-01-01',
+                                          INTERVAL 7 DAY))::DATE AS w_start)
+        SELECT strftime(w.w_start, '%Y-%m-%d') AS week_start,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM weeks w JOIN iv
+          ON iv.s <= w.w_start + 6 AND iv.e >= w.w_start
+        GROUP BY w.w_start ORDER BY week_start
     """,
     "media_dedup": """
         WITH media AS (

@@ -175,3 +175,14 @@ def test_skew_report_no_global_sort(spark):
     plan = _physical(skew_report(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_interval_overlap_join_is_hash_not_nested_loop(spark):
+    """The bucketized overlap join must compile to a BroadcastHashJoin
+    on the bucket key — the naive overlap theta-join would be a
+    BroadcastNestedLoopJoin (every interval against every window)."""
+    from project_bigdata_recsys_spark.operators.ranges import interval_overlap_counts
+
+    plan = _physical(interval_overlap_counts(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
