@@ -79,9 +79,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest table so per-query numbers measure
-    # the plan, not first-run compilation
+    # JVM/codegen warmup so per-query numbers measure the plan, not
+    # first-run compilation: one generic query, plus the RP-hash ANN
+    # family at the SMALLEST sf (their 24-projection HOF expressions
+    # cost seconds of Janino compile — a one-time cost that amortizes
+    # to nothing at 100 TB and would otherwise dominate a 2000-row
+    # query's number).  Warmup rows come from sf0.001, never the
+    # benched sf, so no benched data is pre-materialized.
     QUERIES["label_histogram"](spark, sf_dir).collect()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for warm_q in ("knn_graph", "knn_ivf_lloyd"):
+            QUERIES[warm_q](spark, warm_sf).collect()
+        release_tracked()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
