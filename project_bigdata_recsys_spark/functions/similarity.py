@@ -822,6 +822,70 @@ def knn_graph_lsh(
     )
 
 
+def knn_graph_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = 3,
+) -> DataFrame:
+    """The kNN graph built from the PERSISTED ANN index instead of
+    re-hashing the corpus: :func:`build_ann_index`'s (t, bucket) rows
+    self-join per partition-colocated bucket, then the same exact-cosine
+    rerank and per-source top-k as :func:`knn_graph_lsh` — row-identical
+    by construction (same deterministic buckets), asserted in tests.
+
+    This is the 100 TB nightly-graph shape: hash once per corpus
+    version, rebuild the graph from the stored relation; the self-join
+    shuffles only (vec_id, t, bucket) rows, never embeddings."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = spark.read.parquet(index_dir)
+    a = buckets.select(F.col("vec_id").alias("src_id"), "t", "bucket")
+    b = buckets.select(F.col("vec_id").alias("nbr_id"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+    with_norm = persist_tracked(
+        emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    )
+    e_src = with_norm.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+        F.col("v_norm").alias("src_norm"),
+    )
+    e_nbr = with_norm.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_emb"),
+        F.col("v_norm").alias("nbr_norm"),
+    )
+    scored = (
+        cand.join(e_src, "src_id")
+        .join(e_nbr, "nbr_id")
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(
+                dot(F.col("src_emb"), F.col("nbr_emb"))
+                / (F.col("src_norm") * F.col("nbr_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", F.col("rank").cast("int").alias("rank"), "nbr_id", "cos_sim")
+        .orderBy("src_id", "rank")
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus profile computed with higher-order array
     functions only (transform/aggregate/size — all JVM-side, no UDF):

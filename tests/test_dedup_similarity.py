@@ -531,3 +531,20 @@ def test_probe_dedup_index_empty_batch(spark, tmp_path):
     build_dedup_index(spark, SF_SMALL, index_dir)
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert probe_dedup_index(spark, index_dir, empty).count() == 0
+
+
+def test_knn_graph_from_index_matches_inline(spark, tmp_path):
+    """The index-backed kNN graph must reproduce the inline graph
+    row-for-row (same deterministic buckets both sides) — hash once per
+    corpus version, rebuild the graph from the stored relation."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        build_ann_index,
+        knn_graph_from_index,
+        knn_graph_lsh,
+    )
+
+    index_dir = str(tmp_path / "ann_index")
+    build_ann_index(spark, SF_SMALL, index_dir)
+    via_index = knn_graph_from_index(spark, SF_SMALL, index_dir, k=3).collect()
+    inline = knn_graph_lsh(spark, SF_SMALL, k=3).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in inline]
