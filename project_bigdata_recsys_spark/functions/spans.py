@@ -1,0 +1,169 @@
+"""Exact duplicated-span dedup (substring-level deduplication).
+
+Training-data pipelines remove *repeated passages*, not just repeated
+documents: boilerplate headers, licence blocks, templated paragraphs that
+recur across millions of pages (Lee et al., "Deduplicating Training Data
+Makes Language Models Better" — done there with a suffix array on one
+machine).  The distributed approximation used at corpus scale is
+fixed-width token windows: segment every document into W-token spans,
+hash each span, count span-hash frequency across the corpus, and drop
+every occurrence of a duplicated span except the first.
+
+Scale design (100 TB):
+- Segmentation is a pure map over the text scan — ``split`` + ``sequence``
+  + ``transform`` + ``posexplode``, all JVM whole-stage codegen, no
+  Python.
+- The frequency count shuffles **span hashes only** (16-byte md5 prefix,
+  never span text), with map-side partial aggregation; the keep-first
+  winner (min (doc_id, seg_no)) rides in the same aggregate, so one
+  shuffle covers both questions.
+- The verdict joins back on the span hash — an equi-join on a
+  high-cardinality uniform key.  A boilerplate span seen 10^9 times is
+  ONE row on the verdict side (hash, min_key), so hot spans cost nothing
+  extra on the build side; the probe side fans out naturally.
+- Document reassembly groups by doc_id — the same key the segments were
+  exploded from, and collect_list carries only kept spans.
+
+The reference has no text pipeline at all (its string handling is
+psycopg2 value plumbing, e.g. dashboard/app.py:273-351); this module is
+part of the beyond-reference curation surface (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+#: Span width in tokens.  Real pipelines use ~50; the synthetic docs are
+#: 10–100 tokens, so 8 keeps several spans per document at test scale.
+DEFAULT_SPAN_TOKENS = 8
+
+
+def span_segments(docs: DataFrame, width: int = DEFAULT_SPAN_TOKENS) -> DataFrame:
+    """Explode documents into non-overlapping ``width``-token spans.
+
+    Returns (doc_id, seg_no, span) with seg_no 0-based.  The trailing
+    partial span (fewer than ``width`` tokens) is KEPT — dropping it
+    would let duplicated tails slip through — and hashes like any other
+    span.  Pure column expressions; the oracle replicates with DuckDB
+    list slicing."""
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    seg_nos = F.sequence(F.lit(0), n_seg - 1)
+    spans = F.transform(
+        seg_nos,
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(spans).alias("seg_no", "span")
+    )
+
+
+def span_hash(span: Column) -> Column:
+    """16-hex-char md5 prefix of the span — the shuffle key.  64 bits of
+    hash over a ~10^12-span corpus gives ~fraction 10^-5 colliding pairs;
+    collisions only ever *over*-dedup one span occurrence, never corrupt
+    text, and the verify-bearing queries compare span text post-join."""
+    return F.substring(F.md5(span), 1, 16)
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str, width: int = DEFAULT_SPAN_TOKENS) -> DataFrame:
+    """Top duplicated spans across the corpus: span text, total
+    occurrences, distinct documents.  The heavy-hitter report a curation
+    run reads to decide boilerplate filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = span_segments(docs, width)
+    return (
+        segs.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("span"))
+        .limit(20)
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, width: int = DEFAULT_SPAN_TOKENS
+) -> DataFrame:
+    """Drop every occurrence of a corpus-duplicated span except the first
+    (first = min (doc_id, seg_no) across the corpus), then reassemble
+    each document from its kept spans in order.
+
+    Returns (doc_id, n_spans, n_spans_dropped, text_kept).  One
+    hash-keyed aggregate + one hash equi-join + one doc_id regroup —
+    three shuffles total, none keyed on anything lower-cardinality than
+    the data itself."""
+    segs = span_segments(docs, width).withColumn("h", span_hash(F.col("span")))
+    # One aggregate answers both "is this span duplicated?" and "which
+    # occurrence is first?".  The occurrence key packs (doc_id, seg_no)
+    # into one long so min() is a single partial-aggregable function.
+    occ_key = (F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")).alias(
+        "occ"
+    )
+    verdict = (
+        segs.select("h", occ_key)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("occ").alias("first_occ"),
+        )
+    )
+    kept = (
+        segs.join(verdict, "h")
+        .withColumn(
+            "keep",
+            (F.col("n_occ") == 1)
+            | (
+                F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")
+                == F.col("first_occ")
+            ),
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("seg_no"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+
+
+def span_dedup_profile(
+    spark: SparkSession, sf_dir: str, width: int = DEFAULT_SPAN_TOKENS
+) -> DataFrame:
+    """Gate query: per-document span-dedup result for the 50 lowest
+    doc_ids — doc count keeps the compare cheap while the rebuilt text
+    (sha-hashed) pins the whole keep/drop/reassemble path bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, width)
+    return (
+        out.select(
+            "doc_id",
+            "n_spans",
+            "n_spans_dropped",
+            F.sha2(F.col("text_kept"), 256).alias("kept_sha"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )

@@ -22,7 +22,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from project_bigdata_recsys_spark.functions import curation, dedup, similarity, text
+from project_bigdata_recsys_spark.functions import (
+    curation,
+    dedup,
+    similarity,
+    spans,
+    text,
+)
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
@@ -179,6 +185,9 @@ def _incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 # The ~5 entries past position 50 rotate into the next round's window.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 5 (second session): span-level dedup ---------------
+    "span_dedup_profile": spans.span_dedup_profile,
+    "duplicated_spans": spans.duplicated_spans,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2506,4 +2515,58 @@ ORACLES["contamination_check"] = """
            min(doc_id) AS first_train_doc
     FROM train JOIN bench USING (fp)
     GROUP BY lang ORDER BY lang
+"""
+
+# --- round 5 (second session): exact duplicated-span dedup ----------------
+# Same segmentation arithmetic as functions/spans.py: non-overlapping
+# 8-token windows (trailing partial kept), 16-hex md5 prefix as the span
+# key, first occurrence = min(doc_id*1e6 + seg_no) across the corpus.
+_SPAN_SEGS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    nums AS (
+        SELECT doc_id, ts,
+               unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, seg_no,
+               array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ') AS span,
+               substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h,
+               doc_id * 1000000 + seg_no AS occ
+        FROM nums
+    )
+"""
+
+ORACLES["span_dedup_profile"] = _SPAN_SEGS_CTE + """,
+    verdict AS (
+        SELECT h, count(*) AS n_occ, min(occ) AS first_occ
+        FROM hashed GROUP BY h
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_no, s.span,
+               (v.n_occ = 1 OR s.occ = v.first_occ) AS keep
+        FROM hashed s JOIN verdict v USING (h)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_spans_dropped,
+           sha256(coalesce(string_agg(span, ' ' ORDER BY seg_no)
+                           FILTER (WHERE keep), '')) AS kept_sha
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id
+    LIMIT 50
+"""
+
+ORACLES["duplicated_spans"] = _SPAN_SEGS_CTE + """
+    SELECT span,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hashed
+    GROUP BY span
+    HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, span
+    LIMIT 20
 """

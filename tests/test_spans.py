@@ -1,0 +1,79 @@
+"""Span-level dedup invariants (functions/spans.py) — oracle parity runs
+separately in test_oracle_parity; these pin the semantic contracts on
+hand-built documents with known duplicate structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.functions.spans import (
+    remove_duplicate_spans,
+    span_segments,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_segments_cover_text_exactly(spark):
+    """Segments tile the token stream: widths are `width` except a kept
+    trailing partial, and re-joining them in order rebuilds the text."""
+    docs = _docs(
+        spark,
+        [(1, " ".join(f"t{i}" for i in range(19))), (2, "a b"), (3, "solo")],
+    )
+    segs = span_segments(docs, width=8).collect()
+    by_doc: dict[int, list] = {}
+    for s in segs:
+        by_doc.setdefault(s.doc_id, []).append(s)
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [3, 1, 1]  # ceil(19/8), 1, 1
+    for d, expect in ((1, " ".join(f"t{i}" for i in range(19))), (2, "a b"), (3, "solo")):
+        parts = [s.span for s in sorted(by_doc[d], key=lambda s: s.seg_no)]
+        assert " ".join(parts) == expect
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """A span repeated across documents survives only in the doc with
+    the smallest (doc_id, seg_no); unique spans are untouched."""
+    boiler = " ".join(f"b{i}" for i in range(8))  # exactly one 8-token span
+    docs = _docs(
+        spark,
+        [
+            (10, boiler + " " + " ".join(f"x{i}" for i in range(8))),
+            (20, boiler + " " + " ".join(f"y{i}" for i in range(8))),
+            (30, boiler),
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, width=8).collect()}
+    assert out[10].n_spans_dropped == 0  # first occurrence keeps boilerplate
+    assert out[10].text_kept.startswith(boiler)
+    assert out[20].n_spans_dropped == 1
+    assert out[20].text_kept == " ".join(f"y{i}" for i in range(8))
+    assert out[30].n_spans_dropped == 1
+    assert out[30].text_kept == ""  # fully-duplicated doc empties out
+
+
+def test_remove_duplicate_spans_intra_document(spark):
+    """A doc that repeats its own span keeps only the first copy —
+    dedup is positional, not per-document."""
+    seg = " ".join(f"r{i}" for i in range(8))
+    docs = _docs(spark, [(5, seg + " " + seg + " " + seg)])
+    row = remove_duplicate_spans(docs, width=8).head()
+    assert row.n_spans == 3
+    assert row.n_spans_dropped == 2
+    assert row.text_kept == seg
+
+
+def test_remove_duplicate_spans_token_conservation(spark):
+    """Kept + dropped spans account for every token: the sum of kept
+    text tokens plus dropped-span tokens equals the corpus token count
+    (all docs here are multiples of the width, so every span is full)."""
+    a = " ".join(f"a{i}" for i in range(16))
+    docs = _docs(spark, [(1, a), (2, a)])
+    rows = remove_duplicate_spans(docs, width=8).collect()
+    kept_tokens = sum(
+        len(r.text_kept.split()) if r.text_kept else 0 for r in rows
+    )
+    dropped_spans = sum(r.n_spans_dropped for r in rows)
+    assert kept_tokens + dropped_spans * 8 == 32
