@@ -411,3 +411,46 @@ def tfidf_top_terms(
         .select("doc_id", "rank", "term", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, per stratum:
+    k documents per lang with inclusion probability proportional to
+    token count — the Efraimidis–Spirakis A-Res scheme (each item draws
+    u ∈ (0,1), key = u^(1/w), take the top-k keys).  The standard way a
+    curation run takes a token-mass-faithful subsample for eval or
+    annotation without a global sort.
+
+    Draws are md5-uniforms keyed on doc_id (sources/ingest.py::
+    hash_uniform discipline — data-derived, never an engine RNG), so the
+    whole sample is oracle-checkable.  One scan, one per-lang window over
+    ~#langs × shardable keys; at 100 TB swap the row_number window for
+    the same shard_key split pack_sequences uses, or a per-partition
+    top-k + merge (the key is i.i.d. per row, so top-k commutes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    hex8 = F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8)
+    # (conv(hex8) + 1) / 2^32: open interval (0, 1] — u = 0 would send
+    # every zero-draw doc to key 0 regardless of weight
+    u = (F.conv(hex8, 16, 10).cast("double") + 1.0) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / n_tok.cast("double"))
+    scored = docs.select(
+        "doc_id", "lang", n_tok.alias("weight"), key.alias("ares_key")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("ares_key"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "lang",
+            "rn",
+            "doc_id",
+            "weight",
+            F.round("ares_key", 6).alias("ares_key"),
+        )
+        .orderBy("lang", "rn")
+    )

@@ -597,3 +597,49 @@ def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_email") + F.col("n_url") + F.col("n_phone")) > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Canonical text normalization + normalized exact dedup
+# --------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for content comparison: lowercase, strip everything
+    outside [a-z0-9 ], collapse whitespace runs, trim.  Catches the
+    trivially-disguised duplicates exact-hash dedup misses (case flips,
+    punctuation edits, double spaces) at zero extra shuffle cost — the
+    normalization is a pure projection fused into the same scan as the
+    hash.  Stays in the RE2/Java common regex subset so the DuckDB oracle
+    runs the identical expressions."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, r" +", " ")
+    return F.trim(collapsed)
+
+
+def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED fingerprint: duplicate groups keyed
+    by sha256(normalize(text)), reporting group size, the keep-winner
+    (min doc_id), and how many distinct RAW fingerprints the group spans
+    (raw_variants > 1 = caught only thanks to normalization).
+
+    Same shuffle shape as functions/dedup.py::exact_duplicates — 32-byte
+    digests only, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_fp"),
+        F.sha2(F.col("text"), 256).alias("raw_fp"),
+    )
+    return (
+        fp.groupBy("norm_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("raw_fp").cast("long").alias("raw_variants"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("canonical_id"))
+        .limit(100)
+    )

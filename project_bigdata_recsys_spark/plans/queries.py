@@ -37,6 +37,7 @@ from project_bigdata_recsys_spark.operators import (
     relational,
     setops,
     skew,
+    snapshot,
     windows,
 )
 from project_bigdata_recsys_spark.sources import multimodal
@@ -188,6 +189,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (second session): span-level dedup ---------------
     "span_dedup_profile": spans.span_dedup_profile,
     "duplicated_spans": spans.duplicated_spans,
+    "normalized_duplicates": text.normalized_duplicates,
+    "weighted_sample": curation.weighted_sample,
+    "snapshot_diff": snapshot.snapshot_diff,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2569,4 +2573,95 @@ ORACLES["duplicated_spans"] = _SPAN_SEGS_CTE + """
     HAVING count(*) >= 2
     ORDER BY n_occurrences DESC, span
     LIMIT 20
+"""
+
+ORACLES["normalized_duplicates"] = """
+    WITH fp AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_fp,
+               sha256(text) AS raw_fp
+        FROM documents
+    )
+    SELECT norm_fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS raw_variants
+    FROM fp
+    GROUP BY norm_fp
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, canonical_id
+    LIMIT 100
+"""
+
+ORACLES["weighted_sample"] = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS weight,
+               pow((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                       / 4294967296.0,
+                   1.0 / len(string_split(text, ' '))) AS ares_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY ares_key DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang,
+           CAST(rn AS INTEGER) AS rn,
+           doc_id,
+           CAST(weight AS INTEGER) AS weight,
+           round(ares_key, 6) AS ares_key
+    FROM ranked
+    WHERE rn <= 10
+    ORDER BY lang, rn
+"""
+
+# snapshot_diff oracle — replicates operators/snapshot.py::_mutated_orders
+# (md5-uniform drop/bump/append on the PK) then classifies via a PK
+# full-outer join.  The engine compares 32-byte digests; the oracle
+# compares the columns directly (IS DISTINCT FROM) — equivalent up to
+# sha256 collisions.
+ORACLES["snapshot_diff"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+               ('0x' || substr(md5('snap-drop:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_drop,
+               ('0x' || substr(md5('snap-bump:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_bump,
+               ('0x' || substr(md5('snap-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders
+    ),
+    newsnap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE u_drop >= 0.02
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+               o_orderpriority, o_totalprice
+        FROM u WHERE u_new < 0.01
+    ),
+    diff AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                    THEN 'changed' ELSE 'unchanged' END AS change_type
+        FROM orders o FULL OUTER JOIN newsnap n USING (o_orderkey)
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM diff
+    GROUP BY change_type
+    ORDER BY change_type
 """

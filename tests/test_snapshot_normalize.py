@@ -1,0 +1,106 @@
+"""Semantic contracts for snapshot diff, normalized dedup, and weighted
+sampling — oracle parity runs separately in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.functions.curation import weighted_sample
+from project_bigdata_recsys_spark.functions.text import normalize_text
+from project_bigdata_recsys_spark.operators.snapshot import table_diff
+from tests.conftest import SF_SMALL
+
+
+def test_table_diff_classifies_all_four_states(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    out = {
+        r.id: r.change_type
+        for r in table_diff(old, new, ["id"], ["s", "v"]).collect()
+    }
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_table_diff_null_vs_empty_string(spark):
+    """The digest's null sentinel must distinguish NULL from '' — a naive
+    concat would call this row unchanged."""
+    old = spark.createDataFrame([(1, None)], "id long, s string")
+    new = spark.createDataFrame([(1, "")], "id long, s string")
+    row = table_diff(old, new, ["id"], ["s"]).head()
+    assert row.change_type == "changed"
+
+
+def test_normalize_text_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [("The  QUICK, brown fox!",), ("the quick brown fox",)], "t string"
+    )
+    vals = [r.n for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert vals[0] == vals[1] == "the quick brown fox"
+
+
+def test_normalized_dedup_catches_case_and_punct_variants(spark):
+    """Docs identical up to case/punctuation/extra spaces share a
+    normalized fingerprint but not a raw one."""
+    docs = spark.createDataFrame(
+        [(1, "Hello, World"), (2, "hello  world"), (3, "HELLO WORLD!"), (4, "else")],
+        "doc_id long, text string",
+    )
+    fp = docs.select(
+        "doc_id",
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_fp"),
+        F.sha2(F.col("text"), 256).alias("raw_fp"),
+    )
+    groups = (
+        fp.groupBy("norm_fp")
+        .agg(F.count("*").alias("n"), F.countDistinct("raw_fp").alias("raw_variants"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    assert len(groups) == 1
+    assert groups[0].n == 3 and groups[0].raw_variants == 3
+
+
+def test_weighted_sample_shape_and_determinism(spark):
+    """Exactly k rows per lang, dense ranks, keys descending within each
+    lang, and bit-identical across runs."""
+    a = weighted_sample(spark, SF_SMALL, k=5).collect()
+    b = weighted_sample(spark, SF_SMALL, k=5).collect()
+    assert a == b
+    by_lang: dict[str, list] = {}
+    for r in a:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        keys = [r.ares_key for r in rows]
+        assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """With weights spanning orders of magnitude, the A-Res top-1 should
+    be a heavy document far more often than uniform chance: build 100
+    docs where one is 1000x heavier; it must rank in the top-3."""
+    rows = [(i, "w " * 2 + "x", "en") for i in range(99)]  # weight ~3
+    rows.append((99, "w " * 2999 + "x", "en"))  # weight 3000
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from project_bigdata_recsys_spark.functions.text import tokens
+
+    n_tok = F.size(tokens(F.col("text")))
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    u = (F.conv(hex8, 16, 10).cast("double") + 1.0) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / n_tok.cast("double"))
+    ranked = (
+        docs.select("doc_id", key.alias("k"))
+        .orderBy(F.desc("k"))
+        .limit(3)
+        .collect()
+    )
+    assert 99 in {r.doc_id for r in ranked}
