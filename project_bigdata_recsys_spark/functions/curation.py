@@ -454,3 +454,64 @@ def weighted_sample(
         )
         .orderBy("lang", "rn")
     )
+
+
+def cluster_aware_split(
+    spark: SparkSession,
+    sf_dir: str,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/valid/test split: every member of a near-dup
+    cluster lands in the SAME split, so paraphrases of a training
+    document can never contaminate eval.  A plain per-doc hash split
+    leaks — this is the decontamination-correct version.
+
+    Mechanism: banded simhash pairs → connected components → each doc
+    labeled with its cluster (singletons self-labeled) → the SPLIT DRAW
+    KEYS ON cluster_id, not doc_id (sources/ingest.py::hash_uniform
+    md5 discipline).  The output measures leakage rather than assuming
+    it: n_leaky_clusters counts clusters spanning >1 split and must be 0.
+
+    Scale: reuses the audited pair/CC machinery; the split itself is a
+    pure projection; the leak audit is one extra aggregate on
+    cluster_id — a key the data is already shuffled by."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs_for(docs, sort=False)
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    u = hash_uniform(F.col("cluster_id"), "split:")
+    split = (
+        F.when(u < train_frac, "train")
+        .when(u < train_frac + valid_frac, "valid")
+        .otherwise("test")
+    )
+    assigned = labeled.withColumn("split", split)
+    leaky = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )

@@ -1,0 +1,117 @@
+"""Graph analytics over co-occurrence structure: weighted PageRank.
+
+The reference ranks items by raw popularity (its knowledge base keeps a
+global top-N course list, core-logic/train_module.py:396-422); a
+co-occurrence-graph PageRank is the standard upgrade — an item is
+important if it co-occurs with other important items, which surfaces
+long-tail items that raw counts bury.  Candidate generators read the top
+of this ranking the same way they read kb_popular_items.
+
+Spark-first design: the classic Pregel loop expressed as DataFrame
+joins — each iteration is one shuffle join (ranks ⋈ edges on src) plus
+one aggregate (sum of contributions by dst), exactly the partitioning a
+1000-executor cluster wants.  Iterations are FIXED-COUNT (not
+convergence-tested), so the whole computation is a deterministic
+dataflow the DuckDB oracle replays as unrolled CTEs.
+
+Float determinism note: per-dst contribution sums are floating-point
+adds in engine-dependent order; outputs are rounded (6 dp) and the gate
+compares with relative tolerance — same discipline as every avg()/sum()
+query in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+DAMPING = 0.85
+N_ITERATIONS = 3
+
+
+def item_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted edges (src, dst, w) between parts co-ordered in
+    the same order.  Same bounded self-join as relational.cooccurrence_
+    pairs (blowup capped by basket size, dedup before the join), emitted
+    in both directions so the random walk is over the undirected graph —
+    which also guarantees no dangling nodes (every node has out-edges)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    n_iterations: int = N_ITERATIONS,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, w) edges, fixed iteration count.
+
+    rank₀(v) = 1/N;  rankᵢ₊₁(v) = (1-d)/N + d·Σ_{u→v} rankᵢ(u)·w(u,v)/W(u)
+
+    N rides along as a broadcast 1-row aggregate (no driver-side
+    count()), so the whole loop is one lazy plan.  Each iteration
+    shuffles on src (join) then dst (agg) — outdeg normalization is
+    precomputed once.  Persisting between iterations is unnecessary at
+    n_iterations=3; for long chains localCheckpoint every few rounds
+    (the connected_components discipline, functions/dedup.py:589)."""
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norm = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(n_iterations):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def item_pagerank(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Gate query: top-k parts by co-occurrence PageRank.  Rounded rank
+    + total ordering under the LIMIT (oracle-parity rules)."""
+    edges = item_cooccurrence_edges(spark, sf_dir)
+    ranks = pagerank(edges)
+    return (
+        ranks.select(
+            F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(k)
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from project_bigdata_recsys_spark.functions import (
     curation,
     dedup,
+    graph,
     similarity,
     spans,
     text,
@@ -192,6 +193,8 @@ QUERIES: dict[str, QueryFn] = {
     "normalized_duplicates": text.normalized_duplicates,
     "weighted_sample": curation.weighted_sample,
     "snapshot_diff": snapshot.snapshot_diff,
+    "cluster_aware_split": curation.cluster_aware_split,
+    "item_pagerank": graph.item_pagerank,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2665,3 +2668,91 @@ ORACLES["snapshot_diff"] = """
     GROUP BY change_type
     ORDER BY change_type
 """
+
+def _cluster_aware_split_oracle(
+    train_frac: float = 0.8, valid_frac: float = 0.1, max_hamming: int = 3
+) -> str:
+    """SQL twin of curation.cluster_aware_split: simhash CC from
+    _simhash_ctes, split drawn from md5(cluster_id), leak audit counted
+    (not assumed)."""
+    hi = train_frac + valid_frac
+    return f"""
+        WITH RECURSIVE {_simhash_ctes()},
+        pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= {max_hamming}),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(cc.label, d.doc_id) AS cluster_id,
+                   CASE WHEN ('0x' || substr(md5('split:' ||
+                            CAST(COALESCE(cc.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                            / 4294967296.0 < {train_frac} THEN 'train'
+                        WHEN ('0x' || substr(md5('split:' ||
+                            CAST(COALESCE(cc.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                            / 4294967296.0 < {hi} THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        leaky AS (
+            SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_leaky_clusters
+            FROM (SELECT cluster_id, count(DISTINCT split) AS n_splits
+                  FROM assigned GROUP BY cluster_id))
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               leaky.n_leaky_clusters
+        FROM assigned, leaky
+        GROUP BY split, leaky.n_leaky_clusters
+        ORDER BY split
+    """
+
+
+ORACLES["cluster_aware_split"] = _cluster_aware_split_oracle()
+
+def _pagerank_oracle(damping: float = 0.85, k: int = 25) -> str:
+    """SQL twin of functions.graph.item_pagerank: the symmetric weighted
+    co-occurrence graph with 3 unrolled PageRank iterations."""
+    d, t = damping, 1.0 - damping
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(f"""
+        c{i} AS (
+            SELECT m.dst, sum(r.rank * m.p) AS inflow
+            FROM norm m JOIN {prev} r ON r.node = m.src
+            GROUP BY m.dst),
+        r{i} AS (
+            SELECT n.node, {t} / nn.n + {d} * coalesce(c{i}.inflow, 0.0) AS rank
+            FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = n.node)""")
+        prev = f"r{i}"
+    return f"""
+        WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        half AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+        edges AS (SELECT src, dst, w FROM half
+                  UNION ALL SELECT dst, src, w FROM half),
+        outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src),
+        norm AS (SELECT e.src, e.dst, e.w / o.w_out AS p
+                 FROM edges e JOIN outw o USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(iters)}
+        SELECT node AS part, round(rank, 6) AS rank
+        FROM {prev}
+        ORDER BY rank DESC, part
+        LIMIT {k}
+    """
+
+
+ORACLES["item_pagerank"] = _pagerank_oracle()
