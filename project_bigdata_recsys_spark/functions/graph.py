@@ -69,20 +69,32 @@ def pagerank(
 
     N rides along as a broadcast 1-row aggregate (no driver-side
     count()), so the whole loop is one lazy plan.  Each iteration
-    shuffles on src (join) then dst (agg) — outdeg normalization is
-    precomputed once.  Persisting between iterations is unnecessary at
-    n_iterations=3; for long chains localCheckpoint every few rounds
-    (the connected_components discipline, functions/dedup.py:589)."""
+    shuffles on src (join) then dst (agg).  The loop-invariant frames
+    (normalized edges, node set) are persist_tracked — without that the
+    lazy lineage re-derives the whole edge pipeline once per iteration
+    and the plan blows up combinatorially (measured: 274 Exchanges at 3
+    iterations unpersisted vs ~10 persisted).  For long chains also
+    localCheckpoint ranks every few rounds (the connected_components
+    discipline, functions/dedup.py:589)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    norm = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
+    norm = persist_tracked(
+        edges.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
+        )
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     for _ in range(n_iterations):
+        # ranks feeds BOTH sides of the update join (contrib and the
+        # teleport base), so an unpersisted frame doubles its lineage
+        # every iteration — persist makes it a leaf and keeps the plan
+        # linear in n_iterations.
+        ranks = persist_tracked(ranks)
         contrib = (
             norm.join(ranks, norm.src == ranks.node)
             .select("dst", (F.col("rank") * F.col("p")).alias("c"))
