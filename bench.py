@@ -70,6 +70,12 @@ HEADLINE = [
     "corpus_mixture_sharded",
     "knn_ivf_lloyd",
     "knn_graph",
+    # round-5 second-session operators: span dedup, graph rank, snapshots
+    "span_dedup_profile",
+    "item_pagerank",
+    "snapshot_diff",
+    "weighted_sample",
+    "cluster_aware_split",
 ]
 
 
