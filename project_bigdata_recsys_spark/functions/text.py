@@ -643,3 +643,76 @@ def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("canonical_id"))
         .limit(100)
     )
+
+
+def group_quantile_threshold(
+    scored: DataFrame, group_col: str, score_col: str, q: float
+) -> DataFrame:
+    """EXACT per-group q-quantile threshold WITHOUT per-row windows:
+    (group, score) histogram → cumulative counts over the DISTINCT
+    scores of each group → threshold = min{score : cum ≥ q·n}.
+
+    The per-group window runs over distinct score VALUES, not rows —
+    our quality scores are 4-dp-rounded ratios, so a group's window is
+    ≤ ~20k rows no matter how many documents it has.  That is the
+    scale trick: the same per-lang cut via percent_rank over documents
+    would re-create the fat-partition problem the global-percentile
+    recipe (with_exact_percent_rank) exists to avoid.
+
+    Returns (group_col, threshold, n_total) — one row per group, small
+    enough to broadcast back."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        F.col(score_col),
+        F.sum("__n").over(w_cum).alias("__cum"),
+        F.sum("__n").over(w_tot).alias("__n_total"),
+    )
+    return (
+        cum.filter(F.col("__cum") >= F.lit(q) * F.col("__n_total"))
+        .groupBy(group_col)
+        .agg(
+            F.min(score_col).alias("threshold"),
+            F.first("__n_total").alias("n_total"),
+        )
+    )
+
+
+def group_quantile_filter(
+    spark: SparkSession, sf_dir: str, q: float = 0.25
+) -> DataFrame:
+    """Per-LANG distribution-relative quality cut: drop each language's
+    bottom quartile (its own p25, not the corpus's — a global cut would
+    gut whichever language scores systematically lower).  The per-group
+    twin of quality_percentile_filter, built on the histogram-cumsum
+    threshold instead of any per-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("score"),
+    )
+    thr = group_quantile_threshold(scored, "lang", "score", q)
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("score") > F.col("threshold"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.first("n_total").cast("long").alias("n_total"),
+            F.round(F.first("threshold"), 6).alias("threshold"),
+            F.round(F.avg("score"), 6).alias("avg_kept_score"),
+        )
+        .orderBy("lang")
+    )

@@ -195,6 +195,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": snapshot.snapshot_diff,
     "cluster_aware_split": curation.cluster_aware_split,
     "item_pagerank": graph.item_pagerank,
+    "group_quantile_filter": text.group_quantile_filter,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2756,3 +2757,36 @@ def _pagerank_oracle(damping: float = 0.85, k: int = 25) -> str:
 
 
 ORACLES["item_pagerank"] = _pagerank_oracle()
+
+# group_quantile_filter oracle — per-lang p25 threshold from the
+# (lang, score) histogram cumsum (SQL twin of text.group_quantile_threshold)
+ORACLES["group_quantile_filter"] = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4)
+               - round(len(list_filter(string_split(text, ' '),
+                                       t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                       / len(string_split(text, ' ')), 4) AS score
+        FROM documents),
+    hist AS (
+        SELECT lang, score, count(*) AS n FROM scored GROUP BY lang, score),
+    cum AS (
+        SELECT lang, score,
+               sum(n) OVER (PARTITION BY lang ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(n) OVER (PARTITION BY lang) AS n_total
+        FROM hist),
+    thr AS (
+        SELECT lang, min(score) AS threshold, min(n_total) AS n_total
+        FROM cum WHERE cum_n >= 0.25 * n_total GROUP BY lang)
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(t.n_total) AS BIGINT) AS n_total,
+           round(min(t.threshold), 6) AS threshold,
+           round(avg(s.score), 6) AS avg_kept_score
+    FROM scored s JOIN thr t USING (lang)
+    WHERE s.score > t.threshold
+    GROUP BY s.lang
+    ORDER BY s.lang
+"""

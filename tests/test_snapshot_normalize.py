@@ -104,3 +104,28 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         .collect()
     )
     assert 99 in {r.doc_id for r in ranked}
+
+
+def test_group_quantile_threshold_exact(spark):
+    """Histogram-cumsum threshold equals the naive per-group quantile:
+    min{score : cum_frac >= q} on a hand-built distribution with ties."""
+    from project_bigdata_recsys_spark.functions.text import (
+        group_quantile_threshold,
+    )
+
+    rows = [("a", s) for s in [1.0, 1.0, 2.0, 3.0]] + [("b", s) for s in [5.0] * 4]
+    df = spark.createDataFrame(rows, "g string, score double")
+    thr = {
+        r.g: (r.threshold, r.n_total)
+        for r in group_quantile_threshold(df, "g", "score", 0.25).collect()
+    }
+    # group a: cum at score 1.0 is 2 >= 0.25*4=1 -> threshold 1.0
+    assert thr["a"] == (1.0, 4)
+    # group b: single value, threshold = 5.0
+    assert thr["b"] == (5.0, 4)
+    # q=0.75 on a: cum(1.0)=2 < 3, cum(2.0)=3 >= 3 -> threshold 2.0
+    thr75 = {
+        r.g: r.threshold
+        for r in group_quantile_threshold(df, "g", "score", 0.75).collect()
+    }
+    assert thr75["a"] == 2.0
