@@ -167,3 +167,109 @@ def span_dedup_profile(
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental span dedup: persisted corpus span index + O(batch) probe
+# --------------------------------------------------------------------------
+#: Partition-bucket count for the span index (first hex byte of the key).
+_SPAN_INDEX_BUCKETS = 256
+
+
+def build_span_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, width: int = DEFAULT_SPAN_TOKENS
+) -> None:
+    """Persist the corpus span verdicts ONCE per corpus version — the
+    incremental form of span dedup, mirroring dedup.build_dedup_index:
+    every daily batch probes this relation instead of re-segmenting and
+    re-hashing 100 TB of settled corpus.
+
+    Layout: one parquet relation (h, n_occ, first_occ) partitioned by
+    ``sb`` = first hex byte of the span key (256 directories).  A small
+    batch's probe prunes to the buckets it actually hits; a large batch
+    hits all 256 and the probe degrades gracefully to a full — still
+    digest-only — scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = span_segments(docs, width).withColumn("h", span_hash(F.col("span")))
+    verdict = (
+        segs.select(
+            "h",
+            (F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")).alias("occ"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ").alias("first_occ"))
+        .withColumn("sb", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    )
+    verdict.write.mode("overwrite").partitionBy("sb").parquet(index_dir)
+
+
+def probe_span_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    width: int = DEFAULT_SPAN_TOKENS,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Classify every span of a NEW batch against the persisted corpus
+    index + the batch itself, per lang:
+
+      dup_corpus  span already in the settled corpus (drop)
+      dup_intra   span new to the corpus but repeated within the batch,
+                  beyond its first batch occurrence (drop)
+      new         first sighting (keep)
+
+    O(batch) segmentation/hashing; the corpus side is a digest-only
+    parquet scan — optionally partition-pruned by the batch's distinct
+    first-byte buckets (≤256 values, a bounded driver-side collect,
+    same discipline as dedup.probe_dedup_index)."""
+    idx = spark.read.parquet(index_dir).select("h", "sb")
+    segs = span_segments(batch.select("doc_id", "text"), width).withColumn(
+        "h", span_hash(F.col("span"))
+    )
+    segs = segs.join(batch.select("doc_id", "lang"), "doc_id")
+    if prune_partitions:
+        hit = [
+            r.sb
+            for r in segs.select(
+                F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("sb")
+            )
+            .distinct()
+            .collect()
+        ]
+        idx = idx.filter(F.col("sb").isin(hit))
+    occ = (F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")).alias("occ")
+    intra = (
+        segs.select("h", occ)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("b_occ"), F.min("occ").alias("b_first"))
+    )
+    joined = (
+        segs.withColumn(
+            "occ", F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")
+        )
+        .join(intra, "h")
+        .join(idx.select("h").withColumn("in_corpus", F.lit(True)), "h", "left")
+    )
+    cls = (
+        F.when(F.col("in_corpus"), "dup_corpus")
+        .when((F.col("b_occ") > 1) & (F.col("occ") != F.col("b_first")), "dup_intra")
+        .otherwise("new")
+    )
+    return (
+        joined.withColumn("cls", cls)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("cls") == "dup_corpus", 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_corpus"),
+            F.sum(F.when(F.col("cls") == "dup_intra", 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_intra"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .orderBy("lang")
+    )

@@ -178,6 +178,22 @@ def _incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_dedup_index(spark, index_dir, planted_ingest_batch(docs))
 
 
+def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup under driver evidence: persist the corpus
+    span index into a temp dir, then probe it with the planted ingest
+    batch (same batch as the incremental minhash path) — every batch
+    span classified dup-vs-corpus / dup-intra-batch / new, per lang."""
+    import tempfile
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import planted_ingest_batch
+
+    index_dir = tempfile.mkdtemp(prefix="spark_span_index_") + "/idx"
+    spans.build_span_index(spark, sf_dir, index_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return spans.probe_span_index(spark, index_dir, planted_ingest_batch(docs))
+
+
 # Registration order matters: the driver's correctness gate executes the
 # FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
 # driver verification is newest-needed come first.  Round-5 rotation: the
@@ -196,6 +212,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_aware_split": curation.cluster_aware_split,
     "item_pagerank": graph.item_pagerank,
     "group_quantile_filter": text.group_quantile_filter,
+    "span_dedup_incremental": _span_dedup_incremental,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2790,3 +2807,64 @@ ORACLES["group_quantile_filter"] = """
     GROUP BY s.lang
     ORDER BY s.lang
 """
+
+def _span_dedup_incremental_oracle() -> str:
+    """SQL twin of spans.build_span_index + probe_span_index over the
+    planted ingest batch: corpus span-key set, batch segmentation with
+    the identical md5 arithmetic, dup_corpus > dup_intra > new
+    precedence."""
+    from project_bigdata_recsys_spark.functions.dedup import _DRIFT_SUFFIX
+
+    def segs(src: str, cols: str) -> str:
+        return f"""(
+            SELECT doc_id, seg_no,
+                   substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h
+                   {cols}
+            FROM (
+                SELECT doc_id, ts,
+                       unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+                       {cols}
+                FROM (SELECT doc_id, string_split(text, ' ') AS ts {cols}
+                      FROM {src})))"""
+
+    return f"""
+        WITH batch AS (
+            SELECT doc_id + 3000000 AS doc_id, text, lang
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, text || '{_DRIFT_SUFFIX}', lang
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id + 3000000, 'fresh doc ' || CAST(doc_id AS VARCHAR), lang
+            FROM documents WHERE doc_id % 10 = 7),
+        corpus_h AS (SELECT DISTINCT h FROM {segs('documents', '')} s),
+        bsegs AS (
+            SELECT doc_id, seg_no, h, lang,
+                   doc_id * 1000000 + seg_no AS occ
+            FROM {segs('batch', ', lang')} s),
+        intra AS (
+            SELECT h, count(*) AS b_occ, min(occ) AS b_first
+            FROM bsegs GROUP BY h),
+        joined AS (
+            SELECT b.lang, b.doc_id,
+                   CASE WHEN c.h IS NOT NULL THEN 'dup_corpus'
+                        WHEN i.b_occ > 1 AND b.occ <> i.b_first THEN 'dup_intra'
+                        ELSE 'new' END AS cls
+            FROM bsegs b
+            JOIN intra i USING (h)
+            LEFT JOIN corpus_h c ON c.h = b.h)
+        SELECT lang,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN cls = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_corpus,
+               CAST(sum(CASE WHEN cls = 'dup_intra' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_intra,
+               CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM joined
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+ORACLES["span_dedup_incremental"] = _span_dedup_incremental_oracle()

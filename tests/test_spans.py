@@ -77,3 +77,57 @@ def test_remove_duplicate_spans_token_conservation(spark):
     )
     dropped_spans = sum(r.n_spans_dropped for r in rows)
     assert kept_tokens + dropped_spans * 8 == 32
+
+
+def test_span_index_probe_matches_inline_classification(spark, tmp_path):
+    """Probe against a persisted index must classify exactly as a
+    from-scratch pass: corpus spans drop, batch-internal repeats keep
+    only their first, fresh spans admit."""
+    from project_bigdata_recsys_spark.functions.spans import (
+        build_span_index,
+        probe_span_index,
+        span_segments,
+    )
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "span_idx")
+    build_span_index(spark, sf, idx)
+
+    docs = load_table(spark, sf, "documents")
+    corpus_doc = docs.orderBy("doc_id").first()
+    fresh = " ".join(f"zz{i}" for i in range(16))  # two fresh 8-token spans
+    batch = spark.createDataFrame(
+        [
+            (9_000_001, corpus_doc.text, "en"),          # all spans dup_corpus
+            (9_000_002, fresh, "en"),                    # all spans new
+            (9_000_003, fresh, "en"),                    # intra dups of above
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = probe_span_index(spark, idx, batch).collect()
+    assert len(out) == 1
+    r = out[0]
+    n_corpus_spans = span_segments(
+        spark.createDataFrame([(1, corpus_doc.text)], "doc_id long, text string")
+    ).count()
+    assert r.n_docs == 3
+    assert r.n_dup_corpus == n_corpus_spans
+    assert r.n_new == 2  # first sighting of the two fresh spans
+    assert r.n_dup_intra == 2  # the second fresh doc repeats both
+    assert r.n_spans == r.n_dup_corpus + r.n_dup_intra + r.n_new
+
+
+def test_span_index_probe_empty_batch(spark, tmp_path):
+    """An empty batch probes to an empty profile (and the partition-prune
+    collect of zero buckets must not blow up)."""
+    from project_bigdata_recsys_spark.functions.spans import (
+        build_span_index,
+        probe_span_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "span_idx")
+    build_span_index(spark, sf, idx)
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert probe_span_index(spark, idx, empty).collect() == []
