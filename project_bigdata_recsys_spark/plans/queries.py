@@ -213,6 +213,7 @@ QUERIES: dict[str, QueryFn] = {
     "item_pagerank": graph.item_pagerank,
     "group_quantile_filter": text.group_quantile_filter,
     "span_dedup_incremental": _span_dedup_incremental,
+    "stream_trending_items": replay.stream_trending_items,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2868,3 +2869,19 @@ def _span_dedup_incremental_oracle() -> str:
 
 
 ORACLES["span_dedup_incremental"] = _span_dedup_incremental_oracle()
+
+ORACLES["stream_trending_items"] = """
+    WITH counts AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+        FROM counts)
+    SELECT window_start, event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+"""

@@ -280,3 +280,31 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_replay(classified, spark, "complete")
     return table.orderBy("lang")
+
+
+def stream_trending_items(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Trending detection: top-k event types per tumbling hour.  The
+    streaming stage computes the windowed counts (the only part that
+    needs streaming semantics — per-key ranking is not expressible
+    inside a streaming agg); the top-k cut ranks the materialized sink,
+    the standard two-stage shape (windowed sink + batch rank) production
+    trending pipelines use.  Stream/batch equivalence makes the whole
+    composition oracle-checkable."""
+    from pyspark.sql import Window
+
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_replay(agg, spark, "complete")
+    counts = table.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("window_start", "rnk")
+    )
