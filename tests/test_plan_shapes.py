@@ -186,3 +186,56 @@ def test_interval_overlap_join_is_hash_not_nested_loop(spark):
     plan = _physical(interval_overlap_counts(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_prunes_scan_and_aggregates_partially(spark):
+    """Span dedup must read only (doc_id, text) from parquet and combine
+    the span-frequency count map-side before its hash shuffle."""
+    from project_bigdata_recsys_spark.functions import spans
+
+    plan = _physical(spans.span_dedup_profile(spark, SF_SMALL))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join_no_payload_shuffle(spark):
+    """The diff must be ONE full-outer PK join whose shuffled columns are
+    key + 64-hex digest — the order payload columns must not appear in
+    the join output schema."""
+    from project_bigdata_recsys_spark.operators import snapshot
+
+    df = snapshot.snapshot_diff(spark, SF_SMALL)
+    plan = _physical(df)
+    assert plan.count("FullOuter") == 1, plan
+    # digests computed in the scan projection; payload pruned before join
+    assert "__old_digest" in plan and "__new_digest" in plan
+    assert "o_orderpriority" not in plan.split("FullOuter")[0], (
+        "payload column leaked above the join"
+    )
+
+
+def test_group_quantile_filter_windows_only_histogram(spark):
+    """The per-group cut must window over the (lang, score) HISTOGRAM,
+    never the per-document frame: the window's child must aggregate
+    first (partial_count below the window), and the threshold side must
+    broadcast back."""
+    from project_bigdata_recsys_spark.functions import text as text_fns
+
+    plan = _physical(text_fns.group_quantile_filter(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # the histogram aggregate sits between scan and window
+    assert "partial_count" in plan
+
+
+def test_pagerank_no_cartesian_and_broadcast_n(spark):
+    """The 1-row N frame must broadcast (nested-loop over ONE row is the
+    intended crossJoin); no real cartesian anywhere."""
+    from project_bigdata_recsys_spark.functions import graph
+
+    df = graph.item_pagerank(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    from project_bigdata_recsys_spark.caching import release_tracked
+
+    release_tracked()
