@@ -950,3 +950,137 @@ def knn_multi_query(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pq_codebook(
+    emb: DataFrame, m_sub: int, k_codes: int, sub_dim: int
+) -> DataFrame:
+    """Deterministic product-quantization codebook: ``k_codes`` corpus
+    vectors drawn by md5 rank (the ivf_centroid_knn seed discipline — no
+    engine RNG, so DuckDB reproduces every centroid bit-for-bit), each
+    split into ``m_sub`` sub-vectors.  Returns (m, code, c_sub) —
+    m_sub × k_codes rows, always broadcast-sized (a real deployment's
+    codebook is KBs regardless of corpus size; that is the point of PQ)."""
+    from pyspark.sql import Window
+
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = emb.orderBy(md5_key, "vec_id").limit(k_codes)
+    w_code = Window.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
+    coded = seeds.select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb")
+    ).withColumn("code", F.row_number().over(w_code))
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    return coded.select(
+        "code",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("s_emb"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "c_sub"),
+    )
+
+
+def pq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN: compress every vector to ``m_sub`` byte
+    codes (64 floats → 8 codes here), answer queries by asymmetric
+    distance (ADC) over a query-specific lookup table, exact-rerank the
+    shortlist.  THE memory-bound scale path: a 100 TB embedding corpus
+    becomes ~m_sub bytes/vector of resident index while scans touch no
+    raw vectors until the final rerank.
+
+    All distances are the dot-product identity ‖a−b‖² = a·a − 2a·b + b·b
+    computed with the same left-to-right sums in Spark and DuckDB, and
+    the codebook is md5-rank-sampled data (pq_codebook), so encoding,
+    ADC, and rerank are deterministic and fully oracle-checked.
+
+    Shape at scale: codebook and ADC table broadcast (m_sub × k_codes
+    rows); encoding is a per-row map over the one corpus scan; the
+    shortlist is TakeOrderedAndProject on the rounded ADC distance; only
+    ``rerank_factor × k`` raw vectors are ever fetched for rerank."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_row = emb.limit(1).select(F.size("embedding").alias("d")).head()
+    sub_dim = dim_row.d // m_sub
+    book = pq_codebook(emb, m_sub, k_codes, sub_dim)
+
+    # encode: explode each vector into its m sub-vectors, broadcast-join
+    # the codebook, argmin L2^2 per (vec_id, m) with code tie-break
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    vec_subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                subs,
+                lambda m: F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+            )
+        ).alias("m", "v_sub"),
+    )
+    d2 = (
+        dot(F.col("v_sub"), F.col("v_sub"))
+        - 2 * dot(F.col("v_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    w_best = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(d2, 9).asc(), F.col("code").asc()
+    )
+    codes = (
+        vec_subs.join(F.broadcast(book), "m")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    # ADC lookup table: distance from the QUERY's sub-vectors to every
+    # codebook entry — m_sub x k_codes rows, broadcast
+    q_subs = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.posexplode(
+                F.transform(
+                    subs,
+                    lambda m: F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+                )
+            ).alias("m", "q_sub")
+        )
+    )
+    adc = q_subs.join(book, "m").select(
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(rerank_factor * k)
+    )
+
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(shortlist.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

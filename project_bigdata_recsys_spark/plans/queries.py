@@ -214,6 +214,7 @@ QUERIES: dict[str, QueryFn] = {
     "group_quantile_filter": text.group_quantile_filter,
     "span_dedup_incremental": _span_dedup_incremental,
     "stream_trending_items": replay.stream_trending_items,
+    "knn_pq": similarity.pq_knn,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2885,3 +2886,74 @@ ORACLES["stream_trending_items"] = """
     FROM ranked WHERE rnk <= 3
     ORDER BY window_start, rnk
 """
+
+def _pq_knn_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    sub_dim: int = 8,
+    rerank_factor: int = 4,
+) -> str:
+    """SQL twin of similarity.pq_knn: md5-rank codebook, per-subspace
+    argmin encoding, ADC shortlist, exact cosine rerank."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        seeds AS (
+            SELECT vec_id AS seed_id, e AS s_emb FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+        coded AS (
+            SELECT s_emb,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(seed_id AS VARCHAR)), seed_id) AS INTEGER)
+                       AS code
+            FROM seeds),
+        book AS (
+            SELECT code, CAST(mm AS INTEGER) AS m, s_emb[{lo} : {w}] AS c_sub
+            FROM (SELECT code, s_emb, unnest(range(0, {m_sub})) AS mm FROM coded)),
+        vec_subs AS (
+            SELECT vec_id, CAST(mm AS INTEGER) AS m, e[{lo} : {w}] AS v_sub
+            FROM (SELECT vec_id, e, unnest(range(0, {m_sub})) AS mm FROM emb)),
+        dists AS (
+            SELECT vec_id, m, code,
+                   round(list_dot_product(v_sub, v_sub)
+                         - 2 * list_dot_product(v_sub, c_sub)
+                         + list_dot_product(c_sub, c_sub), 9) AS d2
+            FROM vec_subs JOIN book USING (m)),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM dists)
+            WHERE rn = 1),
+        qsub AS (
+            SELECT CAST(mm AS INTEGER) AS m, e[{lo} : {w}] AS q_sub
+            FROM (SELECT e, unnest(range(0, {m_sub})) AS mm
+                  FROM emb WHERE vec_id = {query_vec_id})),
+        adc AS (
+            SELECT m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM qsub JOIN book USING (m)),
+        short AS (
+            SELECT c.vec_id, round(sum(a.d2), 6) AS approx_d2
+            FROM codes c JOIN adc a USING (m, code)
+            WHERE c.vec_id <> {query_vec_id}
+            GROUP BY c.vec_id
+            ORDER BY approx_d2, c.vec_id
+            LIMIT {rerank_factor * k}),
+        q AS (SELECT e AS q_emb FROM emb WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(e.e, q.q_emb)
+                     / (sqrt(list_dot_product(e.e, e.e))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+        FROM emb e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
+ORACLES["knn_pq"] = _pq_knn_oracle()

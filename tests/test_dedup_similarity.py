@@ -548,3 +548,24 @@ def test_knn_graph_from_index_matches_inline(spark, tmp_path):
     via_index = knn_graph_from_index(spark, SF_SMALL, index_dir, k=3).collect()
     inline = knn_graph_lsh(spark, SF_SMALL, k=3).collect()
     assert [tuple(r) for r in via_index] == [tuple(r) for r in inline]
+
+
+def test_pq_knn_recall_and_exact_rerank(spark):
+    """Product-quantization ANN: decent recall vs brute force, exact
+    cosines on everything returned (rerank is exact — only the ADC
+    shortlist is approximate), and bit-identical across runs."""
+    from project_bigdata_recsys_spark.functions.similarity import pq_knn
+
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in knn_brute_force(spark, SF_SMALL, k=500).collect()
+    }
+    top10 = [r.vec_id for r in knn_brute_force(spark, SF_SMALL, k=10).collect()]
+    a = pq_knn(spark, SF_SMALL, k=10).collect()
+    b = pq_knn(spark, SF_SMALL, k=10).collect()
+    assert a == b
+    approx = {r.vec_id: r.cos_sim for r in a}
+    recall = len(set(top10) & set(approx)) / 10
+    assert recall >= 0.4, f"PQ recall@10 too low: {recall}"
+    for vid, sim in approx.items():
+        assert abs(exact[vid] - sim) < 1e-6
