@@ -1,0 +1,104 @@
+"""Raw-SQL query surface: the engine as a SQL endpoint.
+
+The reference's analytics are literal SQL strings against Postgres
+(dashboard/app.py:273-351, 2176-2199); a migrating user brings those
+queries as TEXT, not as DataFrame chains.  This module runs ANSI SQL
+through ``spark.sql`` over temp views of the catalog tables — proving
+the SQL entry path end-to-end, including the constructs Catalyst must
+DECORRELATE to scale:
+
+- correlated scalar subqueries → rewritten to an aggregate + join
+  (never a per-row re-execution, which is what Postgres does and what a
+  naive port would ship);
+- EXISTS / NOT EXISTS → LeftSemi / LeftAnti hash joins
+  (plan-test-pinned in tests/test_plan_shapes.py).
+
+Everything here is also expressible with the DataFrame API (and the
+rest of the repo does exactly that); the point of this family is parity
+for SQL-text users and coverage of the decorrelation machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_bigdata_recsys_spark.catalog import load_table
+
+_VIEW_TABLES = ("customer", "orders", "lineitem", "part", "supplier")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog tables as temp views for raw-SQL queries —
+    idempotent, session-scoped, pinned schemas from catalog.load_table."""
+    for t in _VIEW_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated scalar subquery (no partsupp table in
+    this corpus, so lineitem plays the supply relation): for each part,
+    the supplier(s) offering the corpus-min price, tie-broken to the
+    smallest supplier key.  Catalyst decorrelates the inner min into an
+    aggregate joined back on l_partkey — one shuffle, not a per-part
+    re-scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(min(l.l_suppkey) AS BIGINT) AS cheapest_supp,
+               round(min(l.l_extendedprice), 2) AS min_price
+        FROM lineitem l
+        WHERE l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+        ORDER BY l.l_partkey
+        LIMIT 200
+        """
+    )
+
+
+def sql_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS decorrelation: customers holding at least one
+    urgent order but no finished ('F') order.  Compiles to a LeftSemi +
+    LeftAnti join pair — plan-pinned, because a correlated re-execution
+    here is the classic OLTP-to-warehouse porting bug."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_custkey = c.c_custkey
+                  AND o2.o_orderstatus = 'F')
+        ORDER BY c.c_custkey
+        LIMIT 500
+        """
+    )
+
+
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over an aggregate: parts ordered more than 30 times,
+    reported with their total revenue.  The IN list is itself a grouped
+    query — decorrelated to a semi join on the aggregated frame."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l.l_extendedprice), 2) AS revenue
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT l_partkey FROM lineitem
+            GROUP BY l_partkey HAVING count(*) > 30)
+        GROUP BY l.l_partkey
+        ORDER BY n_lines DESC, l.l_partkey
+        LIMIT 100
+        """
+    )

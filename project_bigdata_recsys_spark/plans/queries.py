@@ -39,6 +39,7 @@ from project_bigdata_recsys_spark.operators import (
     setops,
     skew,
     snapshot,
+    sqlsurface,
     windows,
 )
 from project_bigdata_recsys_spark.sources import multimodal
@@ -215,6 +216,9 @@ QUERIES: dict[str, QueryFn] = {
     "span_dedup_incremental": _span_dedup_incremental,
     "stream_trending_items": replay.stream_trending_items,
     "knn_pq": similarity.pq_knn,
+    "sql_cheapest_supplier": sqlsurface.sql_cheapest_supplier,
+    "sql_exists_filter": sqlsurface.sql_exists_filter,
+    "sql_in_subquery": sqlsurface.sql_in_subquery,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -2957,3 +2961,48 @@ def _pq_knn_oracle(
 
 
 ORACLES["knn_pq"] = _pq_knn_oracle()
+
+# Raw-SQL surface twins — DuckDB runs the IDENTICAL correlated SQL text
+# (modulo dialect-free constructs), which is exactly the migration
+# contract the family demonstrates.
+ORACLES["sql_cheapest_supplier"] = """
+    SELECT l.l_partkey,
+           CAST(min(l.l_suppkey) AS BIGINT) AS cheapest_supp,
+           round(min(l.l_extendedprice), 2) AS min_price
+    FROM lineitem l
+    WHERE l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey
+    LIMIT 200
+"""
+
+ORACLES["sql_exists_filter"] = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey
+              AND o2.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    LIMIT 500
+"""
+
+ORACLES["sql_in_subquery"] = """
+    SELECT l.l_partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey HAVING count(*) > 30)
+    GROUP BY l.l_partkey
+    ORDER BY n_lines DESC, l.l_partkey
+    LIMIT 100
+"""

@@ -239,3 +239,24 @@ def test_pagerank_no_cartesian_and_broadcast_n(spark):
     from project_bigdata_recsys_spark.caching import release_tracked
 
     release_tracked()
+
+
+def test_sql_exists_decorrelates_to_semi_anti_joins(spark):
+    """EXISTS must compile to LeftSemi and NOT EXISTS to LeftAnti — a
+    correlated re-execution per customer is the OLTP porting bug this
+    family guards against."""
+    from project_bigdata_recsys_spark.operators import sqlsurface
+
+    plan = _physical(sqlsurface.sql_exists_filter(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_sql_correlated_scalar_decorrelates_to_aggregate_join(spark):
+    """The correlated min must become ONE aggregate joined back, never a
+    nested per-row subplan."""
+    from project_bigdata_recsys_spark.operators import sqlsurface
+
+    plan = _physical(sqlsurface.sql_cheapest_supplier(spark, SF_SMALL))
+    assert "partial_min" in plan  # decorrelated aggregate, map-side combined
+    assert "CartesianProduct" not in plan
