@@ -716,3 +716,47 @@ def group_quantile_filter(
         )
         .orderBy("lang")
     )
+
+
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-distribution Shannon entropy — the
+    low-entropy tail is the repetitive/templated junk a curation run
+    drops (complements repetition_profile's modal/distinct fractions
+    with the full-distribution summary statistic).
+
+    H(doc) = -Σ_t p_t·log2(p_t) over the doc's token frequencies.
+    Computed as explode → (doc_id, token) counts → per-doc sum — two
+    partial-aggregated shuffles keyed on data-cardinality keys; log2
+    evaluates identically in both engines (ln/ln2 on doubles), and the
+    output rounds to 6 dp like every float surface here.
+
+    Output: the 30 lowest-entropy documents (the drop candidates) with
+    their entropy, token count, and distinct-token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_doc = (
+        counts.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("n") * F.log2(F.col("n"))).alias("sum_nlogn"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            # H = log2(N) - (1/N)·Σ n·log2(n) — one pass, no p_t division
+            F.round(
+                F.log2(F.col("n_tokens"))
+                - F.col("sum_nlogn") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+    return per_doc.orderBy(F.asc("entropy"), F.asc("doc_id")).limit(30)

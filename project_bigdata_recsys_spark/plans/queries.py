@@ -219,6 +219,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_cheapest_supplier": sqlsurface.sql_cheapest_supplier,
     "sql_exists_filter": sqlsurface.sql_exists_filter,
     "sql_in_subquery": sqlsurface.sql_in_subquery,
+    "entropy_profile": text.entropy_profile,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3005,4 +3006,23 @@ ORACLES["sql_in_subquery"] = """
     GROUP BY l.l_partkey
     ORDER BY n_lines DESC, l.l_partkey
     LIMIT 100
+"""
+
+ORACLES["entropy_profile"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    counts AS (
+        SELECT doc_id, lang, tok, count(*) AS n
+        FROM toks GROUP BY doc_id, lang, tok),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
+        FROM counts GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_tokens, n_distinct, entropy
+    FROM per_doc
+    ORDER BY entropy, doc_id
+    LIMIT 30
 """
