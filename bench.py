@@ -76,6 +76,10 @@ HEADLINE = [
     "snapshot_diff",
     "weighted_sample",
     "cluster_aware_split",
+    "group_quantile_filter",
+    "knn_pq",
+    "sql_exists_filter",
+    "entropy_profile",
 ]
 
 

@@ -127,3 +127,61 @@ def item_pagerank(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("part"))
         .limit(k)
     )
+
+
+def item_pmi(spark: SparkSession, sf_dir: str, k: int = 25, min_pairs: int = 3) -> DataFrame:
+    """Pointwise mutual information over part co-occurrence — the
+    association measure that separates "frequently bought together"
+    from "both just popular" (raw co-counts, the reference KB's measure
+    via train_module.py:396-405, are dominated by bestsellers).
+
+    PMI(a,b) = log2(N·c_ab / (c_a·c_b)) with N = total baskets.  Built
+    from one basket self-join (bounded by basket size), two broadcast
+    joins for the margins, and N folded in as a broadcast 1-row
+    aggregate — no driver-side count.  min_pairs floors the co-count so
+    rare-pair noise (PMI's known failure mode) can't top the ranking."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pairs)
+    )
+    margins = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_row = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(margins.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(margins.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log2(
+                    F.col("n_baskets") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )

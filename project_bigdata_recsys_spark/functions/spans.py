@@ -273,3 +273,50 @@ def probe_span_index(
         )
         .orderBy("lang")
     )
+
+
+def update_span_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    width: int = DEFAULT_SPAN_TOKENS,
+) -> None:
+    """Fold an ADMITTED batch into the persisted span index WITHOUT
+    rebuilding it: merge the batch's span verdicts into the stored ones
+    and rewrite only the ``sb`` partitions the batch touches (dynamic
+    partition overwrite).  Daily maintenance cost is O(batch +
+    touched-buckets), never O(corpus) — the same incremental discipline
+    as dedup.update_components.
+
+    Merge semantics match a from-scratch build exactly (test-pinned):
+    n_occ adds, first_occ takes the min — both associative, so
+    yesterday's index ⊕ today's batch ≡ rebuild over the union."""
+    segs = span_segments(batch.select("doc_id", "text"), width).withColumn(
+        "h", span_hash(F.col("span"))
+    )
+    batch_verdict = (
+        segs.select(
+            "h",
+            (F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_no")).alias("occ"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ").alias("first_occ"))
+        .withColumn("sb", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    )
+    touched = [r.sb for r in batch_verdict.select("sb").distinct().collect()]
+    if not touched:
+        return
+    stored = spark.read.parquet(index_dir).filter(F.col("sb").isin(touched))
+    merged = (
+        stored.select("h", "n_occ", "first_occ", "sb")
+        .unionByName(batch_verdict)
+        .groupBy("h", "sb")
+        .agg(F.sum("n_occ").alias("n_occ"), F.min("first_occ").alias("first_occ"))
+        .select("h", "n_occ", "first_occ", "sb")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sb")
+        .parquet(index_dir)
+    )

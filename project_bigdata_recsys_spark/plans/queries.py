@@ -220,6 +220,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_exists_filter": sqlsurface.sql_exists_filter,
     "sql_in_subquery": sqlsurface.sql_in_subquery,
     "entropy_profile": text.entropy_profile,
+    "item_pmi": graph.item_pmi,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3025,4 +3026,27 @@ ORACLES["entropy_profile"] = """
     FROM per_doc
     ORDER BY entropy, doc_id
     LIMIT 30
+"""
+
+ORACLES["item_pmi"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS c_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3),
+    margins AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY 1),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets
+           FROM basket)
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS c_ab,
+           round(log2(nb.n_baskets * p.c_ab / (ma.c * mb.c)), 6) AS pmi
+    FROM pair_counts p
+    JOIN margins ma ON ma.l_partkey = p.part_a
+    JOIN margins mb ON mb.l_partkey = p.part_b
+    CROSS JOIN nb
+    ORDER BY pmi DESC, p.part_a, p.part_b
+    LIMIT 25
 """

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-partition reads of cached frames: iterative operators
+        # (pagerank, connected components) persist small per-iteration
+        # frames, and without this flag every cached read is pinned to the
+        # pre-AQE shuffle partition count — dozens of near-empty tasks per
+        # iteration at bench scale, a mis-sized fan-in at cluster scale
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver test data stores events.ts as parquet TIMESTAMP(NANOS),

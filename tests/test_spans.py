@@ -131,3 +131,49 @@ def test_span_index_probe_empty_batch(spark, tmp_path):
     build_span_index(spark, sf, idx)
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert probe_span_index(spark, idx, empty).collect() == []
+
+
+def test_update_span_index_equals_rebuild(spark, tmp_path):
+    """Yesterday's index ⊕ today's batch must be row-identical to a
+    rebuild over the union corpus — and must rewrite only the touched
+    bucket partitions."""
+    from project_bigdata_recsys_spark.functions.spans import (
+        build_span_index,
+        update_span_index,
+    )
+
+    base = [(i, " ".join(f"b{i}_{j}" for j in range(20))) for i in range(10)]
+    batch = [(100 + i, " ".join(f"n{i}_{j}" for j in range(20))) for i in range(3)]
+    batch.append((200, base[0][1]))  # repeats corpus spans → n_occ must add
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    inc_dir = str(tmp_path / "inc")
+    docs(base).write.mode("overwrite").parquet(str(tmp_path / "a" / "documents.parquet"))
+    docs(base + batch).write.mode("overwrite").parquet(
+        str(tmp_path / "b" / "documents.parquet")
+    )
+    build_span_index(spark, str(tmp_path / "a"), inc_dir)
+    update_span_index(spark, inc_dir, docs(batch))
+
+    full_dir = str(tmp_path / "full")
+    build_span_index(spark, str(tmp_path / "b"), full_dir)
+
+    inc = spark.read.parquet(inc_dir).orderBy("h").collect()
+    full = spark.read.parquet(full_dir).orderBy("h").collect()
+    assert inc == full
+
+
+def test_update_span_index_empty_batch_is_noop(spark, tmp_path):
+    from project_bigdata_recsys_spark.functions.spans import (
+        build_span_index,
+        update_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_span_index(spark, "/root/testdata/sf0.001", idx)
+    before = spark.read.parquet(idx).count()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    update_span_index(spark, idx, empty)
+    assert spark.read.parquet(idx).count() == before
