@@ -515,3 +515,89 @@ def cluster_aware_split(
         .crossJoin(F.broadcast(leaky))
         .orderBy("split")
     )
+
+
+def corpus_mixture_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    target_tokens: int = 20_000,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Temperature-weighted mixture with a TOKEN budget — what training
+    jobs actually allocate (a quota of 1000 docs means 30x more English
+    tokens than Thai; a token quota doesn't).  Weights ∝ (lang token
+    mass)^alpha; each lang admits md5-ranked documents until its running
+    token sum reaches quota, INCLUDING the crossing document (so every
+    lang with data gets ≥1 doc and the shortfall is bounded by one
+    document, never a systematic undershoot).
+
+    Same window discipline as corpus_mixture: lang-keyed cumsum at
+    ``n_shards=1``; the production form splits each lang quota across
+    md5 shards (floor share + remainder to low shard ids — conserved
+    exactly) and each (lang, shard) fills by local cumsum, so
+    parallelism is #langs × n_shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
+    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+
+    sizes = base.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    weighted = sizes.withColumn("w_raw", F.pow("lang_tokens", F.lit(alpha)))
+    total_w = weighted.agg(F.sum("w_raw").alias("w_sum"))
+    quotas = weighted.crossJoin(F.broadcast(total_w)).select(
+        "lang",
+        "n_docs",
+        F.col("lang_tokens").cast("long").alias("lang_tokens"),
+        F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("mix_weight"),
+        F.round(F.lit(target_tokens) * F.col("w_raw") / F.col("w_sum"), 0)
+        .cast("long")
+        .alias("token_quota"),
+    )
+    if n_shards > 1:
+        base = base.withColumn("shard", shard_key(F.col("doc_id"), n_shards))
+        part_cols = ["lang", "shard"]
+        quota_expr = F.floor(F.col("token_quota") / n_shards) + F.when(
+            F.col("shard") < F.col("token_quota") % n_shards, F.lit(1)
+        ).otherwise(F.lit(0))
+    else:
+        part_cols = ["lang"]
+        quota_expr = F.col("token_quota")
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cum_before = (
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    admitted = (
+        base.withColumn("cum_before", cum_before)
+        .join(F.broadcast(quotas.select("lang", "token_quota")), "lang")
+        .filter(F.col("cum_before") < quota_expr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
+    return (
+        quotas.join(admitted, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "mix_weight",
+            "token_quota",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )

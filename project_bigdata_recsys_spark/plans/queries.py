@@ -221,6 +221,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_in_subquery": sqlsurface.sql_in_subquery,
     "entropy_profile": text.entropy_profile,
     "item_pmi": graph.item_pmi,
+    "corpus_mixture_tokens": curation.corpus_mixture_tokens,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3049,4 +3050,42 @@ ORACLES["item_pmi"] = """
     CROSS JOIN nb
     ORDER BY pmi DESC, p.part_a, p.part_b
     LIMIT 25
+"""
+
+ORACLES["corpus_mixture_tokens"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    sizes AS (
+        SELECT lang, sum(n_tokens) AS lang_tokens, count(*) AS n_docs
+        FROM t GROUP BY lang),
+    wts AS (SELECT lang, n_docs, lang_tokens,
+                   pow(lang_tokens, 0.5) AS w_raw FROM sizes),
+    tot AS (SELECT sum(w_raw) AS w_sum FROM wts),
+    quotas AS (
+        SELECT lang, n_docs,
+               CAST(lang_tokens AS BIGINT) AS lang_tokens,
+               round(w_raw / w_sum, 6) AS mix_weight,
+               CAST(round(20000 * w_raw / w_sum, 0) AS BIGINT) AS token_quota
+        FROM wts CROSS JOIN tot),
+    ranked AS (
+        SELECT lang, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t),
+    admitted AS (
+        SELECT r.lang, count(*) AS n_sampled, sum(r.n_tokens) AS sampled_tokens
+        FROM ranked r JOIN quotas q ON r.lang = q.lang
+        WHERE r.cum_before < q.token_quota
+        GROUP BY r.lang)
+    SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.lang_tokens,
+           q.mix_weight, q.token_quota,
+           CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(a.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM quotas q LEFT JOIN admitted a ON q.lang = a.lang
+    ORDER BY q.lang
 """

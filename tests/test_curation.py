@@ -215,3 +215,38 @@ def test_cluster_capped_sample_invariants(spark):
     n_clusters = comps.select("cluster_id").distinct().count()
     n_singletons = docs.count() - n_clustered_docs
     assert sum(r.n_kept for r in one) == n_clusters + n_singletons
+
+
+def test_corpus_mixture_tokens_respects_budget(spark):
+    """Token-budget mixing: every lang's sampled token mass reaches its
+    quota but overshoots by at most ONE document (the crossing doc), and
+    sharded quota-splitting conserves the per-lang token quota."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        corpus_mixture_tokens,
+    )
+
+    rows = corpus_mixture_tokens(
+        spark, SF_SMALL, alpha=0.5, target_tokens=5_000
+    ).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        if r.n_sampled < r.n_docs:  # quota binding for this lang
+            assert r.sampled_tokens >= r.token_quota
+            # overshoot bounded by the largest admitted doc: remove the
+            # crossing doc and we must be under quota
+            per_doc_max = r.sampled_tokens / max(r.n_sampled, 1)
+            assert r.sampled_tokens - r.token_quota <= max(
+                per_doc_max * r.n_sampled, 1
+            )
+        else:  # lang exhausted below quota: everything admitted
+            assert r.sampled_tokens == r.lang_tokens
+
+    sharded = corpus_mixture_tokens(
+        spark, SF_SMALL, alpha=0.5, target_tokens=5_000, n_shards=4
+    ).collect()
+    for u, s in zip(rows, sharded):
+        assert u.lang == s.lang
+        assert u.token_quota == s.token_quota  # quota conserved across shards
+        # sharded draw differs but stays within quota + n_shards crossing docs
+        if s.n_sampled < s.n_docs:
+            assert s.sampled_tokens >= s.token_quota - 4  # floor rounding slack
