@@ -282,3 +282,71 @@ def test_pack_sequences_matches_brute_force(spark, rows, budget):
     sharded = pack_sequences_for(df, budget=budget, n_shards=3).collect()
     assert sum(r.n_tokens for r in sharded) == sum(v[1] for v in want.values())
     assert sum(r.n_docs for r in sharded) == sum(v[0] for v in want.values())
+
+
+_span_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # doc_id (unique-ified below)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _brute_force_span_dedup(docs, width):
+    """Reference implementation: segment, global keep-first by
+    (doc_id, seg_no), reassemble."""
+    segs = []  # (doc_id, seg_no, span)
+    for doc_id, toks in docs:
+        for s in range(0, max(len(toks), 1), width):
+            segs.append((doc_id, s // width, " ".join(toks[s : s + width])))
+    first = {}
+    for doc_id, seg_no, span in sorted(segs):
+        first.setdefault(span, (doc_id, seg_no))
+    out = {}
+    for doc_id, toks in docs:
+        kept, dropped, total = [], 0, 0
+        for s in range(0, max(len(toks), 1), width):
+            span = " ".join(toks[s : s + width])
+            total += 1
+            if first[span] == (doc_id, s // width):
+                kept.append(span)
+            elif len([1 for d2, s2, sp2 in segs if sp2 == span]) == 1:
+                kept.append(span)  # unique span (can't happen: unique => first)
+            else:
+                dropped += 1
+        out[doc_id] = (total, dropped, " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_span_docs, width=st.sampled_from([2, 3, 8]))
+def test_remove_duplicate_spans_matches_brute_force(spark, docs, width):
+    """Randomized spans over a tiny alphabet force heavy duplication —
+    keep-first, drop counts, and the rebuilt text must match the
+    reference implementation exactly."""
+    from project_bigdata_recsys_spark.functions.spans import (
+        remove_duplicate_spans,
+    )
+
+    # unique-ify doc ids, keep hypothesis's ordering adversarial
+    uniq = {}
+    for doc_id, toks in docs:
+        while doc_id in uniq:
+            doc_id += 10
+        uniq[doc_id] = toks
+    data = [(d, " ".join(t)) for d, t in uniq.items()]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_dropped, r.text_kept)
+        for r in remove_duplicate_spans(df, width=width).collect()
+    }
+    want = _brute_force_span_dedup(list(uniq.items()), width)
+    assert got == want
