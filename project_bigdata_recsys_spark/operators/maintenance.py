@@ -92,3 +92,34 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(dst_dir)
     )
+
+
+def export_shuffled(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    key_col: str,
+) -> None:
+    """Write ``df`` in ONE deterministic global pseudo-random order —
+    the trainer-facing export step: pretraining wants the corpus
+    shuffled, reproducibly, without any engine RNG.
+
+    Order = md5(key) lexicographic (uniform, data-derived, identical on
+    every rerun and engine).  repartitionByRange(n_files, shuffle_key) +
+    sortWithinPartitions gives each output file a DISJOINT, ordered
+    md5-range — so reading files in name order replays the one global
+    permutation, and re-sharding to a different n_files preserves it.
+    No single-partition global sort anywhere: the range exchange is the
+    same distributed recipe as with_exact_percent_rank.
+
+    Asserted in tests via pyarrow footers (disjoint ordered ranges),
+    row identity, and byte-identical re-runs."""
+    keyed = df.withColumn(
+        "__shuffle_key", F.md5(F.col(key_col).cast("string"))
+    )
+    (
+        keyed.repartitionByRange(n_files, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

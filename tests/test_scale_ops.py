@@ -342,3 +342,45 @@ def test_zorder_narrows_both_column_spans(spark, tmp_path):
     assert mean_span(lin_dir, "b") > 40
     assert mean_span(z_dir, "b") < mean_span(lin_dir, "b") / 2
     assert mean_span(z_dir, "a") < 64
+
+
+def test_export_shuffled_deterministic_disjoint_ranges(spark, tmp_path):
+    """Shuffled export: files hold disjoint, ordered md5-key ranges
+    (pyarrow footer proof), rows are conserved, and the global order is
+    identical across reruns."""
+    import pyarrow.parquet as pq
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.maintenance import export_shuffled
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    export_shuffled(docs, out1, n_files=4, key_col="doc_id")
+    export_shuffled(docs, out2, n_files=4, key_col="doc_id")
+
+    import glob
+
+    files = sorted(glob.glob(out1 + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        schema_names = [md.schema.column(i).name for i in range(len(md.schema))]
+        ki = schema_names.index("__shuffle_key")
+        mins = min(md.row_group(g).column(ki).statistics.min for g in range(md.num_row_groups))
+        maxs = max(md.row_group(g).column(ki).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    assert total == docs.count()
+    # files sorted by name must cover ordered disjoint ranges... but part
+    # file naming order need not match range order — sort by range instead
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {hi1} vs {lo2}"
+
+    # rerun is byte-identical in content: same rows in the same global order
+    a = spark.read.parquet(out1).orderBy("__shuffle_key").collect()
+    b = spark.read.parquet(out2).orderBy("__shuffle_key").collect()
+    assert a == b
