@@ -41,14 +41,20 @@ from project_bigdata_recsys_spark.catalog import load_table
 DEFAULT_SPAN_TOKENS = 8
 
 
-def span_segments(docs: DataFrame, width: int = DEFAULT_SPAN_TOKENS) -> DataFrame:
+def span_segments(
+    docs: DataFrame,
+    width: int = DEFAULT_SPAN_TOKENS,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode documents into non-overlapping ``width``-token spans.
 
-    Returns (doc_id, seg_no, span) with seg_no 0-based.  The trailing
-    partial span (fewer than ``width`` tokens) is KEPT — dropping it
-    would let duplicated tails slip through — and hashes like any other
-    span.  Pure column expressions; the oracle replicates with DuckDB
-    list slicing."""
+    Returns (doc_id, *carry, seg_no, span) with seg_no 0-based.  The
+    trailing partial span (fewer than ``width`` tokens) is KEPT —
+    dropping it would let duplicated tails slip through — and hashes
+    like any other span.  Pure column expressions; the oracle replicates
+    with DuckDB list slicing.  ``carry`` threads extra columns through
+    (streaming consumers can't re-join them: a second projection of the
+    same source would make it a stream-stream join)."""
     toks = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(toks) / F.lit(width)).cast("int")
     seg_nos = F.sequence(F.lit(0), n_seg - 1)
@@ -57,7 +63,7 @@ def span_segments(docs: DataFrame, width: int = DEFAULT_SPAN_TOKENS) -> DataFram
         lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
     )
     return docs.select(
-        "doc_id", F.posexplode(spans).alias("seg_no", "span")
+        "doc_id", *carry, F.posexplode(spans).alias("seg_no", "span")
     )
 
 

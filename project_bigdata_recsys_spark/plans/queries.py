@@ -222,6 +222,7 @@ QUERIES: dict[str, QueryFn] = {
     "entropy_profile": text.entropy_profile,
     "item_pmi": graph.item_pmi,
     "corpus_mixture_tokens": curation.corpus_mixture_tokens,
+    "stream_span_dedup": replay.stream_span_dedup,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3089,3 +3090,42 @@ ORACLES["corpus_mixture_tokens"] = """
     FROM quotas q LEFT JOIN admitted a ON q.lang = a.lang
     ORDER BY q.lang
 """
+
+def _stream_span_dedup_oracle() -> str:
+    """SQL twin of streaming.replay.stream_span_dedup: the planted batch
+    segmented with the span arithmetic, classified per span against the
+    corpus span-key set (stream ≡ batch for a full bounded replay)."""
+    from project_bigdata_recsys_spark.functions.dedup import _DRIFT_SUFFIX
+
+    return f"""
+        WITH batch AS (
+            SELECT doc_id + 3000000 AS doc_id, text, lang
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, text || '{_DRIFT_SUFFIX}', lang
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id + 3000000, 'fresh doc ' || CAST(doc_id AS VARCHAR), lang
+            FROM documents WHERE doc_id % 10 = 7),
+        corpus_h AS (
+            SELECT DISTINCT substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h
+            FROM (SELECT ts, unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+                  FROM (SELECT string_split(text, ' ') AS ts FROM documents))),
+        bsegs AS (
+            SELECT lang,
+                   substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h
+            FROM (SELECT lang, ts, unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+                  FROM (SELECT lang, string_split(text, ' ') AS ts FROM batch)))
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_corpus,
+               CAST(sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_not_in_corpus
+        FROM bsegs b LEFT JOIN corpus_h c ON c.h = b.h
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+ORACLES["stream_span_dedup"] = _stream_span_dedup_oracle()

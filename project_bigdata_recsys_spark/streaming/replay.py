@@ -308,3 +308,58 @@ def stream_trending_items(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
         .filter(F.col("rnk") <= k)
         .orderBy("window_start", "rnk")
     )
+
+
+def stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level ingest dedup as a STREAM: the planted batch replays as
+    a file stream, each micro-batch is segmented into 8-token spans
+    (pure JVM projections — segmentation streams fine), and spans are
+    classified against the PERSISTED corpus span index
+    (functions.spans.build_span_index) via one stream-static left_outer
+    join.  The per-lang span counts after a full bounded replay must
+    equal the batch probe's dup-vs-corpus split — the streaming half of
+    the span_dedup_incremental gate.
+
+    (Intra-batch keep-first needs cross-row state and lives in the batch
+    probe; the streaming stage answers the per-span corpus-membership
+    question, which is the hot-path filter on an ingest firehose.)"""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import planted_ingest_batch
+    from project_bigdata_recsys_spark.functions.spans import (
+        build_span_index,
+        span_hash,
+        span_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    work = tempfile.mkdtemp(prefix="spark_stream_span_")
+    batch_dir = os.path.join(work, "batch")
+    index_dir = os.path.join(work, "span_index")
+    planted_ingest_batch(docs).write.parquet(batch_dir)
+    build_span_index(spark, sf_dir, index_dir)
+
+    schema = spark.read.parquet(batch_dir).schema
+    stream = spark.readStream.schema(schema).parquet(batch_dir)
+    idx = (
+        spark.read.parquet(index_dir)
+        .select("h")
+        .withColumn("in_corpus", F.lit(1))
+    )
+    segs = span_segments(
+        stream.select("doc_id", "lang", "text"), carry=("lang",)
+    ).withColumn("h", span_hash(F.col("span")))
+    classified = (
+        segs.join(idx, "h", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_corpus"),
+            F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_not_in_corpus"),
+        )
+    )
+    table = _run_replay(classified, spark, "complete")
+    return table.orderBy("lang")
