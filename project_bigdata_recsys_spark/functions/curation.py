@@ -601,3 +601,58 @@ def corpus_mixture_tokens(
         )
         .orderBy("lang")
     )
+
+
+def augment_token_dropout(
+    spark: SparkSession,
+    sf_dir: str,
+    drop_prob: float = 0.15,
+) -> DataFrame:
+    """Deterministic data augmentation: per-token dropout keyed on
+    md5(doc_id:position) — the contrastive-pair / denoising-objective
+    prep step (each document yields a corrupted view whose corruption is
+    reproducible across runs and engines, unlike F.rand views that
+    change under every retry/speculative re-execution — determinism here
+    is a CORRECTNESS property, not a convenience, because a re-run task
+    must emit the identical augmented row).
+
+    One projection: positions via ``transform`` over the token array,
+    kept tokens re-joined JVM-side.  Output anchors the pair: token
+    counts and both fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # per-position uniform: md5(doc_id ':' pos) first-8-hex / 2^32
+    did = F.col("doc_id").cast("string")
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("tok"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(did, F.lit(":"), i.cast("string"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(4294967296.0)
+                ).alias("u"),
+            ),
+        ),
+        lambda s: s["u"] >= drop_prob,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.sha2(F.col("text"), 256).alias("orig_sha"),
+            F.sha2(
+                F.array_join(F.transform(kept, lambda s: s["tok"]), " "), 256
+            ).alias("aug_sha"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

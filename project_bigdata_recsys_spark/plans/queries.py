@@ -223,6 +223,7 @@ QUERIES: dict[str, QueryFn] = {
     "item_pmi": graph.item_pmi,
     "corpus_mixture_tokens": curation.corpus_mixture_tokens,
     "stream_span_dedup": replay.stream_span_dedup,
+    "augment_token_dropout": curation.augment_token_dropout,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3129,3 +3130,29 @@ def _stream_span_dedup_oracle() -> str:
 
 
 ORACLES["stream_span_dedup"] = _stream_span_dedup_oracle()
+
+ORACLES["augment_token_dropout"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts, text
+        FROM documents),
+    pos AS (
+        SELECT doc_id, lang, ts, text,
+               unnest(range(1, len(ts) + 1)) AS p
+        FROM toks),
+    scored AS (
+        SELECT doc_id, lang, text, len(ts) AS n_tokens, p, ts[p] AS tok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                   CAST(p - 1 AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM pos)
+    SELECT doc_id, lang,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN u >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sha256(min(text)) AS orig_sha,
+           sha256(coalesce(string_agg(tok, ' ' ORDER BY p)
+                           FILTER (WHERE u >= 0.15), '')) AS aug_sha
+    FROM scored
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+    LIMIT 200
+"""
