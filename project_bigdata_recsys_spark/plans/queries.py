@@ -197,11 +197,15 @@ def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registration order matters: the driver's correctness gate executes the
 # FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
-# driver verification is newest-needed come first.  Round-5 rotation: the
-# two NEW queries lead, then the 53 entries whose last driver evidence is
-# r1/r2 (relational core, TPC-H, windows, setops, text profiles); the 50
-# r3/r4-green entries sit below the window, regression-protected by
-# tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
+# driver verification is newest-needed come first.  Round-5 final order:
+# every query with NO driver evidence yet leads (all operators added this
+# round — span dedup family, pagerank/PMI, snapshot diff, sampling/splits,
+# PQ, SQL surface, streaming additions — verified by the union of
+# CORRECTNESS_r01..r04 keys), then the entries whose last driver evidence
+# is oldest (r1/r2 relational core / TPC-H / windows / setops / text
+# profiles); r3/r4-green entries sit below the window,
+# regression-protected by tests/test_oracle_parity.py (same oracles,
+# sf0.001) every test run.
 # The ~5 entries past position 50 rotate into the next round's window.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (second session): span-level dedup ---------------
