@@ -1084,3 +1084,112 @@ def pq_knn(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> None:
+    """Persist the PQ index: codebook/ (m, code, c_sub — KBs) and
+    codes/ (vec_id, m, code — ~m_sub small ints per vector).  Encode
+    ONCE per corpus version; every query then reads codes, never raw
+    vectors, until its final rerank.  At 100 TB the codes relation is
+    ~1000x smaller than the embeddings it summarizes — the scan that
+    replaces the brute-force scan."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d // m_sub
+    book = pq_codebook(emb, m_sub, k_codes, sub_dim)
+    book.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    stored_book = spark.read.parquet(f"{index_dir}/codebook")
+
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    vec_subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                subs,
+                lambda m: F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+            )
+        ).alias("m", "v_sub"),
+    )
+    d2 = (
+        dot(F.col("v_sub"), F.col("v_sub"))
+        - 2 * dot(F.col("v_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    w_best = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(d2, 9).asc(), F.col("code").asc()
+    )
+    (
+        vec_subs.join(F.broadcast(stored_book), "m")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def query_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Probe the persisted PQ index: broadcast ADC table from the stored
+    codebook, shortlist over the stored codes (no raw-vector scan),
+    exact rerank on the shortlist only.  Row-identical to the inline
+    pq_knn by construction (test-pinned)."""
+    book = spark.read.parquet(f"{index_dir}/codebook")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_sub = book.agg(F.max("m")).head()[0] + 1
+    sub_dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d // m_sub
+
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    q_subs = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.posexplode(
+            F.transform(
+                subs,
+                lambda m: F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+            )
+        ).alias("m", "q_sub")
+    )
+    adc = q_subs.join(book, "m").select(
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(rerank_factor * k)
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(shortlist.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -569,3 +569,19 @@ def test_pq_knn_recall_and_exact_rerank(spark):
     assert recall >= 0.4, f"PQ recall@10 too low: {recall}"
     for vid, sim in approx.items():
         assert abs(exact[vid] - sim) < 1e-6
+
+
+def test_pq_index_probe_matches_inline(spark, tmp_path):
+    """Persisted PQ index probe must be row-identical to the inline
+    pq_knn (same codebook arithmetic, same ADC, same rerank)."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        build_pq_index,
+        pq_knn,
+        query_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF_SMALL, idx)
+    inline = pq_knn(spark, SF_SMALL, k=10).collect()
+    probed = query_pq_index(spark, idx, SF_SMALL, k=10).collect()
+    assert inline == probed
