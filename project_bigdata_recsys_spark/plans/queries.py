@@ -195,6 +195,13 @@ def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.probe_span_index(spark, index_dir, planted_ingest_batch(docs))
 
 
+def _corpus_mixture_tokens_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing in its production form: each lang's token
+    quota split across 4 md5 shards (floor + remainder to low shard ids,
+    conserved exactly), each (lang, shard) filling by local cumsum."""
+    return curation.corpus_mixture_tokens(spark, sf_dir, n_shards=4)
+
+
 # Registration order matters: the driver's correctness gate executes the
 # FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
 # driver verification is newest-needed come first.  Round-5 final order:
@@ -228,6 +235,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_mixture_tokens": curation.corpus_mixture_tokens,
     "stream_span_dedup": replay.stream_span_dedup,
     "augment_token_dropout": curation.augment_token_dropout,
+    "corpus_mixture_tokens_sharded": _corpus_mixture_tokens_sharded,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3159,4 +3167,46 @@ ORACLES["augment_token_dropout"] = """
     GROUP BY doc_id, lang
     ORDER BY doc_id
     LIMIT 200
+"""
+
+ORACLES["corpus_mixture_tokens_sharded"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 4 AS INT) AS shard,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    sizes AS (
+        SELECT lang, sum(n_tokens) AS lang_tokens, count(*) AS n_docs
+        FROM t GROUP BY lang),
+    wts AS (SELECT lang, n_docs, lang_tokens,
+                   pow(lang_tokens, 0.5) AS w_raw FROM sizes),
+    tot AS (SELECT sum(w_raw) AS w_sum FROM wts),
+    quotas AS (
+        SELECT lang, n_docs,
+               CAST(lang_tokens AS BIGINT) AS lang_tokens,
+               round(w_raw / w_sum, 6) AS mix_weight,
+               CAST(round(20000 * w_raw / w_sum, 0) AS BIGINT) AS token_quota
+        FROM wts CROSS JOIN tot),
+    ranked AS (
+        SELECT lang, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t),
+    admitted AS (
+        SELECT r.lang, count(*) AS n_sampled, sum(r.n_tokens) AS sampled_tokens
+        FROM ranked r JOIN quotas q ON r.lang = q.lang
+        WHERE r.cum_before < q.token_quota // 4
+                             + (CASE WHEN r.shard < q.token_quota % 4
+                                THEN 1 ELSE 0 END)
+        GROUP BY r.lang)
+    SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.lang_tokens,
+           q.mix_weight, q.token_quota,
+           CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(a.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM quotas q LEFT JOIN admitted a ON q.lang = a.lang
+    ORDER BY q.lang
 """

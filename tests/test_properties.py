@@ -350,3 +350,63 @@ def test_remove_duplicate_spans_matches_brute_force(spark, docs, width):
     }
     want = _brute_force_span_dedup(list(uniq.items()), width)
     assert got == want
+
+
+_pr_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _brute_force_pagerank(edge_list, damping=0.85, iters=3):
+    """Straight-line reference: symmetric unit edges collapsed to
+    weights, same fixed-iteration recurrence as functions.graph.pagerank."""
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    for a, b in edge_list:
+        w[(a, b)] += 1.0
+        w[(b, a)] += 1.0
+    nodes = sorted({x for e in w for x in e})
+    n = len(nodes)
+    out_w = defaultdict(float)
+    for (s, _d), wt in w.items():
+        out_w[s] += wt
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inflow = defaultdict(float)
+        for (s, d), wt in w.items():
+            inflow[d] += rank[s] * wt / out_w[s]
+        rank = {v: (1 - damping) / n + damping * inflow[v] for v in nodes}
+    return rank
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_list=_pr_edges)
+def test_pagerank_matches_brute_force(spark, edge_list):
+    from collections import defaultdict
+
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.functions.graph import pagerank
+
+    w = defaultdict(float)
+    for a, b in edge_list:
+        w[(a, b)] += 1.0
+        w[(b, a)] += 1.0
+    edges = spark.createDataFrame(
+        [(s, d, wt) for (s, d), wt in w.items()], "src long, dst long, w double"
+    )
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    release_tracked()
+    want = _brute_force_pagerank(edge_list)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
