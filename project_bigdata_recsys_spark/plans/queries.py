@@ -195,6 +195,15 @@ def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.probe_span_index(spark, index_dir, planted_ingest_batch(docs))
 
 
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSONL ingest under driver evidence: documents → JSONL
+    sink (+injected corrupt shard) → tolerant re-scan → per-lang profile
+    must equal the oracle's profile over the original parquet."""
+    from project_bigdata_recsys_spark.sources.ingest import jsonl_roundtrip_query
+
+    return jsonl_roundtrip_query(spark, sf_dir)
+
+
 def _corpus_mixture_tokens_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixing in its production form: each lang's token
     quota split across 4 md5 shards (floor + remainder to low shard ids,
@@ -236,6 +245,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_span_dedup": replay.stream_span_dedup,
     "augment_token_dropout": curation.augment_token_dropout,
     "corpus_mixture_tokens_sharded": _corpus_mixture_tokens_sharded,
+    "jsonl_roundtrip_ingest": _jsonl_roundtrip,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3209,4 +3219,13 @@ ORACLES["corpus_mixture_tokens_sharded"] = """
            CAST(coalesce(a.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
     FROM quotas q LEFT JOIN admitted a ON q.lang = a.lang
     ORDER BY q.lang
+"""
+
+ORACLES["jsonl_roundtrip_ingest"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
 """

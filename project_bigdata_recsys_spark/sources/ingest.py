@@ -235,3 +235,58 @@ def mutate_with_noise(
         label_col,
         F.when(in_sample & flip, 1 - F.col(label_col)).otherwise(F.col(label_col)),
     )
+
+
+def read_jsonl_tolerant(
+    spark: SparkSession, path: str, schema, pk_cols: list[str]
+) -> DataFrame:
+    """Tolerant JSONL scan — the corpus-ingest format training pipelines
+    actually receive (one JSON doc per line, from crawlers and vendor
+    dumps, with a reliable fraction of truncated/corrupt lines).  Same
+    contract as read_csv_tolerant: PERMISSIVE parse (bad field → NULL,
+    corrupt line → all-NULL row), then rows with NULL PKs drop.  The
+    explicit schema keeps ingestion one pass — inferSchema on JSON is a
+    full extra scan of 100 TB."""
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .schema(schema)
+        .json(path)
+    )
+    cond = None
+    for c in pk_cols:
+        this = F.col(c).isNotNull()
+        cond = this if cond is None else (cond & this)
+    return df.filter(cond)
+
+
+def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable JSONL ingest exercise: snapshot ``documents`` to
+    a JSONL sink, inject corrupt lines (truncated JSON, wrong types,
+    missing PK), re-scan tolerantly, and profile per lang.  The injected
+    rows must all be coerced/dropped, so the per-lang counts equal the
+    oracle's counts over the original parquet."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = os.path.join(tempfile.mkdtemp(prefix="spark_jsonl_"), "docs_jsonl")
+    docs.write.mode("overwrite").json(snap)
+
+    bad_lines = [
+        '{"doc_id": 1, "text": "truncated...',          # corrupt JSON
+        '{"doc_id": null, "text": "no pk", "lang": "en"}',  # NULL PK
+        '{"text": "missing pk entirely", "lang": "en"}',    # absent PK
+        '{"doc_id": "NaN-ish", "text": "bad type", "lang": "en"}',  # wrong type
+    ]
+    with open(os.path.join(snap, "part-99999-malformed.json"), "w") as fh:
+        fh.write("\n".join(bad_lines) + "\n")
+
+    clean = read_jsonl_tolerant(spark, snap, docs.schema, pk_cols=["doc_id"])
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -125,3 +125,29 @@ def test_documents_ascii_so_video_oracle_valid(spark):
         | (F.length("text") < 4)
     ).count()
     assert bad == 0
+
+
+def test_read_jsonl_tolerant_drops_corrupt_and_bad_pk(spark, tmp_path):
+    """Corrupt JSON lines and NULL/absent/mistyped PKs must drop; good
+    rows survive with bad FIELDS (not PKs) coerced to NULL."""
+    from project_bigdata_recsys_spark.sources.ingest import read_jsonl_tolerant
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good", "lang": "en"}',
+                '{"doc_id": 2, "text": 42, "lang": "en"}',   # bad field type
+                '{"doc_id": 3, "text": "trunc',               # corrupt line
+                '{"doc_id": null, "text": "no pk"}',          # NULL PK
+                '{"text": "absent pk"}',                      # missing PK
+            ]
+        )
+        + "\n"
+    )
+    schema = "doc_id long, text string, lang string"
+    out = {r.doc_id: r for r in read_jsonl_tolerant(spark, str(p), schema, ["doc_id"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text == "good"
+    assert out[2].text == "42"  # JSON number stringified, row kept (PK intact)
