@@ -640,3 +640,29 @@ def paginated_orders(spark: SparkSession, sf_dir: str, page: int = 3, size: int 
         .offset(page * size)
         .limit(size)
     )
+
+
+def variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    access — at 100 TB this beats per-access ``get_json_object`` (the
+    json_extraction query's shape), which re-parses the JSON STRING for
+    every extracted field.  One parse, N typed reads.
+
+    Profiles the numeric payload key per event_type; the DuckDB oracle
+    does the same with its JSON extraction."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -246,6 +246,7 @@ QUERIES: dict[str, QueryFn] = {
     "augment_token_dropout": curation.augment_token_dropout,
     "corpus_mixture_tokens_sharded": _corpus_mixture_tokens_sharded,
     "jsonl_roundtrip_ingest": _jsonl_roundtrip,
+    "variant_extraction": relational.variant_extraction,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3228,4 +3229,16 @@ ORACLES["jsonl_roundtrip_ingest"] = """
     FROM documents
     GROUP BY lang
     ORDER BY lang
+"""
+
+ORACLES["variant_extraction"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CAST(props::JSON ->> 'k' AS INTEGER)) AS BIGINT) AS n_with_k,
+           round(avg(CAST(props::JSON ->> 'k' AS INTEGER)), 4) AS avg_k,
+           CAST(min(CAST(props::JSON ->> 'k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(props::JSON ->> 'k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
 """
