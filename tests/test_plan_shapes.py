@@ -260,3 +260,55 @@ def test_sql_correlated_scalar_decorrelates_to_aggregate_join(spark):
     plan = _physical(sqlsurface.sql_cheapest_supplier(spark, SF_SMALL))
     assert "partial_min" in plan  # decorrelated aggregate, map-side combined
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Spark 4 injects a runtime bloom filter from the selective (build)
+    side of a shuffle join into the probe side's scan — at 100 TB this
+    self-activates (10 GB application-side threshold, on by default) and
+    prunes probe rows before the shuffle.  Forced on here by zeroing the
+    threshold; results must match the unfiltered join exactly."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" in _optimized(j)
+        got = j.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    want = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .join(
+            load_table(spark, SF_SMALL, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
