@@ -97,3 +97,76 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+def cdc_current_view(
+    changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str
+) -> DataFrame:
+    """Merge-on-read CDC apply: collapse an insert/update/delete changelog
+    to the current state — latest ``seq_col`` wins per PK, and a winning
+    'D' op removes the key.  The lakehouse current-view pattern without a
+    table format: the reference runs in-place Postgres UPDATEs
+    (scripts/modify_training_data.py:60-101); at warehouse scale the
+    changelog is append-only and the view is this one window.
+
+    Shape: one PK-partitioned window (keys are data-cardinality — no fat
+    partitions), no joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", op_col, seq_col)
+    )
+
+
+def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: deterministic changelog over orders (seq 0 = base
+    insert; md5-chosen updates at seq 1 bumping price 1%; md5-chosen
+    deletes at seq 2) collapsed to the current view, profiled per
+    status.  All draws are md5-uniforms on the PK, so the oracle
+    replays the changelog exactly."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    updates = (
+        orders.filter(hash_uniform(key, "cdc-upd:") < 0.05)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.01, 2).alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    deletes = (
+        orders.filter(hash_uniform(key, "cdc-del:") < 0.02)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(2).alias("seq"),
+            F.lit("D").alias("op"),
+        )
+    )
+    changelog = base.unionByName(updates).unionByName(deletes)
+    current = cdc_current_view(changelog, ["o_orderkey"], "seq", "op")
+    return (
+        current.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

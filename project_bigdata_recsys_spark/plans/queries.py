@@ -247,6 +247,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_mixture_tokens_sharded": _corpus_mixture_tokens_sharded,
     "jsonl_roundtrip_ingest": _jsonl_roundtrip,
     "variant_extraction": relational.variant_extraction,
+    "cdc_current_view": snapshot.cdc_orders_profile,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3241,4 +3242,26 @@ ORACLES["variant_extraction"] = """
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+ORACLES["cdc_current_view"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ('0x' || substr(md5('cdc-upd:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_upd,
+               ('0x' || substr(md5('cdc-del:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_del
+        FROM orders),
+    current_state AS (
+        -- deletes win (seq 2), then updates (seq 1), else base (seq 0)
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN u_upd < 0.05 THEN round(o_totalprice * 1.01, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE u_del >= 0.02)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM current_state
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """

@@ -129,3 +129,23 @@ def test_group_quantile_threshold_exact(spark):
         for r in group_quantile_threshold(df, "g", "score", 0.75).collect()
     }
     assert thr75["a"] == 2.0
+
+
+def test_cdc_current_view_applies_ops_in_sequence(spark):
+    """Latest seq wins per key; a winning delete removes the key; an
+    older delete superseded by a newer upsert resurrects it."""
+    from project_bigdata_recsys_spark.operators.snapshot import cdc_current_view
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 0, "I"),
+            (1, "a2", 1, "U"),   # key 1: final value a2
+            (2, "b", 0, "I"),
+            (2, "b", 1, "D"),    # key 2: deleted
+            (3, "c", 0, "D"),
+            (3, "c3", 1, "I"),   # key 3: delete superseded -> c3
+        ],
+        "id long, v string, seq int, op string",
+    )
+    out = {r.id: r.v for r in cdc_current_view(changes, ["id"], "seq", "op").collect()}
+    assert out == {1: "a2", 3: "c3"}
