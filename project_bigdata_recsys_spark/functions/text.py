@@ -760,3 +760,35 @@ def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.orderBy(F.asc("entropy"), F.asc("doc_id")).limit(30)
+
+
+def equi_depth_histogram(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 10
+) -> DataFrame:
+    """Exact equi-depth histogram of order totals — the statistic an
+    optimizer (or a data-quality dashboard) wants for a skewed numeric
+    column: every bucket holds the same row count, boundaries fall where
+    the DATA says.  Built on the scalable exact-rank recipe
+    (with_exact_percent_rank — range shuffle + local ranks + broadcast
+    offsets, never a single-partition sort): bucket = floor(pr·n),
+    clamped so pr=1.0 lands in the last bucket."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    ranked = with_exact_percent_rank(orders, ["v", "o_orderkey"])
+    bucket = F.least(
+        F.floor(F.col("pr") * n_buckets), F.lit(n_buckets - 1)
+    ).cast("int")
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+            F.round(F.avg("v"), 4).alias("mean"),
+        )
+        .orderBy("bucket")
+    )

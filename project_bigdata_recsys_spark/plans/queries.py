@@ -248,6 +248,7 @@ QUERIES: dict[str, QueryFn] = {
     "jsonl_roundtrip_ingest": _jsonl_roundtrip,
     "variant_extraction": relational.variant_extraction,
     "cdc_current_view": snapshot.cdc_orders_profile,
+    "equi_depth_histogram": text.equi_depth_histogram,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3264,4 +3265,22 @@ ORACLES["cdc_current_view"] = """
     FROM current_state
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+ORACLES["equi_depth_histogram"] = """
+    WITH ranked AS (
+        SELECT o_totalprice AS v,
+               percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+        FROM orders),
+    bucketed AS (
+        SELECT v, CAST(least(floor(pr * 10), 9) AS INTEGER) AS bucket
+        FROM ranked)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v), 2) AS lo,
+           round(max(v), 2) AS hi,
+           round(avg(v), 4) AS mean
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
 """
