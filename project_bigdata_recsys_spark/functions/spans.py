@@ -326,3 +326,66 @@ def update_span_index(
         .partitionBy("sb")
         .parquet(index_dir)
     )
+
+
+def span_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = DEFAULT_SPAN_TOKENS,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """N-gram-overlap decontamination — the method eval suites actually
+    need: an eval document is contaminated if a large fraction of its
+    token spans appears ANYWHERE in the training corpus, which catches
+    quotes and partial copies that exact/minhash document fingerprints
+    miss (dedup.contamination_check is the whole-document form).
+
+    Benchmark stand-in: every 17th document re-keyed as the eval set
+    (the contamination_check convention), so each eval doc's spans all
+    exist in train — plus planted fresh docs that must score 0.
+    Mechanism: eval spans left-join the DISTINCT train span-key set
+    (digest-only, the span_dedup shuffle shape), per-doc overlap
+    fraction, flag at ``flag_threshold``.  Per-lang rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    train_h = (
+        span_segments(docs, width)
+        .select(span_hash(F.col("span")).alias("h"))
+        .distinct()
+        .withColumn("in_train", F.lit(True))
+    )
+    evals = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text", "lang"
+    )
+    fresh = docs.filter(F.col("doc_id") % 17 == 1).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(F.lit("unseen eval item "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+    )
+    eval_set = evals.unionByName(fresh)
+    segs = span_segments(eval_set, width, carry=("lang",)).withColumn(
+        "h", span_hash(F.col("span"))
+    )
+    per_doc = (
+        segs.join(train_h, "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("in_train"), 1).otherwise(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "overlap", F.round(F.col("n_hit") / F.col("n_spans"), 4)
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum(F.when(F.col("overlap") >= flag_threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+        )
+        .orderBy("lang")
+    )

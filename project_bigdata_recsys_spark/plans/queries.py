@@ -249,6 +249,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_extraction": relational.variant_extraction,
     "cdc_current_view": snapshot.cdc_orders_profile,
     "equi_depth_histogram": text.equi_depth_histogram,
+    "span_contamination": spans.span_contamination,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3283,4 +3284,40 @@ ORACLES["equi_depth_histogram"] = """
     FROM bucketed
     GROUP BY bucket
     ORDER BY bucket
+"""
+
+ORACLES["span_contamination"] = """
+    WITH train_h AS (
+        SELECT DISTINCT
+               substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h
+        FROM (SELECT ts, unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+              FROM (SELECT string_split(text, ' ') AS ts FROM documents))),
+    eval_set AS (
+        SELECT doc_id + 5000000 AS doc_id, text, lang
+        FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 6000000, 'unseen eval item ' || CAST(doc_id AS VARCHAR), lang
+        FROM documents WHERE doc_id % 17 = 1),
+    esegs AS (
+        SELECT doc_id, lang,
+               substr(md5(array_to_string(ts[seg_no*8+1 : seg_no*8+8], ' ')), 1, 16) AS h
+        FROM (SELECT doc_id, lang, ts,
+                     unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS seg_no
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM eval_set))),
+    per_doc AS (
+        SELECT e.doc_id, e.lang,
+               count(*) AS n_spans,
+               sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM esegs e LEFT JOIN train_h t ON t.h = e.h
+        GROUP BY e.doc_id, e.lang),
+    scored AS (
+        SELECT lang, round(n_hit * 1.0 / n_spans, 4) AS overlap FROM per_doc)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(avg(overlap), 6) AS avg_overlap
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
 """

@@ -177,3 +177,27 @@ def test_update_span_index_empty_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     update_span_index(spark, idx, empty)
     assert spark.read.parquet(idx).count() == before
+
+
+def test_span_contamination_flags_copies_not_fresh(spark):
+    """Eval docs copied from train must flag contaminated (overlap 1.0);
+    planted fresh docs must not (overlap 0) — so n_contaminated equals
+    exactly the copied-doc count per lang."""
+    from pyspark.sql import functions as F2
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.spans import span_contamination
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.lang: r for r in span_contamination(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    copied = {
+        r.lang: r.n
+        for r in docs.filter(F2.col("doc_id") % 17 == 0)
+        .groupBy("lang")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    for lang, r in rows.items():
+        assert r.n_contaminated == copied.get(lang, 0)
+        assert r.n_eval_docs >= r.n_contaminated
