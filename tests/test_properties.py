@@ -410,3 +410,48 @@ def test_pagerank_matches_brute_force(spark, edge_list):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+_diff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # id
+        st.integers(min_value=0, max_value=3),   # payload
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_diff_rows, new=_diff_rows)
+def test_table_diff_matches_brute_force(spark, old, new):
+    from project_bigdata_recsys_spark.operators.snapshot import table_diff
+
+    old_d = {k: v for k, v in old}   # last write wins, like dropDuplicates
+    new_d = {k: v for k, v in new}
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "added"
+        elif k not in new_d:
+            want[k] = "removed"
+        elif old_d[k] != new_d[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    o = spark.createDataFrame(
+        list(old_d.items()) or [(99, 0)], "id long, v long"
+    )
+    n = spark.createDataFrame(
+        list(new_d.items()) or [(99, 0)], "id long, v long"
+    )
+    if not old_d:
+        o = o.limit(0)
+    if not new_d:
+        n = n.limit(0)
+    got = {r.id: r.change_type for r in table_diff(o, n, ["id"], ["v"]).collect()}
+    assert got == want
