@@ -177,9 +177,8 @@ def span_dedup_profile(
 
 # --------------------------------------------------------------------------
 # Incremental span dedup: persisted corpus span index + O(batch) probe
+# (index bucket = first hex byte of the span key -> 256 partitions)
 # --------------------------------------------------------------------------
-#: Partition-bucket count for the span index (first hex byte of the key).
-_SPAN_INDEX_BUCKETS = 256
 
 
 def build_span_index(
