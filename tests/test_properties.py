@@ -455,3 +455,82 @@ def test_table_diff_matches_brute_force(spark, old, new):
         n = n.limit(0)
     got = {r.id: r.change_type for r in table_diff(o, n, ["id"], ["v"]).collect()}
     assert got == want
+
+
+_gq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_gq_rows, q=st.sampled_from([0.1, 0.25, 0.5, 0.9]))
+def test_group_quantile_threshold_matches_brute_force(spark, rows, q):
+    """Histogram-cumsum threshold == min{score : #(<=score) >= q*n} per
+    group, on random ties-heavy distributions."""
+    from project_bigdata_recsys_spark.functions.text import (
+        group_quantile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(s)) for g, s in rows], "g string, score double"
+    )
+    got = {
+        r.g: (r.threshold, r.n_total)
+        for r in group_quantile_threshold(df, "g", "score", q).collect()
+    }
+    want = {}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, s in rows:
+        groups[g].append(float(s))
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        thr = next(v for v in vals if sum(1 for x in vals if x <= v) >= q * n)
+        want[g] = (thr, n)
+    assert got == want
+
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # key
+        st.integers(min_value=0, max_value=9),     # value
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_cdc_ops)
+def test_cdc_current_view_matches_replay(spark, ops):
+    """Latest-seq-wins CDC collapse == sequential replay of the log."""
+    from project_bigdata_recsys_spark.operators.snapshot import cdc_current_view
+
+    changes = spark.createDataFrame(
+        [(k, v, i, op) for i, (k, v, op) in enumerate(ops)],
+        "id long, v long, seq int, op string",
+    )
+    state: dict[int, int] = {}
+    for k, v, op in ops:  # replay in seq order (enumeration order)
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    got = {r.id: r.v for r in cdc_current_view(changes, ["id"], "seq", "op").collect()}
+    assert got == state
