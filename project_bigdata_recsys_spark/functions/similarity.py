@@ -1193,3 +1193,97 @@ def query_pq_index(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def pq_multi_query(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Batched PQ retrieval: many queries against the code relation in
+    one pass — ADC tables for ALL queries form one broadcast
+    (n_queries × m_sub × k_codes rows, still KBs), the code scan is
+    shared, per-query shortlists come from one window, and the exact
+    rerank touches only rerank_factor × k raw vectors PER QUERY.  The
+    production retrieval shape: the corpus is scanned once as codes no
+    matter how many queries ride along."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d // m_sub
+    book = pq_codebook(emb, m_sub, k_codes, sub_dim)
+
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    split_subs = lambda col: F.posexplode(  # noqa: E731
+        F.transform(subs, lambda m: F.slice(col, m * sub_dim + 1, sub_dim))
+    )
+    vec_subs = emb.select("vec_id", split_subs(F.col("embedding")).alias("m", "v_sub"))
+    d2 = (
+        dot(F.col("v_sub"), F.col("v_sub"))
+        - 2 * dot(F.col("v_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    w_best = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(d2, 9).asc(), F.col("code").asc()
+    )
+    codes = (
+        vec_subs.join(F.broadcast(book), "m")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    queries_df = emb.filter(F.col("vec_id") < n_queries)
+    q_subs = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        split_subs(F.col("embedding")).alias("m", "q_sub"),
+    )
+    adc = q_subs.join(book, "m").select(
+        "query_id",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= rerank_factor * k)
+        .select("query_id", "vec_id")
+    )
+    q_emb = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    reranked = (
+        emb.join(shortlist, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -250,6 +250,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_current_view": snapshot.cdc_orders_profile,
     "equi_depth_histogram": text.equi_depth_histogram,
     "span_contamination": spans.span_contamination,
+    "knn_pq_multi": similarity.pq_multi_query,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3321,3 +3322,90 @@ ORACLES["span_contamination"] = """
     GROUP BY lang
     ORDER BY lang
 """
+
+def _pq_multi_oracle(
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    sub_dim: int = 8,
+    rerank_factor: int = 4,
+) -> str:
+    """SQL twin of similarity.pq_multi_query: shared codes, per-query ADC
+    tables, windowed shortlists, exact rerank."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        seeds AS (
+            SELECT vec_id AS seed_id, e AS s_emb FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+        coded AS (
+            SELECT s_emb,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(seed_id AS VARCHAR)), seed_id) AS INTEGER)
+                       AS code
+            FROM seeds),
+        book AS (
+            SELECT code, CAST(mm AS INTEGER) AS m, s_emb[{lo} : {w}] AS c_sub
+            FROM (SELECT code, s_emb, unnest(range(0, {m_sub})) AS mm FROM coded)),
+        vec_subs AS (
+            SELECT vec_id, CAST(mm AS INTEGER) AS m, e[{lo} : {w}] AS v_sub
+            FROM (SELECT vec_id, e, unnest(range(0, {m_sub})) AS mm FROM emb)),
+        dists AS (
+            SELECT vec_id, m, code,
+                   round(list_dot_product(v_sub, v_sub)
+                         - 2 * list_dot_product(v_sub, c_sub)
+                         + list_dot_product(c_sub, c_sub), 9) AS d2
+            FROM vec_subs JOIN book USING (m)),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM dists)
+            WHERE rn = 1),
+        qsub AS (
+            SELECT vec_id AS query_id, CAST(mm AS INTEGER) AS m,
+                   e[{lo} : {w}] AS q_sub
+            FROM (SELECT vec_id, e, unnest(range(0, {m_sub})) AS mm
+                  FROM emb WHERE vec_id < {n_queries})),
+        adc AS (
+            SELECT query_id, m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM qsub JOIN book USING (m)),
+        approx AS (
+            SELECT a.query_id, c.vec_id, round(sum(a.d2), 6) AS approx_d2
+            FROM codes c JOIN adc a USING (m, code)
+            WHERE c.vec_id <> a.query_id
+            GROUP BY a.query_id, c.vec_id),
+        short AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_d2, vec_id) AS srn
+                FROM approx)
+            WHERE srn <= {rerank_factor * k}),
+        qe AS (SELECT vec_id AS query_id, e AS q_emb FROM emb
+               WHERE vec_id < {n_queries}),
+        rer AS (
+            SELECT s.query_id, e.vec_id, e.label,
+                   round(list_dot_product(e.e, qe.q_emb)
+                         / (sqrt(list_dot_product(e.e, e.e))
+                            * sqrt(list_dot_product(qe.q_emb, qe.q_emb))), 6)
+                       AS cos_sim
+            FROM short s
+            JOIN emb e ON e.vec_id = s.vec_id
+            JOIN qe ON qe.query_id = s.query_id)
+        SELECT query_id, vec_id, label, cos_sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM rer)
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+ORACLES["knn_pq_multi"] = _pq_multi_oracle()
