@@ -148,3 +148,51 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("check", F.col("violations").cast("long").alias("violations"))
         .orderBy("check")
     )
+
+
+def analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE pass — the stats a
+    cost-based optimizer (or a data catalog) keeps per column: exact
+    distinct count, null fraction, min/max.  All columns' aggregates
+    ride in a single job over one scan (count_distinct per column is
+    partial-aggregated), then unpivot to one row per column; no
+    per-column re-scan, which is the naive ANALYZE trap at 100 TB.
+
+    Values are stringified so heterogeneous column types share one
+    output schema — the catalog-table convention."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            # min/max on the NATIVE type, stringified after — a min over
+            # casted strings would be lexicographic ("10" < "9")
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.count(F.lit(1)).alias(f"{c}__n"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__ndv").cast("long").alias("ndv"),
+                        F.round(
+                            F.col(f"{c}__nulls") / F.col(f"{c}__n"), 6
+                        ).alias("null_frac"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*").orderBy("column")

@@ -251,6 +251,7 @@ QUERIES: dict[str, QueryFn] = {
     "equi_depth_histogram": text.equi_depth_histogram,
     "span_contamination": spans.span_contamination,
     "knn_pq_multi": similarity.pq_multi_query,
+    "analyze_table": quality.analyze_table,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3409,3 +3410,22 @@ def _pq_multi_oracle(
 
 
 ORACLES["knn_pq_multi"] = _pq_multi_oracle()
+
+def _analyze_table_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    parts = [
+        f"""
+        SELECT '{c}' AS "column",
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+               round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS null_frac,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+ORACLES["analyze_table"] = _analyze_table_oracle()
