@@ -190,3 +190,86 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str, max_offset: int = 6) -> DataFrame:
+    """Cohort retention — the warehouse query every product dashboard
+    wants and the reference's SQL cannot express without pandas help:
+    customers grouped by first-order month, tracked for how many return
+    in each subsequent month.
+
+    Shape: first-order month per customer is one aggregate; activity
+    months are one distinct projection; retention is ONE broadcast-less
+    equi-join on customer followed by a (cohort, offset) count — no
+    window over the whole fact table, no per-cohort re-scan.  Offsets
+    cap at ``max_offset`` to bound the output, not the computation."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    cohort = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(month).alias("cohort_month"))
+    )
+    activity = orders.select(
+        "o_custkey", month.alias("active_month")
+    ).distinct()
+    offset = F.round(
+        F.months_between(F.col("active_month"), F.col("cohort_month"))
+    ).cast("int")
+    joined = activity.join(cohort, "o_custkey").select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        offset.alias("month_offset"),
+    )
+    return (
+        joined.filter(F.col("month_offset") <= max_offset)
+        .groupBy("cohort", "month_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort", "month_offset")
+        .limit(500)
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, did a
+    view happen, then a click AFTER it, then a purchase AFTER that?
+    The product-analytics primitive (strictly ordered steps — a
+    purchase before the first view must NOT count).
+
+    Shape: one conditional aggregate per user computes the first view
+    ts, the first click after it, and the first purchase after that —
+    min(CASE) chains, no self-joins, no windows; then one global rollup
+    counts each stage.  Funnels over 100 TB of events stay a single
+    partial-aggregated groupBy on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    # steps 2 and 3 need the PREVIOUS step's timestamp — join the tiny
+    # per-user frame back and aggregate conditionally on it
+    with_view = events.join(per_user, "user_id")
+    step2 = with_view.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_click"),
+    )
+    with_click = events.join(step2, "user_id")
+    step3 = with_click.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+    return step3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
+    )

@@ -252,6 +252,8 @@ QUERIES: dict[str, QueryFn] = {
     "span_contamination": spans.span_contamination,
     "knn_pq_multi": similarity.pq_multi_query,
     "analyze_table": quality.analyze_table,
+    "cohort_retention": analytics.cohort_retention,
+    "event_funnel": analytics.event_funnel,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3429,3 +3431,45 @@ def _analyze_table_oracle() -> str:
 
 
 ORACLES["analyze_table"] = _analyze_table_oracle()
+
+ORACLES["cohort_retention"] = """
+    WITH cohort AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey),
+    activity AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS active_month
+        FROM orders)
+    SELECT strftime(c.cohort_month, '%Y-%m') AS cohort,
+           CAST(date_diff('month', c.cohort_month, a.active_month) AS INTEGER)
+               AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort c USING (o_custkey)
+    WHERE date_diff('month', c.cohort_month, a.active_month) <= 6
+    GROUP BY 1, 2
+    ORDER BY cohort, month_offset
+    LIMIT 500
+"""
+
+ORACLES["event_funnel"] = """
+    WITH t1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id),
+    t2 AS (
+        SELECT e.user_id, min(t1.t_view) AS t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id),
+    t3 AS (
+        SELECT e.user_id, min(t2.t_view) AS t_view, min(t2.t_click) AS t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM events e JOIN t2 USING (user_id) GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_viewed,
+           CAST(count(t_click) AS BIGINT) AS n_view_click,
+           CAST(count(t_purchase) AS BIGINT) AS n_view_click_purchase
+    FROM t3
+"""
