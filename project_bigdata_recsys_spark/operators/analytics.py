@@ -234,11 +234,12 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The product-analytics primitive (strictly ordered steps — a
     purchase before the first view must NOT count).
 
-    Shape: one conditional aggregate per user computes the first view
-    ts, the first click after it, and the first purchase after that —
-    min(CASE) chains, no self-joins, no windows; then one global rollup
-    counts each stage.  Funnels over 100 TB of events stay a single
-    partial-aggregated groupBy on user_id."""
+    Shape: one conditional min(CASE) aggregate per STAGE — the stage-k
+    pass joins events to the (small, one-row-per-user) stage-k-1 frame
+    on user_id and aggregates, so an N-stage funnel is N user-keyed
+    shuffle joins + aggregates, all partial-aggregated, with no windows
+    and no event-to-event self-join (the quadratic trap).  After the
+    first shuffle every pass is co-partitioned on user_id."""
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
