@@ -274,3 +274,42 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").cast("long").alias("n_view_click"),
         F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quartiles per
+    customer, the classic marketing-warehouse rollup.  Each dimension's
+    quartile comes from an EXACT global percent_rank computed with the
+    distributed range-shuffle recipe (functions.text.with_exact_percent_
+    rank) — three range exchanges, no single-partition window, no ntile
+    over an unkeyed frame.  Quartile = floor(pr·4) clamped; (metric,
+    custkey) total orders make every cut deterministic.  Output: the
+    4×4×4 segment grid with counts and average spend."""
+    from project_bigdata_recsys_spark.functions.text import (
+        with_exact_percent_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    q = lambda col: F.least(F.floor(F.col(col) * 4), F.lit(3)).cast("int")  # noqa: E731
+    r = with_exact_percent_rank(per_cust, ["last_order", "o_custkey"], "pr_r")
+    fq = with_exact_percent_rank(r, ["n_orders", "o_custkey"], "pr_f")
+    m = with_exact_percent_rank(fq, ["spend", "o_custkey"], "pr_m")
+    return (
+        m.select(
+            q("pr_r").alias("r_quartile"),
+            q("pr_f").alias("f_quartile"),
+            q("pr_m").alias("m_quartile"),
+            "spend",
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("spend"), 4).alias("avg_spend"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

@@ -254,6 +254,7 @@ QUERIES: dict[str, QueryFn] = {
     "analyze_table": quality.analyze_table,
     "cohort_retention": analytics.cohort_retention,
     "event_funnel": analytics.event_funnel,
+    "rfm_segments": analytics.rfm_segments,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3472,4 +3473,26 @@ ORACLES["event_funnel"] = """
            CAST(count(t_click) AS BIGINT) AS n_view_click,
            CAST(count(t_purchase) AS BIGINT) AS n_view_click_purchase
     FROM t3
+"""
+
+ORACLES["rfm_segments"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT spend,
+               percent_rank() OVER (ORDER BY last_order, o_custkey) AS pr_r,
+               percent_rank() OVER (ORDER BY n_orders, o_custkey) AS pr_f,
+               percent_rank() OVER (ORDER BY spend, o_custkey) AS pr_m
+        FROM per_cust)
+    SELECT CAST(least(floor(pr_r * 4), 3) AS INTEGER) AS r_quartile,
+           CAST(least(floor(pr_f * 4), 3) AS INTEGER) AS f_quartile,
+           CAST(least(floor(pr_m * 4), 3) AS INTEGER) AS m_quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(spend), 4) AS avg_spend
+    FROM ranked
+    GROUP BY 1, 2, 3
+    ORDER BY r_quartile, f_quartile, m_quartile
 """
