@@ -185,3 +185,79 @@ def item_pmi(spark: SparkSession, sf_dir: str, k: int = 25, min_pairs: int = 3) 
         .orderBy(F.desc("pmi"), F.asc("part_a"), F.asc("part_b"))
         .limit(k)
     )
+
+
+def association_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_cooccur: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Market-basket association rules a→b with support, confidence, and
+    lift — the interpretable candidate-generation layer next to ALS (the
+    reference's KB keeps raw co-occurrence counts only,
+    core-logic/train_module.py:396-405).  Directed rules: confidence
+    P(b|a) = c_ab/c_a is asymmetric, so each unordered co-occurrence
+    yields two rules.
+
+    Same bounded basket self-join as item_pmi; margins and the basket
+    count broadcast; min_cooccur floors the pair count before ranking so
+    singleton-pair noise can't dominate lift."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_cooccur)
+    )
+    rules = half.selectExpr("x AS antecedent", "y AS consequent", "c_ab").unionByName(
+        half.selectExpr("y AS antecedent", "x AS consequent", "c_ab")
+    )
+    margins = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_row = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    return (
+        rules.join(
+            F.broadcast(
+                margins.select(
+                    F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_a")
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                margins.select(
+                    F.col("l_partkey").alias("consequent"), F.col("c").alias("c_b")
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.col("c_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_baskets") * F.col("c_ab") / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("confidence"), F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(k)
+    )

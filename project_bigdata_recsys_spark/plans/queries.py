@@ -255,6 +255,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": analytics.cohort_retention,
     "event_funnel": analytics.event_funnel,
     "rfm_segments": analytics.rfm_segments,
+    "association_rules": graph.association_rules,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3495,4 +3496,32 @@ ORACLES["rfm_segments"] = """
     FROM ranked
     GROUP BY 1, 2, 3
     ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+ORACLES["association_rules"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS c_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3),
+    rules AS (
+        SELECT x AS antecedent, y AS consequent, c_ab FROM half
+        UNION ALL
+        SELECT y AS antecedent, x AS consequent, c_ab FROM half),
+    margins AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY 1),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets
+           FROM basket)
+    SELECT r.antecedent, r.consequent,
+           CAST(r.c_ab AS BIGINT) AS c_ab,
+           round(r.c_ab / nb.n_baskets, 6) AS support,
+           round(r.c_ab * 1.0 / ma.c, 6) AS confidence,
+           round(nb.n_baskets * r.c_ab / (ma.c * mb.c), 6) AS lift
+    FROM rules r
+    JOIN margins ma ON ma.l_partkey = r.antecedent
+    JOIN margins mb ON mb.l_partkey = r.consequent
+    CROSS JOIN nb
+    ORDER BY confidence DESC, lift DESC, r.antecedent, r.consequent
+    LIMIT 25
 """
