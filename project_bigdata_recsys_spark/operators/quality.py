@@ -196,3 +196,54 @@ def analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*").orderBy("column")
+
+
+def robust_outliers(spark: SparkSession, sf_dir: str, cutoff: float = 3.0) -> DataFrame:
+    """Robust outlier detection on order totals: median/MAD z-scores
+    (mean/stddev break down exactly when outliers exist — the robust
+    pair doesn't).  Outlier ⇔ |x − median| > cutoff · 1.4826 · MAD.
+
+    Both the median and the MAD come from the histogram-cumsum exact
+    quantile (functions.text.group_quantile_threshold with a constant
+    group): thresholds from distinct VALUE cumsums, never a
+    single-partition sort — rounded totals bound the histogram size.
+    Two passes over the column (median, then |x−median|), each a
+    partial-aggregated groupBy + a value-count window."""
+    from project_bigdata_recsys_spark.functions.text import (
+        group_quantile_threshold,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.lit("all").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    med_row = group_quantile_threshold(vals, "g", "v", 0.5)
+    med = vals.crossJoin(
+        F.broadcast(med_row.select(F.col("threshold").alias("median")))
+    )
+    dev = med.select(
+        "g",
+        "v",
+        "median",
+        F.round(F.abs(F.col("v") - F.col("median")), 2).alias("d"),
+    )
+    mad_row = group_quantile_threshold(
+        dev.select("g", F.col("d").alias("v")), "g", "v", 0.5
+    )
+    flagged = dev.crossJoin(
+        F.broadcast(mad_row.select(F.col("threshold").alias("mad")))
+    ).withColumn(
+        "is_outlier",
+        F.col("d") > F.lit(cutoff) * 1.4826 * F.col("mad"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.first("median"), 2).alias("median"),
+        F.round(F.first("mad"), 2).alias("mad"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max(F.when(F.col("is_outlier"), F.col("v"))), 2).alias(
+            "max_outlier"
+        ),
+    )

@@ -256,6 +256,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": analytics.event_funnel,
     "rfm_segments": analytics.rfm_segments,
     "association_rules": graph.association_rules,
+    "robust_outliers": quality.robust_outliers,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3524,4 +3525,26 @@ ORACLES["association_rules"] = """
     CROSS JOIN nb
     ORDER BY confidence DESC, lift DESC, r.antecedent, r.consequent
     LIMIT 25
+"""
+
+ORACLES["robust_outliers"] = """
+    WITH vals AS (SELECT o_totalprice AS v FROM orders),
+    h1 AS (SELECT v, count(*) AS n FROM vals GROUP BY v),
+    c1 AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(n) OVER () AS nt FROM h1),
+    med AS (SELECT min(v) AS median FROM c1 WHERE cum >= 0.5 * nt),
+    dev AS (SELECT v, med.median, round(abs(v - med.median), 2) AS d
+            FROM vals CROSS JOIN med),
+    h2 AS (SELECT d, count(*) AS n FROM dev GROUP BY d),
+    c2 AS (SELECT d, sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(n) OVER () AS nt FROM h2),
+    mad AS (SELECT min(d) AS mad FROM c2 WHERE cum >= 0.5 * nt)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(dev.median), 2) AS median,
+           round(min(mad.mad), 2) AS mad,
+           CAST(sum(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
+                     THEN dev.v END), 2) AS max_outlier
+    FROM dev CROSS JOIN mad
 """
