@@ -100,10 +100,11 @@ def remove_duplicate_spans(
     (first = min (doc_id, seg_no) across the corpus), then reassemble
     each document from its kept spans in order.
 
-    Returns (doc_id, n_spans, n_spans_dropped, text_kept).  One
-    hash-keyed aggregate + one hash equi-join + one doc_id regroup —
-    three shuffles total, none keyed on anything lower-cardinality than
-    the data itself."""
+    Returns (doc_id, n_spans, n_spans_dropped, text_kept).  Logical
+    shape: one hash-keyed aggregate, one hash equi-join (both sides of
+    which repartition on the span key), one doc_id regroup — every
+    exchange is keyed on span-hash or doc_id, never anything
+    lower-cardinality than the data itself."""
     segs = span_segments(docs, width).withColumn("h", span_hash(F.col("span")))
     # One aggregate answers both "is this span duplicated?" and "which
     # occurrence is first?".  The occurrence key packs (doc_id, seg_no)
