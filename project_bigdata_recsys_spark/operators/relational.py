@@ -666,3 +666,42 @@ def variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: daily active users over weekly active users
+    per day — the product-health ratio every events dashboard tracks.
+
+    Shape: DAU is one (day, user) distinct + count; WAU reuses the SAME
+    distinct frame exploded to the 7 days each activity day supports
+    (explode of a 7-literal array — bounded fan-out, not a range join),
+    so the whole query is two aggregates over one deduplicated frame.
+    No per-day window scans, no self-join of events."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    active = events.select(day.alias("d"), "user_id").distinct()
+    dau = active.groupBy("d").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    # a user active on day X counts toward WAU of days X..X+6
+    supported = active.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "d",
+        "user_id",
+    ).select(F.date_add(F.col("d"), F.col("off")).cast("timestamp").alias("w_day"), "user_id")
+    wau = supported.groupBy("w_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.d == wau.w_day)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+        .limit(60)
+    )

@@ -257,6 +257,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": analytics.rfm_segments,
     "association_rules": graph.association_rules,
     "robust_outliers": quality.robust_outliers,
+    "dau_wau_stickiness": relational.dau_wau_stickiness,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3547,4 +3548,23 @@ ORACLES["robust_outliers"] = """
            round(max(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
                      THEN dev.v END), 2) AS max_outlier
     FROM dev CROSS JOIN mad
+"""
+
+ORACLES["dau_wau_stickiness"] = """
+    WITH active AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+    dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM active GROUP BY d),
+    offs AS (SELECT unnest(range(0, 7)) AS off),
+    supported AS (
+        SELECT a.d + (o.off * INTERVAL 1 DAY) AS w_day, a.user_id
+        FROM active a CROSS JOIN offs o),
+    wau AS (SELECT w_day, count(DISTINCT user_id) AS wau
+            FROM supported GROUP BY w_day)
+    SELECT strftime(d.d, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.w_day = d.d
+    ORDER BY day
+    LIMIT 60
 """
