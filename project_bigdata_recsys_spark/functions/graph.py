@@ -261,3 +261,50 @@ def association_rules(
         )
         .limit(k)
     )
+
+
+def item_communities(
+    spark: SparkSession, sf_dir: str, min_cooccur: int = 3
+) -> DataFrame:
+    """Product communities: connected components over the co-occurrence
+    graph thresholded at ``min_cooccur`` shared baskets — the
+    "product-family" clustering a merchandiser reads next to the
+    pairwise rules.  Reuses the dedup CC kernel (min-label propagation +
+    pointer halving) on a non-text domain: the component machinery is
+    generic over any pair relation.
+
+    Thresholding BEFORE clustering is the scale control: it prunes the
+    graph to strong edges (the same role banding plays for text pairs),
+    so CC rounds run over thousands of edges, not the full pair space."""
+    from project_bigdata_recsys_spark.functions.dedup import connected_components
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("doc_a"),
+            F.col("b.l_partkey").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_cooccur)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("doc_id").alias("min_part"),
+            F.max("doc_id").alias("max_part"),
+        )
+        .filter(F.col("n_parts") >= 2)
+        .orderBy(F.desc("n_parts"), F.asc("cluster_id"))
+        .limit(25)
+    )

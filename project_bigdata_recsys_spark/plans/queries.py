@@ -258,6 +258,7 @@ QUERIES: dict[str, QueryFn] = {
     "association_rules": graph.association_rules,
     "robust_outliers": quality.robust_outliers,
     "dau_wau_stickiness": relational.dau_wau_stickiness,
+    "item_communities": graph.item_communities,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3567,4 +3568,32 @@ ORACLES["dau_wau_stickiness"] = """
     FROM dau d JOIN wau w ON w.w_day = d.d
     ORDER BY day
     LIMIT 60
+"""
+
+ORACLES["item_communities"] = """
+    WITH RECURSIVE basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+        SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+              UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+    cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+    SELECT label AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(id) AS min_part,
+           max(id) AS max_part
+    FROM cc
+    GROUP BY label
+    HAVING count(*) >= 2
+    ORDER BY n_parts DESC, cluster_id
+    LIMIT 25
 """
