@@ -170,3 +170,73 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def scd2_history(
+    changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: turn the same changelog
+    cdc_current_view collapses into full VERSION HISTORY — every non-
+    delete change becomes a row with [valid_from, valid_to) sequence
+    bounds; the latest surviving version is flagged current.  A delete
+    closes the prior version's interval (the tombstone itself stores no
+    attributes, so it emits no history row).
+
+    One PK-partitioned lead() window — same shuffle as the current-view
+    collapse, so keeping full history costs no extra exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(seq_col))
+    versioned = changes.withColumn("__next_seq", F.lead(seq_col).over(w))
+    return (
+        versioned.filter(F.col(op_col) != "D")
+        .select(
+            *key_cols,
+            *[c for c in changes.columns if c not in key_cols + [seq_col, op_col]],
+            F.col(seq_col).alias("valid_from"),
+            F.col("__next_seq").alias("valid_to"),
+            F.col("__next_seq").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: SCD2 history over the deterministic orders changelog
+    (same md5 draws as cdc_current_view), profiled per status: total
+    versions, current rows, closed rows.  Together with cdc_current_view
+    this pins that history ⊇ current (the current rows of the history
+    must reconcile with the collapsed view)."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(0).alias("seq"), F.lit("I").alias("op"),
+    )
+    updates = orders.filter(hash_uniform(key, "cdc-upd:") < 0.05).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.01, 2).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(hash_uniform(key, "cdc-del:") < 0.02).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    changelog = base.unionByName(updates).unionByName(deletes)
+    hist = scd2_history(changelog, ["o_orderkey"], "seq", "op")
+    return (
+        hist.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+            F.sum(F.when(~F.col("is_current"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_closed"),
+        )
+        .orderBy("o_orderstatus")
+    )

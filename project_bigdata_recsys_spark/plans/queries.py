@@ -259,6 +259,7 @@ QUERIES: dict[str, QueryFn] = {
     "robust_outliers": quality.robust_outliers,
     "dau_wau_stickiness": relational.dau_wau_stickiness,
     "item_communities": graph.item_communities,
+    "scd2_history": snapshot.scd2_orders_profile,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3596,4 +3597,25 @@ ORACLES["item_communities"] = """
     HAVING count(*) >= 2
     ORDER BY n_parts DESC, cluster_id
     LIMIT 25
+"""
+
+# scd2_history oracle — the changelog is the cdc_current_view one; the
+# version algebra per key follows from which md5 draws fire: base always,
+# +1 version if updated; current unless deleted.
+ORACLES["scd2_history"] = """
+    WITH per_key AS (
+        SELECT o_orderstatus,
+               (('0x' || substr(md5('cdc-upd:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 < 0.05) AS has_u,
+               (('0x' || substr(md5('cdc-del:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 < 0.02) AS has_d
+        FROM orders)
+    SELECT o_orderstatus,
+           CAST(sum(1 + has_u::INT) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN has_d THEN 0 ELSE 1 END) AS BIGINT) AS n_current,
+           CAST(sum(has_u::INT + CASE WHEN has_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed
+    FROM per_key
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """

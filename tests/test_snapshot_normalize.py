@@ -149,3 +149,37 @@ def test_cdc_current_view_applies_ops_in_sequence(spark):
     )
     out = {r.id: r.v for r in cdc_current_view(changes, ["id"], "seq", "op").collect()}
     assert out == {1: "a2", 3: "c3"}
+
+
+def test_scd2_history_intervals_and_reconciliation(spark):
+    """Version intervals: update closes the prior version, delete closes
+    without emitting a row, and the history's current rows equal the CDC
+    collapsed view."""
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        cdc_current_view,
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 0, "I"), (1, "a2", 1, "U"),            # two versions
+            (2, "b", 0, "I"), (2, "b", 1, "D"),             # deleted
+            (3, "c", 0, "I"),                               # untouched
+        ],
+        "id long, v string, seq int, op string",
+    )
+    hist = scd2_history(changes, ["id"], "seq", "op").collect()
+    by = {}
+    for r in hist:
+        by.setdefault(r.id, []).append(r)
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in sorted(by[1], key=lambda r: r.valid_from)] == [
+        (0, 1, False), (1, None, True)
+    ]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in by[2]] == [(0, 1, False)]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in by[3]] == [(0, None, True)]
+    current_hist = {(r.id, r.v) for r in hist if r.is_current}
+    current_view = {
+        (r.id, r.v)
+        for r in cdc_current_view(changes, ["id"], "seq", "op").collect()
+    }
+    assert current_hist == current_view
