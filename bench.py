@@ -80,6 +80,13 @@ HEADLINE = [
     "knn_pq",
     "sql_exists_filter",
     "entropy_profile",
+    # classic-OLAP + curation additions late in round 5
+    "span_contamination",
+    "cohort_retention",
+    "rfm_segments",
+    "association_rules",
+    "dau_wau_stickiness",
+    "event_funnel",
 ]
 
 
