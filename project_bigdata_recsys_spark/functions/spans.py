@@ -389,3 +389,66 @@ def span_contamination(
         )
         .orderBy("lang")
     )
+
+
+def span_curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = DEFAULT_SPAN_TOKENS,
+    max_dropped_frac: float = 0.5,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """Composed span-first curation: corpus-wide span dedup → drop
+    documents that were mostly boilerplate (more than
+    ``max_dropped_frac`` of their spans removed, or emptied entirely) →
+    quality-cut the REBUILT text (alpha ratio over text_kept — scoring
+    the original text would grade content the dedup already deleted).
+
+    Per-lang funnel counts at every stage plus retained token mass —
+    the audit trail a curation run ships.  Stage kernels are the
+    already-gated primitives (remove_duplicate_spans, quality_features'
+    alpha ratio), composed in one plan; lang rejoins on doc_id (batch
+    side, data-cardinality key)."""
+    from project_bigdata_recsys_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = remove_duplicate_spans(docs, width).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    survived = deduped.withColumn(
+        "pass_span",
+        (F.col("n_spans_dropped") / F.col("n_spans") <= max_dropped_frac)
+        & (F.length("text_kept") > 0),
+    )
+    alpha = F.round(
+        F.length(F.regexp_replace(F.col("text_kept"), r"[^a-zA-Z]", "")).cast(
+            "double"
+        )
+        / F.length("text_kept"),
+        4,
+    )
+    scored = survived.withColumn(
+        "pass_quality",
+        F.col("pass_span") & (alpha >= min_alpha_ratio),
+    )
+    n_tok_kept = F.size(
+        F.filter(tokens(F.col("text_kept")), lambda t: F.length(t) > 0)
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pass_span"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_span"),
+            F.sum(F.when(F.col("pass_quality"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_quality"),
+            F.sum(
+                F.when(F.col("pass_quality"), n_tok_kept).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_retained"),
+        )
+        .orderBy("lang")
+    )

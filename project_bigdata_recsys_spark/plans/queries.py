@@ -260,6 +260,7 @@ QUERIES: dict[str, QueryFn] = {
     "dau_wau_stickiness": relational.dau_wau_stickiness,
     "item_communities": graph.item_communities,
     "scd2_history": snapshot.scd2_orders_profile,
+    "span_curation_funnel": spans.span_curation_funnel,
     # --- new in round 5: sharded curation + LSH cluster + Lloyd IVF ------
     "pack_sequences_sharded": _pack_sequences_sharded,
     "embedding_dup_clusters_lsh": _embedding_dup_clusters_lsh,
@@ -3618,4 +3619,41 @@ ORACLES["scd2_history"] = """
     FROM per_key
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+ORACLES["span_curation_funnel"] = _SPAN_SEGS_CTE + """,
+    verdict AS (
+        SELECT h, count(*) AS n_occ, min(occ) AS first_occ
+        FROM hashed GROUP BY h),
+    kept AS (
+        SELECT s.doc_id, s.seg_no, s.span,
+               (v.n_occ = 1 OR s.occ = v.first_occ) AS keep
+        FROM hashed s JOIN verdict v USING (h)),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_dropped,
+               coalesce(string_agg(span, ' ' ORDER BY seg_no)
+                        FILTER (WHERE keep), '') AS text_kept
+        FROM kept GROUP BY doc_id),
+    staged AS (
+        SELECT d.lang, p.n_spans, p.n_spans_dropped, p.text_kept,
+               (p.n_spans_dropped * 1.0 / p.n_spans <= 0.5
+                AND length(p.text_kept) > 0) AS pass_span,
+               round(length(regexp_replace(p.text_kept, '[^a-zA-Z]', '', 'g'))
+                     * 1.0 / nullif(length(p.text_kept), 0), 4) AS alpha
+        FROM per_doc p JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pass_span THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_span,
+           CAST(sum(CASE WHEN pass_span AND alpha >= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_after_quality,
+           CAST(sum(CASE WHEN pass_span AND alpha >= 0.5
+                    THEN len(list_filter(string_split(text_kept, ' '),
+                                         x -> length(x) > 0))
+                    ELSE 0 END) AS BIGINT) AS tokens_retained
+    FROM staged
+    GROUP BY lang
+    ORDER BY lang
 """
