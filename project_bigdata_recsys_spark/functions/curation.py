@@ -461,6 +461,7 @@ def cluster_aware_split(
     sf_dir: str,
     train_frac: float = 0.8,
     valid_frac: float = 0.1,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/valid/test split: every member of a near-dup
     cluster lands in the SAME split, so paraphrases of a training
@@ -475,7 +476,11 @@ def cluster_aware_split(
 
     Scale: reuses the audited pair/CC machinery; the split itself is a
     pure projection; the leak audit is one extra aggregate on
-    cluster_id — a key the data is already shuffled by."""
+    cluster_id — a key the data is already shuffled by.  A run that
+    already holds the CC labeling (e.g. right after near_dup_clusters)
+    passes it via ``components`` ((doc_id, cluster_id)) and skips the
+    pair/CC recompute entirely — identical output by construction
+    (test-pinned)."""
     from project_bigdata_recsys_spark.functions.dedup import (
         connected_components,
         simhash_near_pairs_for,
@@ -483,8 +488,11 @@ def cluster_aware_split(
     from project_bigdata_recsys_spark.sources.ingest import hash_uniform
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs_for(docs, sort=False)
-    comps = connected_components(pairs)
+    if components is not None:
+        comps = components
+    else:
+        pairs = simhash_near_pairs_for(docs, sort=False)
+        comps = connected_components(pairs)
     labeled = (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")

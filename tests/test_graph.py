@@ -61,3 +61,19 @@ def test_cluster_aware_split_no_leakage_and_covers_corpus(spark):
     assert {r.split for r in rows} <= {"train", "valid", "test"}
     assert all(r.n_leaky_clusters == 0 for r in rows)
     assert all(r.n_clusters <= r.n_docs for r in rows)
+
+
+def test_cluster_aware_split_accepts_precomputed_components(spark):
+    """Passing the CC labeling skips the pair/CC recompute and must give
+    byte-identical output to the self-computed form."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    comps = connected_components(simhash_near_pairs_for(docs, sort=False))
+    a = cluster_aware_split(spark, SF_SMALL).collect()
+    b = cluster_aware_split(spark, SF_SMALL, components=comps).collect()
+    assert a == b
