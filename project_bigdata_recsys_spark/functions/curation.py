@@ -122,39 +122,44 @@ def corpus_mixture(
     alpha: float = 0.5,
     target_docs: int = 200,
     n_shards: int = 1,
+    by: str = "lang",
 ) -> DataFrame:
-    """Temperature-weighted domain mixture: sample quota per lang
-    ∝ n_lang^alpha (alpha<1 upweights small domains — the standard
+    """Temperature-weighted domain mixture: sample quota per domain
+    ∝ n_domain^alpha (alpha<1 upweights small domains — the standard
     multilingual rebalancing rule), filled deterministically by md5-rank
-    within each lang so the drawn set is reproducible across engines and
+    within each domain so the drawn set is reproducible across engines and
     re-runs (same discipline as ml.classifier.deterministic_stratified_split).
 
-    Output per lang: corpus size, mixture weight, the quota, and the
+    The domain key is ``by`` — "lang" (multilingual rebalancing, the
+    default) or "source" (crawl/feed mixing, the ``source_mixture`` gate
+    query); any documents column works.
+
+    Output per domain: corpus size, mixture weight, the quota, and the
     sampled token mass — the mixing manifest of the training job.
 
-    Scale: one count aggregation (tiny), one md5-rank window per lang,
+    Scale: one count aggregation (tiny), one md5-rank window per domain,
     one filtered aggregation.  With ``n_shards=1`` the rank window is
-    keyed by lang only — parallelism capped at #langs.  ``n_shards > 1``
-    is the production form: each lang splits into deterministic md5
-    sub-streams (:func:`shard_key`), the lang quota splits across shards
-    (floor share + remainder to the lowest shard ids, so per-lang quotas
-    are conserved exactly), and each (lang, shard) fills its share by
+    keyed by domain only — parallelism capped at #domains.  ``n_shards > 1``
+    is the production form: each domain splits into deterministic md5
+    sub-streams (:func:`shard_key`), the domain quota splits across shards
+    (floor share + remainder to the lowest shard ids, so per-domain quotas
+    are conserved exactly), and each (domain, shard) fills its share by
     local md5-rank.  The drawn SET differs from the unsharded draw (both
-    are valid deterministic uniform draws); per-lang n_sampled is
+    are valid deterministic uniform draws); per-domain n_sampled is
     identical whenever every shard holds ≥ its share (asserted in
-    tests), and the whole plan parallelizes to #langs × n_shards.
+    tests), and the whole plan parallelizes to #domains × n_shards.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
-    base = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    base = docs.select("doc_id", by, n_tok.alias("n_tokens"))
 
-    sizes = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sizes = base.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
     weighted = sizes.withColumn("w_raw", F.pow("n_docs", F.lit(alpha)))
     total_w = weighted.agg(F.sum("w_raw").alias("w_sum"))
     quotas = (
         weighted.crossJoin(F.broadcast(total_w))
         .select(
-            "lang",
+            by,
             "n_docs",
             F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("mix_weight"),
             F.round(F.lit(target_docs) * F.col("w_raw") / F.col("w_sum"), 0)
@@ -164,48 +169,48 @@ def corpus_mixture(
     )
     if n_shards > 1:
         base = base.withColumn("shard", shard_key(F.col("doc_id"), n_shards))
-        w = Window.partitionBy("lang", "shard").orderBy(
+        w = Window.partitionBy(by, "shard").orderBy(
             F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
         # per-shard quota share: floor + remainder to lowest shard ids —
-        # sums exactly to the lang quota
+        # sums exactly to the domain quota
         shard_quota = F.floor(F.col("quota") / n_shards) + F.when(
             F.col("shard") < F.col("quota") % n_shards, F.lit(1)
         ).otherwise(F.lit(0))
         ranked = base.withColumn("rk", F.row_number().over(w))
         sampled = (
-            ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
+            ranked.join(F.broadcast(quotas.select(by, "quota")), by)
             .filter(F.col("rk") <= shard_quota)
-            .groupBy("lang")
+            .groupBy(by)
             .agg(
                 F.count(F.lit(1)).alias("n_sampled"),
                 F.sum("n_tokens").alias("sampled_tokens"),
             )
         )
     else:
-        w = Window.partitionBy("lang").orderBy(
+        w = Window.partitionBy(by).orderBy(
             F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
         ranked = base.withColumn("rk", F.row_number().over(w))
         sampled = (
-            ranked.join(F.broadcast(quotas.select("lang", "quota")), "lang")
+            ranked.join(F.broadcast(quotas.select(by, "quota")), by)
             .filter(F.col("rk") <= F.col("quota"))
-            .groupBy("lang")
+            .groupBy(by)
             .agg(
                 F.count(F.lit(1)).alias("n_sampled"),
                 F.sum("n_tokens").alias("sampled_tokens"),
             )
         )
     return (
-        quotas.join(sampled, "lang", "left")
+        quotas.join(sampled, by, "left")
         .select(
-            "lang",
+            by,
             "n_docs",
             "mix_weight",
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
             F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
         )
-        .orderBy("lang")
+        .orderBy(by)
     )
 
 

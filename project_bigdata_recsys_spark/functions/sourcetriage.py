@@ -1,0 +1,194 @@
+"""Source-level corpus triage (SURVEY.md §2.12 extension): the
+per-source decisions a large-crawl curation pipeline makes BEFORE
+document-level filtering — which sources to keep, down-weight, or drop.
+
+The documents table carries a ``source`` column (crawl / feed / dump of
+origin).  At 100 TB the corpus is a union of hundreds of such sources of
+wildly different quality and redundancy, and the first curation pass is
+source-level:
+
+  source_scorecard          per-source health report: volume, language
+                            spread, token mass, mean quality, exact-dup
+                            rate — the table a curation run reads to rank
+                            sources.
+  cross_source_overlap      pairwise shingle overlap between sources
+                            (Jaccard over distinct 5-gram hashes) — which
+                            crawls re-scrape the same pages; the
+                            "drop source B, it is 80% source A" signal.
+  boilerplate_prefix_profile  repeated document prefixes (first-k-token
+                            fingerprints) — templated headers / licence
+                            blocks that repeat across documents, the
+                            span-level dedup's cheap source-scoped cousin.
+
+All hashes are md5-of-the-data (the dedup.py discipline), so every
+operator is oracle-checked by the DuckDB gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.text import quality_features, tokens
+
+
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source health report: n_docs, language spread, token mass,
+    mean quality score, and exact-duplicate rate.
+
+    Duplicate rate is corpus-wide (a doc counts as duplicated if its
+    sha256(text) appears anywhere in the corpus more than once — cross-
+    source copies count for BOTH sources, which is the decision-relevant
+    number: a mirror source is 100% duplicated even though every one of
+    its pages is "first" somewhere else).  The driver corpus has no
+    exact duplicates, so the query plants the same deterministic set
+    exact_duplicates uses (every doc_id % 10 == 0 re-appears under
+    doc_id + 1_000_000, keeping its source) and the scorecard must
+    price those in.
+
+    Scale: one text scan computes fingerprint + token count + quality
+    features; the dup check shuffles 32-byte digests only (groupBy fp →
+    copy count, joined back on fp); the final rollup groups on source —
+    a low-cardinality key AFTER per-fingerprint aggregation, so no fat
+    partitions.  No text ever shuffles, and the per-doc feature frame
+    (digest + two numbers per doc) is persist_tracked because it feeds
+    both the copy count and the join probe — one text scan total.
+    """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
+
+    feats = quality_features(F.col("text"))
+    per_doc = persist_tracked(corpus.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.sha2("text", 256).alias("fp"),
+        F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)).alias(
+            "n_tokens"
+        ),
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("quality"),
+    ))
+    copies = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    flagged = per_doc.join(copies, "fp").withColumn(
+        "is_dup", F.when(F.col("n_copies") > 1, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_source_overlap(
+    spark: SparkSession, sf_dir: str, n: int = 5, top: int = 25
+) -> DataFrame:
+    """Pairwise source overlap: Jaccard similarity between the distinct
+    5-gram shingle sets of every source pair, top pairs by shared-shingle
+    count — the "crawl B re-scrapes crawl A" detector that decides which
+    redundant sources to drop before any document-level dedup runs.
+
+    Scale: documents never meet — each doc explodes to (shingle-hash,
+    source), distinct per source, and the pair join keys on the 64-bit
+    hash where each group holds at most #sources rows (sources number in
+    the hundreds at 100 TB, so per-key fan-out is bounded by S²/2, not by
+    corpus size).  Only 16-hex-char hashes shuffle, never shingle text.
+    The distinct (source, hash) frame feeds THREE consumers (both pair-
+    join sides + the per-source sizes), so it is persist_tracked — the
+    scan+shingle+distinct pipeline runs once, not three times (the
+    dedup.py signature-frame discipline).  The output is one row per
+    overlapping source pair — at most S(S-1)/2 rows total, driver-safe
+    at any corpus scale.
+    """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = persist_tracked(
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), n)).alias("shingle")
+        )
+        .filter(F.length("shingle") > 0)
+        .select("source", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("n_shared"), "src_a", "src_b")
+        .limit(top)
+    )
+
+
+def boilerplate_prefix_profile(
+    spark: SparkSession, sf_dir: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Repeated document prefixes: the first ``k`` tokens of each
+    document, grouped corpus-wide — templated headers, licence banners
+    and scraper chrome show up as prefixes shared by many documents
+    (often across sources).  The cheap precursor to span-level dedup:
+    a curation run reads this to write prefix-strip rules.
+
+    Scale: grouping keys on the md5 of the prefix (16 bytes shuffle per
+    doc, never the text); the prefix string itself is carried as min()
+    — 1:1 with its hash — so the aggregate stays a pure digest shuffle.
+    Output is capped by the filter to prefixes seen ≥ ``min_docs``
+    times, a tiny frame at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    prefix = F.array_join(F.slice(toks, 1, k), " ")
+    return (
+        docs.select(
+            "source",
+            F.md5(prefix).alias("prefix_fp"),
+            prefix.alias("prefix"),
+        )
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("prefix").alias("prefix"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("prefix", "n_docs", "n_sources")
+        .orderBy(F.desc("n_docs"), "prefix")
+    )

@@ -27,6 +27,7 @@ from project_bigdata_recsys_spark.functions import (
     dedup,
     graph,
     similarity,
+    sourcetriage,
     spans,
     text,
 )
@@ -148,6 +149,12 @@ def _curation_funnel_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window keys (lang, shard)): every stage count except n_sequences is
     shard-invariant, and the oracle recomputes the sharded packing."""
     return curation.curation_funnel(spark, sf_dir, n_shards=4)
+
+
+def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture keyed by SOURCE (crawl/feed mixing)
+    — the same kernel as corpus_mixture, domain column swapped."""
+    return curation.corpus_mixture(spark, sf_dir, by="source")
 
 
 def _corpus_mixture_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +285,12 @@ QUERIES: dict[str, QueryFn] = {
     "power_user_rank": windows.power_user_rank,
     # --- round-5 window: last driver evidence r1/r2 — re-verify now -----
     "purchase_asof_click": asof.purchase_asof_click,
+    # --- round-5 source-triage wave (past the 50-query window this
+    #     round; sweep + parity-test green, rotate into the r6 gate) ----
+    "source_scorecard": sourcetriage.source_scorecard,
+    "cross_source_overlap": sourcetriage.cross_source_overlap,
+    "boilerplate_prefix_profile": sourcetriage.boilerplate_prefix_profile,
+    "source_mixture": _source_mixture,
     "sessionize": windows.sessionize,
     "approx_profile": relational.approx_profile,  # sketches checked vs exact
     # --- §2.1 S1–S3 + S8: tolerant CSV scan round-trip ---------------------
@@ -3656,4 +3669,106 @@ ORACLES["span_curation_funnel"] = _SPAN_SEGS_CTE + """,
     FROM staged
     GROUP BY lang
     ORDER BY lang
+"""
+
+# --- round-5 source-triage wave -------------------------------------------
+ORACLES["source_scorecard"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source FROM documents
+        WHERE doc_id % 10 = 0),
+    per_doc AS (
+        SELECT doc_id, source, lang, sha256(text) AS fp,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4)
+               - round(len(list_filter(string_split(text, ' '),
+                                       t -> t IN ('the', 'a', 'of', 'and')))
+                       * 1.0 / len(string_split(text, ' ')), 4) AS quality
+        FROM corpus),
+    copies AS (SELECT fp, count(*) AS n_copies FROM per_doc GROUP BY fp),
+    flagged AS (
+        SELECT p.*, CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM per_doc p JOIN copies c USING (fp))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+           round(sum(is_dup) * 1.0 / count(*), 4) AS dup_rate
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+ORACLES["cross_source_overlap"] = """
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+        SELECT source,
+               unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                        ELSE [] END)) AS shingle
+        FROM toks),
+    sh AS (SELECT DISTINCT source, substr(md5(shingle), 1, 16) AS h
+           FROM sh0 WHERE length(shingle) > 0),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY n_shared DESC, src_a, src_b LIMIT 25
+"""
+
+ORACLES["boilerplate_prefix_profile"] = """
+    WITH p AS (
+        SELECT source,
+               array_to_string(list_slice(
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) > 0), 1, 8), ' ') AS prefix
+        FROM documents)
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM p GROUP BY prefix HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix
+"""
+
+ORACLES["source_mixture"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    sizes AS (SELECT source, count(*) AS n_docs FROM t GROUP BY source),
+    wts AS (SELECT source, n_docs, pow(n_docs, 0.5) AS w_raw FROM sizes),
+    tot AS (SELECT sum(w_raw) AS w_sum FROM wts),
+    quotas AS (
+        SELECT source, n_docs,
+               round(w_raw / w_sum, 6) AS mix_weight,
+               CAST(round(200 * w_raw / w_sum, 0) AS BIGINT) AS quota
+        FROM wts CROSS JOIN tot),
+    ranked AS (
+        SELECT source, n_tokens,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM t),
+    sampled AS (
+        SELECT r.source, count(*) AS n_sampled,
+               sum(n_tokens) AS sampled_tokens
+        FROM ranked r JOIN quotas q ON r.source = q.source
+        WHERE r.rk <= q.quota GROUP BY r.source)
+    SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.mix_weight,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM quotas q LEFT JOIN sampled s ON q.source = s.source
+    ORDER BY q.source
 """

@@ -1,0 +1,95 @@
+"""Source-triage invariants (functions/sourcetriage.py) — oracle parity
+runs separately in test_oracle_parity; these pin the semantic contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.curation import corpus_mixture
+from project_bigdata_recsys_spark.functions.sourcetriage import (
+    boilerplate_prefix_profile,
+    cross_source_overlap,
+    source_scorecard,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_source_scorecard_accounts_every_doc(spark):
+    """One row per source; doc counts sum to corpus + planted set; every
+    planted duplicate (and its original) is flagged as dup mass."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    rows = source_scorecard(spark, SF_SMALL).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs + n_planted
+    # each planted copy duplicates its original: >= 2*n_planted dup docs
+    # (more only if the raw corpus had its own exact duplicates)
+    assert sum(r.n_dup_docs for r in rows) >= 2 * n_planted
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert r.n_langs >= 1
+        assert r.avg_tokens > 0
+
+
+def test_cross_source_overlap_bounds(spark):
+    """Pairs are canonically ordered, shared counts positive, jaccard in
+    (0, 1], and n_shared never exceeds either side's shingle count."""
+    rows = cross_source_overlap(spark, SF_SMALL).collect()
+    assert rows, "sf0.001 corpus has cross-source shingle overlap"
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert r.n_shared >= 1
+        assert 0.0 < r.jaccard <= 1.0
+    # descending by shared count (ties broken by pair name)
+    shared = [r.n_shared for r in rows]
+    assert shared == sorted(shared, reverse=True)
+
+
+def test_boilerplate_prefixes_are_real_repeats(spark):
+    """Every reported prefix occurs in >= 2 documents and its recount
+    from the raw table matches; n_sources <= n_docs."""
+    out = boilerplate_prefix_profile(spark, SF_SMALL, k=8, min_docs=2)
+    rows = out.collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    prefixes = docs.select(
+        F.array_join(F.slice(toks, 1, 8), " ").alias("prefix"), "source"
+    )
+    recount = {
+        r.prefix: (r.n, r.ns)
+        for r in prefixes.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("source").alias("ns"),
+        )
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    assert {r.prefix for r in rows} == set(recount)
+    for r in rows:
+        n, ns = recount[r.prefix]
+        assert (r.n_docs, r.n_sources) == (n, ns)
+        assert 1 <= r.n_sources <= r.n_docs
+
+
+def test_source_mixture_matches_lang_kernel_contract(spark):
+    """corpus_mixture(by='source') obeys the same quota contract as the
+    lang-keyed default: n_sampled == min(quota, n_docs) per source, and
+    weights sum to ~1."""
+    rows = corpus_mixture(spark, SF_SMALL, by="source").collect()
+    assert rows[0].__fields__[0] == "source"
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    docs = load_table(spark, SF_SMALL, "documents")
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_w = sum(sizes[r.source] ** 0.5 for r in rows)
+    for r in rows:
+        quota = round(200 * (sizes[r.source] ** 0.5) / total_w)
+        assert r.n_sampled == min(quota, sizes[r.source])
