@@ -1287,3 +1287,71 @@ def pq_multi_query(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def semantic_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    split_at: int = 250,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-level eval decontamination: which EVAL vectors are
+    semantically too close to some TRAIN vector (cosine >= threshold) —
+    the companion to the n-gram contamination_check (exact copies) and
+    span_contamination (partial copies): paraphrases and translations
+    share no n-grams but do share embedding neighborhoods, and a
+    benchmark row leaked into pretraining usually survives as exactly
+    such a neighbor.
+
+    Split: vec_id < ``split_at`` is train, the rest eval (the driver
+    corpus has no split column; a real run passes its own frames).
+
+    Scale: the SAME one-sided probe shape as probe_dedup_index — eval
+    and train vectors meet only inside an RP-LSH (table, bucket) cell
+    (rp_index_rows, deterministic Rademacher planes DuckDB reproduces
+    bit-for-bit), then exact cosine verification over candidates only.
+    O(train) bucketing once + O(eval x cell) verification, never
+    eval x train.  Reported rates are per eval label with an exact
+    cosine — LSH bounds which pairs are EXAMINED (deterministic recall
+    bound), precision is exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = rp_index_rows(emb, n_tables, n_planes)
+    eval_b = buckets.filter(F.col("vec_id") >= split_at).select(
+        F.col("vec_id").alias("eval_id"), "t", "bucket"
+    )
+    train_b = buckets.filter(F.col("vec_id") < split_at).select(
+        F.col("vec_id").alias("train_id"), "t", "bucket"
+    )
+    cands = (
+        eval_b.join(train_b, ["t", "bucket"])
+        .select("eval_id", "train_id")
+        .dropDuplicates()
+    )
+    normed = emb.select("vec_id", _normalized().alias("unit"))
+    ev = normed.select(F.col("vec_id").alias("eval_id"), F.col("unit").alias("unit_e"))
+    tr = normed.select(F.col("vec_id").alias("train_id"), F.col("unit").alias("unit_t"))
+    hits = (
+        cands.join(ev, "eval_id")
+        .join(tr, "train_id")
+        .filter(F.round(dot(F.col("unit_e"), F.col("unit_t")), 6) >= threshold)
+        .select("eval_id")
+        .dropDuplicates()
+    )
+    eval_rows = emb.filter(F.col("vec_id") >= split_at).select(
+        F.col("vec_id").alias("eval_id"), "label"
+    )
+    return (
+        eval_rows.join(hits.withColumn("flag", F.lit(1)), "eval_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.coalesce("flag", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce("flag", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("label")
+    )

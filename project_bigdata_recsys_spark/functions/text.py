@@ -792,3 +792,43 @@ def equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def unigram_logloss_profile(
+    spark: SparkSession, sf_dir: str, limit: int = 500
+) -> DataFrame:
+    """Unigram language-model score per document: the mean negative log
+    probability of the document's tokens under the CORPUS unigram
+    distribution — the cheap, deterministic stand-in for the KenLM-style
+    "perplexity filter" every large pretraining pipeline runs (documents
+    whose tokens are globally rare score high = gibberish/OCR noise;
+    boilerplate scores low).  No model artifact, no RNG: the "LM" is one
+    aggregation over the corpus itself, so the whole score is
+    oracle-checkable.
+
+    Scale: explode -> corpus term counts (one Tungsten aggregation with
+    map-side combine absorbing token skew) -> join term probabilities
+    back to the exploded tokens (broadcast-hinted: a vocabulary is small
+    relative to its corpus; drop the hint if it outgrows the broadcast
+    budget) -> per-doc mean.  Total token mass rides along as a
+    broadcast 1-row aggregate crossJoin (the tfidf_top_terms N trick) —
+    ONE job, no separate count() action.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").alias("n_total"))
+    logp = F.log(F.col("n_term") / F.col("n_total"))
+    return (
+        term_rows.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(-logp), 4).alias("avg_logloss"),
+        )
+        .orderBy("doc_id")
+        .limit(limit)
+    )

@@ -3772,3 +3772,81 @@ ORACLES["source_mixture"] = """
     FROM quotas q LEFT JOIN sampled s ON q.source = s.source
     ORDER BY q.source
 """
+
+
+def _semantic_contamination_oracle(
+    threshold: float = 0.40,
+    split_at: int = 250,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> str:
+    """SQL twin of functions.similarity.semantic_contamination: the same
+    deterministic Rademacher buckets as _rp_lsh_pairs_oracle, restricted
+    to eval x train cells, exact-cosine verified, rolled up per label."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({buck}),
+        cand AS (SELECT DISTINCT x.vec_id AS eval_id, y.vec_id AS train_id
+                 FROM buck x JOIN buck y
+                   ON x.t = y.t AND x.bucket = y.bucket
+                 WHERE x.vec_id >= {split_at} AND y.vec_id < {split_at}),
+        hits AS (
+            SELECT DISTINCT cand.eval_id
+            FROM cand
+            JOIN b ea ON ea.vec_id = cand.eval_id
+            JOIN b et ON et.vec_id = cand.train_id
+            WHERE round(list_dot_product(ea.emb, et.emb)
+                        / (sqrt(list_dot_product(ea.emb, ea.emb))
+                           * sqrt(list_dot_product(et.emb, et.emb))), 6)
+                  >= {threshold}),
+        ev AS (SELECT vec_id AS eval_id, label FROM embeddings
+               WHERE vec_id >= {split_at})
+        SELECT ev.label,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN h.eval_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               round(sum(CASE WHEN h.eval_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS contamination_rate
+        FROM ev LEFT JOIN hits h ON ev.eval_id = h.eval_id
+        GROUP BY ev.label ORDER BY ev.label
+    """
+
+
+QUERIES["semantic_contamination"] = similarity.semantic_contamination
+ORACLES["semantic_contamination"] = _semantic_contamination_oracle()
+
+QUERIES["unigram_logloss"] = text.unigram_logloss_profile
+ORACLES["unigram_logloss"] = """
+    WITH t2 AS (
+        SELECT doc_id, lang, term FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS n_term FROM t2 GROUP BY term),
+    tot AS (SELECT sum(n_term) AS n_total FROM vocab)
+    SELECT doc_id, lang, CAST(count(*) AS INTEGER) AS n_tokens,
+           round(avg(-ln(n_term * 1.0 / n_total)), 4) AS avg_logloss
+    FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id, lang ORDER BY doc_id LIMIT 500
+"""

@@ -93,3 +93,68 @@ def test_source_mixture_matches_lang_kernel_contract(spark):
     for r in rows:
         quota = round(200 * (sizes[r.source] ** 0.5) / total_w)
         assert r.n_sampled == min(quota, sizes[r.source])
+
+
+def test_semantic_contamination_precision_exact(spark):
+    """LSH-flagged contamination is a subset of the brute-force truth per
+    label (precision exact — LSH only bounds which pairs are examined),
+    and the eval split is fully accounted."""
+    import math
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        semantic_contamination,
+    )
+
+    rows = semantic_contamination(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r.vec_id: (r.label, list(r.embedding)) for r in emb}
+    train = [v for i, (_, v) in sorted(vecs.items()) if i < 250]
+    brute: dict[int, int] = {}
+    n_eval: dict[int, int] = {}
+    for i, (lab, v) in vecs.items():
+        if i < 250:
+            continue
+        n_eval[lab] = n_eval.get(lab, 0) + 1
+        nv = math.sqrt(sum(x * x for x in v))
+        hit = any(
+            round(
+                sum(a * b for a, b in zip(v, t))
+                / (nv * math.sqrt(sum(x * x for x in t))),
+                6,
+            )
+            >= 0.40
+            for t in train
+        )
+        if hit:
+            brute[lab] = brute.get(lab, 0) + 1
+    assert sum(r.n_eval for r in rows) == len(vecs) - 250
+    for r in rows:
+        assert r.n_eval == n_eval[r.label]
+        assert 0 <= r.n_contaminated <= brute.get(r.label, 0)
+        assert abs(r.contamination_rate - r.n_contaminated / r.n_eval) < 1e-4
+
+
+def test_unigram_logloss_matches_hand_computation(spark):
+    """Per-doc mean -ln(p) recomputed in Python from the corpus unigram
+    distribution matches the plan's output for every document."""
+    import math
+
+    from project_bigdata_recsys_spark.functions.text import (
+        unigram_logloss_profile,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    counts: dict[str, int] = {}
+    for d in docs:
+        for t in d.text.split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    rows = unigram_logloss_profile(spark, SF_SMALL).collect()
+    by_id = {d.doc_id: d for d in docs}
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = [t for t in by_id[r.doc_id].text.split(" ") if t]
+        assert r.n_tokens == len(toks)
+        expect = sum(-math.log(counts[t] / total) for t in toks) / len(toks)
+        assert abs(r.avg_logloss - round(expect, 4)) <= 1e-4
