@@ -669,3 +669,68 @@ def augment_token_dropout(
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+def length_bucketed_batches(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8, batch_size: int = 16
+) -> DataFrame:
+    """Length-bucketed batching manifest: documents binned into exact
+    equi-depth token-length buckets, then batched ``batch_size`` at a
+    time within each bucket in length order — the standard seq2seq /
+    padded-batch prep that minimizes padding waste (a batch pads every
+    member to its longest doc, so batching similar lengths together is
+    the whole game).  Output per bucket: doc/batch counts, the length
+    range, token mass, padded tokens and the padding ratio — the number
+    a data loader reads to pick batch_size and bucket count.
+
+    Scale: bucket assignment rides the exact-rank recipe
+    (text.with_exact_percent_rank — range shuffle + local ranks +
+    broadcast offsets, never a single-partition sort); the within-bucket
+    window partitions on the bucket id, and equi-depth buckets hold
+    n/n_buckets rows EACH by construction, so the per-bucket windows are
+    perfectly balanced — parallelism is n_buckets, a knob you size to
+    the cluster (unlike lang-keyed windows whose fatness follows the
+    data).  Everything downstream aggregates (batch, then bucket) on
+    already-shuffled keys.
+    """
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.text import (
+        with_exact_percent_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
+    counted = docs.select("doc_id", n_tok.alias("n_tokens"))
+    ranked = with_exact_percent_rank(counted, ["n_tokens", "doc_id"])
+    bucket = F.least(
+        F.floor(F.col("pr") * n_buckets), F.lit(n_buckets - 1)
+    ).cast("int")
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    placed = (
+        ranked.withColumn("bucket", bucket)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "batch_no", F.floor((F.col("rk") - 1) / batch_size).cast("long")
+        )
+    )
+    batches = placed.groupBy("bucket", "batch_no").agg(
+        F.count(F.lit(1)).alias("n_in_batch"),
+        F.max("n_tokens").alias("batch_max"),
+        F.sum("n_tokens").alias("batch_mass"),
+    )
+    pad = F.col("n_in_batch") * F.col("batch_max") - F.col("batch_mass")
+    return (
+        batches.withColumn("padded", pad)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_in_batch").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("batch_mass").cast("long").alias("token_mass"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+            F.round(
+                F.sum("padded") / (F.sum("batch_mass") + F.sum("padded")), 4
+            ).alias("pad_ratio"),
+        )
+        .orderBy("bucket")
+    )

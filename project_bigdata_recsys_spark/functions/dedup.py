@@ -1136,3 +1136,61 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") >= 2)
         .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
     )
+
+
+def novelty_profile(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """N-gram novelty of the EVAL split against the TRAIN split: per
+    eval document, the fraction of its distinct 5-gram shingles that
+    never occur in any train document, rolled up per lang — the
+    complement of contamination_check (which counts exact copies): low
+    novelty means the eval set rehearses training text even where no
+    document is a verbatim duplicate, and a benchmark with ~zero novel
+    grams measures memorization, not capability.
+
+    Split: doc_id % 5 == 0 is eval, the rest train (the driver corpus
+    has no split column; a real run passes its own frames).
+
+    Scale: the train side reduces to a DISTINCT set of 16-hex shingle
+    hashes (digest-only shuffle, same key discipline as the span index);
+    eval grams probe it with one hash-keyed left join — O(train) +
+    O(eval grams), never eval x train, and no shingle text ever
+    shuffles.  Per-doc and per-lang rollups group on keys the probe
+    already shuffled by.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("text"), n)).alias("g"),
+        )
+        .filter(F.length("g") > 0)
+        .select("doc_id", "lang", F.substring(F.md5("g"), 1, 16).alias("h"))
+    )
+    train = (
+        grams.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    per_doc = (
+        grams.filter(F.col("doc_id") % 5 == 0)
+        .join(train, "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_novel").cast("long").alias("total_novel"),
+            F.round(F.avg(F.col("n_novel") / F.col("n_grams")), 4).alias(
+                "avg_novelty"
+            ),
+        )
+        .orderBy("lang")
+    )

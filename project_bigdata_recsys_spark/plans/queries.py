@@ -3850,3 +3850,68 @@ ORACLES["unigram_logloss"] = """
     FROM t2 JOIN vocab USING (term) CROSS JOIN tot
     GROUP BY doc_id, lang ORDER BY doc_id LIMIT 500
 """
+
+
+QUERIES["length_bucketed_batches"] = curation.length_bucketed_batches
+ORACLES["length_bucketed_batches"] = """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               percent_rank() OVER (ORDER BY n_tokens, doc_id) AS pr
+        FROM t),
+    placed AS (
+        SELECT n_tokens,
+               least(CAST(floor(pr * 8) AS INT), 7) AS bucket,
+               row_number() OVER (
+                   PARTITION BY least(CAST(floor(pr * 8) AS INT), 7)
+                   ORDER BY n_tokens, doc_id) AS rk
+        FROM ranked),
+    b AS (
+        SELECT bucket, CAST(floor((rk - 1) / 16) AS BIGINT) AS batch_no,
+               count(*) AS n_in_batch, max(n_tokens) AS batch_max,
+               sum(n_tokens) AS batch_mass
+        FROM placed GROUP BY 1, 2)
+    SELECT bucket,
+           CAST(sum(n_in_batch) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(batch_mass) AS BIGINT) AS token_mass,
+           CAST(sum(n_in_batch * batch_max - batch_mass) AS BIGINT)
+               AS padded_tokens,
+           round(sum(n_in_batch * batch_max - batch_mass) * 1.0
+                 / (sum(batch_mass)
+                    + sum(n_in_batch * batch_max - batch_mass)), 4)
+               AS pad_ratio
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["novelty_profile"] = dedup.novelty_profile
+ORACLES["novelty_profile"] = """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                        ELSE [] END)) AS g
+        FROM toks),
+    g2 AS (SELECT doc_id, lang, substr(md5(g), 1, 16) AS h
+           FROM grams WHERE length(g) > 0),
+    train AS (SELECT DISTINCT h FROM g2 WHERE doc_id % 5 != 0),
+    per_doc AS (
+        SELECT g2.doc_id, g2.lang, count(*) AS n_grams,
+               sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM g2 LEFT JOIN train tr ON g2.h = tr.h
+        WHERE g2.doc_id % 5 = 0
+        GROUP BY g2.doc_id, g2.lang)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_novel) AS BIGINT) AS total_novel,
+           round(avg(n_novel * 1.0 / n_grams), 4) AS avg_novelty
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -158,3 +158,54 @@ def test_unigram_logloss_matches_hand_computation(spark):
         assert r.n_tokens == len(toks)
         expect = sum(-math.log(counts[t] / total) for t in toks) / len(toks)
         assert abs(r.avg_logloss - round(expect, 4)) <= 1e-4
+
+
+def test_length_bucketed_batches_accounting(spark):
+    """Every doc lands in exactly one bucket; batches are full except the
+    bucket's last; buckets are equi-depth; padding arithmetic closes."""
+    import math
+
+    from project_bigdata_recsys_spark.functions.curation import (
+        length_bucketed_batches,
+    )
+
+    rows = length_bucketed_batches(spark, SF_SMALL, n_buckets=8, batch_size=16
+    ).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 2  # equi-depth by construction
+    for r in rows:
+        assert r.n_batches == math.ceil(r.n_docs / 16)
+        assert r.padded_tokens >= 0
+        assert 0.0 <= r.pad_ratio < 1.0
+        denom = r.token_mass + r.padded_tokens
+        assert abs(r.pad_ratio - r.padded_tokens / denom) < 1e-4
+
+
+def test_novelty_profile_bounds_and_split(spark):
+    """Eval docs fully accounted (every eval doc with >=1 shingle gets a
+    row), novelty is a valid fraction, and totals are consistent."""
+    from pyspark.sql import functions as SF
+
+    from project_bigdata_recsys_spark.functions.dedup import (
+        novelty_profile,
+        shingles,
+    )
+
+    rows = novelty_profile(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    with_grams = docs.filter(SF.col("doc_id") % 5 == 0).select(
+        "lang",
+        SF.size(
+            SF.filter(shingles(SF.col("text"), 5), lambda g: SF.length(g) > 0)
+        ).alias("ng"),
+    ).filter(SF.col("ng") > 0)
+    expect = {
+        r.lang: r.n
+        for r in with_grams.groupBy("lang").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    assert {r.lang: r.n_docs for r in rows} == expect
+    for r in rows:
+        assert 0 <= r.total_novel <= r.total_grams
+        assert 0.0 <= r.avg_novelty <= 1.0
