@@ -312,3 +312,62 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
         .collect()
     )
     assert got == want
+
+
+def test_length_bucketed_batches_windows_are_partitioned(spark):
+    """Bucket assignment must ride the distributed exact-rank recipe
+    (range exchange + pid-keyed local ranks) and the within-bucket batch
+    window must partition on the bucket id — no unkeyed window anywhere
+    touches the document frame."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        length_bucketed_batches,
+    )
+
+    plan = _physical(length_bucketed_batches(spark, SF_SMALL))
+    assert "rangepartitioning(n_tokens" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "windowspecdefinition(bucket" in plan, plan
+
+
+def test_novelty_profile_probe_joins_on_hash(spark):
+    """The eval-vs-train probe must key every exchange on the 16-hex
+    shingle hash — gram text never shuffles — and plan as a hash-family
+    join, never a nested loop."""
+    from project_bigdata_recsys_spark.functions.dedup import novelty_profile
+
+    plan = _physical(novelty_profile(spark, SF_SMALL))
+    assert "hashpartitioning(h" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_overlap_reuses_persisted_frame(spark):
+    """The distinct (source, hash) frame feeds three consumers; the plan
+    must read it from cache (InMemoryTableScan), not recompute the
+    scan+shingle+distinct pipeline per consumer."""
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        cross_source_overlap,
+    )
+
+    try:
+        plan = _physical(cross_source_overlap(spark, SF_SMALL))
+        # all three consumers (both pair-join sides + sizes) read the
+        # cache; the only FileScan text left is the one embedded in the
+        # cached relation's own description
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        release_tracked()
+
+
+def test_semantic_contamination_no_all_pairs(spark):
+    """Eval and train vectors meet only inside RP-LSH cells: the plan
+    must contain no cartesian/nested-loop join (the all-pairs shape) —
+    candidate generation and verification are hash joins throughout."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        semantic_contamination,
+    )
+
+    plan = _physical(semantic_contamination(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
