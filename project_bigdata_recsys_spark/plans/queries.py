@@ -3915,3 +3915,38 @@ ORACLES["novelty_profile"] = """
            round(avg(n_novel * 1.0 / n_grams), 4) AS avg_novelty
     FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+def _source_dup_attribution_oracle(max_hamming: int = 3) -> str:
+    """SQL twin of sourcetriage.source_dup_attribution: the simhash CC
+    from _clusters_oracle, cluster members joined to their source, and a
+    per-source rollup of cross-source cluster membership."""
+    return f"""
+        WITH RECURSIVE {_simhash_ctes()},
+        pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= {max_hamming}),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                  UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+        cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        members AS (
+            SELECT cc.id AS doc_id, cc.label AS cluster_id, d.source
+            FROM cc JOIN documents d ON d.doc_id = cc.id),
+        cstats AS (SELECT cluster_id, count(DISTINCT source) AS n_sources
+                   FROM members GROUP BY cluster_id)
+        SELECT m.source,
+               CAST(count(*) AS BIGINT) AS n_dup_docs,
+               CAST(sum(CASE WHEN c.n_sources > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_docs,
+               round(sum(CASE WHEN c.n_sources > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS cross_rate
+        FROM members m JOIN cstats c ON m.cluster_id = c.cluster_id
+        GROUP BY m.source ORDER BY m.source
+    """
+
+
+QUERIES["source_dup_attribution"] = sourcetriage.source_dup_attribution
+ORACLES["source_dup_attribution"] = _source_dup_attribution_oracle()

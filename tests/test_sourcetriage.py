@@ -209,3 +209,20 @@ def test_novelty_profile_bounds_and_split(spark):
     for r in rows:
         assert 0 <= r.total_novel <= r.total_grams
         assert 0.0 <= r.avg_novelty <= 1.0
+
+
+def test_source_dup_attribution_reconciles_with_clusters(spark):
+    """Per-source clustered-doc counts sum to the total near-dup cluster
+    membership (the near_dup_clusters view of the same CC labeling), and
+    cross counts are valid fractions."""
+    from project_bigdata_recsys_spark.functions.dedup import near_dup_clusters
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        source_dup_attribution,
+    )
+
+    rows = source_dup_attribution(spark, SF_SMALL).collect()
+    clusters = near_dup_clusters(spark, SF_SMALL).collect()
+    assert sum(r.n_dup_docs for r in rows) == sum(c.cluster_size for c in clusters)
+    for r in rows:
+        assert 0 <= r.n_cross_docs <= r.n_dup_docs
+        assert abs(r.cross_rate - r.n_cross_docs / r.n_dup_docs) < 1e-4
