@@ -158,6 +158,47 @@ def cross_source_overlap(
     )
 
 
+def boilerplate_profile_for(
+    docs: DataFrame, k: int = 8, min_docs: int = 2, tail: bool = False
+) -> DataFrame:
+    """Shared kernel for the prefix (header) and suffix (footer)
+    boilerplate profiles: the first/last ``k`` non-empty tokens of each
+    document as a fingerprint, grouped corpus-wide.
+
+    Scale: grouping keys on the md5 of the span (16 bytes shuffle per
+    doc, never the text); the span string itself is carried as min()
+    — 1:1 with its hash — so the aggregate stays a pure digest shuffle.
+    Output is capped by the filter to spans seen ≥ ``min_docs``
+    times, a tiny frame at any scale.
+    """
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    if tail:
+        # last k tokens: slice from max(len-k+1, 1), length min(k, len)
+        start = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+        span = F.array_join(
+            F.slice(toks, start, F.least(F.lit(k), F.size(toks))), " "
+        )
+    else:
+        span = F.array_join(F.slice(toks, 1, k), " ")
+    out_col = "suffix" if tail else "prefix"
+    return (
+        docs.select(
+            "source",
+            F.md5(span).alias("span_fp"),
+            span.alias(out_col),
+        )
+        .groupBy("span_fp")
+        .agg(
+            F.min(out_col).alias(out_col),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(out_col, "n_docs", "n_sources")
+        .orderBy(F.desc("n_docs"), out_col)
+    )
+
+
 def boilerplate_prefix_profile(
     spark: SparkSession, sf_dir: str, k: int = 8, min_docs: int = 2
 ) -> DataFrame:
@@ -165,33 +206,35 @@ def boilerplate_prefix_profile(
     document, grouped corpus-wide — templated headers, licence banners
     and scraper chrome show up as prefixes shared by many documents
     (often across sources).  The cheap precursor to span-level dedup:
-    a curation run reads this to write prefix-strip rules.
+    a curation run reads this to write prefix-strip rules.  Scale notes
+    in :func:`boilerplate_profile_for` (the shared kernel).
+    """
+    return boilerplate_profile_for(
+        load_table(spark, sf_dir, "documents"), k=k, min_docs=min_docs
+    )
 
-    Scale: grouping keys on the md5 of the prefix (16 bytes shuffle per
-    doc, never the text); the prefix string itself is carried as min()
-    — 1:1 with its hash — so the aggregate stays a pure digest shuffle.
-    Output is capped by the filter to prefixes seen ≥ ``min_docs``
-    times, a tiny frame at any scale.
+
+def boilerplate_suffix_profile(
+    spark: SparkSession, sf_dir: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Repeated document SUFFIXES — the footer twin of
+    :func:`boilerplate_prefix_profile` (copyright lines, nav footers,
+    signature blocks cluster at document END; a prefix scan never sees
+    them).  Same digest-shuffle kernel, sliced from the tail.
+
+    The driver corpus has no naturally repeated suffixes (its prefixes
+    collide, its endings don't), which would make this gate query a
+    vacuous always-empty check — so it plants the same deterministic
+    duplicate set exact_duplicates uses (every doc_id % 10 == 0
+    re-appears, source preserved) and must find exactly those footer
+    groups.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
-    prefix = F.array_join(F.slice(toks, 1, k), " ")
-    return (
-        docs.select(
-            "source",
-            F.md5(prefix).alias("prefix_fp"),
-            prefix.alias("prefix"),
-        )
-        .groupBy("prefix_fp")
-        .agg(
-            F.min("prefix").alias("prefix"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("source").alias("n_sources"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-        .select("prefix", "n_docs", "n_sources")
-        .orderBy(F.desc("n_docs"), "prefix")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
     )
+    corpus = docs.select("doc_id", "text", "source").unionByName(planted)
+    return boilerplate_profile_for(corpus, k=k, min_docs=min_docs, tail=True)
 
 
 def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3950,3 +3950,25 @@ def _source_dup_attribution_oracle(max_hamming: int = 3) -> str:
 
 QUERIES["source_dup_attribution"] = sourcetriage.source_dup_attribution
 ORACLES["source_dup_attribution"] = _source_dup_attribution_oracle()
+
+
+QUERIES["boilerplate_suffix_profile"] = sourcetriage.boilerplate_suffix_profile
+ORACLES["boilerplate_suffix_profile"] = """
+    WITH corpus AS (
+        SELECT text, source FROM documents
+        UNION ALL
+        SELECT text, source FROM documents WHERE doc_id % 10 = 0),
+    p AS (
+        SELECT source, toks,
+               array_to_string(list_slice(
+                   toks, greatest(len(toks) - 7, 1), len(toks)), ' ') AS suffix
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM corpus))
+    SELECT suffix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM p GROUP BY suffix HAVING count(*) >= 2
+    ORDER BY n_docs DESC, suffix
+"""

@@ -226,3 +226,21 @@ def test_source_dup_attribution_reconciles_with_clusters(spark):
     for r in rows:
         assert 0 <= r.n_cross_docs <= r.n_dup_docs
         assert abs(r.cross_rate - r.n_cross_docs / r.n_dup_docs) < 1e-4
+
+
+def test_boilerplate_suffix_profile_finds_planted_footers(spark):
+    """The planted duplicate set guarantees one footer group per planted
+    doc; every reported suffix is a real >=2 repeat in the planted
+    corpus."""
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        boilerplate_suffix_profile,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    rows = boilerplate_suffix_profile(spark, SF_SMALL).collect()
+    assert len(rows) >= n_planted  # every planted doc forms a group
+    assert all(r.n_docs >= 2 for r in rows)
+    # planted mass: each group the planting creates holds the original +
+    # its copy, so total docs across groups covers 2x the planted set
+    assert sum(r.n_docs for r in rows) >= 2 * n_planted
