@@ -87,6 +87,14 @@ HEADLINE = [
     "association_rules",
     "dau_wau_stickiness",
     "event_funnel",
+    # round-5 final wave: source triage + training-prep cost shapes
+    "source_scorecard",
+    "cross_source_overlap",
+    "source_dup_attribution",
+    "length_bucketed_batches",
+    "novelty_profile",
+    "unigram_logloss",
+    "semantic_contamination",
 ]
 
 

@@ -280,3 +280,34 @@ def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token mass, distinct-term count and
+    type-token ratio — the Heaps-law corpus QA metric (a source whose TTR
+    is far below its peers is template/boilerplate-heavy; far above is
+    OCR noise or ID soup).  Read next to source_scorecard when ranking
+    sources.
+
+    Scale: explode → one aggregation keyed on (source, term-hash) for
+    distinct counting, one on source for mass — both partial-aggregated
+    map-side, shuffling 16-hex digests, never terms.  count_distinct
+    over the md5 avoids shuffling raw token strings (collision odds at
+    64 bits are negligible against vocabulary sizes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    hashed = term_rows.select(
+        "source", F.substring(F.md5("term"), 1, 16).alias("h")
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct("h").cast("long").alias("n_terms"),
+            F.round(F.count_distinct("h") / F.count(F.lit(1)), 4).alias("ttr"),
+        )
+        .orderBy("source")
+    )

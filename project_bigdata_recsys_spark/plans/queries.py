@@ -3972,3 +3972,18 @@ ORACLES["boilerplate_suffix_profile"] = """
     FROM p GROUP BY suffix HAVING count(*) >= 2
     ORDER BY n_docs DESC, suffix
 """
+
+
+QUERIES["source_vocabulary_profile"] = sourcetriage.source_vocabulary_profile
+ORACLES["source_vocabulary_profile"] = """
+    WITH t AS (
+        SELECT source, substr(md5(term), 1, 16) AS h FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_terms,
+           round(count(DISTINCT h) * 1.0 / count(*), 4) AS ttr
+    FROM t GROUP BY source ORDER BY source
+"""

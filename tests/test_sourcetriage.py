@@ -244,3 +244,25 @@ def test_boilerplate_suffix_profile_finds_planted_footers(spark):
     # planted mass: each group the planting creates holds the original +
     # its copy, so total docs across groups covers 2x the planted set
     assert sum(r.n_docs for r in rows) >= 2 * n_planted
+
+
+def test_source_vocabulary_profile_recounts(spark):
+    """TTR per source matches a Python recount of distinct terms over
+    tokens; one row per source."""
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        source_vocabulary_profile,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    by_src: dict[str, list[str]] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).extend(
+            t for t in d.text.split(" ") if t
+        )
+    rows = source_vocabulary_profile(spark, SF_SMALL).collect()
+    assert len(rows) == len(by_src)
+    for r in rows:
+        toks = by_src[r.source]
+        assert r.n_tokens == len(toks)
+        assert r.n_terms == len(set(toks))
+        assert abs(r.ttr - round(len(set(toks)) / len(toks), 4)) <= 1e-4
