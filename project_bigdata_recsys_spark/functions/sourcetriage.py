@@ -311,3 +311,38 @@ def source_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full source-triage decision table as ONE composed query:
+    scorecard (volume / languages / tokens / quality / exact-dup rate) +
+    vocabulary TTR + near-dup cross-source attribution, one row per
+    source — the table a curation owner actually sorts when deciding
+    which sources to keep, down-weight, strip, or drop.
+
+    Composition mirrors curation_funnel: each column block reuses the
+    exact kernel its standalone operator ships, so the row doubles as a
+    composition test — the oracle recomputes all three pipelines in SQL
+    and any block-boundary disagreement breaks the hash.  Sources with
+    no near-dup clusters read cross_rate 0.
+    """
+    sc = source_scorecard(spark, sf_dir).select(
+        "source", "n_docs", "n_langs", "n_tokens", "avg_quality", "dup_rate"
+    )
+    vp = source_vocabulary_profile(spark, sf_dir).select("source", "ttr")
+    att = source_dup_attribution(spark, sf_dir).select("source", "cross_rate")
+    return (
+        sc.join(vp, "source")
+        .join(att, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "n_tokens",
+            "avg_quality",
+            "dup_rate",
+            "ttr",
+            F.coalesce("cross_rate", F.lit(0.0)).alias("cross_rate"),
+        )
+        .orderBy("source")
+    )

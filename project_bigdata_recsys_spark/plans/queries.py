@@ -3987,3 +3987,17 @@ ORACLES["source_vocabulary_profile"] = """
            round(count(DISTINCT h) * 1.0 / count(*), 4) AS ttr
     FROM t GROUP BY source ORDER BY source
 """
+
+
+QUERIES["source_triage_report"] = sourcetriage.source_triage_report
+ORACLES["source_triage_report"] = f"""
+    WITH sc AS ({ORACLES["source_scorecard"]}),
+    vp AS ({ORACLES["source_vocabulary_profile"]}),
+    att AS ({_source_dup_attribution_oracle()})
+    SELECT sc.source, sc.n_docs, sc.n_langs, sc.n_tokens, sc.avg_quality,
+           sc.dup_rate, vp.ttr,
+           coalesce(att.cross_rate, 0.0) AS cross_rate
+    FROM sc JOIN vp ON sc.source = vp.source
+    LEFT JOIN att ON sc.source = att.source
+    ORDER BY sc.source
+"""

@@ -266,3 +266,26 @@ def test_source_vocabulary_profile_recounts(spark):
         assert r.n_tokens == len(toks)
         assert r.n_terms == len(set(toks))
         assert abs(r.ttr - round(len(set(toks)) / len(toks), 4)) <= 1e-4
+
+
+def test_source_triage_report_composes_blocks(spark):
+    """The composite report equals its three standalone blocks joined:
+    same rows as the scorecard, ttr from the vocabulary profile, and
+    cross_rate zero exactly for sources without clustered docs."""
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        source_dup_attribution,
+        source_triage_report,
+        source_vocabulary_profile,
+    )
+
+    report = {r.source: r for r in source_triage_report(spark, SF_SMALL).collect()}
+    sc = {r.source: r for r in source_scorecard(spark, SF_SMALL).collect()}
+    vp = {r.source: r for r in source_vocabulary_profile(spark, SF_SMALL).collect()}
+    att = {r.source: r for r in source_dup_attribution(spark, SF_SMALL).collect()}
+    assert set(report) == set(sc)
+    for s, r in report.items():
+        assert r.n_docs == sc[s].n_docs
+        assert r.dup_rate == sc[s].dup_rate
+        assert r.ttr == vp[s].ttr
+        expect_cross = att[s].cross_rate if s in att else 0.0
+        assert r.cross_rate == expect_cross
