@@ -534,3 +534,50 @@ def test_cdc_current_view_matches_replay(spark, ops):
             state[k] = v
     got = {r.id: r.v for r in cdc_current_view(changes, ["id"], "seq", "op").collect()}
     assert got == state
+
+
+# --- boilerplate span kernel vs brute force --------------------------------
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet forces collisions
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _brute_spans(texts, k, tail):
+    from collections import Counter
+
+    spans = []
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        span = toks[-k:] if tail else toks[:k]
+        spans.append(" ".join(span))
+    return {s: c for s, c in Counter(spans).items() if c >= 2}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_doc_texts, tail=st.booleans())
+def test_boilerplate_kernel_matches_brute_force(spark, texts, tail):
+    """The prefix/suffix span kernel reports exactly the spans a Python
+    Counter finds repeated, with identical counts — including empty-token
+    runs, all-empty documents and spans shorter than k."""
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        boilerplate_profile_for,
+    )
+
+    docs = spark.createDataFrame(
+        [(t, f"s{i % 3}") for i, t in enumerate(texts)], "text string, source string"
+    )
+    out = boilerplate_profile_for(docs, k=3, min_docs=2, tail=tail)
+    col = "suffix" if tail else "prefix"
+    got = {r[col]: r.n_docs for r in out.collect()}
+    assert got == _brute_spans(texts, 3, tail)
