@@ -237,7 +237,9 @@ def boilerplate_suffix_profile(
     return boilerplate_profile_for(corpus, k=k, min_docs=min_docs, tail=True)
 
 
-def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_dup_attribution(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
     """Where does each source's near-duplication COME FROM: for every
     document in a near-dup cluster (banded simhash pairs → connected
     components, the audited dedup machinery), is its cluster confined to
@@ -255,7 +257,11 @@ def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join of cluster labels to (doc_id, source) — a digest-and-id
     shuffle — and a per-cluster distinct-source count on a key the data
     is already clustered by.  Cluster groups are band-bounded small, so
-    no fat partitions.
+    no fat partitions.  A run that already holds the CC labeling (e.g.
+    right after near_dup_clusters or cluster_aware_split) passes it via
+    ``components`` ((doc_id, cluster_id)) and skips the pair/CC
+    recompute entirely — identical output by construction (test-pinned,
+    same contract as cluster_aware_split).
     """
     from project_bigdata_recsys_spark.functions.dedup import (
         connected_components,
@@ -263,8 +269,11 @@ def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs_for(docs, sort=False)
-    comps = connected_components(pairs)
+    if components is not None:
+        comps = components
+    else:
+        pairs = simhash_near_pairs_for(docs, sort=False)
+        comps = connected_components(pairs)
     members = comps.join(docs.select("doc_id", "source"), "doc_id")
     cstats = members.groupBy("cluster_id").agg(
         F.countDistinct("source").alias("n_sources")

@@ -289,3 +289,22 @@ def test_source_triage_report_composes_blocks(spark):
         assert r.ttr == vp[s].ttr
         expect_cross = att[s].cross_rate if s in att else 0.0
         assert r.cross_rate == expect_cross
+
+
+def test_source_dup_attribution_reuses_components(spark):
+    """Passing a precomputed CC labeling yields output identical to the
+    self-computed form (the cluster_aware_split reuse contract)."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        source_dup_attribution,
+    )
+
+    docs = _lt(spark, SF_SMALL, "documents")
+    comps = connected_components(simhash_near_pairs_for(docs, sort=False))
+    a = source_dup_attribution(spark, SF_SMALL).collect()
+    b = source_dup_attribution(spark, SF_SMALL, components=comps).collect()
+    assert a == b
