@@ -1355,3 +1355,52 @@ def semantic_contamination(
         )
         .orderBy("label")
     )
+
+
+def label_centroid_outliers(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Mislabel QA over the embeddings table: per label, the ``k``
+    members whose cosine to their OWN label centroid is lowest — the
+    standard embedding-space screen for annotation errors and polluted
+    classes (a vector far from its class centroid is either mislabeled
+    or an outlier worth auditing before training a classifier on it).
+
+    Scale: the centroid is a (label, pos) mean over the exploded
+    vectors — one partial-aggregated shuffle keyed by (label, pos),
+    #labels × dim rows out, broadcast back for the per-vector dot
+    product (labels × dim is KB-scale however big the corpus); the
+    per-vector reduce groups on vec_id, a key the explode preserved
+    data-locality for.  No pairwise work anywhere — O(n · dim), the
+    cheapest possible pass.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = vals.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    per_vec = (
+        vals.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+    )
+    scored = per_vec.join(F.broadcast(cnorm), "label").select(
+        "label",
+        "vec_id",
+        F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "rank", "vec_id", "cos_sim")
+        .orderBy("label", "rank")
+    )

@@ -4001,3 +4001,34 @@ ORACLES["source_triage_report"] = f"""
     LEFT JOIN att ON sc.source = att.source
     ORDER BY sc.source
 """
+
+
+QUERIES["label_centroid_outliers"] = similarity.label_centroid_outliers
+ORACLES["label_centroid_outliers"] = """
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    vals AS (
+        SELECT vec_id, label,
+               unnest(range(0, len(emb))) AS pos,
+               unnest(emb) AS v
+        FROM b),
+    cent AS (SELECT label, pos, avg(v) AS c FROM vals GROUP BY label, pos),
+    cnorm AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label),
+    per_vec AS (
+        SELECT vals.vec_id, vals.label,
+               sum(vals.v * cent.c) AS dot,
+               sqrt(sum(vals.v * vals.v)) AS vn
+        FROM vals JOIN cent ON vals.label = cent.label AND vals.pos = cent.pos
+        GROUP BY vals.vec_id, vals.label),
+    scored AS (
+        SELECT p.label, p.vec_id,
+               round(p.dot / (p.vn * n.cn), 6) AS cos_sim
+        FROM per_vec p JOIN cnorm n ON p.label = n.label),
+    ranked AS (
+        SELECT label, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY label
+                   ORDER BY cos_sim ASC, vec_id ASC) AS rank
+        FROM scored)
+    SELECT label, CAST(rank AS INT) AS rank, vec_id, cos_sim
+    FROM ranked WHERE rank <= 5 ORDER BY label, rank
+"""

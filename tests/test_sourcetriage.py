@@ -308,3 +308,35 @@ def test_source_dup_attribution_reuses_components(spark):
     a = source_dup_attribution(spark, SF_SMALL).collect()
     b = source_dup_attribution(spark, SF_SMALL, components=comps).collect()
     assert a == b
+
+
+def test_label_centroid_outliers_match_numpy(spark):
+    """Lowest-cosine-to-own-centroid members per label recomputed with
+    numpy agree exactly (values and ranking)."""
+    import numpy as np
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        label_centroid_outliers,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    expect = {}
+    for lab, members in by_label.items():
+        c = np.mean([v for _, v in members], axis=0)
+        cn = np.sqrt(np.dot(c, c))
+        scored = sorted(
+            (round(float(np.dot(v, c)) / (float(np.sqrt(np.dot(v, v))) * cn), 6), vid)
+            for vid, v in members
+        )
+        expect[lab] = scored[:5]
+    rows = label_centroid_outliers(spark, SF_SMALL).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.label, []).append((r.cos_sim, r.vec_id))
+    for lab, pairs in got.items():
+        assert [p[1] for p in pairs] == [p[1] for p in expect[lab]]
+        for (gc, _), (ec, _) in zip(pairs, expect[lab]):
+            assert abs(gc - ec) <= 2e-6
