@@ -1404,3 +1404,72 @@ def label_centroid_outliers(
         .select("label", "rank", "vec_id", "cos_sim")
         .orderBy("label", "rank")
     )
+
+
+def nearest_centroid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality metric over the embeddings table: for every vector,
+    is the NEAREST label centroid its own label?  Per-label agreement
+    rate is the nearest-centroid-classifier accuracy — the one-pass
+    screen that tells a dataset owner which classes are internally
+    coherent and which bleed into neighbors (low agreement = label noise
+    or genuinely overlapping classes; read next to
+    label_centroid_outliers, which names the individual suspects).
+
+    Scale: centroids as in label_centroid_outliers (one (label, pos)
+    partial-agg shuffle, KB-scale result broadcast back); each vector
+    then scores against ALL centroids — O(n · labels · dim) JVM work
+    with no pairwise vector joins; the argmax is a per-vec window over
+    #labels rows (bounded, never data-sized partitions).
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = vals.groupBy(F.col("label").alias("label_c"), F.col("pos")).agg(
+        F.avg("v").alias("c")
+    )
+    cnorm = cent.groupBy("label_c").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    scores = (
+        vals.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+        .join(F.broadcast(cnorm), "label_c")
+        .select(
+            "vec_id",
+            "label",
+            "label_c",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("label_c")
+    )
+    nearest = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("label_c") == F.col("label"), 1).otherwise(0).alias(
+                "agree"
+            ),
+        )
+    )
+    return (
+        nearest.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("agree").cast("long").alias("n_agree"),
+            F.round(F.sum("agree") / F.count(F.lit(1)), 4).alias("agree_rate"),
+        )
+        .orderBy("label")
+    )

@@ -4032,3 +4032,38 @@ ORACLES["label_centroid_outliers"] = """
     SELECT label, CAST(rank AS INT) AS rank, vec_id, cos_sim
     FROM ranked WHERE rank <= 5 ORDER BY label, rank
 """
+
+
+QUERIES["nearest_centroid_agreement"] = similarity.nearest_centroid_agreement
+ORACLES["nearest_centroid_agreement"] = """
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    vals AS (
+        SELECT vec_id, label,
+               unnest(range(0, len(emb))) AS pos,
+               unnest(emb) AS v
+        FROM b),
+    cent AS (SELECT label AS label_c, pos, avg(v) AS c
+             FROM vals GROUP BY label, pos),
+    cnorm AS (SELECT label_c, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label_c),
+    scores AS (
+        SELECT vals.vec_id, vals.label, cent.label_c,
+               round(sum(vals.v * cent.c)
+                     / (sqrt(sum(vals.v * vals.v)) * any_value(n.cn)), 6)
+                   AS cos_sim
+        FROM vals
+        JOIN cent ON vals.pos = cent.pos
+        JOIN cnorm n ON cent.label_c = n.label_c
+        GROUP BY vals.vec_id, vals.label, cent.label_c),
+    nearest AS (
+        SELECT vec_id, label,
+               CASE WHEN first(label_c ORDER BY cos_sim DESC, label_c ASC)
+                         = label
+                    THEN 1 ELSE 0 END AS agree
+        FROM scores GROUP BY vec_id, label)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(agree) AS BIGINT) AS n_agree,
+           round(sum(agree) * 1.0 / count(*), 4) AS agree_rate
+    FROM nearest GROUP BY label ORDER BY label
+"""

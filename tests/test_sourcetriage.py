@@ -340,3 +340,36 @@ def test_label_centroid_outliers_match_numpy(spark):
         assert [p[1] for p in pairs] == [p[1] for p in expect[lab]]
         for (gc, _), (ec, _) in zip(pairs, expect[lab]):
             assert abs(gc - ec) <= 2e-6
+
+
+def test_nearest_centroid_agreement_matches_numpy(spark):
+    """Per-label nearest-centroid accuracy recomputed with numpy agrees
+    (rounded-cosine argmax with the same label_c tie-break)."""
+    import numpy as np
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        nearest_centroid_agreement,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, np.float64))
+    cents = {
+        lab: np.mean(vs, axis=0) for lab, vs in by_label.items()
+    }
+    cns = {lab: float(np.sqrt(np.dot(c, c))) for lab, c in cents.items()}
+    agree: dict[int, list[int]] = {}
+    for r in emb:
+        v = np.array(r.embedding, np.float64)
+        vn = float(np.sqrt(np.dot(v, v)))
+        best = min(
+            (-round(float(np.dot(v, c)) / (vn * cns[lab]), 6), lab)
+            for lab, c in cents.items()
+        )[1]
+        agree.setdefault(r.label, []).append(1 if best == r.label else 0)
+    rows = nearest_centroid_agreement(spark, SF_SMALL).collect()
+    assert {r.label for r in rows} == set(agree)
+    for r in rows:
+        assert r.n_vecs == len(agree[r.label])
+        assert r.n_agree == sum(agree[r.label])
