@@ -95,6 +95,9 @@ HEADLINE = [
     "novelty_profile",
     "unigram_logloss",
     "semantic_contamination",
+    "source_vocabulary_profile",
+    "label_centroid_outliers",
+    "nearest_centroid_agreement",
 ]
 
 
