@@ -371,3 +371,19 @@ def test_semantic_contamination_no_all_pairs(spark):
     plan = _physical(semantic_contamination(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_centroid_ops_broadcast_centroids(spark):
+    """Both embedding label-QA passes must join the KB-scale centroid
+    frame by broadcast — the exploded vector frame (the big side) never
+    shuffles for the join — and plan no cartesian/nested-loop join."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        label_centroid_outliers,
+        nearest_centroid_agreement,
+    )
+
+    for fn in (label_centroid_outliers, nearest_centroid_agreement):
+        plan = _physical(fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
