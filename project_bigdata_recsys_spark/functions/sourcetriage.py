@@ -15,10 +15,17 @@ source-level:
                             (Jaccard over distinct 5-gram hashes) — which
                             crawls re-scrape the same pages; the
                             "drop source B, it is 80% source A" signal.
-  boilerplate_prefix_profile  repeated document prefixes (first-k-token
-                            fingerprints) — templated headers / licence
-                            blocks that repeat across documents, the
+  boilerplate_prefix_profile / boilerplate_suffix_profile
+                            repeated document prefixes/suffixes
+                            (first/last-k-token fingerprints) — templated
+                            headers, licence blocks and footers; the
                             span-level dedup's cheap source-scoped cousin.
+  source_dup_attribution    per-source split of near-dup cluster
+                            membership into intra-source (boilerplate)
+                            vs cross-source (mirror) duplication.
+  source_vocabulary_profile type-token ratio per source (Heaps-law QA).
+  source_triage_report      the composed per-source decision table
+                            (scorecard + TTR + attribution).
 
 All hashes are md5-of-the-data (the dedup.py discipline), so every
 operator is oracle-checked by the DuckDB gate.
