@@ -832,3 +832,35 @@ def unigram_logloss_profile(
         .orderBy("doc_id")
         .limit(limit)
     )
+
+
+def source_quantile_filter(
+    spark: SparkSession, sf_dir: str, q: float = 0.25
+) -> DataFrame:
+    """Per-SOURCE distribution-relative quality cut — the source-keyed
+    twin of group_quantile_filter (same histogram-cumsum threshold
+    kernel, domain column swapped): drop each source's own bottom
+    quartile rather than applying one corpus-wide bar, so a source whose
+    register scores systematically lower (forums vs encyclopedias) is
+    trimmed against itself, not gutted.  Read next to the sourcetriage
+    scorecard when writing per-source retention rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("score"),
+    )
+    thr = group_quantile_threshold(scored, "source", "score", q)
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("score") > F.col("threshold"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.first("n_total").cast("long").alias("n_total"),
+            F.round(F.first("threshold"), 6).alias("threshold"),
+            F.round(F.avg("score"), 6).alias("avg_kept_score"),
+        )
+        .orderBy("source")
+    )

@@ -4067,3 +4067,36 @@ ORACLES["nearest_centroid_agreement"] = """
            round(sum(agree) * 1.0 / count(*), 4) AS agree_rate
     FROM nearest GROUP BY label ORDER BY label
 """
+
+
+QUERIES["source_quantile_filter"] = text.source_quantile_filter
+ORACLES["source_quantile_filter"] = """
+    WITH scored AS (
+        SELECT doc_id, source,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4)
+               - round(len(list_filter(string_split(text, ' '),
+                                       t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                       / len(string_split(text, ' ')), 4) AS score
+        FROM documents),
+    hist AS (
+        SELECT source, score, count(*) AS n FROM scored GROUP BY source, score),
+    cum AS (
+        SELECT source, score,
+               sum(n) OVER (PARTITION BY source ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(n) OVER (PARTITION BY source) AS n_total
+        FROM hist),
+    thr AS (
+        SELECT source, min(score) AS threshold, min(n_total) AS n_total
+        FROM cum WHERE cum_n >= 0.25 * n_total GROUP BY source)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(t.n_total) AS BIGINT) AS n_total,
+           round(min(t.threshold), 6) AS threshold,
+           round(avg(s.score), 6) AS avg_kept_score
+    FROM scored s JOIN thr t USING (source)
+    WHERE s.score > t.threshold
+    GROUP BY s.source
+    ORDER BY s.source
+"""

@@ -373,3 +373,37 @@ def test_nearest_centroid_agreement_matches_numpy(spark):
     for r in rows:
         assert r.n_vecs == len(agree[r.label])
         assert r.n_agree == sum(agree[r.label])
+
+
+def test_source_quantile_filter_keeps_above_own_p25(spark):
+    """Each source keeps only docs strictly above its OWN p25 threshold;
+    kept counts match a Python recount of the per-source distribution."""
+    from project_bigdata_recsys_spark.functions.text import (
+        quality_features,
+        source_quantile_filter,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "source", (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("s")
+    ).collect()
+    by_src: dict[str, list[float]] = {}
+    for r in scored:
+        by_src.setdefault(r.source, []).append(r.s)
+    rows = source_quantile_filter(spark, SF_SMALL).collect()
+    assert {r.source for r in rows} <= set(by_src)
+    for r in rows:
+        vals = sorted(by_src[r.source])
+        n = len(vals)
+        # threshold = min distinct score whose cumulative count >= 0.25*n
+        seen = 0
+        thr = None
+        for v in sorted(set(vals)):
+            seen += vals.count(v)
+            if seen >= 0.25 * n:
+                thr = v
+                break
+        assert abs(r.threshold - round(thr, 6)) <= 1e-6
+        assert r.n_total == n
+        assert r.n_kept == sum(1 for v in vals if v > thr)
