@@ -625,9 +625,40 @@ def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw_variants > 1 = caught only thanks to normalization).
 
     Same shuffle shape as functions/dedup.py::exact_duplicates — 32-byte
-    digests only, never text."""
+    digests only, never text.
+
+    Gate form plants three deterministic disguised variants of every
+    ``doc_id % 10 == 0`` document (case flip at +1M, trailing punctuation
+    at +2M, doubled whitespace at +3M) so the gate row exercises the
+    normalization on groups that exact raw hashing CANNOT find
+    (raw_variants = 4 per planted group) instead of proving emptiness —
+    the corpus has no natural normalized dups.  The oracle mirrors the
+    UNION ALL."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
+    base = docs.select("doc_id", "text")
+    tenth = base.filter(F.col("doc_id") % 10 == 0)
+    planted = (
+        tenth.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+        .unionByName(
+            tenth.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+            )
+        )
+        .unionByName(
+            tenth.select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("  "), F.regexp_replace("text", " ", "  ")
+                ).alias("text"),
+            )
+        )
+    )
+    corpus = base.unionByName(planted)
+    fp = corpus.select(
         "doc_id",
         F.sha2(normalize_text(F.col("text")), 256).alias("norm_fp"),
         F.sha2(F.col("text"), 256).alias("raw_fp"),

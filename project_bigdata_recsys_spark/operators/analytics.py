@@ -36,17 +36,35 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(disc_price * 10000).cast("long")
+    charge_c = F.round(charge * 1000000).cast("long")
+    dpct_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # Exact fixed-point sums: every money/qty expression here has
+            # a bounded decimal width by construction (qty/price/discount
+            # 2dp, disc_price 4dp, charge 6dp), so per-row scaling to an
+            # integer and summing as BIGINT is exact and partition-order-
+            # independent — sum(double) can flip the printed 2-decimal
+            # rounding between runs.  (BIGINT headroom: ~1e18; fine to
+            # sf1 — beyond that switch the scaled sums to DECIMAL(38,0).)
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_c) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_c) / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum(price_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(dpct_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -293,23 +311,28 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        # exact integer-cent spend: rank + avg stay order-independent
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_cents"
+        ),
     )
     q = lambda col: F.least(F.floor(F.col(col) * 4), F.lit(3)).cast("int")  # noqa: E731
     r = with_exact_percent_rank(per_cust, ["last_order", "o_custkey"], "pr_r")
     fq = with_exact_percent_rank(r, ["n_orders", "o_custkey"], "pr_f")
-    m = with_exact_percent_rank(fq, ["spend", "o_custkey"], "pr_m")
+    m = with_exact_percent_rank(fq, ["spend_cents", "o_custkey"], "pr_m")
     return (
         m.select(
             q("pr_r").alias("r_quartile"),
             q("pr_f").alias("f_quartile"),
             q("pr_m").alias("m_quartile"),
-            "spend",
+            "spend_cents",
         )
         .groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.round(F.avg("spend"), 4).alias("avg_spend"),
+            F.round(
+                F.sum("spend_cents") / F.count(F.lit(1)) / 100.0, 4
+            ).alias("avg_spend"),
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )

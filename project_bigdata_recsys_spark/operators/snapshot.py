@@ -166,7 +166,15 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         current.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # Exact-cents sum: per-row scale to integer cents (the money
+            # values carry ≤2 decimals by construction), sum as BIGINT —
+            # partition-order-independent, unlike sum(double) whose
+            # 2-decimal rounding can flip vs a serial oracle summation.
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )

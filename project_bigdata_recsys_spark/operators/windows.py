@@ -87,7 +87,10 @@ def power_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_user = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        # exact integer-cent sum (order-independent; see snapshot.py note)
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+        ).alias("total_spend"),
     ).filter(F.col("n_orders") > 5)
     rank_map = (
         per_user.agg(

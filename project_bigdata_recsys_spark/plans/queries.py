@@ -672,13 +672,21 @@ ORACLES: dict[str, str] = {
     # --- TPC-H-shaped analytics ------------------------------------------
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                              AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * (1 + l_tax) * 1000000)
+                              AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     / count(*) / 100.0, 4) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / count(*) / 100.0, 4) AS avg_price,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                     / count(*) / 100.0, 4) AS avg_disc,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -981,7 +989,8 @@ ORACLES: dict[str, str] = {
                CAST(activity_rank AS INTEGER) AS activity_rank
         FROM (SELECT o_custkey,
                      CAST(count(*) AS BIGINT) AS n_orders,
-                     round(sum(o_totalprice), 2) AS total_spend,
+                     round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           / 100.0, 2) AS total_spend,
                      dense_rank() OVER (ORDER BY count(*) DESC) AS activity_rank
               FROM orders GROUP BY o_custkey)
         WHERE n_orders > 5
@@ -2658,13 +2667,25 @@ ORACLES["duplicated_spans"] = _SPAN_SEGS_CTE + """
 """
 
 ORACLES["normalized_duplicates"] = """
-    WITH fp AS (
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text) FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' !!!' FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, '  ' || regexp_replace(text, ' ', '  ', 'g')
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (
         SELECT doc_id,
                sha256(trim(regexp_replace(
                    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                    ' +', ' ', 'g'))) AS norm_fp,
                sha256(text) AS raw_fp
-        FROM documents
+        FROM corpus
     )
     SELECT norm_fp,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -3286,7 +3307,8 @@ ORACLES["cdc_current_view"] = """
         FROM u WHERE u_del >= 0.02)
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_price
     FROM current_state
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -3498,19 +3520,19 @@ ORACLES["rfm_segments"] = """
     WITH per_cust AS (
         SELECT o_custkey, max(o_orderdate) AS last_order,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS spend
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
         FROM orders GROUP BY o_custkey),
     ranked AS (
-        SELECT spend,
+        SELECT spend_cents,
                percent_rank() OVER (ORDER BY last_order, o_custkey) AS pr_r,
                percent_rank() OVER (ORDER BY n_orders, o_custkey) AS pr_f,
-               percent_rank() OVER (ORDER BY spend, o_custkey) AS pr_m
+               percent_rank() OVER (ORDER BY spend_cents, o_custkey) AS pr_m
         FROM per_cust)
     SELECT CAST(least(floor(pr_r * 4), 3) AS INTEGER) AS r_quartile,
            CAST(least(floor(pr_f * 4), 3) AS INTEGER) AS f_quartile,
            CAST(least(floor(pr_m * 4), 3) AS INTEGER) AS m_quartile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(spend), 4) AS avg_spend
+           round(sum(spend_cents) / count(*) / 100.0, 4) AS avg_spend
     FROM ranked
     GROUP BY 1, 2, 3
     ORDER BY r_quartile, f_quartile, m_quartile
