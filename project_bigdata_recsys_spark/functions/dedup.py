@@ -429,7 +429,10 @@ def minhash_candidates(
 # SimHash (64-bit) with banded bucketing
 # --------------------------------------------------------------------------
 def simhash_features(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document, set-based for whole-stage codegen:
 
@@ -448,10 +451,19 @@ def simhash_features(
     ``xxhash64``: md5 is data-derived and engine-independent, so the whole
     simhash pipeline reproduces bit-for-bit in the DuckDB oracle; xxhash64
     would be marginally cheaper but unverifiable outside the JVM.
+
+    ``tokens_col`` names a pre-tokenized array column to use instead of
+    tokenizing ``text_col`` — callers that already persist a per-doc token
+    frame (sourcetriage.source_triage_report) avoid a second text scan +
+    tokenization; identical output (the tokenizer is the same corpus-wide
+    kernel either way).
     """
+    tok_array = (
+        F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    )
     tok = fan_out(docs).select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.explode(F.array_distinct(tok_array)).alias("tok"),
     ).filter(F.length("tok") > 0)
     md5 = F.md5("tok")
     halves = tok.select(
@@ -516,6 +528,7 @@ def simhash_near_pairs_for(
     max_hamming: int = 3,
     max_band_key_docs: int | None = DEFAULT_MAX_BAND_KEY_DOCS,
     sort: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Banded SimHash near-duplicate pairs, verified by exact popcount on
     the XOR of fingerprints.
@@ -536,7 +549,7 @@ def simhash_near_pairs_for(
     the non-discriminative case (near-identical boilerplate) that
     upstream exact dedup already collapses.  ``None`` disables the cap.
     """
-    sh = simhash_features(docs)
+    sh = simhash_features(docs, tokens_col=tokens_col)
     band_structs = F.array(
         *[
             F.struct(

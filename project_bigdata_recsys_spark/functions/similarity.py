@@ -1330,13 +1330,24 @@ def semantic_contamination(
         .select("eval_id", "train_id")
         .dropDuplicates()
     )
-    normed = emb.select("vec_id", _normalized().alias("unit"))
-    ev = normed.select(F.col("vec_id").alias("eval_id"), F.col("unit").alias("unit_e"))
-    tr = normed.select(F.col("vec_id").alias("train_id"), F.col("unit").alias("unit_t"))
+    # exact cosine as dot/(|a||b|) over the RAW vectors — the SAME
+    # expression shape (and so the same FP association order) as the
+    # DuckDB twin; a pre-normalized dot can differ in the 6th decimal
+    # exactly at the round/threshold boundary (r5 advisory)
+    raw = emb.select("vec_id", "embedding")
+    ev = raw.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("emb_e")
+    )
+    tr = raw.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("emb_t")
+    )
+    cos = dot(F.col("emb_e"), F.col("emb_t")) / (
+        l2_norm(F.col("emb_e")) * l2_norm(F.col("emb_t"))
+    )
     hits = (
         cands.join(ev, "eval_id")
         .join(tr, "train_id")
-        .filter(F.round(dot(F.col("unit_e"), F.col("unit_t")), 6) >= threshold)
+        .filter(F.round(cos, 6) >= threshold)
         .select("eval_id")
         .dropDuplicates()
     )

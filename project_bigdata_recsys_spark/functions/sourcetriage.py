@@ -69,18 +69,38 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
     )
     corpus = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
+    per_doc = persist_tracked(
+        per_doc_features(corpus)
+        .withColumn("n_tokens", F.size("toks"))
+        .drop("toks")
+    )
+    return scorecard_rollup(per_doc)
 
+
+def per_doc_features(docs: DataFrame) -> DataFrame:
+    """The shared one-text-scan per-document feature frame every triage
+    block reads: (doc_id, source, lang, sha256 fingerprint, non-empty
+    token array, quality score).  Projection-only — callers persist it
+    once and fan out; Catalyst prunes ``toks`` away for consumers that
+    only need counts."""
     feats = quality_features(F.col("text"))
-    per_doc = persist_tracked(corpus.select(
+    return docs.select(
         "doc_id",
         "source",
         "lang",
         F.sha2("text", 256).alias("fp"),
-        F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)).alias(
-            "n_tokens"
+        F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0).alias(
+            "toks"
         ),
         (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("quality"),
-    ))
+    )
+
+
+def scorecard_rollup(per_doc: DataFrame) -> DataFrame:
+    """Scorecard aggregation over a per-doc feature frame
+    (doc_id, source, lang, fp, n_tokens, quality) — the kernel behind
+    :func:`source_scorecard` (planted gate corpus) and
+    :func:`source_triage_report` (real corpus)."""
     copies = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
     flagged = per_doc.join(copies, "fp").withColumn(
         "is_dup", F.when(F.col("n_copies") > 1, 1).otherwise(0)
@@ -282,6 +302,13 @@ def source_dup_attribution(
         pairs = simhash_near_pairs_for(docs, sort=False)
         comps = connected_components(pairs)
     members = comps.join(docs.select("doc_id", "source"), "doc_id")
+    return attribution_rollup(members)
+
+
+def attribution_rollup(members: DataFrame) -> DataFrame:
+    """Per-source intra-vs-cross duplication rollup over a labeled
+    membership frame (doc_id, cluster_id, source) — shared by
+    :func:`source_dup_attribution` and :func:`source_triage_report`."""
     cstats = members.groupBy("cluster_id").agg(
         F.countDistinct("source").alias("n_sources")
     )
@@ -318,6 +345,12 @@ def source_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = term_rows.select(
         "source", F.substring(F.md5("term"), 1, 16).alias("h")
     )
+    return vocabulary_rollup(hashed)
+
+
+def vocabulary_rollup(hashed: DataFrame) -> DataFrame:
+    """TTR aggregation over a (source, term-hash) frame — kernel behind
+    :func:`source_vocabulary_profile` and the composed report."""
     return (
         hashed.groupBy("source")
         .agg(
@@ -336,17 +369,50 @@ def source_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — the table a curation owner actually sorts when deciding
     which sources to keep, down-weight, strip, or drop.
 
-    Composition mirrors curation_funnel: each column block reuses the
-    exact kernel its standalone operator ships, so the row doubles as a
-    composition test — the oracle recomputes all three pipelines in SQL
-    and any block-boundary disagreement breaks the hash.  Sources with
-    no near-dup clusters read cross_rate 0.
+    Composition reuses each block's rollup kernel over ONE shared
+    per-doc feature frame (fingerprint + token array + quality, one text
+    scan, persist_tracked) and ONE connected-components labeling:
+
+      scorecard   <- per_doc (n_tokens = size(toks), fp for dup rate)
+      ttr         <- explode(per_doc.toks)
+      attribution <- simhash over per_doc.toks (tokens_col reuse) -> CC
+                     -> attribution_rollup, never a second pair/CC pass
+
+    vs the round-5 form (three independent pipelines = three text scans
+    plus a fresh simhash+CC), this is one scan + one CC — the
+    curation_funnel composition discipline.  Every block runs over the
+    REAL corpus with the SAME denominators: the standalone scorecard
+    gate plants synthetic duplicates to stay non-vacuous, but a decision
+    table that mixes planted dup_rate with unplanted ttr/cross_rate
+    would overstate corpus duplication (round-5 advisory), so the
+    composed report does not plant anywhere.  Sources with no near-dup
+    clusters read cross_rate 0.
     """
-    sc = source_scorecard(spark, sf_dir).select(
-        "source", "n_docs", "n_langs", "n_tokens", "avg_quality", "dup_rate"
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
     )
-    vp = source_vocabulary_profile(spark, sf_dir).select("source", "ttr")
-    att = source_dup_attribution(spark, sf_dir).select("source", "cross_rate")
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = persist_tracked(per_doc_features(docs))
+
+    sc = scorecard_rollup(
+        per_doc.withColumn("n_tokens", F.size("toks"))
+    ).select("source", "n_docs", "n_langs", "n_tokens", "avg_quality", "dup_rate")
+
+    hashed = per_doc.select(
+        "source", F.explode("toks").alias("term")
+    ).select("source", F.substring(F.md5("term"), 1, 16).alias("h"))
+    vp = vocabulary_rollup(hashed).select("source", "ttr")
+
+    pairs = simhash_near_pairs_for(
+        per_doc.select("doc_id", "toks"), sort=False, tokens_col="toks"
+    )
+    members = connected_components(pairs).join(
+        per_doc.select("doc_id", "source"), "doc_id"
+    )
+    att = attribution_rollup(members).select("source", "cross_rate")
     return (
         sc.join(vp, "source")
         .join(att, "source", "left")

@@ -826,7 +826,10 @@ def equi_depth_histogram(
 
 
 def unigram_logloss_profile(
-    spark: SparkSession, sf_dir: str, limit: int = 500
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = 500,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Unigram language-model score per document: the mean negative log
     probability of the document's tokens under the CORPUS unigram
@@ -839,11 +842,16 @@ def unigram_logloss_profile(
 
     Scale: explode -> corpus term counts (one Tungsten aggregation with
     map-side combine absorbing token skew) -> join term probabilities
-    back to the exploded tokens (broadcast-hinted: a vocabulary is small
-    relative to its corpus; drop the hint if it outgrows the broadcast
-    budget) -> per-doc mean.  Total token mass rides along as a
-    broadcast 1-row aggregate crossJoin (the tfidf_top_terms N trick) —
-    ONE job, no separate count() action.
+    back to the exploded tokens -> per-doc mean.  Total token mass rides
+    along as a broadcast 1-row aggregate crossJoin (the tfidf_top_terms
+    N trick) — ONE job, no separate count() action.
+
+    A whitespace vocabulary is UNBOUNDED (IDs, typos, long-tail junk all
+    mint terms), so the vocab-side broadcast hint is an option, not a
+    hard-coded plan: ``broadcast_vocab=False`` degrades to a plain
+    shuffle join on the term (AQE still picks broadcast at runtime if
+    the built vocab turns out small) instead of failing the job when the
+    vocabulary outgrows the broadcast budget at full-corpus scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     term_rows = docs.select(
@@ -852,8 +860,9 @@ def unigram_logloss_profile(
     vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
     total = vocab.agg(F.sum("n_term").alias("n_total"))
     logp = F.log(F.col("n_term") / F.col("n_total"))
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
     return (
-        term_rows.join(F.broadcast(vocab), "term")
+        term_rows.join(vocab_side, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(

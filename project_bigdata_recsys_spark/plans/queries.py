@@ -3694,12 +3694,21 @@ ORACLES["span_curation_funnel"] = _SPAN_SEGS_CTE + """,
 """
 
 # --- round-5 source-triage wave -------------------------------------------
-ORACLES["source_scorecard"] = """
-    WITH corpus AS (
-        SELECT doc_id, text, lang, source FROM documents
+def _scorecard_sql(planted: bool) -> str:
+    """Scorecard SQL twin; ``planted`` mirrors the standalone gate's
+    synthetic duplicate set, the composed report uses the real corpus
+    (consistent denominators across its blocks)."""
+    corpus = (
+        """SELECT doc_id, text, lang, source FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text, lang, source FROM documents
-        WHERE doc_id % 10 = 0),
+        WHERE doc_id % 10 = 0"""
+        if planted
+        else "SELECT doc_id, text, lang, source FROM documents"
+    )
+    return f"""
+    WITH corpus AS (
+        {corpus}),
     per_doc AS (
         SELECT doc_id, source, lang, sha256(text) AS fp,
                len(list_filter(string_split(text, ' '),
@@ -3724,6 +3733,9 @@ ORACLES["source_scorecard"] = """
            round(sum(is_dup) * 1.0 / count(*), 4) AS dup_rate
     FROM flagged GROUP BY source ORDER BY source
 """
+
+
+ORACLES["source_scorecard"] = _scorecard_sql(planted=True)
 
 ORACLES["cross_source_overlap"] = """
     WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -4012,8 +4024,10 @@ ORACLES["source_vocabulary_profile"] = """
 
 
 QUERIES["source_triage_report"] = sourcetriage.source_triage_report
+# report oracle: UNPLANTED scorecard block — the composed decision table
+# keeps one corpus denominator across all three blocks (r5 advisory).
 ORACLES["source_triage_report"] = f"""
-    WITH sc AS ({ORACLES["source_scorecard"]}),
+    WITH sc AS ({_scorecard_sql(planted=False)}),
     vp AS ({ORACLES["source_vocabulary_profile"]}),
     att AS ({_source_dup_attribution_oracle()})
     SELECT sc.source, sc.n_docs, sc.n_langs, sc.n_tokens, sc.avg_quality,

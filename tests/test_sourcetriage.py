@@ -237,12 +237,32 @@ def test_boilerplate_suffix_profile_finds_planted_footers(spark):
     )
 
     docs = load_table(spark, SF_SMALL, "documents")
-    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    # recount DISTINCT planted suffixes, not planted docs: two planted
+    # docs sharing a last-8-token suffix merge into one group, so a
+    # group-count >= doc-count assertion could fail on a colliding corpus
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0),
+                F.greatest(
+                    F.size(
+                        F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+                    )
+                    - 7,
+                    F.lit(1),
+                ),
+                8,
+            ),
+            " ",
+        ).alias("suffix")
+    )
+    n_planted_suffixes = planted.distinct().count()
+    n_planted = planted.count()
     rows = boilerplate_suffix_profile(spark, SF_SMALL).collect()
-    assert len(rows) >= n_planted  # every planted doc forms a group
+    assert len(rows) >= n_planted_suffixes  # every planted suffix groups
     assert all(r.n_docs >= 2 for r in rows)
-    # planted mass: each group the planting creates holds the original +
-    # its copy, so total docs across groups covers 2x the planted set
+    # planted mass: original + copy of every planted doc lands in some
+    # group, so total docs across groups covers 2x the planted set
     assert sum(r.n_docs for r in rows) >= 2 * n_planted
 
 
@@ -278,8 +298,25 @@ def test_source_triage_report_composes_blocks(spark):
         source_vocabulary_profile,
     )
 
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        per_doc_features,
+        scorecard_rollup,
+    )
+
     report = {r.source: r for r in source_triage_report(spark, SF_SMALL).collect()}
-    sc = {r.source: r for r in source_scorecard(spark, SF_SMALL).collect()}
+    # the report's scorecard block runs over the REAL corpus (no planted
+    # duplicates — consistent denominators with ttr/cross_rate), so
+    # compare against the unplanted kernel, not the planted gate query
+    docs = _lt(spark, SF_SMALL, "documents")
+    sc = {
+        r.source: r
+        for r in scorecard_rollup(
+            per_doc_features(docs).withColumn("n_tokens", F.size("toks"))
+        ).collect()
+    }
     vp = {r.source: r for r in source_vocabulary_profile(spark, SF_SMALL).collect()}
     att = {r.source: r for r in source_dup_attribution(spark, SF_SMALL).collect()}
     assert set(report) == set(sc)
