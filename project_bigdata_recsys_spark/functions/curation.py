@@ -54,7 +54,10 @@ def pack_sequences(
 
 
 def pack_sequences_for(
-    docs: DataFrame, budget: int = 256, n_shards: int = 1
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 1,
+    boundary_tokens: int = 0,
 ) -> DataFrame:
     """Pack documents into fixed ``budget``-token training sequences by
     concat-and-chop within each lang: documents stream in doc_id order,
@@ -76,6 +79,12 @@ def pack_sequences_for(
     loss: per-shard fill ratios obey the same bound and the total token
     mass is conserved (asserted in tests against the unsharded form,
     including hypothesis-generated corpora).
+
+    ``boundary_tokens`` charges each document's budget cost with the
+    document-boundary specials a real pretraining packer inserts
+    (BOS+EOS = 2; EOS-only = 1): placement cumsum and fill ratio count
+    n_tokens + boundary_tokens per doc, while the reported ``n_tokens``
+    stays content-token mass.  Default 0 keeps the raw-concat form.
     """
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
     with_counts = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
@@ -91,11 +100,10 @@ def pack_sequences_for(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cost = F.col("n_tokens") + F.lit(boundary_tokens)
     placed = with_counts.withColumn(
         "seq_no",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
-        ).cast("long"),
+        F.floor((F.sum(cost).over(w) - cost) / F.lit(budget)).cast("long"),
     )
     return (
         placed.groupBy(*keys, "seq_no")
@@ -108,9 +116,14 @@ def pack_sequences_for(
             "seq_no",
             "n_docs",
             "n_tokens",
-            F.round(F.least(F.lit(1.0), F.col("n_tokens") / budget), 4).alias(
-                "fill_ratio"
-            ),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("n_tokens") + F.col("n_docs") * boundary_tokens)
+                    / budget,
+                ),
+                4,
+            ).alias("fill_ratio"),
         )
         .orderBy(*keys, "seq_no")
     )
@@ -733,4 +746,67 @@ def length_bucketed_batches(
             ).alias("pad_ratio"),
         )
         .orderBy("bucket")
+    )
+
+
+def split_source_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+) -> DataFrame:
+    """The labeling-REUSE contract as one benchable query: a single
+    banded-simhash + connected-components pass labels the corpus, and
+    that ONE labeling then feeds both downstream consumers —
+    :func:`cluster_aware_split`'s leakage-safe split draw (md5 on
+    cluster_id) and sourcetriage's cross-source attribution — rolled up
+    per (source, split).  This is the production shape the
+    ``components=`` parameters exist for; benched next to
+    near_dup_clusters / cluster_aware_split it shows the marginal cost
+    of a second consumer is joins on an already-shuffled key, not a
+    repeated pair+CC pass (the round-5 bench triple-paid that family).
+
+    Output per (source, split): docs, clustered docs, docs in
+    cross-source clusters, cross rate — the pre-training audit of "which
+    split of which source carries mirrored content"."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        simhash_near_pairs_for,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs_for(docs, sort=False)
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    u = hash_uniform(F.col("cluster_id"), "split:")
+    split = (
+        F.when(u < train_frac, "train")
+        .when(u < train_frac + valid_frac, "valid")
+        .otherwise("test")
+    )
+    assigned = persist_tracked(labeled.withColumn("split", split))
+    csrc = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    n_clu = F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+    n_cross = F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+    return (
+        assigned.join(csrc, "cluster_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_clu.cast("long").alias("n_clustered"),
+            n_cross.cast("long").alias("n_cross_docs"),
+            F.when(n_clu > 0, F.round(n_cross / n_clu, 4))
+            .otherwise(F.lit(0.0))
+            .alias("cross_rate"),
+        )
+        .orderBy("source", "split")
     )

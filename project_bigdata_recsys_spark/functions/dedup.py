@@ -1207,3 +1207,61 @@ def novelty_profile(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def incremental_components_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`update_components` as a gate query: treat pairs whose
+    endpoints are both ``doc_id % 5 != 0`` as the settled OLD graph,
+    pairs touching a ``doc_id % 5 == 0`` vertex as the daily DELTA, fold
+    the delta into the prior labeling (old singletons included — the
+    full-cover contract), and report the cluster-size histogram of the
+    folded labeling.
+
+    By the star-equivalence argument (see :func:`update_components`;
+    folded ≡ full recompute is also directly test-pinned) the histogram
+    must equal a full CC recompute over ALL pairs — which is exactly
+    what the DuckDB oracle runs, so the fold's correctness is what the
+    hash match proves.  Size-1 rows are excluded (the fold and the
+    recompute cover singletons differently by construction; clusters
+    are the meaningful output).
+
+    Scale: one banded pair generation (persist_tracked — both the
+    old/delta splits read it), one CC over the old graph, one bounded
+    fold.  The production shape replaces the old-graph CC with the
+    PERSISTED labeling of the previous run; the gate recomputes it only
+    because the driver corpus ships no prior state."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_pairs = persist_tracked(simhash_near_pairs_for(docs, sort=False))
+    old_pairs = all_pairs.filter(
+        ((F.col("doc_a") % 5) != 0) & ((F.col("doc_b") % 5) != 0)
+    )
+    delta = all_pairs.filter(
+        ((F.col("doc_a") % 5) == 0) | ((F.col("doc_b") % 5) == 0)
+    )
+    prior = connected_components(old_pairs)
+    old_ids = docs.filter((F.col("doc_id") % 5) != 0).select("doc_id")
+    singles = old_ids.join(prior, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    folded = update_components(prior.unionByName(singles), delta)
+    sizes = (
+        folded.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.min("cluster_id").alias("min_cluster_id"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "min_cluster_id",
+        )
+        .orderBy("cluster_size")
+    )

@@ -1484,3 +1484,66 @@ def nearest_centroid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def int8_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization QA — the 4x-compression
+    companion to the PQ family (pq_codebook): symmetric per-vector
+    quantization (scale = max|x| / 127, q = clamp(round(x/scale))),
+    profiled per label by reconstruction MSE and original↔reconstruction
+    cosine.  The table a vector-store owner reads before switching the
+    ANN index to int8 storage: which label slices lose recall-relevant
+    geometry (min_cos) and how much error the corpus averages.
+
+    Scale: everything is a per-row array expression inside whole-stage
+    codegen (transform/aggregate HOFs, no UDF, no shuffle before the
+    #labels-sized rollup).  All reductions run in array-index order, so
+    the DuckDB twin reproduces them bit-for-bit; zero vectors (scale 0)
+    are excluded on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    withs = (
+        emb.select("vec_id", "label", arr.alias("emb"))
+        .withColumn(
+            "scale",
+            F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+            / 127.0,
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "recon",
+            F.transform(
+                F.col("emb"),
+                lambda x: F.least(
+                    F.greatest(F.round(x / F.col("scale")), F.lit(-127.0)),
+                    F.lit(127.0),
+                )
+                * F.col("scale"),
+            ),
+        )
+    )
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("recon"), lambda x, y: F.pow(x - y, 2)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(F.col("emb"))
+    )
+    cos = dot(F.col("emb"), F.col("recon")) / (
+        l2_norm(F.col("emb")) * l2_norm(F.col("recon"))
+    )
+    return (
+        withs.select("label", F.col("scale"), mse.alias("mse"), cos.alias("cos_sim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("mse"), 8).alias("avg_mse"),
+            F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
+            F.round(F.min("cos_sim"), 6).alias("min_cos"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )

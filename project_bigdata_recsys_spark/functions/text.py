@@ -427,7 +427,10 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def with_exact_percent_rank(
-    df: DataFrame, order_cols: list[str], out_col: str = "pr"
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pr",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Append an EXACT global percent_rank over ``order_cols`` (must be a
     total order) without the single-partition sort an unkeyed window
@@ -442,7 +445,12 @@ def with_exact_percent_rank(
     pid assignment; with an implicit count AQE could coalesce the two
     shuffle reads differently and desynchronize pid between branches.
     The only single-partition work is the offset cumsum over the
-    ~num-partitions-row count frame."""
+    ~num-partitions-row count frame.
+
+    ``rank_col`` additionally emits the exact global row number
+    (offset + local rank) — the 1-based position in the total order —
+    for consumers that need ranks, not percentiles (e.g. the shuffled-
+    export manifest)."""
     from pyspark.sql import Window
 
     n_range_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -464,17 +472,18 @@ def with_exact_percent_rank(
             )
         ).alias("__n_total"),
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            out_col,
-            F.when(
-                F.col("__n_total") > 1,
-                (F.col("__offset") + F.col("__lr") - 1) / (F.col("__n_total") - 1),
-            ).otherwise(F.lit(0.0)),
-        )
-        .drop("__pid", "__lr", "__offset", "__n_total")
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        out_col,
+        F.when(
+            F.col("__n_total") > 1,
+            (F.col("__offset") + F.col("__lr") - 1) / (F.col("__n_total") - 1),
+        ).otherwise(F.lit(0.0)),
     )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col("__offset") + F.col("__lr")).cast("long")
+        )
+    return out.drop("__pid", "__lr", "__offset", "__n_total")
 
 
 def quality_percentile_filter(

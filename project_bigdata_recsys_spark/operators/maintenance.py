@@ -123,3 +123,36 @@ def export_shuffled(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def shuffled_export_manifest(
+    spark: SparkSession, sf_dir: str, every: int = 25
+) -> DataFrame:
+    """:func:`export_shuffled`'s ORDER contract as an oracle-checkable
+    gate query: the deterministic global md5 permutation of the
+    documents table, sampled at every ``every``-th rank (rank, doc_id,
+    shuffle key).  The export's file-level properties (disjoint ordered
+    ranges, byte-identical reruns) are pyarrow-pinned in tests; this
+    query pins the PERMUTATION itself — the same md5-lex order reading
+    the exported files back in name order replays.
+
+    Scale: the exact global rank uses the range-shuffle recipe
+    (functions.text.with_exact_percent_rank — no single-partition
+    window); output is n/``every`` rows, driver-safe."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        with_exact_percent_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key", F.md5(F.col("doc_id").cast("string"))
+    )
+    ranked = with_exact_percent_rank(
+        keyed, ["shuffle_key", "doc_id"], "pr", rank_col="rank"
+    )
+    return (
+        ranked.filter((F.col("rank") % every) == 1)
+        .select("rank", "doc_id", "shuffle_key")
+        .orderBy("rank")
+    )

@@ -34,6 +34,7 @@ from project_bigdata_recsys_spark.functions import (
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
+    maintenance,
     quality,
     ranges,
     relational,
@@ -4135,4 +4136,142 @@ ORACLES["source_quantile_filter"] = """
     WHERE s.score > t.threshold
     GROUP BY s.source
     ORDER BY s.source
+"""
+
+
+# --- round 6: driver evidence for the fold + export-order contracts -------
+QUERIES["incremental_components"] = dedup.incremental_components_profile
+ORACLES["incremental_components"] = f"""
+    WITH RECURSIVE {_simhash_ctes()},
+    pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+              UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+    cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    sizes AS (SELECT label, count(*) AS n FROM cc GROUP BY label
+              HAVING count(*) >= 2)
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           min(label) AS min_cluster_id
+    FROM sizes GROUP BY n ORDER BY cluster_size
+"""
+
+QUERIES["shuffled_export_manifest"] = maintenance.shuffled_export_manifest
+ORACLES["shuffled_export_manifest"] = """
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, shuffle_key,
+               row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
+        FROM keyed)
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, shuffle_key
+    FROM ranked WHERE rank % 25 = 1 ORDER BY rank
+"""
+
+
+def _pack_sequences_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: tokenizer-aware packing with BOS+EOS document
+    boundaries charged to the budget (boundary_tokens=2), sharded form."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+
+    return curation.pack_sequences_for(
+        _lt(spark, sf_dir, "documents"), n_shards=4, boundary_tokens=2
+    )
+
+
+QUERIES["pack_sequences_boundaries"] = _pack_sequences_boundaries
+ORACLES["pack_sequences_boundaries"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 4 AS INT) AS shard,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    p AS (
+        SELECT lang, shard, n_tokens,
+               CAST(floor((sum(n_tokens + 2) OVER (PARTITION BY lang, shard
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - (n_tokens + 2)) / 256.0) AS BIGINT) AS seq_no
+        FROM t)
+    SELECT lang, shard, seq_no, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(least(1.0, (sum(n_tokens) + count(*) * 2) / 256.0), 4)
+               AS fill_ratio
+    FROM p GROUP BY lang, shard, seq_no ORDER BY lang, shard, seq_no
+"""
+
+QUERIES["int8_quantization_profile"] = similarity.int8_quantization_profile
+ORACLES["int8_quantization_profile"] = """
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, label, emb,
+                 list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+          FROM b),
+    r AS (SELECT vec_id, label, scale, emb,
+                 list_transform(emb,
+                     x -> least(greatest(round(x / scale), -127.0), 127.0)
+                          * scale) AS recon
+          FROM s WHERE scale > 0),
+    e AS (SELECT label, scale,
+                 list_sum(list_transform(range(0, len(emb)),
+                     i -> pow(emb[i + 1] - recon[i + 1], 2))) / len(emb)
+                     AS mse,
+                 list_dot_product(emb, recon)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(recon, recon))) AS cos_sim
+          FROM r)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(mse), 8) AS avg_mse,
+           round(avg(cos_sim), 6) AS avg_cos,
+           round(min(cos_sim), 6) AS min_cos,
+           round(avg(scale), 6) AS avg_scale
+    FROM e GROUP BY label ORDER BY label
+"""
+
+QUERIES["split_source_audit"] = curation.split_source_audit
+ORACLES["split_source_audit"] = f"""
+    WITH RECURSIVE {_simhash_ctes()},
+    pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+              UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+    cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    assigned AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(cc.label, d.doc_id) AS cluster_id,
+               CASE WHEN ('0x' || substr(md5('split:' ||
+                        CAST(COALESCE(cc.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0 < 0.8 THEN 'train'
+                    WHEN ('0x' || substr(md5('split:' ||
+                        CAST(COALESCE(cc.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0 < 0.9 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+    csrc AS (SELECT cluster_id, count(*) AS cluster_size,
+                    count(DISTINCT source) AS n_sources
+             FROM assigned GROUP BY cluster_id)
+    SELECT a.source, a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clustered,
+           CAST(sum(CASE WHEN c.n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_docs,
+           CASE WHEN sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN c.n_sources > 1 THEN 1 ELSE 0 END)
+                           * 1.0
+                           / sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END),
+                           4)
+                ELSE 0.0 END AS cross_rate
+    FROM assigned a JOIN csrc c USING (cluster_id)
+    GROUP BY a.source, a.split ORDER BY a.source, a.split
 """

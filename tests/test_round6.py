@@ -1,0 +1,163 @@
+"""Round-6 operator contracts: boundary-aware packing, int8 quantization
+QA, incremental-CC gate profile, shuffled-export manifest, and the
+labeling-reuse audit.  Oracle parity runs separately in
+test_oracle_parity; these pin the semantics directly."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_pack_boundaries_conserves_tokens_and_charges_overhead(spark):
+    """boundary_tokens charges the budget but never the reported content
+    mass; placement differs from the raw form once boundaries tighten
+    the budget; fill ratios stay <= 1."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        pack_sequences_for,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    raw = pack_sequences_for(docs, budget=256, n_shards=4).collect()
+    bounded = pack_sequences_for(
+        docs, budget=256, n_shards=4, boundary_tokens=2
+    ).collect()
+    # content-token mass is conserved across both manifests
+    assert sum(r.n_tokens for r in raw) == sum(r.n_tokens for r in bounded)
+    assert sum(r.n_docs for r in raw) == sum(r.n_docs for r in bounded)
+    # boundary charge -> at least as many sequences, never fewer
+    assert len(bounded) >= len(raw)
+    for r in bounded:
+        assert 0 < r.fill_ratio <= 1.0
+    # overhead really is charged: some sequence's doc count shrinks or
+    # the sequence count grows (the corpus has multi-doc sequences)
+    assert len(bounded) > len(raw) or any(
+        b.n_docs != a.n_docs for a, b in zip(raw, bounded)
+    )
+
+
+def test_pack_boundaries_zero_matches_raw_form(spark):
+    """boundary_tokens=0 is exactly the raw concat-and-chop manifest."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        pack_sequences_for,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    raw = pack_sequences_for(docs, budget=256).collect()
+    zero = pack_sequences_for(docs, budget=256, boundary_tokens=0).collect()
+    assert raw == zero
+
+
+def test_int8_quantization_profile_matches_numpy(spark):
+    """Per-label avg/min reconstruction stats agree with a numpy
+    recompute of the same symmetric per-vector int8 quantization."""
+    import numpy as np
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        int8_quantization_profile,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label: dict[str, list] = {}
+    for row in emb:
+        v = np.asarray([float(x) for x in row.embedding], dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        if scale == 0:
+            continue
+        q = np.clip(np.round(v / scale), -127, 127)
+        recon = q * scale
+        mse = float(((v - recon) ** 2).sum() / len(v))
+        cos = float(
+            (v * recon).sum()
+            / (np.sqrt((v * v).sum()) * np.sqrt((recon * recon).sum()))
+        )
+        by_label.setdefault(row.label, []).append((mse, cos, scale))
+    rows = int8_quantization_profile(spark, SF_SMALL).collect()
+    assert {r.label for r in rows} == set(by_label)
+    for r in rows:
+        stats = by_label[r.label]
+        assert r.n_vecs == len(stats)
+        assert abs(r.avg_mse - sum(m for m, _, _ in stats) / len(stats)) < 1e-6
+        assert abs(r.avg_cos - sum(c for _, c, _ in stats) / len(stats)) < 1e-5
+        assert abs(r.min_cos - min(c for _, c, _ in stats)) < 1e-5
+        # int8 at 64 dims keeps geometry: cosines should stay high
+        assert r.min_cos > 0.99
+
+
+def test_incremental_components_profile_equals_full_recompute(spark):
+    """The folded labeling's cluster-size histogram equals a full CC
+    recompute over all pairs — the star-equivalence contract the gate
+    query rides on."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        connected_components,
+        incremental_components_profile,
+        simhash_near_pairs_for,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    full = connected_components(simhash_near_pairs_for(docs, sort=False))
+    expected = (
+        full.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.min("cluster_id").alias("min_cluster_id"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "min_cluster_id",
+        )
+        .orderBy("cluster_size")
+        .collect()
+    )
+    got = incremental_components_profile(spark, SF_SMALL).collect()
+    assert got == expected
+
+
+def test_shuffled_export_manifest_replays_md5_order(spark):
+    """Sampled ranks reproduce a Python sort of md5(doc_id): same keys at
+    the same 1-based positions."""
+    from project_bigdata_recsys_spark.operators.maintenance import (
+        shuffled_export_manifest,
+    )
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    perm = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+    )
+    rows = shuffled_export_manifest(spark, SF_SMALL, every=25).collect()
+    assert [r.rank for r in rows] == list(range(1, len(ids) + 1, 25))
+    for r in rows:
+        key, doc = perm[r.rank - 1]
+        assert (r.shuffle_key, r.doc_id) == (key, doc)
+
+
+def test_split_source_audit_totals_and_bounds(spark):
+    """Every document lands in exactly one (source, split) cell; cross-
+    source dup mass is bounded by clustered mass; rates recompute."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        split_source_audit,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = split_source_audit(spark, SF_SMALL).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    for r in rows:
+        assert 0 <= r.n_cross_docs <= r.n_clustered <= r.n_docs
+        if r.n_clustered:
+            assert abs(r.cross_rate - round(r.n_cross_docs / r.n_clustered, 4)) < 1e-9
+        else:
+            assert r.cross_rate == 0.0
