@@ -98,12 +98,33 @@ HEADLINE = [
     "source_vocabulary_profile",
     "label_centroid_outliers",
     "nearest_centroid_agreement",
+    # round-6: one-scan composed report, the labeling-reuse pipeline
+    # (one CC pass feeding split + attribution — measure it against
+    # near_dup_clusters + cluster_aware_split + source_dup_attribution,
+    # which each pay the CC class separately), fold/export/packing/int8
+    "source_triage_report",
+    "split_source_audit",
+    "incremental_components",
+    "shuffled_export_manifest",
+    "pack_sequences_boundaries",
+    "int8_quantization_profile",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Settle wait: this box is shared and co-tenant load swings totals
+    # ~2x run-to-run, so give the host a bounded chance to go quiet
+    # before timing anything.  Both the wait and the load actually seen
+    # are recorded in the output line — the numbers stay honest either
+    # way; they just compare better when the wait succeeds.
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "240"))
+    settle_load = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "3.0"))
+    settle_wait = 0.0
+    while settle_wait < settle_max and os.getloadavg()[0] > settle_load:
+        time.sleep(5)
+        settle_wait += 5
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -156,6 +177,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                "settle_wait_sec": settle_wait,
             }
         )
     )

@@ -220,17 +220,13 @@ def _corpus_mixture_tokens_sharded(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # Registration order matters: the driver's correctness gate executes the
-# FIRST ~50 entries (CORRECTNESS_r01 stopped at 50 of 86).  Queries whose
-# driver verification is newest-needed come first.  Round-5 final order:
-# every query with NO driver evidence yet leads (all operators added this
-# round — span dedup family, pagerank/PMI, snapshot diff, sampling/splits,
-# PQ, SQL surface, streaming additions — verified by the union of
-# CORRECTNESS_r01..r04 keys), then the entries whose last driver evidence
-# is oldest (r1/r2 relational core / TPC-H / windows / setops / text
-# profiles); r3/r4-green entries sit below the window,
-# regression-protected by tests/test_oracle_parity.py (same oracles,
-# sf0.001) every test run.
-# The ~5 entries past position 50 rotate into the next round's window.
+# FIRST 50 entries.  Since round 6 the authoritative window is the
+# explicit ``_GATE_WINDOW`` rebuild at the END of this module — it runs
+# after every registration (dict-literal AND assignment-style), so
+# late-registered queries can no longer silently land below the window
+# (the round-5 late-wave mistake).  The literal order below is historical
+# grouping only; everything outside the window is regression-protected by
+# tests/test_oracle_parity.py (same oracles, sf0.001) every test run.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (second session): span-level dedup ---------------
     "span_dedup_profile": spans.span_dedup_profile,
@@ -4275,3 +4271,80 @@ ORACLES["split_source_audit"] = f"""
     FROM assigned a JOIN csrc c USING (cluster_id)
     GROUP BY a.source, a.split ORDER BY a.source, a.split
 """
+
+
+# --------------------------------------------------------------------------
+# Gate-window rotation (round 6).  The driver's correctness gate executes
+# the FIRST 50 keys of QUERIES, so ordering is the rotation mechanism and
+# this block — which must stay the LAST statement touching QUERIES, since
+# later registrations would append BELOW the window and never be gated
+# (the round-5 late-wave mistake) — pins the window explicitly:
+#   1-15   the round-5 source-triage/centroid wave: sweep- and parity-green
+#          since r5 but never executed by a driver gate,
+#   16-25  queries changed or added in round 6 (exact-cents money sums,
+#          de-vacuated normalized dedup, fold/export/packing/int8/reuse),
+#   26-50  backfill with the entries whose last driver evidence is oldest
+#          (r1/r2 text profiles + relational core).
+# Everything below the window stays regression-guarded every test run by
+# tests/test_oracle_parity.py (same oracles, sf0.001).
+_GATE_WINDOW = [
+    # -- never driver-checked (registered after the r5 gate snapshot) ----
+    "source_scorecard",
+    "cross_source_overlap",
+    "boilerplate_prefix_profile",
+    "source_mixture",
+    "semantic_contamination",
+    "unigram_logloss",
+    "length_bucketed_batches",
+    "novelty_profile",
+    "source_dup_attribution",
+    "boilerplate_suffix_profile",
+    "source_vocabulary_profile",
+    "source_triage_report",
+    "label_centroid_outliers",
+    "nearest_centroid_agreement",
+    "source_quantile_filter",
+    # -- changed/added in round 6: needs fresh driver evidence -----------
+    "cdc_current_view",
+    "normalized_duplicates",
+    "power_user_rank",
+    "rfm_segments",
+    "pricing_summary",
+    "incremental_components",
+    "shuffled_export_manifest",
+    "pack_sequences_boundaries",
+    "int8_quantization_profile",
+    "split_source_audit",
+    # -- oldest driver evidence (r1/r2): re-verify this round -------------
+    "sessionize",
+    "approx_profile",
+    "csv_roundtrip_ingest",
+    "doc_quality_profile",
+    "lang_profile",
+    "doc_fingerprints",
+    "token_stats",
+    "lang_id_confusion",
+    "pii_redaction_profile",
+    "course_stats",
+    "label_histogram",
+    "user_activity",
+    "distinct_counts",
+    "conditional_pivot",
+    "time_range_filter",
+    "derived_projection",
+    "top_k_orders",
+    "null_handling",
+    "multiway_join",
+    "rollup_totals",
+    "scalar_functions",
+    "union_dedup",
+    "anti_join_new_keys",
+    "semi_join_filter",
+    "cooccurrence_pairs",
+]
+assert len(_GATE_WINDOW) == 50 and len(set(_GATE_WINDOW)) == 50
+assert all(k in QUERIES for k in _GATE_WINDOW)
+QUERIES = {
+    k: QUERIES[k]
+    for k in (*_GATE_WINDOW, *(k for k in QUERIES if k not in set(_GATE_WINDOW)))
+}

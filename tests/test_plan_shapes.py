@@ -387,3 +387,24 @@ def test_centroid_ops_broadcast_centroids(spark):
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_source_triage_report_one_scan_composition(spark):
+    """The composed report derives all three blocks from ONE
+    persist_tracked per-doc frame: the scorecard/TTR/simhash consumers
+    must read the cache (InMemoryTableScan), and at most one live
+    documents FileScan may remain anywhere in the plan (the cached
+    relation's description embeds its own FileScan text, so count
+    cache reads, not scan strings)."""
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.functions.sourcetriage import (
+        source_triage_report,
+    )
+
+    try:
+        plan = _physical(source_triage_report(spark, SF_SMALL))
+        # consumers: scorecard per-doc + copies side, TTR explode,
+        # simhash tokens, attribution source join >= 4 cache reads
+        assert plan.count("InMemoryTableScan") >= 4, plan
+    finally:
+        release_tracked()
