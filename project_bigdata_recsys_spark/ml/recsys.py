@@ -324,7 +324,12 @@ def kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here: mean order stats over fulfilled orders."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderstatus") == "F").agg(
-        F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("avg_totalprice"),
         F.count(F.lit(1)).alias("n_success"),
     )
 

@@ -100,7 +100,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -147,7 +147,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -173,7 +173,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -41,7 +41,7 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band") * 10.0).alias("band_lo"),
             ((F.col("band") + 1) * 10.0).alias("band_hi"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
         )
         .select("band", "band_lo", "band_hi", "n", "revenue")
         .orderBy("band")
@@ -74,8 +74,10 @@ def price_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.count(F.lit(1)) / 100.0, 4
+            ).alias("avg_price"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
         .orderBy("tier")
     )
@@ -91,7 +93,8 @@ def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST

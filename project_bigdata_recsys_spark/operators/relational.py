@@ -50,7 +50,12 @@ def course_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("passed"),
             F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("failed"),
             F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("avg_price"),
         )
         .withColumn(
             "pass_rate",
@@ -88,7 +93,10 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            # exact integer-cent sums (order-independent; see snapshot.py)
+            F.round(
+                F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)) / 100.0, 2
+            ).alias("total_spend"),
         )
         .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
         .limit(100)
@@ -120,10 +128,14 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_f"),
             F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
             F.round(F.sum(F.col("l_quantity")), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # 4dp-exact fixed-point sum / cent-exact avg (order-independent)
+            F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag")
@@ -143,7 +155,7 @@ def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -206,7 +218,9 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)
             ).alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+            F.round(
+                F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)) / 100.0, 2
+            ).alias("spend"),
         )
         .filter(F.col("n_orders") >= 0)
         .orderBy(F.asc("c_custkey"))
@@ -239,7 +253,7 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -414,7 +428,7 @@ def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
         )
         .orderBy(
             F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
@@ -466,7 +480,7 @@ def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0, 4).alias("total_value"),
         )
         .orderBy("day")
     )
@@ -615,7 +629,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_year", "o_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
         )
         .orderBy(
             F.asc_nulls_last("o_year"), F.asc_nulls_last("o_month")

@@ -92,7 +92,8 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l.l_partkey,
                CAST(count(*) AS BIGINT) AS n_lines,
-               round(sum(l.l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
         FROM lineitem l
         WHERE l.l_partkey IN (
             SELECT l_partkey FROM lineitem

@@ -158,7 +158,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
         sessioned.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0, 4).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -178,7 +178,9 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0, 2).alias(
+                "running_spend"
+            ),
         )
         .orderBy("o_custkey", "o_orderkey")
         .limit(2000)
@@ -203,7 +205,12 @@ def moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round(F.avg("o_totalprice").over(w), 4).alias("avg_30d"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+                / F.count(F.lit(1)).over(w)
+                / 100.0,
+                4,
+            ).alias("avg_30d"),
             F.count(F.lit(1)).over(w).alias("n_30d"),
         )
         .orderBy("o_custkey", "o_orderkey")

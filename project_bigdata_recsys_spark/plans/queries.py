@@ -421,7 +421,7 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS passed,
                CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
                round(avg(l_quantity), 4) AS avg_quantity,
-               round(avg(l_extendedprice), 4) AS avg_price,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_price,
                round(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pass_rate
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_partkey
@@ -435,7 +435,7 @@ ORACLES: dict[str, str] = {
     "user_activity": """
         SELECT c_custkey, c_name,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+               round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 0.0), 2) AS total_spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
         ORDER BY n_orders DESC, c_custkey
@@ -452,15 +452,15 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
                CAST(sum(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT)) / count(*) / 100.0, 6) AS avg_disc,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "time_range_filter": """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         GROUP BY l_returnflag ORDER BY l_returnflag
@@ -482,7 +482,7 @@ ORACLES: dict[str, str] = {
     "null_handling": """
         SELECT c_custkey,
                CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+               round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 0.0), 2) AS spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
         GROUP BY c_custkey
@@ -490,7 +490,7 @@ ORACLES: dict[str, str] = {
     """,
     "multiway_join": """
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -567,7 +567,7 @@ ORACLES: dict[str, str] = {
     "cube_totals": """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
     """,
@@ -592,7 +592,7 @@ ORACLES: dict[str, str] = {
     "csv_roundtrip_ingest": """
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "pivot_status_by_priority": """
@@ -611,7 +611,7 @@ ORACLES: dict[str, str] = {
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                CAST(month(o_orderdate) AS INTEGER) AS o_month,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM orders
         GROUP BY ROLLUP (o_year, o_month)
         ORDER BY o_year NULLS LAST, o_month NULLS LAST
@@ -637,7 +637,7 @@ ORACLES: dict[str, str] = {
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-               round(sum(value), 4) AS total_value
+               round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS total_value
         FROM events GROUP BY 1 ORDER BY day
     """,
     "user_topk_recommendations": """
@@ -692,7 +692,7 @@ ORACLES: dict[str, str] = {
     "shipping_priority": """
         SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
@@ -703,7 +703,7 @@ ORACLES: dict[str, str] = {
     """,
     "local_supplier_volume": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         FROM region JOIN nation ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
         JOIN orders ON o_custkey = c_custkey
@@ -718,7 +718,7 @@ ORACLES: dict[str, str] = {
         WITH avg_qty AS (
             SELECT l_partkey AS a_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
             FROM lineitem GROUP BY l_partkey)
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem
         JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
@@ -776,7 +776,7 @@ ORACLES: dict[str, str] = {
                floor(l_quantity / 10.0) * 10.0 AS band_lo,
                (floor(l_quantity / 10.0) + 1) * 10.0 AS band_hi,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem GROUP BY 1, 2, 3 ORDER BY band
     """,
     "price_tier_join": """
@@ -785,15 +785,16 @@ ORACLES: dict[str, str] = {
             ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1e12))
             t(tier, lo, hi))
         SELECT tier, CAST(count(*) AS BIGINT) AS n,
-               round(avg(o_totalprice), 4) AS avg_price,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_price,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
         FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY tier ORDER BY tier
     """,
     "grouping_sets_stats": """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
@@ -820,14 +821,14 @@ ORACLES: dict[str, str] = {
             WHERE o_totalprice > 300000)
         SELECT src, CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
         FROM u GROUP BY src ORDER BY src
     """,
     # --- window variants --------------------------------------------------
     "moving_avg_range": """
         SELECT o_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               round(avg(o_totalprice) OVER w, 4) AS avg_30d,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w * 1.0 / count(*) OVER w / 100.0, 4) AS avg_30d,
                CAST(count(*) OVER w AS BIGINT) AS n_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
@@ -1021,16 +1022,17 @@ ORACLES: dict[str, str] = {
             FROM flagged)
         SELECT user_id, session_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 4) AS session_value
+               round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+                   AS session_value
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id
     """,
     "running_total": """
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+                   ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
     """,
     # --- text ------------------------------------------------------------
@@ -1711,7 +1713,7 @@ ORACLES: dict[str, str] = {
         ORDER BY n DESC, l_partkey LIMIT 50
     """,
     "kb_success_profile": """
-        SELECT round(avg(o_totalprice), 4) AS avg_totalprice,
+        SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_totalprice,
                CAST(count(*) AS BIGINT) AS n_success
         FROM orders WHERE o_orderstatus = 'F'
     """,
@@ -3070,7 +3072,8 @@ ORACLES["sql_exists_filter"] = """
 ORACLES["sql_in_subquery"] = """
     SELECT l.l_partkey,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l.l_extendedprice), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
     FROM lineitem l
     WHERE l.l_partkey IN (
         SELECT l_partkey FROM lineitem
