@@ -138,7 +138,10 @@ def main() -> None:
     QUERIES["label_histogram"](spark, sf_dir).collect()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for warm_q in ("knn_graph", "knn_ivf_lloyd"):
+        # simhash_near_pairs additionally warms the 64-bit-vote codegen
+        # the whole CC family (near_dup_clusters, cluster_aware_split,
+        # source_dup_attribution, split_source_audit) shares
+        for warm_q in ("knn_graph", "knn_ivf_lloyd", "simhash_near_pairs"):
             QUERIES[warm_q](spark, warm_sf).collect()
         release_tracked()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():

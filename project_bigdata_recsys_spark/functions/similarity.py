@@ -908,9 +908,21 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
             F.min("dim").alias("min_dim"),
             F.max("dim").alias("max_dim"),
-            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            # fixed-point avg (per-row 1e-9 quantize, exact BIGINT sum)
+            # so the 6-decimal comparison is partition-order-independent
+            F.round(
+                F.sum(F.round(F.col("norm") * 1e9).cast("long"))
+                / F.count(F.lit(1))
+                / 1e9,
+                6,
+            ).alias("avg_norm"),
             F.round(F.max("norm"), 6).alias("max_norm"),
-            F.round(F.avg("max_component"), 6).alias("avg_max_component"),
+            F.round(
+                F.sum(F.round(F.col("max_component") * 1e9).cast("long"))
+                / F.count(F.lit(1))
+                / 1e9,
+                6,
+            ).alias("avg_max_component"),
         )
         .orderBy("label")
     )

@@ -14,6 +14,16 @@ Oracle-parity rules (see operators/relational.py header): identical
 aliases, rounded floats, total orderings under every LIMIT, BIGINT casts
 where DuckDB would widen to HUGEINT, INTEGER casts where DuckDB widens
 rank/size functions to BIGINT.
+
+Fixed-point sums (round 6): any compared sum/avg over a money/value
+double is computed as a per-row-scaled BIGINT sum on BOTH sides
+(``sum(CAST(round(x * 10^k) AS BIGint))/10^k`` with k matching the
+expression's decimal width) — double summation is partition-order-
+dependent and can flip the printed rounding between runs; integer sums
+cannot.  Exceptions, deliberate: streaming per-session value sums (tiny
+per-key groups; stateful kernels own their accumulation), per-array HOF
+reductions (index-ordered on both engines), and window running sums
+over already-exact integers.
 """
 
 from __future__ import annotations
@@ -1218,9 +1228,11 @@ ORACLES: dict[str, str] = {
         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
                CAST(min(dim) AS INTEGER) AS min_dim,
                CAST(max(dim) AS INTEGER) AS max_dim,
-               round(avg(norm), 6) AS avg_norm,
+               round(sum(CAST(round(norm * 1e9) AS BIGINT))
+                     / count(*) / 1e9, 6) AS avg_norm,
                round(max(norm), 6) AS max_norm,
-               round(avg(max_component), 6) AS avg_max_component
+               round(sum(CAST(round(max_component * 1e9) AS BIGINT))
+                     / count(*) / 1e9, 6) AS avg_max_component
         FROM per_vec GROUP BY label ORDER BY label
     """,
     "embedding_near_dup_pairs": """
