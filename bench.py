@@ -104,7 +104,9 @@ HEADLINE = [
     # which each pay the CC class separately), fold/export/packing/int8
     "source_triage_report",
     "split_source_audit",
-    "incremental_components",
+    # incremental_components is gate-only: its gate form RECONSTRUCTS the
+    # prior labeling with a second CC pass (production reads it from
+    # disk), so benching it times an artifact of the oracle construction
     "shuffled_export_manifest",
     "pack_sequences_boundaries",
     "int8_quantization_profile",

@@ -4363,3 +4363,17 @@ QUERIES = {
     k: QUERIES[k]
     for k in (*_GATE_WINDOW, *(k for k in QUERIES if k not in set(_GATE_WINDOW)))
 }
+
+
+# streaming twin of semantic_contamination — bounded replay must equal
+# the batch oracle exactly, so the SQL twin is shared verbatim
+QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
+ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+# keep the rotation authoritative: re-apply the window over the updated
+# registry (late additions above land just below the 50-window, covered
+# by test_oracle_parity until the next rotation)
+QUERIES = {
+    k: QUERIES[k]
+    for k in (*_GATE_WINDOW, *(k for k in QUERIES if k not in set(_GATE_WINDOW)))
+}

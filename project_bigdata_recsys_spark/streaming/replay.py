@@ -363,3 +363,112 @@ def stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_replay(classified, spark, "complete")
     return table.orderBy("lang")
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.40,
+    split_at: int = 250,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Semantic (embedding-level) dedup on INGEST: newly arriving vectors
+    replay as a stream and are probed against the PERSISTED train-side
+    RP-LSH index (build_ann_index layout) via stream-static joins — the
+    embedding twin of :func:`stream_ingest_dedup` (exact fingerprints)
+    and :func:`stream_span_dedup` (substrings), and the streaming form
+    of similarity.semantic_contamination, whose oracle this query shares
+    verbatim: a full bounded replay must produce the identical per-label
+    contamination rates.
+
+    Shape: the stream side is a stateless projection (the deterministic
+    Rademacher bucket keys + a 4-way explode), candidates meet the
+    static (t, bucket) relation and the static train vectors in two
+    left_outer joins, the exact cosine (dot/(|a||b|) — the oracle's FP
+    association order) verifies, and ONE streaming aggregation keyed by
+    (label, eval_id) counts hits.  The per-label rollup ranks the
+    materialized sink — the two-stage shape stream_trending_items
+    documents (a second aggregation is not expressible inside one
+    streaming query).  O(batch x cell) verification work per
+    micro-batch; the train corpus is hashed once, at index-build time.
+    """
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.functions.similarity import (
+        dot,
+        l2_norm,
+        rp_index_rows,
+    )
+
+    emb_path = table_path(sf_dir, "embeddings")
+    emb = spark.read.parquet(emb_path)
+    train = emb.filter(F.col("vec_id") < split_at)
+
+    work = tempfile.mkdtemp(prefix="spark_semantic_dedup_")
+    index_dir = os.path.join(work, "ann_index")
+    vec_dir = os.path.join(work, "train_vectors")
+    rp_index_rows(train, n_tables, n_planes).write.mode("overwrite").partitionBy(
+        "t", "bucket"
+    ).parquet(index_dir)
+    train.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("emb_t")
+    ).write.mode("overwrite").parquet(vec_dir)
+
+    buckets = spark.read.parquet(index_dir).select(
+        F.col("vec_id").alias("train_id"), "t", "bucket"
+    )
+    train_vecs = spark.read.parquet(vec_dir)
+
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.filter(F.col("vec_id") >= split_at).select(
+        F.col("vec_id").alias("eval_id"),
+        "label",
+        F.col("embedding").alias("emb_e"),
+    )
+    # same deterministic bucket expressions as rp_index_rows, computed
+    # inline so the carried (label, emb_e) columns ride the explode
+    from project_bigdata_recsys_spark.functions.similarity import rp_bucket
+
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                rp_bucket(F.col("emb_e"), t, n_planes).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    probe = ev.select(
+        "eval_id", "label", "emb_e", F.explode(bucket_structs).alias("tb")
+    ).select("eval_id", "label", "emb_e", F.col("tb.t"), F.col("tb.bucket"))
+    cand = probe.join(buckets, ["t", "bucket"], "left_outer").join(
+        train_vecs, "train_id", "left_outer"
+    )
+    cos = dot(F.col("emb_e"), F.col("emb_t")) / (
+        l2_norm(F.col("emb_e")) * l2_norm(F.col("emb_t"))
+    )
+    hit = F.when(F.round(cos, 6) >= threshold, 1).otherwise(0)
+    per_eval = cand.groupBy("label", "eval_id").agg(
+        F.sum(hit).alias("n_hits")
+    )
+    table = _run_replay(per_eval, spark, "complete")
+    return (
+        table.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("label")
+    )
