@@ -161,3 +161,20 @@ def test_split_source_audit_totals_and_bounds(spark):
             assert abs(r.cross_rate - round(r.n_cross_docs / r.n_clustered, 4)) < 1e-9
         else:
             assert r.cross_rate == 0.0
+
+
+def test_stream_semantic_dedup_equals_batch_contamination(spark):
+    """A full bounded replay of the streaming probe must reproduce the
+    batch semantic_contamination table exactly (same threshold, split,
+    tables, planes) — the stream/batch equivalence contract every other
+    streaming twin in this repo pins."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        semantic_contamination,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        stream_semantic_dedup,
+    )
+
+    batch = semantic_contamination(spark, SF_SMALL).collect()
+    streamed = stream_semantic_dedup(spark, SF_SMALL).collect()
+    assert streamed == batch
