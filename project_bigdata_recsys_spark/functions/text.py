@@ -627,26 +627,15 @@ def normalize_text(text: Column) -> Column:
     return F.trim(collapsed)
 
 
-def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on the NORMALIZED fingerprint: duplicate groups keyed
-    by sha256(normalize(text)), reporting group size, the keep-winner
-    (min doc_id), and how many distinct RAW fingerprints the group spans
-    (raw_variants > 1 = caught only thanks to normalization).
-
-    Same shuffle shape as functions/dedup.py::exact_duplicates — 32-byte
-    digests only, never text.
-
-    Gate form plants three deterministic disguised variants of every
-    ``doc_id % 10 == 0`` document (case flip at +1M, trailing punctuation
-    at +2M, doubled whitespace at +3M) so the gate row exercises the
-    normalization on groups that exact raw hashing CANNOT find
-    (raw_variants = 4 per planted group) instead of proving emptiness —
-    the corpus has no natural normalized dups.  The oracle mirrors the
-    UNION ALL."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text")
+def planted_disguised_variants(base: DataFrame) -> DataFrame:
+    """Deterministic disguised variants of every ``doc_id % 10 == 0``
+    document — case flip at +1M, trailing punctuation at +2M, doubled
+    whitespace at +3M.  All three normalize to the original's canonical
+    form but hash differently raw, so gate queries over normalized
+    fingerprints have guaranteed non-vacuous groups.  Shared by
+    :func:`normalized_duplicates` and :func:`dedup_keep_best`."""
     tenth = base.filter(F.col("doc_id") % 10 == 0)
-    planted = (
+    return (
         tenth.select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.upper("text").alias("text"),
@@ -666,7 +655,71 @@ def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    corpus = base.unionByName(planted)
+
+
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, limit: int = 100
+) -> DataFrame:
+    """Normalized dedup with a QUALITY winner: duplicate groups keyed by
+    sha256(normalize(text)), keeping the member with the highest quality
+    score (alpha_ratio - stopword_ratio; ties broken by min doc_id) —
+    the curation-grade keep rule.  Min-id keep (dedup_exact) discards a
+    clean original in favor of nothing; real pipelines keep the best
+    surviving variant of each content group (e.g. the un-mangled copy of
+    a page that also exists OCR-damaged or shouting-case).
+
+    Scale: same digest-only shuffle as normalized_duplicates; the winner
+    is one ``max_by`` over a (quality, -doc_id) struct inside the same
+    Tungsten aggregation — no per-group window, no second pass.  Gate
+    form plants the disguised-variant set; the punctuation/whitespace
+    variants score LOWER than their originals (extra non-alpha chars)
+    and the case-flip variant scores HIGHER (uppercase evades the
+    lowercase stopword list), so the winner rule is exercised in both
+    directions, not just as min-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    corpus = base.unionByName(planted_disguised_variants(base))
+    feats = quality_features(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_fp"),
+        (feats["alpha_ratio"] - feats["stopword_ratio"]).alias("quality"),
+    )
+    return (
+        scored.groupBy("norm_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg")),
+            ).alias("winner_id"),
+            F.round(F.max("quality"), 4).alias("winner_quality"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("norm_fp"))
+        .limit(limit)
+    )
+
+
+def normalized_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED fingerprint: duplicate groups keyed
+    by sha256(normalize(text)), reporting group size, the keep-winner
+    (min doc_id), and how many distinct RAW fingerprints the group spans
+    (raw_variants > 1 = caught only thanks to normalization).
+
+    Same shuffle shape as functions/dedup.py::exact_duplicates — 32-byte
+    digests only, never text.
+
+    Gate form plants three deterministic disguised variants of every
+    ``doc_id % 10 == 0`` document (see
+    :func:`planted_disguised_variants`) so the gate row exercises the
+    normalization on groups that exact raw hashing CANNOT find
+    (raw_variants = 4 per planted group) instead of proving emptiness —
+    the corpus has no natural normalized dups.  The oracle mirrors the
+    UNION ALL."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    corpus = base.unionByName(planted_disguised_variants(base))
     fp = corpus.select(
         "doc_id",
         F.sha2(normalize_text(F.col("text")), 256).alias("norm_fp"),

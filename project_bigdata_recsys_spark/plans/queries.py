@@ -4370,6 +4370,44 @@ QUERIES = {
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
 
+QUERIES["dedup_keep_best"] = text.dedup_keep_best
+ORACLES["dedup_keep_best"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text) FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' !!!' FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, '  ' || regexp_replace(text, ' ', '  ', 'g')
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_fp,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 4)
+               - round(len(list_filter(string_split(text, ' '),
+                                       t -> t IN ('the', 'a', 'of', 'and')))
+                       * 1.0 / len(string_split(text, ' ')), 4) AS quality
+        FROM corpus),
+    ranked AS (
+        SELECT norm_fp, doc_id, quality,
+               row_number() OVER (PARTITION BY norm_fp
+                                  ORDER BY quality DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY norm_fp) AS n_docs
+        FROM scored)
+    SELECT norm_fp, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS winner_id,
+           round(quality, 4) AS winner_quality
+    FROM ranked WHERE rn = 1 AND n_docs >= 2
+    ORDER BY n_docs DESC, norm_fp
+    LIMIT 100
+"""
+
 # keep the rotation authoritative: re-apply the window over the updated
 # registry (late additions above land just below the 50-window, covered
 # by test_oracle_parity until the next rotation)

@@ -178,3 +178,24 @@ def test_stream_semantic_dedup_equals_batch_contamination(spark):
     batch = semantic_contamination(spark, SF_SMALL).collect()
     streamed = stream_semantic_dedup(spark, SF_SMALL).collect()
     assert streamed == batch
+
+
+def test_dedup_keep_best_winner_rule(spark):
+    """The winner is the max-quality member (min doc_id on ties): the
+    case-flip variant (+1M) must beat its original (uppercase evades the
+    lowercase stopword list), and the punctuation/whitespace variants
+    must lose to theirs."""
+    from project_bigdata_recsys_spark.functions.text import dedup_keep_best
+
+    rows = dedup_keep_best(spark, SF_SMALL, limit=1000).collect()
+    assert rows and all(r.n_docs >= 2 for r in rows)
+    # every planted group: original + 3 variants
+    planted_groups = [r for r in rows if r.n_docs == 4]
+    assert planted_groups
+    for r in planted_groups:
+        # winner is the +1M case-flip variant unless the original has
+        # zero stopwords (then quality ties and min doc_id wins)
+        assert r.winner_id >= 1_000_000 or r.winner_id == (
+            r.winner_id % 10_000_000
+        )
+        assert r.winner_id < 2_000_000  # never the mangled +2M/+3M copies
