@@ -4370,6 +4370,16 @@ QUERIES = {
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
 
+QUERIES["hll_daily_rollup"] = relational.hll_daily_rollup
+ORACLES["hll_daily_rollup"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS approx_users_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES["dedup_keep_best"] = text.dedup_keep_best
 ORACLES["dedup_keep_best"] = """
     WITH corpus AS (

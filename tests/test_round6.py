@@ -199,3 +199,42 @@ def test_dedup_keep_best_winner_rule(spark):
             r.winner_id % 10_000_000
         )
         assert r.winner_id < 2_000_000  # never the mangled +2M/+3M copies
+
+
+def test_hll_sketch_layer_survives_parquet_roundtrip(spark, tmp_path):
+    """The daily sketch layer is PERSISTABLE state: binary HLL sketches
+    written to parquet and read back must union to the same estimates as
+    the in-memory two-level rollup — the materialized-metrics-layer
+    contract the operator's 100 TB story rests on."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    out = str(tmp_path / "daily_sketches")
+    daily.write.parquet(out)
+    merged_disk = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .orderBy("event_type")
+        .collect()
+    )
+    merged_mem = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert merged_disk == merged_mem
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in merged_disk:
+        assert abs(r.est - exact[r.event_type]) / exact[r.event_type] <= 0.06
