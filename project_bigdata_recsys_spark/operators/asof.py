@@ -118,3 +118,83 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round(F.col("asof_click_value"), 4).alias("click_value"),
     ).orderBy("event_id")
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    key: str,
+    event_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2-versioned dimension: each fact
+    row is matched to the single dimension version whose
+    ``[valid_from, valid_to)`` interval contains the fact's event time —
+    the feature-store correctness join (training features must reflect
+    the attribute values AS OF the event, or the model trains on leaked
+    future state).
+
+    Plan shape: an EQUI join on the key with the validity range as a
+    join-condition post-filter — Spark plans the sort-merge/broadcast
+    hash join on ``key`` and evaluates the interval test inside the
+    join, so there is no range explosion and no nested loop; versions
+    per key are few (SCD2 change counts), so per-key fan-out is bounded
+    by change frequency, not corpus size."""
+    dv = dim_versions.withColumnsRenamed(
+        {c: f"__dim_{c}" for c in dim_versions.columns if c != key}
+    )
+    return facts.join(
+        dv,
+        (facts[key] == dv[key])
+        & (facts[event_time] >= dv[f"__dim_{valid_from}"])
+        & (facts[event_time] < dv[f"__dim_{valid_to}"]),
+        "left",
+    ).drop(dv[key])
+
+
+def pit_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for :func:`pit_join`: a deterministic SCD2 customer
+    dimension (md5-chosen 30% of customers switch market segment to
+    '<seg>_V2' on 1996-01-01; everyone else keeps one open-ended
+    version) joined point-in-time to orders on o_orderdate, rolled up
+    per EFFECTIVE segment.  The oracle replays the same draw arithmetic,
+    so every order must land on exactly the version valid at its date —
+    a fact matched to the wrong version shifts a rollup row and breaks
+    the hash."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = hash_uniform(F.col("c_custkey"), "scd:") < 0.3
+    cutover = F.lit("1996-01-01")
+    lo, hi = F.lit("1990-01-01"), F.lit("9999-12-31")
+    v_open = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        lo.alias("valid_from"),
+        F.when(changed, cutover).otherwise(hi).alias("valid_to"),
+    )
+    v_new = customer.filter(changed).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        cutover.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    dim = v_open.unionByName(v_new)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    joined = pit_join(facts, dim, "c_custkey", "order_day")
+    return (
+        joined.groupBy(F.col("__dim_segment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
+        )
+        .orderBy("segment")
+    )

@@ -248,3 +248,55 @@ def scd2_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def merge_aggregate_state(
+    prior: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a DELTA of partial aggregates into a persisted aggregate
+    state: union + one re-aggregation summing every non-key column —
+    valid for any algebraic aggregate carried as mergeable partials
+    (counts, fixed-point sums; averages ride as sum+count pairs).  The
+    materialized-view maintenance kernel: history is NEVER rescanned,
+    each refresh costs O(delta) + one shuffle of |keys| state rows
+    (an incremental_dedup / update_components sibling for aggregations;
+    the sketch twin for distincts is hll_daily_rollup's union layer)."""
+    val_cols = [c for c in prior.columns if c not in keys]
+    return (
+        prior.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in val_cols])
+    )
+
+
+def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for :func:`merge_aggregate_state`: the per-(event_type,
+    day) count/value state is built from events BEFORE 2024-01-16 (the
+    settled history), the remaining days aggregate as the daily delta,
+    the delta folds into the state, and the folded state rolls up per
+    event_type.  Folded ≡ full recompute is the merge contract — which
+    is exactly what the DuckDB oracle computes over raw events.  Value
+    mass is carried as micro-scaled BIGINTs (the fixed-point discipline)
+    so partials merge exactly."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1000000).cast("long").alias("micros"),
+    )
+    part = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("micros").alias("micros"),
+    )
+    prior = part(ev.filter(F.col("day") < "2024-01-16"))
+    delta = part(ev.filter(F.col("day") >= "2024-01-16"))
+    state = merge_aggregate_state(prior, delta, ["event_type", "day"])
+    return (
+        state.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("micros") / 1000000.0, 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -4370,6 +4370,37 @@ QUERIES = {
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
 
+QUERIES["pit_segment_rollup"] = asof.pit_segment_rollup
+ORACLES["pit_segment_rollup"] = """
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               ('0x' || substr(md5('scd:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.3 AS changed
+        FROM customer),
+    o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+    j AS (SELECT CASE WHEN c.changed AND o.order_day >= '1996-01-01'
+                      THEN c.c_mktsegment || '_V2'
+                      ELSE c.c_mktsegment END AS segment,
+                 o.o_custkey, o.cents
+          FROM o JOIN c ON o.o_custkey = c.c_custkey)
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS total_spend
+    FROM j GROUP BY segment ORDER BY segment
+"""
+
+QUERIES["incremental_agg_merge"] = snapshot.incremental_agg_profile
+ORACLES["incremental_agg_merge"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+               AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES["hll_daily_rollup"] = relational.hll_daily_rollup
 ORACLES["hll_daily_rollup"] = """
     SELECT event_type,

@@ -238,3 +238,55 @@ def test_hll_sketch_layer_survives_parquet_roundtrip(spark, tmp_path):
     }
     for r in merged_disk:
         assert abs(r.est - exact[r.event_type]) / exact[r.event_type] <= 0.06
+
+
+def test_pit_join_picks_version_valid_at_event_time(spark):
+    """Literal-frame check: facts land on exactly the version whose
+    [valid_from, valid_to) interval contains the event time; facts
+    before any version get NULLs (left semantics)."""
+    from project_bigdata_recsys_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", "1990-01-01", "1996-01-01"),
+            (1, "new", "1996-01-01", "9999-12-31"),
+            (2, "only", "1995-01-01", "9999-12-31"),
+        ],
+        "k int, seg string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "1995-12-31"), (1, "1996-01-01"), (2, "1994-06-01")],
+        "k int, d string",
+    )
+    rows = {
+        (r.k, r.d): r["__dim_seg"]
+        for r in pit_join(facts, dim, "k", "d").collect()
+    }
+    assert rows[(1, "1995-12-31")] == "old"
+    assert rows[(1, "1996-01-01")] == "new"  # boundary: inclusive from
+    assert rows[(2, "1994-06-01")] is None  # before first version
+
+
+def test_merge_aggregate_state_equals_full_recompute(spark):
+    """Folding the post-cutoff delta into the prior state reproduces the
+    full per-key aggregation over all events exactly."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        merge_aggregate_state,
+    )
+
+    ev = _lt(spark, SF_SMALL, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1000000).cast("long").alias("micros"),
+    )
+    part = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("micros").alias("micros"),
+    )
+    folded = merge_aggregate_state(
+        part(ev.filter(F.col("day") < "2024-01-16")),
+        part(ev.filter(F.col("day") >= "2024-01-16")),
+        ["event_type", "day"],
+    )
+    assert sorted(folded.collect()) == sorted(part(ev).collect())
