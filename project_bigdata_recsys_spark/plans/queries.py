@@ -4330,6 +4330,11 @@ _GATE_WINDOW = [
     "pack_sequences_boundaries",
     "int8_quantization_profile",
     "split_source_audit",
+    "stream_semantic_dedup",
+    "dedup_keep_best",
+    "hll_daily_rollup",
+    "pit_segment_rollup",
+    "incremental_agg_merge",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4351,18 +4356,9 @@ _GATE_WINDOW = [
     "null_handling",
     "multiway_join",
     "rollup_totals",
-    "scalar_functions",
-    "union_dedup",
-    "anti_join_new_keys",
-    "semi_join_filter",
-    "cooccurrence_pairs",
 ]
-assert len(_GATE_WINDOW) == 50 and len(set(_GATE_WINDOW)) == 50
-assert all(k in QUERIES for k in _GATE_WINDOW)
-QUERIES = {
-    k: QUERIES[k]
-    for k in (*_GATE_WINDOW, *(k for k in QUERIES if k not in set(_GATE_WINDOW)))
-}
+# (the window is applied ONCE, by the rebuild block at the very end of
+# this module — after every registration, including the ones below)
 
 
 # streaming twin of semantic_contamination — bounded replay must equal
@@ -4449,9 +4445,12 @@ ORACLES["dedup_keep_best"] = """
     LIMIT 100
 """
 
-# keep the rotation authoritative: re-apply the window over the updated
-# registry (late additions above land just below the 50-window, covered
-# by test_oracle_parity until the next rotation)
+# Apply the rotation: this must remain the LAST statement touching
+# QUERIES — anything registered after it would land below the gate
+# window unseen (the round-5 late-wave mistake this block exists to
+# prevent).
+assert len(_GATE_WINDOW) == 50 and len(set(_GATE_WINDOW)) == 50
+assert all(k in QUERIES for k in _GATE_WINDOW)
 QUERIES = {
     k: QUERIES[k]
     for k in (*_GATE_WINDOW, *(k for k in QUERIES if k not in set(_GATE_WINDOW)))

@@ -408,3 +408,14 @@ def test_source_triage_report_one_scan_composition(spark):
         assert plan.count("InMemoryTableScan") >= 4, plan
     finally:
         release_tracked()
+
+
+def test_pit_join_is_hash_family_not_nested_loop(spark):
+    """The SCD2 point-in-time join must plan as an equi join on the key
+    with the validity interval as a join filter — never a nested-loop /
+    cartesian range explosion."""
+    from project_bigdata_recsys_spark.operators.asof import pit_segment_rollup
+
+    plan = _physical(pit_segment_rollup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
