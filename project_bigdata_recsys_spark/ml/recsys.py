@@ -479,3 +479,80 @@ def metric_drift(ledger: DataFrame, metric_key: str) -> DataFrame:
             ).alias("drift_pct"),
         )
     )
+
+
+def negative_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    oversample: int = 2,
+    limit: int = 500,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for implicit-feedback training —
+    the missing half of every ALS/classifier training set (positives
+    come free from interactions; negatives must be items the user never
+    touched, drawn reproducibly or the training set changes under every
+    rerun).  Per user: ``k * oversample`` candidate items from md5
+    draws over the dense item-id space, positives removed by anti-join,
+    first ``k`` survivors kept in slot order.  Every step is
+    data-derived (hash_uniform discipline), so the exact sampled pairs
+    reproduce in any engine — no F.rand, no seed drift.
+
+    Scale: the candidate frame is |users| x (k*oversample) — NEVER
+    users x items; the anti-join co-partitions on (user_id, item_id);
+    the keep-first-k window keys per user.  Collisions with positives
+    only cost draws when a user has touched a meaningful fraction of
+    the catalog, which is precisely when negative sampling stops making
+    sense.  Item-id space rides along as a broadcast 1-row max (the
+    tfidf N trick) — one job."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    n_items = li.agg(F.max("l_partkey").alias("n_items"))
+    slots = (
+        pos.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "n_items",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k * oversample - 1))
+            ).alias("slot"),
+        )
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = slots.select(
+        "user_id", "slot", (draw % F.col("n_items") + 1).alias("item_id")
+    )
+    neg = cand.join(pos, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("slot")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("user_id", F.col("slot").cast("int").alias("slot"), "item_id")
+        .orderBy("user_id", "slot")
+        .limit(limit)
+    )

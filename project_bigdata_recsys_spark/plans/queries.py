@@ -4150,6 +4150,13 @@ ORACLES["source_quantile_filter"] = """
 """
 
 
+def _negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic implicit-feedback negative sampling (ml.recsys)."""
+    from project_bigdata_recsys_spark.ml.recsys import negative_samples
+
+    return negative_samples(spark, sf_dir)
+
+
 # --- round 6: driver evidence for the fold + export-order contracts -------
 QUERIES["incremental_components"] = dedup.incremental_components_profile
 ORACLES["incremental_components"] = f"""
@@ -4335,6 +4342,7 @@ _GATE_WINDOW = [
     "hll_daily_rollup",
     "pit_segment_rollup",
     "incremental_agg_merge",
+    "negative_samples",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4355,7 +4363,6 @@ _GATE_WINDOW = [
     "top_k_orders",
     "null_handling",
     "multiway_join",
-    "rollup_totals",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4365,6 +4372,35 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["negative_samples"] = _negative_samples
+ORACLES["negative_samples"] = """
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    n AS (SELECT max(l_partkey) AS n_items FROM lineitem),
+    slots AS (
+        SELECT u.user_id, s.slot, n.n_items
+        FROM (SELECT DISTINCT user_id FROM pos) u
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(range(0, 6)) AS slot) s),
+    cand AS (
+        SELECT user_id, slot,
+               ('0x' || substr(md5('neg:' || CAST(user_id AS VARCHAR)
+                    || ':' || CAST(slot AS VARCHAR)), 1, 8))::BIGINT
+                   % n_items + 1 AS item_id
+        FROM slots),
+    neg AS (
+        SELECT c.user_id, c.slot, c.item_id
+        FROM cand c LEFT JOIN pos p USING (user_id, item_id)
+        WHERE p.user_id IS NULL),
+    ranked AS (
+        SELECT user_id, slot, item_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY slot) AS rn
+        FROM neg)
+    SELECT user_id, CAST(slot AS INT) AS slot, item_id
+    FROM ranked WHERE rn <= 3 ORDER BY user_id, slot LIMIT 500
+"""
 
 QUERIES["pit_segment_rollup"] = asof.pit_segment_rollup
 ORACLES["pit_segment_rollup"] = """

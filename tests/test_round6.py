@@ -290,3 +290,27 @@ def test_merge_aggregate_state_equals_full_recompute(spark):
         ["event_type", "day"],
     )
     assert sorted(folded.collect()) == sorted(part(ev).collect())
+
+
+def test_negative_samples_never_collide_with_positives(spark):
+    """Every sampled (user, item) is a true negative; each user gets at
+    most k rows in slot order; the draw is reproducible run-to-run."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.ml.recsys import negative_samples
+
+    orders = _lt(spark, SF_SMALL, "orders").select("o_custkey", "o_orderkey")
+    li = _lt(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    pos = {
+        (r.o_custkey, r.l_partkey)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey).collect()
+    }
+    rows = negative_samples(spark, SF_SMALL, limit=10_000).collect()
+    assert rows
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        assert (r.user_id, r.item_id) not in pos
+        per_user.setdefault(r.user_id, []).append(r.slot)
+    for slots in per_user.values():
+        assert len(slots) <= 3 and slots == sorted(slots)
+    again = negative_samples(spark, SF_SMALL, limit=10_000).collect()
+    assert again == rows
