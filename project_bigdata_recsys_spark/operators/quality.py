@@ -247,3 +247,74 @@ def robust_outliers(spark: SparkSession, sf_dir: str, cutoff: float = 3.0) -> Da
             "max_outlier"
         ),
     )
+
+
+def column_profile_stacked(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass per-column stats (row count, non-null count, distinct
+    count) unpivoted to one row per column via ``stack`` — the generic
+    building block of drift detection.  A single aggregation job however
+    many columns are profiled; no per-column scans."""
+    aggs: list = []
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__{c}_nn"))
+        aggs.append(F.count_distinct(c).alias(f"__{c}_nd"))
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_expr = "stack({}, {}) as (col_name, n_nonnull, n_distinct)".format(
+        len(cols),
+        ", ".join(f"'{c}', __{c}_nn, __{c}_nd" for c in cols),
+    )
+    return row.select(
+        F.col("__n").cast("long").alias("n_rows"), F.expr(stack_expr)
+    ).select(
+        "col_name",
+        "n_rows",
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-observability drift report between two snapshots of the same
+    table (here: orders vs its deterministic next-day mutation — the
+    snapshot_diff corpus): per column, row/non-null/distinct counts on
+    both sides and their deltas.  The check a pipeline owner runs BEFORE
+    the diff — a column whose distinct count or null mass jumps signals
+    an upstream contract break even when every PK still matches.
+
+    Scale: two single-aggregation passes (one per snapshot side,
+    column-parallel via stack) joined on the tiny per-column frame —
+    cost is two scans regardless of how many columns are profiled."""
+    from project_bigdata_recsys_spark.operators.snapshot import _mutated_orders
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders")
+    old_p = column_profile_stacked(orders, cols)
+    new_p = column_profile_stacked(_mutated_orders(orders), cols)
+    o = old_p.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nonnull").alias("n_nonnull_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    n = new_p.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nonnull").alias("n_nonnull_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    return (
+        o.join(n, "col_name")
+        .select(
+            "col_name",
+            "n_rows_old",
+            "n_rows_new",
+            "n_nonnull_old",
+            "n_nonnull_new",
+            "n_distinct_old",
+            "n_distinct_new",
+            (F.col("n_distinct_new") - F.col("n_distinct_old")).alias(
+                "distinct_delta"
+            ),
+        )
+        .orderBy("col_name")
+    )

@@ -4343,6 +4343,7 @@ _GATE_WINDOW = [
     "pit_segment_rollup",
     "incremental_agg_merge",
     "negative_samples",
+    "schema_drift_report",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4362,7 +4363,6 @@ _GATE_WINDOW = [
     "derived_projection",
     "top_k_orders",
     "null_handling",
-    "multiway_join",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,66 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["schema_drift_report"] = quality.schema_drift_report
+ORACLES["schema_drift_report"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               o_totalprice,
+               ('0x' || substr(md5('snap-drop:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_drop,
+               ('0x' || substr(md5('snap-bump:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_bump,
+               ('0x' || substr(md5('snap-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders),
+    newsnap AS (
+        SELECT o_custkey, o_orderstatus, o_orderpriority,
+               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE u_drop >= 0.02
+        UNION ALL
+        SELECT o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM u WHERE u_new < 0.01),
+    old_p AS (
+        SELECT * FROM (
+            SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                   count(o_custkey) AS nn, count(DISTINCT o_custkey) AS nd
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(o_totalprice),
+                   count(DISTINCT o_totalprice) FROM orders)),
+    new_p AS (
+        SELECT * FROM (
+            SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                   count(o_custkey) AS nn, count(DISTINCT o_custkey) AS nd
+            FROM newsnap
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM newsnap
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM newsnap
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(o_totalprice),
+                   count(DISTINCT o_totalprice) FROM newsnap))
+    SELECT o.col_name,
+           CAST(o.n_rows AS BIGINT) AS n_rows_old,
+           CAST(n.n_rows AS BIGINT) AS n_rows_new,
+           CAST(o.nn AS BIGINT) AS n_nonnull_old,
+           CAST(n.nn AS BIGINT) AS n_nonnull_new,
+           CAST(o.nd AS BIGINT) AS n_distinct_old,
+           CAST(n.nd AS BIGINT) AS n_distinct_new,
+           CAST(n.nd - o.nd AS BIGINT) AS distinct_delta
+    FROM old_p o JOIN new_p n USING (col_name)
+    ORDER BY o.col_name
+"""
 
 QUERIES["negative_samples"] = _negative_samples
 ORACLES["negative_samples"] = """
