@@ -336,3 +336,122 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+def multi_touch_attribution(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the same user's clicks in the preceding
+    ``window_days`` — the classic marketing-warehouse credit model (the
+    as-of join gives last-touch; this gives every touch its share).
+
+    Determinism discipline: purchase value is carried as micro-scaled
+    BIGINT and the per-click share is integer division
+    (round(micros / n_touches)) — per-row exact, so the day-level credit
+    sums are partition-order-independent like every other money sum in
+    this repo.
+
+    Scale: purchases join clicks per USER (equi key) with the window as
+    a join filter — fan-out bounded by per-user activity, never a time
+    cross product; the per-purchase touch count is a window over the
+    purchase id (data-cardinality key)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 1000000).cast("long").alias("p_micros"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("click_day"),
+    )
+    touched = purch.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_days} DAYS"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touched.withColumn(
+        "credit_micros",
+        F.round(F.col("p_micros") / F.count(F.lit(1)).over(w)).cast("long"),
+    )
+    return (
+        credited.groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit_micros") / 1000000.0, 4).alias(
+                "credited_value"
+            ),
+        )
+        .orderBy("click_day")
+    )
+
+
+def decayed_popularity(
+    spark: SparkSession, sf_dir: str, half_life_days: float = 7.0
+) -> DataFrame:
+    """Exponentially time-decayed activity score per event type — the
+    'trending now' ranking signal (recent events count fully, week-old
+    events half, with the corpus max timestamp as 'now' so the score is
+    a pure function of the data).  Weights are per-row quantized to
+    nano-units and summed as BIGINT (the fixed-point discipline), so the
+    comparison survives any partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    now = events.agg(F.max("ts").alias("now_ts"))
+    age_days = (
+        F.col("now_ts").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    weight = F.pow(F.lit(0.5), age_days / half_life_days)
+    return (
+        events.crossJoin(F.broadcast(now))
+        .select(
+            "event_type",
+            F.round(weight * 1e9).cast("long").alias("w_nanos"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("w_nanos") / 1e9, 4).alias("decayed_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold split by USER (all of a user's events share
+    a fold — the grouped-CV rule that stops per-user leakage across
+    folds, the same principle cluster_aware_split applies to near-dup
+    clusters): fold = md5(user) % k, profiled per fold with event mass
+    and value so fold balance is visible."""
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    ).cast("int")
+    return (
+        events.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("fold")
+    )

@@ -4344,6 +4344,9 @@ _GATE_WINDOW = [
     "incremental_agg_merge",
     "negative_samples",
     "schema_drift_report",
+    "multi_touch_attribution",
+    "decayed_popularity",
+    "kfold_assignment",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4360,9 +4363,6 @@ _GATE_WINDOW = [
     "distinct_counts",
     "conditional_pivot",
     "time_range_filter",
-    "derived_projection",
-    "top_k_orders",
-    "null_handling",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,54 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["multi_touch_attribution"] = analytics.multi_touch_attribution
+ORACLES["multi_touch_attribution"] = """
+    WITH purch AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+               CAST(round(value * 1000000) AS BIGINT) AS p_micros
+        FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+        SELECT user_id, ts AS c_ts, strftime(ts, '%Y-%m-%d') AS click_day
+        FROM events WHERE event_type = 'click'),
+    touched AS (
+        SELECT p.purchase_id, p.p_micros, c.click_day
+        FROM purch p JOIN clicks c ON p.user_id = c.user_id
+        WHERE c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
+    credited AS (
+        SELECT click_day, purchase_id,
+               CAST(round(p_micros * 1.0 / count(*) OVER (PARTITION BY purchase_id))
+                    AS BIGINT) AS credit_micros
+        FROM touched)
+    SELECT click_day,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           round(sum(credit_micros) / 1000000.0, 4) AS credited_value
+    FROM credited GROUP BY click_day ORDER BY click_day
+"""
+
+QUERIES["decayed_popularity"] = analytics.decayed_popularity
+ORACLES["decayed_popularity"] = """
+    WITH now_t AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(pow(0.5,
+                 ((epoch(now_ts) - epoch(ts)) / 86400.0) / 7.0) * 1e9)
+                 AS BIGINT)) / 1e9, 4) AS decayed_score
+    FROM events CROSS JOIN now_t
+    GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["kfold_assignment"] = analytics.kfold_assignment
+ORACLES["kfold_assignment"] = """
+    SELECT CAST(('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                % 5 AS INT) AS fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+               AS total_value
+    FROM events GROUP BY fold ORDER BY fold
+"""
 
 QUERIES["schema_drift_report"] = quality.schema_drift_report
 ORACLES["schema_drift_report"] = """
