@@ -110,6 +110,16 @@ HEADLINE = [
     "shuffled_export_manifest",
     "pack_sequences_boundaries",
     "int8_quantization_profile",
+    "dedup_keep_best",
+    "hll_daily_rollup",
+    "pit_segment_rollup",
+    "incremental_agg_merge",
+    "negative_samples",
+    "schema_drift_report",
+    "multi_touch_attribution",
+    "decayed_popularity",
+    "kfold_assignment",
+    "stream_semantic_dedup",
 ]
 
 
