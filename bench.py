@@ -120,6 +120,7 @@ HEADLINE = [
     "decayed_popularity",
     "kfold_assignment",
     "stream_semantic_dedup",
+    "backfill_plan",
 ]
 
 

@@ -300,3 +300,69 @@ def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def partition_digests(
+    df: DataFrame, part_col, content_cols: list[str]
+) -> DataFrame:
+    """Order-independent per-partition content digest: bit_xor over the
+    per-row sha256-derived 64-bit hashes.  XOR is commutative and
+    associative, so the digest is identical under any row order or
+    partitioning — comparable across engines and runs without sorting
+    anything."""
+    # 15 hex chars = 60 bits: stays inside signed int64 in every engine
+    # (16 chars can exceed 2^63 and null out on the cast)
+    row_hash = F.conv(
+        F.substring(row_digest(df, content_cols), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(part_col.alias("part"), row_hash.alias("h"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("h").alias("digest"),
+        )
+    )
+
+
+def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level backfill planning: compare per-day content
+    digests of a day-partitioned output between the current source and
+    its deterministic next-day mutation, and classify each day as
+    unchanged / changed / added / removed — the table an orchestrator
+    reads to recompute ONLY the partitions whose inputs actually moved,
+    instead of a blanket date-range rerun.  snapshot_diff answers "which
+    ROWS changed"; this answers the cheaper planning question "which
+    PARTITIONS must rebuild" from two digest scans and a tiny join (one
+    row per day on each side — driver-safe at any scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    old_d = partition_digests(orders, day, cols)
+    new_d = partition_digests(_mutated_orders(orders), day, cols)
+    o = old_d.select(
+        "part",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("digest").alias("digest_old"),
+    )
+    n = new_d.select(
+        "part",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("digest").alias("digest_new"),
+    )
+    status = (
+        F.when(F.col("digest_old").isNull(), "added")
+        .when(F.col("digest_new").isNull(), "removed")
+        .when(F.col("digest_old") != F.col("digest_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, "part", "full_outer")
+        .select(
+            "part",
+            F.coalesce("n_rows_old", F.lit(0)).alias("n_rows_old"),
+            F.coalesce("n_rows_new", F.lit(0)).alias("n_rows_new"),
+            status.alias("status"),
+        )
+        .orderBy("part")
+    )

@@ -4347,6 +4347,7 @@ _GATE_WINDOW = [
     "multi_touch_attribution",
     "decayed_popularity",
     "kfold_assignment",
+    "backfill_plan",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4362,7 +4363,6 @@ _GATE_WINDOW = [
     "user_activity",
     "distinct_counts",
     "conditional_pivot",
-    "time_range_filter",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,61 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["backfill_plan"] = snapshot.backfill_plan
+ORACLES["backfill_plan"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS part,
+               ('0x' || substr(md5('snap-drop:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_drop,
+               ('0x' || substr(md5('snap-bump:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_bump,
+               ('0x' || substr(md5('snap-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders),
+    oldsnap AS (
+        SELECT part, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM u),
+    newsnap AS (
+        SELECT part, o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE u_drop >= 0.02
+        UNION ALL
+        SELECT part, o_orderkey + 1000000000, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM u WHERE u_new < 0.01),
+    od AS (
+        SELECT part, count(*) AS n_rows,
+               bit_xor(('0x' || substr(sha256(
+                   concat_ws(chr(31),
+                       coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_custkey AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_totalprice AS VARCHAR), chr(1) || '<null>'))),
+                   1, 15))::BIGINT) AS digest
+        FROM oldsnap GROUP BY part),
+    nd AS (
+        SELECT part, count(*) AS n_rows,
+               bit_xor(('0x' || substr(sha256(
+                   concat_ws(chr(31),
+                       coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_custkey AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || '<null>'),
+                       coalesce(CAST(o_totalprice AS VARCHAR), chr(1) || '<null>'))),
+                   1, 15))::BIGINT) AS digest
+        FROM newsnap GROUP BY part)
+    SELECT coalesce(od.part, nd.part) AS part,
+           CAST(coalesce(od.n_rows, 0) AS BIGINT) AS n_rows_old,
+           CAST(coalesce(nd.n_rows, 0) AS BIGINT) AS n_rows_new,
+           CASE WHEN od.part IS NULL THEN 'added'
+                WHEN nd.part IS NULL THEN 'removed'
+                WHEN od.digest != nd.digest THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM od FULL OUTER JOIN nd ON od.part = nd.part
+    ORDER BY part
+"""
 
 QUERIES["multi_touch_attribution"] = analytics.multi_touch_attribution
 ORACLES["multi_touch_attribution"] = """

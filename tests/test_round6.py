@@ -314,3 +314,37 @@ def test_negative_samples_never_collide_with_positives(spark):
         assert len(slots) <= 3 and slots == sorted(slots)
     again = negative_samples(spark, SF_SMALL, limit=10_000).collect()
     assert again == rows
+
+
+def test_backfill_plan_agrees_with_row_level_diff(spark):
+    """A month is 'unchanged' iff the row-level snapshot diff finds no
+    added/removed/changed key in it — the digest plan must agree with
+    the expensive row diff it replaces."""
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        _mutated_orders,
+        backfill_plan,
+        table_diff,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    plan = {r.part: r.status for r in backfill_plan(spark, SF_SMALL).collect()}
+    diff = table_diff(
+        orders,
+        _mutated_orders(orders),
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    # month per key comes from the ORIGINAL table; brand-new keys
+    # (+1e9 rekeys) inherit their source row's month via key - 1e9
+    month = {
+        r.o_orderkey: r.m
+        for r in orders.select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("m")
+        ).collect()
+    }
+    dirty = set()
+    for r in diff.filter(F.col("change_type") != "unchanged").collect():
+        key = r.o_orderkey if r.o_orderkey in month else r.o_orderkey - 1_000_000_000
+        dirty.add(month[key])
+    for part, status in plan.items():
+        assert (status != "unchanged") == (part in dirty), (part, status)
