@@ -121,6 +121,8 @@ HEADLINE = [
     "kfold_assignment",
     "stream_semantic_dedup",
     "backfill_plan",
+    "forget_users_plan",
+    "event_transitions",
 ]
 
 

@@ -455,3 +455,46 @@ def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def event_transitions(
+    spark: SparkSession, sf_dir: str, top: int = 25
+) -> DataFrame:
+    """First-order behavior transitions: counts of (event_type → next
+    event_type) per user journey — the Markov-chain view of product
+    analytics (which step follows which; funnels are its special case).
+    One per-user lag window ordered by (ts, event_id), one aggregation
+    on the tiny #types² key space; the share denominator is a sum over
+    that ALREADY-AGGREGATED frame (persist_tracked — #types² rows, safe
+    to cache at any corpus size), so the events scan runs once and no
+    driver-side count() splits the job."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = persist_tracked(
+        steps.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions")
+        )
+    )
+    total = counts.agg(F.sum("n_transitions").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("__total"), 6).alias(
+                "transition_share"
+            ),
+        )
+        .orderBy(F.desc("n_transitions"), "from_type", "to_type")
+        .limit(top)
+    )

@@ -156,3 +156,66 @@ def shuffled_export_manifest(
         .select("rank", "doc_id", "shuffle_key")
         .orderBy("rank")
     )
+
+
+def forget_users_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation plan: given a deletion cohort
+    (here the deterministic md5-drawn ~2% of customers), report per
+    table how many rows the erasure touches — the manifest a compliance
+    job executes with anti-joins + partition rewrites.  Cascades through
+    the schema: orders by customer key, lineitem through its order keys,
+    events by user id.
+
+    Scale: the cohort broadcast-joins every fact table (a deletion
+    cohort is small by construction); lineitem cascades through a
+    semi-join on the already-filtered orders keys, so no fact-to-fact
+    shuffle.  Output is one row per table — the plan, not the rewrite
+    (the rewrite is delete-where = anti-join + dynamic partition
+    overwrite, export_shuffled's write machinery)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cohort = customer.filter(hash_uniform(F.col("c_custkey"), "forget:") < 0.02)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+
+    doomed_orders = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey
+    ).select("o_orderkey")
+    rows = []
+    for name, total_df, hit_df in [
+        ("customer", customer, cohort),
+        ("orders", orders, doomed_orders),
+        (
+            "lineitem",
+            lineitem,
+            lineitem.join(doomed_orders, lineitem.l_orderkey == doomed_orders.o_orderkey),
+        ),
+        (
+            "events",
+            events,
+            events.join(
+                F.broadcast(cohort), events.user_id == cohort.c_custkey
+            ),
+        ),
+    ]:
+        prof = total_df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        ).crossJoin(
+            hit_df.agg(F.count(F.lit(1)).cast("long").alias("n_to_delete"))
+        )
+        rows.append(prof)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "n_to_delete",
+        (F.col("n_rows") - F.col("n_to_delete")).alias("n_after"),
+    ).orderBy("table_name")

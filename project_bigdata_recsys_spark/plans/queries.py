@@ -4348,6 +4348,8 @@ _GATE_WINDOW = [
     "decayed_popularity",
     "kfold_assignment",
     "backfill_plan",
+    "forget_users_plan",
+    "event_transitions",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4361,8 +4363,6 @@ _GATE_WINDOW = [
     "course_stats",
     "label_histogram",
     "user_activity",
-    "distinct_counts",
-    "conditional_pivot",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,61 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["forget_users_plan"] = maintenance.forget_users_plan
+ORACLES["forget_users_plan"] = """
+    WITH cohort AS (
+        SELECT c_custkey FROM customer
+        WHERE ('0x' || substr(md5('forget:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.02),
+    doomed_orders AS (
+        SELECT o.o_orderkey FROM orders o
+        JOIN cohort ON o.o_custkey = cohort.c_custkey)
+    SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM cohort) AS BIGINT) AS n_to_delete
+        UNION ALL
+        SELECT 'events',
+               CAST((SELECT count(*) FROM events) AS BIGINT),
+               CAST((SELECT count(*) FROM events e
+                     JOIN cohort ON e.user_id = cohort.c_custkey) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     JOIN doomed_orders d ON l.l_orderkey = d.o_orderkey)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM doomed_orders) AS BIGINT)) t(table_name, n_rows, n_to_delete)
+"""
+ORACLES["forget_users_plan"] = (
+    "SELECT table_name, n_rows, n_to_delete, "
+    "CAST(n_rows - n_to_delete AS BIGINT) AS n_after FROM ("
+    + ORACLES["forget_users_plan"]
+    + ") ORDER BY table_name"
+)
+
+QUERIES["event_transitions"] = analytics.event_transitions
+ORACLES["event_transitions"] = """
+    WITH steps AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+    tot AS (SELECT sum(n_transitions) AS total FROM counts)
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions * 1.0 / total, 6) AS transition_share
+    FROM counts CROSS JOIN tot
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 25
+"""
 
 QUERIES["backfill_plan"] = snapshot.backfill_plan
 ORACLES["backfill_plan"] = """
