@@ -348,3 +348,31 @@ def test_backfill_plan_agrees_with_row_level_diff(spark):
         dirty.add(month[key])
     for part, status in plan.items():
         assert (status != "unchanged") == (part in dirty), (part, status)
+
+
+def test_fixed_point_sums_invariant_under_partitioning(spark):
+    """The round-6 exactness claim, pinned directly: the converted
+    money/value aggregations return IDENTICAL rows when the shuffle
+    partitioning (and so the double-addition order) changes — the
+    property plain sum(double) does not have."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        pricing_summary,
+        rfm_segments,
+    )
+    from project_bigdata_recsys_spark.operators.relational import (
+        events_per_day,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                "pricing": pricing_summary(spark, SF_SMALL).collect(),
+                "rfm": rfm_segments(spark, SF_SMALL).collect(),
+                "events": events_per_day(spark, SF_SMALL).collect(),
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert results["32"] == results["7"]
