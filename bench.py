@@ -126,6 +126,7 @@ HEADLINE = [
     "backfill_plan",
     "forget_users_plan",
     "event_transitions",
+    "psi_drift",
 ]
 
 

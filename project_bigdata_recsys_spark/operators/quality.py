@@ -318,3 +318,85 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE model-monitoring drift score (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 retrain): o_totalprice's distribution in
+    the deterministic next-day mutation, measured in the CURRENT
+    snapshot's decile buckets.
+
+    Determinism discipline: decile edges come from the exact
+    distributed percent-rank recipe (range shuffle — no
+    single-partition window, no percentile_approx sampling); both sides
+    bucket with the same strict-less-than rule against the broadcast
+    9-edge array (a JVM higher-order filter, one row of state); PSI
+    terms derive from integer counts with the standard 1e-9 share clamp
+    so empty buckets stay finite.  Every number reproduces in the
+    DuckDB twin.
+
+    Scale: one range shuffle for the edges + one aggregation per side;
+    the edge state is n_buckets-1 values regardless of table size."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.text import (
+        with_exact_percent_rank,
+    )
+    from project_bigdata_recsys_spark.operators.snapshot import _mutated_orders
+
+    orders = load_table(spark, sf_dir, "orders")
+    new = _mutated_orders(orders)
+
+    ranked = with_exact_percent_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        "pr",
+    )
+    edges = (
+        ranked.withColumn(
+            "b",
+            F.least(F.floor(F.col("pr") * n_buckets), F.lit(n_buckets - 1)),
+        )
+        .filter(F.col("b") < n_buckets - 1)
+        .groupBy("b")
+        .agg(F.max("o_totalprice").alias("e"))
+        .agg(F.sort_array(F.collect_list("e")).alias("edges"))
+    )
+
+    def shares(df, tag):
+        bucket = F.size(
+            F.filter(F.col("edges"), lambda e: e < F.col("o_totalprice"))
+        )
+        return (
+            df.select("o_totalprice")
+            .crossJoin(F.broadcast(edges))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{tag}"))
+        )
+
+    joined = (
+        shares(orders, "old")
+        .join(shares(new, "new"), "bucket", "full_outer")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    clamp = lambda c: F.greatest(c, F.lit(1e-9))  # noqa: E731
+    p_old = clamp(F.col("n_old") / F.sum("n_old").over(w_all))
+    p_new = clamp(F.col("n_new") / F.sum("n_new").over(w_all))
+    return (
+        joined.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_old",
+            "n_new",
+            F.round(p_old, 6).alias("p_old"),
+            F.round(p_new, 6).alias("p_new"),
+            F.round((p_old - p_new) * F.log(p_old / p_new), 8).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -4350,6 +4350,7 @@ _GATE_WINDOW = [
     "backfill_plan",
     "forget_users_plan",
     "event_transitions",
+    "psi_drift",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4362,7 +4363,6 @@ _GATE_WINDOW = [
     "pii_redaction_profile",
     "course_stats",
     "label_histogram",
-    "user_activity",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,54 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["psi_drift"] = quality.psi_drift
+ORACLES["psi_drift"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice,
+               ('0x' || substr(md5('snap-drop:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_drop,
+               ('0x' || substr(md5('snap-bump:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_bump,
+               ('0x' || substr(md5('snap-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders),
+    newsnap AS (
+        SELECT CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE u_drop >= 0.02
+        UNION ALL
+        SELECT o_totalprice FROM u WHERE u_new < 0.01),
+    ranked AS (
+        SELECT o_totalprice,
+               percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+        FROM orders),
+    eb AS (SELECT least(floor(pr * 10), 9) AS b, max(o_totalprice) AS e
+           FROM ranked GROUP BY 1 HAVING least(floor(pr * 10), 9) < 9),
+    edges AS (SELECT list(e ORDER BY e) AS arr FROM eb),
+    oc AS (SELECT len(list_filter(edges.arr, x -> x < o_totalprice)) AS bucket,
+                  count(*) AS n_old
+           FROM orders CROSS JOIN edges
+           GROUP BY 1),
+    nc AS (SELECT len(list_filter(edges.arr, x -> x < o_totalprice)) AS bucket,
+                  count(*) AS n_new
+           FROM newsnap CROSS JOIN edges
+           GROUP BY 1),
+    j AS (SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+                 coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+          FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
+    t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn FROM j)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           round(greatest(n_old * 1.0 / so, 1e-9), 6) AS p_old,
+           round(greatest(n_new * 1.0 / sn, 1e-9), 6) AS p_new,
+           round((greatest(n_old * 1.0 / so, 1e-9)
+                  - greatest(n_new * 1.0 / sn, 1e-9))
+                 * ln(greatest(n_old * 1.0 / so, 1e-9)
+                      / greatest(n_new * 1.0 / sn, 1e-9)), 8) AS psi_term
+    FROM j CROSS JOIN t ORDER BY bucket
+"""
 
 QUERIES["forget_users_plan"] = maintenance.forget_users_plan
 ORACLES["forget_users_plan"] = """

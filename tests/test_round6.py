@@ -376,3 +376,18 @@ def test_fixed_point_sums_invariant_under_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert results["32"] == results["7"]
+
+
+def test_psi_drift_totals_and_small_shift(spark):
+    """Bucket masses cover both snapshots exactly; the ~2%-drop/1%-bump
+    mutation is a SMALL shift, so total PSI must sit well below the 0.1
+    'stable' bar while remaining nonzero."""
+    from project_bigdata_recsys_spark.operators.quality import psi_drift
+    from project_bigdata_recsys_spark.operators.snapshot import _mutated_orders
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    rows = psi_drift(spark, SF_SMALL).collect()
+    assert sum(r.n_old for r in rows) == orders.count()
+    assert sum(r.n_new for r in rows) == _mutated_orders(orders).count()
+    total_psi = sum(r.psi_term for r in rows)
+    assert 0 < total_psi < 0.1
