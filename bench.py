@@ -127,6 +127,8 @@ HEADLINE = [
     "forget_users_plan",
     "event_transitions",
     "psi_drift",
+    "ab_test_lift",
+    "pareto_curve",
 ]
 
 

@@ -498,3 +498,118 @@ def event_transitions(
         .orderBy(F.desc("n_transitions"), "from_type", "to_type")
         .limit(top)
     )
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to control/treatment by a
+    deterministic md5 coin (the hash_uniform discipline — assignment is
+    a pure function of the user id, the property a real experiment
+    framework needs for idempotent re-reads), then per-arm conversion
+    (any purchase) and value-per-user with absolute and relative lift.
+    Counts and cent-exact value sums only — every number reproduces in
+    the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    per_user = (
+        events.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 1000000).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("micros"),
+        )
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(
+                F.sum("micros") / F.count(F.lit(1)) / 1000000.0, 4
+            ).alias("value_per_user"),
+        )
+        .orderBy("arm")
+    )
+
+
+def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFrame:
+    """Contribution (Lorenz/Pareto) analysis: parts ranked by revenue,
+    rolled into rank deciles with each band's share and CUMULATIVE share
+    of total revenue — the 80/20 concentration readout a catalog owner
+    ranks assortments by.
+
+    Shape: revenue per part (one agg on the fact table), exact global
+    rank of the aggregated frame via the range-shuffle recipe (the
+    per-part frame is item-cardinality, but the recipe needs no
+    single-partition window even so), then a #bands-sized rollup with a
+    cumulative window over 10 rows.  Revenue is cent-exact BIGINT all
+    the way."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.text import (
+        with_exact_percent_rank,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = with_exact_percent_rank(
+        per_part,
+        ["cents", "l_partkey"],
+        "pr",
+    )
+    # band 0 = highest-revenue decile: invert the ascending percent rank
+    band = F.least(
+        F.floor((1.0 - F.col("pr")) * n_bands), F.lit(n_bands - 1)
+    ).cast("int")
+    bands = (
+        ranked.select(band.alias("band"), "cents")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").alias("band_cents"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bands.select(
+            "band",
+            "n_items",
+            F.round(F.col("band_cents") / 100.0, 2).alias("band_revenue"),
+            F.round(
+                F.col("band_cents") / F.sum("band_cents").over(w_all), 6
+            ).alias("revenue_share"),
+            F.round(
+                F.sum("band_cents").over(w_cum)
+                / F.sum("band_cents").over(w_all),
+                6,
+            ).alias("cumulative_share"),
+        )
+        .orderBy("band")
+    )

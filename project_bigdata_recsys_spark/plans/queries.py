@@ -4351,6 +4351,8 @@ _GATE_WINDOW = [
     "forget_users_plan",
     "event_transitions",
     "psi_drift",
+    "ab_test_lift",
+    "pareto_curve",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4361,8 +4363,6 @@ _GATE_WINDOW = [
     "token_stats",
     "lang_id_confusion",
     "pii_redaction_profile",
-    "course_stats",
-    "label_histogram",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,53 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["ab_test_lift"] = analytics.ab_test_lift
+ORACLES["ab_test_lift"] = """
+    WITH per_user AS (
+        SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS micros
+        FROM events GROUP BY 1, 2)
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate,
+           round(sum(micros) * 1.0 / count(*) / 1000000.0, 4)
+               AS value_per_user
+    FROM per_user GROUP BY arm ORDER BY arm
+"""
+
+QUERIES["pareto_curve"] = analytics.pareto_curve
+ORACLES["pareto_curve"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT cents,
+               percent_rank() OVER (ORDER BY cents, l_partkey) AS pr
+        FROM per_part),
+    bands AS (
+        SELECT CAST(least(floor((1.0 - pr) * 10), 9) AS INT) AS band,
+               count(*) AS n_items, sum(cents) AS band_cents
+        FROM ranked GROUP BY 1),
+    t AS (SELECT sum(band_cents) AS total FROM bands)
+    SELECT band,
+           CAST(n_items AS BIGINT) AS n_items,
+           round(band_cents / 100.0, 2) AS band_revenue,
+           round(band_cents * 1.0 / total, 6) AS revenue_share,
+           round(sum(band_cents) OVER (ORDER BY band
+                     ROWS UNBOUNDED PRECEDING) * 1.0 / total, 6)
+               AS cumulative_share
+    FROM bands CROSS JOIN t ORDER BY band
+"""
 
 QUERIES["psi_drift"] = quality.psi_drift
 ORACLES["psi_drift"] = """
