@@ -391,3 +391,32 @@ def test_psi_drift_totals_and_small_shift(spark):
     assert sum(r.n_new for r in rows) == _mutated_orders(orders).count()
     total_psi = sum(r.psi_term for r in rows)
     assert 0 < total_psi < 0.1
+
+
+def test_pareto_curve_is_a_lorenz_curve(spark):
+    """Cumulative share is monotone and ends at 1.0; band 0 (the
+    top-revenue decile) carries the largest share."""
+    from project_bigdata_recsys_spark.operators.analytics import pareto_curve
+
+    rows = pareto_curve(spark, SF_SMALL).collect()
+    assert [r.band for r in rows] == list(range(len(rows)))
+    cums = [r.cumulative_share for r in rows]
+    assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-6
+    assert rows[0].revenue_share == max(r.revenue_share for r in rows)
+
+
+def test_ab_test_lift_partitions_users(spark):
+    """The two arms cover every active user exactly once and the rates
+    are well-formed."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.operators.analytics import ab_test_lift
+
+    n_users = (
+        _lt(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    rows = ab_test_lift(spark, SF_SMALL).collect()
+    assert {r.arm for r in rows} == {"control", "treatment"}
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.conversion_rate <= 1
+        assert r.n_converted <= r.n_users
