@@ -129,6 +129,8 @@ HEADLINE = [
     "psi_drift",
     "ab_test_lift",
     "pareto_curve",
+    "fuzzy_name_matches",
+    "gap_filled_daily",
 ]
 
 

@@ -1265,3 +1265,58 @@ def incremental_components_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_size")
     )
+
+
+def fuzzy_name_matches(
+    spark: SparkSession, sf_dir: str, max_dist: int = 2, top: int = 50
+) -> DataFrame:
+    """Entity-resolution fuzzy join: distinct part names within
+    Levenshtein distance ``max_dist`` of each other, with each name's
+    catalog mass — the dirty-dimension reconciliation every warehouse
+    eventually needs ('blue bolt' vs 'blue bolts').
+
+    Scale shape: names are DISTINCT-ed and banded by length
+    (floor(len / (max_dist+1)), each name emitted to its own and the
+    next band) before any pair forms, so candidate pairs are bounded by
+    band populations, never |names|² — the same recall argument as the
+    simhash bands: edit distance ≤ d implies length difference ≤ d,
+    which confines every qualifying pair to equal-or-adjacent bands.
+    Distance is evaluated post-join on the candidate set only; integer
+    arithmetic end to end (oracle-exact)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    width = max_dist + 1
+    banded = names.select(
+        "p_name",
+        "n_parts",
+        F.explode(
+            F.array(
+                F.floor(F.length("p_name") / width).cast("long"),
+                F.floor(F.length("p_name") / width).cast("long") + 1,
+            )
+        ).alias("band"),
+    ).dropDuplicates(["p_name", "band"])
+    a = banded.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "band",
+    )
+    b = banded.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "band",
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .dropDuplicates(["name_a", "name_b"])
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+        .orderBy("dist", "name_a", "name_b")
+        .limit(top)
+    )

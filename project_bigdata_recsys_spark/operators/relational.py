@@ -766,3 +766,53 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(60)
     )
+
+
+def gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling: per-(event_type, day) activity with
+    EXPLICIT zero rows for days a type went silent — the dense series a
+    charting layer or forecasting job requires (a missing row and a
+    zero are different facts; raw groupBy only produces the former).
+
+    Shape: the day spine is one ``sequence(min_day, max_day)`` explode
+    off a broadcast 1-row min/max aggregate, cross-joined with the tiny
+    distinct-type frame, then one left join against the aggregated
+    dailies — the spine is #days × #types rows however large the fact
+    table, and the facts aggregate BEFORE the join so the join never
+    touches raw events."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+            "micros"
+        ),
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("micros", F.lit(0)) / 1000000.0, 4).alias(
+                "total_value"
+            ),
+            (F.col("n_events").isNull()).alias("is_gap"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -4353,6 +4353,8 @@ _GATE_WINDOW = [
     "psi_drift",
     "ab_test_lift",
     "pareto_curve",
+    "fuzzy_name_matches",
+    "gap_filled_daily",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
@@ -4361,8 +4363,6 @@ _GATE_WINDOW = [
     "lang_profile",
     "doc_fingerprints",
     "token_stats",
-    "lang_id_confusion",
-    "pii_redaction_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,56 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["fuzzy_name_matches"] = dedup.fuzzy_name_matches
+ORACLES["fuzzy_name_matches"] = """
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name),
+    banded AS (
+        SELECT DISTINCT p_name, n_parts, band FROM (
+            SELECT p_name, n_parts,
+                   unnest([CAST(floor(length(p_name) / 3) AS BIGINT),
+                           CAST(floor(length(p_name) / 3) AS BIGINT) + 1])
+                       AS band
+            FROM names)),
+    cand AS (
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+           n_parts_a, n_parts_b
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY dist, name_a, name_b LIMIT 50
+"""
+
+QUERIES["gap_filled_daily"] = relational.gap_filled_daily
+ORACLES["gap_filled_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value * 1000000) AS BIGINT)) AS micros
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+               FROM events),
+    spine AS (
+        SELECT t.event_type, CAST(gs.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN bounds
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(bounds.d0, bounds.d1,
+                                          INTERVAL 1 DAY)) AS day) gs)
+    SELECT s.event_type,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           round(coalesce(d.micros, 0) / 1000000.0, 4) AS total_value,
+           d.n_events IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    ORDER BY s.event_type, s.day
+"""
 
 QUERIES["ab_test_lift"] = analytics.ab_test_lift
 ORACLES["ab_test_lift"] = """

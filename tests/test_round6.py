@@ -420,3 +420,67 @@ def test_ab_test_lift_partitions_users(spark):
     for r in rows:
         assert 0 <= r.conversion_rate <= 1
         assert r.n_converted <= r.n_users
+
+
+def test_fuzzy_name_matches_banding_loses_no_pairs(spark):
+    """The length-banded candidate set finds exactly the pairs a
+    brute-force all-pairs Levenshtein pass finds (recall proof of the
+    band construction)."""
+    import itertools
+
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.functions.dedup import (
+        fuzzy_name_matches,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        r.p_name
+        for r in _lt(spark, SF_SMALL, "part").select("p_name").distinct().collect()
+    )
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 2
+    }
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_name_matches(spark, SF_SMALL, top=100_000).collect()
+    }
+    assert got == brute
+
+
+def test_gap_filled_daily_is_dense_and_consistent(spark):
+    """Every (type, day) cell exists exactly once across the full date
+    range; zero rows are flagged as gaps; non-gap rows match the raw
+    aggregation."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.operators.relational import (
+        gap_filled_daily,
+    )
+
+    rows = gap_filled_daily(spark, SF_SMALL).collect()
+    types = {r.event_type for r in rows}
+    days = sorted({r.day for r in rows})
+    assert len(rows) == len(types) * len(days)
+    raw = {
+        (r.event_type, r.day): r.n
+        for r in _lt(spark, SF_SMALL, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        expect = raw.get((r.event_type, r.day), 0)
+        assert r.n_events == expect
+        assert r.is_gap == (expect == 0)
