@@ -131,6 +131,8 @@ HEADLINE = [
     "pareto_curve",
     "fuzzy_name_matches",
     "gap_filled_daily",
+    "rolling_distinct_users",
+    "conversion_lag",
 ]
 
 

@@ -613,3 +613,64 @@ def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFra
         )
         .orderBy("band")
     )
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who purchased at or
+    after their first click, the lag between that first click and the
+    first subsequent purchase, bucketed into the operations bands
+    (<10 min, <1 h, <6 h, <1 d, <7 d, ≥7 d) — the latency histogram a
+    growth team reads next to the funnel's step counts.
+
+    Shape: one user-keyed window for the first click, one filtered
+    aggregation for the first qualifying purchase, and a #bands rollup;
+    shares derive from the already-aggregated tiny frame."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ev = events.withColumn(
+        "first_click",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w),
+    )
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_click").isNotNull()
+            & (F.col("ts") >= F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.first("first_click").alias("first_click"),
+        )
+    )
+    lag_sec = F.col("first_purchase").cast("double") - F.col(
+        "first_click"
+    ).cast("double")
+    bucket = (
+        F.when(lag_sec < 600, "a_lt_10m")
+        .when(lag_sec < 3600, "b_lt_1h")
+        .when(lag_sec < 6 * 3600, "c_lt_6h")
+        .when(lag_sec < 86400, "d_lt_1d")
+        .when(lag_sec < 7 * 86400, "e_lt_7d")
+        .otherwise("f_ge_7d")
+    )
+    counts = conv.select(bucket.alias("lag_bucket")).groupBy("lag_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.select(
+            "lag_bucket",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.sum("n_users").over(w_all), 6
+            ).alias("share"),
+        )
+        .orderBy("lag_bucket")
+    )

@@ -816,3 +816,67 @@ def gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def rolling_distinct_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Rolling 7-day distinct users per day — the metric exact
+    aggregation cannot do incrementally (distinct does not subtract):
+    the scale answer is the DAILY HLL SKETCH LAYER with a sliding
+    ``hll_union_agg`` window, so each day's rolling figure unions 7
+    fixed-size sketches instead of rescanning a week of raw events.
+
+    Output carries the EXACT rolling distinct (computed via a bounded
+    day-spine range join — each event lands in ≤ 7 day windows, fine at
+    gate scale and hash-comparable) next to the sketch estimate's
+    within-budget boolean, the approx_profile invariant-recipe: the
+    oracle recomputes the exact numbers and literal TRUEs.  The sliding
+    union itself runs over the #days-row daily frame — an unkeyed
+    window on a calendar-bounded frame, the documented exception."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = events.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    approx = daily.select(
+        "day",
+        F.sum("n_events").over(w).alias("n_events_7d"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "__approx_7d"
+        ),
+    )
+    # exact rolling distinct: day spine range-joined to (day, user) pairs
+    days = daily.select(F.col("day").alias("spine_day"))
+    pairs = events.distinct().select(
+        F.col("day").alias("ev_day"), "user_id"
+    )
+    exact = (
+        days.join(
+            pairs,
+            (F.col("ev_day") <= F.col("spine_day"))
+            & (F.col("ev_day") > F.date_sub(F.col("spine_day"), window_days)),
+        )
+        .groupBy("spine_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users_7d"))
+        .withColumnRenamed("spine_day", "day")
+    )
+    return (
+        approx.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events_7d",
+            "n_users_7d",
+            (
+                F.abs(F.col("__approx_7d") - F.col("n_users_7d"))
+                / F.col("n_users_7d")
+                <= 0.06
+            ).alias("approx_users_ok"),
+        )
+        .orderBy("day")
+    )

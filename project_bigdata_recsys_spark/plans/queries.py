@@ -4355,14 +4355,14 @@ _GATE_WINDOW = [
     "pareto_curve",
     "fuzzy_name_matches",
     "gap_filled_daily",
+    "rolling_distinct_users",
+    "conversion_lag",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
     "csv_roundtrip_ingest",
     "doc_quality_profile",
     "lang_profile",
-    "doc_fingerprints",
-    "token_stats",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,57 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["conversion_lag"] = analytics.conversion_lag
+ORACLES["conversion_lag"] = """
+    WITH fc AS (
+        SELECT user_id, min(ts) AS first_click FROM events
+        WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id,
+               min(e.ts) AS first_purchase, min(fc.first_click) AS first_click
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+        GROUP BY e.user_id),
+    lagged AS (
+        SELECT CASE
+                 WHEN epoch(first_purchase) - epoch(first_click) < 600
+                     THEN 'a_lt_10m'
+                 WHEN epoch(first_purchase) - epoch(first_click) < 3600
+                     THEN 'b_lt_1h'
+                 WHEN epoch(first_purchase) - epoch(first_click) < 21600
+                     THEN 'c_lt_6h'
+                 WHEN epoch(first_purchase) - epoch(first_click) < 86400
+                     THEN 'd_lt_1d'
+                 WHEN epoch(first_purchase) - epoch(first_click) < 604800
+                     THEN 'e_lt_7d'
+                 ELSE 'f_ge_7d' END AS lag_bucket
+        FROM conv),
+    counts AS (SELECT lag_bucket, CAST(count(*) AS BIGINT) AS n_users
+               FROM lagged GROUP BY lag_bucket),
+    t AS (SELECT sum(n_users) AS total FROM counts)
+    SELECT lag_bucket, n_users,
+           round(n_users * 1.0 / total, 6) AS share
+    FROM counts CROSS JOIN t ORDER BY lag_bucket
+"""
+
+QUERIES["rolling_distinct_users"] = relational.rolling_distinct_users
+ORACLES["rolling_distinct_users"] = """
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT day, count(*) AS n_events FROM ev GROUP BY day),
+    spine AS (
+        SELECT d.day,
+               CAST((SELECT sum(n_events) FROM days d2
+                     WHERE d2.day <= d.day
+                       AND d2.day > d.day - 7) AS BIGINT) AS n_events_7d,
+               CAST((SELECT count(DISTINCT e.user_id) FROM ev e
+                     WHERE e.day <= d.day
+                       AND e.day > d.day - 7) AS BIGINT) AS n_users_7d
+        FROM days d)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events_7d, n_users_7d,
+           TRUE AS approx_users_ok
+    FROM spine ORDER BY day
+"""
 
 QUERIES["fuzzy_name_matches"] = dedup.fuzzy_name_matches
 ORACLES["fuzzy_name_matches"] = """
