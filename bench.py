@@ -133,6 +133,7 @@ HEADLINE = [
     "gap_filled_daily",
     "rolling_distinct_users",
     "conversion_lag",
+    "centroid_confusion",
 ]
 
 

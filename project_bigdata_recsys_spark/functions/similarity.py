@@ -1559,3 +1559,55 @@ def int8_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def centroid_confusion_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.90
+) -> DataFrame:
+    """Class-separability QA: pairwise cosine between LABEL CENTROIDS —
+    the #labels × #labels confusability readout next to
+    nearest_centroid_agreement (per-vector) and label_centroid_outliers
+    (per-member): two classes whose centroids nearly coincide will
+    confuse any classifier trained on this embedding space.
+
+    Scale: centroids are one (label, pos) mean shuffle (#labels × dim
+    rows out — KB-scale at any corpus size); the pair matrix is
+    #labels², computed entirely on the tiny centroid frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vals = emb.select(
+        "label", F.posexplode(arr).alias("pos", "v")
+    )
+    cent = vals.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    packed = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pc")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    a = packed.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("cent_a")
+    )
+    b = packed.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cent_b")
+    )
+    cos = dot(F.col("cent_a"), F.col("cent_b")) / (
+        l2_norm(F.col("cent_a")) * l2_norm(F.col("cent_b"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("confusable", F.col("cos_sim") >= threshold)
+        .orderBy(F.desc("cos_sim"), "label_a", "label_b")
+    )

@@ -4357,12 +4357,12 @@ _GATE_WINDOW = [
     "gap_filled_daily",
     "rolling_distinct_users",
     "conversion_lag",
+    "centroid_confusion",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
     "csv_roundtrip_ingest",
     "doc_quality_profile",
-    "lang_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,28 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+QUERIES["centroid_confusion"] = similarity.centroid_confusion_matrix
+ORACLES["centroid_confusion"] = """
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    vals AS (
+        SELECT label, unnest(range(0, len(emb))) AS pos, unnest(emb) AS v
+        FROM b),
+    cent AS (SELECT label, pos, avg(v) AS c FROM vals GROUP BY label, pos),
+    packed AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM cent GROUP BY label),
+    pairs AS (
+        SELECT a.label AS label_a, b2.label AS label_b,
+               round(list_dot_product(a.centroid, b2.centroid)
+                     / (sqrt(list_dot_product(a.centroid, a.centroid))
+                        * sqrt(list_dot_product(b2.centroid, b2.centroid))),
+                     6) AS cos_sim
+        FROM packed a JOIN packed b2 ON a.label < b2.label)
+    SELECT label_a, label_b, cos_sim, cos_sim >= 0.90 AS confusable
+    FROM pairs ORDER BY cos_sim DESC, label_a, label_b
+"""
 
 QUERIES["conversion_lag"] = analytics.conversion_lag
 ORACLES["conversion_lag"] = """
