@@ -1611,3 +1611,46 @@ def centroid_confusion_matrix(
         .withColumn("confusable", F.col("cos_sim") >= threshold)
         .orderBy(F.desc("cos_sim"), "label_a", "label_b")
     )
+
+
+def update_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> None:
+    """Fold NEW vectors into the persisted RP-LSH index WITHOUT
+    rebuilding it — the daily-maintenance sibling of
+    spans.update_span_index and dedup's index fold, completing the
+    incremental story for all three persisted retrieval indexes: only
+    the (t, bucket) partitions the new vectors hash into are rewritten
+    (dynamic partition overwrite), so refresh cost is O(batch +
+    touched-buckets), never O(corpus).
+
+    The index rows are plain (vec_id, t, bucket) membership — a set
+    union, trivially associative — so yesterday's index ⊕ today's batch
+    ≡ a from-scratch build over the union (test-pinned)."""
+    batch_rows = rp_index_rows(new_emb, n_tables, n_planes)
+    touched = [
+        (r.t, r.bucket)
+        for r in batch_rows.select("t", "bucket").distinct().collect()
+    ]
+    if not touched:
+        return
+    cond = None
+    for t, bkt in touched:
+        c = (F.col("t") == t) & (F.col("bucket") == bkt)
+        cond = c if cond is None else (cond | c)
+    stored = spark.read.parquet(index_dir).filter(cond).select(
+        "vec_id", "t", "bucket"
+    )
+    merged = stored.unionByName(
+        batch_rows.select("vec_id", "t", "bucket")
+    ).dropDuplicates(["vec_id", "t", "bucket"])
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("t", "bucket")
+        .parquet(index_dir)
+    )

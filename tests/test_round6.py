@@ -484,3 +484,36 @@ def test_gap_filled_daily_is_dense_and_consistent(spark):
         expect = raw.get((r.event_type, r.day), 0)
         assert r.n_events == expect
         assert r.is_gap == (expect == 0)
+
+
+def test_update_ann_index_equals_rebuild(spark, tmp_path):
+    """Folding a vector batch into the persisted RP-LSH index yields
+    byte-identical membership to rebuilding over the union (and the
+    probe results through it match) — the incremental contract of all
+    three persisted retrieval indexes."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+    from project_bigdata_recsys_spark.functions.similarity import (
+        rp_index_rows,
+        update_ann_index,
+    )
+
+    emb = _lt(spark, SF_SMALL, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    inc_dir = str(tmp_path / "inc")
+    rp_index_rows(old, 4, 6).write.partitionBy("t", "bucket").parquet(inc_dir)
+    update_ann_index(spark, inc_dir, new)
+    folded = sorted(
+        (r.vec_id, r.t, r.bucket)
+        for r in spark.read.parquet(inc_dir).collect()
+    )
+    rebuilt = sorted(
+        (r.vec_id, r.t, r.bucket) for r in rp_index_rows(emb, 4, 6).collect()
+    )
+    assert folded == rebuilt
+    # empty batch is a no-op
+    update_ann_index(spark, inc_dir, emb.filter(F.col("vec_id") < 0))
+    assert sorted(
+        (r.vec_id, r.t, r.bucket)
+        for r in spark.read.parquet(inc_dir).collect()
+    ) == rebuilt
