@@ -134,6 +134,7 @@ HEADLINE = [
     "rolling_distinct_users",
     "conversion_lag",
     "centroid_confusion",
+    "ann_recall_profile",
 ]
 
 

@@ -1654,3 +1654,68 @@ def update_ann_index(
         .partitionBy("t", "bucket")
         .parquet(index_dir)
     )
+
+
+def ann_recall_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN quality measured, not asserted: per query, the RECALL of the
+    RP-LSH candidate stage against exact brute-force top-k — the number
+    an index owner tunes n_tables/n_planes by.  Rerank is exact cosine,
+    so candidate recall IS end-to-end recall; everything (buckets,
+    cosines, ranks) is deterministic, making the evaluation itself an
+    oracle-checkable query rather than a test-only claim.
+
+    Scale: brute truth runs only over the n_queries probe set (broadcast
+    queries, one corpus scan); the candidate side is the same banded
+    probe knn_rp_lsh ships."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+    buckets = rp_index_rows(emb, n_tables, n_planes)
+    q_buckets = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cands = (
+        buckets.join(F.broadcast(q_buckets), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    hit = cands.withColumn("hit", F.lit(1))
+    return (
+        truth.join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                "n_found"
+            ),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -4358,11 +4358,11 @@ _GATE_WINDOW = [
     "rolling_distinct_users",
     "conversion_lag",
     "centroid_confusion",
+    "ann_recall_profile",
     # -- oldest driver evidence (r1/r2): re-verify this round -------------
     "sessionize",
     "approx_profile",
     "csv_roundtrip_ingest",
-    "doc_quality_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4372,6 +4372,69 @@ _GATE_WINDOW = [
 # the batch oracle exactly, so the SQL twin is shared verbatim
 QUERIES["stream_semantic_dedup"] = replay.stream_semantic_dedup
 ORACLES["stream_semantic_dedup"] = _semantic_contamination_oracle()
+
+def _ann_recall_oracle(
+    n_queries: int = 10, k: int = 10, n_tables: int = 4, n_planes: int = 6
+) -> str:
+    """SQL twin of similarity.ann_recall_profile: exact brute top-k per
+    probe query vs the deterministic Rademacher bucket candidates."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM b
+              WHERE vec_id < {n_queries}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(e.emb, q.q_emb)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+            FROM b e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        truth AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM scored)
+            WHERE rank <= {k}),
+        buck AS ({buck}),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+            FROM buck qb JOIN buck cb
+              ON qb.t = cb.t AND qb.bucket = cb.bucket
+            WHERE qb.vec_id < {n_queries} AND cb.vec_id != qb.vec_id)
+        SELECT t.query_id,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found,
+               round(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS recall
+        FROM truth t
+        LEFT JOIN cand c
+          ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+        GROUP BY t.query_id ORDER BY t.query_id
+    """
+
+
+QUERIES["ann_recall_profile"] = similarity.ann_recall_profile
+ORACLES["ann_recall_profile"] = _ann_recall_oracle()
 
 QUERIES["centroid_confusion"] = similarity.centroid_confusion_matrix
 ORACLES["centroid_confusion"] = """
