@@ -135,6 +135,8 @@ HEADLINE = [
     "conversion_lag",
     "centroid_confusion",
     "ann_recall_profile",
+    "monthly_growth",
+    "embedding_dim_profile",
 ]
 
 

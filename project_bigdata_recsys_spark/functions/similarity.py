@@ -1719,3 +1719,45 @@ def ann_recall_profile(
         )
         .orderBy("query_id")
     )
+
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the whitening/normalization
+    QA a vector pipeline runs before training or indexing (dead
+    dimensions, dominant dimensions, off-center means all distort
+    cosine geometry).  Mean and variance derive from per-row fixed-point
+    quantizations (1e-9 for values, 1e-12 for squares) summed as BIGINT,
+    so the profile is partition-order-independent like every other
+    compared aggregate in this repo.
+
+    Shape: one posexplode + one (pos)-keyed Tungsten aggregation —
+    #dims output rows at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vals = emb.select(F.posexplode(arr).alias("pos", "v"))
+    nanos = F.round(F.col("v") * 1e9).cast("long")
+    sq_pico = F.round(F.col("v") * F.col("v") * 1e12).cast("long")
+    per_dim = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(nanos).alias("s1"),
+        F.sum(sq_pico).alias("s2"),
+        F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s1") / F.col("n") / 1e9
+    var = F.col("s2") / F.col("n") / 1e12 - mean * mean
+    return (
+        per_dim.select(
+            F.col("pos").cast("int").alias("dim"),
+            "n",
+            F.round(mean, 6).alias("mean"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+            F.round(F.col("n_zero") / F.col("n"), 4).alias("zero_frac"),
+            F.round("mn", 6).alias("min_v"),
+            F.round("mx", 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )

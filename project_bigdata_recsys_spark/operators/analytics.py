@@ -674,3 +674,35 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_bucket")
     )
+
+
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: cent-exact monthly totals with
+    the MoM delta and growth rate from a lag window over the tiny
+    #months frame — the first chart of every revenue dashboard."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return (
+        monthly.select(
+            "month",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round((F.col("cents") - prev) / 100.0, 2).alias("mom_delta"),
+            F.when(
+                prev.isNotNull(),
+                F.round((F.col("cents") - prev) / prev, 6),
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )

@@ -4433,6 +4433,50 @@ def _ann_recall_oracle(
     """
 
 
+QUERIES["monthly_growth"] = analytics.monthly_growth
+ORACLES["monthly_growth"] = """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    lagged AS (
+        SELECT month, n_orders, cents,
+               lag(cents) OVER (ORDER BY month) AS prev
+        FROM monthly)
+    SELECT month, n_orders,
+           round(cents / 100.0, 2) AS revenue,
+           round((cents - prev) / 100.0, 2) AS mom_delta,
+           CASE WHEN prev IS NOT NULL
+                THEN round((cents - prev) * 1.0 / prev, 6) END AS mom_growth
+    FROM lagged ORDER BY month
+"""
+
+QUERIES["embedding_dim_profile"] = similarity.embedding_dim_profile
+ORACLES["embedding_dim_profile"] = """
+    WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    vals AS (
+        SELECT unnest(range(0, len(emb))) AS pos, unnest(emb) AS v FROM b),
+    per_dim AS (
+        SELECT pos, count(*) AS n,
+               sum(CAST(round(v * 1e9) AS BIGINT)) AS s1,
+               sum(CAST(round(v * v * 1e12) AS BIGINT)) AS s2,
+               sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+               min(v) AS mn, max(v) AS mx
+        FROM vals GROUP BY pos)
+    SELECT CAST(pos AS INT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           round(s1 * 1.0 / n / 1e9, 6) AS mean,
+           round(sqrt(greatest(
+               s2 * 1.0 / n / 1e12
+               - (s1 * 1.0 / n / 1e9) * (s1 * 1.0 / n / 1e9), 0.0)), 6)
+               AS std,
+           round(n_zero * 1.0 / n, 4) AS zero_frac,
+           round(mn, 6) AS min_v,
+           round(mx, 6) AS max_v
+    FROM per_dim ORDER BY dim
+"""
+
 QUERIES["ann_recall_profile"] = similarity.ann_recall_profile
 ORACLES["ann_recall_profile"] = _ann_recall_oracle()
 
