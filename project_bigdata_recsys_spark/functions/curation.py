@@ -810,3 +810,48 @@ def split_source_audit(
         )
         .orderBy("source", "split")
     )
+
+
+def packing_efficiency_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    budgets: tuple[int, ...] = (128, 256, 512),
+    n_shards: int = 4,
+    boundary_tokens: int = 2,
+) -> DataFrame:
+    """Sequence-budget capacity planning: the packing manifest computed
+    at several context budgets and rolled into one per-budget efficiency
+    table (sequences produced, token mass, boundary overhead,
+    utilization) — the readout that answers "what do we pay for a
+    shorter context window" before a pretraining run is configured.
+
+    Composition: one :func:`pack_sequences_for` manifest per budget
+    (same sharded kernel the gate checks), each collapsed to one row;
+    utilization is raw (token+boundary mass over sequence capacity) and
+    may exceed 1 where a long document overflows the sequence it starts
+    — the per-sequence capped fill lives in the manifest itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for budget in budgets:
+        m = pack_sequences_for(
+            docs,
+            budget=budget,
+            n_shards=n_shards,
+            boundary_tokens=boundary_tokens,
+        )
+        row = m.agg(
+            F.lit(budget).cast("int").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_sequences"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+            (F.sum("n_docs") * boundary_tokens)
+            .cast("long")
+            .alias("boundary_mass"),
+            F.round(
+                (F.sum("n_tokens") + F.sum("n_docs") * boundary_tokens)
+                / (F.count(F.lit(1)) * budget),
+                4,
+            ).alias("utilization"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("budget")

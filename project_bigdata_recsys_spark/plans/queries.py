@@ -4433,6 +4433,86 @@ def _ann_recall_oracle(
     """
 
 
+QUERIES["packing_efficiency_sweep"] = curation.packing_efficiency_sweep
+ORACLES["packing_efficiency_sweep"] = """
+    SELECT * FROM (
+        SELECT 128 AS budget,
+               CAST(count(*) AS BIGINT) AS n_sequences,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+               CAST(sum(n_docs) * 2 AS BIGINT) AS boundary_mass,
+               round((sum(n_tokens) + sum(n_docs) * 2) * 1.0
+                     / (count(*) * 128), 4) AS utilization
+        FROM (
+            SELECT seq_no, lang, shard,
+                   count(*) AS n_docs, sum(n_tokens) AS n_tokens
+            FROM (
+                SELECT lang, shard, n_tokens,
+                       CAST(floor((sum(n_tokens + 2) OVER (
+                            PARTITION BY lang, shard
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            - (n_tokens + 2)) / 128.0) AS BIGINT) AS seq_no
+                FROM (
+                    SELECT doc_id, lang,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 4 AS INT) AS shard,
+                           len(list_filter(string_split(text, ' '),
+                                           x -> length(x) > 0)) AS n_tokens
+                    FROM documents))
+            GROUP BY lang, shard, seq_no)
+        UNION ALL
+        SELECT 256 AS budget,
+               CAST(count(*) AS BIGINT) AS n_sequences,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+               CAST(sum(n_docs) * 2 AS BIGINT) AS boundary_mass,
+               round((sum(n_tokens) + sum(n_docs) * 2) * 1.0
+                     / (count(*) * 256), 4) AS utilization
+        FROM (
+            SELECT seq_no, lang, shard,
+                   count(*) AS n_docs, sum(n_tokens) AS n_tokens
+            FROM (
+                SELECT lang, shard, n_tokens,
+                       CAST(floor((sum(n_tokens + 2) OVER (
+                            PARTITION BY lang, shard
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            - (n_tokens + 2)) / 256.0) AS BIGINT) AS seq_no
+                FROM (
+                    SELECT doc_id, lang,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 4 AS INT) AS shard,
+                           len(list_filter(string_split(text, ' '),
+                                           x -> length(x) > 0)) AS n_tokens
+                    FROM documents))
+            GROUP BY lang, shard, seq_no)
+        UNION ALL
+        SELECT 512 AS budget,
+               CAST(count(*) AS BIGINT) AS n_sequences,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+               CAST(sum(n_docs) * 2 AS BIGINT) AS boundary_mass,
+               round((sum(n_tokens) + sum(n_docs) * 2) * 1.0
+                     / (count(*) * 512), 4) AS utilization
+        FROM (
+            SELECT seq_no, lang, shard,
+                   count(*) AS n_docs, sum(n_tokens) AS n_tokens
+            FROM (
+                SELECT lang, shard, n_tokens,
+                       CAST(floor((sum(n_tokens + 2) OVER (
+                            PARTITION BY lang, shard
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            - (n_tokens + 2)) / 512.0) AS BIGINT) AS seq_no
+                FROM (
+                    SELECT doc_id, lang,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 4 AS INT) AS shard,
+                           len(list_filter(string_split(text, ' '),
+                                           x -> length(x) > 0)) AS n_tokens
+                    FROM documents))
+            GROUP BY lang, shard, seq_no)
+    ) ORDER BY budget
+"""
+
 QUERIES["monthly_growth"] = analytics.monthly_growth
 ORACLES["monthly_growth"] = """
     WITH monthly AS (
