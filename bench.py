@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_recall_profile",
     "monthly_growth",
     "embedding_dim_profile",
+    "packing_efficiency_sweep",
 ]
 
 

@@ -517,3 +517,21 @@ def test_update_ann_index_equals_rebuild(spark, tmp_path):
         (r.vec_id, r.t, r.bucket)
         for r in spark.read.parquet(inc_dir).collect()
     ) == rebuilt
+
+
+def test_packing_sweep_conserves_mass_across_budgets(spark):
+    """Token mass and doc counts are budget-invariant; sequence counts
+    decrease (weakly) as the budget grows."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        packing_efficiency_sweep,
+    )
+
+    rows = packing_efficiency_sweep(spark, SF_SMALL).collect()
+    assert [r.budget for r in rows] == [128, 256, 512]
+    assert len({r.token_mass for r in rows}) == 1
+    assert len({r.n_docs for r in rows}) == 1
+    seqs = [r.n_sequences for r in rows]
+    assert seqs == sorted(seqs, reverse=True)
+    for r in rows:
+        assert r.boundary_mass == 2 * r.n_docs
+        assert r.utilization > 0
