@@ -138,6 +138,7 @@ HEADLINE = [
     "monthly_growth",
     "embedding_dim_profile",
     "packing_efficiency_sweep",
+    "prefix_cache_savings",
 ]
 
 

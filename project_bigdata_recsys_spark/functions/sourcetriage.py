@@ -428,3 +428,53 @@ def source_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def prefix_cache_savings(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Serving-side value of shared prefixes: per language, how many
+    prompt tokens an inference server's prefix cache would skip because
+    documents open identically ((n_docs - 1) × prefix length per
+    repeated-prefix group) — the boilerplate kernel re-read as an
+    inference-cost estimate instead of a cleanup signal.
+
+    Same digest-shuffle shape as boilerplate_prefix_profile; the gate
+    corpus plants the deterministic duplicate set so the savings table
+    is non-vacuous (the raw corpus repeats prefixes naturally too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    pref = corpus.select(
+        "lang",
+        F.md5(F.array_join(F.slice(toks, 1, k), " ")).alias("prefix_fp"),
+        F.least(F.size(toks), F.lit(k)).alias("prefix_tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
+    groups = pref.groupBy("lang", "prefix_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("prefix_tokens").alias("prefix_tokens"),
+        F.sum("n_tokens").alias("group_tokens"),
+    )
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prefix_groups"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum((F.col("n_docs") - 1) * F.col("prefix_tokens"))
+            .cast("long")
+            .alias("saved_tokens"),
+            F.round(
+                F.sum((F.col("n_docs") - 1) * F.col("prefix_tokens"))
+                / F.sum("group_tokens"),
+                6,
+            ).alias("saved_frac"),
+        )
+        .orderBy("lang")
+    )

@@ -4433,6 +4433,38 @@ def _ann_recall_oracle(
     """
 
 
+QUERIES["prefix_cache_savings"] = sourcetriage.prefix_cache_savings
+ORACLES["prefix_cache_savings"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+        WHERE doc_id % 10 = 0),
+    pref AS (
+        SELECT lang,
+               md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS prefix_fp,
+               least(len(toks), 8) AS prefix_tokens,
+               len(toks) AS n_tokens
+        FROM (SELECT lang,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM corpus)),
+    groups AS (
+        SELECT lang, prefix_fp, count(*) AS n_docs,
+               min(prefix_tokens) AS prefix_tokens,
+               sum(n_tokens) AS group_tokens
+        FROM pref GROUP BY lang, prefix_fp)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_prefix_groups,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum((n_docs - 1) * prefix_tokens) AS BIGINT) AS saved_tokens,
+           round(sum((n_docs - 1) * prefix_tokens) * 1.0
+                 / sum(group_tokens), 6) AS saved_frac
+    FROM groups GROUP BY lang ORDER BY lang
+"""
+
 QUERIES["packing_efficiency_sweep"] = curation.packing_efficiency_sweep
 ORACLES["packing_efficiency_sweep"] = """
     SELECT * FROM (
