@@ -139,6 +139,7 @@ HEADLINE = [
     "embedding_dim_profile",
     "packing_efficiency_sweep",
     "prefix_cache_savings",
+    "item_pagerank_personalized",
 ]
 
 

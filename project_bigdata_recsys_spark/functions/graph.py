@@ -62,6 +62,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
     n_iterations: int = N_ITERATIONS,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, w) edges, fixed iteration count.
 
@@ -75,7 +76,14 @@ def pagerank(
     and the plan blows up combinatorially (measured: 274 Exchanges at 3
     iterations unpersisted vs ~10 persisted).  For long chains also
     localCheckpoint ranks every few rounds (the connected_components
-    discipline, functions/dedup.py:589)."""
+    discipline, functions/dedup.py:589).
+
+    ``seeds`` (a one-column ``node`` frame) switches to PERSONALIZED
+    PageRank: the teleport mass lands uniformly on the seed set instead
+    of all nodes (rank₀ = teleport), biasing the stationary ranking
+    toward the seeds' neighborhoods — topic-sensitive retrieval.  With
+    ``seeds=None`` the teleport vector is uniform and the math reduces
+    exactly to the classic form."""
     from project_bigdata_recsys_spark.caching import persist_tracked
 
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
@@ -85,10 +93,30 @@ def pagerank(
         )
     )
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
+    if seeds is None:
+        n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+        base = nodes.crossJoin(F.broadcast(n_row)).select(
+            "node", (F.lit(1.0) / F.col("n_base")).alias("tele")
+        )
+    else:
+        seed_nodes = seeds.select("node").distinct().join(nodes, "node")
+        ns = seed_nodes.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+        base = (
+            nodes.join(
+                F.broadcast(seed_nodes.withColumn("__s", F.lit(1.0))),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                (F.coalesce(F.col("__s"), F.lit(0.0)) / F.col("n_base")).alias(
+                    "tele"
+                ),
+            )
+        )
+    base = persist_tracked(base)
+    ranks = base.select("node", "tele", F.col("tele").alias("rank"))
     for _ in range(n_iterations):
         # ranks feeds BOTH sides of the update join (contrib and the
         # teleport base), so an unpersisted frame doubles its lineage
@@ -105,9 +133,9 @@ def pagerank(
             ranks.join(contrib, ranks.node == contrib.dst, "left")
             .select(
                 "node",
-                "n_nodes",
+                "tele",
                 (
-                    (1.0 - damping) / F.col("n_nodes")
+                    (1.0 - damping) * F.col("tele")
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -120,6 +148,29 @@ def item_pagerank(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     + total ordering under the LIMIT (oracle-parity rules)."""
     edges = item_cooccurrence_edges(spark, sf_dir)
     ranks = pagerank(edges)
+    return (
+        ranks.select(
+            F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(k)
+    )
+
+
+def item_pagerank_personalized(
+    spark: SparkSession, sf_dir: str, k: int = 25
+) -> DataFrame:
+    """Gate query: topic-sensitive PageRank — teleport mass restricted
+    to the md5-free deterministic seed set (parts with partkey % 10 ==
+    0), top-k by the personalized rank.  The retrieval primitive behind
+    'more like THESE' recommendations over the co-occurrence graph."""
+    edges = item_cooccurrence_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") % 10) == 0)
+    )
+    ranks = pagerank(edges, seeds=seeds)
     return (
         ranks.select(
             F.col("node").alias("part"), F.round("rank", 6).alias("rank")

@@ -2826,9 +2826,13 @@ def _cluster_aware_split_oracle(
 
 ORACLES["cluster_aware_split"] = _cluster_aware_split_oracle()
 
-def _pagerank_oracle(damping: float = 0.85, k: int = 25) -> str:
-    """SQL twin of functions.graph.item_pagerank: the symmetric weighted
-    co-occurrence graph with 3 unrolled PageRank iterations."""
+def _pagerank_oracle(
+    damping: float = 0.85, k: int = 25, personalized: bool = False
+) -> str:
+    """SQL twin of functions.graph.item_pagerank(_personalized): the
+    symmetric weighted co-occurrence graph with 3 unrolled PageRank
+    iterations; ``personalized`` restricts the teleport vector (and the
+    initial ranks) to the partkey % 10 == 0 seed set."""
     d, t = damping, 1.0 - damping
     iters = []
     prev = "r0"
@@ -2839,9 +2843,23 @@ def _pagerank_oracle(damping: float = 0.85, k: int = 25) -> str:
             FROM norm m JOIN {prev} r ON r.node = m.src
             GROUP BY m.dst),
         r{i} AS (
-            SELECT n.node, {t} / nn.n + {d} * coalesce(c{i}.inflow, 0.0) AS rank
-            FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = n.node)""")
+            SELECT n.node, {t} * b.tele + {d} * coalesce(c{i}.inflow, 0.0)
+                       AS rank
+            FROM nodes n JOIN base b ON b.node = n.node
+            LEFT JOIN c{i} ON c{i}.dst = n.node)""")
         prev = f"r{i}"
+    if personalized:
+        base = """base AS (
+            SELECT n.node,
+                   CASE WHEN n.node % 10 = 0 THEN 1.0 / nn.n ELSE 0.0 END
+                       AS tele
+            FROM nodes n CROSS JOIN
+                 (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+                  WHERE node % 10 = 0) nn)"""
+    else:
+        base = """base AS (
+            SELECT node, 1.0 / nn.n AS tele FROM nodes
+            CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes) nn)"""
     return f"""
         WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         half AS (
@@ -2856,8 +2874,8 @@ def _pagerank_oracle(damping: float = 0.85, k: int = 25) -> str:
         norm AS (SELECT e.src, e.dst, e.w / o.w_out AS p
                  FROM edges e JOIN outw o USING (src)),
         nodes AS (SELECT DISTINCT src AS node FROM edges),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {base},
+        r0 AS (SELECT node, tele AS rank FROM base),
         {",".join(iters)}
         SELECT node AS part, round(rank, 6) AS rank
         FROM {prev}
@@ -4432,6 +4450,9 @@ def _ann_recall_oracle(
         GROUP BY t.query_id ORDER BY t.query_id
     """
 
+
+QUERIES["item_pagerank_personalized"] = graph.item_pagerank_personalized
+ORACLES["item_pagerank_personalized"] = _pagerank_oracle(personalized=True)
 
 QUERIES["prefix_cache_savings"] = sourcetriage.prefix_cache_savings
 ORACLES["prefix_cache_savings"] = """

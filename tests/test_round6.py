@@ -535,3 +535,28 @@ def test_packing_sweep_conserves_mass_across_budgets(spark):
     for r in rows:
         assert r.boundary_mass == 2 * r.n_docs
         assert r.utilization > 0
+
+
+def test_personalized_pagerank_biases_toward_seeds(spark):
+    """Seed-restricted teleport must (a) conserve total rank mass ~1,
+    (b) give the seed set a strictly larger rank share than under the
+    uniform-teleport classic form."""
+    from project_bigdata_recsys_spark.functions.graph import (
+        item_cooccurrence_edges,
+        pagerank,
+    )
+
+    edges = item_cooccurrence_edges(spark, SF_SMALL)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") % 10) == 0)
+    )
+    classic = {r.node: r.rank for r in pagerank(edges).collect()}
+    pers = {r.node: r.rank for r in pagerank(edges, seeds=seeds).collect()}
+    assert abs(sum(classic.values()) - 1.0) < 1e-6
+    assert abs(sum(pers.values()) - 1.0) < 1e-6
+    seed_ids = {n for n in classic if n % 10 == 0}
+    share_classic = sum(classic[n] for n in seed_ids)
+    share_pers = sum(pers[n] for n in seed_ids)
+    assert share_pers > share_classic
