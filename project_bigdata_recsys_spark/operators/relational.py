@@ -843,7 +843,16 @@ def rolling_distinct_users(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    # RANGE frame on the day ordinal, not ROWS on the daily frame: with a
+    # calendar gap a 7-ROW window silently spans >7 calendar days and
+    # diverges from the exact side's day-range join (r6 advisory — the
+    # shipped corpora are day-dense, but gap_filled_daily exists because
+    # gaps are expected).
+    day_ord = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.orderBy(day_ord.cast("long"))
+        .rangeBetween(-(window_days - 1), 0)
+    )
     approx = daily.select(
         "day",
         F.sum("n_events").over(w).alias("n_events_7d"),

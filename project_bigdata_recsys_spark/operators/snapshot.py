@@ -55,6 +55,30 @@ def table_diff(
     return joined.select(*key_cols, change.alias("change_type"))
 
 
+def bump_price_cents(price: F.Column) -> F.Column:
+    """1% price bump computed entirely in integer cents with an explicit
+    HALF_UP tie-break: ``(cents*101 + 50) div 100``.  No double is ever
+    rounded, so Spark and any SQL oracle replaying the same integer
+    expression agree bit-for-bit even on exact half-cent products —
+    e.g. 295,166.50 × 1.01 = 298,118.165, which Spark's decimal-string
+    ``round`` sends UP while DuckDB's binary-double ``round`` sends DOWN
+    (the r5/r6 ``cdc_current_view`` divergence; o_orderkey 10234 at
+    sf0.01 is the regression pin).
+
+    The DuckDB twin is ``BUMP_PRICE_CENTS_SQL`` (format with the price
+    expression).  Intermediate ``cents*101`` stays < 2^53, so the
+    double-division-then-truncate is exact; inputs carry ≤2 decimals by
+    construction (TPC-H money)."""
+    cents = F.round(price * 100).cast("long")
+    return ((cents * F.lit(101) + F.lit(50)) / F.lit(100)).cast("long") / 100.0
+
+
+#: DuckDB twin of :func:`bump_price_cents` — format with the price column.
+BUMP_PRICE_CENTS_SQL = (
+    "(((CAST(round({price} * 100) AS BIGINT) * 101 + 50) // 100) / 100.0)"
+)
+
+
 def _mutated_orders(orders: DataFrame) -> DataFrame:
     """Deterministic 'next-day' snapshot of orders: drop ~2% of rows,
     bump ~5% of prices by 1%, append ~1% re-keyed new rows.  All draws
@@ -68,7 +92,7 @@ def _mutated_orders(orders: DataFrame) -> DataFrame:
         "o_totalprice",
         F.when(
             hash_uniform(key, "snap-bump:") < 0.05,
-            F.round(F.col("o_totalprice") * 1.01, 2),
+            bump_price_cents(F.col("o_totalprice")),
         ).otherwise(F.col("o_totalprice")),
     )
     fresh = (
@@ -145,7 +169,7 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.round(F.col("o_totalprice") * 1.01, 2).alias("o_totalprice"),
+            bump_price_cents(F.col("o_totalprice")).alias("o_totalprice"),
             F.lit(1).alias("seq"),
             F.lit("U").alias("op"),
         )
@@ -166,8 +190,10 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         current.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            # Exact-cents sum: per-row scale to integer cents (the money
-            # values carry ≤2 decimals by construction), sum as BIGINT —
+            # Exact-cents sum: per-row scale to integer cents (base money
+            # is TPC-H 2-decimal; the update branch bumps via
+            # bump_price_cents, so ≤2 decimals holds on EVERY path),
+            # sum as BIGINT —
             # partition-order-independent, unlike sum(double) whose
             # 2-decimal rounding can flip vs a serial oracle summation.
             F.round(
@@ -353,7 +379,14 @@ def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(F.col("digest_old").isNull(), "added")
         .when(F.col("digest_new").isNull(), "removed")
-        .when(F.col("digest_old") != F.col("digest_new"), "changed")
+        # row count guards XOR cancellation: an even multiset change
+        # (two identical rows added, a dup count changing by 2) XORs to
+        # the same digest, but cannot keep n_rows equal too.
+        .when(
+            (F.col("digest_old") != F.col("digest_new"))
+            | (F.col("n_rows_old") != F.col("n_rows_new")),
+            "changed",
+        )
         .otherwise("unchanged")
     )
     return (

@@ -2752,7 +2752,7 @@ ORACLES["snapshot_diff"] = """
     ),
     newsnap AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+               CASE WHEN u_bump < 0.05 THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
                     ELSE o_totalprice END AS o_totalprice
         FROM u WHERE u_drop >= 0.02
         UNION ALL
@@ -3332,7 +3332,7 @@ ORACLES["cdc_current_view"] = """
     current_state AS (
         -- deletes win (seq 2), then updates (seq 1), else base (seq 0)
         SELECT o_orderkey, o_orderstatus,
-               CASE WHEN u_upd < 0.05 THEN round(o_totalprice * 1.01, 2)
+               CASE WHEN u_upd < 0.05 THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
                     ELSE o_totalprice END AS o_totalprice
         FROM u WHERE u_del >= 0.02)
     SELECT o_orderstatus,
@@ -4795,7 +4795,7 @@ ORACLES["psi_drift"] = """
                    / 4294967296.0 AS u_new
         FROM orders),
     newsnap AS (
-        SELECT CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+        SELECT CASE WHEN u_bump < 0.05 THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
                     ELSE o_totalprice END AS o_totalprice
         FROM u WHERE u_drop >= 0.02
         UNION ALL
@@ -4903,7 +4903,7 @@ ORACLES["backfill_plan"] = """
         FROM u),
     newsnap AS (
         SELECT part, o_orderkey, o_custkey, o_orderstatus,
-               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+               CASE WHEN u_bump < 0.05 THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
                     ELSE o_totalprice END AS o_totalprice
         FROM u WHERE u_drop >= 0.02
         UNION ALL
@@ -4935,7 +4935,8 @@ ORACLES["backfill_plan"] = """
            CAST(coalesce(nd.n_rows, 0) AS BIGINT) AS n_rows_new,
            CASE WHEN od.part IS NULL THEN 'added'
                 WHEN nd.part IS NULL THEN 'removed'
-                WHEN od.digest != nd.digest THEN 'changed'
+                WHEN od.digest != nd.digest
+                     OR od.n_rows != nd.n_rows THEN 'changed'
                 ELSE 'unchanged' END AS status
     FROM od FULL OUTER JOIN nd ON od.part = nd.part
     ORDER BY part
@@ -5003,7 +5004,7 @@ ORACLES["schema_drift_report"] = """
         FROM orders),
     newsnap AS (
         SELECT o_custkey, o_orderstatus, o_orderpriority,
-               CASE WHEN u_bump < 0.05 THEN round(o_totalprice * 1.01, 2)
+               CASE WHEN u_bump < 0.05 THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
                     ELSE o_totalprice END AS o_totalprice
         FROM u WHERE u_drop >= 0.02
         UNION ALL

@@ -183,3 +183,37 @@ def test_scd2_history_intervals_and_reconciliation(spark):
         for r in cdc_current_view(changes, ["id"], "seq", "op").collect()
     }
     assert current_hist == current_view
+
+
+def test_bump_price_cents_half_cent_tie_breaks_up(spark):
+    """Regression pin for the r5/r6 cdc_current_view red: 295,166.50 ×
+    1.01 = 298,118.165 is an exact half-cent.  Spark's double round()
+    sends it UP (decimal-string HALF_UP) while DuckDB's sends it DOWN —
+    bump_price_cents does the bump in integer cents with an explicit
+    +50 // 100 tie-break, so BOTH engines produce 298,118.17 and no
+    double is ever rounded (o_orderkey 10234 at sf0.01)."""
+    import duckdb
+
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        BUMP_PRICE_CENTS_SQL,
+        bump_price_cents,
+    )
+
+    prices = [295166.50, 100.00, 0.01, 123456.78, 999.995, 50.495]
+    df = spark.createDataFrame([(p,) for p in prices], "o_totalprice double")
+    got = [
+        r.b
+        for r in df.select(
+            bump_price_cents(F.col("o_totalprice")).alias("b")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    expr = BUMP_PRICE_CENTS_SQL.format(price="o_totalprice")
+    oracle = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS o_totalprice)", [p])
+        .fetchone()[0]
+        for p in prices
+    ]
+    assert got == oracle
+    # the half-cent tie specifically resolves UP on both engines
+    assert got[0] == 298118.17

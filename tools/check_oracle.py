@@ -32,7 +32,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def values_equal(a, b) -> bool:
+#: (query, column) pairs allowed a 1e-9 RELATIVE tolerance.  The driver
+#: hash-compares values EXACTLY, so the default here is exact equality —
+#: a blanket relative tolerance swallowed a $0.01 delta on a ~$4e8 sum
+#: for two rounds (cdc_current_view: local "ok", driver red).  Every
+#: entry needs a one-line justification; an empty set means this checker
+#: sees exactly what the driver sees.
+TOLERANT_COLUMNS: dict[str, set[str]] = {}
+
+
+def values_equal(a, b, tolerant: bool = False) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -42,7 +51,9 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+        if af == bf:
+            return True
+        return tolerant and abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
     return a == b
 
 
@@ -58,9 +69,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     n_bad = 0
     for col in a.columns:
+        tolerant = col in TOLERANT_COLUMNS.get(name, ())
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if not values_equal(x, y):
+            if not values_equal(x, y, tolerant):
                 if n_bad < 3:
                     problems.append(f"value mismatch col={col} row={i}: {x!r} vs {y!r}")
                 n_bad += 1
