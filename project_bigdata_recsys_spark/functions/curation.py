@@ -855,3 +855,15 @@ def packing_efficiency_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("budget")
+
+
+def cluster_aware_split_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`cluster_aware_split`: reads the
+    persist_shared CC labeling (dedup.shared_components) — identical
+    output by the ``components=`` reuse contract, same oracle; benches
+    the marginal split cost of the real nightly contract."""
+    from project_bigdata_recsys_spark.functions.dedup import shared_components
+
+    return cluster_aware_split(
+        spark, sf_dir, components=shared_components(spark, sf_dir)
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -911,14 +912,14 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixed-point avg (per-row 1e-9 quantize, exact BIGINT sum)
             # so the 6-decimal comparison is partition-order-independent
             F.round(
-                F.sum(F.round(F.col("norm") * 1e9).cast("long"))
+                sum_fixed(F.round(F.col("norm") * 1e9).cast("long"))
                 / F.count(F.lit(1))
                 / 1e9,
                 6,
             ).alias("avg_norm"),
             F.round(F.max("norm"), 6).alias("max_norm"),
             F.round(
-                F.sum(F.round(F.col("max_component") * 1e9).cast("long"))
+                sum_fixed(F.round(F.col("max_component") * 1e9).cast("long"))
                 / F.count(F.lit(1))
                 / 1e9,
                 6,

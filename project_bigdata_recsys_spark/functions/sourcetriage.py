@@ -478,3 +478,19 @@ def prefix_cache_savings(
         )
         .orderBy("lang")
     )
+
+
+def source_dup_attribution_reused(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production form of :func:`source_dup_attribution`: reads the
+    persist_shared CC labeling (dedup.shared_components) instead of
+    paying pair generation + CC per query — identical output by the
+    ``components=`` reuse contract (test-pinned), same oracle.  Benched
+    adjacently with cluster_aware_split_reused so the second entry
+    measures the marginal rollup cost of the real nightly contract."""
+    from project_bigdata_recsys_spark.functions.dedup import shared_components
+
+    return source_dup_attribution(
+        spark, sf_dir, components=shared_components(spark, sf_dir)
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
 def interactions_from_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +326,7 @@ def kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderstatus") == "F").agg(
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
             / F.count(F.lit(1))
             / 100.0,
             4,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,19 +51,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 2dp, disc_price 4dp, charge 6dp), so per-row scaling to an
             # integer and summing as BIGINT is exact and partition-order-
             # independent — sum(double) can flip the printed 2-decimal
-            # rounding between runs.  (BIGINT headroom: ~1e18; fine to
-            # sf1 — beyond that switch the scaled sums to DECIMAL(38,0).)
-            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
-            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(disc_c) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(F.sum(charge_c) / 1000000.0, 2).alias("sum_charge"),
-            F.round(F.sum(qty_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            # rounding between runs.  sum_fixed picks the accumulator:
+            # BIGINT at test sf, DECIMAL(38,0) past the ~sf1 headroom
+            # (functions/fixedpoint.py).
+            F.round(sum_fixed(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(sum_fixed(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(sum_fixed(disc_c) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(sum_fixed(charge_c) / 1000000.0, 2).alias("sum_charge"),
+            F.round(sum_fixed(qty_c) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_qty"
             ),
-            F.round(F.sum(price_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            F.round(sum_fixed(price_c) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_price"
             ),
-            F.round(F.sum(dpct_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            F.round(sum_fixed(dpct_c) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -100,7 +102,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -147,7 +149,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -173,7 +175,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -312,7 +314,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         # exact integer-cent spend: rank + avg stay order-independent
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "spend_cents"
         ),
     )
@@ -331,7 +333,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.round(
-                F.sum("spend_cents") / F.count(F.lit(1)) / 100.0, 4
+                sum_fixed("spend_cents") / F.count(F.lit(1)) / 100.0, 4
             ).alias("avg_spend"),
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
@@ -384,7 +386,7 @@ def multi_touch_attribution(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
             F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
-            F.round(F.sum("credit_micros") / 1000000.0, 4).alias(
+            F.round(sum_fixed("credit_micros") / 1000000.0, 4).alias(
                 "credited_value"
             ),
         )
@@ -416,7 +418,7 @@ def decayed_popularity(
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("w_nanos") / 1e9, 4).alias("decayed_score"),
+            F.round(sum_fixed("w_nanos") / 1e9, 4).alias("decayed_score"),
         )
         .orderBy("event_type")
     )
@@ -448,7 +450,7 @@ def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                sum_fixed(F.round(F.col("value") * 1000000).cast("long"))
                 / 1000000.0,
                 4,
             ).alias("total_value"),
@@ -547,7 +549,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conversion_rate"
             ),
             F.round(
-                F.sum("micros") / F.count(F.lit(1)) / 1000000.0, 4
+                sum_fixed("micros") / F.count(F.lit(1)) / 1000000.0, 4
             ).alias("value_per_user"),
         )
         .orderBy("arm")
@@ -574,7 +576,7 @@ def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFra
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
             "cents"
         )
     )
@@ -592,7 +594,7 @@ def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFra
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("cents").alias("band_cents"),
+            sum_fixed("cents").alias("band_cents"),
         )
     )
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -687,7 +689,7 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
         ),
     )

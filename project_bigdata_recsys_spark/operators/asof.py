@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
 def asof_join(
@@ -194,7 +195,7 @@ def pit_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.countDistinct("c_custkey").cast("long").alias("n_customers"),
-            F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
+            F.round(sum_fixed("cents") / 100.0, 2).alias("total_spend"),
         )
         .orderBy("segment")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
 def _buyer_keys(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -56,7 +57,7 @@ def priority_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
         .orderBy("src")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 #: Null sentinel for digest concat — distinguishes NULL from empty string.
 _NULL = "\x01<null>"
@@ -197,7 +198,7 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # partition-order-independent, unlike sum(double) whose
             # 2-decimal rounding can flip vs a serial oracle summation.
             F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
                 / 100.0,
                 2,
             ).alias("total_price"),
@@ -312,7 +313,7 @@ def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("micros").alias("micros"),
+        sum_fixed("micros").alias("micros"),
     )
     prior = part(ev.filter(F.col("day") < "2024-01-16"))
     delta = part(ev.filter(F.col("day") >= "2024-01-16"))
@@ -322,7 +323,7 @@ def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("n").cast("long").alias("n_events"),
-            F.round(F.sum("micros") / 1000000.0, 4).alias("total_value"),
+            F.round(sum_fixed("micros") / 1000000.0, 4).alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 )
 
 from project_bigdata_recsys_spark.catalog import load_table
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 #: users table schema — reference sql/init.sql:1-7 + README.md:386-392.
 USERS_SCHEMA = StructType(
@@ -147,7 +148,7 @@ def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -103,3 +103,41 @@ def test_backfill_plan_row_count_guards_xor_cancellation(spark):
     )
     got = o.join(n, "part").select(status.alias("s")).collect()[0].s
     assert got == "changed"
+
+
+def test_sum_fixed_wide_mode_matches_long_mode(spark, monkeypatch):
+    """SPARK_GRAFT_SUM_DTYPE=decimal must produce value-identical results
+    to the BIGINT path on representative money aggregates — the wide
+    accumulator exists for >sf1 overflow headroom, not to change
+    answers."""
+    import os
+
+    from tests.conftest import SF_SMALL
+    from project_bigdata_recsys_spark.operators.analytics import (
+        pricing_summary,
+    )
+    from project_bigdata_recsys_spark.operators.relational import (
+        user_activity,
+    )
+
+    def run(mode):
+        monkeypatch.setenv("SPARK_GRAFT_SUM_DTYPE", mode)
+        a = sorted(map(tuple, pricing_summary(spark, SF_SMALL).collect()))
+        b = sorted(map(tuple, user_activity(spark, SF_SMALL).collect()))
+        return a, b
+
+    assert run("long") == run("decimal")
+
+
+def test_sum_fixed_wide_mode_survives_bigint_overflow(spark, monkeypatch):
+    """Past BIGINT headroom the long path silently wraps; the decimal
+    path must return the true sum."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+
+    big = 4_000_000_000_000_000_000  # 4e18: two of them overflow int64
+    df = spark.createDataFrame([(big,), (big,), (big,)], "v long")
+    monkeypatch.setenv("SPARK_GRAFT_SUM_DTYPE", "decimal")
+    got = df.agg(sum_fixed(F.col("v")).alias("s")).collect()[0].s
+    assert got == float(3 * big)

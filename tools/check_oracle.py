@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-from project_bigdata_recsys_spark.caching import release_tracked
+from project_bigdata_recsys_spark.caching import release_shared, release_tracked
 from project_bigdata_recsys_spark.catalog import TABLES, table_path
 from project_bigdata_recsys_spark.plans.queries import ORACLES, QUERIES
 from project_bigdata_recsys_spark.session import get_spark
@@ -131,6 +131,7 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(spark_pdf)} rows ({elapsed:.1f}s)")
             n_pass += 1
+    release_shared()
     print(f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
