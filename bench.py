@@ -153,6 +153,9 @@ HEADLINE = [
     "cluster_aware_split_reused",
     "incremental_components_fold",
     "stream_semantic_dedup_probe",
+    # round-7 stretch: two-stage retrieval rerank + streaming CDC apply
+    "ann_rerank",
+    "stream_cdc_current",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1762,3 +1762,104 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def ann_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    shortlist: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval: bi-encoder shortlist → cross-encoder-style
+    rerank — the production retrieval stack (recall stage cheap and
+    index-backed, precision stage expensive but bounded).
+
+    Stage 1 (retrieval): cosine top-``shortlist`` per query vector.  The
+    gate form scores exactly so the oracle pins the shortlist
+    bit-for-bit; at scale this stage is the persisted ANN probe
+    (:func:`query_ann_index` / the IVF family) — interchangeable because
+    stage 2 only sees (query, candidate) pairs.
+
+    Stage 2 (rerank): a RICHER pairwise scorer over the |queries| ×
+    shortlist candidate pairs only — a deterministic stand-in for a
+    cross-encoder model (a real model slots in as an Arrow-batched
+    Pandas UDF with the same (q_emb, emb) → score signature):
+    ``0.7·cos + 0.2·sign_agreement + 0.1/(1+L2)``, all three terms
+    JVM-side HOF expressions.
+
+    Scale shape: stage 2's cost is candidates × dim, never corpus ×
+    dim — the whole point of the two-stage pattern; reranking never
+    touches the index."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "q_emb",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    short = scored.withColumn("__rnk", F.row_number().over(w1)).filter(
+        F.col("__rnk") <= shortlist
+    )
+    sign_agree = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q_emb"),
+                lambda x, y: F.when(
+                    (x.cast("double") * y.cast("double")) > 0, 1.0
+                ).otherwise(0.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("embedding")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    reranked = short.select(
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        F.round(
+            0.7 * F.col("cos_sim") + 0.2 * sign_agree + 0.1 / (1.0 + l2), 6
+        ).alias("rerank_score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("vec_id")
+    )
+    return (
+        reranked.withColumn(
+            "final_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("final_rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rerank_score", "final_rank")
+        .orderBy("query_id", "final_rank")
+    )

@@ -4327,7 +4327,7 @@ ORACLES["split_source_audit"] = f"""
 #          replace tail backfill slots,
 #   14-50  backfill with the entries whose last driver evidence is oldest
 #          (the r1 relational core, no driver row since r4).
-# Still below the window after this rotation: 8 r1 relational/window
+# Still below the window after this rotation: 10 r1 relational/window
 # queries + 6 r2 text profiles — next-oldest, rotate in round 8.
 # Everything below the window stays regression-guarded every test run by
 # tests/test_oracle_parity.py (same oracles, sf0.001).
@@ -4379,8 +4379,9 @@ _GATE_WINDOW = [
     "quantity_band_stats",
     "price_tier_join",
     "grouping_sets_stats",
-    "customers_intersect",
-    "customers_except",
+    # -- new in round 7: two-stage rerank + streaming CDC apply ----------
+    "ann_rerank",
+    "stream_cdc_current",
     # -- new in round 7: production-form twins (shared labeling / index) --
     "source_dup_attribution_reused",
     "cluster_aware_split_reused",
@@ -5180,6 +5181,53 @@ QUERIES["incremental_components_fold"] = dedup.incremental_components_fold
 ORACLES["incremental_components_fold"] = ORACLES["incremental_components"]
 QUERIES["stream_semantic_dedup_probe"] = replay.stream_semantic_dedup_probe
 ORACLES["stream_semantic_dedup_probe"] = ORACLES["stream_semantic_dedup"]
+
+# Streaming CDC apply (round 7): the changelog collapsed to the current
+# view INSIDE the stream (keyed max_by aggregation, complete-mode
+# replay) — must land on the identical current state, so the batch
+# oracle is shared verbatim.
+QUERIES["stream_cdc_current"] = replay.stream_cdc_current
+ORACLES["stream_cdc_current"] = ORACLES["cdc_current_view"]
+
+# Two-stage retrieval with cross-encoder-style rerank (round 7): exact
+# cosine shortlist (top-25/query), then a richer deterministic pairwise
+# scorer over the bounded candidate set — 0.7·cos + 0.2·sign-agreement
+# + 0.1/(1+L2), every term an index-ordered HOF reduction both engines
+# replay identically (the knn_multi_query FP discipline).
+QUERIES["ann_rerank"] = similarity.ann_rerank
+ORACLES["ann_rerank"] = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, emb, q_emb,
+               round(list_dot_product(emb, q_emb)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(q_emb, q_emb))), 6) AS cos_sim
+        FROM e CROSS JOIN q WHERE vec_id != query_id),
+    short AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored),
+    rr AS (
+        SELECT query_id, vec_id, cos_sim,
+               round(0.7 * cos_sim
+                     + 0.2 * (list_sum(list_transform(range(0, len(emb)),
+                           i -> CASE WHEN emb[i + 1] * q_emb[i + 1] > 0
+                                     THEN 1.0 ELSE 0.0 END)) / len(emb))
+                     + 0.1 / (1 + sqrt(list_sum(list_transform(range(0, len(emb)),
+                           i -> (emb[i + 1] - q_emb[i + 1])
+                                * (emb[i + 1] - q_emb[i + 1]))))), 6)
+                   AS rerank_score
+        FROM short WHERE rnk <= 25)
+    SELECT query_id, vec_id, cos_sim, rerank_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rerank_score DESC, vec_id) AS INTEGER) AS final_rank
+    FROM rr
+    QUALIFY final_rank <= 5
+    ORDER BY query_id, final_rank
+"""
 
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate

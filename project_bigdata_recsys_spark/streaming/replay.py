@@ -512,3 +512,78 @@ def stream_semantic_dedup(
         )
         .orderBy("label")
     )
+
+
+def stream_cdc_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the deterministic orders changelog (the same
+    md5-derived base/update/delete branches as
+    operators.snapshot.cdc_orders_profile, updates bumped via the
+    integer-cents ``bump_price_cents``) replays as a bounded stream and
+    is collapsed to the CURRENT VIEW *inside* the stream — latest seq
+    wins per PK via ``max_by`` on a keyed streaming aggregation
+    (complete mode), delete tombstones dropped post-collapse.  The
+    per-status profile shares ``cdc_current_view``'s oracle verbatim: a
+    full replay must land on the identical current state.
+
+    Scale: state is ONE small struct per PK (op, status, price at the
+    max seq) — the minimal merge-on-read state, maintained incrementally
+    per micro-batch; unbounded deployments run the same plan with the
+    changelog arriving from Kafka and a watermark bounding out-of-order
+    sequence arrival.  No joins on the stream side."""
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        bump_price_cents,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    key = F.col("o_orderkey")
+    base = stream.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    updates = stream.filter(hash_uniform(key, "cdc-upd:") < 0.05).select(
+        "o_orderkey",
+        "o_orderstatus",
+        bump_price_cents(F.col("o_totalprice")).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = stream.filter(hash_uniform(key, "cdc-del:") < 0.02).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    changelog = base.unionByName(updates).unionByName(deletes)
+    current = changelog.groupBy("o_orderkey").agg(
+        F.max_by(
+            F.struct("op", "o_orderstatus", "o_totalprice"), F.col("seq")
+        ).alias("cur")
+    )
+    table = _run_replay(current, spark, "complete")
+    return (
+        table.filter(F.col("cur.op") != "D")
+        .groupBy(F.col("cur.o_orderstatus").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                sum_fixed(
+                    F.round(F.col("cur.o_totalprice") * 100).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

