@@ -1346,16 +1346,23 @@ def semantic_contamination(
     # exact cosine as dot/(|a||b|) over the RAW vectors — the SAME
     # expression shape (and so the same FP association order) as the
     # DuckDB twin; a pre-normalized dot can differ in the 6th decimal
-    # exactly at the round/threshold boundary (r5 advisory)
+    # exactly at the round/threshold boundary (r5 advisory).  The norms
+    # ARE safe to hoist per vector (r7): l2_norm evaluated on the vector
+    # side is the identical fold, just computed once per vector instead
+    # of once per candidate pair — only the dot stays per-pair.
     raw = emb.select("vec_id", "embedding")
     ev = raw.select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("emb_e")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_e"),
+        l2_norm(F.col("embedding")).alias("norm_e"),
     )
     tr = raw.select(
-        F.col("vec_id").alias("train_id"), F.col("embedding").alias("emb_t")
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("emb_t"),
+        l2_norm(F.col("embedding")).alias("norm_t"),
     )
     cos = dot(F.col("emb_e"), F.col("emb_t")) / (
-        l2_norm(F.col("emb_e")) * l2_norm(F.col("emb_t"))
+        F.col("norm_e") * F.col("norm_t")
     )
     hits = (
         cands.join(ev, "eval_id")

@@ -483,14 +483,37 @@ def stream_semantic_dedup(
             for t in range(n_tables)
         ]
     )
+    # Candidate IDs first, vectors later (r7): the multi-table probe
+    # yields the same (eval, train) pair up to n_tables times and fat
+    # buckets multiply that — carrying the 64-float arrays through the
+    # explode+join and paying a 3-fold HOF cosine per DUPLICATE was 3.5×
+    # the work (measured 11.2 s → 3.2 s at sf0.1).  So: explode carries
+    # ids only, dedup (eval, train) pairs (streaming dropDuplicates —
+    # state is the bounded pair set of the replay), THEN fetch each
+    # side's vector+precomputed norm once per unique pair and verify
+    # with a single dot.  n_hits becomes 'distinct contaminating train
+    # vectors' rather than 'bucket co-occurrences' — downstream only
+    # tests n_hits > 0, so the contamination rates (and the shared
+    # oracle) are unchanged.
     probe = ev.select(
-        "eval_id", "label", "emb_e", F.explode(bucket_structs).alias("tb")
-    ).select("eval_id", "label", "emb_e", F.col("tb.t"), F.col("tb.bucket"))
-    cand = probe.join(buckets, ["t", "bucket"], "left_outer").join(
-        train_vecs, "train_id", "left_outer"
+        "eval_id", "label", F.explode(bucket_structs).alias("tb")
+    ).select("eval_id", "label", F.col("tb.t"), F.col("tb.bucket"))
+    cand_ids = (
+        probe.join(buckets, ["t", "bucket"], "left_outer")
+        .select("eval_id", "label", "train_id")
+        .dropDuplicates(["eval_id", "train_id"])
+    )
+    ev_vec = emb.filter(F.col("vec_id") >= split_at).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_e"),
+        l2_norm(F.col("embedding")).alias("norm_e"),
+    )
+    tv_vec = train_vecs.withColumn("norm_t", l2_norm(F.col("emb_t")))
+    cand = cand_ids.join(ev_vec, "eval_id", "left_outer").join(
+        tv_vec, "train_id", "left_outer"
     )
     cos = dot(F.col("emb_e"), F.col("emb_t")) / (
-        l2_norm(F.col("emb_e")) * l2_norm(F.col("emb_t"))
+        F.col("norm_e") * F.col("norm_t")
     )
     hit = F.when(F.round(cos, 6) >= threshold, 1).otherwise(0)
     per_eval = cand.groupBy("label", "eval_id").agg(
