@@ -4377,8 +4377,9 @@ _GATE_WINDOW = [
     "small_quantity_revenue",
     "big_orders",
     "quantity_band_stats",
-    "price_tier_join",
-    "grouping_sets_stats",
+    # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
+    "stream_semantic_dedup",
+    "semantic_contamination",
     # -- new in round 7: two-stage rerank + streaming CDC apply ----------
     "ann_rerank",
     "stream_cdc_current",
