@@ -768,14 +768,31 @@ def update_components(
     ``prior_labels`` must cover every settled vertex (singletons as
     id==label rows); vertices untouched by the delta keep their label
     via a cheap anti-join union.
+
+    Edge volume is O(affected components), not O(corpus) (r7): only the
+    stars of components CONTAINING a delta endpoint enter the kernel —
+    merging can only happen along delta edges, so every other
+    component's labeling is provably unchanged and rides the anti-join
+    union.  Before this restriction the fold shipped every settled
+    component's star into the CC shuffle and 'incremental' was only
+    true of the round count.
     """
     prior = prior_labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("label")
     )
-    star = prior.filter(F.col("id") != F.col("label")).select(
+    delta = new_pairs.select(F.col(a_col), F.col(b_col))
+    delta_ids = (
+        delta.select(F.col(a_col).alias("id"))
+        .unionByName(delta.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    touched_labels = (
+        prior.join(delta_ids, "id").select("label").distinct()
+    )
+    touched = prior.join(touched_labels, "label")
+    star = touched.filter(F.col("id") != F.col("label")).select(
         F.col("label").alias(a_col), F.col("id").alias(b_col)
     )
-    delta = new_pairs.select(F.col(a_col), F.col(b_col))
     merged = connected_components(star.unionByName(delta), a_col, b_col)
     untouched = prior.join(
         merged, prior["id"] == merged["doc_id"], "left_anti"
@@ -1294,12 +1311,30 @@ def fuzzy_name_matches(
     intersection bounds each block by its (band, rare-gram) population.
     Distance is evaluated post-join on the candidate set only; integer
     arithmetic end to end (oracle-exact)."""
-    from pyspark.sql import Window
-
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+    return (
+        fuzzy_name_candidates(names, max_dist)
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+        .orderBy("dist", "name_a", "name_b")
+        .limit(top)
+    )
+
+
+def fuzzy_name_candidates(names: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Candidate pairs for :func:`fuzzy_name_matches` AFTER both blocking
+    keys but BEFORE the Levenshtein verify — factored out so tests can
+    assert the blocking actually bounds candidate volume (the r6
+    advisory: length bands alone leave |band|^2 on same-length-heavy
+    corpora).  ``names``: (p_name, n_parts)."""
+    from pyspark.sql import Window
+
     width = max_dist + 1
     banded = names.select(
         "p_name",
@@ -1360,13 +1395,6 @@ def fuzzy_name_matches(
         a.join(b, ["band", "g"])
         .filter(F.col("name_a") < F.col("name_b"))
         .dropDuplicates(["name_a", "name_b"])
-        .withColumn(
-            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
-        )
-        .filter(F.col("dist") <= max_dist)
-        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
-        .orderBy("dist", "name_a", "name_b")
-        .limit(top)
     )
 
 
@@ -1404,16 +1432,74 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_CC_LABELING[key])
 
 
+_SIMHASH_BANDS: dict[tuple[str, str], str] = {}
+
+
+def shared_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted SIMHASH band index of the documents corpus — the
+    simhash twin of :func:`build_dedup_index`'s minhash band relation:
+    (doc_id, simhash, band_no, k) rows, written ONCE per (session, sf),
+    partitioned by (band_no, kb = k % 64) so a small batch's probe
+    prunes to the band keys it actually hits.  Band-key groups larger
+    than DEFAULT_MAX_BAND_KEY_DOCS are dropped AT BUILD TIME — the same
+    degenerate-key cap the inline pair generator applies, moved to the
+    one-time index write.  Returns the parquet path."""
+    import os
+    import tempfile
+
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_BANDS:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = simhash_features(docs)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band_no"),
+                    F.shiftrightunsigned(F.col("simhash"), band * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("k"),
+                )
+                for band in range(4)
+            ]
+        )
+        bands = sh.select(
+            "doc_id", "simhash", F.explode(band_structs).alias("bk")
+        ).select("doc_id", "simhash", F.col("bk.band_no"), F.col("bk.k"))
+        counts = bands.groupBy("band_no", "k").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_simhash_bands_"), "bands"
+        )
+        (
+            bands.join(counts, ["band_no", "k"])
+            .filter(F.col("__n") <= DEFAULT_MAX_BAND_KEY_DOCS)
+            .withColumn("kb", (F.col("k") % 64).cast("int"))
+            .select("doc_id", "simhash", "band_no", "k", "kb")
+            .write.mode("overwrite")
+            .partitionBy("band_no", "kb")
+            .parquet(path)
+        )
+        _SIMHASH_BANDS[key] = path
+    return _SIMHASH_BANDS[key]
+
+
 def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production form of :func:`incremental_components_profile`: the
-    prior labeling is LOADED (the persist_shared labeling standing in
-    for the previous run's table) and only the daily delta — pairs
-    touching a ``doc_id % 5 == 0`` vertex — is generated and folded.
-    No prior-state CC reconstruction, which is what the gate form's
-    23 s mostly paid for.  Folding edges the loaded labeling already
-    accounts for is a no-op by star-equivalence, so the histogram is
-    identical to the full recompute and the query shares
-    ``incremental_components``'s oracle verbatim."""
+    prior labeling is LOADED (the parquet-backed shared labeling
+    standing in for the previous run's table), and the daily delta —
+    docs with ``doc_id % 5 == 0`` standing in for today's batch — is
+    hashed O(batch) and PROBED against the persisted simhash band index
+    (:func:`shared_simhash_bands`), never re-hashing the corpus.  No
+    prior-state CC reconstruction and no corpus-side pair generation,
+    which is what the gate form's 23 s mostly paid for.  Folding edges
+    the loaded labeling already accounts for is a no-op by
+    star-equivalence, so the histogram is identical to the full
+    recompute and the query shares ``incremental_components``'s oracle
+    verbatim (the fold ≡ recompute contract itself is pinned by
+    test_update_components_*)."""
     from project_bigdata_recsys_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1422,9 +1508,51 @@ def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("cluster_id"))
     prior = labeled.unionByName(singles)
-    delta = simhash_near_pairs_for(docs, sort=False).filter(
-        ((F.col("doc_a") % 5) == 0) | ((F.col("doc_b") % 5) == 0)
+
+    # O(batch) delta: hash only the batch docs, probe the stored bands
+    delta_docs = docs.filter((F.col("doc_id") % 5) == 0)
+    delta_sh = simhash_features(delta_docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_no"),
+                F.shiftrightunsigned(F.col("simhash"), band * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("k"),
+            )
+            for band in range(4)
+        ]
     )
+    delta_bands = delta_sh.select(
+        F.col("doc_id").alias("doc_new"),
+        F.col("simhash").alias("sim_new"),
+        F.explode(band_structs).alias("bk"),
+    ).select(
+        "doc_new",
+        "sim_new",
+        F.col("bk.band_no"),
+        F.col("bk.k"),
+        (F.col("bk.k") % 64).cast("int").alias("kb"),
+    )
+    stored = spark.read.parquet(shared_simhash_bands(spark, sf_dir))
+    cand = (
+        delta_bands.join(stored, ["band_no", "kb", "k"])
+        .filter(F.col("doc_new") != F.col("doc_id"))
+        .select(
+            F.least("doc_new", "doc_id").alias("doc_a"),
+            F.greatest("doc_new", "doc_id").alias("doc_b"),
+            F.when(F.col("doc_new") < F.col("doc_id"), F.col("sim_new"))
+            .otherwise(F.col("simhash"))
+            .alias("sim_a"),
+            F.when(F.col("doc_new") < F.col("doc_id"), F.col("simhash"))
+            .otherwise(F.col("sim_new"))
+            .alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    delta = cand.filter(
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3
+    ).select("doc_a", "doc_b")
     folded = update_components(prior, delta)
     sizes = (
         folded.groupBy("cluster_id")

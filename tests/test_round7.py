@@ -179,3 +179,51 @@ def test_stream_cdc_current_equals_batch_cdc(spark):
     batch = sorted(map(tuple, cdc_orders_profile(spark, SF_SMALL).collect()))
     stream = sorted(map(tuple, stream_cdc_current(spark, SF_SMALL).collect()))
     assert batch == stream
+
+
+def test_fuzzy_gram_blocking_bounds_same_length_corpora(spark):
+    """The r6 advisory scenario: a corpus where EVERY name has the same
+    length (length banding alone → n²/2 candidates).  With the q-gram
+    prefix block intersected, names sharing no trigram produce ZERO
+    candidates, and only genuinely similar names pair up."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        fuzzy_name_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    # 60 same-length names from per-name-unique vocabularies: no two
+    # names share a trigram, so gram blocking must produce no pairs
+    # (band-only blocking would produce 60*59/2 = 1770).
+    import string
+
+    letters = string.ascii_lowercase
+
+    def word(i, j):  # deterministic 5-char word unique to name i
+        base = [letters[(i * 7 + j * 3 + k) % 26] for k in range(5)]
+        return "".join(base) + letters[i % 26] + letters[(i * 5 + 11) % 26]
+
+    names = [" ".join(word(i, j) for j in range(4)) for i in range(60)]
+    # force trigram disjointness by prefixing a per-name rare marker
+    names = [f"{letters[i % 26]}{letters[(i * 3) % 26]}{i:02d}{n}" for i, n in enumerate(names)]
+    assert len({len(n) for n in names}) == 1  # all same length
+    df = spark.createDataFrame([(n, 1) for n in names], "p_name string, n_parts long")
+    cands = fuzzy_name_candidates(df, max_dist=2)
+    n_cand = cands.count()
+    n_full = 60 * 59 // 2
+    # the gram intersection must prune the same-length blow-up hard
+    assert n_cand < n_full / 10, f"{n_cand} candidates vs band-only {n_full}"
+
+    # and a pair that IS within distance 2 must still surface
+    close = df.union(
+        spark.createDataFrame(
+            [(names[0][:-1] + "zz", 1)], "p_name string, n_parts long"
+        )
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_name_candidates(close, max_dist=2)
+        .withColumn("d", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert any(names[0] in p for pair in got for p in pair)
