@@ -154,8 +154,10 @@ HEADLINE = [
     "incremental_components_fold",
     "stream_semantic_dedup_probe",
     # round-7 stretch: two-stage retrieval rerank + streaming CDC apply
+    # + the mergeable quantile-sketch layer
     "ann_rerank",
     "stream_cdc_current",
+    "ddsketch_quantile_rollup",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

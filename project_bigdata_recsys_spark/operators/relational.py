@@ -890,3 +890,113 @@ def rolling_distinct_users(
         )
         .orderBy("day")
     )
+
+
+def ddsketch_quantile_rollup(
+    spark: SparkSession, sf_dir: str, gamma: float = 1.02
+) -> DataFrame:
+    """Mergeable QUANTILE sketch layer — the percentile twin of
+    :func:`hll_daily_rollup`'s distinct-count layer: exact quantiles
+    cannot be rolled up (order statistics don't merge), so the scale
+    answer is a DDSketch-style structure — values quantized to
+    log-spaced buckets ``b = ceil(ln(v)/ln(γ))`` (γ = 1.02 ⇒ ~1 %
+    relative-error guarantee), per-day bucket COUNTS as the persisted
+    daily state, and any rollup window merged by summing counts per
+    bucket.  Deterministic end to end (no engine RNG, no interpolation),
+    so unlike t-digest/KLL the whole sketch replays bit-for-bit in SQL.
+
+    Output per event_type: merged-sketch p50/p90/p99 estimates next to
+    the EXACT order statistics and within-budget booleans — the
+    approx_profile invariant recipe (the oracle recomputes the exact
+    numbers, replays the sketch arithmetic, and emits literal TRUEs).
+
+    Scale: daily state is ≤ #types × #buckets rows (KB); the merge is a
+    keyed sum; the exact twin exists only for the gate and would never
+    run at 100 TB.  ``ln`` ratios are rounded to 6 dp before ``ceil`` so
+    a last-ulp libm difference between engines cannot flip a bucket
+    boundary."""
+    import math
+
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "value",
+            "event_id",
+        )
+        .filter(F.col("value") > 0)
+    )
+    b = F.ceil(
+        F.round(F.log("value") / F.lit(math.log(gamma)), 6)
+    ).cast("long")
+    # persisted daily layer: (type, day, bucket) -> count
+    daily = events.groupBy("event_type", "day", b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # rollup merge: sum counts per bucket — the mergeable property
+    merged = daily.groupBy("event_type", "b").agg(F.sum("n").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "b",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("b")
+            )
+        )
+
+    def est(bcol):
+        return F.round(
+            2.0 * F.pow(F.lit(gamma), bcol) / F.lit(gamma + 1.0), 6
+        )
+
+    sk = cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_events"),
+        est(pick(0.5)).alias("p50_est"),
+        est(pick(0.9)).alias("p90_est"),
+        est(pick(0.99)).alias("p99_est"),
+    )
+    # exact order statistics (gate-only twin): value at row ceil(q*n)
+    w_rn = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                    F.col("value"),
+                )
+            ).alias(f"p{int(q * 100)}_exact")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    budget = 0.02  # γ=1.02 guarantees ~1 % relative error; 2× headroom
+    out = sk.join(exact, "event_type")
+    for q in (50, 90, 99):
+        out = out.withColumn(
+            f"p{q}_ok",
+            (
+                F.abs(F.col(f"p{q}_est") - F.col(f"p{q}_exact"))
+                / F.col(f"p{q}_exact")
+                <= budget
+            ),
+        )
+    return out.orderBy("event_type")

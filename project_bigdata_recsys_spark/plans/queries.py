@@ -4376,7 +4376,8 @@ _GATE_WINDOW = [
     "local_supplier_volume",
     "small_quantity_revenue",
     "big_orders",
-    "quantity_band_stats",
+    # -- new in round 7: mergeable quantile-sketch layer ----------------
+    "ddsketch_quantile_rollup",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5228,6 +5229,56 @@ ORACLES["ann_rerank"] = """
     FROM rr
     QUALIFY final_rank <= 5
     ORDER BY query_id, final_rank
+"""
+
+# Mergeable quantile-sketch layer (round 7): DDSketch-style log-spaced
+# buckets (γ=1.02), per-day counts merged by keyed sum, p50/p90/p99
+# estimates next to exact order statistics + within-budget booleans —
+# the approx_profile invariant recipe; the oracle replays the sketch
+# arithmetic (same 6-dp-rounded ln ratio) and emits literal TRUEs.
+QUERIES["ddsketch_quantile_rollup"] = relational.ddsketch_quantile_rollup
+ORACLES["ddsketch_quantile_rollup"] = """
+    WITH ev AS (
+        SELECT event_type, value, event_id FROM events WHERE value > 0),
+    bk AS (
+        SELECT event_type,
+               CAST(ceil(round(ln(value) / ln(1.02), 6)) AS BIGINT) AS b
+        FROM ev),
+    merged AS (
+        SELECT event_type, b, count(*) AS n FROM bk GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, b,
+               sum(n) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM merged),
+    sk AS (
+        SELECT event_type,
+               CAST(max(total) AS BIGINT) AS n_events,
+               round(2.0 * pow(1.02, min(CASE WHEN cum >= ceil(0.5 * total)
+                                              THEN b END)) / 2.02, 6) AS p50_est,
+               round(2.0 * pow(1.02, min(CASE WHEN cum >= ceil(0.9 * total)
+                                              THEN b END)) / 2.02, 6) AS p90_est,
+               round(2.0 * pow(1.02, min(CASE WHEN cum >= ceil(0.99 * total)
+                                              THEN b END)) / 2.02, 6) AS p99_est
+        FROM cum GROUP BY event_type),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+    exact AS (
+        SELECT event_type,
+               min(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50_exact,
+               min(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90_exact,
+               min(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99_exact
+        FROM ranked GROUP BY event_type)
+    SELECT sk.event_type, n_events, p50_est, p90_est, p99_est,
+           p50_exact, p90_exact, p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM sk JOIN exact USING (event_type)
+    ORDER BY sk.event_type
 """
 
 # Apply the rotation: this must remain the LAST statement touching

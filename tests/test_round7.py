@@ -227,3 +227,69 @@ def test_fuzzy_gram_blocking_bounds_same_length_corpora(spark):
         .collect()
     }
     assert any(names[0] in p for pair in got for p in pair)
+
+
+def test_ddsketch_rollup_accuracy_and_mergeability(spark, tmp_path):
+    """The log-bucket sketch must (a) estimate quantiles within the γ
+    relative-error budget on a long-tail distribution the corpus doesn't
+    exercise, and (b) merge: the sketch of a union equals the keyed sum
+    of per-part sketches — the property that makes the daily layer a
+    layer."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.operators.relational import (
+        ddsketch_quantile_rollup,
+    )
+
+    # long-tail values: v = 1.1^i spread over 60 days, two types
+    rows = []
+    eid = 0
+    for t in ("a", "b"):
+        for i in range(400):
+            day = dt.datetime(2024, 1, 1 + (i % 28), 6)
+            rows.append((eid, day, eid % 7, t, 1.1 ** (i % 80), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {r.event_type: r for r in ddsketch_quantile_rollup(spark, sf_dir).collect()}
+    assert set(out) == {"a", "b"}
+    for r in out.values():
+        assert r.p50_ok and r.p90_ok and r.p99_ok
+        # estimates really are within 2% of the exact order statistics
+        for q in (50, 90, 99):
+            est, exact = getattr(r, f"p{q}_est"), getattr(r, f"p{q}_exact")
+            assert abs(est - exact) / exact <= 0.02
+
+    # mergeability: bucket counts of the union == summed per-half counts
+    gamma = 1.02
+    b = F.ceil(F.round(F.log("value") / F.lit(math.log(gamma)), 6)).cast("long")
+    full = {
+        (r.event_type, r.b): r.n
+        for r in df.groupBy("event_type", b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    halves = []
+    for pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        halves.append(
+            {
+                (r.event_type, r.b): r.n
+                for r in df.filter(pred)
+                .groupBy("event_type", b.alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+    summed = {}
+    for h in halves:
+        for k, v in h.items():
+            summed[k] = summed.get(k, 0) + v
+    assert summed == full
