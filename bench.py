@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_rerank",
     "stream_cdc_current",
     "ddsketch_quantile_rollup",
+    "stream_value_quantiles",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

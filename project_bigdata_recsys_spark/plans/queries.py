@@ -4375,9 +4375,9 @@ _GATE_WINDOW = [
     "shipping_priority",
     "local_supplier_volume",
     "small_quantity_revenue",
-    "big_orders",
-    # -- new in round 7: mergeable quantile-sketch layer ----------------
+    # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
+    "stream_value_quantiles",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5279,6 +5279,38 @@ ORACLES["ddsketch_quantile_rollup"] = """
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
     FROM sk JOIN exact USING (event_type)
     ORDER BY sk.event_type
+"""
+
+# Streaming twin of the quantile-sketch layer (round 7): per (1-day
+# event-time window, type) bucket counts maintained by the stream,
+# quantiles walked post-sink; the oracle replays the identical bucket
+# arithmetic per calendar day (tumbling 1-day windows align to UTC
+# midnight, so strftime grouping matches exactly).
+QUERIES["stream_value_quantiles"] = replay.stream_value_quantiles
+ORACLES["stream_value_quantiles"] = """
+    WITH ev AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value
+        FROM events WHERE value > 0),
+    bk AS (
+        SELECT day, event_type,
+               CAST(ceil(round(ln(value) / ln(1.02), 6)) AS BIGINT) AS b
+        FROM ev),
+    merged AS (
+        SELECT day, event_type, b, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+    cum AS (
+        SELECT day, event_type, b,
+               sum(n) OVER (PARTITION BY day, event_type ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY day, event_type) AS total
+        FROM merged)
+    SELECT day, event_type,
+           CAST(max(total) AS BIGINT) AS n_events,
+           round(2.0 * pow(1.02, min(CASE WHEN cum >= ceil(0.5 * total)
+                                          THEN b END)) / 2.02, 6) AS p50_est,
+           round(2.0 * pow(1.02, min(CASE WHEN cum >= ceil(0.95 * total)
+                                          THEN b END)) / 2.02, 6) AS p95_est
+    FROM cum GROUP BY day, event_type
+    ORDER BY day, event_type
 """
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -610,3 +610,72 @@ def stream_cdc_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring: the DDSketch-style log-bucket
+    layer (operators.relational.ddsketch_quantile_rollup) maintained BY
+    THE STREAM — per (1-day event-time window, event_type) bucket
+    counts as the streaming aggregation state (complete-mode replay),
+    quantiles walked from the materialized sketch post-sink (the
+    two-stage shape stream_trending_items documents).  The value-p50/p95
+    monitor a production pipeline hangs alerts on, with bounded state:
+    #windows × #types × #buckets rows, never raw values.
+
+    The oracle replays the identical bucket arithmetic per calendar day
+    (same 6-dp-rounded ln ratio — no engine can flip a boundary) and
+    the exact walk, so the streamed sketch is hash-checked end to end."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    gamma = 1.02
+    events = replay_events_stream(spark, sf_dir).filter(F.col("value") > 0)
+    b = F.ceil(
+        F.round(F.log("value") / F.lit(math.log(gamma)), 6)
+    ).cast("long")
+    agg = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type", b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_replay(agg, spark, "complete")
+    sketch = table.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "b",
+        "n",
+    )
+    w_cum = (
+        W.partitionBy("day", "event_type")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("day", "event_type")
+    cum = sketch.select(
+        "day",
+        "event_type",
+        "b",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("b")
+            )
+        )
+
+    def est(bcol):
+        return F.round(
+            2.0 * F.pow(F.lit(gamma), bcol) / F.lit(gamma + 1.0), 6
+        )
+
+    return (
+        cum.groupBy("day", "event_type")
+        .agg(
+            F.max("total").cast("long").alias("n_events"),
+            est(pick(0.5)).alias("p50_est"),
+            est(pick(0.95)).alias("p95_est"),
+        )
+        .orderBy("day", "event_type")
+    )
