@@ -159,6 +159,7 @@ HEADLINE = [
     "stream_cdc_current",
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
+    "merge_upsert_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -4374,10 +4374,10 @@ _GATE_WINDOW = [
     "paginated_orders",
     "shipping_priority",
     "local_supplier_volume",
-    "small_quantity_revenue",
     # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
+    "merge_upsert_profile",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5311,6 +5311,40 @@ ORACLES["stream_value_quantiles"] = """
                                           THEN b END)) / 2.02, 6) AS p95_est
     FROM cum GROUP BY day, event_type
     ORDER BY day, event_type
+"""
+
+# Partition-scoped copy-on-write MERGE (round 7): the SURVEY §7.4.2 gap
+# without a table format — the oracle replays the upsert (latest-wins ∪
+# untouched) in SQL, so the hash match proves the write path rewrote
+# exactly the touched partitions' content.
+QUERIES["merge_upsert_profile"] = maintenance.merge_upsert_profile
+ORACLES["merge_upsert_profile"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS part,
+               ('0x' || substr(md5('merge-upd:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_upd,
+               ('0x' || substr(md5('merge-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders),
+    final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN u_upd < 0.05
+                    THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               part
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice, part
+        FROM o WHERE u_new < 0.01)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT part) AS BIGINT) AS n_parts,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """
 
 # Apply the rotation: this must remain the LAST statement touching

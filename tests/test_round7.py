@@ -293,3 +293,65 @@ def test_ddsketch_rollup_accuracy_and_mergeability(spark, tmp_path):
         for k, v in h.items():
             summed[k] = summed.get(k, 0) + v
     assert summed == full
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The copy-on-write MERGE must leave untouched partitions' files
+    PHYSICALLY unmodified (same paths, sizes, mtimes) and apply
+    latest-wins ∪ inserts inside the touched ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.operators.maintenance import (
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "2024-01"),
+            (2, "b", 20.0, "2024-01"),
+            (3, "c", 30.0, "2024-02"),
+            (4, "d", 40.0, "2024-03"),
+        ],
+        "id long, v string, price double, part string",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(target)
+
+    def files(part):
+        d = os.path.join(target, f"part={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_feb = files("2024-02")
+    before_mar = files("2024-03")
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 11.0, "2024-01"), (5, "e", 50.0, "2024-01")],
+        "id long, v string, price double, part string",
+    )
+    touched = merge_into_partitioned(spark, target, updates, ["id"], "part")
+    assert touched == ["2024-01"]
+
+    # untouched partitions: byte-identical files
+    assert files("2024-02") == before_feb
+    assert files("2024-03") == before_mar
+
+    got = {
+        (r.id, r.v, r.price)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, "a2", 11.0),  # updated (latest wins)
+        (2, "b", 20.0),   # untouched row in touched partition survives
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+        (5, "e", 50.0),   # inserted
+    }
