@@ -160,6 +160,8 @@ HEADLINE = [
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
     "merge_upsert_profile",
+    "bpe_pair_counts",
+    "rerank_uplift_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1870,3 +1870,104 @@ def ann_rerank(
         .select("query_id", "vec_id", "cos_sim", "rerank_score", "final_rank")
         .orderBy("query_id", "final_rank")
     )
+
+
+def rerank_uplift_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    shortlist: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Evaluation of the two-stage rerank as an oracle query (the
+    ann_recall_profile precedent): per query, how much does the
+    cross-encoder-style stage actually change the bi-encoder's top-k —
+    overlap@k, whether the top-1 moved, and the mean absolute rank
+    shift of the final top-k.  A rerank stage whose uplift profile is
+    identity is dead weight; one that replaces everything suggests the
+    recall stage is mis-tuned — this is the monitoring query between
+    those failure modes.  Deterministic end to end (integer ranks over
+    the same 6-dp-rounded scores ann_rerank uses)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "q_emb",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    short = scored.withColumn("cos_rank", F.row_number().over(w_cos)).filter(
+        F.col("cos_rank") <= shortlist
+    )
+    sign_agree = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q_emb"),
+                lambda x, y: F.when(
+                    (x.cast("double") * y.cast("double")) > 0, 1.0
+                ).otherwise(0.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("embedding")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    reranked = short.select(
+        "query_id",
+        "vec_id",
+        "cos_rank",
+        F.round(
+            0.7 * F.col("cos_sim") + 0.2 * sign_agree + 0.1 / (1.0 + l2), 6
+        ).alias("rerank_score"),
+    )
+    w_rr = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("vec_id")
+    )
+    ranked = reranked.withColumn("final_rank", F.row_number().over(w_rr))
+    return (
+        ranked.filter(F.col("final_rank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cos_rank") <= k, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("overlap_at_k"),
+            F.max(
+                F.when(F.col("final_rank") == 1, F.col("cos_rank") == 1)
+            ).alias("top1_same"),
+            F.round(
+                F.avg(F.abs(F.col("cos_rank") - F.col("final_rank"))), 4
+            ).alias("mean_rank_shift"),
+        )
+        .orderBy("query_id")
+    )

@@ -966,3 +966,50 @@ def source_quantile_filter(
         )
         .orderBy("source")
     )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Distributed BPE vocabulary induction — the FIRST merge step of
+    byte-pair-encoding tokenizer training, which is exactly the part
+    that needs a cluster at 100 TB: count adjacent symbol pairs across
+    the corpus, weighted by word frequency, and surface the top merge
+    candidates.  (Subsequent merge iterations re-run the same kernel on
+    the re-segmented vocabulary — the corpus is never rescanned after
+    the word-frequency pass, which is the standard trick: the VOCAB is
+    the working set, bounded and tiny relative to the corpus.)
+
+    Shape: one corpus scan → word-frequency aggregation (the only
+    corpus-sized shuffle) → per-word adjacent character pairs (explode
+    bounded by word length) → keyed sum.  Deterministic end to end;
+    total ordering under the LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> struct(substring(w, i, 1) AS a,"
+            "             substring(w, i + 1, 1) AS b))"
+        )
+    ).alias("p")
+    pairs = words.select("w", "freq", pair).select(
+        "w",
+        F.col("p.a").alias("sym_a"),
+        F.col("p.b").alias("sym_b"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(
+            # every occurrence is a candidate merge site, so a word
+            # containing the pair twice contributes 2×freq (standard BPE)
+            F.sum("freq").cast("long").alias("n_pairs"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_pairs"), "sym_a", "sym_b")
+        .limit(k)
+    )

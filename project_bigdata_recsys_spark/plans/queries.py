@@ -4372,12 +4372,12 @@ _GATE_WINDOW = [
     "cheapest_order_per_customer",
     "time_rollup",
     "paginated_orders",
-    "shipping_priority",
-    "local_supplier_volume",
     # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
     "merge_upsert_profile",
+    "bpe_pair_counts",
+    "rerank_uplift_profile",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5345,6 +5345,76 @@ ORACLES["merge_upsert_profile"] = """
     FROM final
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+# Distributed BPE vocabulary induction (round 7): the first-merge pair
+# counting kernel of tokenizer training — the part that needs a cluster;
+# the oracle replays the word-frequency pass and the per-word adjacent
+# pair explosion with the identical weighting.
+QUERIES["bpe_pair_counts"] = text.bpe_pair_counts
+ORACLES["bpe_pair_counts"] = """
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w),
+    pairs AS (
+        SELECT w, freq,
+               substring(w, i, 1) AS sym_a,
+               substring(w, i + 1, 1) AS sym_b
+        FROM words, unnest(range(1, length(w))) AS t(i))
+    SELECT sym_a, sym_b,
+           CAST(sum(freq) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words
+    FROM pairs
+    GROUP BY sym_a, sym_b
+    ORDER BY n_pairs DESC, sym_a, sym_b
+    LIMIT 50
+"""
+
+# Rerank-uplift evaluation (round 7): overlap@k / top-1 stability /
+# mean rank shift between the bi-encoder and reranked top-k, replayed
+# from the same two deterministic rankings.
+QUERIES["rerank_uplift_profile"] = similarity.rerank_uplift_profile
+ORACLES["rerank_uplift_profile"] = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, emb, q_emb,
+               round(list_dot_product(emb, q_emb)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(q_emb, q_emb))), 6) AS cos_sim
+        FROM e CROSS JOIN q WHERE vec_id != query_id),
+    short AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS cos_rank
+        FROM scored
+        QUALIFY cos_rank <= 25),
+    rr AS (
+        SELECT query_id, vec_id, cos_rank,
+               round(0.7 * cos_sim
+                     + 0.2 * (list_sum(list_transform(range(0, len(emb)),
+                           i -> CASE WHEN emb[i + 1] * q_emb[i + 1] > 0
+                                     THEN 1.0 ELSE 0.0 END)) / len(emb))
+                     + 0.1 / (1 + sqrt(list_sum(list_transform(range(0, len(emb)),
+                           i -> (emb[i + 1] - q_emb[i + 1])
+                                * (emb[i + 1] - q_emb[i + 1]))))), 6)
+                   AS rerank_score
+        FROM short),
+    ranked AS (
+        SELECT query_id, vec_id, cos_rank,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rerank_score DESC, vec_id) AS final_rank
+        FROM rr)
+    SELECT query_id,
+           CAST(sum(CASE WHEN cos_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overlap_at_k,
+           max(CASE WHEN final_rank = 1 THEN cos_rank = 1 END) AS top1_same,
+           round(avg(abs(cos_rank - final_rank)), 4) AS mean_rank_shift
+    FROM ranked WHERE final_rank <= 5
+    GROUP BY query_id ORDER BY query_id
 """
 
 # Apply the rotation: this must remain the LAST statement touching

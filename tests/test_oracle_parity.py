@@ -21,6 +21,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _eq(a, b) -> bool:
+    # EXACT float comparison — the driver hash-compares values exactly,
+    # and a relative tolerance here once hid a cent-level divergence for
+    # two rounds (tools/check_oracle.py has the same contract).
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -30,7 +33,7 @@ def _eq(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+        return af == bf
     return a == b
 
 
