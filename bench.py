@@ -162,6 +162,7 @@ HEADLINE = [
     "merge_upsert_profile",
     "bpe_pair_counts",
     "rerank_uplift_profile",
+    "stream_late_data_audit",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -4371,13 +4371,13 @@ _GATE_WINDOW = [
     "pivot_status_by_priority",
     "cheapest_order_per_customer",
     "time_rollup",
-    "paginated_orders",
     # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
     "merge_upsert_profile",
     "bpe_pair_counts",
     "rerank_uplift_profile",
+    "stream_late_data_audit",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5415,6 +5415,26 @@ ORACLES["rerank_uplift_profile"] = """
            round(avg(abs(cos_rank - final_rank)), 4) AS mean_rank_shift
     FROM ranked WHERE final_rank <= 5
     GROUP BY query_id ORDER BY query_id
+"""
+
+# Watermark late-data drop audit (round 7): the oracle replays the
+# watermark arithmetic — final watermark = max on-time ts − 3 days,
+# append emits exactly the windows that closed, the 40-day-late copy is
+# dropped in full (its windows closed ~37 days before arrival).
+QUERIES["stream_late_data_audit"] = replay.stream_late_data_audit
+ORACLES["stream_late_data_audit"] = """
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_on_time,
+           CAST(sum(CASE WHEN date_trunc('day', ts) + INTERVAL 1 DAY
+                              <= max_ts - INTERVAL 3 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted,
+           CAST(sum(CASE WHEN date_trunc('day', ts) + INTERVAL 1 DAY
+                              > max_ts - INTERVAL 3 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_withheld,
+           CAST(count(*) AS BIGINT) AS n_dropped_late
+    FROM events CROSS JOIN mx
+    GROUP BY event_type ORDER BY event_type
 """
 
 # Apply the rotation: this must remain the LAST statement touching

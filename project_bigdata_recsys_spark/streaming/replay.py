@@ -679,3 +679,113 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def stream_late_data_audit(
+    spark: SparkSession, sf_dir: str, watermark_days: int = 3
+) -> DataFrame:
+    """Watermark ENFORCEMENT audit — the drop path no other streaming
+    query exercises (stream_dedup_events sets a watermark wide enough to
+    keep everything): the events file replays as micro-batch 1, then a
+    deliberately LATE copy (every event shifted 40 days earlier, re-keyed)
+    arrives as micro-batch 2.  By then the watermark — advanced to
+    max(ts) − ``watermark_days`` at the end of batch 1 — is far past the
+    late copies' 1-day windows, so Structured Streaming must drop ALL of
+    them from the appended result; on-time windows emit exactly once.
+
+    Three disjoint fates, all audited: EMITTED (on-time rows in windows
+    the final watermark closed), WITHHELD (on-time rows in the trailing
+    ``watermark_days`` of windows — still open in state when the bounded
+    replay terminates; append mode never force-emits them), and DROPPED
+    (every late copy — its window closed long before the row arrived).
+    Deterministic because file order is pinned (mtimes),
+    maxFilesPerTrigger=1 advances the watermark between the two batches,
+    and the final watermark (max on-time ts − delay) falls mid-day so no
+    window-end ties it.  The oracle replays the same watermark
+    arithmetic on the on-time aggregate."""
+    import shutil
+    import time as _time
+
+    from project_bigdata_recsys_spark.catalog import (
+        normalize_events,
+        table_path,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_late_audit_")
+    src = table_path(sf_dir, "events")
+    on_time = os.path.join(work, "00_events.parquet")
+    shutil.copyfile(src, on_time)
+    # late copies: shifted 40 days into the past, re-keyed
+    late_dir = os.path.join(work, "01_late.parquet")
+    raw = spark.read.parquet(src)
+    late = raw.withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 40 DAYS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    late.coalesce(1).write.mode("overwrite").parquet(late_dir)
+    now = _time.time()
+    os.utime(on_time, (now - 100, now - 100))
+    for root, _dirs, files in os.walk(late_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (now, now))
+
+    raw_schema = raw.schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{watermark_days} days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    table = _run_replay(agg, spark, "append")
+    on_time_events = normalize_events(spark.read.parquet(on_time))
+    # late windows are 40 days older than any on-time window (the shift
+    # exceeds the corpus span), so sink rows split cleanly: anything in
+    # a pre-on-time window is a late row that LEAKED past the watermark.
+    min_day = on_time_events.agg(
+        F.to_date(F.min("ts")).alias("__min_day")
+    )
+    sunk = (
+        table.crossJoin(F.broadcast(min_day))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date(F.col("w.start")) >= F.col("__min_day"),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_emitted"),
+            F.sum(
+                F.when(
+                    F.to_date(F.col("w.start")) < F.col("__min_day"),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__n_late_leaked"),
+        )
+    )
+    batch = on_time_events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_on_time")
+    )
+    return (
+        batch.join(sunk, "event_type", "left")
+        .select(
+            "event_type",
+            "n_on_time",
+            F.coalesce("n_emitted", F.lit(0)).cast("long").alias("n_emitted"),
+            (
+                F.col("n_on_time") - F.coalesce("n_emitted", F.lit(0))
+            ).cast("long").alias("n_withheld"),
+            # measured: the late copy's size minus whatever leaked into
+            # the sink (must equal the full copy — watermark enforced)
+            (
+                F.col("n_on_time") - F.coalesce("__n_late_leaked", F.lit(0))
+            ).cast("long").alias("n_dropped_late"),
+        )
+        .orderBy("event_type")
+    )
