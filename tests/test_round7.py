@@ -355,3 +355,21 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(
         (4, "d", 40.0),
         (5, "e", 50.0),   # inserted
     }
+
+
+def test_update_components_empty_delta_is_identity(spark):
+    """O(affected) fold with an EMPTY delta must return the prior
+    labeling untouched (no components are affected)."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        update_components,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    delta = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in update_components(prior, delta).collect()
+    )
+    assert out == [(1, 1), (2, 1), (3, 3)]
