@@ -163,6 +163,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "rerank_uplift_profile",
     "stream_late_data_audit",
+    "stream_merge_apply",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

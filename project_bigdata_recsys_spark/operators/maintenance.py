@@ -336,3 +336,158 @@ def merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def merge_apply_changelog(
+    spark: SparkSession,
+    target_dir: str,
+    changelog: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> list:
+    """Apply a CDC changelog batch (I/U/D ops + sequence) to a
+    partitioned parquet table, copy-on-write: the touched partitions'
+    current rows enter the latest-wins collapse at sequence −1, so a
+    winning update replaces and a winning delete REMOVES the key —
+    the full MERGE WHEN MATCHED/NOT MATCHED/DELETE semantics of
+    :func:`merge_into_partitioned` (which is the special case of an
+    insert-only changelog).
+
+    A partition whose every row is deleted produces no output rows, and
+    dynamic partition overwrite cannot write an empty partition — those
+    directories are pruned explicitly after the write (local-FS rmtree
+    here; the same listing+delete call on an object store).  Returns
+    the touched partition values."""
+    import os
+    import shutil
+    import tempfile
+
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        cdc_current_view,
+    )
+
+    touched = [r[0] for r in changelog.select(part_col).distinct().collect()]
+    current = (
+        spark.read.parquet(target_dir)
+        .filter(F.col(part_col).isin(touched))
+        .withColumn(seq_col, F.lit(-1))
+        .withColumn(op_col, F.lit("I"))
+    )
+    merged = cdc_current_view(
+        current.unionByName(changelog.select(*current.columns)),
+        key_cols,
+        seq_col,
+        op_col,
+    )
+    staging = os.path.join(tempfile.mkdtemp(prefix="spark_merge_"), "stage")
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy(part_col).parquet(
+            target_dir
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    surviving = {
+        r[0] for r in staged.select(part_col).distinct().collect()
+    }
+    for part in touched:
+        if part not in surviving:
+            shutil.rmtree(
+                os.path.join(target_dir, f"{part_col}={part}"),
+                ignore_errors=True,
+            )
+    return touched
+
+
+def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-lakehouse write path end to end: orders becomes a
+    month-partitioned CoW table, the deterministic CDC changelog
+    (updates via the integer-cents bump at seq 1, deletes at seq 2 —
+    the same md5 cohorts as cdc_orders_profile) REPLAYS AS A STREAM,
+    and every micro-batch lands through a ``foreachBatch`` →
+    :func:`merge_apply_changelog` sink.  The post-replay table profiled
+    per status must equal the batch current-view collapse — so the
+    query shares ``cdc_current_view``'s oracle verbatim, proving the
+    streamed merge applied exactly latest-wins ∪ deletes."""
+    import os
+    import tempfile
+
+    from project_bigdata_recsys_spark.catalog import load_table, table_path
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        bump_price_cents,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="spark_smerge_"), "t")
+    orders.write.mode("overwrite").partitionBy("part").parquet(target)
+
+    schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+    )
+    key = F.col("o_orderkey")
+    updates = stream.filter(hash_uniform(key, "cdc-upd:") < 0.05).select(
+        "o_orderkey",
+        "o_orderstatus",
+        bump_price_cents(F.col("o_totalprice")).alias("o_totalprice"),
+        "part",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = stream.filter(hash_uniform(key, "cdc-del:") < 0.02).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "part",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    changelog = updates.unionByName(deletes)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_apply_changelog(
+            spark, target, batch_df, ["o_orderkey"], "part"
+        )
+
+    ck = os.path.join(tempfile.mkdtemp(prefix="spark_ck_"), "ck")
+    q = (
+        changelog.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

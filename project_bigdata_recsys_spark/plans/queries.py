@@ -4370,7 +4370,6 @@ _GATE_WINDOW = [
     "percentile_stats",
     "pivot_status_by_priority",
     "cheapest_order_per_customer",
-    "time_rollup",
     # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
@@ -4378,6 +4377,7 @@ _GATE_WINDOW = [
     "bpe_pair_counts",
     "rerank_uplift_profile",
     "stream_late_data_audit",
+    "stream_merge_apply",
     # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
     "stream_semantic_dedup",
     "semantic_contamination",
@@ -5436,6 +5436,13 @@ ORACLES["stream_late_data_audit"] = """
     FROM events CROSS JOIN mx
     GROUP BY event_type ORDER BY event_type
 """
+
+# Streaming CDC merge sink (round 7): the changelog replays as a stream
+# and lands through foreachBatch → merge_apply_changelog (copy-on-write
+# upsert+delete into the partitioned table); the post-replay table must
+# equal the batch current-view collapse — oracle shared verbatim.
+QUERIES["stream_merge_apply"] = maintenance.stream_merge_apply_profile
+ORACLES["stream_merge_apply"] = ORACLES["cdc_current_view"]
 
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate

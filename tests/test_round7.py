@@ -373,3 +373,50 @@ def test_update_components_empty_delta_is_identity(spark):
         for r in update_components(prior, delta).collect()
     )
     assert out == [(1, 1), (2, 1), (3, 3)]
+
+
+def test_merge_apply_changelog_deletes_and_prunes_empty_partitions(
+    spark, tmp_path
+):
+    """The changelog form of the CoW merge: a winning delete removes the
+    key, a partition whose rows are all deleted disappears from the
+    table (the dynamic-overwrite blind spot handled by the explicit
+    prune), and untouched partitions stay byte-identical."""
+    import os
+
+    from project_bigdata_recsys_spark.operators.maintenance import (
+        merge_apply_changelog,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "2024-01"),
+            (2, "b", 20.0, "2024-01"),
+            (3, "c", 30.0, "2024-02"),
+            (4, "d", 40.0, "2024-03"),
+        ],
+        "id long, v string, price double, part string",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(target)
+    before_mar = sorted(os.listdir(os.path.join(target, "part=2024-03")))
+
+    changelog = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, "2024-01", 1, "U"),   # update
+            (2, "b", 20.0, "2024-01", 1, "D"),    # delete one key
+            (3, "c", 30.0, "2024-02", 1, "D"),    # empties the partition
+        ],
+        "id long, v string, price double, part string, seq int, op string",
+    )
+    touched = merge_apply_changelog(
+        spark, target, changelog, ["id"], "part"
+    )
+    assert sorted(touched) == ["2024-01", "2024-02"]
+
+    got = {(r.id, r.v, r.price) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a2", 11.0), (4, "d", 40.0)}
+    # the fully-deleted partition's directory is gone
+    assert not os.path.exists(os.path.join(target, "part=2024-02"))
+    # untouched partition untouched
+    assert sorted(os.listdir(os.path.join(target, "part=2024-03"))) == before_mar
