@@ -708,3 +708,96 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the classic interval sweep-line
+    (max simultaneous sessions / requests / jobs), computed scale-out.
+
+    A naive sweep is ONE global sort per key — at 100 TB that is a
+    single-reducer bottleneck per event_type (5 types = 5 reducers).
+    Instead each interval [start, start + value seconds) is exploded to
+    the calendar days it touches (bounded: values are < 10 minutes, so
+    ≤ 2 rows), clipped to day boundaries, and the +1/−1 sweep runs
+    per (event_type, day) — hundreds of independent partitions whose
+    boundary carry-in is exact because a crossing interval contributes
+    +1 at the next day's first instant.  Peak per type is then a tiny
+    max over (type, day) peaks.
+
+    All arithmetic is integer microseconds (unix_micros + round(value·1e6))
+    so both engines sweep identical integers; at equal timestamps −1
+    sorts before +1, so back-to-back intervals [a,b) [b,c) never count
+    as concurrent, and the per-day max is invariant to intra-tie order.
+    """
+    from pyspark.sql import Window
+
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * 1_000_000).cast("long")
+        ).alias("end_us"),
+    )
+    pieces = (
+        ev.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_us") / day_us).cast("long"),
+                    F.floor((F.col("end_us") - 1) / day_us).cast("long"),
+                )
+            ),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.greatest(F.col("start_us"), F.col("day") * day_us).alias("lo"),
+            F.least(F.col("end_us"), (F.col("day") + 1) * day_us).alias("hi"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(F.col("lo").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(F.col("hi").alias("t"), F.lit(-1).alias("delta")),
+                )
+            ).alias("e"),
+        )
+        .select("event_type", "day", "e.t", "e.delta")
+    )
+    sweep = Window.partitionBy("event_type", "day").orderBy("t", "delta")
+    day_peaks = (
+        pieces.withColumn(
+            "running",
+            F.sum("delta").over(
+                sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("running").alias("day_peak"))
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("day_peak").desc(), F.col("day")
+    )
+    best = (
+        day_peaks.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_peak").cast("long").alias("peak_concurrent"),
+            F.col("day").cast("long").alias("peak_epoch_day"),
+        )
+    )
+    return (
+        best.join(totals, "event_type")
+        .select("event_type", "n_intervals", "peak_concurrent", "peak_epoch_day")
+        .orderBy("event_type")
+    )

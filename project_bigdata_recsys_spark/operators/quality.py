@@ -400,3 +400,58 @@ def psi_drift(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two label sets.
+
+    The shape every labeling pipeline hits: two annotator files (here the
+    seeded synthetic labels and their drift-mutated copy — reference
+    scripts/modify_training_data.py:28-133 is the "second annotator")
+    arrive as separate tables keyed by item id; agreement is an equi-join
+    on the key followed by ONE full aggregation.  At scale the join
+    shuffles on the item key only and the confusion matrix is four
+    map-side-combined counters — no per-pair state, no collect.
+
+    kappa = (p_o - p_e) / (1 - p_e) with the standard marginal-product
+    chance agreement; all four cells are exact BIGINTs so both engines
+    derive the ratios from identical integers.
+    """
+    from project_bigdata_recsys_spark.sources.ingest import (
+        mutate_with_noise,
+        synthetic_interactions,
+    )
+
+    base = synthetic_interactions(spark, n=2000, seed=42)
+    a = base.select("event_ts", F.col("truth").alias("label_a"))
+    b = mutate_with_noise(
+        base, ["action_play_video", "action_problem_check"], seed=7
+    ).select("event_ts", F.col("truth").alias("label_b"))
+    joined = a.join(b, "event_ts")
+
+    cell = lambda va, vb: F.sum(  # noqa: E731
+        ((F.col("label_a") == va) & (F.col("label_b") == vb)).cast("long")
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    n = F.col("n").cast("double")
+    p_o = (F.col("n00") + F.col("n11")) / n
+    p_e = (
+        (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+        + (F.col("n10") + F.col("n11")) * (F.col("n01") + F.col("n11"))
+    ) / (n * n)
+    return agg.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(p_o, 6).alias("p_observed"),
+        F.round(p_e, 6).alias("p_expected"),
+        F.round((p_o - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+    )

@@ -5444,6 +5444,104 @@ ORACLES["stream_late_data_audit"] = """
 QUERIES["stream_merge_apply"] = maintenance.stream_merge_apply_profile
 ORACLES["stream_merge_apply"] = ORACLES["cdc_current_view"]
 
+# Peak concurrency per event type (round 7): interval sweep-line made
+# scale-out by day-splitting — each interval explodes to the (≤2) days it
+# touches, clipped, and the +1/−1 sweep runs per (event_type, day), so no
+# single-reducer global sort; integer-microsecond arithmetic on both
+# engines, −1-before-+1 ties so touching intervals never count together.
+QUERIES["concurrent_events_peak"] = analytics.concurrent_events_peak
+ORACLES["concurrent_events_peak"] = """
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS end_us
+        FROM events),
+    pieces AS (
+        SELECT event_type, day,
+               greatest(start_us, day * 86400000000) AS lo,
+               least(end_us, (day + 1) * 86400000000) AS hi
+        FROM ev,
+             unnest(range(CAST(floor(start_us / 86400000000.0) AS BIGINT),
+                          CAST(floor((end_us - 1) / 86400000000.0) AS BIGINT)
+                          + 1)) AS t(day)),
+    edges AS (
+        SELECT event_type, day, lo AS t, 1 AS delta FROM pieces
+        UNION ALL
+        SELECT event_type, day, hi AS t, -1 AS delta FROM pieces),
+    sweep AS (
+        SELECT event_type, day,
+               sum(delta) OVER (PARTITION BY event_type, day
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM edges),
+    day_peaks AS (
+        SELECT event_type, day, max(running) AS day_peak
+        FROM sweep GROUP BY event_type, day),
+    best AS (
+        SELECT event_type,
+               CAST(day_peak AS BIGINT) AS peak_concurrent,
+               CAST(day AS BIGINT) AS peak_epoch_day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_peak DESC, day) AS rn
+        FROM day_peaks),
+    totals AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals
+        FROM events GROUP BY event_type)
+    SELECT b.event_type, t.n_intervals, b.peak_concurrent, b.peak_epoch_day
+    FROM best b JOIN totals t ON b.event_type = t.event_type
+    WHERE rn = 1
+    ORDER BY b.event_type
+"""
+
+# Inter-annotator agreement (round 7): Cohen's kappa between the seeded
+# labels and their noise-mutated copy — one equi-join on the row key, four
+# map-side-combined BIGINT confusion cells, ratios derived from identical
+# integers on both engines.
+QUERIES["label_agreement_kappa"] = quality.label_agreement_kappa
+ORACLES["label_agreement_kappa"] = """
+    WITH base AS (SELECT range AS row_id FROM range(0, 2000)),
+    u AS (
+        SELECT row_id,
+               ('0x' || substr(md5('42:tier:'  || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_tier,
+               ('0x' || substr(md5('42:truth:' || CAST(row_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u_truth
+        FROM base),
+    t AS (
+        SELECT *, CASE WHEN u_tier < 0.3 THEN 'high'
+                       WHEN u_tier < 0.7 THEN 'mid'
+                       ELSE 'low' END AS tier
+        FROM u),
+    gen AS (
+        SELECT CAST(CASE WHEN u_truth < (CASE tier WHEN 'high' THEN 0.85
+                                                   WHEN 'mid' THEN 0.60
+                                                   ELSE 0.30 END)
+                    THEN 0 ELSE 1 END AS INTEGER) AS truth,
+               CAST(1700000000 + row_id AS BIGINT) AS event_ts
+        FROM t),
+    m AS (
+        SELECT truth AS label_a,
+               CASE WHEN ('0x' || substr(md5('7:sample:' || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.10
+                         AND ('0x' || substr(md5('7:flip:' || CAST(event_ts AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.05
+                    THEN 1 - truth ELSE truth END AS label_b
+        FROM gen),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label_a = 0 AND label_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+               CAST(sum(CASE WHEN label_a = 0 AND label_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN label_a = 1 AND label_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN label_a = 1 AND label_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM m)
+    SELECT n, n00, n01, n10, n11,
+           round((n00 + n11) * 1.0 / n, 6) AS p_observed,
+           round(((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                 * 1.0 / (n * n), 6) AS p_expected,
+           round(((n00 + n11) * 1.0 / n
+                  - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                    * 1.0 / (n * n))
+                 / (1.0 - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                          * 1.0 / (n * n)), 6) AS kappa
+    FROM agg
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

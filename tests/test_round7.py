@@ -420,3 +420,72 @@ def test_merge_apply_changelog_deletes_and_prunes_empty_partitions(
     assert not os.path.exists(os.path.join(target, "part=2024-02"))
     # untouched partition untouched
     assert sorted(os.listdir(os.path.join(target, "part=2024-03"))) == before_mar
+
+
+def test_concurrent_events_peak_sweep_semantics(spark, tmp_path):
+    """Pin the sweep-line contract on a hand-built interval set: touching
+    intervals [a,b) [b,c) are NOT concurrent (−1 sorts before +1), a
+    midnight-crossing interval counts toward both days' sweeps, and the
+    reported peak day is the earliest day achieving the maximum."""
+    import datetime as dt
+
+    from project_bigdata_recsys_spark.operators.analytics import (
+        concurrent_events_peak,
+    )
+
+    day0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(day, h, m=0, s=0):
+        return day0 + dt.timedelta(days=day, hours=h, minutes=m, seconds=s)
+
+    rows = [
+        # type 'a': three overlapping at 10:00 day0 (peak 3), plus a
+        # touching pair [11:00,11:01) [11:01,11:02) that must NOT stack.
+        (1, ts(0, 10, 0), 7, "a", 120.0, "{}"),
+        (2, ts(0, 10, 1), 7, "a", 120.0, "{}"),
+        (3, ts(0, 10, 1, 30), 7, "a", 120.0, "{}"),
+        (4, ts(0, 11, 0), 7, "a", 60.0, "{}"),
+        (5, ts(0, 11, 1), 7, "a", 60.0, "{}"),
+        # type 'b': a pair crossing midnight into day1 — both still open
+        # at 00:00:30 day1, so day1's sweep must see peak 2 from the
+        # carried-in pieces alone.
+        (6, ts(0, 23, 59, 30), 8, "b", 90.0, "{}"),
+        (7, ts(0, 23, 59, 45), 8, "b", 90.0, "{}"),
+        # type 'b' day2: only one interval, peak 1 — so global peak day
+        # for 'b' is day1 (epoch day of 2024-01-02).
+        (8, ts(2, 5, 0), 8, "b", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.write.parquet(sf_dir + "/events.parquet")
+
+    got = {
+        r.event_type: (r.n_intervals, r.peak_concurrent, r.peak_epoch_day)
+        for r in concurrent_events_peak(spark, sf_dir).collect()
+    }
+    epoch_day = (day0.date() - dt.date(1970, 1, 1)).days
+    assert got["a"] == (5, 3, epoch_day)
+    # midnight-crossers: both pieces carried into day1, peak 2 there;
+    # day0 also sees 2 (they overlap before midnight) — earliest wins.
+    assert got["b"] == (3, 2, epoch_day)
+
+
+def test_label_agreement_kappa_bounds(spark):
+    """kappa is in [-1, 1], the confusion cells sum to n, and the flip
+    rate implied by the off-diagonal matches the 10%×5% mutation bound."""
+    from project_bigdata_recsys_spark.operators.quality import (
+        label_agreement_kappa,
+    )
+
+    row = label_agreement_kappa(spark, "unused").collect()[0]
+    assert row.n == 2000
+    assert row.n00 + row.n01 + row.n10 + row.n11 == row.n
+    disagree = row.n01 + row.n10
+    # mutation flips only in_sample (~10%) AND u_flip<0.05 rows
+    assert 0 < disagree < 0.02 * row.n
+    assert -1.0 <= row.kappa <= 1.0
+    assert row.p_observed > row.p_expected  # near-identical annotators
