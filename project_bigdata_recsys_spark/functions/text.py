@@ -1013,3 +1013,142 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "sym_a", "sym_b")
         .limit(k)
     )
+
+
+def bm25_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query_terms: int = 3,
+    top_docs: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval baseline: the ``n_query_terms`` globally
+    most frequent terms each rank the corpus, top ``top_docs`` documents
+    per query term (Robertson/Sparck-Jones idf, standard k1/b).
+
+    Shape at 100 TB: the (doc, term) frequency frame and per-doc lengths
+    come from ONE token explosion; query terms are a top-3 TakeOrdered
+    (heap, never a vocab sort) broadcast into the postings join, so only
+    the matching postings survive the scan.  avgdl is carried as exact
+    integer (sum_dl, n_docs) and the length normalization is computed as
+    dl·n/sum_dl — identical integer inputs on both engines, the only
+    libm call (ln) is protected by ranking on the 6-dp-rounded score.
+    The per-query top-10 window partitions on the query term; for
+    web-scale postings lists swap the window for a per-partition local
+    top-k + merge (same contract, documented here for the 1000-executor
+    deployment).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    qterms = (
+        df_t.orderBy(F.desc("total_tf"), "term")
+        .limit(n_query_terms)
+        .select("term", "doc_freq")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).crossJoin(dl.agg(F.sum("dl").cast("long").alias("__sum_dl")))
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("doc_freq") + 0.5)
+        / (F.col("doc_freq") + 0.5)
+    )
+    # dl/avgdl = dl * n_docs / sum_dl, from exact integers
+    norm = 1.0 - b + b * F.col("dl") * F.col("__n") / F.col("__sum_dl")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "bm25",
+            F.round(
+                idf * F.col("tf") * (k1 + 1.0) / (F.col("tf") + k1 * norm),
+                6,
+            ),
+        )
+    )
+    pick = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick).cast("int"))
+        .where(F.col("rk") <= top_docs)
+        .select(
+            F.col("term").alias("query_term"),
+            "rk",
+            "doc_id",
+            "tf",
+            "dl",
+            "bm25",
+        )
+        .orderBy("query_term", "rk")
+    )
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer capacity planning: what fraction of the corpus token
+    mass does a vocabulary of the top-k terms cover, for doubling k —
+    the readout that sizes a BPE/unigram vocab before training it
+    (complement of :func:`bpe_pair_counts`, which builds the merges).
+
+    Shape at 100 TB: the vocabulary frame (term, mass) is the only
+    aggregate of the corpus scan; its exact global frequency rank comes
+    from :func:`with_exact_percent_rank`'s range-shuffle recipe — NO
+    single-partition vocab sort, which matters because web vocabularies
+    run 10⁸+ terms.  Each term then joins the tiny broadcast threshold
+    list on rank ≤ k (a term contributes to every budget that admits
+    it), and the curve is a #thresholds-row rollup of exact BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("mass"))
+    )
+    ranked = with_exact_percent_rank(
+        vocab.withColumn("neg_mass", -F.col("mass")),
+        ["neg_mass", "term"],
+        "__pr",
+        rank_col="rk",
+    ).drop("neg_mass", "__pr")
+    thresholds = spark.range(0, 6).select(
+        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("k")
+    )
+    totals = vocab.agg(
+        F.sum("mass").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    return (
+        ranked.join(F.broadcast(thresholds), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("mass").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "n_terms",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

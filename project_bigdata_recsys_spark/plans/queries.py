@@ -5542,6 +5542,75 @@ ORACLES["label_agreement_kappa"] = """
     FROM agg
 """
 
+# BM25 lexical retrieval baseline (round 7): the top-3 corpus terms each
+# rank the corpus; postings-join shape, exact-integer length norm, the
+# one libm call (ln) protected by ranking on the 6-dp-rounded score.
+QUERIES["bm25_scores"] = text.bm25_scores
+ORACLES["bm25_scores"] = """
+    WITH toks AS (
+        SELECT doc_id, w AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY term),
+    q AS (SELECT term, doc_freq FROM dft
+          ORDER BY total_tf DESC, term LIMIT 3),
+    c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+    scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+               round(ln(1.0 + (c.n - q.doc_freq + 0.5) / (q.doc_freq + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * c.n / c.sum_dl)),
+                     6) AS bm25
+        FROM tf JOIN q ON tf.term = q.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN c),
+    ranked AS (
+        SELECT term AS query_term, doc_id, tf, dl, bm25,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored)
+    SELECT query_term, CAST(rk AS INT) AS rk, doc_id, tf, dl, bm25
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_term, rk
+"""
+
+# Vocabulary coverage curve (round 7): token mass covered by a top-k
+# vocabulary for doubling k — tokenizer capacity planning; exact global
+# frequency rank via the range-shuffle recipe, never a vocab-wide sort.
+QUERIES["vocab_coverage_curve"] = text.vocab_coverage_curve
+ORACLES["vocab_coverage_curve"] = """
+    WITH vocab AS (
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS mass
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY w),
+    ranked AS (
+        SELECT term, mass,
+               row_number() OVER (ORDER BY mass DESC, term) AS rk
+        FROM vocab),
+    t AS (SELECT CAST(sum(mass) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab_size
+          FROM vocab),
+    ks AS (SELECT CAST(power(2, i) AS BIGINT) AS k
+           FROM range(0, 6) AS u(i)),
+    cov AS (
+        SELECT ks.k, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(mass) AS BIGINT) AS covered_tokens
+        FROM ranked JOIN ks ON ranked.rk <= ks.k
+        GROUP BY ks.k)
+    SELECT k, n_terms, covered_tokens, total_tokens, vocab_size,
+           round(covered_tokens / total_tokens, 6) AS coverage
+    FROM cov CROSS JOIN t ORDER BY k
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

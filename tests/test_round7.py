@@ -489,3 +489,43 @@ def test_label_agreement_kappa_bounds(spark):
     assert 0 < disagree < 0.02 * row.n
     assert -1.0 <= row.kappa <= 1.0
     assert row.p_observed > row.p_expected  # near-identical annotators
+
+
+def test_bm25_scores_ranking_invariants(spark):
+    """Per query term: ranks are 1..n with scores non-increasing, every
+    score positive, and the query terms are the 3 most frequent overall."""
+    from project_bigdata_recsys_spark.functions.text import bm25_scores
+
+    rows = bm25_scores(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_term, []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.bm25 for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(s > 0 for s in scores)
+        assert len(rs) <= 10
+
+
+def test_vocab_coverage_curve_monotone(spark):
+    """Coverage is non-decreasing in k, n_terms = min(k, vocab_size),
+    and once k >= vocab_size the whole token mass is covered."""
+    from project_bigdata_recsys_spark.functions.text import (
+        vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        vocab_coverage_curve(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [1, 2, 4, 8, 16, 32]
+    cov = [r.coverage for r in rows]
+    assert all(a <= b for a, b in zip(cov, cov[1:]))
+    for r in rows:
+        assert r.n_terms == min(r.k, r.vocab_size)
+        assert r.covered_tokens <= r.total_tokens
+    assert rows[-1].k >= rows[-1].vocab_size
+    assert rows[-1].coverage == 1.0
