@@ -77,6 +77,8 @@ HEADLINE = [
     # measures the marginal rank loop, not an edge rebuild (r6 advisory)
     "item_pagerank",
     "item_pagerank_personalized",
+    # triangles reuse the same persist_shared edge frame — third consumer
+    "item_triangles",
     "snapshot_diff",
     "weighted_sample",
     "cluster_aware_split",
@@ -164,11 +166,16 @@ HEADLINE = [
     "rerank_uplift_profile",
     "stream_late_data_audit",
     "stream_merge_apply",
+    # round-7 closing wave: retrieval baseline, tokenizer planning,
+    # interval sweep-line
+    "bm25_scores",
+    "vocab_coverage_curve",
+    "concurrent_events_peak",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a
 #: persist_shared frame survives into the immediately-following entry.
-_SHARE_WITH_NEXT = {"item_pagerank"}
+_SHARE_WITH_NEXT = {"item_pagerank", "item_pagerank_personalized"}
 
 
 def main() -> None:

@@ -372,3 +372,73 @@ def item_communities(
         .orderBy(F.desc("n_parts"), F.asc("cluster_id"))
         .limit(25)
     )
+
+
+def item_triangles(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Triangle counting over the co-purchase graph — the clustering /
+    community-density primitive (a part's triangle count measures how
+    cliquish its co-purchase neighborhood is).
+
+    Scale shape: the textbook degree-ordered orientation.  Each
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, so every triangle is generated EXACTLY once as a wedge
+    (x→y, x→z) closed by y→z, and the wedge join's fan-out per node is
+    its out-degree under orientation — O(√m) max even for power-law
+    hubs, the standard O(m^1.5) bound — instead of the unbounded d²
+    a naive shared-neighbor self-join pays on hub nodes.  Per-node
+    counts explode each triangle to its 3 corners (bounded ×3), and
+    the top-k is a TakeOrdered heap, never a global sort.
+    """
+    edges = edges if edges is not None else shared_cooccurrence_edges(spark, sf_dir)
+    und = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    )
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("vdeg").alias("ydeg")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("z"), F.col("vdeg").alias("zdeg")
+    )
+    wedges = e1.join(e2, "u").where(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    )
+    tris = wedges.join(closer, ["y", "z"]).select(
+        F.col("u").alias("x"), "y", "z"
+    )
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("l_partkey")
+    )
+    per_node = corners.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    total = tris.agg(F.count(F.lit(1)).cast("long").alias("total_triangles"))
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), "l_partkey")
+        .limit(k)
+    )

@@ -5611,6 +5611,36 @@ ORACLES["vocab_coverage_curve"] = """
     FROM cov CROSS JOIN t ORDER BY k
 """
 
+# Triangle counting (round 7): degree-ordered orientation — each
+# triangle generated exactly once as an oriented wedge closed by the
+# oriented third edge (O(m^1.5) bound); oracle uses the equivalent
+# id-ordered enumeration over the a<b edge set (same triangle set).
+QUERIES["item_triangles"] = graph.item_triangles
+ORACLES["item_triangles"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM und e1
+        JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    corners AS (
+        SELECT x AS l_partkey FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    per_node AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY l_partkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+    SELECT l_partkey, n_triangles, total_triangles
+    FROM per_node CROSS JOIN t
+    ORDER BY n_triangles DESC, l_partkey
+    LIMIT 20
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -529,3 +529,21 @@ def test_vocab_coverage_curve_monotone(spark):
         assert r.covered_tokens <= r.total_tokens
     assert rows[-1].k >= rows[-1].vocab_size
     assert rows[-1].coverage == 1.0
+
+
+def test_item_triangles_literal_graph(spark):
+    """K4 plus a pendant edge: 4 triangles total, each K4 vertex in
+    exactly 3, the pendant vertex in none (so absent from the output)."""
+    import itertools
+
+    from project_bigdata_recsys_spark.functions.graph import item_triangles
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    edges = k4 + [(4, 5)]
+    sym = edges + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym], "src long, dst long, w double"
+    )
+    rows = item_triangles(spark, "unused", edges=edf).collect()
+    got = {r.l_partkey: (r.n_triangles, r.total_triangles) for r in rows}
+    assert got == {1: (3, 4), 2: (3, 4), 3: (3, 4), 4: (3, 4)}
