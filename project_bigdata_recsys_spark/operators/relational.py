@@ -1000,3 +1000,88 @@ def ddsketch_quantile_rollup(
             ),
         )
     return out.orderBy("event_type")
+
+
+def cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 15,
+) -> DataFrame:
+    """Mergeable FREQUENCY sketch layer (count-min) — completes the
+    sketch family next to :func:`hll_daily_rollup` (distinct) and
+    :func:`ddsketch_quantile_rollup` (quantiles): per-item counts can't
+    be kept exactly for an unbounded key space, so the daily state is a
+    depth×width counter grid (bucket_j(x) = md5-hash_j(x) mod width,
+    counts summed per cell) and any rollup window merges by summing
+    cells — the same keyed-sum mergeability as the other two layers.
+
+    Point estimate for an item = min over the depth rows of its cell
+    counts; CMS guarantees estimate ≥ true count (collisions only ADD),
+    and err ≤ (e/width)·N with prob 1−e^(−depth).  Both properties are
+    emitted as columns next to the exact twin for the top-k items —
+    everything md5-derived, so the sketch replays bit-for-bit in SQL.
+
+    Scale: ONE fact scan exploded ×depth (map-side combined straight
+    into ≤ days × depth × width cells, KB-sized state); the exact twin
+    is gate-only; top-k probes broadcast into the merged grid.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    )
+    j_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("l_partkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    cells = lineitem.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).select("day", "j", j_bucket.alias("bucket"))
+    # persisted daily layer: (day, j, bucket) -> count
+    daily = cells.groupBy("day", "j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # rollup merge: sum cells — the mergeable property
+    merged = daily.groupBy("j", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    exact = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    topk = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(k)
+    probes = topk.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).select("l_partkey", "exact_n", "j", j_bucket.alias("bucket"))
+    total = lineitem.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    budget = F.ceil(2.718281828 * F.col("__N") / width).cast("long")
+    return (
+        probes.join(merged, ["j", "bucket"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("n").cast("long").alias("cms_est"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+            ((F.col("cms_est") - F.col("exact_n")) <= budget).alias(
+                "within_budget"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), "l_partkey")
+    )

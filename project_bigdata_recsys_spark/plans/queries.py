@@ -5641,6 +5641,47 @@ ORACLES["item_triangles"] = """
     LIMIT 20
 """
 
+# Count-min heavy hitters (round 7): the frequency member of the
+# mergeable-sketch family — daily depth×width counter grid, rollups by
+# cell sums, min-over-rows point estimates; md5-derived buckets so the
+# whole sketch replays bit-for-bit in SQL.
+QUERIES["cms_heavy_hitters"] = relational.cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = """
+    WITH li AS (SELECT l_partkey FROM lineitem),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li, range(0, 4) AS r(j)
+        GROUP BY 1, 2),
+    exact AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+        FROM li GROUP BY 1),
+    topk AS (
+        SELECT l_partkey, exact_n FROM exact
+        ORDER BY exact_n DESC, l_partkey LIMIT 15),
+    probes AS (
+        SELECT t.l_partkey, t.exact_n, r.j,
+               ('0x' || substr(md5('cms' || CAST(r.j AS VARCHAR) || ':'
+                                   || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 256 AS bucket
+        FROM topk t, range(0, 4) AS r(j)),
+    est AS (
+        SELECT p.l_partkey, p.exact_n,
+               CAST(min(c.n) AS BIGINT) AS cms_est
+        FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+        GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM li)
+    SELECT l_partkey, exact_n, cms_est,
+           cms_est >= exact_n AS overestimates,
+           (cms_est - exact_n)
+               <= CAST(ceil(2.718281828 * N / 256) AS BIGINT) AS within_budget
+    FROM est CROSS JOIN tot
+    ORDER BY exact_n DESC, l_partkey
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -547,3 +547,18 @@ def test_item_triangles_literal_graph(spark):
     rows = item_triangles(spark, "unused", edges=edf).collect()
     got = {r.l_partkey: (r.n_triangles, r.total_triangles) for r in rows}
     assert got == {1: (3, 4), 2: (3, 4), 3: (3, 4), 4: (3, 4)}
+
+
+def test_cms_heavy_hitters_guarantee(spark):
+    """The CMS one-sided guarantee: every estimate >= the exact count
+    (collisions only add), ranks are by exact count, 15 rows."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 15
+    assert all(r.overestimates for r in rows)
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    exacts = [r.exact_n for r in rows]
+    assert exacts == sorted(exacts, reverse=True)
