@@ -419,3 +419,48 @@ def test_pit_join_is_hash_family_not_nested_loop(spark):
     plan = _physical(pit_segment_rollup(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_concurrent_events_peak_prunes_scan_no_cartesian(spark):
+    """The sweep reads only (event_type, ts, value) from the events scan
+    and every join is keyed — no cartesian products."""
+    plan = _physical(analytics.concurrent_events_peak(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:500]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"event_type", "ts", "value"}, cols
+
+
+def test_bm25_query_terms_broadcast(spark):
+    """The 3-term query list and the 1-row corpus stats broadcast into
+    the postings join; nothing plans as a cartesian product."""
+    from project_bigdata_recsys_spark.functions.text import bm25_scores
+
+    plan = _physical(bm25_scores(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_item_triangles_all_joins_keyed(spark):
+    """Wedge generation and closure are equi-joins (hash/sort-merge) —
+    the degree orientation must never fall back to a cartesian plan."""
+    from project_bigdata_recsys_spark.functions.graph import item_triangles
+
+    plan = _physical(item_triangles(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_layer_single_fact_scan_per_side(spark):
+    """The sketch grid comes from ONE exploded scan (map-side combined);
+    the probe side broadcasts — no cartesian, no row-at-a-time Python."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        cms_heavy_hitters,
+    )
+
+    plan = _physical(cms_heavy_hitters(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
