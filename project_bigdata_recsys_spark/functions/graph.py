@@ -442,3 +442,67 @@ def item_triangles(
         .orderBy(F.desc("n_triangles"), "l_partkey")
         .limit(k)
     )
+
+
+def item_similar_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    top_items: int = 50,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Item-to-item serving table: for each of the ``top_items`` most
+    co-purchased parts, its top-k neighbors by Salton cosine
+    c_ab / √(c_a·c_b) — the degree-normalized similarity that, unlike
+    raw co-counts (the reference KB's measure) and unlike PMI's
+    rare-pair amplification, is the standard i2i collaborative-filtering
+    score.
+
+    Shape: FOURTH consumer of the persist_shared co-occurrence edge
+    frame (both directions, so each src row already carries its full
+    neighbor list); margins broadcast; the per-src top-k window
+    partitions on src with bounded neighbor counts.  Ranking compares
+    the 6-dp-rounded score (√ is IEEE-exact, so even the raw doubles
+    agree — the round is belt-and-braces), dst tie-break.
+    """
+    from pyspark.sql import Window
+
+    edges = edges if edges is not None else shared_cooccurrence_edges(spark, sf_dir)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    margins = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    anchors = (
+        margins.orderBy(F.desc("c"), "l_partkey")
+        .limit(top_items)
+        .select(F.col("l_partkey").alias("src"), F.col("c").alias("c_src"))
+    )
+    scored = (
+        edges.join(F.broadcast(anchors), "src")
+        .join(
+            F.broadcast(
+                margins.select(
+                    F.col("l_partkey").alias("dst"), F.col("c").alias("c_dst")
+                )
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("w").cast("long").alias("c_ab"),
+            F.round(
+                F.col("w") / F.sqrt(F.col("c_src") * F.col("c_dst")), 6
+            ).alias("salton"),
+        )
+    )
+    pick = Window.partitionBy("src").orderBy(
+        F.col("salton").desc(), F.col("dst")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("src", "rk", "dst", "c_ab", "salton")
+        .orderBy("src", "rk")
+    )

@@ -455,3 +455,77 @@ def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_expected"),
         F.round((p_o - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
     )
+
+
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source — the corpus-QA screen for "does some source over-contribute
+    a language" (a skewed contingency means per-source language mixes
+    need rebalancing before training).
+
+    One scan → contingency cells; row/column margins are two tiny
+    re-aggregations of the cell frame (never a rescan); expected counts
+    and per-cell contributions derive from exact BIGINTs, and the
+    chi-square total sums MICRO-quantized contributions as integers so
+    partition order can't wiggle the printed statistic.  Output: the
+    top-15 contributing cells with the shared total and degrees of
+    freedom on every row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    row_tot = cells.groupBy("lang").agg(
+        F.sum("observed").cast("long").alias("lang_n")
+    )
+    col_tot = cells.groupBy("source").agg(
+        F.sum("observed").cast("long").alias("source_n")
+    )
+    n_row = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct("lang").cast("long").alias("__n_langs"),
+        F.countDistinct("source").cast("long").alias("__n_sources"),
+    )
+    expected = F.col("lang_n") * F.col("source_n") / F.col("__n")
+    contrib = (F.col("observed") - expected) * (
+        F.col("observed") - expected
+    ) / expected
+    scored = (
+        cells.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            # ddsketch pattern: settle the 6-dp value FIRST, then
+            # quantize — the micro step never lands near a .5 tie
+            F.round(F.round(contrib, 6) * 1e6).cast("long").alias(
+                "__contrib_micro"
+            ),
+            "__n_langs",
+            "__n_sources",
+        )
+    )
+    totals = scored.agg(
+        F.round(F.sum("__contrib_micro") / 1e6, 6).alias("chi2_stat"),
+        F.max(
+            (F.col("__n_langs") - 1) * (F.col("__n_sources") - 1)
+        ).alias("dof"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            "expected",
+            "contrib",
+            "chi2_stat",
+            "dof",
+        )
+        .orderBy(F.desc("contrib"), "lang", "source")
+        .limit(15)
+    )

@@ -5682,6 +5682,82 @@ ORACLES["cms_heavy_hitters"] = """
     ORDER BY exact_n DESC, l_partkey
 """
 
+# Item-to-item serving table (round 7): Salton cosine over the shared
+# co-occurrence edges — degree-normalized i2i similarity, per-anchor
+# top-k; fourth consumer of the persist_shared edge frame.
+QUERIES["item_similar_neighbors"] = graph.item_similar_neighbors
+ORACLES["item_similar_neighbors"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT src, dst, w FROM half
+        UNION ALL SELECT dst, src, w FROM half),
+    margins AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                FROM basket GROUP BY 1),
+    anchors AS (
+        SELECT l_partkey AS src, c AS c_src FROM margins
+        ORDER BY c DESC, l_partkey LIMIT 50),
+    scored AS (
+        SELECT e.src, e.dst, e.w AS c_ab,
+               round(e.w / sqrt(a.c_src * m.c), 6) AS salton
+        FROM edges e
+        JOIN anchors a ON e.src = a.src
+        JOIN margins m ON e.dst = m.l_partkey),
+    ranked AS (
+        SELECT src, dst, c_ab, salton,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY salton DESC, dst) AS rk
+        FROM scored)
+    SELECT src, CAST(rk AS INT) AS rk, dst, c_ab, salton
+    FROM ranked WHERE rk <= 5
+    ORDER BY src, rk
+"""
+
+# Language × source independence (round 7): chi-square contingency QA —
+# exact BIGINT cells/margins, micro-quantized contributions summed as
+# integers so partition order can't wiggle the statistic.
+QUERIES["lang_source_chi2"] = quality.lang_source_chi2
+ORACLES["lang_source_chi2"] = """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+        FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS lang_n
+           FROM cells GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(observed) AS BIGINT) AS source_n
+           FROM cells GROUP BY source),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           FROM documents),
+    scored AS (
+        SELECT c.lang, c.source, c.observed,
+               round(rt.lang_n * ct.source_n / nn.n, 6) AS expected,
+               round((c.observed - rt.lang_n * ct.source_n / nn.n)
+                     * (c.observed - rt.lang_n * ct.source_n / nn.n)
+                     / (rt.lang_n * ct.source_n / nn.n), 6) AS contrib,
+               CAST(round(round((c.observed - rt.lang_n * ct.source_n / nn.n)
+                     * (c.observed - rt.lang_n * ct.source_n / nn.n)
+                     / (rt.lang_n * ct.source_n / nn.n), 6) * 1e6) AS BIGINT)
+                   AS contrib_micro,
+               nn.n_langs, nn.n_sources
+        FROM cells c
+        JOIN rt ON c.lang = rt.lang
+        JOIN ct ON c.source = ct.source
+        CROSS JOIN nn),
+    t AS (SELECT round(sum(contrib_micro) / 1e6, 6) AS chi2_stat,
+                 CAST(max((n_langs - 1) * (n_sources - 1)) AS BIGINT) AS dof
+          FROM scored)
+    SELECT lang, source, observed, expected, contrib, chi2_stat, dof
+    FROM scored CROSS JOIN t
+    ORDER BY contrib DESC, lang, source
+    LIMIT 15
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -562,3 +562,38 @@ def test_cms_heavy_hitters_guarantee(spark):
     assert all(r.cms_est >= r.exact_n for r in rows)
     exacts = [r.exact_n for r in rows]
     assert exacts == sorted(exacts, reverse=True)
+
+
+def test_item_similar_neighbors_salton_bounds(spark):
+    """Salton cosine lives in (0, 1] (c_ab <= sqrt(c_a*c_b)), per-anchor
+    ranks are contiguous from 1, at most 50 anchors emitted."""
+    from project_bigdata_recsys_spark.functions.graph import (
+        item_similar_neighbors,
+    )
+
+    rows = item_similar_neighbors(spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in rows:
+        assert 0 < r.salton <= 1.0, r
+        by_src.setdefault(r.src, []).append(r.rk)
+    assert len(by_src) <= 50
+    for rks in by_src.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_lang_source_chi2_structure(spark):
+    """Contributions are non-negative, the statistic bounds every cell's
+    contribution, and dof = (langs-1)(sources-1) for the shipped corpus."""
+    from project_bigdata_recsys_spark.operators.quality import (
+        lang_source_chi2,
+    )
+
+    rows = lang_source_chi2(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    stat = rows[0].chi2_stat
+    for r in rows:
+        assert r.contrib >= 0
+        assert r.chi2_stat == stat
+        assert stat >= r.contrib - 1e-6
+        assert r.expected > 0
+    assert rows[0].dof == (5 - 1) * (20 - 1)
