@@ -4362,14 +4362,20 @@ _GATE_WINDOW = [
     "scalar_functions",
     "union_dedup",
     "anti_join_new_keys",
-    "semi_join_filter",
-    "cooccurrence_pairs",
-    "sample_deterministic",
-    "data_quality_report",
-    "cube_totals",
-    "percentile_stats",
-    "pivot_status_by_priority",
-    "cheapest_order_per_customer",
+    # -- new in the round-7 closing session: first driver evidence -------
+    # (displaced the tail of the stale-r1 block — semi_join_filter,
+    # cooccurrence_pairs, sample_deterministic, data_quality_report,
+    # cube_totals, percentile_stats, pivot_status_by_priority,
+    # cheapest_order_per_customer — all regression-guarded every test run
+    # by test_oracle_parity; they join the r8 rotation backlog)
+    "concurrent_events_peak",
+    "label_agreement_kappa",
+    "bm25_scores",
+    "vocab_coverage_curve",
+    "item_triangles",
+    "cms_heavy_hitters",
+    "item_similar_neighbors",
+    "lang_source_chi2",
     # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
     "ddsketch_quantile_rollup",
     "stream_value_quantiles",
