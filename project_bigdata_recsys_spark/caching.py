@@ -17,9 +17,41 @@ unlike ``clearCache()``, caller-owned cached tables survive.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+# ---------------------------------------------------------------------------
+# Scratch-dir registry: every temp dir this engine writes (stream
+# checkpoints, merge staging, parquet-backed shared memos like the CC
+# labeling / simhash-band / ANN indexes) registers here and is removed at
+# process exit.  Removal must NOT happen mid-session: lazily-evaluated
+# frames returned to callers may still read staged parquet after
+# release_tracked(), and the shared memos are the whole point of the
+# shared tier — so the lifecycle is process-scoped, which bounds /tmp
+# growth to one run instead of accumulating across repeated sessions.
+# ---------------------------------------------------------------------------
+
+_SCRATCH: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for removal at process exit."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH.append(d)
+    return d
+
+
+def _purge_scratch() -> None:
+    while _SCRATCH:
+        shutil.rmtree(_SCRATCH.pop(), ignore_errors=True)
+
+
+atexit.register(_purge_scratch)
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:

@@ -754,6 +754,7 @@ def split_source_audit(
     sf_dir: str,
     train_frac: float = 0.8,
     valid_frac: float = 0.1,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The labeling-REUSE contract as one benchable query: a single
     banded-simhash + connected-components pass labels the corpus, and
@@ -777,8 +778,11 @@ def split_source_audit(
     from project_bigdata_recsys_spark.sources.ingest import hash_uniform
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs_for(docs, sort=False)
-    comps = connected_components(pairs)
+    if components is None:
+        pairs = simhash_near_pairs_for(docs, sort=False)
+        comps = connected_components(pairs)
+    else:
+        comps = components
     labeled = (
         docs.select("doc_id", "source")
         .join(comps, "doc_id", "left")
@@ -865,5 +869,18 @@ def cluster_aware_split_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.functions.dedup import shared_components
 
     return cluster_aware_split(
+        spark, sf_dir, components=shared_components(spark, sf_dir)
+    )
+
+
+def split_source_audit_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`split_source_audit`: loads the
+    parquet-backed nightly labeling (dedup.shared_components) instead of
+    re-running pair generation + CC — identical output by the
+    ``components=`` reuse contract, same oracle; benches the marginal
+    two-rollup cost of the real nightly contract."""
+    from project_bigdata_recsys_spark.functions.dedup import shared_components
+
+    return split_source_audit(
         spark, sf_dir, components=shared_components(spark, sf_dir)
     )

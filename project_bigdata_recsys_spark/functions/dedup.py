@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_bigdata_recsys_spark.caching import persist_tracked
+from project_bigdata_recsys_spark.caching import persist_tracked, scratch_dir
 from project_bigdata_recsys_spark.catalog import fan_out, load_table
 from project_bigdata_recsys_spark.functions.text import tokens
 
@@ -1148,14 +1148,24 @@ def probe_dedup_index(
     )
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
     """End-to-end near-dup clustering: banded SimHash pairs → connected
     components → cluster summary.  Deterministic end-to-end (md5-based
     simhash + min-label components), so the driver oracle-checks it via a
-    recursive-CTE connected components in DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs_for(docs, sort=False)
-    comps = connected_components(pairs)
+    recursive-CTE connected components in DuckDB.
+
+    ``components=`` takes a precomputed labeling (the nightly
+    :func:`shared_components` parquet) so production consumers pay only
+    the cluster rollup, not a fresh pair+CC pass per query — the same
+    reuse contract as source_dup_attribution / cluster_aware_split."""
+    if components is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = simhash_near_pairs_for(docs, sort=False)
+        comps = connected_components(pairs)
+    else:
+        comps = components
     return (
         comps.groupBy("cluster_id")
         .agg(
@@ -1165,6 +1175,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") >= 2)
         .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
+
+
+def near_dup_clusters_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`near_dup_clusters`: loads the
+    parquet-backed nightly labeling (:func:`shared_components`) —
+    identical output by the ``components=`` reuse contract, same oracle;
+    benches the marginal cluster-rollup cost of the real nightly
+    contract instead of a fresh pair+CC pass."""
+    return near_dup_clusters(
+        spark, sf_dir, components=shared_components(spark, sf_dir)
     )
 
 
@@ -1414,14 +1435,14 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers recompute only because the driver corpus ships no prior
     state; the ``_reused`` query variants bench the marginal cost."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CC_LABELING:
         path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_cc_labeling_"), "components"
+            scratch_dir(prefix="spark_cc_labeling_"), "components"
         )
         connected_components(
             simhash_near_pairs_for(
@@ -1445,7 +1466,7 @@ def shared_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
     degenerate-key cap the inline pair generator applies, moved to the
     one-time index write.  Returns the parquet path."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table
 
@@ -1471,7 +1492,7 @@ def shared_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
             F.count(F.lit(1)).alias("__n")
         )
         path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_simhash_bands_"), "bands"
+            scratch_dir(prefix="spark_simhash_bands_"), "bands"
         )
         (
             bands.join(counts, ["band_no", "k"])

@@ -374,6 +374,67 @@ def item_communities(
     )
 
 
+def _orient_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected (src, dst, w) edge
+    frame: each edge points from its lower-(degree, id) endpoint to the
+    higher one — returns (u, v, vdeg).  Shared by the triangle count and
+    any wedge-style consumer; the degree computation and the two
+    annotation joins run once per materialization."""
+    und = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    )
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    )
+
+
+def shared_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-ordered oriented edge frame, persisted once per
+    (session, sf) — r7 advisory: item_triangles and every other wedge
+    consumer re-derived degrees + orientation from the shared edge frame
+    per call; this tier makes the orientation itself a one-time cost."""
+    from project_bigdata_recsys_spark.caching import persist_shared
+
+    key = f"cooc-oriented:{spark.sparkContext.applicationId}:{sf_dir}"
+    return persist_shared(
+        key, lambda: _orient_edges(shared_cooccurrence_edges(spark, sf_dir))
+    )
+
+
+def shared_item_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part distinct-basket counts (l_partkey, c), persisted once
+    per (session, sf) — the margin frame item_similar_neighbors (and
+    any Salton/lift-style scorer) normalizes by; one basket scan +
+    groupBy instead of one per query."""
+    from project_bigdata_recsys_spark.caching import persist_shared
+
+    def build() -> DataFrame:
+        basket = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        return basket.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    key = f"item-margins:{spark.sparkContext.applicationId}:{sf_dir}"
+    return persist_shared(key, build)
+
+
 def item_triangles(
     spark: SparkSession,
     sf_dir: str,
@@ -394,25 +455,10 @@ def item_triangles(
     counts explode each triangle to its 3 corners (bounded ×3), and
     the top-k is a TakeOrdered heap, never a global sort.
     """
-    edges = edges if edges is not None else shared_cooccurrence_edges(spark, sf_dir)
-    und = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
-    deg = (
-        und.select(F.col("src").alias("node"))
-        .unionByName(und.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    with_deg = (
-        und.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src")
-        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst")
-    )
-    src_first = (F.col("sdeg") < F.col("ddeg")) | (
-        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
-    )
-    oriented = with_deg.select(
-        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    oriented = (
+        shared_oriented_edges(spark, sf_dir)
+        if edges is None
+        else _orient_edges(edges)
     )
     e1 = oriented.select(
         F.col("u"), F.col("v").alias("y"), F.col("vdeg").alias("ydeg")
@@ -468,11 +514,7 @@ def item_similar_neighbors(
     from pyspark.sql import Window
 
     edges = edges if edges is not None else shared_cooccurrence_edges(spark, sf_dir)
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    margins = basket.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    margins = shared_item_margins(spark, sf_dir)
     anchors = (
         margins.orderBy(F.desc("c"), "l_partkey")
         .limit(top_items)

@@ -732,13 +732,21 @@ def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     day_us = 86_400_000_000
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("start_us"),
-        (
-            F.unix_micros(F.col("ts"))
-            + F.round(F.col("value") * 1_000_000).cast("long")
-        ).alias("end_us"),
+    # Guard: only positive durations enter the sweep.  round(value·1e6) ≤ 0
+    # would make F.sequence(lo_day, hi_day) DESCEND (hi < lo), emitting
+    # spurious edge rows where the oracle's range(a, b+1) is empty —
+    # mutate_with_noise clamps values to exactly 0.0, so zero is reachable.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("start_us"),
+            (
+                F.unix_micros(F.col("ts"))
+                + F.round(F.col("value") * 1_000_000).cast("long")
+            ).alias("end_us"),
+        )
+        .filter(F.col("end_us") > F.col("start_us"))
     )
     pieces = (
         ev.withColumn(

@@ -241,15 +241,22 @@ def merge_into_partitioned(
        overwrite — untouched partitions are never read OR rewritten.
 
     Single-writer semantics (no commit protocol — concurrent writers
-    need a real table format, documented); crash-safety comes from the
-    staging write: the target is only replaced after the merge
-    materialized.  Returns the touched partition values.
+    need a real table format, documented).  The staging write prevents
+    the read-then-overwrite self-conflict (step 3 never reads the
+    partitions it is replacing), but the final dynamic-partition
+    overwrite is itself NOT atomic: a crash mid-overwrite can leave the
+    touched partitions half-written, and recovery is re-running the
+    overwrite from the still-present staged output (or the whole merge).
+    True crash atomicity — like multi-writer — needs a real table
+    format's commit protocol.  The partitionOverwriteMode conf flip is
+    session-global; do not run this concurrently with other writers in
+    the same session.  Returns the touched partition values.
 
     Scale: cost is O(touched partitions + batch), never O(table) — the
     same partition-scoped discipline as backfill_plan, now on the write
     path."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.operators.snapshot import (
         cdc_current_view,
@@ -267,7 +274,7 @@ def merge_into_partitioned(
         updates.withColumn("__seq", F.lit(1)).withColumn("__op", F.lit("I"))
     )
     merged = cdc_current_view(changelog, key_cols, "__seq", "__op")
-    staging = os.path.join(tempfile.mkdtemp(prefix="spark_merge_"), "stage")
+    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
     merged.write.mode("overwrite").parquet(staging)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -288,7 +295,7 @@ def merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per status — the oracle replays the upsert in SQL, so the hash
     match proves the merge wrote exactly latest-wins ∪ untouched."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
@@ -303,7 +310,7 @@ def merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM").alias("part"),
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="spark_merge_gate_"), "t")
+    target = os.path.join(scratch_dir(prefix="spark_merge_gate_"), "t")
     orders.write.mode("overwrite").partitionBy("part").parquet(target)
 
     key = F.col("o_orderkey")
@@ -362,7 +369,7 @@ def merge_apply_changelog(
     the touched partition values."""
     import os
     import shutil
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.operators.snapshot import (
         cdc_current_view,
@@ -381,7 +388,7 @@ def merge_apply_changelog(
         seq_col,
         op_col,
     )
-    staging = os.path.join(tempfile.mkdtemp(prefix="spark_merge_"), "stage")
+    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -415,7 +422,7 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     query shares ``cdc_current_view``'s oracle verbatim, proving the
     streamed merge applied exactly latest-wins ∪ deletes."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table, table_path
     from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
@@ -430,7 +437,7 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM").alias("part"),
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="spark_smerge_"), "t")
+    target = os.path.join(scratch_dir(prefix="spark_smerge_"), "t")
     orders.write.mode("overwrite").partitionBy("part").parquet(target)
 
     schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
@@ -470,14 +477,22 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, target, batch_df, ["o_orderkey"], "part"
         )
 
-    ck = os.path.join(tempfile.mkdtemp(prefix="spark_ck_"), "ck")
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
     q = (
         changelog.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination returns False on timeout with the query STILL
+    # RUNNING — reading the target then would profile a half-merged
+    # table; fail loudly instead
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_merge_apply: availableNow merge did not finish in 600s"
+            + (f" (query error: {q.exception()})" if q.exception() else "")
+        )
     return (
         spark.read.parquet(target)
         .groupBy("o_orderstatus")

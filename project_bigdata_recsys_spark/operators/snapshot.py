@@ -253,7 +253,7 @@ def scd2_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = orders.filter(hash_uniform(key, "cdc-upd:") < 0.05).select(
         "o_orderkey", "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.01, 2).alias("o_totalprice"),
+        bump_price_cents(F.col("o_totalprice")).alias("o_totalprice"),
         F.lit(1).alias("seq"), F.lit("U").alias("op"),
     )
     deletes = orders.filter(hash_uniform(key, "cdc-del:") < 0.02).select(

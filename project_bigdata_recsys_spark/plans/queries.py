@@ -182,7 +182,7 @@ def _incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.  Row-identical to the inline form by construction, so it
     shares the SAME DuckDB oracle as `incremental_dedup` — a red row
     here means the index path diverged from the one-shot path."""
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.functions.dedup import (
@@ -191,7 +191,7 @@ def _incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_dedup_index,
     )
 
-    index_dir = tempfile.mkdtemp(prefix="spark_dedup_index_") + "/idx"
+    index_dir = scratch_dir(prefix="spark_dedup_index_") + "/idx"
     build_dedup_index(spark, sf_dir, index_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return probe_dedup_index(spark, index_dir, planted_ingest_batch(docs))
@@ -202,12 +202,12 @@ def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     span index into a temp dir, then probe it with the planted ingest
     batch (same batch as the incremental minhash path) — every batch
     span classified dup-vs-corpus / dup-intra-batch / new, per lang."""
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.functions.dedup import planted_ingest_batch
 
-    index_dir = tempfile.mkdtemp(prefix="spark_span_index_") + "/idx"
+    index_dir = scratch_dir(prefix="spark_span_index_") + "/idx"
     spans.build_span_index(spark, sf_dir, index_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return spans.probe_span_index(spark, index_dir, planted_ingest_batch(docs))
@@ -4318,83 +4318,71 @@ ORACLES["split_source_audit"] = f"""
 # the FIRST 50 keys of QUERIES, so ordering is the rotation mechanism and
 # this block — which must stay the LAST statement touching QUERIES, since
 # later registrations would append BELOW the window and never be gated
-# (the round-5 late-wave mistake) — pins the window explicitly:
-#   1-5    registered after the r6 gate snapshot: never driver-checked,
-#   6-13   changed in round 7 (integer-cents bump fix for the r5/r6
-#          cdc_current_view red + everything the mutated snapshot feeds,
-#          gap-safe rolling window, fuzzy second blocking key, shared
-#          PageRank edge frame) — new queries added later this round
-#          replace tail backfill slots,
-#   14-50  backfill with the entries whose last driver evidence is oldest
-#          (the r1 relational core, no driver row since r4).
-# Still below the window after this rotation: 10 r1 relational/window
-# queries + 6 r2 text profiles — next-oldest, rotate in round 8.
-# Everything below the window stays regression-guarded every test run by
-# tests/test_oracle_parity.py (same oracles, sf0.001).
+# (the round-5 late-wave mistake) — pins the window explicitly.
+# Round-8 rotation (VERDICT r7 task #1): the 33 queries whose driver
+# evidence was 5-6 rounds stale — the 27-query r1 relational/window core
+# and the 6 r2 text profiles — take slots 1-33; the remaining 17 slots
+# backfill with the oldest-r4 evidence block.  New queries added this
+# round replace tail backfill slots (r4 entries then rejoin the r9
+# backlog).  After this rotation nothing in the registry has driver
+# evidence older than round 4.  Everything below the window stays
+# regression-guarded every test run by tests/test_oracle_parity.py
+# (same oracles, sf0.001).
 _GATE_WINDOW = [
-    # -- never driver-checked (registered after the r6 gate snapshot) ----
-    "item_pagerank_personalized",
-    "prefix_cache_savings",
-    "packing_efficiency_sweep",
-    "monthly_growth",
-    "embedding_dim_profile",
-    # -- changed in round 7: needs fresh driver evidence ------------------
-    "cdc_current_view",       # integer-cents bump fix (r5/r6 red)
-    "snapshot_diff",          # same bump feeds the mutated snapshot
-    "psi_drift",
-    "backfill_plan",          # + row-count XOR-cancellation guard
-    "schema_drift_report",
-    "rolling_distinct_users",  # RANGE-on-day-ordinal frame
-    "fuzzy_name_matches",      # q-gram second blocking key
-    "item_pagerank",           # shared edge frame with personalized twin
-    # -- oldest driver evidence (r1, no row since r4): re-verify ----------
-    "course_stats",
-    "label_histogram",
-    "user_activity",
-    "distinct_counts",
-    "conditional_pivot",
-    "time_range_filter",
-    "derived_projection",
-    "top_k_orders",
-    "null_handling",
-    "multiway_join",
-    "rollup_totals",
-    "scalar_functions",
-    "union_dedup",
-    "anti_join_new_keys",
-    # -- new in the round-7 closing session: first driver evidence -------
-    # (displaced the tail of the stale-r1 block — semi_join_filter,
-    # cooccurrence_pairs, sample_deterministic, data_quality_report,
-    # cube_totals, percentile_stats, pivot_status_by_priority,
-    # cheapest_order_per_customer — all regression-guarded every test run
-    # by test_oracle_parity; they join the r8 rotation backlog)
-    "concurrent_events_peak",
-    "label_agreement_kappa",
-    "bm25_scores",
-    "vocab_coverage_curve",
-    "item_triangles",
-    "cms_heavy_hitters",
-    "item_similar_neighbors",
-    "lang_source_chi2",
-    # -- new in round 7: mergeable quantile-sketch layer + streaming twin --
-    "ddsketch_quantile_rollup",
-    "stream_value_quantiles",
-    "merge_upsert_profile",
-    "bpe_pair_counts",
-    "rerank_uplift_profile",
-    "stream_late_data_audit",
-    "stream_merge_apply",
-    # -- changed in round 7 (dedup-ids-before-vectors verify; norm hoist) --
-    "stream_semantic_dedup",
-    "semantic_contamination",
-    # -- new in round 7: two-stage rerank + streaming CDC apply ----------
-    "ann_rerank",
-    "stream_cdc_current",
-    # -- new in round 7: production-form twins (shared labeling / index) --
-    "source_dup_attribution_reused",
-    "cluster_aware_split_reused",
-    "incremental_components_fold",
-    "stream_semantic_dedup_probe",
+    # -- r1 relational/window core (driver evidence stale since round 1) --
+    "running_total",
+    "moving_avg_range",
+    "ntile_quartiles",
+    "order_gaps",
+    "priority_union_all",
+    "latest_order_per_customer",
+    "drift_lag",
+    "top_n_per_group",
+    "customers_intersect",
+    "customers_except",
+    "quantity_band_stats",
+    "price_tier_join",
+    "grouping_sets_stats",
+    "big_orders",
+    "small_quantity_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
+    "paginated_orders",
+    "semi_join_filter",
+    "cooccurrence_pairs",
+    "sample_deterministic",
+    "data_quality_report",
+    "cube_totals",
+    "percentile_stats",
+    "pivot_status_by_priority",
+    "cheapest_order_per_customer",
+    "time_rollup",
+    # -- r2 text profiles (stale since round 2) ---------------------------
+    "doc_quality_profile",
+    "lang_profile",
+    "doc_fingerprints",
+    "token_stats",
+    "lang_id_confusion",
+    "pii_redaction_profile",
+    # -- backfill: oldest r4 evidence (rotate forward; tail slots yield
+    #    to queries newly added in round 8) -------------------------------
+    "json_extraction",
+    "events_per_day",
+    "event_rate",
+    "exact_duplicates",
+    "minhash_candidates",
+    "simhash_near_pairs",
+    "near_dup_clusters",
+    "token_frequencies",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "synthetic_interactions",
+    "mutated_interactions",
+    "chunk_documents",
+    "embedding_stats",
+    "knn_brute_force",
+    "rolling_median",
+    "stream_tumbling_counts",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -5187,6 +5175,13 @@ QUERIES["cluster_aware_split_reused"] = curation.cluster_aware_split_reused
 ORACLES["cluster_aware_split_reused"] = ORACLES["cluster_aware_split"]
 QUERIES["incremental_components_fold"] = dedup.incremental_components_fold
 ORACLES["incremental_components_fold"] = ORACLES["incremental_components"]
+# round 8: the remaining two CC-family consumers get the same reuse
+# contract, so the bench headline stops re-measuring the identical
+# labeling build four times (VERDICT r7 task #2)
+QUERIES["near_dup_clusters_reused"] = dedup.near_dup_clusters_reused
+ORACLES["near_dup_clusters_reused"] = ORACLES["near_dup_clusters"]
+QUERIES["split_source_audit_reused"] = curation.split_source_audit_reused
+ORACLES["split_source_audit_reused"] = ORACLES["split_source_audit"]
 QUERIES["stream_semantic_dedup_probe"] = replay.stream_semantic_dedup_probe
 ORACLES["stream_semantic_dedup_probe"] = ORACLES["stream_semantic_dedup"]
 
@@ -5461,7 +5456,8 @@ ORACLES["concurrent_events_peak"] = """
         SELECT event_type,
                epoch_us(ts) AS start_us,
                epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS end_us
-        FROM events),
+        FROM events
+        WHERE CAST(round(value * 1000000) AS BIGINT) > 0),
     pieces AS (
         SELECT event_type, day,
                greatest(start_us, day * 86400000000) AS lo,

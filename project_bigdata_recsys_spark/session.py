@@ -62,6 +62,28 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Streaming state store: the default HDFS-backed provider keeps
+        # every key's state ON-HEAP per executor — the known scale cliff
+        # when keyed streaming state (stateful features, dedup indexes,
+        # CDC current views) grows past executor heap at 100x key
+        # cardinality.  RocksDBStateStoreProvider spills state to local
+        # SSD with incremental checkpointing (the rocksdbjni jar ships in
+        # the Spark distro).  Runtime-settable SQL conf, read at stream
+        # START: flipping it affects new queries, not running ones.
+        # Default stays hdfs for test determinism/speed at small state;
+        # production deploys set SPARK_GRAFT_STATE_STORE=rocksdb.
+        # Both providers are equivalence-pinned in tests/test_round8.py.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+                if os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower()
+                == "rocksdb"
+                else "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

@@ -125,10 +125,10 @@ def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts diverge and the gate row go red.
     """
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    snap = os.path.join(tempfile.mkdtemp(prefix="spark_csv_snapshot_"), "orders_csv")
+    snap = os.path.join(scratch_dir(prefix="spark_csv_snapshot_"), "orders_csv")
     # S8: CSV snapshot sink (header'd, engine-parallel writer)
     orders.write.mode("overwrite").option("header", True).csv(snap)
 
@@ -267,10 +267,10 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows must all be coerced/dropped, so the per-lang counts equal the
     oracle's counts over the original parquet."""
     import os
-    import tempfile
+    from project_bigdata_recsys_spark.caching import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    snap = os.path.join(tempfile.mkdtemp(prefix="spark_jsonl_"), "docs_jsonl")
+    snap = os.path.join(scratch_dir(prefix="spark_jsonl_"), "docs_jsonl")
     docs.write.mode("overwrite").json(snap)
 
     bad_lines = [

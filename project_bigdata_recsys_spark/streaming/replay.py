@@ -10,7 +10,7 @@ so the driver's DuckDB oracle can check streaming semantics exactly
 from __future__ import annotations
 
 import os
-import tempfile
+from project_bigdata_recsys_spark.caching import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +34,7 @@ BOOTSTRAP_SNAPSHOT = [
 
 def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
     name = f"replay_{uuid.uuid4().hex[:12]}"
-    ck = os.path.join(tempfile.mkdtemp(prefix="spark_ck_"), "ck")
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -79,7 +79,7 @@ def stream_bootstrapped_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         BOOTSTRAP_SNAPSHOT,
         "user_id long, event_type string, n_events long, total_value double",
     )
-    work = tempfile.mkdtemp(prefix="spark_boot_")
+    work = scratch_dir(prefix="spark_boot_")
     stream = bootstrapped_feature_stream(spark, sf_dir, snapshot, work)
     table = _run_replay(stream, spark, "update")
     return (
@@ -161,7 +161,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from project_bigdata_recsys_spark.catalog import normalize_events, table_path
 
-    work = tempfile.mkdtemp(prefix="spark_dedup_replay_")
+    work = scratch_dir(prefix="spark_dedup_replay_")
     src = table_path(sf_dir, "events")
     f1 = os.path.join(work, "00_events.parquet")
     f2 = os.path.join(work, "01_events_again.parquet")
@@ -253,7 +253,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.functions.dedup import planted_ingest_batch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    work = tempfile.mkdtemp(prefix="spark_ingest_dedup_")
+    work = scratch_dir(prefix="spark_ingest_dedup_")
     batch_dir = os.path.join(work, "batch")
     fp_dir = os.path.join(work, "index", "fingerprints")
     planted_ingest_batch(docs).write.parquet(batch_dir)
@@ -332,7 +332,7 @@ def stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    work = tempfile.mkdtemp(prefix="spark_stream_span_")
+    work = scratch_dir(prefix="spark_stream_span_")
     batch_dir = os.path.join(work, "batch")
     index_dir = os.path.join(work, "span_index")
     planted_ingest_batch(docs).write.parquet(batch_dir)
@@ -391,7 +391,7 @@ def prepare_semantic_index(
     if key not in _SEMANTIC_INDEX:
         emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
         train = emb.filter(F.col("vec_id") < split_at)
-        work = tempfile.mkdtemp(prefix="spark_semantic_dedup_")
+        work = scratch_dir(prefix="spark_semantic_dedup_")
         index_dir = os.path.join(work, "ann_index")
         vec_dir = os.path.join(work, "train_vectors")
         rp_index_rows(train, n_tables, n_planes).write.mode(
@@ -711,7 +711,7 @@ def stream_late_data_audit(
         table_path,
     )
 
-    work = tempfile.mkdtemp(prefix="spark_late_audit_")
+    work = scratch_dir(prefix="spark_late_audit_")
     src = table_path(sf_dir, "events")
     on_time = os.path.join(work, "00_events.parquet")
     shutil.copyfile(src, on_time)
