@@ -176,6 +176,14 @@ HEADLINE = [
     "bm25_scores",
     "vocab_coverage_curve",
     "concurrent_events_peak",
+    # round-8: SemDeDup-style embedding-cluster dedup (within-cell
+    # pairwise only) + per-registrable-domain quota cap (window only
+    # over over-quota domains) + privacy QA + incremental quota fold
+    "semdedup_profile",
+    "domain_quota_sample",
+    "k_anonymity_profile",
+    "incremental_domain_quota",
+    "stream_domain_quota",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -884,3 +884,145 @@ def split_source_audit_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_source_audit(
         spark, sf_dir, components=shared_components(spark, sf_dir)
     )
+
+
+def domain_quota_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_domain_buckets: int = 150,
+    quota: int = 20,
+) -> DataFrame:
+    """URL/domain-level dedup with per-registrable-domain quotas — the
+    web-corpus curation step that stops a handful of mega-domains from
+    dominating the token budget (the C4/RefinedWeb-style per-host cap).
+    The driver corpus carries no URL column, so a deterministic synthetic
+    domain is derived from the PK (the planted-data discipline): u =
+    md5-uniform(doc_id); domain index = floor(u²·n_buckets) — the square
+    skews mass toward low indexes, giving the Zipf-ish heavy head real
+    host distributions have.
+
+    Scale shape — the part that matters at 100 TB: the per-domain pick
+    window runs ONLY over docs of OVER-QUOTA domains.  Domains at or
+    under quota (the overwhelming majority of registrable domains on the
+    real web) keep everything and never enter the window, so the fat
+    partition a wikipedia.org-sized host would create is the only kind
+    the window ever sees — and those are exactly the partitions the cap
+    then truncates.  Pick order is md5(doc_id) rank (deterministic,
+    engine-independent).
+
+    Output per source: docs, distinct domains, kept, dropped."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = hash_uniform(F.col("doc_id"), "domain:")
+    dom = docs.withColumn(
+        "domain_idx",
+        F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
+    )
+    counts = dom.groupBy("domain_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_dom")
+    )
+    with_n = dom.join(counts, "domain_idx")
+    under = with_n.filter(F.col("__n_dom") <= quota).withColumn(
+        "kept", F.lit(1)
+    )
+    over = with_n.filter(F.col("__n_dom") > quota)
+    w = Window.partitionBy("domain_idx").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    over_ranked = over.withColumn(
+        "kept",
+        F.when(F.row_number().over(w) <= quota, 1).otherwise(0),
+    )
+    labeled = under.unionByName(over_ranked.select(*under.columns))
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("domain_idx").cast("long").alias("n_domains"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(1 - F.col("kept")).cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+def incremental_domain_quota(
+    spark: SparkSession,
+    sf_dir: str,
+    n_domain_buckets: int = 150,
+    quota: int = 20,
+) -> DataFrame:
+    """Production form of the per-domain quota: admit TODAY'S BATCH
+    against yesterday's persisted per-domain admitted counts — first
+    come, first served up to the remaining quota — never rescanning the
+    processed corpus.  The aggregation sibling of incremental_dedup /
+    merge_aggregate_state: state is one (domain, n_admitted) row per
+    domain, the batch pays O(batch) + one broadcast-sized state join.
+
+    Driver-corpus stand-ins (no persisted state ships with the gate
+    data): prior corpus = doc_id % 7 != 0, today's batch = doc_id % 7
+    == 0; prior admissions replay the same md5-rank rule the full-corpus
+    :func:`domain_quota_sample` applies, so the state the batch sees is
+    exactly what yesterday's run would have persisted.
+
+    Batch admit rule: rank batch docs per domain by md5(doc_id); doc
+    admitted iff prior_admitted + rank ≤ quota.  Output per source:
+    batch docs, admitted, rejected, and the number of domains the batch
+    found already saturated."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = hash_uniform(F.col("doc_id"), "domain:")
+    dom = docs.withColumn(
+        "domain_idx",
+        F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
+    )
+    prior = dom.filter(F.col("doc_id") % 7 != 0)
+    batch = dom.filter(F.col("doc_id") % 7 == 0)
+
+    # yesterday's state: per-domain admitted counts under the same rule
+    # (production loads this one-aggregate table from parquet)
+    w_prior = Window.partitionBy("domain_idx").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    state = (
+        prior.withColumn("rk", F.row_number().over(w_prior))
+        .groupBy("domain_idx")
+        .agg(
+            F.sum(F.when(F.col("rk") <= quota, 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted")
+        )
+    )
+
+    w_batch = Window.partitionBy("domain_idx").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    admitted = (
+        batch.withColumn("rk", F.row_number().over(w_batch))
+        .join(F.broadcast(state), "domain_idx", "left")
+        .withColumn(
+            "prior_admitted", F.coalesce("n_admitted", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "admit",
+            F.when(
+                F.col("prior_admitted") + F.col("rk") <= quota, 1
+            ).otherwise(0),
+        )
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum("admit").cast("long").alias("n_admitted"),
+            F.sum(1 - F.col("admit")).cast("long").alias("n_rejected"),
+            F.countDistinct(
+                F.when(F.col("prior_admitted") >= quota, F.col("domain_idx"))
+            )
+            .cast("long")
+            .alias("n_saturated_domains"),
+        )
+        .orderBy("source")
+    )

@@ -444,19 +444,17 @@ def ivf_centroid_knn(
 _LLOYD_SCALE = 1_000_000
 
 
-def ivf_lloyd_knn(
+def lloyd_assignments(
     spark: SparkSession,
     sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
     n_cells: int = 8,
-    n_probe: int = 2,
     n_iters: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN with LLOYD-ITERATED centroids — the recall upgrade
-    over :func:`ivf_centroid_knn`'s zero-round sampled seeds: ``n_iters``
-    k-means rounds move the cells onto the corpus distribution, so
-    clustered corpora stop splitting a natural cluster across seed cells.
+    """Lloyd-iterated k-means cell assignment over the embeddings table
+    — the shared kernel of :func:`ivf_lloyd_knn` and the SemDeDup-style
+    embedding-cluster dedup (:func:`semdedup_profile`).  Returns the
+    fully-ranked frame (vec_id, label, embedding, cell, cs, rn): rn = 1
+    is each vector's home cell, rn ≤ p is its p-probe set.
 
     Staying oracle-checkable is the trick: a naive float mean is
     order-of-summation dependent (no SQL oracle could reproduce a
@@ -550,7 +548,26 @@ def ivf_lloyd_knn(
             for cell, prev in centroids
         ]
 
-    ranked = _assign(centroids)
+    return _assign(centroids)
+
+
+def ivf_lloyd_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN with LLOYD-ITERATED centroids — the recall upgrade
+    over :func:`ivf_centroid_knn`'s zero-round sampled seeds: ``n_iters``
+    k-means rounds move the cells onto the corpus distribution, so
+    clustered corpora stop splitting a natural cluster across seed cells.
+    The assignment kernel (and its oracle-parity contract) lives in
+    :func:`lloyd_assignments`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = lloyd_assignments(spark, sf_dir, n_cells, n_iters)
     cells = ranked.filter(F.col("rn") == 1).select("vec_id", "label", "cell")
     q_cells = ranked.filter(
         (F.col("vec_id") == query_vec_id) & (F.col("rn") <= n_probe)
@@ -1970,4 +1987,99 @@ def rerank_uplift_profile(
             ).alias("mean_rank_shift"),
         )
         .orderBy("query_id")
+    )
+
+
+def semdedup_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.40,
+    max_cell: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the corpus, then search for semantic
+    duplicates ONLY within each cluster — pairwise cosine never crosses
+    cluster boundaries, which is the whole scale story: the global n²
+    collapses to Σ cᵢ², and cᵢ is controlled by the number of clusters
+    (production: √n clusters keeps cells ~√n; ``max_cell`` additionally
+    drops degenerate cells outright, the simhash band-cap discipline).
+
+    Keep rule, deterministic on both engines: a vector is DROPPED iff
+    some LOWER-id vector in its cell has cosine ≥ threshold (keep-min
+    canonical — same tie discipline as exact_duplicates).  Composition:
+    :func:`lloyd_assignments` (the oracle-pinned fixed-point Lloyd
+    kernel) → per-cell self-join on cell id (never a cross join) →
+    anti-semantics via distinct dropped ids.
+
+    Output: one row per cell — n_vecs, n_dropped, n_kept, kept_frac —
+    the dedup-rate readout a curation run records per semantic region.
+
+    Reference parity: the reference has no embedding dedup at all
+    (nearest analogue: exact duplicate drop in core-logic ETL); this is
+    a beyond-reference §2.12 training-data operator."""
+    ranked = lloyd_assignments(spark, sf_dir, n_cells, n_iters)
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cell", "embedding"
+    )
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    # degenerate-cell cap: a cell larger than max_cell would quadratically
+    # dominate the pair stage — drop it from pairing (kept whole), same
+    # build-time cap the simhash band index applies
+    eligible = cells.join(
+        F.broadcast(sizes.filter(F.col("n_vecs") <= max_cell)), "cell"
+    )
+    # hoist each side's norm once per row (the measured 3x pattern):
+    # the per-pair expression is then dot/(na*nb) — the oracle's shape
+    normed = eligible.select(
+        "cell",
+        "vec_id",
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nv"),
+    )
+    a = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= threshold
+        )
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    return (
+        sizes.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+                / F.col("n_vecs"),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("cell")
     )

@@ -781,6 +781,64 @@ def group_quantile_threshold(
     )
 
 
+def global_quantile_threshold(
+    scored: DataFrame, score_col: str, q: float
+) -> DataFrame:
+    """EXACT global q-quantile threshold over a fact-scale column with
+    neither a per-row global sort nor an unpartitioned window over the
+    value histogram.  :func:`group_quantile_threshold` with a constant
+    group constant-folds its partition key away, leaving ONE window
+    partition holding every distinct value — fine for 4-dp ratio scores
+    (≤20k values) but a fat-partition cliff for a 2-dp money column,
+    whose distinct values grow toward the full cent range at corpus
+    scale.  Recipe here: (value, count) histogram → range shuffle on the
+    value → per-partition weighted cumsum → per-partition weight totals
+    cumsum into offsets (the with_exact_percent_rank recipe with counts
+    as weights; the only unpartitioned window is the ~num-partitions-row
+    offset frame) → threshold = min{value : global cum ≥ q·n}.
+
+    Returns one row: (threshold, n_total)."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n"))
+    # explicit partition count: AQE never coalesces a user repartition,
+    # so both consumers of the range exchange see identical pids
+    n_parts = scored.sparkSession.sparkContext.defaultParallelism
+    ranged = hist.repartitionByRange(n_parts, score_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lcum",
+        F.sum("__n").over(
+            Window.partitionBy("__pid")
+            .orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sizes = ranged.groupBy("__pid").agg(F.sum("__n").alias("__w_part"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__w_part").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__w_part")
+        .over(
+            Window.orderBy("__pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n_total"),
+    )
+    cum = local.join(F.broadcast(offsets), "__pid").select(
+        F.col(score_col),
+        (F.col("__offset") + F.col("__lcum")).alias("__cum"),
+        F.col("__n_total"),
+    )
+    return cum.filter(F.col("__cum") >= F.lit(q) * F.col("__n_total")).agg(
+        F.min(score_col).alias("threshold"),
+        F.first("__n_total").alias("n_total"),
+    )
+
+
 def group_quantile_filter(
     spark: SparkSession, sf_dir: str, q: float = 0.25
 ) -> DataFrame:

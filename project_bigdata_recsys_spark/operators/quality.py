@@ -204,31 +204,30 @@ def robust_outliers(spark: SparkSession, sf_dir: str, cutoff: float = 3.0) -> Da
     pair doesn't).  Outlier ⇔ |x − median| > cutoff · 1.4826 · MAD.
 
     Both the median and the MAD come from the histogram-cumsum exact
-    quantile (functions.text.group_quantile_threshold with a constant
-    group): thresholds from distinct VALUE cumsums, never a
-    single-partition sort — rounded totals bound the histogram size.
-    Two passes over the column (median, then |x−median|), each a
-    partial-aggregated groupBy + a value-count window."""
+    quantile in its GLOBAL form (functions.text.global_quantile_threshold):
+    thresholds from distinct VALUE cumsums range-shuffled across
+    partitions — never a single-partition sort, and (r8) never a
+    constant-folded unpartitioned window over the whole value histogram,
+    which for a 2-dp money column grows toward the full cent range at
+    corpus scale.  Two passes over the column (median, then |x−median|),
+    each a partial-aggregated groupBy + the distributed cumsum."""
     from project_bigdata_recsys_spark.functions.text import (
-        group_quantile_threshold,
+        global_quantile_threshold,
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    vals = orders.select(
-        F.lit("all").alias("g"), F.col("o_totalprice").alias("v")
-    )
-    med_row = group_quantile_threshold(vals, "g", "v", 0.5)
+    vals = orders.select(F.col("o_totalprice").alias("v"))
+    med_row = global_quantile_threshold(vals, "v", 0.5)
     med = vals.crossJoin(
         F.broadcast(med_row.select(F.col("threshold").alias("median")))
     )
     dev = med.select(
-        "g",
         "v",
         "median",
         F.round(F.abs(F.col("v") - F.col("median")), 2).alias("d"),
     )
-    mad_row = group_quantile_threshold(
-        dev.select("g", F.col("d").alias("v")), "g", "v", 0.5
+    mad_row = global_quantile_threshold(
+        dev.select(F.col("d").alias("v")), "v", 0.5
     )
     flagged = dev.crossJoin(
         F.broadcast(mad_row.select(F.col("threshold").alias("mad")))
@@ -528,4 +527,57 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("contrib"), "lang", "source")
         .limit(15)
+    )
+
+
+def k_anonymity_profile(
+    spark: SparkSession, sf_dir: str, k: int = 5, band: int = 100
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy QA step a
+    training-data release runs before publication: a document whose
+    quasi-identifier combination is shared by fewer than ``k`` corpus
+    members is re-identifiable by linkage even after direct identifiers
+    are redacted (pii_redaction_profile strips those; this measures what
+    the REMAINING attributes still leak).
+
+    Quasi-identifiers here: (lang, source, n_chars banded to ``band``) —
+    the release-metadata columns an adversary can join on.  Output per
+    source: docs, distinct QI groups, docs at risk (group size < k),
+    risk fraction, and the smallest group size.
+
+    Scale: two Tungsten aggregations (QI group sizes, then the
+    per-source rollup on keys the first shuffle already produced) — no
+    windows, no joins beyond the group frame, fact scanned once."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / band).cast("long").alias("len_band"),
+    )
+    groups = docs.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when(F.col("group_size") < k, F.col("group_size")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_at_risk"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("group_size") < k, F.col("group_size")
+                    ).otherwise(0)
+                )
+                / F.sum("group_size"),
+                6,
+            ).alias("risk_frac"),
+            F.min("group_size").cast("long").alias("min_group"),
+        )
+        .orderBy("source")
     )

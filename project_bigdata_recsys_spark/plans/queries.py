@@ -2323,19 +2323,16 @@ def _rp_lsh_clusters_oracle(
 ORACLES["embedding_dup_clusters_lsh"] = _rp_lsh_clusters_oracle()
 
 
-def _ivf_lloyd_oracle(
-    n_cells: int = 8,
-    n_probe: int = 2,
-    n_iters: int = 2,
-    k: int = 10,
-    query_vec_id: int = 0,
-    scale: int = 1_000_000,
+def _lloyd_prefix_sql(
+    n_cells: int, n_iters: int, scale: int = 1_000_000
 ) -> str:
-    """SQL twin of functions.similarity.ivf_lloyd_knn: the Lloyd rounds
-    unroll into CTE pairs (assign_i, cents_i).  Means reproduce exactly
-    because the per-dimension sums run over round(x*1e6) BIGINTs —
-    order-independent integer arithmetic — with one double division at
-    the end; empty cells COALESCE to the previous centroid."""
+    """Shared CTE prefix replaying functions.similarity.lloyd_assignments
+    in SQL: md5-ranked seeds, ``n_iters`` Lloyd rounds as (asg_i, sums_i,
+    cents_i) CTE triples, and the final ``cells`` assignment.  Means
+    reproduce exactly because the per-dimension sums run over
+    round(x*1e6) BIGINTs — order-independent integer arithmetic — with
+    one double division at the end; empty cells COALESCE to the previous
+    centroid.  Used by the ivf_lloyd and semdedup oracles."""
     cos = (
         "round(list_dot_product(e.emb, c.c_emb)"
         " / (sqrt(list_dot_product(e.emb, e.emb))"
@@ -2382,7 +2379,21 @@ def _ivf_lloyd_oracle(
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {cos} DESC, c.cell) AS rn
             FROM e CROSS JOIN {prev} c),
-        cells AS (SELECT vec_id, label, cell FROM final_ranked WHERE rn = 1),
+        cells AS (SELECT vec_id, label, cell FROM final_ranked WHERE rn = 1)"""
+
+
+def _ivf_lloyd_oracle(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+    scale: int = 1_000_000,
+) -> str:
+    """SQL twin of functions.similarity.ivf_lloyd_knn — the Lloyd prefix
+    (_lloyd_prefix_sql) plus the probe + exact-rerank tail."""
+    return f"""
+        {_lloyd_prefix_sql(n_cells, n_iters, scale)},
         qc AS (SELECT cell FROM final_ranked
                WHERE vec_id = {query_vec_id} AND rn <= {n_probe}),
         q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {query_vec_id})
@@ -4374,15 +4385,19 @@ _GATE_WINDOW = [
     "simhash_near_pairs",
     "near_dup_clusters",
     "token_frequencies",
-    "tfidf_top_terms",
     "stratified_sample",
     "synthetic_interactions",
     "mutated_interactions",
-    "chunk_documents",
-    "embedding_stats",
-    "knn_brute_force",
-    "rolling_median",
     "stream_tumbling_counts",
+    # -- new in round 8: first driver evidence (displaced the r4
+    #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
+    #    embedding_stats, tfidf_top_terms rejoin the r9 backlog; all stay
+    #    regression-guarded every test run by test_oracle_parity) -------
+    "semdedup_profile",
+    "domain_quota_sample",
+    "k_anonymity_profile",
+    "incremental_domain_quota",
+    "stream_domain_quota",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -5182,6 +5197,198 @@ QUERIES["near_dup_clusters_reused"] = dedup.near_dup_clusters_reused
 ORACLES["near_dup_clusters_reused"] = ORACLES["near_dup_clusters"]
 QUERIES["split_source_audit_reused"] = curation.split_source_audit_reused
 ORACLES["split_source_audit_reused"] = ORACLES["split_source_audit"]
+
+
+def _semdedup_oracle(
+    n_cells: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.40,
+    max_cell: int = 4096,
+) -> str:
+    """SQL twin of functions.similarity.semdedup_profile: the shared
+    Lloyd prefix, then within-cell pairwise cosine at 6 dp and the
+    keep-min-id drop rule.  The pair join never crosses cells and skips
+    cells larger than ``max_cell`` (kept whole) — identical to the
+    Spark plan's degenerate-cell cap."""
+    cos_ab = (
+        "round(list_dot_product(ea.emb, eb.emb)"
+        " / (sqrt(list_dot_product(ea.emb, ea.emb))"
+        " * sqrt(list_dot_product(eb.emb, eb.emb))), 6)"
+    )
+    return f"""
+        {_lloyd_prefix_sql(n_cells, n_iters)},
+        sizes AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM cells GROUP BY cell),
+        eligible AS (
+            SELECT c.cell, c.vec_id, e.emb
+            FROM cells c
+            JOIN e ON e.vec_id = c.vec_id
+            JOIN sizes s ON s.cell = c.cell
+            WHERE s.n_vecs <= {max_cell}),
+        dropped AS (
+            SELECT DISTINCT ea.cell, eb.vec_id
+            FROM eligible ea
+            JOIN eligible eb
+              ON ea.cell = eb.cell AND ea.vec_id < eb.vec_id
+            WHERE {cos_ab} >= {threshold}),
+        drops AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+            FROM dropped GROUP BY cell)
+        SELECT s.cell,
+               s.n_vecs,
+               COALESCE(d.n_dropped, 0) AS n_dropped,
+               s.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept,
+               round((s.n_vecs - COALESCE(d.n_dropped, 0))
+                     / CAST(s.n_vecs AS DOUBLE), 6) AS kept_frac
+        FROM sizes s LEFT JOIN drops d ON d.cell = s.cell
+        ORDER BY s.cell
+    """
+
+
+# SemDeDup-style embedding-cluster dedup (round 8): k-means via the
+# oracle-pinned fixed-point Lloyd kernel, pairwise cosine ONLY within a
+# cell (Σc² never n²), keep-min-id drop rule — the semantic tier of the
+# dedup family beside exact (sha2), lexical (minhash/simhash), and span
+# dedup.
+QUERIES["semdedup_profile"] = similarity.semdedup_profile
+ORACLES["semdedup_profile"] = _semdedup_oracle()
+
+# URL/domain-level quota dedup (round 8): deterministic synthetic
+# registrable domains (md5-uniform² of the PK — Zipf-ish heavy head),
+# per-domain md5-rank cap where the Spark plan windows ONLY the
+# over-quota domains; the oracle's flat QUALIFY form is equivalent
+# because under-quota ranks never exceed the cap.
+QUERIES["domain_quota_sample"] = curation.domain_quota_sample
+ORACLES["domain_quota_sample"] = """
+    WITH dom AS (
+        SELECT doc_id, source,
+               CAST(floor(u * u * 150.0) AS BIGINT) AS domain_idx
+        FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('domain:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM documents)),
+    ranked AS (
+        SELECT doc_id, source, domain_idx,
+               row_number() OVER (
+                   PARTITION BY domain_idx
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM dom)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT domain_idx) AS BIGINT) AS n_domains,
+           CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk > 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
+
+# k-anonymity audit (round 8): quasi-identifier group sizes over the
+# release-metadata columns — two aggregations, no windows/joins.
+QUERIES["k_anonymity_profile"] = quality.k_anonymity_profile
+ORACLES["k_anonymity_profile"] = """
+    WITH g AS (
+        SELECT lang, source,
+               CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM documents
+        GROUP BY lang, source, floor(n_chars / 100))
+    SELECT source,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_at_risk,
+           round(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                 / CAST(sum(group_size) AS DOUBLE), 6) AS risk_frac,
+           CAST(min(group_size) AS BIGINT) AS min_group
+    FROM g
+    GROUP BY source
+    ORDER BY source
+"""
+
+# Streaming per-domain quota (round 8): keyed per-domain state admits
+# FCFS across a deterministic micro-batch SEQUENCE (n_waves files,
+# maxFilesPerTrigger=1) — admission order is (wave, md5, doc_id), which
+# one ranked window replays in SQL.
+QUERIES["stream_domain_quota"] = replay.stream_domain_quota
+ORACLES["stream_domain_quota"] = """
+    WITH dom AS (
+        SELECT doc_id, source,
+               CAST(floor(u * u * 150.0) AS BIGINT) AS domain_idx
+        FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('domain:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM documents)),
+    ranked AS (
+        SELECT doc_id, source, domain_idx,
+               row_number() OVER (
+                   PARTITION BY domain_idx
+                   ORDER BY doc_id % 3,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM dom)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(sum(CASE WHEN rk > 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rejected
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
+
+# Incremental per-domain quota (round 8): today's batch admitted FCFS
+# against yesterday's persisted per-domain counts — O(batch) + one
+# broadcast state join, never a corpus rescan.
+QUERIES["incremental_domain_quota"] = curation.incremental_domain_quota
+ORACLES["incremental_domain_quota"] = """
+    WITH dom AS (
+        SELECT doc_id, source,
+               CAST(floor(u * u * 150.0) AS BIGINT) AS domain_idx
+        FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('domain:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM documents)),
+    state AS (
+        SELECT domain_idx,
+               CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS prior_admitted
+        FROM (
+            SELECT domain_idx,
+                   row_number() OVER (
+                       PARTITION BY domain_idx
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM dom WHERE doc_id % 7 <> 0)
+        GROUP BY domain_idx),
+    batch AS (
+        SELECT doc_id, source, domain_idx,
+               row_number() OVER (
+                   PARTITION BY domain_idx
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM dom WHERE doc_id % 7 = 0),
+    j AS (
+        SELECT b.source, b.domain_idx,
+               COALESCE(s.prior_admitted, 0) AS prior_admitted,
+               CASE WHEN COALESCE(s.prior_admitted, 0) + b.rk <= 20
+                    THEN 1 ELSE 0 END AS admit
+        FROM batch b LEFT JOIN state s ON s.domain_idx = b.domain_idx)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(admit) AS BIGINT) AS n_admitted,
+           CAST(sum(1 - admit) AS BIGINT) AS n_rejected,
+           CAST(count(DISTINCT CASE WHEN prior_admitted >= 20
+                                    THEN domain_idx END) AS BIGINT)
+               AS n_saturated_domains
+    FROM j
+    GROUP BY source
+    ORDER BY source
+"""
 QUERIES["stream_semantic_dedup_probe"] = replay.stream_semantic_dedup_probe
 ORACLES["stream_semantic_dedup_probe"] = ORACLES["stream_semantic_dedup"]
 

@@ -789,3 +789,131 @@ def stream_late_data_audit(
         )
         .orderBy("event_type")
     )
+
+
+def stream_domain_quota(
+    spark: SparkSession,
+    sf_dir: str,
+    n_domain_buckets: int = 150,
+    quota: int = 20,
+    n_waves: int = 3,
+) -> DataFrame:
+    """Per-registrable-domain quota admission ON THE INGEST STREAM —
+    the streaming half of the domain_quota/incremental_domain_quota
+    family: keyed state per domain (admitted-so-far count) admits docs
+    first-come-first-served until the quota saturates, exactly what a
+    crawl-ingest firehose enforces online.
+
+    True CROSS-BATCH state is exercised, not simulated: the corpus is
+    staged as ``n_waves`` single-file parquet waves (wave = doc_id %
+    n_waves) with staggered mtimes, and ``maxFilesPerTrigger=1`` makes
+    the file source replay them as a deterministic micro-batch
+    SEQUENCE — a domain saturated in wave 0 must reject in wave 2,
+    which only works if its counter survived two checkpointed state
+    round-trips.  Within a (batch, domain) group rows are processed in
+    md5(doc_id)-rank order, so the full admission order is (wave, md5,
+    doc_id) — deterministic on both engines, which is what the SQL
+    oracle replays with one ranked window.
+
+    Scale: state is ONE small tuple per domain (the RocksDB-provider
+    case when domains reach web cardinality — session.py's
+    SPARK_GRAFT_STATE_STORE toggle); each micro-batch shuffles only its
+    own rows by domain.  Output per source: docs, admitted, rejected."""
+    import glob as _glob
+    import hashlib
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = hash_uniform(F.col("doc_id"), "domain:")
+    dom = docs.withColumn(
+        "domain_idx",
+        F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
+    )
+
+    work = scratch_dir(prefix="spark_domain_quota_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for w in range(n_waves):
+        tmp = os.path.join(work, f"tmp{w}")
+        dom.filter(F.col("doc_id") % n_waves == w).coalesce(1).write.parquet(
+            tmp
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        staged = os.path.join(in_dir, f"{w:03d}.parquet")
+        shutil.copyfile(part, staged)
+        os.utime(staged, (now - 100 + w, now - 100 + w))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("domain_idx", LongType()),
+            StructField("admitted", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_admitted", IntegerType())])
+
+    def admit(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        order = pdf["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()
+        )
+        pdf = (
+            pdf.assign(__k=order)
+            .sort_values(["__k", "doc_id"])
+            .reset_index(drop=True)
+        )
+        n = state.get[0] if state.exists else 0
+        room = max(0, quota - n)
+        flags = [1 if i < room else 0 for i in range(len(pdf))]
+        state.update((min(quota, n + len(pdf)),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "domain_idx": key[0],
+                "admitted": flags,
+            }
+        )
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    decided = stream.groupBy("domain_idx").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_replay(decided, spark, "update")
+    return (
+        table.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.sum(1 - F.col("admitted")).cast("long").alias("n_rejected"),
+        )
+        .orderBy("source")
+    )

@@ -231,3 +231,162 @@ def test_session_factory_state_store_toggle(monkeypatch, spark):
         assert s.conf.get(conf_key).endswith("HDFSBackedStateStoreProvider")
     finally:
         spark.conf.set(conf_key, prev)
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL(38,0) wide-sum mode: oracle parity on the fixed-point subset
+# ---------------------------------------------------------------------------
+
+
+def test_wide_mode_oracle_parity_on_fixed_point_subset(spark, duck, monkeypatch):
+    """The wide accumulator is what ships past sf1; r8 proved the FULL
+    sweep green in decimal mode at sf0.01 (221/221, docs/BENCH_NOTES.md)
+    — this pins a representative fixed-point subset so the proof can't
+    silently rot between full-sweep runs."""
+    import pandas as pd
+
+    from project_bigdata_recsys_spark.plans.queries import ORACLES, QUERIES
+
+    subset = [
+        "pricing_summary",  # the 4-scale TPC-H Q1 shape
+        "course_stats",  # joined agg + TakeOrdered
+        "monthly_growth",  # lag window over cents
+        "rollup_totals",  # hierarchical totals
+        "time_rollup",
+        "merge_upsert_profile",  # CoW merge post-profile
+        "user_activity",
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_SUM_DTYPE", "decimal")
+    for name in subset:
+        spark_pdf = QUERIES[name](spark, SF_SMALL).toPandas()
+        oracle_pdf = duck.execute(ORACLES[name]).fetchdf()
+        assert len(spark_pdf) == len(oracle_pdf), name
+        assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+        a = spark_pdf.reindex(sorted(spark_pdf.columns), axis=1)
+        b = oracle_pdf.reindex(sorted(oracle_pdf.columns), axis=1)
+        if len(a):
+            a = a.sort_values(by=list(a.columns), ignore_index=True)
+            b = b.sort_values(by=list(b.columns), ignore_index=True)
+        for col in a.columns:
+            for i, (x, y) in enumerate(zip(a[col], b[col])):
+                if x is None and y is None:
+                    continue
+                if isinstance(x, float) or isinstance(y, float):
+                    import math
+
+                    fx, fy = float(x), float(y)
+                    assert (
+                        (math.isnan(fx) and math.isnan(fy)) or fx == fy
+                    ), (name, col, i, x, y)
+                else:
+                    assert x == y, (name, col, i, x, y)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave plan shapes: the scale contracts of the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_pair_join_is_keyed_on_cell(spark):
+    """The SemDeDup pair stage must be a hash join keyed on the cell id
+    — Σc², never the global n².  The only nested-loop joins allowed in
+    the whole plan are the deliberate broadcast crosses of model-sized
+    frames (the n_cells-row centroid frame; 1-row aggregates)."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        semdedup_profile,
+    )
+
+    df = semdedup_profile(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the pair self-join on cell must hash, not loop
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_domain_quota_windows_only_over_quota_domains(spark):
+    """The per-domain pick window must see ONLY docs of over-quota
+    domains: a Filter on the domain count sits below the Window, so an
+    at-quota long tail (the overwhelming majority of real registrable
+    domains) never enters the rank shuffle."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        domain_quota_sample,
+    )
+
+    df = domain_quota_sample(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.split("\n")
+    win_idx = [
+        i
+        for i, l in enumerate(lines)
+        if l.lstrip(" :+-").startswith("Window ")
+    ]
+    assert win_idx, "expected a rank window in the plan"
+    # below every window, a filter on the over-quota count must appear
+    # before the scan
+    for i in win_idx:
+        below = "\n".join(lines[i:])
+        assert "__n_dom" in below and "> 20" in below, below[:500]
+
+
+def test_semdedup_drop_rule_keep_min_id(spark):
+    """Keep-min canonical: a dropped vector must have a LOWER-id
+    near-dup in the SAME cell, and cell counts must reconcile."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        semdedup_profile,
+    )
+
+    out = semdedup_profile(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_vecs
+        assert r.n_kept >= 1  # the min-id member of any cell survives
+
+
+# ---------------------------------------------------------------------------
+# Domain-quota family: incremental state must reconcile with the full run
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_domain_quota_reconciles_with_full_run(spark):
+    """FCFS conservation: per domain, prior-admitted + batch-admitted =
+    min(quota, domain_total) — i.e. the incremental fold lands on
+    exactly the same per-domain kept counts as the one-shot
+    domain_quota_sample, so totals must reconcile:
+    full n_kept == prior-state mass + incremental n_admitted."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.functions.curation import (
+        domain_quota_sample,
+        incremental_domain_quota,
+    )
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    full_kept = (
+        domain_quota_sample(spark, SF_SMALL)
+        .agg(F.sum("n_kept"))
+        .collect()[0][0]
+    )
+    inc_admitted = (
+        incremental_domain_quota(spark, SF_SMALL)
+        .agg(F.sum("n_admitted"))
+        .collect()[0][0]
+    )
+    # prior-state mass: per-domain min(quota, prior count)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    u = hash_uniform(F.col("doc_id"), "domain:")
+    prior_mass = (
+        docs.withColumn(
+            "domain_idx", F.floor(u * u * F.lit(150.0)).cast("long")
+        )
+        .filter(F.col("doc_id") % 7 != 0)
+        .groupBy("domain_idx")
+        .agg(F.least(F.count(F.lit(1)), F.lit(20)).alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert full_kept == prior_mass + inc_admitted
