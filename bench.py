@@ -184,6 +184,12 @@ HEADLINE = [
     "k_anonymity_profile",
     "incremental_domain_quota",
     "stream_domain_quota",
+    # round-8 second wave: ranking eval (counting-based filtered rank,
+    # no user x candidate explosion), KMV sketch (two-phase sharded
+    # top-k), Gopher repetition rules (array-side grams, one scan)
+    "ranking_metrics",
+    "kmv_distinct_rollup",
+    "doc_repetition_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1210,3 +1210,104 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def _dup_stats(grams: DataFrame, prefix: str) -> DataFrame:
+    """Per-doc duplication stats over an exploded gram frame
+    (doc_id, source, g): total grams, distinct grams, top-gram count —
+    one partial-aggregated groupBy on (doc, gram), then a per-doc fold.
+    Ratios are rounded to 6 dp and lifted to integer micro-units HERE so
+    every later average is an exact integer sum (fixed-point recipe)."""
+    per_gram = grams.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("dist"),
+        F.max("c").alias("top"),
+    )
+    dup = F.round(1.0 - F.col("dist") / F.col("tot"), 6)
+    share = F.round(F.col("top") / F.col("tot"), 6)
+    return per_doc.select(
+        "doc_id",
+        "source",
+        F.round(dup * 1000000.0).cast("long").alias(f"{prefix}_dup_micro"),
+        F.round(share * 1000000.0).cast("long").alias(f"{prefix}_top_micro"),
+    )
+
+
+def doc_repetition_profile(
+    spark: SparkSession, sf_dir: str, flag_threshold: float = 0.12
+) -> DataFrame:
+    """Repetition / boilerplate QA — the Gopher-style repetitious-text
+    rules (Rae et al. 2021, arXiv:2112.11446 Table A1) adapted to the
+    corpus shape: per document, the DUPLICATE-bigram fraction
+    (1 − distinct/total), the TOP-bigram share (most frequent bigram
+    over total — the looping-text detector), and the duplicate-trigram
+    fraction; a doc flags as repetitive when its duplicate-bigram
+    fraction exceeds ``flag_threshold``.  (The line-dedup rules of the
+    original don't apply — this corpus carries no newlines.)
+
+    Grams are built ARRAY-SIDE (transform over the token array index
+    range — one scan, no self-join; the len≥2 sequence-descent guard is
+    the repo-wide F.sequence discipline), exploded once per order, and
+    aggregated by (doc, gram) — partial map-side combine does the heavy
+    lifting, and nothing ever joins doc×doc.  Per-doc ratios are rounded
+    to 6 dp then averaged in integer micro-units (sum_fixed), so the
+    per-source means are order-of-summation exact.
+
+    Output per source: n_docs, avg_dup_bigram, avg_top_bigram_share,
+    avg_dup_trigram, n_repetitive."""
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("t")
+    )
+    base = docs.filter(F.size("t") >= 3)
+
+    def gram_frame(n: int) -> DataFrame:
+        idx = F.sequence(F.lit(0), F.size("t") - n)
+        make = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(F.col("t"), i + j) for j in range(n)]
+            ),
+        )
+        return base.select(
+            "doc_id", "source", F.explode(make).alias("g")
+        )
+
+    s2 = _dup_stats(gram_frame(2), "g2")
+    s3 = _dup_stats(gram_frame(3), "g3")
+    joined = s2.join(s3.drop("source"), "doc_id")
+    flag_micro = int(round(flag_threshold * 1_000_000))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                sum_fixed(F.col("g2_dup_micro"), sf_dir)
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_bigram"),
+            F.round(
+                sum_fixed(F.col("g2_top_micro"), sf_dir)
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_top_bigram_share"),
+            F.round(
+                sum_fixed(F.col("g3_dup_micro"), sf_dir)
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_trigram"),
+            F.sum(
+                F.when(F.col("g2_dup_micro") > flag_micro, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

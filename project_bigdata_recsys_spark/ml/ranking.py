@@ -1,0 +1,203 @@
+"""Top-K ranking evaluation — HitRate@K / MRR@K / NDCG@K (SURVEY.md
+§2.9 extension).
+
+The reference evaluates its recommender with pointwise regression error
+only (RMSE/MAE over held-out ratings, spark_jobs/batch_als_train.py:
+154-166) — but a top-K recommender is *consumed* as a ranked list, and
+the metrics that measure list quality (hit rate, reciprocal rank, NDCG)
+are the industry-standard eval the reference lacks.  This module adds
+the leave-one-out protocol those metrics are usually reported under
+(one held-out interaction per user; the recommender must surface it in
+the user's top K).
+
+Determinism is the design constraint (the repo's oracle discipline):
+
+  - the held-out interaction per user is the md5-rank max — a seeded,
+    engine-independent draw (``sources.ingest.hash_uniform`` recipe),
+    not ``randomSplit``;
+  - the recommender under eval is the POPULARITY baseline (train
+    interaction count, item-id tie-break) with the user's own train
+    items excluded — deterministic on both engines, and the baseline
+    every ALS run must beat (its HR@K/NDCG@K are the floor numbers a
+    metrics ledger tracks);
+  - float accumulation uses the fixed-point recipe: per-user
+    reciprocal-rank / discount contributions are rounded to integer
+    micro-units FIRST, summed exactly (``sum_fixed``), divided once at
+    the end — order-of-summation independent.
+
+Scale shape — the part that matters at 100 TB: the naive eval
+materializes |test users| x C candidate rows; this one never does.  The
+held-out item's rank in the user's filtered list is computed by
+COUNTING, per user, how many of the user's OWN train items sit above it
+in the global popularity order::
+
+    filtered_rank = pop_rank(test item) - #{train items of u with
+                                           higher popularity}
+
+which touches only Σ|train(u) ∩ top-C| rows — O(total interactions)
+with a broadcast C-row candidate frame, no per-user list explosion, no
+cross join.  Exactness of the top-C truncation: a user can displace at
+most deg(u) candidates, so with C = K + max-degree every filtered rank
+≤ K is decided inside the top C; anything deeper is provably a miss.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_recsys_spark.caching import persist_tracked
+from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+from project_bigdata_recsys_spark.ml.recsys import interactions_from_star
+
+#: list sizes the eval reports, largest first bounds the candidate pool
+EVAL_KS = (5, 10, 20)
+
+#: per-rank contributions in integer micro-units, precomputed ONCE in
+#: Python and embedded as literals in BOTH the Spark plan and the DuckDB
+#: oracle — a rank within K indexes the table, so neither engine ever
+#: evaluates 1/log2(r+1) in its own libm (whose last-ulp disagreement
+#: would be the only nondeterminism in this eval)
+RR_MICRO = tuple(
+    int(round(1_000_000.0 / r)) for r in range(1, max(EVAL_KS) + 1)
+)
+DCG_MICRO = tuple(
+    int(round(1_000_000.0 / math.log2(r + 1)))
+    for r in range(1, max(EVAL_KS) + 1)
+)
+
+
+def leave_one_out_split(inter: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic leave-one-out: per user, hold out the interaction
+    with the maximal md5('loo:' || user || ':' || item) — a seeded draw
+    that any engine reproduces bit-for-bit (no randomSplit).  Returns
+    (train, test); test has exactly one row per user, and single-
+    interaction users land test-only (their train side is empty)."""
+    key = F.md5(
+        F.concat(
+            F.lit("loo:"),
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("item_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc(key), F.col("item_id"))
+    ranked = inter.withColumn("__rn", F.row_number().over(w))
+    test = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    train = ranked.filter(F.col("__rn") > 1).drop("__rn")
+    return train, test
+
+
+def ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HitRate@K / MRR@K / NDCG@K of the popularity baseline under
+    leave-one-out, one output row per K in :data:`EVAL_KS`.
+
+    Columns: k, n_users, n_hits, hit_rate, mrr, ndcg (rates rounded to
+    6 dp; single-relevant-item NDCG, i.e. DCG = 1/log2(rank+1), ideal
+    DCG = 1).
+
+    The single ``.collect()`` is a 1-row max-degree aggregate that sizes
+    the candidate limit C — O(1) driver data, same class as the
+    partition-metadata collects in operators/maintenance.py."""
+    inter = interactions_from_star(spark, sf_dir).select("user_id", "item_id")
+    train, test = leave_one_out_split(inter)
+    train = persist_tracked(train)  # 3 consumers: degree, pop, train∩C
+
+    k_max = max(EVAL_KS)
+    max_deg = train.groupBy("user_id").count().agg(
+        F.max("count").alias("m")
+    ).collect()[0]["m"]
+    c_limit = int(k_max + (max_deg or 0))
+
+    # top-C popularity candidates: TakeOrdered (distributed top-K), then
+    # a row_number over the C-row frame — the window sits above a limit,
+    # never over the full item table
+    pop = train.groupBy("item_id").agg(F.count(F.lit(1)).alias("__cnt"))
+    cands = pop.orderBy(F.desc("__cnt"), "item_id").limit(c_limit)
+    w_pr = Window.orderBy(F.desc("__cnt"), "item_id")
+    cands = cands.withColumn("pr", F.row_number().over(w_pr)).select(
+        "item_id", "pr"
+    )
+
+    # held-out item's global popularity rank (null -> provable miss)
+    test_r = test.join(F.broadcast(cands), "item_id", "left").select(
+        "user_id", F.col("pr").alias("pr_test")
+    )
+
+    # per user: how many of the user's own train items rank above it
+    train_in_c = train.join(F.broadcast(cands), "item_id").select(
+        "user_id", F.col("pr").alias("pr_train")
+    )
+    n_above = (
+        train_in_c.join(test_r, "user_id")
+        .filter(F.col("pr_train") < F.col("pr_test"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__above"))
+    )
+
+    fr = (
+        test_r.join(n_above, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.col("pr_test") - F.coalesce(F.col("__above"), F.lit(0))
+            ).alias("fr"),
+        )
+    )
+
+    # integer micro-unit contributions, then exact sums (fixed-point
+    # recipe: no order-dependent float accumulation)
+    per_k = fr.select(
+        "fr", F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")
+    ).select(
+        "k",
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")),
+            F.element_at(
+                F.array(*[F.lit(v) for v in RR_MICRO]),
+                F.col("fr").cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rr_micro"),
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")),
+            F.element_at(
+                F.array(*[F.lit(v) for v in DCG_MICRO]),
+                F.col("fr").cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dcg_micro"),
+    )
+    out = (
+        per_k.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+            F.round(
+                sum_fixed(F.col("rr_micro"), sf_dir)
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mrr"),
+            F.round(
+                sum_fixed(F.col("dcg_micro"), sf_dir)
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("k")
+    )
+    return out

@@ -1085,3 +1085,112 @@ def cms_heavy_hitters(
         )
         .orderBy(F.desc("exact_n"), "l_partkey")
     )
+
+
+def kmv_distinct_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 256,
+    n_shards: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with a weekly merge
+    — the third member of the mergeable-sketch family beside
+    :func:`hll_daily_rollup` (distinct) and
+    :func:`ddsketch_quantile_rollup` (quantiles), and the one whose
+    ESTIMATE is itself engine-reproducible: the sketch is the k smallest
+    md5-uniform hashes of the key (the ``hash_uniform`` recipe — exact
+    32-bit-integer-over-2^32 doubles), the estimator is (k-1)/u_k
+    (Bar-Yossef et al. 2002), and both replay bit-for-bit in SQL — so
+    unlike the HLL layer, whose JVM-internal sketch forces a
+    within-budget boolean, the KMV estimate is hash-compared OUTRIGHT.
+
+    Two-level layer, mirroring the HLL rollup: per-day sketches (the
+    persisted daily state, ≤ k rows/day) are UNIONED per ISO week and
+    re-cut to the k smallest — set union + top-k IS the KMV merge — so
+    the weekly estimate never rescans raw events.
+
+    Scale: the per-day k-smallest is computed shard-locally first
+    (``user_id % n_shards``; a rank window over (day, shard) partitions
+    ~n_shards× smaller than a day) and the global day cut ranks only the
+    ≤ n_shards·k survivors — the two-phase top-k that keeps the sort off
+    any fat day partition.  The exact weekly distinct (one rescan) and
+    relative error ship as the gate readout only.
+
+    Output per week: week, n_days, n_exact, n_sketch, kmv_estimate,
+    rel_err."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    days = ev.select("week", "day", "user_id").distinct()
+    hashed = days.withColumn(
+        "u", hash_uniform(F.col("user_id"), "kmv:")
+    ).withColumn("shard", F.pmod(F.col("user_id"), F.lit(n_shards)))
+    # phase 1: shard-local k smallest within each day
+    w_shard = Window.partitionBy("day", "shard").orderBy("u")
+    local = hashed.withColumn("rk", F.row_number().over(w_shard)).filter(
+        F.col("rk") <= k
+    )
+    # phase 2: the day cut over <= n_shards*k survivors
+    w_day = Window.partitionBy("day").orderBy("u")
+    daily = (
+        local.drop("rk")
+        .withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= k)
+        .select("week", "day", "u")
+    )
+    # weekly merge: union of day sketches, distinct values, re-cut to k
+    w_week = Window.partitionBy("week").orderBy("u")
+    weekly = (
+        daily.select("week", "u")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w_week))
+        .filter(F.col("rk") <= k)
+    )
+    sketch = weekly.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max(F.when(F.col("rk") == k, F.col("u"))).alias("u_k"),
+    )
+    n_days = daily.select("week", "day").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    exact = (
+        ev.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        sketch.join(n_days, "week")
+        .join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "n_exact",
+            "n_sketch",
+            F.round(
+                F.when(
+                    F.col("n_sketch") < k,
+                    F.col("n_sketch").cast("double"),
+                ).otherwise(F.lit(float(k - 1)) / F.col("u_k")),
+                4,
+            ).alias("kmv_estimate"),
+            F.round(
+                F.abs(
+                    F.when(
+                        F.col("n_sketch") < k,
+                        F.col("n_sketch").cast("double"),
+                    ).otherwise(F.lit(float(k - 1)) / F.col("u_k"))
+                    - F.col("n_exact")
+                )
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )

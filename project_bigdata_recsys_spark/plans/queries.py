@@ -4385,19 +4385,21 @@ _GATE_WINDOW = [
     "simhash_near_pairs",
     "near_dup_clusters",
     "token_frequencies",
-    "stratified_sample",
-    "synthetic_interactions",
-    "mutated_interactions",
     "stream_tumbling_counts",
     # -- new in round 8: first driver evidence (displaced the r4
     #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
-    #    embedding_stats, tfidf_top_terms rejoin the r9 backlog; all stay
-    #    regression-guarded every test run by test_oracle_parity) -------
+    #    embedding_stats, tfidf_top_terms, stratified_sample,
+    #    synthetic_interactions, mutated_interactions rejoin the r9
+    #    backlog; all stay regression-guarded every test run by
+    #    test_oracle_parity) --------------------------------------------
     "semdedup_profile",
     "domain_quota_sample",
     "k_anonymity_profile",
     "incremental_domain_quota",
     "stream_domain_quota",
+    "ranking_metrics",
+    "kmv_distinct_rollup",
+    "doc_repetition_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -5966,6 +5968,186 @@ ORACLES["lang_source_chi2"] = """
     ORDER BY contrib DESC, lang, source
     LIMIT 15
 """
+
+def _ranking_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.ranking import ranking_metrics
+
+    return ranking_metrics(spark, sf_dir)
+
+
+def _ranking_metrics_oracle() -> str:
+    """SQL twin of ml.ranking.ranking_metrics: leave-one-out by md5
+    rank, popularity candidates capped at K + max-degree (the flat
+    pr <= C form equals the Spark TakeOrdered-then-rank because the
+    (count DESC, item) ordering is total), filtered rank by counting
+    the user's own higher-ranked train items, and the shared
+    integer-micro contribution tables indexed by rank."""
+    from project_bigdata_recsys_spark.ml.ranking import (
+        DCG_MICRO,
+        EVAL_KS,
+        RR_MICRO,
+    )
+
+    rr = ", ".join(map(str, RR_MICRO))
+    dcg = ", ".join(map(str, DCG_MICRO))
+    ks = ", ".join(map(str, EVAL_KS))
+    k_max = max(EVAL_KS)
+    return f"""
+    WITH inter AS (
+        SELECT o_custkey AS u, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey),
+    ranked AS (
+        SELECT u, i,
+               row_number() OVER (
+                   PARTITION BY u
+                   ORDER BY md5('loo:' || CAST(u AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)) DESC, i) AS rn
+        FROM inter),
+    test AS (SELECT u, i FROM ranked WHERE rn = 1),
+    train AS (SELECT u, i FROM ranked WHERE rn > 1),
+    c_lim AS (SELECT {k_max} + COALESCE(max(cnt), 0) AS c FROM
+              (SELECT count(*) AS cnt FROM train GROUP BY u)),
+    pop AS (SELECT i, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, i) AS pr
+            FROM train GROUP BY i),
+    cands AS (SELECT i, pr FROM pop WHERE pr <= (SELECT c FROM c_lim)),
+    test_r AS (SELECT t.u, c.pr AS pr_test
+               FROM test t LEFT JOIN cands c ON c.i = t.i),
+    above AS (SELECT tr.u, count(*) AS n_above
+              FROM train tr
+              JOIN cands c ON c.i = tr.i
+              JOIN test_r x ON x.u = tr.u
+              WHERE c.pr < x.pr_test
+              GROUP BY tr.u),
+    fr AS (SELECT t.u, t.pr_test - COALESCE(a.n_above, 0) AS fr
+           FROM test_r t LEFT JOIN above a ON a.u = t.u),
+    per_k AS (
+        SELECT k.k,
+               CASE WHEN fr.fr IS NOT NULL AND fr.fr <= k.k
+                    THEN 1 ELSE 0 END AS hit,
+               CASE WHEN fr.fr IS NOT NULL AND fr.fr <= k.k
+                    THEN ([{rr}])[fr.fr] ELSE 0 END AS rr_micro,
+               CASE WHEN fr.fr IS NOT NULL AND fr.fr <= k.k
+                    THEN ([{dcg}])[fr.fr] ELSE 0 END AS dcg_micro
+        FROM fr CROSS JOIN (SELECT unnest([{ks}]) AS k) k)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(sum(hit) / count(*), 6) AS hit_rate,
+           round(sum(rr_micro) / 1000000.0 / count(*), 6) AS mrr,
+           round(sum(dcg_micro) / 1000000.0 / count(*), 6) AS ndcg
+    FROM per_k GROUP BY k ORDER BY k
+    """
+
+
+# Top-K ranking eval (round 8): HitRate/MRR/NDCG of the deterministic
+# popularity baseline under md5-rank leave-one-out — the list-quality
+# floor the reference's pointwise RMSE/MAE eval (batch_als_train.py:
+# 154-166) never measures.
+QUERIES["ranking_metrics"] = _ranking_metrics_query
+ORACLES["ranking_metrics"] = _ranking_metrics_oracle()
+
+# Repetition/boilerplate QA (round 8): Gopher-style repetitious-text
+# rules (duplicate-bigram/trigram fraction, top-bigram share) — grams
+# built array-side, one scan, fixed-point micro averages.
+QUERIES["doc_repetition_profile"] = text.doc_repetition_profile
+ORACLES["doc_repetition_profile"] = """
+    WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+    g2 AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM base),
+    g3 AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM base),
+    c2 AS (SELECT doc_id, source, g, count(*) AS c
+           FROM g2 GROUP BY doc_id, source, g),
+    c3 AS (SELECT doc_id, g, count(*) AS c
+           FROM g3 GROUP BY doc_id, g),
+    d2 AS (SELECT doc_id, source,
+                  CAST(round(round(1.0 - count(*) / CAST(sum(c) AS DOUBLE),
+                                   6) * 1000000.0) AS BIGINT)
+                      AS g2_dup_micro,
+                  CAST(round(round(max(c) / CAST(sum(c) AS DOUBLE),
+                                   6) * 1000000.0) AS BIGINT)
+                      AS g2_top_micro
+           FROM c2 GROUP BY doc_id, source),
+    d3 AS (SELECT doc_id,
+                  CAST(round(round(1.0 - count(*) / CAST(sum(c) AS DOUBLE),
+                                   6) * 1000000.0) AS BIGINT)
+                      AS g3_dup_micro
+           FROM c3 GROUP BY doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(g2_dup_micro) / 1000000.0 / count(*), 6)
+               AS avg_dup_bigram,
+           round(sum(g2_top_micro) / 1000000.0 / count(*), 6)
+               AS avg_top_bigram_share,
+           round(sum(g3_dup_micro) / 1000000.0 / count(*), 6)
+               AS avg_dup_trigram,
+           CAST(sum(CASE WHEN g2_dup_micro > 120000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM d2 JOIN d3 USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+"""
+
+# KMV distinct sketch (round 8): the mergeable-sketch family member
+# whose ESTIMATE is engine-reproducible md5 math — hash-compared
+# outright, not a within-budget boolean like the HLL layer.
+QUERIES["kmv_distinct_rollup"] = relational.kmv_distinct_rollup
+ORACLES["kmv_distinct_rollup"] = """
+    WITH ev AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               strftime(ts, '%Y-%m-%d') AS day,
+               user_id
+        FROM events),
+    du AS (SELECT DISTINCT week, day, user_id FROM ev),
+    hashed AS (
+        SELECT week, day,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM du),
+    daily AS (
+        SELECT week, day, u
+        FROM (SELECT week, day, u,
+                     row_number() OVER (PARTITION BY day ORDER BY u) AS rk
+              FROM hashed)
+        WHERE rk <= 256),
+    weekly AS (
+        SELECT week, u, rk FROM (
+            SELECT week, u,
+                   row_number() OVER (PARTITION BY week ORDER BY u) AS rk
+            FROM (SELECT DISTINCT week, u FROM daily))
+        WHERE rk <= 256),
+    sketch AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_sketch,
+               max(CASE WHEN rk = 256 THEN u END) AS u_k
+        FROM weekly GROUP BY week),
+    nd AS (SELECT week, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+           FROM daily GROUP BY week),
+    ex AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM ev GROUP BY week)
+    SELECT s.week, nd.n_days, ex.n_exact, s.n_sketch,
+           round(CASE WHEN s.n_sketch < 256 THEN CAST(s.n_sketch AS DOUBLE)
+                      ELSE 255.0 / s.u_k END, 4) AS kmv_estimate,
+           round(abs(CASE WHEN s.n_sketch < 256
+                          THEN CAST(s.n_sketch AS DOUBLE)
+                          ELSE 255.0 / s.u_k END - ex.n_exact)
+                 / ex.n_exact, 6) AS rel_err
+    FROM sketch s
+    JOIN nd ON nd.week = s.week
+    JOIN ex ON ex.week = s.week
+    ORDER BY s.week
+"""
+
 
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate

@@ -390,3 +390,75 @@ def test_incremental_domain_quota_reconciles_with_full_run(spark):
         .collect()[0][0]
     )
     assert full_kept == prior_mass + inc_admitted
+
+
+# ---------------------------------------------------------------------------
+# Round-8 second wave: ranking eval, KMV sketch, repetition rules
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_metrics_invariants_and_plan(spark):
+    """Metric sandwich for single-relevant-item eval (1/r <= 1/log2(r+1)
+    <= 1 gives mrr <= ndcg <= hit_rate per K), monotone in K, and the
+    plan must never materialize the |users| x C candidate frame: no
+    cartesian product, and the candidate joins broadcast."""
+    from project_bigdata_recsys_spark.ml.ranking import ranking_metrics
+
+    df = ranking_metrics(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = {r.k: r for r in df.collect()}
+    assert sorted(rows) == [5, 10, 20]
+    n_users = {r.n_users for r in rows.values()}
+    assert len(n_users) == 1  # every test user evaluated at every K
+    prev_hits = -1
+    for k in (5, 10, 20):
+        r = rows[k]
+        assert r.n_hits >= prev_hits  # monotone in K
+        prev_hits = r.n_hits
+        assert 0.0 <= r.mrr <= r.ndcg <= r.hit_rate <= 1.0
+
+
+def test_kmv_estimate_modes(spark):
+    """Exact below k (the sketch IS the set), estimator above it — and
+    the estimate must land within a generous KMV error envelope
+    (sigma ~ 1/sqrt(k-2) ~ 6.3% at k=256; 5 sigma budget)."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        kmv_distinct_rollup,
+    )
+
+    out = kmv_distinct_rollup(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r.n_sketch <= 256
+        if r.n_sketch < 256:
+            assert r.kmv_estimate == float(r.n_sketch)
+        assert r.rel_err <= 0.32, r
+
+
+def test_doc_repetition_ranges(spark):
+    """Ratios are proper fractions; every >=3-token doc is profiled."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        doc_repetition_profile,
+        tokens,
+    )
+
+    out = doc_repetition_profile(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_dup_bigram <= 1.0
+        assert 0.0 <= r.avg_top_bigram_share <= 1.0
+        assert 0.0 <= r.avg_dup_trigram <= 1.0
+        assert 0 <= r.n_repetitive <= r.n_docs
+    total = sum(r.n_docs for r in rows)
+    expect = (
+        load_table(spark, SF_SMALL, "documents")
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .count()
+    )
+    assert total == expect
