@@ -190,6 +190,11 @@ HEADLINE = [
     "ranking_metrics",
     "kmv_distinct_rollup",
     "doc_repetition_profile",
+    # round-8 third wave: decayed popularity (rational micro weights),
+    # streaming KMV state fold, ALS ranking eval (invariant profile)
+    "trending_items",
+    "stream_kmv_distinct",
+    "als_ranking_eval",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

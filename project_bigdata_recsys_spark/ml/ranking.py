@@ -201,3 +201,138 @@ def ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
     )
     return out
+
+
+def als_ranking_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    rank: int = 10,
+    max_iter: int = 5,
+    reg_param: float = 0.05,
+) -> DataFrame:
+    """Ranking eval of the ACTUAL ALS model (reference
+    spark_jobs/batch_als_train.py trains it; this measures it the way
+    its output is consumed) — HitRate/MRR/NDCG@K under the same
+    leave-one-out protocol as :func:`ranking_metrics`, so the two
+    queries read side-by-side as model-vs-popularity-floor.
+
+    ALS is iterative and engine-seeded, so raw metric VALUES are not
+    SQL-reproducible; the profile follows the als_recommendation_profile
+    invariant recipe: exact data anchors (test-user count — one row per
+    interaction user) plus structural booleans any correct eval must
+    satisfy, asserted literal-TRUE by the oracle:
+
+      coverage_ok   ALS covered a positive fraction of test users
+                    (cold-start drop means < 100%)
+      range_ok      every metric lands in [0, 1]
+      sandwich_ok   mrr <= ndcg <= hit_rate (1/r <= 1/log2(r+1) <= 1
+                    per hit) and hits monotone in K
+
+    The filtered-rank trick of ranking_metrics doesn't apply (ALS
+    scores, not popularity counts, order the list) — but
+    recommendForAllUsers(K) already returns ONLY the per-user top-K
+    array, so the join against the held-out item is |users| x K
+    exploded rows, not |users| x |items|."""
+    from pyspark.ml.recommendation import ALS
+
+    inter = interactions_from_star(spark, sf_dir).select(
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("item_id").cast("int").alias("item_id"),
+        F.col("strength").cast("float").alias("strength"),
+    )
+    train, test = leave_one_out_split(inter)
+    k_max = max(EVAL_KS)
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        implicitPrefs=True,
+        nonnegative=True,
+        coldStartStrategy="drop",
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="strength",
+    )
+    model = als.fit(train)
+    recs = model.recommendForAllUsers(k_max).select(
+        "user_id",
+        F.posexplode("recommendations").alias("__pos", "__rec"),
+    ).select(
+        "user_id",
+        F.col("__rec.item_id").alias("item_id"),
+        (F.col("__pos") + 1).alias("fr"),
+    )
+    hit_rank = test.join(recs, ["user_id", "item_id"], "left").select(
+        "user_id", "fr"
+    )
+    covered = recs.select("user_id").distinct()
+
+    per_k = hit_rank.select(
+        "fr", F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")
+    ).select(
+        "k",
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")),
+            F.element_at(
+                F.array(*[F.lit(v) for v in RR_MICRO]),
+                F.col("fr").cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rr_micro"),
+        F.when(
+            F.col("fr").isNotNull() & (F.col("fr") <= F.col("k")),
+            F.element_at(
+                F.array(*[F.lit(v) for v in DCG_MICRO]),
+                F.col("fr").cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dcg_micro"),
+    )
+    metrics = per_k.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+        F.round(
+            sum_fixed(F.col("rr_micro"), sf_dir)
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            sum_fixed(F.col("dcg_micro"), sf_dir)
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ndcg"),
+    )
+    n_cov = covered.agg(F.count(F.lit(1)).alias("__n_cov"))
+    return (
+        metrics.crossJoin(F.broadcast(n_cov))
+        .select(
+            "k",
+            "n_users",
+            (F.col("__n_cov") > 0).alias("coverage_ok"),
+            (
+                (F.col("hit_rate") >= 0)
+                & (F.col("hit_rate") <= 1)
+                & (F.col("mrr") >= 0)
+                & (F.col("mrr") <= 1)
+                & (F.col("ndcg") >= 0)
+                & (F.col("ndcg") <= 1)
+            ).alias("range_ok"),
+            ((F.col("mrr") <= F.col("ndcg")) & (F.col("ndcg") <= F.col("hit_rate"))).alias(
+                "sandwich_ok"
+            ),
+        )
+        .orderBy("k")
+    )

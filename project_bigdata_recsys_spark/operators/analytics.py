@@ -809,3 +809,62 @@ def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_intervals", "peak_concurrent", "peak_epoch_day")
         .orderBy("event_type")
     )
+
+
+def trending_items(
+    spark: SparkSession,
+    sf_dir: str,
+    half_scale_days: int = 30,
+    k: int = 15,
+) -> DataFrame:
+    """Time-decayed popularity — the trending-items serving table a
+    recommender puts behind its "hot now" shelf (the recency-weighted
+    counterpart of ml.recsys.kb_popular_items' all-time counts): each
+    order of an item contributes a weight that decays hyperbolically
+    with its age, w = s/(s+age_days), s = ``half_scale_days`` (weight
+    halves at age s — same knee as exponential decay but a RATIONAL
+    function of an integer day age, so both engines compute the exact
+    same doubles; no libm pow/exp in the plan).
+
+    Fixed-point discipline: per-order weights are rounded to integer
+    micro-units before the per-item sum (sum_fixed), making the score
+    an exact integer fold; the top-K cuts on (score_micro DESC, item) —
+    a total order — via TakeOrdered, never a global sort.
+
+    Scale: one lineitem-orders join (orders date broadcast-prunable),
+    one map-side-combined aggregation on l_partkey, top-K.  The anchor
+    date is a 1-row broadcast aggregate, not a driver collect."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("__anchor"))
+    s = float(half_scale_days)
+    aged = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "l_partkey",
+            F.datediff(F.col("__anchor"), F.col("o_orderdate")).alias("age"),
+        )
+    )
+    w_micro = F.round(
+        F.lit(1_000_000.0) * F.lit(s) / (F.lit(s) + F.col("age"))
+    ).cast("long")
+    scored = aged.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        sum_fixed(w_micro, sf_dir).cast("long").alias("__score_micro"),
+    )
+    return (
+        scored.orderBy(F.desc("__score_micro"), "l_partkey")
+        .limit(k)
+        .select(
+            "l_partkey",
+            "n_orders",
+            F.round(F.col("__score_micro") / 1000000.0, 6).alias(
+                "trend_score"
+            ),
+        )
+    )

@@ -4377,9 +4377,6 @@ _GATE_WINDOW = [
     "pii_redaction_profile",
     # -- backfill: oldest r4 evidence (rotate forward; tail slots yield
     #    to queries newly added in round 8) -------------------------------
-    "json_extraction",
-    "events_per_day",
-    "event_rate",
     "exact_duplicates",
     "minhash_candidates",
     "simhash_near_pairs",
@@ -4389,9 +4386,9 @@ _GATE_WINDOW = [
     # -- new in round 8: first driver evidence (displaced the r4
     #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
     #    embedding_stats, tfidf_top_terms, stratified_sample,
-    #    synthetic_interactions, mutated_interactions rejoin the r9
-    #    backlog; all stay regression-guarded every test run by
-    #    test_oracle_parity) --------------------------------------------
+    #    synthetic_interactions, mutated_interactions, json_extraction,
+    #    events_per_day, event_rate rejoin the r9 backlog; all stay
+    #    regression-guarded every test run by test_oracle_parity) -------
     "semdedup_profile",
     "domain_quota_sample",
     "k_anonymity_profile",
@@ -4400,6 +4397,9 @@ _GATE_WINDOW = [
     "ranking_metrics",
     "kmv_distinct_rollup",
     "doc_repetition_profile",
+    "trending_items",
+    "stream_kmv_distinct",
+    "als_ranking_eval",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -6047,6 +6047,88 @@ def _ranking_metrics_oracle() -> str:
 # 154-166) never measures.
 QUERIES["ranking_metrics"] = _ranking_metrics_query
 ORACLES["ranking_metrics"] = _ranking_metrics_oracle()
+
+def _als_ranking_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.ranking import als_ranking_eval
+
+    return als_ranking_eval(spark, sf_dir)
+
+
+# ALS ranking eval (round 8): the model-vs-popularity-floor readout —
+# ALS metric values are engine-seeded, so the oracle checks the exact
+# test-user anchor plus literal-TRUE structural invariants (the
+# als_recommendation_profile recipe).
+QUERIES["als_ranking_eval"] = _als_ranking_eval_query
+ORACLES["als_ranking_eval"] = """
+    WITH u AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_users
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT k, u.n_users,
+           TRUE AS coverage_ok,
+           TRUE AS range_ok,
+           TRUE AS sandwich_ok
+    FROM (SELECT unnest([5, 10, 20]) AS k) ks CROSS JOIN u
+    ORDER BY k
+"""
+
+# Streaming KMV twin (round 8): keyed per-week state holds the k
+# smallest hashes; the order-independent merge makes the final sketch
+# bit-identical to the batch cut, so the oracle is one flat ranking.
+QUERIES["stream_kmv_distinct"] = replay.stream_kmv_distinct
+ORACLES["stream_kmv_distinct"] = """
+    WITH ev AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               user_id
+        FROM events),
+    du AS (SELECT DISTINCT week, user_id FROM ev),
+    hashed AS (
+        SELECT DISTINCT week,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM du),
+    weekly AS (
+        SELECT week, u, rk FROM (
+            SELECT week, u,
+                   row_number() OVER (PARTITION BY week ORDER BY u) AS rk
+            FROM hashed)
+        WHERE rk <= 256),
+    sketch AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_sketch,
+               max(CASE WHEN rk = 256 THEN u END) AS u_k
+        FROM weekly GROUP BY week),
+    ex AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM ev GROUP BY week)
+    SELECT s.week, ex.n_exact, s.n_sketch,
+           round(CASE WHEN s.n_sketch < 256 THEN CAST(s.n_sketch AS DOUBLE)
+                      ELSE 255.0 / s.u_k END, 4) AS kmv_estimate,
+           round(abs(CASE WHEN s.n_sketch < 256
+                          THEN CAST(s.n_sketch AS DOUBLE)
+                          ELSE 255.0 / s.u_k END - ex.n_exact)
+                 / ex.n_exact, 6) AS rel_err
+    FROM sketch s JOIN ex ON ex.week = s.week
+    ORDER BY s.week
+"""
+
+# Time-decayed trending items (round 8): recency-weighted popularity
+# with a RATIONAL decay of integer day ages — exact micro-unit weights,
+# no libm pow/exp — cut on the (score, item) total order.
+QUERIES["trending_items"] = analytics.trending_items
+ORACLES["trending_items"] = """
+    WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+    aged AS (
+        SELECT l_partkey,
+               date_diff('day', o_orderdate, (SELECT a FROM anchor)) AS age
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    scored AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(1000000.0 * 30.0 / (30.0 + age))
+                             AS BIGINT)) AS BIGINT) AS sm
+        FROM aged GROUP BY l_partkey)
+    SELECT l_partkey, n_orders,
+           round(sm / 1000000.0, 6) AS trend_score
+    FROM scored ORDER BY sm DESC, l_partkey LIMIT 15
+"""
 
 # Repetition/boilerplate QA (round 8): Gopher-style repetitious-text
 # rules (duplicate-bigram/trigram fraction, top-bigram share) — grams

@@ -917,3 +917,152 @@ def stream_domain_quota(
         )
         .orderBy("source")
     )
+
+
+def stream_kmv_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 256,
+    n_waves: int = 3,
+) -> DataFrame:
+    """KMV distinct sketch maintained BY THE STREAM — the streaming twin
+    of operators.relational.kmv_distinct_rollup, completing the pattern
+    that every sketch layer ships with a streaming form (DDSketch →
+    stream_value_quantiles): keyed state per ISO week holds the k
+    smallest md5-uniform user hashes seen so far, each micro-batch
+    set-merges its hashes in and re-cuts to k — the KMV merge is
+    ORDER-INDEPENDENT, so however the replay slices the corpus into
+    batches, the final sketch is bit-identical to the batch weekly cut,
+    and the oracle is one flat SQL ranking (the hash-compared-outright
+    property carries over to the stream).
+
+    True cross-batch state: the corpus is staged as ``n_waves``
+    mtime-ordered single-file waves (event_id % n_waves) replayed with
+    maxFilesPerTrigger=1, so a week's sketch must survive checkpointed
+    state round-trips between merges.  Update-mode emissions carry a
+    per-key update counter; the post-sink read keeps each week's last
+    emission (latest-wins window) — the stream_cdc_current discipline.
+
+    Scale: state is ≤ k doubles per week (KB); each batch shuffles only
+    its own rows by week.  Output per week: n_sketch, kmv_estimate,
+    n_exact, rel_err (exact twin is the gate readout only)."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        "user_id",
+        "event_id",
+    )
+    hashed = ev.select(
+        "week", "event_id", hash_uniform(F.col("user_id"), "kmv:").alias("u")
+    )
+
+    work = scratch_dir(prefix="spark_kmv_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for w in range(n_waves):
+        tmp = os.path.join(work, f"tmp{w}")
+        hashed.filter(
+            F.col("event_id") % n_waves == w
+        ).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        staged = os.path.join(in_dir, f"{w:03d}.parquet")
+        shutil.copyfile(part, staged)
+        os.utime(staged, (now - 100 + w, now - 100 + w))
+
+    out_schema = StructType(
+        [
+            StructField("week", StringType()),
+            StructField("upd", IntegerType()),
+            StructField("n_sketch", LongType()),
+            StructField("u_k", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("upd", IntegerType()),
+            StructField("ks", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        prev_upd, prev_ks = state.get if state.exists else (0, [])
+        merged = sorted(set(list(prev_ks)) | set(pdf["u"].tolist()))[:k]
+        upd = prev_upd + 1
+        state.update((upd, merged))
+        yield pd.DataFrame(
+            {
+                "week": [key[0]],
+                "upd": [upd],
+                "n_sketch": [len(merged)],
+                "u_k": [merged[k - 1] if len(merged) == k else None],
+            }
+        )
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    folded = stream.groupBy("week").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_replay(folded, spark, "update")
+    w_last = W.partitionBy("week").orderBy(F.desc("upd"))
+    latest = (
+        table.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("week", "n_sketch", "u_k")
+    )
+    exact = (
+        ev.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("u_k"))
+    return (
+        latest.join(exact, "week")
+        .select(
+            "week",
+            "n_exact",
+            "n_sketch",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )

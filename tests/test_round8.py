@@ -462,3 +462,41 @@ def test_doc_repetition_ranges(spark):
         .count()
     )
     assert total == expect
+
+
+def test_trending_items_plan_and_order(spark):
+    """Top-K must be a TakeOrdered, never a global sort; scores must be
+    non-increasing and every score positive (weights are positive)."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        trending_items,
+    )
+
+    df = trending_items(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 15
+    scores = [r.trend_score for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_kmv_matches_batch_weekly_sketch(spark):
+    """The KMV merge is order-independent: the streamed per-week sketch
+    must agree with the batch rollup's weekly numbers exactly."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        kmv_distinct_rollup,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        stream_kmv_distinct,
+    )
+
+    batch = {
+        r.week: (r.n_sketch, r.kmv_estimate, r.n_exact)
+        for r in kmv_distinct_rollup(spark, SF_SMALL).collect()
+    }
+    stream = {
+        r.week: (r.n_sketch, r.kmv_estimate, r.n_exact)
+        for r in stream_kmv_distinct(spark, SF_SMALL).collect()
+    }
+    assert batch == stream
