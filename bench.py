@@ -195,6 +195,10 @@ HEADLINE = [
     "trending_items",
     "stream_kmv_distinct",
     "als_ranking_eval",
+    # round-8 fourth wave: two-sample drift tests over the shared
+    # early/late value histogram (exact distributed cumsums)
+    "ks_value_drift",
+    "mann_whitney_drift",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -581,3 +581,165 @@ def k_anonymity_profile(
         )
         .orderBy("source")
     )
+
+
+def _value_side_cum(spark: SparkSession, sf_dir: str):
+    """Shared kernel of the two-sample drift tests (:func:`ks_value_drift`,
+    :func:`mann_whitney_drift`): split events into an EARLY and a LATE
+    half at the midpoint epoch day (integer arithmetic on a broadcast
+    1-row anchor — deterministic), histogram ``round(value, 6)`` per
+    side, and attach EXACT global cumulative counts per distinct value
+    via the range-shuffle recipe (with_exact_percent_rank's shape with
+    counts as weights): per-__pid local cumsums + a per-partition offset
+    frame whose only unpartitioned window covers ≤ num-partitions rows.
+
+    Returns (cum, n_a, n_b): cum has one row per distinct value with
+    (v, t_a, t_b, cum_a, cum_b); n_a/n_b are the side totals as 1-row
+    broadcastable aggregates folded in as columns."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        F.round("value", 6).alias("v"),
+    )
+    anchor = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0)
+        .cast("long")
+        .alias("__mid")
+    )
+    sided = ev.crossJoin(F.broadcast(anchor)).select(
+        "v",
+        F.when(F.col("day") <= F.col("__mid"), 1).otherwise(0).alias("__a"),
+    )
+    hist = sided.groupBy("v").agg(
+        F.sum("__a").cast("long").alias("t_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("t_b"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = hist.repartitionByRange(n_parts, "v").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__la", F.sum("t_a").over(w_loc)).withColumn(
+        "__lb", F.sum("t_b").over(w_loc)
+    )
+    sizes = ranged.groupBy("__pid").agg(
+        F.sum("t_a").alias("__wa"), F.sum("t_b").alias("__wb")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__wa").over(w_off), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__wb").over(w_off), F.lit(0)).alias("__ob"),
+        F.sum("__wa").over(w_all).alias("n_a"),
+        F.sum("__wb").over(w_all).alias("n_b"),
+    )
+    cum = local.join(F.broadcast(offsets), "__pid").select(
+        "v",
+        "t_a",
+        "t_b",
+        (F.col("__oa") + F.col("__la")).cast("long").alias("cum_a"),
+        (F.col("__ob") + F.col("__lb")).cast("long").alias("cum_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+    return cum
+
+
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the early and
+    late halves of the event stream — the distribution-shape monitor
+    next to :func:`psi_drift`'s binned score (KS sees ANY cdf gap, not
+    just decile mass shifts; the pair is the standard drift dashboard).
+
+    D = max over distinct values of |cdf_a − cdf_b|, with both cdfs
+    lifted to integer micro-units per value first (6-dp cdf semantics,
+    documented) so the max is an integer comparison — no float-order
+    nondeterminism.  The 5%-level rejection threshold is the classic
+    asymptotic c(α)·sqrt((n_a+n_b)/(n_a·n_b)), c(0.05) = 1.358 (sqrt is
+    IEEE correctly-rounded — identical in both engines).
+
+    Scale: one scan, one histogram shuffle, one range shuffle; the only
+    unpartitioned window is the ≤ num-partitions offset frame."""
+    cum = _value_side_cum(spark, sf_dir)
+    da = F.round(F.lit(1000000.0) * F.col("cum_a") / F.col("n_a")).cast(
+        "long"
+    )
+    db = F.round(F.lit(1000000.0) * F.col("cum_b") / F.col("n_b")).cast(
+        "long"
+    )
+    d = cum.select(
+        F.abs(da - db).alias("__d"), "n_a", "n_b"
+    ).groupBy("n_a", "n_b").agg(F.max("__d").alias("__dm"))
+    ks = F.round(F.col("__dm") / 1000000.0, 6)
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        6,
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        ks.alias("ks_stat"),
+        crit.alias("ks_crit"),
+        (ks > crit).alias("drift_detected"),
+    )
+
+
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the early
+    and late event halves — the nonparametric location-shift test
+    completing the drift trio (PSI: binned mass; KS: cdf shape; U:
+    stochastic dominance).  Rank arithmetic stays EXACT: with per-value
+    tie groups of size t = t_a + t_b at cumulative offset c, the
+    tie-averaged rank sum doubles to an integer,
+    R2_a = Σ t_a·(2·(c−t)+t+1), so U2 = 2·n_a·n_b + n_a·(n_a+1) − R2_a
+    is an exact BIGINT fold on both engines; only the final z-score
+    (tie-corrected σ) is floating point, built from the same integer
+    aggregates with identical expression shape and rounded at 6 dp.
+
+    Scale: same one-histogram shape as :func:`ks_value_drift`; the tie
+    correction Σ(t³−t) aggregates the histogram, never the raw rows."""
+    cum = _value_side_cum(spark, sf_dir)
+    t = F.col("t_a") + F.col("t_b")
+    r2_term = F.col("t_a") * (
+        2 * (F.col("cum_a") + F.col("cum_b") - t) + t + 1
+    )
+    agg = cum.groupBy("n_a", "n_b").agg(
+        F.sum(r2_term).cast("long").alias("__r2"),
+        F.sum(t * t * t - t).cast("long").alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u2 = (
+        2 * F.col("n_a") * F.col("n_b")
+        + F.col("n_a") * (F.col("n_a") + 1)
+        - F.col("__r2")
+    )
+    u = u2 / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0
+        * ((n + 1.0) - F.col("__ties") / (n * (n - 1.0)))
+    )
+    z = F.round((u - mu) / sigma, 6)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("shift_detected"),
+    )

@@ -4377,8 +4377,6 @@ _GATE_WINDOW = [
     "pii_redaction_profile",
     # -- backfill: oldest r4 evidence (rotate forward; tail slots yield
     #    to queries newly added in round 8) -------------------------------
-    "exact_duplicates",
-    "minhash_candidates",
     "simhash_near_pairs",
     "near_dup_clusters",
     "token_frequencies",
@@ -4387,8 +4385,9 @@ _GATE_WINDOW = [
     #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
     #    embedding_stats, tfidf_top_terms, stratified_sample,
     #    synthetic_interactions, mutated_interactions, json_extraction,
-    #    events_per_day, event_rate rejoin the r9 backlog; all stay
-    #    regression-guarded every test run by test_oracle_parity) -------
+    #    events_per_day, event_rate, exact_duplicates, minhash_candidates
+    #    rejoin the r9 backlog; all stay regression-guarded every test
+    #    run by test_oracle_parity) -------------------------------------
     "semdedup_profile",
     "domain_quota_sample",
     "k_anonymity_profile",
@@ -4400,6 +4399,8 @@ _GATE_WINDOW = [
     "trending_items",
     "stream_kmv_distinct",
     "als_ranking_eval",
+    "ks_value_drift",
+    "mann_whitney_drift",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -6047,6 +6048,84 @@ def _ranking_metrics_oracle() -> str:
 # 154-166) never measures.
 QUERIES["ranking_metrics"] = _ranking_metrics_query
 ORACLES["ranking_metrics"] = _ranking_metrics_oracle()
+
+_DRIFT_CUM_SQL = """
+    ev AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               round(value, 6) AS v
+        FROM events),
+    anchor AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+                   AS mid FROM ev),
+    hist AS (
+        SELECT v,
+               CAST(sum(CASE WHEN day <= (SELECT mid FROM anchor)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+               CAST(sum(CASE WHEN day <= (SELECT mid FROM anchor)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS t_b
+        FROM ev GROUP BY v),
+    cum AS (
+        SELECT v, t_a, t_b,
+               sum(t_a) OVER (ORDER BY v) AS cum_a,
+               sum(t_b) OVER (ORDER BY v) AS cum_b
+        FROM hist),
+    tot AS (SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+                   CAST(sum(t_b) AS BIGINT) AS n_b FROM hist)
+"""
+
+# Two-sample drift tests (round 8): the early-vs-late split at the
+# midpoint epoch day, a 6-dp value histogram, and exact cumulative
+# counts — KS compares micro-unit cdfs, Mann-Whitney folds tie-averaged
+# rank sums in doubled-integer units.  The drift trio beside psi_drift.
+QUERIES["ks_value_drift"] = quality.ks_value_drift
+ORACLES["ks_value_drift"] = f"""
+    WITH {_DRIFT_CUM_SQL},
+    d AS (SELECT max(abs(CAST(round(1000000.0 * cum_a / n_a) AS BIGINT)
+                       - CAST(round(1000000.0 * cum_b / n_b) AS BIGINT)))
+                     AS dm
+          FROM cum CROSS JOIN tot)
+    SELECT t.n_a, t.n_b,
+           round(dm / 1000000.0, 6) AS ks_stat,
+           round(1.358 * sqrt((t.n_a + t.n_b)
+                 / (CAST(t.n_a AS DOUBLE) * t.n_b)), 6) AS ks_crit,
+           (round(dm / 1000000.0, 6)
+            > round(1.358 * sqrt((t.n_a + t.n_b)
+                    / (CAST(t.n_a AS DOUBLE) * t.n_b)), 6))
+               AS drift_detected
+    FROM d CROSS JOIN tot t
+"""
+
+QUERIES["mann_whitney_drift"] = quality.mann_whitney_drift
+ORACLES["mann_whitney_drift"] = f"""
+    WITH {_DRIFT_CUM_SQL},
+    agg AS (
+        SELECT CAST(sum(t_a * (2 * (cum_a + cum_b - (t_a + t_b))
+                               + (t_a + t_b) + 1)) AS BIGINT) AS r2,
+               CAST(sum((t_a + t_b) * (t_a + t_b) * (t_a + t_b)
+                        - (t_a + t_b)) AS BIGINT) AS ties
+        FROM cum)
+    SELECT n_a, n_b,
+           round((2 * n_a * n_b + n_a * (n_a + 1) - r2) / 2.0, 1)
+               AS u_stat,
+           round(((2 * n_a * n_b + n_a * (n_a + 1) - r2) / 2.0
+                  - nad * nbd / 2.0)
+                 / sqrt(nad * nbd / 12.0
+                        * (((nad + nbd) + 1.0)
+                           - ties / ((nad + nbd)
+                                     * ((nad + nbd) - 1.0)))), 6)
+               AS z_score,
+           (abs(round(((2 * n_a * n_b + n_a * (n_a + 1) - r2) / 2.0
+                  - nad * nbd / 2.0)
+                 / sqrt(nad * nbd / 12.0
+                        * (((nad + nbd) + 1.0)
+                           - ties / ((nad + nbd)
+                                     * ((nad + nbd) - 1.0)))), 6))
+            > 1.96) AS shift_detected
+    FROM (SELECT t.n_a, t.n_b, a.r2, a.ties,
+                 CAST(t.n_a AS DOUBLE) AS nad,
+                 CAST(t.n_b AS DOUBLE) AS nbd
+          FROM agg a CROSS JOIN tot t)
+"""
+
 
 def _als_ranking_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.ml.ranking import als_ranking_eval

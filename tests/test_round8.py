@@ -500,3 +500,22 @@ def test_stream_kmv_matches_batch_weekly_sketch(spark):
         for r in stream_kmv_distinct(spark, SF_SMALL).collect()
     }
     assert batch == stream
+
+
+def test_drift_tests_statistics_well_formed(spark):
+    """KS statistic is a proper fraction with a positive threshold; the
+    U statistic sits in [0, n_a*n_b]; both tests see every event row and
+    agree on the split sizes."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.quality import (
+        ks_value_drift,
+        mann_whitney_drift,
+    )
+
+    ks = ks_value_drift(spark, SF_SMALL).collect()[0]
+    mw = mann_whitney_drift(spark, SF_SMALL).collect()[0]
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert ks.n_a + ks.n_b == n_events
+    assert (mw.n_a, mw.n_b) == (ks.n_a, ks.n_b)
+    assert 0.0 <= ks.ks_stat <= 1.0 and ks.ks_crit > 0
+    assert 0.0 <= mw.u_stat <= mw.n_a * mw.n_b
