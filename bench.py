@@ -199,6 +199,8 @@ HEADLINE = [
     # early/late value histogram (exact distributed cumsums)
     "ks_value_drift",
     "mann_whitney_drift",
+    # membership member of the sketch quartet (broadcast bitmap probe)
+    "bloom_membership_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

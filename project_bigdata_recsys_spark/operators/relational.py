@@ -1194,3 +1194,134 @@ def kmv_distinct_rollup(
         )
         .orderBy("week")
     )
+
+
+def bloom_membership_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = 4,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Bloom-filter membership sketch — completing the mergeable-sketch
+    quartet (distinct: HLL/KMV, frequency: CMS, quantile: DDSketch,
+    membership: THIS): the KB-scale "have I seen this key?" prefilter an
+    incremental pipeline consults before paying an anti-join — e.g.
+    dedup probes (functions/dedup.py) skipping fingerprints the settled
+    corpus provably lacks.  Build over the distinct order-placing
+    customers; probe EVERY customer; audit against the exact semi-join.
+
+    Same engine-reproducibility discipline as cms_heavy_hitters: the
+    ``n_hashes`` positions are md5-derived (``('0x'||substr(md5(j||':'||
+    key),1,8))::BIGINT % m`` — exact integer math in both engines), the
+    filter state is the DISTINCT SET of set positions (≤ m rows — the
+    relational encoding of the bitmap; set-union mergeable by
+    construction), and the probe is a broadcast join against that
+    KB-scale state followed by an all-``n_hashes``-hit test.  A member's
+    positions are all set by construction, so false negatives are
+    impossible — the audit's no_false_negatives must come out TRUE —
+    while false positives are counted and rated against the classic
+    (1-e^{-kn/m})^k expectation ballpark.
+
+    The probe set is every customer PLUS a planted definitely-absent
+    twin per customer (c_custkey + 10_000_000 — the planted-data
+    discipline): in this corpus every customer has placed an order, so
+    without the plants the false-positive denominator would be empty.
+
+    Output (1 row): n_keys_built, n_bits_set, n_probed, n_present,
+    n_maybe, n_false_pos, fp_rate, no_false_negatives."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    base_cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    customers = base_cust.unionByName(
+        base_cust.select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey")
+        )
+    )
+    # both shared frames are consumed 3x (position build / audit join /
+    # count) — persist so the distincts run once
+    build_keys = persist_tracked(orders.distinct())
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        j = F.explode(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1))
+        ).alias("j")
+        out = df.select(F.col(key).alias("key"), j)
+        hex8 = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("key").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        return out.withColumn(
+            "pos", (F.conv(hex8, 16, 10).cast("long") % m_bits).cast("long")
+        )
+
+    bits = persist_tracked(
+        positions(build_keys, "o_custkey").select("pos").distinct()
+    )
+    probe = positions(customers, "c_custkey")
+    hits = probe.join(F.broadcast(bits), "pos").groupBy("key").agg(
+        F.count(F.lit(1)).alias("__n_hit")
+    )
+    verdict = (
+        customers.join(
+            hits.withColumnRenamed("key", "c_custkey"), "c_custkey", "left"
+        )
+        .withColumn(
+            "maybe",
+            F.when(F.coalesce("__n_hit", F.lit(0)) == n_hashes, 1).otherwise(
+                0
+            ),
+        )
+        .join(
+            build_keys.withColumn("present", F.lit(1)).withColumnRenamed(
+                "o_custkey", "c_custkey"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .withColumn("present", F.coalesce("present", F.lit(0)))
+    )
+    n_built = build_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_built")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return (
+        verdict.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum("present").cast("long").alias("n_present"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(F.col("maybe") * (1 - F.col("present")))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(F.col("maybe") * (1 - F.col("present")))
+                / F.sum(1 - F.col("present")),
+                6,
+            ).alias("fp_rate"),
+            (
+                F.min(
+                    F.when(F.col("present") == 1, F.col("maybe")).otherwise(1)
+                )
+                == 1
+            ).alias("no_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_built))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys_built",
+            "n_bits_set",
+            "n_probed",
+            "n_present",
+            "n_maybe",
+            "n_false_pos",
+            "fp_rate",
+            "no_false_negatives",
+        )
+    )

@@ -4379,15 +4379,14 @@ _GATE_WINDOW = [
     #    to queries newly added in round 8) -------------------------------
     "simhash_near_pairs",
     "near_dup_clusters",
-    "token_frequencies",
     "stream_tumbling_counts",
     # -- new in round 8: first driver evidence (displaced the r4
     #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
     #    embedding_stats, tfidf_top_terms, stratified_sample,
     #    synthetic_interactions, mutated_interactions, json_extraction,
-    #    events_per_day, event_rate, exact_duplicates, minhash_candidates
-    #    rejoin the r9 backlog; all stay regression-guarded every test
-    #    run by test_oracle_parity) -------------------------------------
+    #    events_per_day, event_rate, exact_duplicates, minhash_candidates,
+    #    token_frequencies rejoin the r9 backlog; all stay
+    #    regression-guarded every test run by test_oracle_parity) -------
     "semdedup_profile",
     "domain_quota_sample",
     "k_anonymity_profile",
@@ -4401,6 +4400,7 @@ _GATE_WINDOW = [
     "als_ranking_eval",
     "ks_value_drift",
     "mann_whitney_drift",
+    "bloom_membership_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -6048,6 +6048,56 @@ def _ranking_metrics_oracle() -> str:
 # 154-166) never measures.
 QUERIES["ranking_metrics"] = _ranking_metrics_query
 ORACLES["ranking_metrics"] = _ranking_metrics_oracle()
+
+# Bloom membership sketch (round 8): md5-positional bitmap as a
+# relational DISTINCT-position set — the membership member of the
+# mergeable-sketch quartet; positions replay exactly in SQL so the
+# whole audit (including the measured FP rate) hash-compares.
+QUERIES["bloom_membership_profile"] = relational.bloom_membership_profile
+ORACLES["bloom_membership_profile"] = """
+    WITH bk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bpos AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+                   % 8192 AS pos
+        FROM bk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    cust AS (
+        SELECT c_custkey FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 FROM customer),
+    probe AS (
+        SELECT c_custkey AS key,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || CAST(c_custkey AS VARCHAR)),
+                               1, 8))::BIGINT % 8192 AS pos
+        FROM cust CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    hits AS (
+        SELECT p.key, count(*) AS n_hit
+        FROM probe p JOIN bpos b ON b.pos = p.pos
+        GROUP BY p.key),
+    verdict AS (
+        SELECT c.c_custkey,
+               CASE WHEN COALESCE(h.n_hit, 0) = 4 THEN 1 ELSE 0 END
+                   AS maybe,
+               CASE WHEN bk.key IS NOT NULL THEN 1 ELSE 0 END AS present
+        FROM cust c
+        LEFT JOIN hits h ON h.key = c.c_custkey
+        LEFT JOIN bk ON bk.key = c.c_custkey),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_built FROM bk),
+    nbits AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bpos)
+    SELECT nb.n_keys_built, nbits.n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(maybe) AS BIGINT) AS n_maybe,
+           CAST(sum(maybe * (1 - present)) AS BIGINT) AS n_false_pos,
+           round(sum(maybe * (1 - present)) / sum(1 - present), 6)
+               AS fp_rate,
+           (min(CASE WHEN present = 1 THEN maybe ELSE 1 END) = 1)
+               AS no_false_negatives
+    FROM verdict CROSS JOIN nb CROSS JOIN nbits
+    GROUP BY nb.n_keys_built, nbits.n_bits_set
+"""
 
 _DRIFT_CUM_SQL = """
     ev AS (

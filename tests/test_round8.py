@@ -519,3 +519,23 @@ def test_drift_tests_statistics_well_formed(spark):
     assert (mw.n_a, mw.n_b) == (ks.n_a, ks.n_b)
     assert 0.0 <= ks.ks_stat <= 1.0 and ks.ks_crit > 0
     assert 0.0 <= mw.u_stat <= mw.n_a * mw.n_b
+
+
+def test_bloom_membership_no_false_negatives_and_probe_shape(spark):
+    """Members always hit all positions (no false negatives — the Bloom
+    contract); plants are definitely absent so the FP denominator is
+    populated; the probe joins against a broadcast of the KB-scale
+    position set, never a shuffled fact."""
+    from project_bigdata_recsys_spark.operators.relational import (
+        bloom_membership_profile,
+    )
+
+    df = bloom_membership_profile(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    r = df.collect()[0]
+    assert r.no_false_negatives is True
+    assert r.n_probed == 2 * r.n_present  # customer + planted twin each
+    assert r.n_maybe >= r.n_present
+    assert r.n_false_pos == r.n_maybe - r.n_present
+    assert r.n_bits_set <= 8192
