@@ -1440,7 +1440,9 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.catalog import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CC_LABELING:
+    # revalidate: the memoized dir may have been purged (scratch tier is
+    # process-shared state) — a stale path must rebuild, not fail
+    if key not in _CC_LABELING or not os.path.exists(_CC_LABELING[key]):
         path = os.path.join(
             scratch_dir(prefix="spark_cc_labeling_"), "components"
         )
@@ -1471,7 +1473,9 @@ def shared_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
     from project_bigdata_recsys_spark.catalog import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SIMHASH_BANDS:
+    if key not in _SIMHASH_BANDS or not os.path.exists(
+        _SIMHASH_BANDS[key]
+    ):
         docs = load_table(spark, sf_dir, "documents")
         sh = simhash_features(docs)
         band_structs = F.array(

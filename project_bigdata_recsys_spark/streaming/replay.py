@@ -388,7 +388,11 @@ def prepare_semantic_index(
     from project_bigdata_recsys_spark.functions.similarity import rp_index_rows
 
     key = (spark.sparkContext.applicationId, sf_dir, split_at, n_tables, n_planes)
-    if key not in _SEMANTIC_INDEX:
+    # revalidate like dedup.shared_components: a purged scratch dir must
+    # trigger a rebuild, not a PATH_NOT_FOUND downstream
+    if key not in _SEMANTIC_INDEX or not all(
+        os.path.exists(p) for p in _SEMANTIC_INDEX[key]
+    ):
         emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
         train = emb.filter(F.col("vec_id") < split_at)
         work = scratch_dir(prefix="spark_semantic_dedup_")

@@ -96,9 +96,18 @@ def test_scratch_dir_registers_and_purges():
     assert d in caching._SCRATCH
     with open(os.path.join(d, "f.txt"), "w") as fh:
         fh.write("x")
-    caching._purge_scratch()
-    assert not os.path.exists(d)
-    assert d not in caching._SCRATCH
+    # purge ONLY this test's dir: the scratch registry is process-shared
+    # state backing the session's parquet memos (CC labeling, band
+    # index) — sweeping it mid-suite forces every later consumer to
+    # rebuild (they revalidate and survive, but pay the build again)
+    others = [x for x in caching._SCRATCH if x != d]
+    caching._SCRATCH[:] = [d]
+    try:
+        caching._purge_scratch()
+        assert not os.path.exists(d)
+        assert d not in caching._SCRATCH
+    finally:
+        caching._SCRATCH[:] = others
 
 
 def test_no_raw_mkdtemp_left_in_package():
