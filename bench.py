@@ -201,6 +201,12 @@ HEADLINE = [
     "mann_whitney_drift",
     # membership member of the sketch quartet (broadcast bitmap probe)
     "bloom_membership_profile",
+    # round-8 fifth wave: privacy l-diversity, bandit ranking, session
+    # path mining, CCNet tercile split (range-shuffle exact thresholds)
+    "l_diversity_profile",
+    "ucb_ranking",
+    "session_ngrams",
+    "perplexity_buckets",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

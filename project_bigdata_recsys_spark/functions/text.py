@@ -798,6 +798,20 @@ def global_quantile_threshold(
     offset frame) → threshold = min{value : global cum ≥ q·n}.
 
     Returns one row: (threshold, n_total)."""
+    cum = global_value_cum(scored, score_col)
+    return cum.filter(F.col("__cum") >= F.lit(q) * F.col("__n_total")).agg(
+        F.min(score_col).alias("threshold"),
+        F.first("__n_total").alias("n_total"),
+    )
+
+
+def global_value_cum(scored: DataFrame, score_col: str) -> DataFrame:
+    """The range-shuffle exact-cumulative-histogram kernel shared by
+    :func:`global_quantile_threshold` and :func:`perplexity_buckets`:
+    one row per DISTINCT value of ``score_col`` with its exact global
+    cumulative row count (``__cum``) and the grand total
+    (``__n_total``) — no global sort, no unpartitioned window beyond
+    the ~num-partitions-row offset frame."""
     from pyspark.sql import Window
 
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n"))
@@ -828,14 +842,10 @@ def global_quantile_threshold(
         )
         .alias("__n_total"),
     )
-    cum = local.join(F.broadcast(offsets), "__pid").select(
+    return local.join(F.broadcast(offsets), "__pid").select(
         F.col(score_col),
         (F.col("__offset") + F.col("__lcum")).alias("__cum"),
         F.col("__n_total"),
-    )
-    return cum.filter(F.col("__cum") >= F.lit(q) * F.col("__n_total")).agg(
-        F.min(score_col).alias("threshold"),
-        F.first("__n_total").alias("n_total"),
     )
 
 
@@ -1310,4 +1320,92 @@ def doc_repetition_profile(
             .alias("n_repetitive"),
         )
         .orderBy("source")
+    )
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by LM score — the
+    canonical pretraining-curation move (Wenzek et al., CCNet): score
+    every document with a language-model loss, cut the corpus into
+    terciles, and keep head (fluent) wholesale, sample middle, drop
+    tail.  The LM is the corpus-unigram stand-in from
+    :func:`unigram_logloss_profile` (deterministic, oracle-checkable);
+    the tercile thresholds are EXACT, via integer cumulative-count
+    arithmetic (3·cum >= n and 3·cum >= 2n — no float quantile, no
+    engine-specific interpolation).
+
+    Output per (source, bucket): docs, share of the source, and the
+    bucket's mean logloss as a fixed-point average of the 4-dp scores.
+
+    Scale: one corpus tokenization feeding vocab + per-doc score, the
+    :func:`global_value_cum` range-shuffle histogram for thresholds
+    (never a fact-scale window), thresholds rejoin as a broadcast 1-row
+    frame.  The scored frame is persisted — it feeds both the histogram
+    and the final bucketing."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").alias("n_total"))
+    logp = F.log(F.col("n_term") / F.col("n_total"))
+    # vocab side deliberately NOT hint-broadcast: a whitespace vocabulary
+    # is unbounded at corpus scale (unigram_logloss_profile's caveat);
+    # AQE still picks broadcast at runtime when the built vocab is small
+    scored = persist_tracked(
+        term_rows.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(-logp), 4).alias("score"))
+    )
+    cum = global_value_cum(scored, "score")
+    thr = cum.agg(
+        F.min(
+            F.when(
+                F.col("__cum") * 3 >= F.col("__n_total"), F.col("score")
+            )
+        ).alias("__t1"),
+        F.min(
+            F.when(
+                F.col("__cum") * 3 >= F.col("__n_total") * 2, F.col("score")
+            )
+        ).alias("__t2"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(thr)).select(
+        "source",
+        F.when(F.col("score") <= F.col("__t1"), "head")
+        .when(F.col("score") <= F.col("__t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.col("score"),
+    )
+    per_source = Window.partitionBy("source")
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col("score") * 10000).cast("long")).alias(
+                "__s4"
+            ),
+        )
+        .withColumn(
+            "source_share",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(per_source), 6
+            ),
+        )
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "source_share",
+            F.round(
+                F.col("__s4") / 10000.0 / F.col("n_docs"), 6
+            ).alias("avg_logloss"),
+        )
+        .orderBy("source", "bucket")
     )

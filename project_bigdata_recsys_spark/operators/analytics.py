@@ -868,3 +868,121 @@ def trending_items(
             ),
         )
     )
+
+
+def ucb_ranking(
+    spark: SparkSession,
+    sf_dir: str,
+    min_pulls: int = 25,
+    k: int = 20,
+) -> DataFrame:
+    """UCB1 explore/exploit ranking over item interaction history — the
+    bandit scoring a recommender serves between model refreshes (the
+    reference retrains ALS offline and serves a static top-N; a bandit
+    layer is how production closes the feedback loop without waiting for
+    the next batch train).  Arm = part, pull = a lineitem touch, reward
+    = the line was kept (l_returnflag = 'N').  UCB1 score =
+    mean_reward + sqrt(2·ln(N)/n) — items with few pulls get a wide
+    confidence bonus, well-explored items converge to their mean.
+
+    Determinism: mean and bonus are IEEE double expressions of integer
+    aggregates (identical on both engines — the bm25_scores ln()
+    precedent), rounded to 6 dp; the cut is on the (score, item) total
+    order.
+
+    Scale: ONE map-side-combined aggregation over the fact table on
+    l_partkey; the total-pull count N rides along as a broadcast 1-row
+    aggregate crossJoin; top-K via TakeOrdered.  No windows, no joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("__r"),
+    )
+    arms = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pulls"),
+        F.sum("__r").cast("long").alias("__s"),
+    )
+    total = arms.agg(F.sum("n_pulls").cast("long").alias("__N"))
+    mean = F.col("__s") / F.col("n_pulls")
+    bonus = F.sqrt(F.lit(2.0) * F.log(F.col("__N")) / F.col("n_pulls"))
+    return (
+        arms.crossJoin(F.broadcast(total))
+        .filter(F.col("n_pulls") >= min_pulls)
+        .select(
+            "l_partkey",
+            "n_pulls",
+            F.round(mean, 6).alias("mean_reward"),
+            F.round(mean + bonus, 6).alias("ucb_score"),
+        )
+        .orderBy(F.desc("ucb_score"), "l_partkey")
+        .limit(k)
+    )
+
+
+def session_ngrams(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    k: int = 15,
+) -> DataFrame:
+    """Frequent in-session event sequences (PrefixSpan-lite): sessionize
+    the event stream (same gaps-and-islands kernel and >= gap boundary
+    as operators/windows.sessionize), slide a trigram window over each
+    session's event-type sequence, and count the top-K paths corpus-wide
+    — the "what do users actually do" mining step behind funnel design
+    (event_funnel picks steps; this discovers them).
+
+    Determinism: in-session order is the (ts, event_id) total order, so
+    every trigram is reproducible; the cut is on (count DESC, trigram).
+
+    Scale: all windows are partitioned by user (lag for the gap flag,
+    running sum for session ids, two leads for the trigram) — one
+    shuffle on user_id serves all four; the trigram count is one
+    map-side-combined aggregation.  No unpartitioned window anywhere."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    flagged = events.select(
+        "user_id", "event_id", "ts", "event_type"
+    ).withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts")
+                >= F.col("prev_ts")
+                + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    tri = sessioned.select(
+        "user_id",
+        F.col("event_type").alias("__e1"),
+        F.lead("event_type", 1).over(w_sess).alias("__e2"),
+        F.lead("event_type", 2).over(w_sess).alias("__e3"),
+    ).filter(F.col("__e2").isNotNull() & F.col("__e3").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "__e1", "__e2", "__e3").alias("trigram"),
+            "user_id",
+        )
+        .groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "trigram")
+        .limit(k)
+    )

@@ -583,6 +583,55 @@ def k_anonymity_profile(
     )
 
 
+def l_diversity_profile(
+    spark: SparkSession, sf_dir: str, band: int = 100
+) -> DataFrame:
+    """l-diversity audit — the homogeneity-attack complement of
+    :func:`k_anonymity_profile`: a quasi-identifier group can satisfy
+    k-anonymity and STILL leak if every member shares the same sensitive
+    value (an adversary who links a target to the group learns the
+    attribute without identifying the row).  Quasi-identifiers here:
+    (source, n_chars banded to ``band``); sensitive attribute: lang.
+    Output per source: docs, QI groups, the worst group's distinct-
+    sensitive-value count (min_l), docs exposed in homogeneous (l = 1)
+    groups, and the fraction of docs in well-diversified (l >= 3)
+    groups.
+
+    Scale: identical shape to the k-anonymity audit — one QI-group
+    aggregation (count + count-distinct on keys the shuffle already
+    co-located) and a per-source rollup.  No windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / band).cast("long").alias("len_band"),
+    )
+    groups = docs.groupBy("source", "len_band").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("lang").cast("long").alias("l"),
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum(
+                F.when(F.col("l") == 1, F.col("group_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_exposed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l") >= 3, F.col("group_size")).otherwise(0)
+                )
+                / F.sum("group_size"),
+                6,
+            ).alias("diverse_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def _value_side_cum(spark: SparkSession, sf_dir: str):
     """Shared kernel of the two-sample drift tests (:func:`ks_value_drift`,
     :func:`mann_whitney_drift`): split events into an EARLY and a LATE

@@ -6360,6 +6360,142 @@ ORACLES["kmv_distinct_rollup"] = """
 """
 
 
+# l-diversity privacy audit (round 8): the homogeneity-attack complement
+# of k_anonymity_profile — same QI banding, sensitive attribute = lang.
+QUERIES["l_diversity_profile"] = quality.l_diversity_profile
+ORACLES["l_diversity_profile"] = """
+    WITH g AS (
+        SELECT source,
+               CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT lang) AS BIGINT) AS l
+        FROM documents
+        GROUP BY source, floor(n_chars / 100))
+    SELECT source,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l = 1 THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_exposed,
+           round(sum(CASE WHEN l >= 3 THEN group_size ELSE 0 END)
+                 / CAST(sum(group_size) AS DOUBLE), 6) AS diverse_frac
+    FROM g
+    GROUP BY source
+    ORDER BY source
+"""
+
+# UCB1 bandit ranking (round 8): explore/exploit scoring between batch
+# model refreshes — IEEE double expressions of integer aggregates (the
+# bm25_scores ln() precedent), cut on the (score, item) total order.
+QUERIES["ucb_ranking"] = analytics.ucb_ranking
+ORACLES["ucb_ranking"] = """
+    WITH arms AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_pulls,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS N FROM arms)
+    SELECT l_partkey, n_pulls,
+           round(s / CAST(n_pulls AS DOUBLE), 6) AS mean_reward,
+           round(s / CAST(n_pulls AS DOUBLE)
+                 + sqrt(2.0 * ln(CAST(N AS DOUBLE)) / n_pulls), 6)
+               AS ucb_score
+    FROM arms CROSS JOIN tot
+    WHERE n_pulls >= 25
+    ORDER BY ucb_score DESC, l_partkey
+    LIMIT 20
+"""
+
+# In-session event-path mining (round 8): sessionize (same >= gap
+# boundary as the sessionize op), trigram the per-session event-type
+# sequence, count the top paths — all windows user-partitioned.
+QUERIES["session_ngrams"] = analytics.session_ngrams
+ORACLES["session_ngrams"] = """
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM lagged),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged),
+    tri AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, session_id
+                     ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1 || '>' || e2 || '>' || e3
+    ORDER BY n_occurrences DESC, trigram
+    LIMIT 15
+"""
+
+# CCNet head/middle/tail terciles (round 8): corpus split by unigram LM
+# score with EXACT integer-arithmetic tercile thresholds (3*cum >= n) —
+# no float quantile, no engine interpolation.
+QUERIES["perplexity_buckets"] = text.perplexity_buckets
+ORACLES["perplexity_buckets"] = """
+    WITH t2 AS (
+        SELECT doc_id, source, term FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS n_term FROM t2 GROUP BY term),
+    tot AS (SELECT sum(n_term) AS n_total FROM vocab),
+    scored AS (
+        SELECT doc_id, source,
+               round(avg(-ln(n_term * 1.0 / n_total)), 4) AS score
+        FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY doc_id, source),
+    hist AS (SELECT score, count(*) AS c FROM scored GROUP BY score),
+    cum AS (
+        SELECT score,
+               sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                   AS cm,
+               (SELECT sum(c) FROM hist) AS n
+        FROM hist),
+    thr AS (
+        SELECT min(CASE WHEN cm * 3 >= n THEN score END) AS t1,
+               min(CASE WHEN cm * 3 >= n * 2 THEN score END) AS t2
+        FROM cum),
+    bucketed AS (
+        SELECT source,
+               CASE WHEN score <= t1 THEN 'head'
+                    WHEN score <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               score
+        FROM scored CROSS JOIN thr),
+    agged AS (
+        SELECT source, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT)
+                   AS s4
+        FROM bucketed GROUP BY source, bucket)
+    SELECT source, bucket, n_docs,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source)
+                               AS DOUBLE), 6) AS source_share,
+           round(s4 / 10000.0 / n_docs, 6) AS avg_logloss
+    FROM agged
+    ORDER BY source, bucket
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

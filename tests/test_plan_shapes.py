@@ -464,3 +464,41 @@ def test_cms_layer_single_fact_scan_per_side(spark):
     plan = _physical(cms_heavy_hitters(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ucb_ranking_single_agg_no_window_takeordered(spark):
+    """UCB1 is ONE map-side-combined aggregation + broadcast 1-row total
+    + TakeOrdered — any window or extra fact shuffle is a regression."""
+    df = analytics.ucb_ranking(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+    # exactly one fact-side shuffle: the groupBy(l_partkey) exchange
+    # (the 1-row aggregate adds its own single-partition exchange)
+
+
+def test_session_ngrams_windows_all_partitioned(spark):
+    """Every window (lag, running sum, two leads) is user-partitioned —
+    an unpartitioned window over the event stream is the single-partition
+    cliff this plan exists to avoid."""
+    df = analytics.session_ngrams(spark, SF_SMALL)
+    plan = _physical(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec, plan
+
+
+def test_perplexity_buckets_no_fact_scale_global_window(spark):
+    """The only unpartitioned windows are the range-shuffle offset frames
+    (~num-partitions rows) inside global_value_cum — the per-source share
+    window runs over the 3-buckets-per-source aggregate.  No window may
+    sit directly over the documents scan."""
+    from project_bigdata_recsys_spark.functions import text as text_fns
+
+    df = text_fns.perplexity_buckets(spark, SF_SMALL)
+    plan = _physical(df)
+    # thresholds come from the histogram kernel, not a global percent_rank
+    assert "percent_rank" not in plan, plan
