@@ -207,6 +207,13 @@ HEADLINE = [
     "ucb_ranking",
     "session_ngrams",
     "perplexity_buckets",
+    # round-8 sixth wave: hashed quality classifier (two-pass NB),
+    # EWMA volume anomalies (integer-literal decay), Z-order layout
+    # profile, Adamic-Adar link prediction (capped wedge centers)
+    "quality_lr_score",
+    "ewma_anomalies",
+    "zorder_layout_profile",
+    "link_prediction_adamic_adar",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

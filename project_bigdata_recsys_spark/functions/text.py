@@ -1409,3 +1409,101 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+def quality_lr_score(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fasttext/CCNet
+    "quality filter" shape (a linear model over hashed token features
+    separating a curated reference corpus from crawl), trained and
+    applied in TWO aggregation passes with zero model artifact.  Class
+    labels come from the corpus itself (even-numbered sources play the
+    curated reference); per-bucket weights are naive-Bayes log-odds with
+    Laplace smoothing; a document's score is the mean weight of its
+    hashed tokens.  Every weight is an ln() of exact integer-derived
+    rationals (the bm25/ucb libm precedent), frozen to micro fixed-point
+    before any sum, so the whole classifier replays in SQL.
+
+    Output per source: docs, mean score, docs predicted curated, and
+    label agreement — the report a curation team reads to decide
+    per-source keep rates.
+
+    Scale: tokenize once (persisted hashed-token frame feeds train and
+    score), per-bucket count aggregation bounded by ``n_buckets``, the
+    weight table broadcast back (≤ n_buckets rows by construction —
+    unlike a raw vocabulary this CANNOT outgrow the broadcast budget),
+    one per-doc and one per-source aggregation.  No windows."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = persist_tracked(
+        docs.select(
+            "doc_id",
+            "source",
+            (F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0)
+            .cast("int")
+            .alias("__pos"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "__pos",
+            (hash32(F.col("term"), "qlr:") % n_buckets).alias("bucket"),
+        )
+    )
+    counts = hashed.groupBy("bucket").agg(
+        F.sum("__pos").cast("long").alias("cp"),
+        F.sum(1 - F.col("__pos")).cast("long").alias("cn"),
+    )
+    tot = counts.agg(
+        F.sum("cp").cast("long").alias("__P"),
+        F.sum("cn").cast("long").alias("__N"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.lit(1_000_000.0)
+            * (
+                F.log(
+                    (F.col("cp") + 1) / (F.col("__P") + n_buckets)
+                )
+                - F.log(
+                    (F.col("cn") + 1) / (F.col("__N") + n_buckets)
+                )
+            )
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+    doc_scores = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source", "__pos")
+        .agg(
+            F.round(F.sum("__w") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("__sc")
+        )
+    )
+    pred = F.when(F.col("__sc") > 0, 1).otherwise(0)
+    return (
+        doc_scores.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("__sc") / 1_000_000.0 / F.count(F.lit(1)), 6).alias(
+                "avg_score"
+            ),
+            F.sum(pred).cast("long").alias("n_pred_curated"),
+            F.round(
+                F.sum(
+                    F.when(pred == F.col("__pos"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("source")
+    )

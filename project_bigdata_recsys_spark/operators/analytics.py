@@ -986,3 +986,78 @@ def session_ngrams(
         .orderBy(F.desc("n_occurrences"), "trigram")
         .limit(k)
     )
+
+
+#: Exponential-decay weights for the 14-day EWMA baseline, frozen as
+#: micro fixed-point literals (round(0.7^k * 1e6) for k = 1..14) so the
+#: Spark plan and the DuckDB oracle share the exact same integers —
+#: no runtime pow(), no libm.
+EWMA_WEIGHTS_MICRO: tuple[tuple[int, int], ...] = (
+    (1, 700000), (2, 490000), (3, 343000), (4, 240100), (5, 168070),
+    (6, 117649), (7, 82354), (8, 57648), (9, 40354), (10, 28248),
+    (11, 19773), (12, 13841), (13, 9689), (14, 6782),
+)
+
+
+def ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA anomaly detection over per-type daily event volume — the
+    pipeline-health monitor a production ingest runs: each day's count is
+    compared to an exponentially-weighted baseline of the previous 14
+    days; a ratio outside [0.5, 1.5] flags a feed outage or a burst.
+    The closed-form EWMA (weights frozen as integer literals, baseline =
+    Σ w·x / Σ w) sidesteps the sequential recurrence that doesn't
+    distribute AND all engine pow() divergence.
+
+    Determinism: numerator/denominator are exact BIGINT folds; the only
+    double op is the final division, identical on identical inputs; the
+    flag tests the ROUNDED ratio.
+
+    Scale: one fact-scan aggregation to (event_type, day) counts —
+    everything after runs on the ~types×days frame: a broadcast 14-row
+    weight join shifts each day's count onto the 14 future days it
+    baselines (equi-join, no range scan), one regroup, one equi-join
+    back.  Days without full 14-day history are excluded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ages = spark.createDataFrame(
+        list(EWMA_WEIGHTS_MICRO), "age INT, w LONG"
+    )
+    baseline = (
+        counts.crossJoin(F.broadcast(ages))
+        .select(
+            "event_type",
+            (F.col("day") + F.col("age")).alias("day"),
+            (F.col("w") * F.col("n")).alias("__wn"),
+            "w",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("__wn").cast("long").alias("__ws"),
+            F.sum("w").cast("long").alias("__sw"),
+            F.count(F.lit(1)).alias("__nh"),
+        )
+        .filter(F.col("__nh") == len(EWMA_WEIGHTS_MICRO))
+    )
+    ratio = F.round(F.col("n") * F.col("__sw") / F.col("__ws"), 6)
+    return (
+        counts.join(baseline, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(F.col("__ws") / F.col("__sw"), 4).alias("baseline"),
+            ratio.alias("ratio"),
+            F.when((ratio >= 1.5) | (ratio <= 0.5), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -506,3 +506,111 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering — the data-layout decision behind
+    file skipping at 100 TB, measured instead of asserted.  Rows get a
+    4-bit code on each of two dimensions (customer bucket, order-day
+    bucket); the LINEAR layout packs files in (x, y) lexicographic
+    order, the Z-ORDER layout packs them along the bit-interleaved
+    curve.  Each file records per-dimension min/max (exactly the
+    parquet/Delta file statistics a scan prunes on); for every point
+    probe on each dimension we count the files whose [min, max] spans
+    the probe — the scan cost a predicate actually pays under each
+    layout.  The punchline the profile demonstrates: linear is perfect
+    on its leading dimension and useless on the trailing one; Z-order
+    is balanced on both — why multi-dimension workloads Z-order.
+
+    Determinism: pure integer arithmetic end-to-end (bit interleave via
+    floor-div/mod — no engine bit ops), file ids are fixed z/lex range
+    blocks, probes are the 16 code points per dimension.
+
+    Scale: ONE fact scan to (file, dim) min/max aggregates (the
+    groupBy's cardinality is #files × layouts); the probe join is
+    (files × 16) on a broadcast probe frame.  Nothing downstream of the
+    first aggregation touches fact rows."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 16).cast("long")
+    # o_orderdate is TIMESTAMP_NTZ: route through a session-UTC timestamp
+    # to reach epoch seconds (the session pins UTC, so this equals
+    # DuckDB's epoch() of the naive value)
+    y = (
+        F.floor(
+            F.col("o_orderdate").cast("timestamp").cast("double") / 86400.0
+        ).cast("long")
+        % 16
+    )
+
+    def bit(col: Column, i: int) -> Column:
+        return F.floor(col / (2 ** i)).cast("long") % 2
+
+    z = sum(
+        [
+            (bit(x, i) * (4 ** i) + bit(y, i) * 2 * (4 ** i))
+            for i in range(4)
+        ],
+        F.lit(0),
+    )
+    coded = orders.select(
+        x.alias("__x"),
+        y.alias("__y"),
+        (z / 4).cast("long").alias("__file_z"),
+        ((x * 16 + y) / 4).cast("long").alias("__file_lin"),
+    )
+    stats = (
+        coded.select(
+            F.lit("zorder").alias("layout"),
+            F.col("__file_z").alias("file_id"),
+            "__x",
+            "__y",
+        )
+        .unionByName(
+            coded.select(
+                F.lit("linear").alias("layout"),
+                F.col("__file_lin").alias("file_id"),
+                "__x",
+                "__y",
+            )
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("__x").alias("min_x"),
+            F.max("__x").alias("max_x"),
+            F.min("__y").alias("min_y"),
+            F.max("__y").alias("max_y"),
+        )
+    )
+    probes = spark.range(16).select(F.col("id").cast("long").alias("c"))
+    x_scan = (
+        stats.crossJoin(F.broadcast(probes))
+        .filter((F.col("min_x") <= F.col("c")) & (F.col("c") <= F.col("max_x")))
+        .groupBy("layout")
+        .agg(
+            (F.count(F.lit(1)) / 16.0).alias("avg_files"),
+        )
+        .select("layout", F.lit("x").alias("probe_dim"), "avg_files")
+    )
+    y_scan = (
+        stats.crossJoin(F.broadcast(probes))
+        .filter((F.col("min_y") <= F.col("c")) & (F.col("c") <= F.col("max_y")))
+        .groupBy("layout")
+        .agg((F.count(F.lit(1)) / 16.0).alias("avg_files"))
+        .select("layout", F.lit("y").alias("probe_dim"), "avg_files")
+    )
+    n_files = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    return (
+        x_scan.unionByName(y_scan)
+        .join(F.broadcast(n_files), "layout")
+        .select(
+            "layout",
+            "probe_dim",
+            "n_files",
+            F.round(F.col("avg_files"), 4).alias("avg_files_scanned"),
+        )
+        .orderBy("layout", "probe_dim")
+    )

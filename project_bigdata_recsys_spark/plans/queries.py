@@ -6496,6 +6496,173 @@ ORACLES["perplexity_buckets"] = """
 """
 
 
+# Hashed-feature quality classifier (round 8): fasttext/CCNet quality-
+# filter shape — naive-Bayes log-odds over md5-hashed token buckets,
+# trained and applied in two aggregation passes, weights micro-frozen.
+QUERIES["quality_lr_score"] = text.quality_lr_score
+ORACLES["quality_lr_score"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 1 ELSE 0 END AS pos,
+               term
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE length(term) > 0),
+    h AS (
+        SELECT doc_id, source, pos,
+               ('0x' || substr(md5('qlr:' || term), 1, 8))::BIGINT % 1024
+                   AS bucket
+        FROM t),
+    counts AS (
+        SELECT bucket, CAST(sum(pos) AS BIGINT) AS cp,
+               CAST(sum(1 - pos) AS BIGINT) AS cn
+        FROM h GROUP BY bucket),
+    tot AS (SELECT CAST(sum(cp) AS BIGINT) AS P,
+                   CAST(sum(cn) AS BIGINT) AS N FROM counts),
+    wts AS (
+        SELECT bucket,
+               CAST(round(1000000.0 * (ln((cp + 1) / (P + 1024.0))
+                                       - ln((cn + 1) / (N + 1024.0))))
+                    AS BIGINT) AS w
+        FROM counts CROSS JOIN tot),
+    docsc AS (
+        SELECT doc_id, source, pos,
+               CAST(round(sum(w) * 1.0 / count(*)) AS BIGINT) AS sc
+        FROM h JOIN wts USING (bucket)
+        GROUP BY doc_id, source, pos)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(sc) / 1000000.0 / count(*), 6) AS avg_score,
+           CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_curated,
+           round(sum(CASE WHEN (CASE WHEN sc > 0 THEN 1 ELSE 0 END) = pos
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS accuracy
+    FROM docsc GROUP BY source ORDER BY source
+"""
+
+# EWMA volume anomalies (round 8): closed-form 14-day exponential
+# baseline with integer-literal micro weights — no pow(), no
+# sequential recurrence; flags test the rounded ratio.
+QUERIES["ewma_anomalies"] = analytics.ewma_anomalies
+ORACLES["ewma_anomalies"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+    c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY event_type, day),
+    w(age, wt) AS (VALUES
+        (1, 700000), (2, 490000), (3, 343000), (4, 240100),
+        (5, 168070), (6, 117649), (7, 82354), (8, 57648),
+        (9, 40354), (10, 28248), (11, 19773), (12, 13841),
+        (13, 9689), (14, 6782)),
+    b AS (
+        SELECT event_type, day + age AS day,
+               CAST(sum(wt * n) AS BIGINT) AS ws,
+               CAST(sum(wt) AS BIGINT) AS sw,
+               count(*) AS nh
+        FROM c CROSS JOIN w
+        GROUP BY event_type, day + age
+        HAVING count(*) = 14),
+    j AS (
+        SELECT c.event_type, c.day, c.n, b.ws, b.sw,
+               round(c.n * b.sw / b.ws, 6) AS ratio
+        FROM c JOIN b ON b.event_type = c.event_type AND b.day = c.day)
+    SELECT event_type, day, n,
+           round(ws * 1.0 / sw, 4) AS baseline,
+           ratio,
+           CAST(CASE WHEN ratio >= 1.5 OR ratio <= 0.5 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_anomaly
+    FROM j ORDER BY event_type, day
+"""
+
+# Z-order vs linear layout (round 8): bit-interleaved clustering
+# measured through per-file min/max pruning — pure integer arithmetic.
+QUERIES["zorder_layout_profile"] = maintenance.zorder_layout_profile
+ORACLES["zorder_layout_profile"] = """
+    WITH coded AS (
+        SELECT o_custkey % 16 AS x,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 16
+                   AS y
+        FROM orders),
+    z AS (
+        SELECT x, y,
+               (x % 2) * 1 + (y % 2) * 2
+             + (CAST(floor(x / 2) AS BIGINT) % 2) * 4
+             + (CAST(floor(y / 2) AS BIGINT) % 2) * 8
+             + (CAST(floor(x / 4) AS BIGINT) % 2) * 16
+             + (CAST(floor(y / 4) AS BIGINT) % 2) * 32
+             + (CAST(floor(x / 8) AS BIGINT) % 2) * 64
+             + (CAST(floor(y / 8) AS BIGINT) % 2) * 128 AS zv
+        FROM coded),
+    files AS (
+        SELECT 'zorder' AS layout, CAST(floor(zv / 4) AS BIGINT)
+                   AS file_id, x, y
+        FROM z
+        UNION ALL
+        SELECT 'linear', CAST(floor((x * 16 + y) / 4) AS BIGINT), x, y
+        FROM z),
+    stats AS (
+        SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM files GROUP BY layout, file_id),
+    probes AS (SELECT CAST(range AS BIGINT) AS c FROM range(0, 16)),
+    xs AS (
+        SELECT layout, 'x' AS probe_dim, count(*) / 16.0 AS avg_files
+        FROM stats CROSS JOIN probes
+        WHERE min_x <= c AND c <= max_x GROUP BY layout),
+    ys AS (
+        SELECT layout, 'y' AS probe_dim, count(*) / 16.0 AS avg_files
+        FROM stats CROSS JOIN probes
+        WHERE min_y <= c AND c <= max_y GROUP BY layout),
+    nf AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+           FROM stats GROUP BY layout),
+    u AS (SELECT * FROM xs UNION ALL SELECT * FROM ys)
+    SELECT u.layout, u.probe_dim, nf.n_files,
+           round(u.avg_files, 4) AS avg_files_scanned
+    FROM u JOIN nf ON nf.layout = u.layout
+    ORDER BY u.layout, u.probe_dim
+"""
+
+# Adamic-Adar link prediction (round 8): wedge enumeration at capped
+# centers over the shared co-occurrence graph, existing edges
+# anti-joined away, micro fixed-point 1/ln(deg) weights.
+QUERIES["link_prediction_adamic_adar"] = graph.link_prediction_adamic_adar
+ORACLES["link_prediction_adamic_adar"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (
+        SELECT src AS z, dst AS nb FROM und
+        UNION ALL SELECT dst, src FROM und),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg
+            FROM adj GROUP BY z),
+    centers AS (
+        SELECT z, CAST(round(1000000.0 / ln(dg)) AS BIGINT) AS w
+        FROM deg WHERE dg >= 2 AND dg <= 64),
+    wedges AS (
+        SELECT a.nb AS u, b.nb AS v, c.w
+        FROM adj a
+        JOIN centers c ON a.z = c.z
+        JOIN adj b ON b.z = a.z AND a.nb < b.nb),
+    scored AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(w) AS BIGINT) AS aa
+        FROM wedges GROUP BY u, v),
+    ne AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.src = s.u AND e.dst = s.v))
+    SELECT u, v, n_common, round(aa / 1000000.0, 6) AS aa_score
+    FROM ne ORDER BY aa DESC, u, v LIMIT 20
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -502,3 +502,34 @@ def test_perplexity_buckets_no_fact_scale_global_window(spark):
     plan = _physical(df)
     # thresholds come from the histogram kernel, not a global percent_rank
     assert "percent_rank" not in plan, plan
+
+
+def test_ewma_anomalies_weight_join_broadcast_no_window(spark):
+    """The 14-row weight frame must broadcast (never shuffle the counts
+    frame for it) and the whole plan is window-free — the closed form
+    exists to avoid the sequential recurrence."""
+    df = analytics.ewma_anomalies(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_profile_single_fact_scan_per_layout_no_window(spark):
+    """Everything after the (layout, file) min/max aggregation runs on
+    the ~128-row stats frame; probes broadcast."""
+    from project_bigdata_recsys_spark.operators import maintenance
+
+    df = maintenance.zorder_layout_profile(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+
+
+def test_adamic_adar_wedge_join_keyed_and_anti(spark):
+    """Wedge enumeration joins on the center key (hash family, never a
+    nested-loop over all pairs); existing edges leave via an anti-join."""
+    from project_bigdata_recsys_spark.functions import graph as graph_fns
+
+    df = graph_fns.link_prediction_adamic_adar(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
