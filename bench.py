@@ -214,6 +214,13 @@ HEADLINE = [
     "ewma_anomalies",
     "zorder_layout_profile",
     "link_prediction_adamic_adar",
+    # round-8 seventh wave: DoReMi-lite mixture reweighting (shared LM
+    # kernel), IPS offline policy eval, beyond-accuracy rec metrics,
+    # compaction merge-bin planner
+    "domain_reweight",
+    "ips_eval",
+    "recs_diversity_profile",
+    "compaction_plan",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1026,3 +1026,63 @@ def incremental_domain_quota(
         )
         .orderBy("source")
     )
+
+
+def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting: tilt the training mixture toward
+    sources whose documents score WORSE under the corpus unigram LM —
+    the one-step, reference-model-free form of the DoReMi recipe (Xie
+    et al. 2023: upweight domains with excess loss, since easy domains
+    are already learned).  Baseline share = each source's doc share;
+    excess = source mean LM score minus corpus mean; new weight
+    ∝ share · exp(excess), renormalized.
+
+    Determinism: per-doc scores are the shared 4-dp
+    :func:`text.doc_unigram_scores` kernel; source/corpus means are
+    fixed-point folds of those 4-dp values; exp() of the 4-dp excess is
+    the one libm call (the bm25/ucb precedent), frozen to micro units
+    BEFORE the normalizing sum, so the denominator is an exact BIGINT.
+
+    Scale: one corpus tokenization (shared kernel), one per-source
+    aggregation (#sources rows), corpus totals as a broadcast 1-row
+    aggregate.  No windows, no fact-side joins past the kernel."""
+    from project_bigdata_recsys_spark.functions.text import doc_unigram_scores
+
+    scored = doc_unigram_scores(spark, sf_dir)
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.round(F.col("score") * 10000).cast("long")).alias("__s4"),
+    )
+    corpus = per_source.agg(
+        F.sum("n_docs").cast("long").alias("__n_all"),
+        F.sum("__s4").cast("long").alias("__s4_all"),
+    )
+    # means as 4-dp fixed-point; excess rounded to 4 dp before exp()
+    src_mean = F.round(F.col("__s4") / 10000.0 / F.col("n_docs"), 4)
+    all_mean = F.round(F.col("__s4_all") / 10000.0 / F.col("__n_all"), 4)
+    excess = F.round(src_mean - all_mean, 4)
+    share = F.col("n_docs") / F.col("__n_all")
+    w_micro = F.round(F.lit(1_000_000.0) * share * F.exp(excess)).cast(
+        "long"
+    )
+    weighted = per_source.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("base_share"),
+        src_mean.alias("avg_logloss"),
+        excess.alias("excess"),
+        w_micro.alias("__wm"),
+    )
+    denom = weighted.agg(F.sum("__wm").cast("long").alias("__wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "base_share",
+            "avg_logloss",
+            "excess",
+            F.round(F.col("__wm") / F.col("__wsum"), 6).alias("new_share"),
+        )
+        .orderBy("source")
+    )

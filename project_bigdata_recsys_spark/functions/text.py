@@ -1323,6 +1323,34 @@ def doc_repetition_profile(
     )
 
 
+def doc_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-unigram LM score (doc_id, source, score) —
+    the shared kernel of :func:`perplexity_buckets` and
+    `curation.domain_reweight`: one corpus tokenization feeds the vocab
+    counts and the per-doc mean negative log-probability (4-dp, same
+    recipe as :func:`unigram_logloss_profile`).  persist_tracked: every
+    caller fans the frame into at least two consumers.
+
+    The vocab side is deliberately NOT hint-broadcast: a whitespace
+    vocabulary is unbounded at corpus scale; AQE still picks broadcast
+    at runtime when the built vocab is small."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").alias("n_total"))
+    logp = F.log(F.col("n_term") / F.col("n_total"))
+    return persist_tracked(
+        term_rows.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(-logp), 4).alias("score"))
+    )
+
+
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus split by LM score — the
     canonical pretraining-curation move (Wenzek et al., CCNet): score
@@ -1344,24 +1372,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final bucketing."""
     from pyspark.sql import Window
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
-
-    docs = load_table(spark, sf_dir, "documents")
-    term_rows = docs.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
-    ).filter(F.length("term") > 0)
-    vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
-    total = vocab.agg(F.sum("n_term").alias("n_total"))
-    logp = F.log(F.col("n_term") / F.col("n_total"))
-    # vocab side deliberately NOT hint-broadcast: a whitespace vocabulary
-    # is unbounded at corpus scale (unigram_logloss_profile's caveat);
-    # AQE still picks broadcast at runtime when the built vocab is small
-    scored = persist_tracked(
-        term_rows.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "source")
-        .agg(F.round(F.avg(-logp), 4).alias("score"))
-    )
+    scored = doc_unigram_scores(spark, sf_dir)
     cum = global_value_cum(scored, "score")
     thr = cum.agg(
         F.min(

@@ -336,3 +336,175 @@ def als_ranking_eval(
         )
         .orderBy("k")
     )
+
+
+def ips_eval(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Inverse-propensity-scored offline policy evaluation — the
+    counterfactual question every recommender change must answer BEFORE
+    an A/B test: "what reward would the new policy have earned on the
+    traffic the old policy logged?".  Logged policy = observed exposure
+    (propensity of an item = its share of logged interactions); target
+    policy = uniform over the top-``k`` most-popular items; reward = the
+    interaction kept its line (l_returnflag = 'N').  The IPS estimator
+    reweights each logged reward by π_target/π_logged; the effective
+    sample size (Σw)²/Σw² is the health metric that says whether the
+    estimate is usable (ESS collapses when the policies barely overlap).
+
+    Determinism: propensities and weights are ratios of exact counts;
+    weights are frozen to micro fixed-point per ITEM, then folded with
+    integer sums (items × weight, never a float accumulation over
+    logged rows); the two final divisions are IEEE doubles of exact
+    integers.
+
+    Scale: ONE fact aggregation to per-item (pulls, rewards); the
+    top-k cut is TakeOrdered on the item aggregate; everything after
+    runs on ≤ |items| rows with a broadcast top-k join.  No windows."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("__r"),
+    )
+    arms = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("rs"),
+    )
+    total = arms.agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.sum("rs").cast("long").alias("__R"),
+    )
+    topk = arms.orderBy(F.desc("n"), "l_partkey").limit(k).select("l_partkey")
+    # per-item target/logged weight in micro units: w = N / (k * n)
+    flagged = arms.join(F.broadcast(topk), "l_partkey", "left_semi").crossJoin(
+        F.broadcast(total)
+    )
+    w_micro = F.round(
+        F.lit(1_000_000.0) * F.col("__N") / (F.lit(k) * F.col("n"))
+    ).cast("long")
+    folded = flagged.select(
+        "n",
+        "rs",
+        w_micro.alias("__w"),
+        (F.col("rs") * w_micro).alias("__rw"),
+        (F.col("n") * w_micro).alias("__sw"),
+        (F.col("n") * w_micro * w_micro).alias("__sw2"),
+        "__N",
+        "__R",
+    ).agg(
+        F.first("__N").alias("__N"),
+        F.first("__R").alias("__R"),
+        F.sum("__rw").cast("long").alias("__rw"),
+        F.sum("__sw").cast("long").alias("__sw"),
+        F.sum("__sw2").cast("long").alias("__sw2"),
+    )
+    return folded.select(
+        F.col("__N").alias("n_logged"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.col("__R") / F.col("__N"), 6).alias("logged_reward"),
+        F.round(F.col("__rw") / 1_000_000.0 / F.col("__N"), 6).alias(
+            "ips_reward"
+        ),
+        F.round(
+            (F.col("__sw") / 1_000_000.0)
+            * (F.col("__sw") / 1_000_000.0)
+            / (F.col("__sw2") / 1_000_000_000_000.0),
+            4,
+        ).alias("effective_sample_size"),
+    )
+
+
+def recs_diversity_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = 20,
+    k: int = 5,
+    n_vecs: int = 500,
+) -> DataFrame:
+    """Beyond-accuracy recommendation quality: intra-list diversity +
+    catalog coverage — the two list-level metrics (Ziegler et al.) that
+    catch a recommender collapsing onto near-identical bestsellers even
+    while HR@K looks fine.  Recommendation lists are the deterministic
+    co-occurrence top-k (the i2i "bought together" serving table) for
+    the strongest anchor items; diversity is the mean pairwise cosine
+    DISTANCE between rec embeddings (item→vector via the id bridge
+    ``item % n_vecs``); coverage is |distinct recommended| / |catalog|.
+
+    Determinism: lists cut on (weight, item) total orders; per-pair
+    distances frozen to micro units before the per-anchor mean (exact
+    fold); coverage is a ratio of exact counts.
+
+    Scale: the co-occurrence frame is the session-persisted shared
+    build; per-anchor rank windows partition by anchor (bounded by its
+    degree); the pair self-join is keyed on the anchor (≤ k² rows per
+    anchor); embedding lookups are two keyed joins.  Never n²."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.graph import (
+        shared_cooccurrence_edges,
+    )
+    from project_bigdata_recsys_spark.functions.similarity import cosine
+
+    edges = shared_cooccurrence_edges(spark, sf_dir)
+    anchors = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("__s"))
+        .orderBy(F.desc("__s"), "src")
+        .limit(n_anchors)
+        .select("src")
+    )
+    w_rk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    recs = persist_tracked(
+        edges.join(F.broadcast(anchors), "src", "left_semi")
+        .withColumn("__rk", F.row_number().over(w_rk))
+        .filter(F.col("__rk") <= k)
+        .select("src", "dst")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    r1 = recs.alias("r1")
+    r2 = recs.alias("r2")
+    pairs = r1.join(
+        r2,
+        (F.col("r1.src") == F.col("r2.src"))
+        & (F.col("r1.dst") < F.col("r2.dst")),
+    ).select(
+        F.col("r1.src").alias("anchor"),
+        (F.col("r1.dst") % n_vecs).alias("__v1"),
+        (F.col("r2.dst") % n_vecs).alias("__v2"),
+    )
+    scored = (
+        pairs.join(emb.select(F.col("vec_id").alias("__v1"), F.col("v").alias("__e1")), "__v1")
+        .join(emb.select(F.col("vec_id").alias("__v2"), F.col("v").alias("__e2")), "__v2")
+        .select(
+            "anchor",
+            F.round(
+                F.lit(1_000_000.0)
+                * (1 - cosine(F.col("__e1"), F.col("__e2")))
+            )
+            .cast("long")
+            .alias("__d"),
+        )
+    )
+    n_catalog = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_cat")
+    )
+    coverage = (
+        recs.agg(F.countDistinct("dst").cast("long").alias("__n_rec"))
+        .crossJoin(F.broadcast(n_catalog))
+        .select(
+            F.round(F.col("__n_rec") / F.col("__n_cat"), 6).alias(
+                "catalog_coverage"
+            )
+        )
+    )
+    return (
+        scored.groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("__d") / 1_000_000.0 / F.count(F.lit(1)), 6
+            ).alias("intra_list_diversity"),
+        )
+        .crossJoin(F.broadcast(coverage))
+        .orderBy("anchor")
+    )

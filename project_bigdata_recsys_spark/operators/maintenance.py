@@ -614,3 +614,54 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "probe_dim")
     )
+
+
+def compaction_plan(
+    spark: SparkSession, sf_dir: str, capacity: int = 64
+) -> DataFrame:
+    """Small-files compaction planning — the nightly lakehouse
+    maintenance decision (Delta OPTIMIZE / Iceberg rewrite_data_files)
+    expressed as a query: within each partition (order month), pack the
+    per-day row groups into merge bins of ~``capacity`` rows using the
+    deterministic sorted-cumulative rule (files descending by size, bin
+    = cum-before ÷ capacity — every file stays whole, bins fill to the
+    target), and emit the bins that actually merge ≥ 2 files: the
+    rewrite manifest.
+
+    This is the PLANNER twin of :func:`compact_parquet` (which rewrites
+    physical files): the plan is inspectable, diffable, and cheap to
+    recompute — exactly what an ops review wants before a rewrite
+    touches 100 TB.
+
+    Scale: one fact aggregation to (month, day) sizes; the packing
+    window partitions by month (≤ 31 rows per partition); output is
+    one row per merge bin."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("f_rows"))
+    w = Window.partitionBy("month").orderBy(F.desc("f_rows"), "day")
+    binned = files.withColumn(
+        "__cum_before",
+        F.coalesce(
+            F.sum("f_rows").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "bin_id", F.floor(F.col("__cum_before") / capacity).cast("long")
+    )
+    return (
+        binned.groupBy("month", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("f_rows").cast("long").alias("bin_rows"),
+        )
+        .filter(F.col("n_files") >= 2)
+        .orderBy("month", "bin_id")
+    )

@@ -6663,6 +6663,168 @@ ORACLES["link_prediction_adamic_adar"] = """
 """
 
 
+# DoReMi-lite domain reweighting (round 8): tilt the mixture toward
+# high-excess-loss sources; shared doc_unigram_scores kernel, exp() of
+# the 4-dp excess micro-frozen before the normalizing sum.
+QUERIES["domain_reweight"] = curation.domain_reweight
+ORACLES["domain_reweight"] = """
+    WITH t2 AS (
+        SELECT doc_id, source, term FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS n_term FROM t2 GROUP BY term),
+    tot AS (SELECT sum(n_term) AS n_total FROM vocab),
+    scored AS (
+        SELECT doc_id, source,
+               round(avg(-ln(n_term * 1.0 / n_total)), 4) AS score
+        FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY doc_id, source),
+    per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT)
+                   AS s4
+        FROM scored GROUP BY source),
+    corpus AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+                      CAST(sum(s4) AS BIGINT) AS s4_all
+               FROM per_source),
+    wt AS (
+        SELECT source, n_docs,
+               round(n_docs * 1.0 / n_all, 6) AS base_share,
+               round(s4 / 10000.0 / n_docs, 4) AS avg_logloss,
+               round(round(s4 / 10000.0 / n_docs, 4)
+                     - round(s4_all / 10000.0 / n_all, 4), 4) AS excess,
+               CAST(round(1000000.0 * (n_docs * 1.0 / n_all)
+                          * exp(round(round(s4 / 10000.0 / n_docs, 4)
+                                      - round(s4_all / 10000.0 / n_all,
+                                              4), 4)))
+                    AS BIGINT) AS wm
+        FROM per_source CROSS JOIN corpus),
+    den AS (SELECT CAST(sum(wm) AS BIGINT) AS wsum FROM wt)
+    SELECT source, n_docs, base_share, avg_logloss, excess,
+           round(wm * 1.0 / wsum, 6) AS new_share
+    FROM wt CROSS JOIN den ORDER BY source
+"""
+
+# IPS offline policy eval (round 8): counterfactual reward of a
+# uniform-over-top-k policy on logged traffic; item-level micro-frozen
+# weights folded with integer sums, ESS health metric.
+def _ips_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.ranking import ips_eval
+
+    return ips_eval(spark, sf_dir)
+
+
+QUERIES["ips_eval"] = _ips_eval_query
+ORACLES["ips_eval"] = """
+    WITH arms AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rs
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(rs) AS BIGINT) AS rt FROM arms),
+    topk AS (SELECT l_partkey FROM arms
+             ORDER BY n DESC, l_partkey LIMIT 100),
+    fl AS (
+        SELECT a.n, a.rs,
+               CAST(round(1000000.0 * t.nt / (100 * a.n)) AS BIGINT) AS w,
+               t.nt, t.rt
+        FROM arms a JOIN topk USING (l_partkey) CROSS JOIN tot t),
+    agg AS (
+        SELECT max(nt) AS nt, max(rt) AS rt,
+               CAST(sum(rs * w) AS BIGINT) AS rw,
+               CAST(sum(n * w) AS BIGINT) AS sw,
+               CAST(sum(n * w * w) AS BIGINT) AS sw2
+        FROM fl)
+    SELECT nt AS n_logged, CAST(100 AS BIGINT) AS k,
+           round(rt * 1.0 / nt, 6) AS logged_reward,
+           round(rw / 1000000.0 / nt, 6) AS ips_reward,
+           round((sw / 1000000.0) * (sw / 1000000.0)
+                 / (sw2 / 1000000000000.0), 4) AS effective_sample_size
+    FROM agg
+"""
+
+# Beyond-accuracy rec eval (round 8): intra-list embedding diversity +
+# catalog coverage of the deterministic i2i top-k lists.
+def _recs_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.ranking import recs_diversity_profile
+
+    return recs_diversity_profile(spark, sf_dir)
+
+
+QUERIES["recs_diversity_profile"] = _recs_diversity_query
+ORACLES["recs_diversity_profile"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (SELECT src, dst, w FROM half
+              UNION ALL SELECT dst, src, w FROM half),
+    anchors AS (
+        SELECT src FROM (
+            SELECT src, sum(w) AS s FROM edges GROUP BY src
+            ORDER BY s DESC, src LIMIT 20)),
+    recs AS (
+        SELECT src, dst FROM (
+            SELECT e.src, e.dst,
+                   row_number() OVER (
+                       PARTITION BY e.src ORDER BY e.w DESC, e.dst) AS rk
+            FROM edges e JOIN anchors a USING (src))
+        WHERE rk <= 5),
+    pairs AS (
+        SELECT r1.src AS anchor, r1.dst % 500 AS v1, r2.dst % 500 AS v2
+        FROM recs r1 JOIN recs r2
+          ON r1.src = r2.src AND r1.dst < r2.dst),
+    vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+    scored AS (
+        SELECT anchor,
+               CAST(round(1000000.0 * (1 - list_dot_product(e1.v, e2.v)
+                    / (sqrt(list_dot_product(e1.v, e1.v))
+                       * sqrt(list_dot_product(e2.v, e2.v)))))
+                    AS BIGINT) AS d
+        FROM pairs p
+        JOIN vec e1 ON e1.vec_id = p.v1
+        JOIN vec e2 ON e2.vec_id = p.v2),
+    cov AS (SELECT round(count(DISTINCT dst) * 1.0
+                         / (SELECT count(*) FROM part), 6) AS c
+            FROM recs)
+    SELECT anchor, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(d) / 1000000.0 / count(*), 6)
+               AS intra_list_diversity,
+           (SELECT c FROM cov) AS catalog_coverage
+    FROM scored GROUP BY anchor ORDER BY anchor
+"""
+
+# Compaction planner (round 8): deterministic sorted-cumulative merge
+# bins over per-(month, day) row groups — the OPTIMIZE manifest.
+QUERIES["compaction_plan"] = maintenance.compaction_plan
+ORACLES["compaction_plan"] = """
+    WITH files AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS f_rows
+        FROM orders GROUP BY 1, 2),
+    binned AS (
+        SELECT month, day, f_rows,
+               CAST(floor(coalesce(sum(f_rows) OVER (
+                   PARTITION BY month ORDER BY f_rows DESC, day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) / 64) AS BIGINT) AS bin_id
+        FROM files)
+    SELECT month, bin_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(f_rows) AS BIGINT) AS bin_rows
+    FROM binned GROUP BY month, bin_id
+    HAVING count(*) >= 2
+    ORDER BY month, bin_id
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -533,3 +533,40 @@ def test_adamic_adar_wedge_join_keyed_and_anti(spark):
     plan = _physical(df)
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_ips_eval_takeordered_topk_no_window(spark):
+    """The top-k policy support comes from TakeOrdered on the item
+    aggregate; weights fold as integer sums — no window, no fact-side
+    join after the one aggregation."""
+    from project_bigdata_recsys_spark.ml.ranking import ips_eval
+
+    df = ips_eval(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_recs_diversity_pair_join_keyed_on_anchor(spark):
+    """Rec-pair enumeration joins on the anchor key (never a cartesian);
+    rank windows partition by the anchor."""
+    from project_bigdata_recsys_spark.ml.ranking import recs_diversity_profile
+
+    df = recs_diversity_profile(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "src" in spec, plan
+
+
+def test_compaction_plan_window_partitioned_by_month(spark):
+    from project_bigdata_recsys_spark.operators import maintenance
+
+    df = maintenance.compaction_plan(spark, SF_SMALL)
+    plan = _physical(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("month" in s for s in specs), plan
