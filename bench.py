@@ -221,6 +221,10 @@ HEADLINE = [
     "ips_eval",
     "recs_diversity_profile",
     "compaction_plan",
+    # round-8 eighth wave: streaming EWMA monitor twin + hybrid
+    # BM25-dense retrieval fused by reciprocal rank
+    "stream_ewma_anomalies",
+    "hybrid_search",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

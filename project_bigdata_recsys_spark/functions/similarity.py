@@ -2083,3 +2083,115 @@ def semdedup_profile(
         )
         .orderBy("cell")
     )
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query_terms: int = 3,
+    depth: int = 50,
+    n_probe_cells: int = 5,
+    k: int = 10,
+    n_vecs: int = 500,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the production RAG
+    stack's default: a lexical BM25 ranking and a dense embedding
+    ranking fused by RRF (Cormack et al.: score = Σ 1/(60 + rank)),
+    which needs no score calibration between the two spaces and is why
+    it ships everywhere.  Query terms are the corpus top-``n_query_
+    terms`` (same as text.bm25_scores, whose ranking is reused at
+    ``depth``); each term's dense query vector comes from the md5 id
+    bridge, and the dense list is the IVF-shortlist shape: rank the
+    ``n_vecs`` index cells first (bounded frame), probe the top
+    ``n_probe_cells``, rank only those cells' documents.
+
+    Determinism: both rankings cut on (6-dp score, id) total orders;
+    RRF contributions are round(1e9/(60+rank)) — integer-derived,
+    engine-identical — summed as BIGINTs; output carries rrf_micro as
+    the exact integer.
+
+    Scale: BM25 side as documented in bm25_scores; dense side touches
+    |cells| + |probed docs| rows, never the corpus; fusion is a keyed
+    full-outer join over ≤ 2·depth rows per term; every window
+    partitions on the query term over shortlist-bounded frames."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+    from project_bigdata_recsys_spark.functions.text import bm25_scores
+
+    sparse = bm25_scores(
+        spark, sf_dir, n_query_terms=n_query_terms, top_docs=depth
+    ).select("query_term", F.col("rk").alias("__rk_s"), "doc_id")
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    qvec = (
+        sparse.select("query_term")
+        .distinct()
+        .withColumn("__qv", hash32(F.col("query_term"), "qvec:") % n_vecs)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__qv"), F.col("__v").alias("__qe")
+            ),
+            "__qv",
+        )
+        .select("query_term", "__qe")
+    )
+    cells = emb.crossJoin(F.broadcast(qvec)).select(
+        "query_term",
+        "vec_id",
+        F.round(cosine(F.col("__v"), F.col("__qe")), 6).alias("__cos"),
+    )
+    w_cell = Window.partitionBy("query_term").orderBy(
+        F.desc("__cos"), "vec_id"
+    )
+    probed = (
+        cells.withColumn("__crk", F.row_number().over(w_cell))
+        .filter(F.col("__crk") <= n_probe_cells)
+        .select("query_term", "vec_id", "__cos")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % n_vecs).alias("vec_id")
+    )
+    w_doc = Window.partitionBy("query_term").orderBy(
+        F.desc("__cos"), "doc_id"
+    )
+    dense = (
+        docs.join(F.broadcast(probed), "vec_id")
+        .withColumn("__rk_d", F.row_number().over(w_doc))
+        .filter(F.col("__rk_d") <= depth)
+        .select("query_term", "doc_id", "__rk_d")
+    )
+    rrf_s = F.round(F.lit(1_000_000_000.0) / (60 + F.col("__rk_s"))).cast(
+        "long"
+    )
+    rrf_d = F.round(F.lit(1_000_000_000.0) / (60 + F.col("__rk_d"))).cast(
+        "long"
+    )
+    fused = (
+        sparse.join(dense, ["query_term", "doc_id"], "full_outer")
+        .select(
+            "query_term",
+            "doc_id",
+            F.coalesce(F.col("__rk_s"), F.lit(0)).cast("int").alias(
+                "bm25_rank"
+            ),
+            F.coalesce(F.col("__rk_d"), F.lit(0)).cast("int").alias(
+                "cos_rank"
+            ),
+            (
+                F.coalesce(rrf_s, F.lit(0)) + F.coalesce(rrf_d, F.lit(0))
+            ).alias("rrf_micro"),
+        )
+    )
+    w_fused = Window.partitionBy("query_term").orderBy(
+        F.desc("rrf_micro"), "doc_id"
+    )
+    return (
+        fused.withColumn("__frk", F.row_number().over(w_fused))
+        .filter(F.col("__frk") <= k)
+        .drop("__frk")
+        .orderBy("query_term", F.desc("rrf_micro"), "doc_id")
+    )

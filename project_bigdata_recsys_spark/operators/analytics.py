@@ -1026,38 +1026,61 @@ def ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return ewma_flags_from_counts(spark, counts)
+
+
+def ewma_flags_from_counts(
+    spark: SparkSession, counts: DataFrame
+) -> DataFrame:
+    """The EWMA baseline + flag kernel of :func:`ewma_anomalies`, shared
+    with the streaming twin (streaming/replay.stream_ewma_anomalies):
+    input is a (event_type, day, n) counts frame — batch-aggregated or
+    drained from a streaming sink — output the flagged profile.
+
+    Shape note: the current-day count rides the SAME shifted-contribution
+    aggregation as the history (a zero-weight age-0 row), so there is no
+    counts-to-baseline self-join — which also keeps the kernel usable on
+    self-join-hostile frames like a streaming memory sink."""
     ages = spark.createDataFrame(
-        list(EWMA_WEIGHTS_MICRO), "age INT, w LONG"
+        [(0, 0), *EWMA_WEIGHTS_MICRO], "age INT, w LONG"
     )
-    baseline = (
+    folded = (
         counts.crossJoin(F.broadcast(ages))
         .select(
             "event_type",
             (F.col("day") + F.col("age")).alias("day"),
+            "age",
             (F.col("w") * F.col("n")).alias("__wn"),
             "w",
+            "n",
         )
         .groupBy("event_type", "day")
         .agg(
-            F.sum("__wn").cast("long").alias("__ws"),
-            F.sum("w").cast("long").alias("__sw"),
-            F.count(F.lit(1)).alias("__nh"),
+            F.sum(F.when(F.col("age") == 0, F.col("n")))
+            .cast("long")
+            .alias("n"),
+            F.sum(F.when(F.col("age") > 0, F.col("__wn")).otherwise(0))
+            .cast("long")
+            .alias("__ws"),
+            F.sum(F.when(F.col("age") > 0, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("__sw"),
+            F.sum(F.when(F.col("age") > 0, 1).otherwise(0)).alias("__nh"),
         )
-        .filter(F.col("__nh") == len(EWMA_WEIGHTS_MICRO))
+        .filter(
+            F.col("n").isNotNull()
+            & (F.col("__nh") == len(EWMA_WEIGHTS_MICRO))
+        )
     )
     ratio = F.round(F.col("n") * F.col("__sw") / F.col("__ws"), 6)
-    return (
-        counts.join(baseline, ["event_type", "day"])
-        .select(
-            "event_type",
-            "day",
-            "n",
-            F.round(F.col("__ws") / F.col("__sw"), 4).alias("baseline"),
-            ratio.alias("ratio"),
-            F.when((ratio >= 1.5) | (ratio <= 0.5), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_anomaly"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return folded.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("__ws") / F.col("__sw"), 4).alias("baseline"),
+        ratio.alias("ratio"),
+        F.when((ratio >= 1.5) | (ratio <= 0.5), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")

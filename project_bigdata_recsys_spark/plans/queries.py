@@ -6825,6 +6825,103 @@ ORACLES["compaction_plan"] = """
 """
 
 
+# Streaming EWMA monitor (round 8): per-(1-day window, type) counts as
+# streaming state, the shared closed-form baseline kernel post-sink —
+# bit-identical to the batch monitor, same oracle arithmetic.
+QUERIES["stream_ewma_anomalies"] = replay.stream_ewma_anomalies
+ORACLES["stream_ewma_anomalies"] = ORACLES["ewma_anomalies"]
+
+# Hybrid retrieval with RRF (round 8): BM25 top-depth + IVF-shortlist
+# dense top-depth fused by reciprocal-rank — integer-derived
+# round(1e9/(60+rank)) contributions, exact BIGINT rrf_micro output.
+QUERIES["hybrid_search"] = similarity.hybrid_search_rrf
+ORACLES["hybrid_search"] = """
+    WITH toks AS (
+        SELECT doc_id, w AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY term),
+    q AS (SELECT term, doc_freq FROM dft
+          ORDER BY total_tf DESC, term LIMIT 3),
+    c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+    bscored AS (
+        SELECT tf.term, tf.doc_id,
+               round(ln(1.0 + (c.n - q.doc_freq + 0.5) / (q.doc_freq + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * c.n / c.sum_dl)),
+                     6) AS bm25
+        FROM tf JOIN q ON tf.term = q.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN c),
+    sparse AS (
+        SELECT term, doc_id, rk_s FROM (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY bm25 DESC, doc_id) AS rk_s
+            FROM bscored)
+        WHERE rk_s <= 50),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+    qe AS (
+        SELECT qv.term, e.v AS qvec
+        FROM (SELECT term,
+                     ('0x' || substr(md5('qvec:' || term), 1, 8))::BIGINT
+                         % 500 AS qvid
+              FROM q) qv
+        JOIN emb e ON e.vec_id = qv.qvid),
+    cells AS (
+        SELECT qe.term, e.vec_id,
+               round(list_dot_product(e.v, qe.qvec)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(qe.qvec, qe.qvec))), 6)
+                   AS cs
+        FROM emb e CROSS JOIN qe),
+    probed AS (
+        SELECT term, vec_id, cs FROM (
+            SELECT term, vec_id, cs,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY cs DESC, vec_id) AS crk
+            FROM cells)
+        WHERE crk <= 5),
+    docs AS (SELECT doc_id, doc_id % 500 AS vec_id FROM documents),
+    dense AS (
+        SELECT term, doc_id, rk_d FROM (
+            SELECT p.term, d.doc_id,
+                   row_number() OVER (PARTITION BY p.term
+                                      ORDER BY p.cs DESC, d.doc_id)
+                       AS rk_d
+            FROM docs d JOIN probed p USING (vec_id))
+        WHERE rk_d <= 50),
+    fused AS (
+        SELECT coalesce(s.term, de.term) AS query_term,
+               coalesce(s.doc_id, de.doc_id) AS doc_id,
+               CAST(coalesce(s.rk_s, 0) AS INTEGER) AS bm25_rank,
+               CAST(coalesce(de.rk_d, 0) AS INTEGER) AS cos_rank,
+               CAST(coalesce(CAST(round(1000000000.0 / (60 + s.rk_s))
+                                  AS BIGINT), 0)
+                    + coalesce(CAST(round(1000000000.0 / (60 + de.rk_d))
+                                    AS BIGINT), 0) AS BIGINT) AS rrf_micro
+        FROM sparse s
+        FULL OUTER JOIN dense de
+          ON s.term = de.term AND s.doc_id = de.doc_id)
+    SELECT query_term, doc_id, bm25_rank, cos_rank, rrf_micro
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_term
+              ORDER BY rrf_micro DESC, doc_id) AS frk
+          FROM fused)
+    WHERE frk <= 10
+    ORDER BY query_term, rrf_micro DESC, doc_id
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

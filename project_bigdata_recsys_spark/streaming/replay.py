@@ -1070,3 +1070,35 @@ def stream_kmv_distinct(
         )
         .orderBy("week")
     )
+
+
+def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of analytics.ewma_anomalies — the volume monitor
+    maintained BY THE STREAM: per (1-day event-time window, event_type)
+    counts are the streaming aggregation state (complete-mode replay;
+    state is #windows × #types rows, never raw events), and the closed-
+    form EWMA baseline + flags run post-sink on that materialized counts
+    frame via the SHARED kernel (ewma_flags_from_counts) — so the
+    streamed monitor is bit-identical to the batch one and hash-checks
+    against the same oracle arithmetic.
+
+    This is the deployment shape: the stream keeps the counts current;
+    the cheap baseline join re-evaluates on whatever cadence alerting
+    wants, without touching raw history."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        ewma_flags_from_counts,
+    )
+
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_replay(agg, spark, "complete")
+    counts = table.select(
+        "event_type",
+        F.floor(F.col("w.start").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return ewma_flags_from_counts(spark, counts)

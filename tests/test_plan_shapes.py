@@ -570,3 +570,18 @@ def test_compaction_plan_window_partitioned_by_month(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("month" in s for s in specs), plan
+
+
+def test_hybrid_search_windows_partition_by_query_term(spark):
+    """Both ranking windows and the fusion window partition on the query
+    term over shortlist-bounded frames; the dense side probes cells, it
+    never cross-joins the corpus against queries."""
+    from project_bigdata_recsys_spark.functions import similarity as sim
+
+    df = sim.hybrid_search_rrf(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "query_term" in spec or "term" in spec, plan
