@@ -225,6 +225,9 @@ HEADLINE = [
     # BM25-dense retrieval fused by reciprocal rank
     "stream_ewma_anomalies",
     "hybrid_search",
+    # streaming SCD2 point-in-time enrichment (stream-static interval
+    # join, state bounded by (segment, user) partials)
+    "stream_pit_enrichment",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

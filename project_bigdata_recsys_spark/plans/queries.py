@@ -6922,6 +6922,42 @@ ORACLES["hybrid_search"] = """
 """
 
 
+# Streaming SCD2 PIT enrichment (round 8): stream-static equi-join with
+# the validity-interval predicate as join filter; state bounded by
+# (segment, user) partials; oracle replays the draw + interval math.
+QUERIES["stream_pit_enrichment"] = replay.stream_pit_enrichment
+ORACLES["stream_pit_enrichment"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    drawn AS (
+        SELECT user_id,
+               ('0x' || substr(md5('scdstream:'
+                                   || CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT / 4294967296.0 AS uu,
+               'seg' || CAST(user_id % 4 AS VARCHAR) AS base
+        FROM u),
+    dim AS (
+        SELECT user_id, base AS segment, '2023-01-01' AS vf,
+               CASE WHEN uu < 0.3 THEN '2024-01-16'
+                    ELSE '9999-12-31' END AS vt
+        FROM drawn
+        UNION ALL
+        SELECT user_id, base || '_V2', '2024-01-16', '9999-12-31'
+        FROM drawn WHERE uu < 0.3),
+    ev AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events),
+    j AS (
+        SELECT d.segment, e.user_id, e.vm
+        FROM ev e JOIN dim d
+          ON d.user_id = e.user_id AND e.day >= d.vf AND e.day < d.vt)
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(vm) / 1000000.0, 4) AS total_value
+    FROM j GROUP BY segment ORDER BY segment
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

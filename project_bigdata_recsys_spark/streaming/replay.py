@@ -1102,3 +1102,78 @@ def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
     )
     return ewma_flags_from_counts(spark, counts)
+
+
+def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dimension enrichment against an SCD2 table — the
+    feature-store serving shape: events arrive as a stream, the user's
+    segment is whatever version was valid AT THE EVENT'S TIME (a plain
+    latest-version lookup would silently rewrite history every time the
+    dimension changes).  The PIT lookup is a stream-static equi-join on
+    the user key with the validity-interval predicate as a join filter
+    — the pit_join-as-interval-join shape: each key carries ≤ 2 versions
+    here, so fan-out is bounded and the static side is re-resolved per
+    micro-batch exactly like a dimension table refresh.
+
+    Dimension: md5-chosen 30% of users switch their segment to '_V2' at
+    the mid-corpus cutover; everyone else keeps one open-ended version
+    (the pit_segment_rollup draw, stream-keyed).  Output per EFFECTIVE
+    segment: events, users, exact micro-unit value total.  The oracle
+    replays the identical draw + interval arithmetic, so an event
+    enriched against the wrong version shifts a rollup row and breaks
+    the hash."""
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    users = (
+        spark.read.parquet(table_path(sf_dir, "events"))
+        .select("user_id")
+        .distinct()
+    )
+    changed = hash_uniform(F.col("user_id"), "scdstream:") < 0.3
+    base = F.concat(F.lit("seg"), (F.col("user_id") % 4).cast("string"))
+    lo, cut, hi = (
+        F.lit("2023-01-01"),
+        F.lit("2024-01-16"),
+        F.lit("9999-12-31"),
+    )
+    v_open = users.select(
+        "user_id",
+        base.alias("segment"),
+        lo.alias("valid_from"),
+        F.when(changed, cut).otherwise(hi).alias("valid_to"),
+    )
+    v_new = users.filter(changed).select(
+        "user_id",
+        F.concat(base, F.lit("_V2")).alias("segment"),
+        cut.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    dim = v_open.unionByName(v_new)
+
+    stream = replay_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("__day"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("__vm"),
+    )
+    enriched = stream.join(dim, "user_id").filter(
+        (F.col("__day") >= F.col("valid_from"))
+        & (F.col("__day") < F.col("valid_to"))
+    )
+    # streaming state is the (segment, user) partial — bounded by
+    # #users × versions, never raw events — and the exact distinct-user
+    # count falls out of the sink's row count per segment
+    per_user = enriched.groupBy("segment", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__vm").alias("vm"),
+    )
+    table = _run_replay(per_user, spark, "complete")
+    return (
+        table.groupBy("segment")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.sum("vm") / 1_000_000.0, 4).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
