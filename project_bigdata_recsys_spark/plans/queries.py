@@ -4375,11 +4375,14 @@ _GATE_WINDOW = [
     "token_stats",
     "lang_id_confusion",
     "pii_redaction_profile",
-    # -- backfill: oldest r4 evidence (rotate forward; tail slots yield
-    #    to queries newly added in round 8) -------------------------------
-    "simhash_near_pairs",
-    "near_dup_clusters",
-    "stream_tumbling_counts",
+    # -- backfill slots yielded to round-8 queries with NO driver
+    #    evidence yet (simhash_near_pairs, near_dup_clusters,
+    #    stream_tumbling_counts keep their r4 rows and rejoin the r9
+    #    backlog): the CCNet tercile split, the DoReMi reweighting, and
+    #    hybrid RRF retrieval ---------------------------------------------
+    "perplexity_buckets",
+    "domain_reweight",
+    "hybrid_search",
     # -- new in round 8: first driver evidence (displaced the r4
     #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
     #    embedding_stats, tfidf_top_terms, stratified_sample,
