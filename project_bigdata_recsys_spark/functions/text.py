@@ -1328,27 +1328,39 @@ def doc_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared kernel of :func:`perplexity_buckets` and
     `curation.domain_reweight`: one corpus tokenization feeds the vocab
     counts and the per-doc mean negative log-probability (4-dp, same
-    recipe as :func:`unigram_logloss_profile`).  persist_tracked: every
-    caller fans the frame into at least two consumers.
+    recipe as :func:`unigram_logloss_profile`).  persist_shared: the
+    frame fans into 2+ consumers inside each caller AND is rebuilt
+    identically by two separate gate queries (perplexity_buckets,
+    domain_reweight) — the session tier pays the tokenization once.
 
     The vocab side is deliberately NOT hint-broadcast: a whitespace
     vocabulary is unbounded at corpus scale; AQE still picks broadcast
     at runtime when the built vocab is small."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.caching import persist_shared
 
-    docs = load_table(spark, sf_dir, "documents")
-    term_rows = docs.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
-    ).filter(F.length("term") > 0)
-    vocab = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
-    total = vocab.agg(F.sum("n_term").alias("n_total"))
-    logp = F.log(F.col("n_term") / F.col("n_total"))
-    return persist_tracked(
-        term_rows.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "source")
-        .agg(F.round(F.avg(-logp), 4).alias("score"))
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        term_rows = docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens(F.col("text"))).alias("term"),
+        ).filter(F.length("term") > 0)
+        vocab = term_rows.groupBy("term").agg(
+            F.count(F.lit(1)).alias("n_term")
+        )
+        total = vocab.agg(F.sum("n_term").alias("n_total"))
+        logp = F.log(F.col("n_term") / F.col("n_total"))
+        return (
+            term_rows.join(vocab, "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id", "source")
+            .agg(F.round(F.avg(-logp), 4).alias("score"))
+        )
+
+    key = (
+        f"doc-unigram-scores:{spark.sparkContext.applicationId}:{sf_dir}"
     )
+    return persist_shared(key, build)
 
 
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
