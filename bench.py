@@ -228,6 +228,9 @@ HEADLINE = [
     # streaming SCD2 point-in-time enrichment (stream-static interval
     # join, state bounded by (segment, user) partials)
     "stream_pit_enrichment",
+    # round-8 closing wave: drift-quartet + privacy-trio close-outs
+    "welch_ttest_drift",
+    "t_closeness_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

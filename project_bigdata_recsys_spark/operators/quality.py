@@ -792,3 +792,170 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > 1.96).alias("shift_detected"),
     )
+
+
+def welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the early and late event
+    halves — the parametric mean-shift member completing the drift
+    quartet (PSI: binned mass; KS: cdf shape; Mann–Whitney: stochastic
+    dominance; THIS: location in original units, the one a dashboard
+    alerts on when "average order value moved").
+
+    Moments stay exact: values are lifted to integer cents
+    (``round(value*100)`` — identical in both engines), so per-side
+    n / Σx / Σx² are BIGINT folds; every float expression downstream
+    (means, Welch variance, t, Welch–Satterthwaite df) is built from
+    those exact integers with identical shape on both engines and
+    rounded at 6 dp (the bm25/ucb sqrt-ln precedent).
+
+    Scale: ONE scan and one 2-row aggregate — no histogram, no window,
+    no join beyond the broadcast 1-row midpoint anchor.  Sums stay in
+    BIGINT through ~sf100 for cent-scaled values (Σx² ≤ ~1e17)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    anchor = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0)
+        .cast("long")
+        .alias("__mid")
+    )
+    sided = ev.crossJoin(F.broadcast(anchor)).select(
+        "vc",
+        F.when(F.col("day") <= F.col("__mid"), 1).otherwise(0).alias("__a"),
+    )
+    agg = sided.agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+        F.sum(F.col("__a") * F.col("vc")).cast("long").alias("__sa"),
+        F.sum((1 - F.col("__a")) * F.col("vc")).cast("long").alias("__sb"),
+        F.sum(F.col("__a") * F.col("vc") * F.col("vc"))
+        .cast("long")
+        .alias("__ssa"),
+        F.sum((1 - F.col("__a")) * F.col("vc") * F.col("vc"))
+        .cast("long")
+        .alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__ssa") - F.col("__sa") * ma) / (na - 1.0)
+    vb = (F.col("__ssb") - F.col("__sb") * mb) / (nb - 1.0)
+    se2 = va / na + vb / nb
+    t = F.round((ma - mb) / F.sqrt(se2), 6)
+    df_w = F.round(
+        se2 * se2
+        / ((va / na) * (va / na) / (na - 1.0)
+           + (vb / nb) * (vb / nb) / (nb - 1.0)),
+        4,
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma / 100.0, 6).alias("mean_early"),
+        F.round(mb / 100.0, 6).alias("mean_late"),
+        t.alias("t_stat"),
+        df_w.alias("welch_df"),
+        (F.abs(t) > 1.96).alias("mean_shift_detected"),
+    )
+
+
+def t_closeness_profile(
+    spark: SparkSession, sf_dir: str, band: int = 100, t_max_micro: int = 500_000_000
+) -> DataFrame:
+    """t-closeness audit — third member of the privacy trio
+    (:func:`k_anonymity_profile` re-identification,
+    :func:`l_diversity_profile` homogeneity, THIS skew: a group can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's — an adversary
+    linking a target to the group gains that much posterior).  Quasi-
+    identifiers: (source, n_chars banded to ``band``); sensitive
+    attribute: lang (categorical, so the distance is the variational
+    distance ½·Σ|p−q| of Li et al. 2007).
+
+    Distances stay exact: both the group share p and the global share q
+    are lifted to integer 1e-9 units (``round(1e9·cnt/size)`` —
+    identical int-division-to-double then round in both engines), so
+    the Σ|p−q| fold is a BIGINT sum; langs ABSENT from a group
+    contribute their full q, folded in as (1e9 − Σ_present q) without
+    densifying the group×lang matrix.
+
+    Scale: one group×lang aggregation (keys the shuffle co-locates), a
+    broadcast ≤#langs global-distribution join, and a per-source
+    rollup.  No windows; the matrix stays sparse.
+
+    Output per source: n_docs, n_groups, max_t, avg_t (micro-exact,
+    6 dp), n_docs in groups with t > ``t_max_micro``/1e9."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / band).cast("long").alias("len_band"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    glob = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.round(F.lit(1000000000.0) * F.col("__c") / F.col("__n"))
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    cells = docs.groupBy("source", "len_band", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sizes = cells.groupBy("source", "len_band").agg(
+        F.sum("cnt").cast("long").alias("group_size")
+    )
+    joined = (
+        cells.join(F.broadcast(glob), "lang")
+        .join(sizes, ["source", "len_band"])
+        .withColumn(
+            "p_micro",
+            F.round(
+                F.lit(1000000000.0) * F.col("cnt") / F.col("group_size")
+            ).cast("long"),
+        )
+    )
+    per_group = joined.groupBy("source", "len_band", "group_size").agg(
+        F.sum(F.abs(F.col("p_micro") - F.col("q_micro")))
+        .cast("long")
+        .alias("__present_dist"),
+        F.sum("q_micro").cast("long").alias("__present_q"),
+    )
+    # absent langs: p = 0, each contributes its q; their total is the
+    # complement of the present-langs q mass (1e9 − Σ_present q)
+    t_micro = (
+        (
+            F.col("__present_dist")
+            + (F.lit(1000000000).cast("long") - F.col("__present_q"))
+        )
+        / 2
+    ).cast("long")
+    groups = per_group.select(
+        "source", "group_size", t_micro.alias("t_micro")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.max("t_micro") / 1000000000.0, 6).alias("max_t"),
+            F.round(
+                F.sum("t_micro") / F.count(F.lit(1)) / 1000000000.0, 6
+            ).alias("avg_t"),
+            F.sum(
+                F.when(
+                    F.col("t_micro") > t_max_micro, F.col("group_size")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_skewed_docs"),
+        )
+        .orderBy("source")
+    )

@@ -6961,6 +6961,108 @@ ORACLES["stream_pit_enrichment"] = """
 """
 
 
+# Welch's unequal-variance t-test (round 8): parametric mean-shift
+# member completing the drift quartet — BIGINT cent moments, identical
+# float expression shape downstream (sqrt/ln precedent).
+QUERIES["welch_ttest_drift"] = quality.welch_ttest_drift
+ORACLES["welch_ttest_drift"] = """
+    WITH ev AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    sided AS (
+        SELECT vc, CASE WHEN day <= m THEN 1 ELSE 0 END AS a
+        FROM ev CROSS JOIN mid),
+    agg AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(sum(1 - a) AS BIGINT) AS n_b,
+               CAST(sum(a * vc) AS BIGINT) AS sa,
+               CAST(sum((1 - a) * vc) AS BIGINT) AS sb,
+               CAST(sum(a * vc * vc) AS BIGINT) AS ssa,
+               CAST(sum((1 - a) * vc * vc) AS BIGINT) AS ssb
+        FROM sided),
+    m2 AS (
+        SELECT n_a, n_b,
+               sa / CAST(n_a AS DOUBLE) AS ma,
+               sb / CAST(n_b AS DOUBLE) AS mb,
+               (ssa - sa * (sa / CAST(n_a AS DOUBLE)))
+                   / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+               (ssb - sb * (sb / CAST(n_b AS DOUBLE)))
+                   / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        FROM agg),
+    m3 AS (
+        SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)
+                      AS se2
+        FROM m2)
+    SELECT n_a, n_b,
+           round(ma / 100.0, 6) AS mean_early,
+           round(mb / 100.0, 6) AS mean_late,
+           round((ma - mb) / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2
+                 / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) - 1.0)
+                    + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1.0)), 4) AS welch_df,
+           abs(round((ma - mb) / sqrt(se2), 6)) > 1.96
+               AS mean_shift_detected
+    FROM m3
+"""
+
+# t-closeness audit (round 8): third member of the privacy trio —
+# variational distance of each QI group's sensitive-lang distribution
+# from the global one, folded in integer 1e-9 units (absent langs via
+# the complement of the present-q mass, never densified).
+QUERIES["t_closeness_profile"] = quality.t_closeness_profile
+ORACLES["t_closeness_profile"] = """
+    WITH docs AS (
+        SELECT lang, source,
+               CAST(floor(n_chars / 100) AS BIGINT) AS len_band
+        FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    gdist AS (
+        SELECT lang,
+               CAST(round(1000000000.0 * count(*)
+                          / CAST((SELECT n FROM tot) AS DOUBLE))
+                    AS BIGINT) AS q_micro
+        FROM docs GROUP BY lang),
+    cells AS (
+        SELECT source, len_band, lang,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM docs GROUP BY source, len_band, lang),
+    sizes AS (
+        SELECT source, len_band, CAST(sum(cnt) AS BIGINT) AS group_size
+        FROM cells GROUP BY source, len_band),
+    joined AS (
+        SELECT c.source, c.len_band, s.group_size,
+               CAST(round(1000000000.0 * c.cnt
+                          / CAST(s.group_size AS DOUBLE)) AS BIGINT)
+                   AS p_micro,
+               g.q_micro
+        FROM cells c
+        JOIN gdist g USING (lang)
+        JOIN sizes s ON c.source = s.source AND c.len_band = s.len_band),
+    per_group AS (
+        SELECT source, len_band, group_size,
+               CAST((sum(abs(p_micro - q_micro))
+                     + (1000000000 - sum(q_micro))) // 2 AS BIGINT)
+                   AS t_micro
+        FROM joined GROUP BY source, len_band, group_size)
+    SELECT source,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(t_micro) / 1000000000.0, 6) AS max_t,
+           round(sum(t_micro) / CAST(count(*) AS DOUBLE)
+                 / 1000000000.0, 6) AS avg_t,
+           CAST(sum(CASE WHEN t_micro > 500000000 THEN group_size
+                         ELSE 0 END) AS BIGINT) AS n_skewed_docs
+    FROM per_group
+    GROUP BY source
+    ORDER BY source
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
