@@ -231,6 +231,9 @@ HEADLINE = [
     # round-8 closing wave: drift-quartet + privacy-trio close-outs
     "welch_ttest_drift",
     "t_closeness_profile",
+    # censoring-aware conversion curve + closed-form per-group OLS
+    "survival_km_curve",
+    "ols_trend_per_group",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1084,3 +1084,157 @@ def ewma_flags_from_counts(
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of time-to-first-purchase — the
+    right-censoring-aware conversion curve (a plain "median hours to
+    purchase over converters" is biased optimistic because users who
+    never converted are silently dropped; KM keeps them at risk until
+    their observation window ends).  Duration = hours from a user's
+    first event to their first purchase; users with no purchase are
+    right-censored at the corpus horizon (standard convention: deaths
+    at t precede censorings at t, so both stay in the risk set at t).
+
+    Estimator arithmetic is engine-reproducible: at-risk counts fold as
+    integers via a reverse cumulative sum over the ≤ #hours-in-corpus
+    duration frame; the survival product Π(1−dᵢ/nᵢ) is computed as
+    exp(Σ ln((nᵢ−dᵢ)/nᵢ)) with the ln/exp libm precedent (bm25/ucb)
+    behind round(…, 6), with the all-remaining-die edge (nᵢ = dᵢ → S=0
+    from that point on, where ln would blow up) guarded by an integer
+    prefix-max flag on both engines.
+
+    Scale: per-user min/conditional-min aggregation (one shuffle on
+    user_id), then every window runs over the duration-level frame —
+    bounded by the corpus hour span, never by row count (pinned in
+    _GLOBAL_WINDOW_AUDITED).
+
+    Output per death time: t_hours, n_risk, n_deaths, n_censored,
+    survival."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 3600.0).cast("long").alias("h"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    horizon = ev.agg(F.max("h").alias("__max_h"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("h").alias("__first_h"),
+        F.min(F.when(F.col("is_p") == 1, F.col("h"))).alias("__first_p"),
+    )
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("__first_p").isNotNull(),
+            F.col("__first_p") - F.col("__first_h"),
+        )
+        .otherwise(F.col("__max_h") - F.col("__first_h"))
+        .cast("long")
+        .alias("t_hours"),
+        F.col("__first_p").isNotNull().cast("int").alias("d"),
+    )
+    level = durations.groupBy("t_hours").agg(
+        F.sum("d").cast("long").alias("n_deaths"),
+        F.sum(1 - F.col("d")).cast("long").alias("n_censored"),
+    )
+    w_rev = (
+        Window.orderBy(F.desc("t_hours"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = level.withColumn(
+        "n_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(w_rev),
+    )
+    deaths = at_risk.filter(F.col("n_deaths") > 0)
+    w_fwd = (
+        Window.orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        deaths.withColumn(
+            "__zero",
+            F.max(
+                (F.col("n_deaths") >= F.col("n_risk")).cast("int")
+            ).over(w_fwd),
+        )
+        .withColumn(
+            "__lnsum",
+            F.sum(
+                F.when(
+                    F.col("n_deaths") < F.col("n_risk"),
+                    F.log(
+                        (F.col("n_risk") - F.col("n_deaths"))
+                        / F.col("n_risk").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_fwd),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("__zero") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.col("__lnsum")), 6)
+            ),
+        )
+    )
+    return curve.select(
+        "t_hours", "n_risk", "n_deaths", "n_censored", "survival"
+    ).orderBy("t_hours")
+
+
+def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend line over daily event
+    volume — the closed-form regression a monitoring pipeline fits per
+    segment ("is error volume trending up?") without MLlib: slope,
+    intercept, and R² come straight from the five sufficient statistics
+    (n, Σx, Σy, Σxx, Σxy, Σyy), which distribute as exact BIGINT folds.
+
+    x = day index relative to the corpus min day (broadcast 1-row
+    anchor, so x stays small and Σxx cannot overflow); y = that group's
+    event count for the day.  The sufficient statistics are integers on
+    both engines; slope/intercept/R² combine them as doubles with
+    identical expression shape, rounded at 6 dp.
+
+    Scale: one (day, type) pre-aggregation (map-side combined), one
+    #groups×#days-row per-group fold — no windows, no joins beyond the
+    broadcast anchor.  Adding a regressor means adding a moment column,
+    not a new pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    )
+    anchor = ev.agg(F.min("day").alias("__day0"))
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            (F.col("day") - F.col("__day0")).cast("long").alias("x"),
+            "y",
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("__sx"),
+        F.sum("y").cast("long").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("__sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("__sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("__syy"),
+    )
+    n = F.col("n_days").cast("double")
+    cov_n = n * F.col("__sxy") - F.col("__sx").cast("double") * F.col("__sy")
+    var_x_n = n * F.col("__sxx") - F.col("__sx").cast("double") * F.col("__sx")
+    var_y_n = n * F.col("__syy") - F.col("__sy").cast("double") * F.col("__sy")
+    slope = cov_n / var_x_n
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.col("__sy").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / n, 6
+        ).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x_n * var_y_n), 6).alias("r2"),
+    ).orderBy("event_type")

@@ -7063,6 +7063,94 @@ ORACLES["t_closeness_profile"] = """
     ORDER BY source
 """
 
+# Kaplan-Meier time-to-first-purchase (round 8): right-censoring-aware
+# conversion curve; integer risk-set folds, ln/exp product behind
+# round(,6), the all-remaining-die edge guarded by a prefix-max flag.
+QUERIES["survival_km_curve"] = analytics.survival_km_curve
+ORACLES["survival_km_curve"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    horizon AS (SELECT max(h) AS max_h FROM ev),
+    per_user AS (
+        SELECT user_id, min(h) AS first_h,
+               min(CASE WHEN is_p = 1 THEN h END) AS first_p
+        FROM ev GROUP BY user_id),
+    durations AS (
+        SELECT CAST(CASE WHEN first_p IS NOT NULL THEN first_p - first_h
+                         ELSE max_h - first_h END AS BIGINT) AS t_hours,
+               CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS d
+        FROM per_user CROSS JOIN horizon),
+    level AS (
+        SELECT t_hours, CAST(sum(d) AS BIGINT) AS n_deaths,
+               CAST(sum(1 - d) AS BIGINT) AS n_censored
+        FROM durations GROUP BY t_hours),
+    at_risk AS (
+        SELECT *, CAST(sum(n_deaths + n_censored) OVER (
+                   ORDER BY t_hours DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        FROM level),
+    deaths AS (SELECT * FROM at_risk WHERE n_deaths > 0),
+    curve AS (
+        SELECT *,
+               max(CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END) OVER w
+                   AS zero_f,
+               sum(CASE WHEN n_deaths < n_risk
+                        THEN ln((n_risk - n_deaths)
+                                / CAST(n_risk AS DOUBLE))
+                        ELSE 0.0 END) OVER w AS lnsum
+        FROM deaths
+        WINDOW w AS (ORDER BY t_hours ROWS UNBOUNDED PRECEDING))
+    SELECT t_hours, n_risk, n_deaths, n_censored,
+           CASE WHEN zero_f = 1 THEN 0.0
+                ELSE round(exp(lnsum), 6) END AS survival
+    FROM curve ORDER BY t_hours
+"""
+
+# Per-group OLS trend (round 8): closed-form regression from BIGINT
+# sufficient statistics; doubles only in the final identical-shape
+# slope/intercept/R² expressions.
+QUERIES["ols_trend_per_group"] = analytics.ols_trend_per_group
+ORACLES["ols_trend_per_group"] = """
+    WITH ev AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               event_type
+        FROM events),
+    anchor AS (SELECT min(day) AS day0 FROM ev),
+    daily AS (
+        SELECT event_type,
+               CAST(day - day0 AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM ev CROSS JOIN anchor
+        GROUP BY event_type, day - day0),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM daily GROUP BY event_type),
+    m AS (
+        SELECT *,
+               CAST(n_days AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy AS cov_n,
+               CAST(n_days AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx AS var_x_n,
+               CAST(n_days AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * sy AS var_y_n
+        FROM stats)
+    SELECT event_type, n_days, sy AS n_events,
+           round(cov_n / var_x_n, 6) AS slope_per_day,
+           round((sy - (cov_n / var_x_n) * sx)
+                 / CAST(n_days AS DOUBLE), 6) AS intercept,
+           round(cov_n * cov_n / (var_x_n * var_y_n), 6) AS r2
+    FROM m ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -54,6 +54,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "pareto_curve",  # Aggregate(band): 10 decile-band rows
     "psi_drift",  # Aggregate(bucket): 10 histogram-bucket rows
     "rolling_distinct_users",  # Aggregate(day): ≤ ~2500 calendar days
+    "survival_km_curve",  # Aggregate(t_hours): ≤ corpus-hour-span rows
 }
 
 
