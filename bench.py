@@ -234,6 +234,9 @@ HEADLINE = [
     # censoring-aware conversion curve + closed-form per-group OLS
     "survival_km_curve",
     "ols_trend_per_group",
+    # leakage-safe LOO target encoding + propensity calibration bins
+    "target_encoding_oof",
+    "calibration_bins",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -251,3 +251,147 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
     e = test.groupBy("label").agg(F.count(F.lit(1)).alias("n_test"))
     return t.join(e, "label").orderBy("label")
+
+
+def target_encoding_oof(
+    spark: SparkSession, sf_dir: str, band_cents: int = 5000
+) -> DataFrame:
+    """Leave-one-out target encoding of a high-cardinality categorical —
+    the leakage-safe way to turn a key into a numeric feature: each
+    row's encoding is the target mean of its OWN group WITHOUT the row
+    itself ((S − x)/(n − 1)), so the feature never memorizes the row's
+    own label (plain group-mean encoding leaks the target and inflates
+    validation metrics; LOO is the standard correction alongside the
+    k-fold variant that :func:`kfold_assignment` would drive).
+
+    Category: (o_orderpriority, o_orderstatus); target: o_totalprice.
+    Arithmetic stays exact: prices lift to integer cents, group sums S
+    fold as BIGINT, and each row's (S − x)/(n − 1) is the same
+    int-division-to-double in both engines.  The readout histograms the
+    per-row encodings into ``band_cents`` bands — a shape that can only
+    come out right if EVERY row's encoding did (aggregate-only outputs
+    like avg(LOO) collapse to S/n and would not exercise the per-row
+    path).
+
+    Scale: one scan, a broadcast ≤|categories|-row aggregate join, one
+    histogram shuffle.  No windows; singleton groups (n = 1, encoding
+    undefined) surface in a NULL band rather than silently dropping."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    groups = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum("cents").cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    encoded = orders.join(
+        F.broadcast(groups), ["o_orderpriority", "o_orderstatus"]
+    ).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.when(
+            F.col("__n") > 1,
+            F.floor(
+                (F.col("__s") - F.col("cents"))
+                / (F.col("__n") - 1)
+                / F.lit(float(band_cents))
+            ).cast("long"),
+        ).alias("loo_band"),
+    )
+    return (
+        encoded.groupBy("o_orderpriority", "o_orderstatus", "loo_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("o_orderpriority", "o_orderstatus", "loo_band")
+    )
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for a purchase-propensity
+    score — the eval that catches a model whose RANKING is fine but
+    whose probabilities are off (AUC can't see it; a miscalibrated
+    propensity poisons any downstream expected-value decision).  Score:
+    Laplace-smoothed early-half purchase rate per user,
+    (purchases+1)/(events+2); outcome: did the user purchase in the
+    late half.  Users first seen late get the 0.5 prior — present, not
+    dropped.
+
+    Per fixed-width decile bin of the predicted score: count, mean
+    predicted, observed rate, and the bin's Brier score — all derived
+    from integer folds (scores lift to 1e-6 units; Brier's Σ(p−y)²
+    expands to Σp² − 2Σpy + Σy over those integers) so both engines
+    hash-match.
+
+    Scale: one per-user aggregation, one ≤11-row bin aggregation.  The
+    split anchor is the broadcast 1-row midpoint; no windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    anchor = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0)
+        .cast("long")
+        .alias("__mid")
+    )
+    sided = ev.crossJoin(F.broadcast(anchor))
+    per_user = sided.groupBy("user_id").agg(
+        F.sum(F.when(F.col("day") <= F.col("__mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("__ne"),
+        F.sum(
+            F.when(
+                (F.col("day") <= F.col("__mid")) & (F.col("is_p") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("__pe"),
+        F.max(
+            F.when(
+                (F.col("day") > F.col("__mid")) & (F.col("is_p") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    scored = per_user.select(
+        "y",
+        F.round(
+            F.lit(1000000.0) * (F.col("__pe") + 1) / (F.col("__ne") + 2)
+        )
+        .cast("long")
+        .alias("p_micro"),
+    ).withColumn(
+        "bin", F.floor(F.col("p_micro") / 100000).cast("long")
+    )
+    folds = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("p_micro").cast("long").alias("__sp"),
+        F.sum(F.col("p_micro") * F.col("p_micro"))
+        .cast("long")
+        .alias("__spp"),
+        F.sum(F.col("p_micro") * F.col("y")).cast("long").alias("__spy"),
+        F.sum("y").cast("long").alias("__sy"),
+    )
+    return folds.select(
+        "bin",
+        "n_users",
+        F.round(F.col("__sp") / F.col("n_users") / 1000000.0, 6).alias(
+            "avg_predicted"
+        ),
+        F.round(
+            F.col("__sy") / F.col("n_users").cast("double"), 6
+        ).alias("observed_rate"),
+        F.round(
+            (
+                F.col("__spp").cast("double")
+                - 2000000.0 * F.col("__spy")
+                + 1000000000000.0 * F.col("__sy")
+            )
+            / F.col("n_users")
+            / 1000000000000.0,
+            6,
+        ).alias("brier"),
+    ).orderBy("bin")

@@ -7151,6 +7151,96 @@ ORACLES["ols_trend_per_group"] = """
     FROM m ORDER BY event_type
 """
 
+# Leave-one-out target encoding (round 8): leakage-safe categorical
+# feature — per-row (S − x)/(n − 1) in integer cents, read out as a
+# banded histogram so the per-row path is what gets hash-checked.
+def _target_encoding_oof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.classifier import target_encoding_oof
+
+    return target_encoding_oof(spark, sf_dir)
+
+
+QUERIES["target_encoding_oof"] = _target_encoding_oof_query
+ORACLES["target_encoding_oof"] = """
+    WITH o AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    g AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY o_orderpriority, o_orderstatus),
+    enc AS (
+        SELECT o.o_orderpriority, o.o_orderstatus,
+               CASE WHEN g.n > 1
+                    THEN CAST(floor((g.s - o.cents)
+                                    / CAST(g.n - 1 AS DOUBLE)
+                                    / 5000.0) AS BIGINT)
+               END AS loo_band
+        FROM o JOIN g USING (o_orderpriority, o_orderstatus))
+    SELECT o_orderpriority, o_orderstatus, loo_band,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM enc
+    GROUP BY o_orderpriority, o_orderstatus, loo_band
+    ORDER BY o_orderpriority, o_orderstatus, loo_band
+"""
+
+
+# Reliability diagram (round 8): calibration of a Laplace-smoothed
+# purchase propensity — per-bin predicted/observed/Brier from integer
+# 1e-6 folds only.
+def _calibration_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.classifier import calibration_bins
+
+    return calibration_bins(spark, sf_dir)
+
+
+QUERIES["calibration_bins"] = _calibration_bins_query
+ORACLES["calibration_bins"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN day <= m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ne,
+               CAST(sum(CASE WHEN day <= m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pe,
+               CAST(max(CASE WHEN day > m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev CROSS JOIN mid GROUP BY user_id),
+    scored AS (
+        SELECT y,
+               CAST(round(1000000.0 * (pe + 1) / (ne + 2)) AS BIGINT)
+                   AS p_micro
+        FROM per_user),
+    binned AS (
+        SELECT CAST(floor(p_micro / 100000) AS BIGINT) AS bin, y, p_micro
+        FROM scored),
+    folds AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(p_micro) AS BIGINT) AS sp,
+               CAST(sum(p_micro * p_micro) AS BIGINT) AS spp,
+               CAST(sum(p_micro * y) AS BIGINT) AS spy,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM binned GROUP BY bin)
+    SELECT bin, n_users,
+           round(sp / CAST(n_users AS DOUBLE) / 1000000.0, 6)
+               AS avg_predicted,
+           round(sy / CAST(n_users AS DOUBLE), 6) AS observed_rate,
+           round((CAST(spp AS DOUBLE) - 2000000.0 * spy
+                  + 1000000000000.0 * sy)
+                 / CAST(n_users AS DOUBLE) / 1000000000000.0, 6) AS brier
+    FROM folds ORDER BY bin
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
