@@ -237,6 +237,10 @@ HEADLINE = [
     # leakage-safe LOO target encoding + propensity calibration bins
     "target_encoding_oof",
     "calibration_bins",
+    # join-strategy pair: broadcast-bitmap runtime prefilter + salted
+    # shuffle join (both row-identical to the plain join by contract)
+    "bloom_pruned_join",
+    "salted_join_agg",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1325,3 +1325,89 @@ def bloom_membership_profile(
             "no_false_negatives",
         )
     )
+
+
+def bloom_pruned_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = 4,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Join with a Bloom-filter runtime prefilter on the probe side —
+    the scale pattern behind Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtimeFilter.bloomFilter): when the build
+    side is selective (here: urgent orders), shipping a KB-scale bitmap
+    to every probe task and dropping non-members BEFORE the shuffle
+    cuts the exchanged bytes by the build side's selectivity; false
+    positives cost nothing semantically because the exact join still
+    runs behind the filter.
+
+    The bitmap is the :func:`bloom_membership_profile` relational state
+    collapsed to ONE array row and broadcast — the probe-side test is a
+    narrow map (n_hashes md5 mods + array_contains), no shuffle, no
+    per-row Python.  All positions are md5-derived, so the oracle
+    replays the filter bit-for-bit, including the false positives the
+    pruning stats count.
+
+    Output: per-returnflag rollup of the joined rows (identical to the
+    plain join — the invariant the gate checks) plus the audit columns
+    n_probe / n_bloom_pass showing what the bitmap saved."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+
+    def pos(col, j: int):
+        hex8 = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8
+        )
+        return (F.conv(hex8, 16, 10).cast("long") % m_bits).cast("long")
+
+    bitmap = (
+        build.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), j) for j in range(n_hashes)])
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.collect_set("p").alias("__bitmap"))
+    )
+    probed = lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).crossJoin(F.broadcast(bitmap))
+    keep = probed
+    for j in range(n_hashes):
+        keep = keep.filter(
+            F.array_contains(F.col("__bitmap"), pos(F.col("l_orderkey"), j))
+        )
+    passed = keep.drop("__bitmap")
+    stats = (
+        lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+        .crossJoin(
+            F.broadcast(
+                passed.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_bloom_pass")
+                )
+            )
+        )
+    )
+    joined = passed.join(
+        build.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_returnflag", "n_items", "revenue", "n_probe", "n_bloom_pass"
+        )
+        .orderBy("l_returnflag")
+    )

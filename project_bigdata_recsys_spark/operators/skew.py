@@ -87,3 +87,43 @@ def skew_report(spark, sf_dir: str, top_k: int = 5):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("join_key", F.desc("n"), F.asc("key"))
+
+
+def salted_join_agg(spark, sf_dir: str, salt_buckets: int = 8):
+    """Gate form of :func:`salted_join` — per-segment activity rollup
+    where the fact-side shuffle is salted: events join the customer dim
+    on the salted key pair, so a pathological hot user spreads over
+    ``salt_buckets`` tasks instead of stalling one.  The dim side is
+    hinted ``shuffle_hash`` because salting only changes anything for a
+    SHUFFLE join — under a broadcast the big side never moves and the
+    salt is dead weight (the hint is the demo's point, not a general
+    recommendation; AQE picks broadcast for a dim this small, and
+    production uses salting only past broadcast thresholds).
+
+    Row-identical to the plain join by construction (the salt is an
+    equi-key refinement, then dropped), which is exactly what the
+    oracle checks; value sums fold in integer cents.
+
+    Scale: shuffle keyed on (user_id, salt) — hot-key rows fan out;
+    dim replicates ×salt_buckets (broadcast-sized by contract)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, dim.hint("shuffle_hash"), "user_id", salt_buckets
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("vc") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -7241,6 +7241,67 @@ ORACLES["calibration_bins"] = """
     FROM folds ORDER BY bin
 """
 
+# Bloom-pruned join (round 8): broadcast-bitmap runtime prefilter on
+# the probe side of a selective join — md5 positions replayed
+# bit-for-bit by the oracle, false positives absorbed by the exact
+# join behind the filter.
+QUERIES["bloom_pruned_join"] = relational.bloom_pruned_join
+ORACLES["bloom_pruned_join"] = """
+    WITH build AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+    bpos AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 8192 AS pos
+        FROM build CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    kp AS (
+        SELECT l_orderkey,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 8192 AS pos
+        FROM keys CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    hits AS (
+        SELECT l_orderkey
+        FROM kp JOIN bpos USING (pos)
+        GROUP BY l_orderkey HAVING count(*) = 4),
+    li AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+    passed AS (SELECT li.* FROM li JOIN hits USING (l_orderkey)),
+    stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_probe,
+               (SELECT CAST(count(*) AS BIGINT) FROM passed)
+                   AS n_bloom_pass)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(cents) / 100.0, 2) AS revenue,
+           n_probe, n_bloom_pass
+    FROM passed JOIN build ON passed.l_orderkey = build.o_orderkey
+    CROSS JOIN stats
+    GROUP BY l_returnflag, n_probe, n_bloom_pass
+    ORDER BY l_returnflag
+"""
+
+# Salted skew join (round 8): the gate form of skew.salted_join —
+# row-identical to the plain join (the salt is an equi-key refinement,
+# then dropped), so the oracle is the plain SQL join.
+QUERIES["salted_join_agg"] = skew.salted_join_agg
+ORACLES["salted_join_agg"] = """
+    WITH ev AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(vc) / 100.0, 2) AS total_value
+    FROM ev JOIN customer ON ev.user_id = customer.c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

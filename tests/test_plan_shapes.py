@@ -585,3 +585,30 @@ def test_hybrid_search_windows_partition_by_query_term(spark):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "query_term" in spec or "term" in spec, plan
+
+
+def test_bloom_pruned_join_prefilter_is_narrow_broadcast(spark):
+    # the bitmap must reach the probe side as a broadcast (never a
+    # shuffle), and the membership test must sit in a Filter ABOVE the
+    # lineitem scan but BELOW the exact join — the pruning happens
+    # before any probe-side exchange
+    df = relational.bloom_pruned_join(spark, SF_SMALL)
+    plan = _physical(df)
+    assert "array_contains" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap cross join
+    # the filter appears on the probe branch before its join exchange
+    probe_branch = plan.split("array_contains")[0]
+    assert "l_extendedprice" not in probe_branch or "Exchange" not in probe_branch.split("FileScan")[-1]
+
+
+def test_salted_join_is_shuffle_join_on_salt(spark):
+    from project_bigdata_recsys_spark.operators import skew
+
+    df = skew.salted_join_agg(spark, SF_SMALL)
+    plan = _physical(df)
+    # the salt must be part of the join key and the join must be the
+    # shuffle-hash form (a broadcast would make salting dead weight —
+    # the operator exists for the past-broadcast-threshold regime)
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
