@@ -241,6 +241,8 @@ HEADLINE = [
     # shuffle join (both row-identical to the plain join by contract)
     "bloom_pruned_join",
     "salted_join_agg",
+    # sketch algebra: day-over-day audience overlap from KMV sketches
+    "kmv_set_ops",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

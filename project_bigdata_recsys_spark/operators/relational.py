@@ -1411,3 +1411,124 @@ def bloom_pruned_join(
         )
         .orderBy("l_returnflag")
     )
+
+
+def kmv_set_ops(
+    spark: SparkSession, sf_dir: str, k: int = 64
+) -> DataFrame:
+    """Set algebra ON the KMV sketches — the property that makes the
+    KMV layer more than a distinct counter: two audiences' sketches
+    alone estimate their union size, Jaccard, and intersection, without
+    rescanning either side (Beyer et al. 2007).  Audiences here:
+    adjacent-day active-user sets, i.e. day-over-day overlap straight
+    from the same per-day sketches :func:`kmv_distinct_rollup` /
+    ``stream_kmv_distinct`` already maintain.
+
+    Estimators are engine-reproducible end-to-end: hashes are the
+    md5-uniform recipe, the union sketch is the k smallest of the two
+    sketches' merged values (top-k IS the union merge), |A∪B| is
+    (k−1)/u_k (the kmv_distinct_rollup fallback to exact below
+    saturation), Jaccard is the fraction of union-sketch values present
+    in BOTH input sketches (two keyed semi joins against KB-scale
+    sketch frames), and |A∩B| = round(J·|A∪B|).  Exact counts ride
+    along as the gate readout.
+
+    Scale: sketches are ≤ k rows/day; every window partitions by day or
+    day-pair; the pair joins touch sketch frames only — the raw events
+    are scanned once to build daily sketches (and once more for the
+    exact audit, which production drops)."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    daily_users = persist_tracked(ev.distinct())
+    hashed = daily_users.withColumn(
+        "u", hash_uniform(F.col("user_id"), "kmv:")
+    )
+    w_day = Window.partitionBy("day").orderBy("u")
+    sketch = persist_tracked(
+        hashed.withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= k)
+        .select("day", "u")
+    )
+    nxt = sketch.select((F.col("day") - 1).alias("day"), F.col("u").alias("u2"))
+    merged = sketch.select("day", "u").unionByName(
+        nxt.select("day", F.col("u2").alias("u"))
+    ).distinct()
+    w_pair = Window.partitionBy("day").orderBy("u")
+    union_sk = (
+        merged.withColumn("rk", F.row_number().over(w_pair))
+        .filter(F.col("rk") <= k)
+    )
+    # membership of each union-sketch value in both day sketches
+    in_a = sketch.select("day", "u").withColumn("__a", F.lit(1))
+    in_b = nxt.select("day", F.col("u2").alias("u")).withColumn(
+        "__b", F.lit(1)
+    )
+    marked = (
+        union_sk.join(in_a, ["day", "u"], "left")
+        .join(in_b, ["day", "u"], "left")
+    )
+    pair_est = marked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max(F.when(F.col("rk") == k, F.col("u"))).alias("__uk"),
+        F.sum(
+            (F.coalesce("__a", F.lit(0)) * F.coalesce("__b", F.lit(0)))
+        )
+        .cast("long")
+        .alias("__n_both"),
+    )
+    # exact audit (production drops this scan)
+    a_cnt = daily_users.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a_exact")
+    )
+    b_cnt = a_cnt.select(
+        (F.col("day") - 1).alias("day"), F.col("n_a_exact").alias("n_b_exact")
+    )
+    inter = (
+        daily_users.alias("x")
+        .join(
+            daily_users.select(
+                (F.col("day") - 1).alias("day"), "user_id"
+            ).alias("y"),
+            ["day", "user_id"],
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    est_union = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__uk"))
+    jac = F.col("__n_both") / F.col("n_union_sketch").cast("double")
+    out = (
+        pair_est.join(a_cnt, "day")
+        .join(b_cnt, "day")
+        .join(inter, "day", "left")
+        .select(
+            "day",
+            "n_a_exact",
+            "n_b_exact",
+            F.coalesce("inter_exact", F.lit(0))
+            .cast("long")
+            .alias("inter_exact"),
+            (
+                F.col("n_a_exact")
+                + F.col("n_b_exact")
+                - F.coalesce("inter_exact", F.lit(0))
+            )
+            .cast("long")
+            .alias("union_exact"),
+            F.round(est_union, 4).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * est_union).cast("long").alias("inter_est"),
+        )
+    )
+    # the inner join on b_cnt already dropped the partnerless last day
+    return out.orderBy("day")

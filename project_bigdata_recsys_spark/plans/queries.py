@@ -7302,6 +7302,81 @@ ORACLES["salted_join_agg"] = """
     ORDER BY c_mktsegment
 """
 
+# KMV set operations (round 8): union/Jaccard/intersection estimated
+# from the per-day sketches alone (top-k of merged values IS the union
+# merge; membership via keyed joins) — exact counts as the readout.
+QUERIES["kmv_set_ops"] = relational.kmv_set_ops
+ORACLES["kmv_set_ops"] = """
+    WITH ev AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, user_id
+        FROM events),
+    du AS (SELECT DISTINCT day, user_id FROM ev),
+    hashed AS (
+        SELECT day,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM du),
+    sketch AS (
+        SELECT day, u FROM (
+            SELECT day, u,
+                   row_number() OVER (PARTITION BY day ORDER BY u) AS rk
+            FROM hashed)
+        WHERE rk <= 64),
+    nxt AS (SELECT day - 1 AS day, u FROM sketch),
+    merged AS (
+        SELECT DISTINCT day, u FROM (
+            SELECT day, u FROM sketch
+            UNION ALL SELECT day, u FROM nxt)),
+    union_sk AS (
+        SELECT day, u, rk FROM (
+            SELECT day, u,
+                   row_number() OVER (PARTITION BY day ORDER BY u) AS rk
+            FROM merged)
+        WHERE rk <= 64),
+    marked AS (
+        SELECT us.day, us.u, us.rk,
+               CASE WHEN a.u IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM union_sk us
+        LEFT JOIN sketch a ON a.day = us.day AND a.u = us.u
+        LEFT JOIN nxt b ON b.day = us.day AND b.u = us.u),
+    pair_est AS (
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_union_sketch,
+               max(CASE WHEN rk = 64 THEN u END) AS uk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM marked GROUP BY day),
+    a_cnt AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_a_exact
+        FROM du GROUP BY day),
+    b_cnt AS (
+        SELECT day - 1 AS day, CAST(count(*) AS BIGINT) AS n_b_exact
+        FROM du GROUP BY day - 1),
+    inter AS (
+        SELECT x.day, CAST(count(*) AS BIGINT) AS inter_exact
+        FROM du x JOIN du y
+          ON y.day = x.day + 1 AND y.user_id = x.user_id
+        GROUP BY x.day),
+    est AS (
+        SELECT p.day, a.n_a_exact, b.n_b_exact,
+               CAST(coalesce(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+               CAST(a.n_a_exact + b.n_b_exact
+                    - coalesce(i.inter_exact, 0) AS BIGINT) AS union_exact,
+               CASE WHEN p.n_union_sketch < 64
+                    THEN CAST(p.n_union_sketch AS DOUBLE)
+                    ELSE 63.0 / p.uk END AS eu,
+               p.n_both / CAST(p.n_union_sketch AS DOUBLE) AS jac
+        FROM pair_est p
+        JOIN a_cnt a ON a.day = p.day
+        JOIN b_cnt b ON b.day = p.day
+        LEFT JOIN inter i ON i.day = p.day)
+    SELECT day, n_a_exact, n_b_exact, inter_exact, union_exact,
+           round(eu, 4) AS union_est,
+           round(jac, 6) AS jaccard_est,
+           CAST(round(jac * eu) AS BIGINT) AS inter_est
+    FROM est ORDER BY day
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
