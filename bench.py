@@ -243,6 +243,10 @@ HEADLINE = [
     "salted_join_agg",
     # sketch algebra: day-over-day audience overlap from KMV sketches
     "kmv_set_ops",
+    # streaming Welch twin (2-row moment state) + embedding cross-
+    # moment redundancy QA (vec_id-keyed Gram fold, DECIMAL sums)
+    "stream_welch_drift",
+    "embedding_correlation_pairs",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

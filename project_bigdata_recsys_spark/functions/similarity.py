@@ -2195,3 +2195,93 @@ def hybrid_search_rrf(
         .drop("__frk")
         .orderBy("query_term", F.desc("rrf_micro"), "doc_id")
     )
+
+
+def embedding_correlation_pairs(
+    spark: SparkSession, sf_dir: str, top_k: int = 20
+) -> DataFrame:
+    """Most-correlated embedding-dimension pairs — the redundancy QA
+    behind whitening / PCA decisions (two near-duplicate dimensions
+    waste index width and distort cosine geometry;
+    :func:`embedding_dim_profile` sees each dimension alone, THIS sees
+    the cross-moments).  Pearson r per (i, j) pair from exact integer
+    folds: values quantize to 1e-6 units, per-row products stay in
+    BIGINT (≤ ~1.6e13), and the cross/auto sums widen to DECIMAL(38,0)
+    so no corpus size overflows them; r combines those exact integers
+    as doubles with identical shape on both engines, ordered by the
+    integer micro of |r| (total order with the (i, j) tiebreak).
+
+    Shape: one posexplode, a vec_id-keyed self-join producing the
+    #dims²/2 pair moments per vector (Catalyst shuffles on vec_id —
+    the declarative form of the per-partition Gram-matrix fold; at
+    extreme dim counts swap in a mapInPandas X^T·X partial, same
+    output contract), a broadcast join against the 64-row per-dim
+    moment frame, TakeOrdered top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(arr).alias("pos", "v"),
+    ).select(
+        "vec_id", "pos", F.round(F.col("v") * 1e6).cast("long").alias("vm")
+    )
+    per_dim = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s1"),
+        F.sum(F.col("vm") * F.col("vm"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    a = vals.select("vec_id", F.col("pos").alias("i"), F.col("vm").alias("vi"))
+    b = vals.select("vec_id", F.col("pos").alias("j"), F.col("vm").alias("vj"))
+    pair_sums = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sij"),
+        )
+    )
+    di = per_dim.select(
+        F.col("pos").alias("i"),
+        F.col("n").alias("n_vecs"),
+        F.col("s1").alias("si"),
+        F.col("s2").alias("sii"),
+    )
+    dj = per_dim.select(
+        F.col("pos").alias("j"),
+        F.col("s1").alias("sj"),
+        F.col("s2").alias("sjj"),
+    )
+    n = F.col("n_vecs").cast("double")
+    num = n * F.col("sij").cast("double") - F.col("si").cast(
+        "double"
+    ) * F.col("sj")
+    var_i = n * F.col("sii").cast("double") - F.col("si").cast(
+        "double"
+    ) * F.col("si")
+    var_j = n * F.col("sjj").cast("double") - F.col("sj").cast(
+        "double"
+    ) * F.col("sj")
+    r = num / F.sqrt(var_i * var_j)
+    scored = (
+        pair_sums.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .filter((var_i > 0) & (var_j > 0))
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            "n_vecs",
+            F.round(r, 6).alias("r"),
+            F.round(F.abs(r) * 1e6).cast("long").alias("__abs_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("__abs_micro"), F.asc("dim_i"), F.asc("dim_j")
+        )
+        .limit(top_k)
+        .drop("__abs_micro")
+    )

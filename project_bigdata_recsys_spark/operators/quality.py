@@ -838,6 +838,16 @@ def welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__ssb"),
     )
+    return welch_from_moments(agg)
+
+
+def welch_from_moments(agg: DataFrame) -> DataFrame:
+    """Shared readout of the Welch test — takes the 1-row exact-moment
+    frame (n_a, n_b, __sa, __sb, __ssa, __ssb in integer cents) and
+    emits mean/t/df/flag.  Shared by :func:`welch_ttest_drift` and the
+    streaming twin (replay.stream_welch_drift), whose state IS this
+    moment frame — integer moments merge order-independently, so the
+    streamed readout is bit-identical to the batch one."""
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     ma = F.col("__sa") / na

@@ -7377,6 +7377,61 @@ ORACLES["kmv_set_ops"] = """
     FROM est ORDER BY day
 """
 
+# Streaming Welch twin (round 8): the mean-shift monitor maintained
+# by the stream — state is the 2-row exact integer moment frame, the
+# readout is the shared kernel, the oracle is the batch test's SQL.
+QUERIES["stream_welch_drift"] = replay.stream_welch_drift
+ORACLES["stream_welch_drift"] = ORACLES["welch_ttest_drift"]
+
+# Embedding dimension correlation (round 8): cross-moment redundancy
+# QA — exact 1e-6 integer folds widened to DECIMAL(38,0), Pearson r in
+# identical double shape, ordered by the |r| integer micro.
+QUERIES["embedding_correlation_pairs"] = (
+    similarity.embedding_correlation_pairs
+)
+ORACLES["embedding_correlation_pairs"] = """
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+    vals AS (
+        SELECT vec_id,
+               unnest(range(0, len(emb))) AS pos,
+               CAST(round(unnest(emb) * 1e6) AS BIGINT) AS vm
+        FROM b),
+    per_dim AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vm) AS BIGINT) AS s1,
+               sum(CAST(vm AS HUGEINT) * vm) AS s2
+        FROM vals GROUP BY pos),
+    pair_sums AS (
+        SELECT a.pos AS i, bb.pos AS j,
+               sum(CAST(a.vm AS HUGEINT) * bb.vm) AS sij
+        FROM vals a JOIN vals bb
+          ON a.vec_id = bb.vec_id AND a.pos < bb.pos
+        GROUP BY a.pos, bb.pos),
+    m AS (
+        SELECT p.i, p.j, di.n AS n_vecs,
+               CAST(di.n AS DOUBLE) * CAST(p.sij AS DOUBLE)
+                   - CAST(di.s1 AS DOUBLE) * dj.s1 AS num,
+               CAST(di.n AS DOUBLE) * CAST(di.s2 AS DOUBLE)
+                   - CAST(di.s1 AS DOUBLE) * di.s1 AS var_i,
+               CAST(di.n AS DOUBLE) * CAST(dj.s2 AS DOUBLE)
+                   - CAST(dj.s1 AS DOUBLE) * dj.s1 AS var_j
+        FROM pair_sums p
+        JOIN per_dim di ON di.pos = p.i
+        JOIN per_dim dj ON dj.pos = p.j)
+    SELECT CAST(i AS INTEGER) AS dim_i,
+           CAST(j AS INTEGER) AS dim_j,
+           n_vecs,
+           round(num / sqrt(var_i * var_j), 6) AS r
+    FROM m
+    WHERE var_i > 0 AND var_j > 0
+    ORDER BY CAST(round(abs(num / sqrt(var_i * var_j)) * 1e6) AS BIGINT)
+                 DESC,
+             dim_i, dim_j
+    LIMIT 20
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1177,3 +1177,65 @@ def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def stream_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality.welch_ttest_drift — the mean-shift
+    monitor maintained BY THE STREAM: the state is the per-side exact
+    integer moment triple (n, Σcents, Σcents²) kept by a complete-mode
+    streaming aggregation (2 rows, constant size), and the Welch
+    readout runs post-sink through the SHARED kernel
+    (quality.welch_from_moments).  Integer moments merge order-
+    independently, so however the replay batches the corpus the final
+    state — and therefore t, df, and the flag — is bit-identical to
+    the batch test, and the same oracle SQL gates both.
+
+    The split day is configuration (a monitor compares "before the
+    release" to "after"), resolved here from the static corpus as a
+    1-row O(1) metadata read — the deployment shape would pass a
+    literal date.
+
+    Scale: state never grows past 2 rows; each micro-batch folds its
+    own partial moments map-side before the 2-key shuffle."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.quality import (
+        welch_from_moments,
+    )
+
+    batch_days = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day")
+    )
+    mid = batch_days.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0).cast("long")
+    ).collect()[0][0]
+
+    events = replay_events_stream(spark, sf_dir)
+    sided = events.select(
+        F.when(
+            F.floor(F.col("ts").cast("double") / 86400.0) <= F.lit(mid), 1
+        )
+        .otherwise(0)
+        .alias("__a"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    agg = sided.groupBy("__a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ss"),
+    )
+    table = _run_replay(agg, spark, "complete")
+    moments = table.agg(
+        F.sum(F.when(F.col("__a") == 1, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__a") == 0, F.col("n"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a") == 1, F.col("s"))).cast("long").alias("__sa"),
+        F.sum(F.when(F.col("__a") == 0, F.col("s"))).cast("long").alias("__sb"),
+        F.sum(F.when(F.col("__a") == 1, F.col("ss")))
+        .cast("long")
+        .alias("__ssa"),
+        F.sum(F.when(F.col("__a") == 0, F.col("ss")))
+        .cast("long")
+        .alias("__ssb"),
+    )
+    return welch_from_moments(moments)
