@@ -247,6 +247,11 @@ HEADLINE = [
     # moment redundancy QA (vec_id-keyed Gram fold, DECIMAL sums)
     "stream_welch_drift",
     "embedding_correlation_pairs",
+    # URL canonicalization dedup + DP count release + exact per-group
+    # AUC from histogram rank sums
+    "url_canonical_dedup",
+    "dp_noisy_counts",
+    "exact_auc_by_group",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

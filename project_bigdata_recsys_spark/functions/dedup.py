@@ -1597,3 +1597,79 @@ def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def url_canonical_dedup(
+    spark: SparkSession, sf_dir: str, n_domain_buckets: int = 40
+) -> DataFrame:
+    """URL canonicalization dedup — the C4/CCNet-style collapse of
+    syntactically-different-but-same-page URLs BEFORE any content
+    dedup runs: scheme and www. stripped, host lowercased, tracking
+    parameters (utm_*) dropped, trailing slashes removed.  Whole
+    families of crawl duplicates disappear for the cost of a string
+    map + one digest-style groupBy — no shingles, no hashing layers.
+
+    The corpus carries no URL column, so a deterministically messy URL
+    is synthesized per doc from PK-derived md5-uniform draws (the
+    planted-data discipline, same recipe as domain_quota_sample):
+    scheme, www-prefix, host case, trailing slash, and a utm tracking
+    suffix each vary independently, so the canonicalizer has real work
+    that the oracle replays draw-for-draw.
+
+    Canonicalization is pure per-row regexp (narrow map, Tungsten) —
+    at 100 TB this pushes into the scan with zero shuffle; the only
+    shuffle is the canonical-key count.
+
+    Output per source: n_docs, n_raw_urls, n_canonical_urls,
+    n_collapsed, collapse_frac."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def u(salt: str):
+        return hash_uniform(F.col("doc_id"), salt)
+
+    host_idx = F.floor(u("url:") * u("url:") * n_domain_buckets).cast("long")
+    host = F.concat(
+        F.lit("site"), host_idx.cast("string"), F.lit(".example.com")
+    )
+    host = F.when(u("case:") < 0.2, F.upper(host)).otherwise(host)
+    host = F.when(
+        u("www:") < 0.3, F.concat(F.lit("www."), host)
+    ).otherwise(host)
+    raw = F.concat(
+        F.when(u("scheme:") < 0.5, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        host,
+        F.lit("/page/"),
+        F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+        F.when(u("slash:") < 0.3, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            u("utm:") < 0.4,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.lower(raw)
+    canon = F.regexp_replace(canon, r"^https?://", "")
+    canon = F.regexp_replace(canon, r"^www\.", "")
+    canon = F.regexp_replace(canon, r"\?utm_[a-z_=&]*$", "")
+    canon = F.regexp_replace(canon, r"/+$", "")
+    urls = docs.select("source", raw.alias("raw_url"), canon.alias("c_url"))
+    return (
+        urls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_urls"),
+            F.countDistinct("c_url").cast("long").alias("n_canonical_urls"),
+            (F.countDistinct("raw_url") - F.countDistinct("c_url"))
+            .cast("long")
+            .alias("n_collapsed"),
+            F.round(
+                (F.countDistinct("raw_url") - F.countDistinct("c_url"))
+                / F.countDistinct("raw_url").cast("double"),
+                6,
+            ).alias("collapse_frac"),
+        )
+        .orderBy("source")
+    )

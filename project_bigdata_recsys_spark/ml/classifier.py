@@ -395,3 +395,60 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier"),
     ).orderBy("bin")
+
+
+def exact_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC per segment — the rank-sum identity
+    AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) computed from a value HISTOGRAM
+    with midrank tie handling, never a per-row sort: with per-(group,
+    value) tie counts t (t₊ positive) at running total c, the DOUBLED
+    positive rank sum folds as the integer Σ t₊·(2(c−t)+t+1) (the
+    mann_whitney_drift recipe), so per-group AUC is exact BIGINT
+    arithmetic with one final division.  pyspark.ml's evaluator gives
+    one global number and no tie guarantee; this gives every segment,
+    hash-reproducibly.
+
+    Probe task: does order price separate finished from open orders,
+    per priority.  Scale: one histogram aggregation (distinct cents ×
+    group), per-GROUP ordered cumsums (windows partition by the
+    segment — histogram-level rows, bounded by the value domain, not
+    the row count).
+
+    Output per group: n_pos, n_neg, auc, gini."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    hist = orders.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("c", F.sum("t").over(w))
+    folds = cum.groupBy("grp").agg(
+        F.sum(
+            F.col("tp") * (2 * (F.col("c") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("__r2"),
+        F.sum("tp").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("tp")).cast("long").alias("n_neg"),
+    )
+    auc = (
+        (F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    )
+    return folds.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    ).orderBy("grp")

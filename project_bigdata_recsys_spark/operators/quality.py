@@ -969,3 +969,47 @@ def t_closeness_profile(
         )
         .orderBy("source")
     )
+
+
+def dp_noisy_counts(
+    spark: SparkSession, sf_dir: str, eps_tenths: int = 10
+) -> DataFrame:
+    """Differentially-private count release — the fourth privacy
+    operator beside the k-anonymity / l-diversity / t-closeness audits:
+    instead of auditing a grouping, it RELEASES per-lang document
+    counts with Laplace(Δ/ε) noise (count queries have sensitivity
+    Δ = 1), the mechanism a data clearing house runs before handing
+    aggregate stats to an untrusted consumer.
+
+    The noise draw is the md5-uniform recipe (u over the group key) fed
+    through the Laplace inverse CDF, −b·sgn(u−½)·ln(1−2|u−½|) — DATA-
+    derived, not an engine RNG, so the oracle replays the release
+    bit-for-bit (ln behind round(,6) is the bm25/ucb precedent).  A
+    production deployment swaps the draw for a secure RNG; everything
+    else — sensitivity, scale, release shape — is unchanged.
+
+    Scale: one count aggregation, one narrow map.  Output per lang:
+    n_noisy (the release, rounded to 4 dp) plus the gate-readout audit
+    columns n_true, abs_err, eps."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    eps = eps_tenths / 10.0
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = hash_uniform(F.col("lang"), "dp:")
+    centered = u - 0.5
+    noise = (
+        F.lit(-1.0 / eps)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    released = counts.select(
+        "lang",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+        F.round(F.abs(noise), 4).alias("abs_err"),
+        F.lit(eps).alias("eps"),
+    )
+    return released.orderBy("lang")

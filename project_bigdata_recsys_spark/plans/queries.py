@@ -7432,6 +7432,127 @@ ORACLES["embedding_correlation_pairs"] = """
     LIMIT 20
 """
 
+# URL canonicalization dedup (round 8): C4-style collapse of
+# syntactic URL variants — synthesized messy URLs (planted-data
+# discipline), anchored-regexp canonicalizer replayed by the oracle.
+QUERIES["url_canonical_dedup"] = dedup.url_canonical_dedup
+ORACLES["url_canonical_dedup"] = r"""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    drawn AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS uu,
+               ('0x' || substr(md5('case:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS uc,
+               ('0x' || substr(md5('www:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS uw,
+               ('0x' || substr(md5('scheme:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS us,
+               ('0x' || substr(md5('slash:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS ul,
+               ('0x' || substr(md5('utm:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS ut
+        FROM d),
+    built AS (
+        SELECT source,
+               (CASE WHEN us < 0.5 THEN 'http://' ELSE 'https://' END)
+               || (CASE WHEN uw < 0.3 THEN 'www.' ELSE '' END)
+               || (CASE WHEN uc < 0.2
+                        THEN upper('site' || CAST(CAST(floor(uu * uu * 40)
+                                       AS BIGINT) AS VARCHAR)
+                                   || '.example.com')
+                        ELSE 'site' || CAST(CAST(floor(uu * uu * 40)
+                                       AS BIGINT) AS VARCHAR)
+                             || '.example.com' END)
+               || '/page/' || CAST(doc_id % 20 AS VARCHAR)
+               || (CASE WHEN ul < 0.3 THEN '/' ELSE '' END)
+               || (CASE WHEN ut < 0.4
+                        THEN '?utm_source=feed&utm_campaign=x'
+                        ELSE '' END) AS raw_url
+        FROM drawn),
+    canon AS (
+        SELECT source, raw_url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(raw_url), '^https?://', ''),
+                     '^www\.', ''),
+                   '\?utm_[a-z_=&]*$', ''),
+                 '/+$', '') AS c_url
+        FROM built)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_urls,
+           CAST(count(DISTINCT c_url) AS BIGINT) AS n_canonical_urls,
+           CAST(count(DISTINCT raw_url) - count(DISTINCT c_url)
+                AS BIGINT) AS n_collapsed,
+           round((count(DISTINCT raw_url) - count(DISTINCT c_url))
+                 / CAST(count(DISTINCT raw_url) AS DOUBLE), 6)
+               AS collapse_frac
+    FROM canon GROUP BY source ORDER BY source
+"""
+
+# Differentially-private count release (round 8): Laplace(1/eps) via
+# the md5-uniform inverse CDF — data-derived draw, oracle-replayable;
+# production swaps in a secure RNG, release shape unchanged.
+QUERIES["dp_noisy_counts"] = quality.dp_noisy_counts
+ORACLES["dp_noisy_counts"] = """
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY lang),
+    drawn AS (
+        SELECT lang, n_true,
+               ('0x' || substr(md5('dp:' || lang), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5 AS c
+        FROM counts)
+    SELECT lang, n_true,
+           round(n_true + (-1.0) * sign(c) * ln(1.0 - 2.0 * abs(c)), 4)
+               AS n_noisy,
+           round(abs((-1.0) * sign(c) * ln(1.0 - 2.0 * abs(c))), 4)
+               AS abs_err,
+           CAST(1.0 AS DOUBLE) AS eps
+    FROM drawn ORDER BY lang
+"""
+
+
+# Exact per-segment ROC-AUC (round 8): midrank rank-sum identity over
+# the value histogram — BIGINT folds, one division at the end.
+def _exact_auc_by_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.classifier import exact_auc_by_group
+
+    return exact_auc_by_group(spark, sf_dir)
+
+
+QUERIES["exact_auc_by_group"] = _exact_auc_by_group_query
+ORACLES["exact_auc_by_group"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    hist AS (
+        SELECT grp, cents,
+               CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(pos) AS BIGINT) AS tp
+        FROM o GROUP BY grp, cents),
+    cum AS (
+        SELECT *, CAST(sum(t) OVER (PARTITION BY grp ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM hist),
+    folds AS (
+        SELECT grp,
+               CAST(sum(tp * (2 * (c - t) + t + 1)) AS BIGINT) AS r2,
+               CAST(sum(tp) AS BIGINT) AS n_pos,
+               CAST(sum(t - tp) AS BIGINT) AS n_neg
+        FROM cum GROUP BY grp)
+    SELECT grp, n_pos, n_neg,
+           round((r2 - n_pos * (n_pos + 1))
+                 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * ((r2 - n_pos * (n_pos + 1))
+                        / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM folds ORDER BY grp
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
