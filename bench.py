@@ -252,6 +252,9 @@ HEADLINE = [
     "url_canonical_dedup",
     "dp_noisy_counts",
     "exact_auc_by_group",
+    # one-pass Poisson bootstrap CI + LSH band-config S-curve sweep
+    "bootstrap_ci_mean",
+    "lsh_band_sweep",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

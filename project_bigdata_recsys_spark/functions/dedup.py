@@ -1673,3 +1673,96 @@ def url_canonical_dedup(
         )
         .orderBy("source")
     )
+
+
+LSH_SWEEP_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """MinHash-LSH band-configuration sweep — the S-curve tuning audit
+    run BEFORE committing a (bands × rows) choice: from ONE 16-hash
+    signature frame, every config's candidate volume, hot-bucket count,
+    and mean estimated Jaccard come out side by side, next to the
+    config's theoretical 50%-collision threshold (1/b)^(1/r).  More
+    rows per band → higher precision, fewer candidates; the sweep shows
+    where the knee sits on THIS corpus instead of trusting the formula.
+
+    Cost shape: the signatures (the expensive text scan + md5 pass) are
+    computed once and persisted; each config re-bands the in-memory
+    16-int arrays — explode + bucket groupBy per config, pair
+    combinatorics per hot bucket (the bucket_pairs hybrid kernel —
+    never all-pairs), DISTINCT over candidate pairs.  All arithmetic
+    is the integer minhash family, so the sweep hash-checks outright.
+
+    Output per config: n_bands, rows_per_band, threshold_50 (frozen
+    Python literal), n_hot_buckets, n_candidate_pairs,
+    avg_est_jaccard."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = persist_tracked(minhash_signatures(docs, n=n))
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
+    outs = []
+    for b_cnt, r in LSH_SWEEP_CONFIGS:
+        thresh = round((1.0 / b_cnt) ** (1.0 / r), 6)
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_no"),
+                            F.slice("sig", i * r + 1, r).alias("key"),
+                        )
+                        for i in range(b_cnt)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+        buckets = bands.groupBy("band_no", "key").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+        hot = buckets.filter(F.size("ds") >= 2)
+        n_hot = hot.agg(
+            F.count(F.lit(1)).cast("long").alias("n_hot_buckets")
+        )
+        pairs = (
+            bucket_pairs(hot, ["band_no", "key"])
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+        est = pairs.join(sa, "a").join(sb, "b").select(
+            F.aggregate(
+                F.zip_with(
+                    "sa", "sb", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, m: acc + m,
+            ).alias("matches")
+        )
+        pair_agg = est.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum("matches").cast("long").alias("__sm"),
+        )
+        outs.append(
+            pair_agg.crossJoin(F.broadcast(n_hot)).select(
+                F.lit(b_cnt).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(thresh).alias("threshold_50"),
+                "n_hot_buckets",
+                "n_candidate_pairs",
+                F.when(
+                    F.col("n_candidate_pairs") > 0,
+                    F.round(
+                        F.col("__sm")
+                        / (16.0 * F.col("n_candidate_pairs")),
+                        6,
+                    ),
+                ).alias("avg_est_jaccard"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.desc("n_bands"))

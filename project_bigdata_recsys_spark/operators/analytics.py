@@ -1238,3 +1238,117 @@ def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(cov_n * cov_n / (var_x_n * var_y_n), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+#: Poisson(1) CDF thresholds P(X <= k), k = 0..7, frozen to 12 dp and
+#: embedded identically in the Spark plan and the DuckDB oracle (the
+#: EWMA_WEIGHTS_MICRO literal discipline) — the inverse-CDF table that
+#: turns an md5-uniform draw into a bootstrap replica weight.
+POISSON1_CDF = [
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.981011843124,
+    0.996340153173,
+    0.999405815182,
+    0.999916758851,
+    0.999989750803,
+]
+
+POISSON1_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    + " ELSE 8 END"
+)
+
+
+def bootstrap_ci_mean(
+    spark: SparkSession, sf_dir: str, n_replicas: int = 200
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-segment
+    mean — via the POISSON bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams"): instead of resampling the
+    corpus B times (B shuffles, undistributable), every row draws an
+    independent Poisson(1) replica weight per replica, so ALL B
+    replicas fold in ONE aggregation pass — the only bootstrap that
+    survives 100 TB.
+
+    Reproducibility: the per-(row, replica) draw is the md5-uniform
+    recipe on (event_id, b) pushed through the frozen 12-dp Poisson(1)
+    inverse-CDF table (POISSON1_CDF — the integer-literal discipline),
+    values lift to integer cents, and each replica mean is the same
+    int/int double division in both engines; the percentile pick is a
+    rank over the B replica means per segment (windows partition by
+    segment; B is a constant).
+
+    Output per event_type: n, mean (point estimate), ci_lo, ci_hi
+    (2.5th/97.5th replica-mean percentiles), ci_width."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    reps = ev.select(
+        "event_type",
+        "vc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b"),
+        F.col("event_id"),
+    )
+    u = hash_uniform(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("_"),
+            F.col("b").cast("string"),
+        ),
+        "boot:",
+    )
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = reps.select(
+        "event_type", "b", w.alias("w"), (w * F.col("vc")).alias("wv")
+    )
+    replica_means = weighted.groupBy("event_type", "b").agg(
+        (
+            F.sum("wv").cast("long")
+            / F.sum("w").cast("long").cast("double")
+        ).alias("m_b")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("m_b", "b")
+    ranked = replica_means.withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
+    lo_rk = max(1, int(round(n_replicas * 0.025)))
+    hi_rk = int(round(n_replicas * 0.975))
+    bounds = ranked.groupBy("event_type").agg(
+        F.round(
+            F.max(F.when(F.col("rk") == lo_rk, F.col("m_b"))) / 100.0, 6
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rk") == hi_rk, F.col("m_b"))) / 100.0, 6
+        ).alias("ci_hi"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("vc").cast("long") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("mean"),
+    )
+    return (
+        point.join(bounds, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "mean",
+            "ci_lo",
+            "ci_hi",
+            F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
+        )
+        .orderBy("event_type")
+    )

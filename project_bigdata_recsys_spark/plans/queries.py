@@ -7553,6 +7553,122 @@ ORACLES["exact_auc_by_group"] = """
     FROM folds ORDER BY grp
 """
 
+# Poisson bootstrap CI (round 8): all B replicas in ONE pass via
+# per-(row, replica) Poisson(1) weights — md5-uniform draws through
+# the frozen 12-dp inverse-CDF table (analytics.POISSON1_CDF).
+QUERIES["bootstrap_ci_mean"] = analytics.bootstrap_ci_mean
+ORACLES["bootstrap_ci_mean"] = f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    reps AS (
+        SELECT event_type, vc, b, event_id,
+               ('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)
+                               || '_' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM ev CROSS JOIN (SELECT unnest(range(0, 200)) AS b) bs),
+    weighted AS (
+        SELECT event_type, b,
+               {analytics.POISSON1_CASE_SQL} AS w,
+               ({analytics.POISSON1_CASE_SQL}) * vc AS wv
+        FROM reps),
+    replica_means AS (
+        SELECT event_type, b,
+               CAST(sum(wv) AS BIGINT)
+                   / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m_b
+        FROM weighted GROUP BY event_type, b),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY m_b, b) AS rk
+        FROM replica_means),
+    bounds AS (
+        SELECT event_type,
+               round(max(CASE WHEN rk = 5 THEN m_b END) / 100.0, 6)
+                   AS ci_lo,
+               round(max(CASE WHEN rk = 195 THEN m_b END) / 100.0, 6)
+                   AS ci_hi
+        FROM ranked GROUP BY event_type),
+    point AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(vc) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) / 100.0, 6) AS mean
+        FROM ev GROUP BY event_type)
+    SELECT p.event_type, p.n, p.mean, b.ci_lo, b.ci_hi,
+           round(b.ci_hi - b.ci_lo, 6) AS ci_width
+    FROM point p JOIN bounds b USING (event_type)
+    ORDER BY p.event_type
+"""
+
+# LSH band-config sweep (round 8): the S-curve tuning audit — every
+# (bands × rows) config's candidate volume from ONE signature frame.
+def _lsh_band_sweep_oracle() -> str:
+    from project_bigdata_recsys_spark.functions.dedup import (
+        LSH_SWEEP_CONFIGS,
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    mins = ",\n               ".join(
+        f"list_min(list_transform(bases, x -> (x * {a} + {b})"
+        f" % {MINHASH_PRIME})) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(16))
+    )
+    blocks = []
+    for b_cnt, r in LSH_SWEEP_CONFIGS:
+        thresh = round((1.0 / b_cnt) ** (1.0 / r), 6)
+        keys = lambda i: ", ".join(  # noqa: E731
+            f"m{i * r + j} AS k{j}" for j in range(r)
+        )
+        bands = "\n                UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_no, {keys(i)} FROM sig"
+            for i in range(b_cnt)
+        )
+        on = " AND ".join(f"x.k{j} = y.k{j}" for j in range(r))
+        grp = ", ".join(f"k{j}" for j in range(r))
+        matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(16))
+        blocks.append(f"""
+        SELECT CAST({b_cnt} AS BIGINT) AS n_bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               {thresh!r} AS threshold_50,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT band_no, {grp} FROM ({bands}) t
+                    GROUP BY band_no, {grp} HAVING count(*) >= 2))
+                   AS n_hot_buckets,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM ({bands}) x JOIN ({bands}) y
+                      ON x.band_no = y.band_no AND {on}
+                         AND x.doc_id < y.doc_id))
+                   AS n_candidate_pairs,
+               (SELECT CASE WHEN count(*) > 0
+                            THEN round(sum({matches})
+                                       / (16.0 * count(*)), 6) END
+                FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM ({bands}) x JOIN ({bands}) y
+                        ON x.band_no = y.band_no AND {on}
+                           AND x.doc_id < y.doc_id) c
+                JOIN sig sa ON sa.doc_id = c.a
+                JOIN sig sb ON sb.doc_id = c.b)
+                   AS avg_est_jaccard""")
+    union = "\n        UNION ALL".join(blocks)
+    return f"""
+        WITH {_DD_SHINGLES},
+        basesq AS (SELECT doc_id,
+               list_transform(gs, s -> {_dd_hash32('s', '')} % {MINHASH_PRIME})
+                   AS bases
+           FROM sh2),
+        sig AS (SELECT doc_id,
+               {mins}
+           FROM basesq)
+        {union}
+        ORDER BY n_bands DESC
+    """
+
+
+QUERIES["lsh_band_sweep"] = dedup.lsh_band_sweep
+ORACLES["lsh_band_sweep"] = _lsh_band_sweep_oracle()
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
