@@ -255,6 +255,9 @@ HEADLINE = [
     # one-pass Poisson bootstrap CI + LSH band-config S-curve sweep
     "bootstrap_ci_mean",
     "lsh_band_sweep",
+    # RM3 feedback expansion (one token explosion) + CUSUM localization
+    "rm3_query_expansion",
+    "cusum_changepoint",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

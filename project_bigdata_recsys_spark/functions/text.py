@@ -1530,3 +1530,114 @@ def quality_lr_score(
         )
         .orderBy("source")
     )
+
+
+def rm3_query_expansion(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query_terms: int = 3,
+    top_docs: int = 10,
+    n_expansion: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback — the query-expansion stage a
+    lexical retrieval stack runs between first-pass BM25 and the final
+    ranking: the top ``top_docs`` documents per query term are ASSUMED
+    relevant, a relevance model P(w|R) ∝ Σ_d tf(w,d)/dl(d) is estimated
+    over them (uniform document prior — RM1 of Lavrenko & Croft 2001;
+    interpolating with the original query gives RM3), and the heaviest
+    ``n_expansion`` non-query terms become the expansion.
+
+    Reproducibility: the feedback ranking is the exact bm25_scores
+    arithmetic; the relevance-model weights lift tf/dl to integer 1e-9
+    units per (doc, term) before summing, so expansion selection is an
+    integer total order with the term tiebreak.
+
+    Shape at 100 TB: ONE token explosion feeds tf, dl, the query-term
+    TakeOrdered, the feedback ranking, AND the expansion aggregation;
+    the feedback set (n_queries × top_docs rows) broadcasts into the
+    postings join, so stage 2 touches only feedback docs' postings.
+
+    Output per (query_term, expansion_term): rm_weight (6 dp),
+    doc_support, rank."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    qterms = (
+        df_t.orderBy(F.desc("total_tf"), "term")
+        .limit(n_query_terms)
+        .select("term", "doc_freq")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).crossJoin(dl.agg(F.sum("dl").cast("long").alias("__sum_dl")))
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("doc_freq") + 0.5)
+        / (F.col("doc_freq") + 0.5)
+    )
+    norm = 1.0 - b + b * F.col("dl") * F.col("__n") / F.col("__sum_dl")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "bm25",
+            F.round(
+                idf * F.col("tf") * (k1 + 1.0) / (F.col("tf") + k1 * norm),
+                6,
+            ),
+        )
+    )
+    pick = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    fb = (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") <= top_docs)
+        .select(F.col("term").alias("query_term"), "doc_id")
+    )
+    cand = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .filter(F.col("term") != F.col("query_term"))
+        .join(dl, "doc_id")
+        .withColumn(
+            "w_micro",
+            F.round(F.lit(1e9) * F.col("tf") / F.col("dl")).cast("long"),
+        )
+    )
+    rm = cand.groupBy("query_term", "term").agg(
+        F.sum("w_micro").cast("long").alias("__rm_micro"),
+        F.countDistinct("doc_id").cast("long").alias("doc_support"),
+    )
+    w_exp = Window.partitionBy("query_term").orderBy(
+        F.desc("__rm_micro"), F.asc("term")
+    )
+    return (
+        rm.withColumn("rank", F.row_number().over(w_exp).cast("int"))
+        .where(F.col("rank") <= n_expansion)
+        .select(
+            "query_term",
+            F.col("term").alias("expansion_term"),
+            "rank",
+            F.round(
+                F.col("__rm_micro") / F.lit(float(top_docs)) / 1e9, 6
+            ).alias("rm_weight"),
+            "doc_support",
+        )
+        .orderBy("query_term", "rank")
+    )

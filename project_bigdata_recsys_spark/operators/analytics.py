@@ -1352,3 +1352,72 @@ def bootstrap_ci_mean(
         )
         .orderBy("event_type")
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event segment — the classic
+    "WHEN did the level shift?" complement of the drift quartet
+    (Welch/KS/MW say IF the halves differ; Page's cumulative-sum
+    statistic localizes the break): the day t maximizing |Σ_{i≤t}
+    (yᵢ − μ)| is the maximum-likelihood single-changepoint location
+    for a mean shift.
+
+    Arithmetic is exact end-to-end: with per-day counts yᵢ and total T
+    over n days, the scaled deviation Dᵢ = n·yᵢ − T is an INTEGER, so
+    the CUSUM path Sₜ = ΣDᵢ folds as BIGINT and the argmax is an
+    integer total order (abs desc, then earliest day).  Only the
+    human-readable magnitude divides back by n at the end.
+
+    Scale: one (type, day) pre-aggregation; the cumsum window
+    partitions by segment over day-level rows (bounded by the calendar,
+    not the row count).
+
+    Output per event_type: n_days, total, peak_day (epoch day),
+    cusum_max (mean-units, 4 dp), shift_sign."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        (F.col("n_days") * F.col("y") - F.col("total"))
+        .cast("long")
+        .alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = dev.withColumn("s", F.sum("d").over(w_cum))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("day")
+    )
+    return (
+        path.withColumn("__rk", F.row_number().over(w_pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("peak_day"),
+            F.round(F.abs(F.col("s")) / F.col("n_days").cast("double"), 4)
+            .alias("cusum_max"),
+            F.signum(F.col("s")).cast("int").alias("shift_sign"),
+        )
+        .orderBy("event_type")
+    )

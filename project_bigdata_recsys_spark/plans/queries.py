@@ -7669,6 +7669,103 @@ def _lsh_band_sweep_oracle() -> str:
 QUERIES["lsh_band_sweep"] = dedup.lsh_band_sweep
 ORACLES["lsh_band_sweep"] = _lsh_band_sweep_oracle()
 
+# RM3 pseudo-relevance feedback (round 8): expansion terms from the
+# BM25 feedback set — relevance-model weights in integer 1e-9 units,
+# integer total order with term tiebreak.
+QUERIES["rm3_query_expansion"] = text.rm3_query_expansion
+ORACLES["rm3_query_expansion"] = """
+    WITH toks AS (
+        SELECT doc_id, w AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY term),
+    q AS (SELECT term, doc_freq FROM dft
+          ORDER BY total_tf DESC, term LIMIT 3),
+    c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               round(ln(1.0 + (c.n - q.doc_freq + 0.5) / (q.doc_freq + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * c.n / c.sum_dl)),
+                     6) AS bm25
+        FROM tf JOIN q ON tf.term = q.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN c),
+    fb AS (
+        SELECT term AS query_term, doc_id
+        FROM (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY bm25 DESC, doc_id) AS rk
+              FROM scored)
+        WHERE rk <= 10),
+    cand AS (
+        SELECT fb.query_term, tf.term,
+               CAST(round(1e9 * tf.tf / dl.dl) AS BIGINT) AS w_micro,
+               tf.doc_id
+        FROM tf
+        JOIN fb ON fb.doc_id = tf.doc_id
+        JOIN dl ON dl.doc_id = tf.doc_id
+        WHERE tf.term <> fb.query_term),
+    rm AS (
+        SELECT query_term, term,
+               CAST(sum(w_micro) AS BIGINT) AS rm_micro,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_support
+        FROM cand GROUP BY query_term, term),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_term
+                                     ORDER BY rm_micro DESC, term) AS rnk
+        FROM rm)
+    SELECT query_term, term AS expansion_term,
+           CAST(rnk AS INT) AS rank,
+           round(rm_micro / 10.0 / 1e9, 6) AS rm_weight,
+           doc_support
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_term, rnk
+"""
+
+# CUSUM changepoint (round 8): localizes the level shift the drift
+# quartet detects — integer deviation path n·yᵢ − T, BIGINT cumsum,
+# integer argmax.
+QUERIES["cusum_changepoint"] = analytics.cusum_changepoint
+ORACLES["cusum_changepoint"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+        FROM events),
+    daily AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+        FROM ev GROUP BY event_type, day),
+    totals AS (
+        SELECT event_type, CAST(sum(y) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type),
+    dev AS (
+        SELECT d.event_type, d.day, t.total, t.n_days,
+               CAST(t.n_days * d.y - t.total AS BIGINT) AS dd
+        FROM daily d JOIN totals t USING (event_type)),
+    path AS (
+        SELECT *, CAST(sum(dd) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        FROM dev),
+    picked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(s) DESC, day) AS rk
+        FROM path)
+    SELECT event_type, n_days, total, day AS peak_day,
+           round(abs(s) / CAST(n_days AS DOUBLE), 4) AS cusum_max,
+           CAST(sign(s) AS INT) AS shift_sign
+    FROM picked WHERE rk = 1
+    ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
