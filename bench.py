@@ -258,6 +258,11 @@ HEADLINE = [
     # RM3 feedback expansion (one token explosion) + CUSUM localization
     "rm3_query_expansion",
     "cusum_changepoint",
+    # streaming bootstrap twin + CMS join-size planner + forecast
+    # baseline backtest
+    "stream_bootstrap_ci",
+    "cms_join_size_estimate",
+    "seasonal_naive_eval",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1314,11 +1314,34 @@ def bootstrap_ci_mean(
     weighted = reps.select(
         "event_type", "b", w.alias("w"), (w * F.col("vc")).alias("wv")
     )
-    replica_means = weighted.groupBy("event_type", "b").agg(
-        (
-            F.sum("wv").cast("long")
-            / F.sum("w").cast("long").cast("double")
-        ).alias("m_b")
+    replica_sums = weighted.groupBy("event_type", "b").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("wv").cast("long").alias("swv"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("vc").cast("long") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("mean"),
+    )
+    return bootstrap_ci_readout(replica_sums, point, n_replicas)
+
+
+def bootstrap_ci_readout(
+    replica_sums: DataFrame, point: DataFrame, n_replicas: int = 200
+) -> DataFrame:
+    """Shared readout of the Poisson bootstrap — takes the per-(segment,
+    replica) EXACT integer weight/weighted-value sums (the state a
+    streaming twin keeps: integer partials merge order-independently)
+    plus the per-segment point-estimate frame, and emits the CI.
+    Shared by :func:`bootstrap_ci_mean` and replay.stream_bootstrap_ci,
+    so the streamed interval is bit-identical to the batch one."""
+    from pyspark.sql import Window
+
+    replica_means = replica_sums.select(
+        "event_type",
+        "b",
+        (F.col("swv") / F.col("sw").cast("double")).alias("m_b"),
     )
     w_rank = Window.partitionBy("event_type").orderBy("m_b", "b")
     ranked = replica_means.withColumn(
@@ -1333,12 +1356,6 @@ def bootstrap_ci_mean(
         F.round(
             F.max(F.when(F.col("rk") == hi_rk, F.col("m_b"))) / 100.0, 6
         ).alias("ci_hi"),
-    )
-    point = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(
-            F.sum("vc").cast("long") / F.count(F.lit(1)) / 100.0, 6
-        ).alias("mean"),
     )
     return (
         point.join(bounds, "event_type")
@@ -1421,3 +1438,64 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def seasonal_naive_eval(
+    spark: SparkSession, sf_dir: str, season_days: int = 7
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — THE baseline every volume
+    forecast must beat before it earns a deploy (ŷ(d) = y(d − 7): free,
+    and on weekly-seasonal traffic embarrassingly strong): per segment,
+    MAE / MAPE / bias of the same-weekday-last-week prediction over
+    every day with a 7-day-old partner.
+
+    Arithmetic: counts are integers, so |y − ŷ| folds as BIGINT; MAPE
+    lifts each day's relative error to integer 1e-6 units before the
+    fold (the micro discipline — double sums are order-dependent).
+
+    Scale: one (segment, day) pre-aggregation and a self-join on
+    (segment, day − 7) — day-level frames, calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    lagged = daily.select(
+        "event_type",
+        (F.col("day") + season_days).alias("day"),
+        F.col("y").alias("yhat"),
+    )
+    joined = daily.join(lagged, ["event_type", "day"])
+    folds = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("yhat")))
+        .cast("long")
+        .alias("__sae"),
+        F.sum(F.col("y") - F.col("yhat")).cast("long").alias("__sbias"),
+        F.sum(
+            F.round(
+                F.lit(1000000.0)
+                * F.abs(F.col("y") - F.col("yhat"))
+                / F.col("y")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("__sape_micro"),
+    )
+    return folds.select(
+        "event_type",
+        "n_eval",
+        F.round(F.col("__sae") / F.col("n_eval").cast("double"), 4).alias(
+            "mae"
+        ),
+        F.round(
+            F.col("__sape_micro") / F.col("n_eval") / 1000000.0, 6
+        ).alias("mape"),
+        F.round(
+            F.col("__sbias") / F.col("n_eval").cast("double"), 4
+        ).alias("bias"),
+    ).orderBy("event_type")

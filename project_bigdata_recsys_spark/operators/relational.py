@@ -1532,3 +1532,96 @@ def kmv_set_ops(
     )
     # the inner join on b_cnt already dropped the partnerless last day
     return out.orderBy("day")
+
+
+def cms_join_size_estimate(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 4, width: int = 512
+) -> DataFrame:
+    """Join-size estimation from Count-Min sketches — the planner-side
+    use of the CMS beyond heavy hitters: the inner product of two key
+    sketches upper-bounds the equi-join cardinality (Cormode &
+    Muthukrishnan 2005, §4.3), so a nightly KB-scale sketch answers
+    "how big would this join blow up?" without touching either table.
+    Probed here on the SELF-join sizes Σc² of lineitem.l_partkey and
+    events.user_id — exactly the number that prices a co-occurrence
+    pair generation (cooccurrence_pairs) before running it.
+
+    Everything is integer: counters are Σ of per-key BIGINT counts at
+    md5-derived positions, the estimate is min over the d rows of
+    Σ_p C_p² — so the estimate itself hash-checks outright, with the
+    exact Σc² as the gate readout (production drops the exact pass).
+
+    Output per probed key: n_rows, n_keys, exact_self_join,
+    cms_estimate, overest_frac."""
+    probes = [
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    outs = []
+    for label, tbl, key in probes:
+        counts = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        positions = counts.select(
+            "c",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1))
+            ).alias("j"),
+            "key",
+        ).select(
+            "j",
+            "c",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("key").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("pos"),
+        )
+        cms = positions.groupBy("j", "pos").agg(
+            F.sum("c").cast("long").alias("cnt")
+        )
+        est = (
+            cms.groupBy("j")
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ip"))
+            .agg(F.min("ip").cast("long").alias("cms_estimate"))
+        )
+        exact = counts.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("c") * F.col("c"))
+            .cast("long")
+            .alias("exact_self_join"),
+        )
+        outs.append(
+            exact.crossJoin(F.broadcast(est)).select(
+                F.lit(label).alias("table_key"),
+                "n_rows",
+                "n_keys",
+                "exact_self_join",
+                "cms_estimate",
+                F.round(
+                    (F.col("cms_estimate") - F.col("exact_self_join"))
+                    / F.col("exact_self_join").cast("double"),
+                    6,
+                ).alias("overest_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_key")

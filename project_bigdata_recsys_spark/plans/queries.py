@@ -7766,6 +7766,87 @@ ORACLES["cusum_changepoint"] = """
     ORDER BY event_type
 """
 
+# Streaming bootstrap twin (round 8): per-(segment, replica) integer
+# (Σw, Σw·v) state, point estimate as the identity replica b = −1,
+# shared readout — same oracle as the batch operator.
+QUERIES["stream_bootstrap_ci"] = replay.stream_bootstrap_ci
+ORACLES["stream_bootstrap_ci"] = ORACLES["bootstrap_ci_mean"]
+
+# CMS join-size estimation (round 8): sketch inner product bounds the
+# equi-join cardinality — integer counters, estimate hash-checked
+# outright, exact Σc² as the gate readout.
+QUERIES["cms_join_size_estimate"] = relational.cms_join_size_estimate
+ORACLES["cms_join_size_estimate"] = """
+    WITH li AS (
+        SELECT l_partkey AS key FROM lineitem),
+    ev AS (SELECT user_id AS key FROM events),
+    both_t AS (
+        SELECT 'lineitem.l_partkey' AS table_key, key FROM li
+        UNION ALL
+        SELECT 'events.user_id' AS table_key, key FROM ev),
+    counts AS (
+        SELECT table_key, key, CAST(count(*) AS BIGINT) AS c
+        FROM both_t GROUP BY table_key, key),
+    positions AS (
+        SELECT table_key, j, c,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+                   % 512 AS pos
+        FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    cms AS (
+        SELECT table_key, j, pos, CAST(sum(c) AS BIGINT) AS cnt
+        FROM positions GROUP BY table_key, j, pos),
+    est AS (
+        SELECT table_key, CAST(min(ip) AS BIGINT) AS cms_estimate
+        FROM (SELECT table_key, j,
+                     CAST(sum(cnt * cnt) AS BIGINT) AS ip
+              FROM cms GROUP BY table_key, j)
+        GROUP BY table_key),
+    exact AS (
+        SELECT table_key,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c * c) AS BIGINT) AS exact_self_join
+        FROM counts GROUP BY table_key)
+    SELECT e.table_key, e.n_rows, e.n_keys, e.exact_self_join,
+           s.cms_estimate,
+           round((s.cms_estimate - e.exact_self_join)
+                 / CAST(e.exact_self_join AS DOUBLE), 6) AS overest_frac
+    FROM exact e JOIN est s USING (table_key)
+    ORDER BY e.table_key
+"""
+
+# Seasonal-naive backtest (round 8): the baseline every forecast must
+# beat — BIGINT |y−ŷ| folds, MAPE in integer 1e-6 units.
+QUERIES["seasonal_naive_eval"] = analytics.seasonal_naive_eval
+ORACLES["seasonal_naive_eval"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+        FROM events),
+    daily AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+        FROM ev GROUP BY event_type, day),
+    joined AS (
+        SELECT a.event_type, a.y, b.y AS yhat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day = b.day + 7),
+    folds AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(abs(y - yhat)) AS BIGINT) AS sae,
+               CAST(sum(y - yhat) AS BIGINT) AS sbias,
+               CAST(sum(CAST(round(1000000.0 * abs(y - yhat) / y)
+                             AS BIGINT)) AS BIGINT) AS sape_micro
+        FROM joined GROUP BY event_type)
+    SELECT event_type, n_eval,
+           round(sae / CAST(n_eval AS DOUBLE), 4) AS mae,
+           round(sape_micro / CAST(n_eval AS DOUBLE) / 1000000.0, 6)
+               AS mape,
+           round(sbias / CAST(n_eval AS DOUBLE), 4) AS bias
+    FROM folds ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

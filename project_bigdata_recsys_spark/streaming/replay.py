@@ -1239,3 +1239,71 @@ def stream_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__ssb"),
     )
     return welch_from_moments(moments)
+
+
+def stream_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, n_replicas: int = 200
+) -> DataFrame:
+    """Streaming twin of analytics.bootstrap_ci_mean — the uncertainty
+    monitor maintained BY THE STREAM (the Poisson bootstrap's original
+    setting: Chamandy et al. built it FOR streams): each event folds
+    its ``n_replicas`` Poisson(1)-weighted contributions into a
+    complete-mode aggregation whose state is the per-(segment, replica)
+    integer (Σw, Σw·v) pair — #segments × (B+1) rows, constant.
+    Integer partials merge order-independently, so the final state and
+    the CI are bit-identical to the batch operator, through the SHARED
+    readout (bootstrap_ci_readout) and the same oracle SQL.
+
+    The point estimate rides in the SAME state as the identity replica
+    b = −1 (weight 1 for every row) — no second aggregation, no batch
+    side-read."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        POISSON1_CDF,
+        bootstrap_ci_readout,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    events = replay_events_stream(spark, sf_dir)
+    reps = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        "event_id",
+        F.explode(F.sequence(F.lit(-1), F.lit(n_replicas - 1))).alias("b"),
+    )
+    u = hash_uniform(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("_"),
+            F.col("b").cast("string"),
+        ),
+        "boot:",
+    )
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(w)
+    agg = reps.groupBy("event_type", "b").agg(
+        F.sum(w).cast("long").alias("sw"),
+        F.sum(w * F.col("vc")).cast("long").alias("swv"),
+    )
+    # the memory-sink frame is self-join-hostile (conflicting attribute
+    # ids when point and sums meet again in the readout join) — break
+    # lineage through a KB-scale scratch parquet (#segments × (B+1)
+    # rows), the parquet-backed-memo discipline
+    sink = _run_replay(agg, spark, "complete")
+    state_dir = os.path.join(
+        scratch_dir(prefix="spark_boot_state_"), "state"
+    )
+    sink.write.mode("overwrite").parquet(state_dir)
+    table = spark.read.parquet(state_dir)
+    point = table.filter(F.col("b") == -1).select(
+        "event_type",
+        F.col("sw").alias("n"),
+        F.round(
+            F.col("swv") / F.col("sw").cast("double") / 100.0, 6
+        ).alias("mean"),
+    )
+    sums = table.filter(F.col("b") >= 0).select(
+        "event_type", "b", "sw", "swv"
+    )
+    return bootstrap_ci_readout(sums, point, n_replicas)
