@@ -263,6 +263,9 @@ HEADLINE = [
     "stream_bootstrap_ci",
     "cms_join_size_estimate",
     "seasonal_naive_eval",
+    # recursive-CTE SQL surface + streaming CUSUM twin
+    "sql_recursive_cte",
+    "stream_cusum_changepoint",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

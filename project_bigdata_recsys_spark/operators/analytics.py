@@ -1391,8 +1391,6 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per event_type: n_days, total, peak_day (epoch day),
     cusum_max (mean-units, 4 dp), shift_sign."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.col("ts").cast("double") / 86400.0)
@@ -1402,6 +1400,17 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("y")
     )
+    return cusum_from_counts(daily)
+
+
+def cusum_from_counts(daily: DataFrame) -> DataFrame:
+    """Shared readout of the CUSUM changepoint — takes the per-(segment,
+    day) count frame (the state a streaming twin keeps current) and
+    emits the argmax localization.  Shared by :func:`cusum_changepoint`
+    and replay.stream_cusum_changepoint, so the streamed localization
+    is bit-identical to the batch one."""
+    from pyspark.sql import Window
+
     totals = daily.groupBy("event_type").agg(
         F.sum("y").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_days"),

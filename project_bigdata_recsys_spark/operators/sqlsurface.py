@@ -103,3 +103,48 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through spark.sql (Spark 4.x recursive CTE
+    support) — the SQL-surface construct a Postgres-dashboard migration
+    brings along for calendar scaffolds and hierarchy walks.  Here: the
+    recursive day series spanning the event corpus, left-joined to
+    daily order counts, so calendar gaps surface as explicit zero rows
+    (the recursive-SQL twin of the DataFrame-side sequence()/explode
+    gap fill in gap_filled_daily).
+
+    The recursion depth is the calendar span (bounded by dates, not
+    rows); the daily-counts join is one aggregation.  Both engines run
+    the IDENTICAL query text modulo one token — the epoch-seconds
+    spelling (Spark: CAST(ts AS DOUBLE); DuckDB: epoch(ts)) — injected
+    into the shared template."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        SQL_RECURSIVE_CTE_TEXT.format(EPOCH="CAST(ts AS DOUBLE)")
+    )
+
+
+#: Shared template for the Spark query AND the DuckDB oracle — only
+#: the {EPOCH} token differs between engines.
+SQL_RECURSIVE_CTE_TEXT = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(floor(min({EPOCH} / 86400.0)) AS BIGINT)
+                   AS d0,
+               CAST(floor(max({EPOCH} / 86400.0)) AS BIGINT)
+                   AS d1
+        FROM events),
+    cal(day) AS (
+        SELECT d0 AS day FROM bounds
+        UNION ALL
+        SELECT day + 1 FROM cal WHERE day < (SELECT d1 FROM bounds)),
+    daily AS (
+        SELECT CAST(floor({EPOCH} / 86400.0) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1)
+    SELECT c.day, CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+    FROM cal c LEFT JOIN daily d ON d.day = c.day
+    ORDER BY c.day
+"""

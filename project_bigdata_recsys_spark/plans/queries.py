@@ -7847,6 +7847,20 @@ ORACLES["seasonal_naive_eval"] = """
     FROM folds ORDER BY event_type
 """
 
+# Recursive CTE through the SQL surface (round 8): the calendar
+# scaffold gap fill as WITH RECURSIVE — the shared template runs on
+# both engines, only the epoch-seconds token differs.
+QUERIES["sql_recursive_cte"] = sqlsurface.sql_recursive_cte
+ORACLES["sql_recursive_cte"] = sqlsurface.SQL_RECURSIVE_CTE_TEXT.format(
+    EPOCH="epoch(ts)"
+)
+
+# Streaming CUSUM twin (round 8): day-window count state kept by the
+# stream, exact integer argmax through the shared kernel — same oracle
+# as the batch localizer.
+QUERIES["stream_cusum_changepoint"] = replay.stream_cusum_changepoint
+ORACLES["stream_cusum_changepoint"] = ORACLES["cusum_changepoint"]
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1307,3 +1307,37 @@ def stream_bootstrap_ci(
         "event_type", "b", "sw", "swv"
     )
     return bootstrap_ci_readout(sums, point, n_replicas)
+
+
+def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of analytics.cusum_changepoint — the changepoint
+    localizer maintained BY THE STREAM, in the stream_ewma_anomalies
+    deployment shape: a complete-mode (1-day event-time window ×
+    segment) count aggregation keeps the day-level state current
+    (#days × #segments rows, never raw events), and the exact integer
+    CUSUM argmax runs post-sink through the SHARED kernel
+    (analytics.cusum_from_counts) — bit-identical to the batch
+    operator, same oracle."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        cusum_from_counts,
+    )
+
+    events = replay_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sink = _run_replay(agg, spark, "complete")
+    # the shared kernel self-joins its input (totals ⋈ daily); memory-
+    # sink frames conflict on attribute ids there — break lineage
+    # through a day-level scratch parquet (#days × #segments rows)
+    state_dir = os.path.join(
+        scratch_dir(prefix="spark_cusum_state_"), "state"
+    )
+    sink.select(
+        "event_type",
+        F.floor(F.col("w.start").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        F.col("n").cast("long").alias("y"),
+    ).write.mode("overwrite").parquet(state_dir)
+    return cusum_from_counts(spark.read.parquet(state_dir))
