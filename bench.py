@@ -266,6 +266,9 @@ HEADLINE = [
     # recursive-CTE SQL surface + streaming CUSUM twin
     "sql_recursive_cte",
     "stream_cusum_changepoint",
+    # exact-quantile winsorized KPIs + degree/Hill skew diagnostic
+    "winsorized_stats",
+    "degree_distribution_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

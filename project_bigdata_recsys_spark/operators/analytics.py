@@ -1508,3 +1508,126 @@ def seasonal_naive_eval(
             F.col("__sbias") / F.col("n_eval").cast("double"), 4
         ).alias("bias"),
     ).orderBy("event_type")
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust means per segment — the outlier-resistant KPI
+    (a handful of fat-finger values can move a raw mean; clipping at
+    the exact global 1st/99th percentiles bounds any single row's
+    influence).  The thresholds come from the range-shuffle EXACT
+    quantile kernel (text.global_quantile_threshold — no per-row global
+    sort, no fat-partition histogram window), values clip in integer
+    cents, and every fold is BIGINT.
+
+    Scale: two threshold kernels over one (value, count) histogram +
+    one broadcast of the 1-row threshold frame into a single scan.
+
+    Output per event_type: n, raw_mean, winsorized_mean, n_clipped_lo,
+    n_clipped_hi."""
+    from project_bigdata_recsys_spark.functions.text import (
+        global_quantile_threshold,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    lo = global_quantile_threshold(ev, "vc", 0.01).select(
+        F.col("threshold").alias("__lo")
+    )
+    hi = global_quantile_threshold(ev, "vc", 0.99).select(
+        F.col("threshold").alias("__hi")
+    )
+    th = lo.crossJoin(hi)
+    clipped = ev.crossJoin(F.broadcast(th)).select(
+        "event_type",
+        "vc",
+        F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col("vc")))
+        .cast("long")
+        .alias("wc"),
+        (F.col("vc") < F.col("__lo")).cast("int").alias("__clo"),
+        (F.col("vc") > F.col("__hi")).cast("int").alias("__chi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("vc").cast("long") / F.count(F.lit(1)) / 100.0, 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum("wc").cast("long") / F.count(F.lit(1)) / 100.0, 6
+            ).alias("winsorized_mean"),
+            F.sum("__clo").cast("long").alias("n_clipped_lo"),
+            F.sum("__chi").cast("long").alias("n_clipped_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def degree_distribution_profile(
+    spark: SparkSession, sf_dir: str, d_min: int = 2
+) -> DataFrame:
+    """Key-degree distribution with a Hill power-law tail estimate —
+    the skew diagnostic that decides salting/AQE strategy BEFORE a join
+    runs (complement of skew_report's top-K: this sees the whole
+    shape).  Degrees of lineitem.l_partkey bucket by integer log2
+    (length(bin(d)) − 1 — exact integer arithmetic, no libm at bucket
+    boundaries); the tail exponent is the Hill/MLE estimator
+    α = 1 + n/(Σ ln d − n·ln(d_min − ½)) over d ≥ d_min, with each ln d
+    frozen to integer 1e-6 units per KEY before the fold (double sums
+    are order-dependent; ln of an exact integer is the libm
+    precedent).
+
+    Scale: one degree aggregation, one ≤64-row bucket rollup, one
+    broadcast 1-row alpha frame.
+
+    Output per log2 bucket: bucket, n_keys, min_degree, max_degree,
+    plus the constant tail columns n_tail, hill_alpha."""
+    deg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    buckets = deg.groupBy(
+        (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    tail = deg.filter(F.col("d") >= d_min).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(F.round(F.log("d") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("__sln_micro"),
+    )
+    alpha = tail.select(
+        "n_tail",
+        F.round(
+            1.0
+            + F.col("n_tail")
+            / (
+                F.col("__sln_micro") / 1000000.0
+                - F.col("n_tail") * float(math_log_half(d_min))
+            ),
+            6,
+        ).alias("hill_alpha"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(alpha))
+        .select(
+            "bucket", "n_keys", "min_degree", "max_degree",
+            "n_tail", "hill_alpha",
+        )
+        .orderBy("bucket")
+    )
+
+
+def math_log_half(d_min: int) -> float:
+    """ln(d_min − ½) frozen to 12 dp — the Hill-estimator continuity
+    correction, embedded as the SAME literal in the Spark plan and the
+    DuckDB oracle (the POISSON1_CDF literal discipline)."""
+    import math
+
+    return round(math.log(d_min - 0.5), 12)

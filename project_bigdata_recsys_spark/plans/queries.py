@@ -7861,6 +7861,75 @@ ORACLES["sql_recursive_cte"] = sqlsurface.SQL_RECURSIVE_CTE_TEXT.format(
 QUERIES["stream_cusum_changepoint"] = replay.stream_cusum_changepoint
 ORACLES["stream_cusum_changepoint"] = ORACLES["cusum_changepoint"]
 
+# Winsorized robust means (round 8): clip at the EXACT global 1%/99%
+# thresholds (range-shuffle kernel) — BIGINT folds throughout.
+QUERIES["winsorized_stats"] = analytics.winsorized_stats
+ORACLES["winsorized_stats"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+    hist AS (SELECT vc, CAST(count(*) AS BIGINT) AS c
+             FROM ev GROUP BY vc),
+    cum AS (
+        SELECT vc, CAST(sum(c) OVER (ORDER BY vc
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        FROM hist),
+    lo AS (SELECT min(vc) AS lo_t FROM cum CROSS JOIN n_t
+           WHERE cm >= 0.01 * n),
+    hi AS (SELECT min(vc) AS hi_t FROM cum CROSS JOIN n_t
+           WHERE cm >= 0.99 * n),
+    clipped AS (
+        SELECT event_type, vc,
+               greatest(lo_t, least(hi_t, vc)) AS wc,
+               CASE WHEN vc < lo_t THEN 1 ELSE 0 END AS clo,
+               CASE WHEN vc > hi_t THEN 1 ELSE 0 END AS chi
+        FROM ev CROSS JOIN lo CROSS JOIN hi)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(vc) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE) / 100.0, 6) AS raw_mean,
+           round(CAST(sum(wc) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE) / 100.0, 6)
+               AS winsorized_mean,
+           CAST(sum(clo) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(chi) AS BIGINT) AS n_clipped_hi
+    FROM clipped GROUP BY event_type ORDER BY event_type
+"""
+
+# Degree distribution + Hill tail exponent (round 8): integer log2
+# buckets via length(bin(d))−1, per-key ln frozen to 1e-6 units, the
+# d_min−½ correction as a frozen 12-dp literal.
+QUERIES["degree_distribution_profile"] = (
+    analytics.degree_distribution_profile
+)
+ORACLES["degree_distribution_profile"] = f"""
+    WITH deg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS d
+        FROM lineitem GROUP BY l_partkey),
+    buckets AS (
+        SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(min(d) AS BIGINT) AS min_degree,
+               CAST(max(d) AS BIGINT) AS max_degree
+        FROM deg GROUP BY length(bin(d)) - 1),
+    tail AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tail,
+               CAST(sum(CAST(round(ln(d) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS sln_micro
+        FROM deg WHERE d >= 2),
+    alpha AS (
+        SELECT n_tail,
+               round(1.0 + n_tail / (sln_micro / 1000000.0
+                     - n_tail * {analytics.math_log_half(2)!r}), 6)
+                   AS hill_alpha
+        FROM tail)
+    SELECT bucket, n_keys, min_degree, max_degree, n_tail, hill_alpha
+    FROM buckets CROSS JOIN alpha
+    ORDER BY bucket
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
