@@ -269,6 +269,11 @@ HEADLINE = [
     # exact-quantile winsorized KPIs + degree/Hill skew diagnostic
     "winsorized_stats",
     "degree_distribution_profile",
+    # CUPED experimentation readout + Neyman sampling design +
+    # rendezvous-hash shard-expansion audit
+    "cuped_adjusted_lift",
+    "neyman_allocation_plan",
+    "rendezvous_shard_plan",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

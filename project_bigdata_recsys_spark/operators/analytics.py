@@ -1631,3 +1631,174 @@ def math_log_half(d_min: int) -> float:
     import math
 
     return round(math.log(d_min - 0.5), 12)
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the modern experimentation
+    standard beside :func:`ab_test_lift`'s raw comparison: each user's
+    PRE-period value (the early half) is a covariate X that explains
+    away noise in the outcome Y (late-half value); the adjusted metric
+    Y − θ(X − X̄) with θ = cov(X,Y)/var(X) has the same expectation and
+    strictly less variance (Deng et al. 2013), so the same corpus
+    detects smaller effects.
+
+    Everything derives from integer-cent moment folds (n, ΣX, ΣY, ΣXX,
+    ΣXY, ΣYY pooled + per arm): θ, both arms' raw and adjusted means,
+    and the variance-reduction ratio are identical-shape double
+    expressions over those exact integers — no per-row adjusted value
+    is ever materialized (the algebra collapses mean(Y−θ(X−X̄)) to
+    Ȳ_arm − θ(X̄_arm − X̄)).
+
+    Scale: one per-user aggregation, one 2-row arm fold, one broadcast
+    1-row pooled-moment frame.
+
+    Output per arm: n_users, mean_y, mean_y_cuped, theta,
+    var_reduction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    anchor = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0)
+        .cast("long")
+        .alias("__mid")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") <= F.col("__mid"), F.col("vc")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("day") > F.col("__mid"), F.col("vc")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("x").cast("long").alias("__sx"),
+        F.sum("y").cast("long").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("__sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("__sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("__syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("__ax"),
+        F.sum("y").cast("long").alias("__ay"),
+    )
+    n = F.col("__n").cast("double")
+    cov_n = n * F.col("__sxy") - F.col("__sx").cast("double") * F.col("__sy")
+    var_x_n = n * F.col("__sxx") - F.col("__sx").cast("double") * F.col(
+        "__sx"
+    )
+    var_y_n = n * F.col("__syy") - F.col("__sy").cast("double") * F.col(
+        "__sy"
+    )
+    theta = cov_n / var_x_n
+    mean_x = F.col("__sx") / n
+    joined = arms.crossJoin(F.broadcast(pooled))
+    mean_y_arm = F.col("__ay") / F.col("n_users").cast("double")
+    mean_x_arm = F.col("__ax") / F.col("n_users").cast("double")
+    return joined.select(
+        "arm",
+        "n_users",
+        F.round(mean_y_arm / 100.0, 6).alias("mean_y"),
+        F.round(
+            (mean_y_arm - theta * (mean_x_arm - mean_x)) / 100.0, 6
+        ).alias("mean_y_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            1.0
+            - (var_y_n - 2.0 * theta * cov_n + theta * theta * var_x_n)
+            / var_y_n,
+            6,
+        ).alias("var_reduction"),
+    ).orderBy("arm")
+
+
+def neyman_allocation_plan(
+    spark: SparkSession, sf_dir: str, budget: int = 1000
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — given a sampling
+    budget, each stratum gets n_h ∝ N_h·S_h (size × std), the
+    allocation minimizing the stratified-mean variance (the design
+    step BEFORE :func:`stratified_sample_query` draws anything; equal
+    or proportional allocation wastes budget on homogeneous strata).
+
+    The weight N_h·S_h freezes to integer 1e-6 units per STRATUM before
+    the total-weight fold (5 doubles summed in arbitrary order would be
+    engine-divergent; 5 integers cannot be), so allocations are exact
+    integer arithmetic over frozen weights.
+
+    Output per stratum: n_rows, std (4 dp), weight_micro, alloc_n."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("vc").cast("long").alias("__s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("__ss"),
+    )
+    nn = F.col("n_rows").cast("double")
+    std = F.sqrt(
+        (F.col("__ss") - F.col("__s") * (F.col("__s") / nn)) / (nn - 1.0)
+    )
+    weighted = moments.select(
+        "event_type",
+        "n_rows",
+        F.round(std / 100.0, 4).alias("std"),
+        F.round(F.col("n_rows") * std * 10000.0).cast("long").alias(
+            "weight_micro"
+        ),
+    )
+    total = weighted.agg(
+        F.sum("weight_micro").cast("long").alias("__tw")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_rows",
+            "std",
+            "weight_micro",
+            F.round(
+                F.lit(float(budget))
+                * F.col("weight_micro")
+                / F.col("__tw")
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+        .orderBy("event_type")
+    )

@@ -127,3 +127,97 @@ def salted_join_agg(spark, sf_dir: str, salt_buckets: int = 8):
         )
         .orderBy("c_mktsegment")
     )
+
+
+def rendezvous_shard_plan(spark, sf_dir: str, n_shards: int = 8):
+    """Rendezvous (highest-random-weight) sharding plan — the
+    consistent-assignment scheme for stateful key placement (stream
+    state stores, embedding-index shards, cache ownership): each key
+    goes to argmax_w md5(key, w), so adding a worker moves only ~1/(W+1)
+    of the keys — versus key % W, which reshuffles almost everything.
+    This audit scores the W → W+1 expansion on the real key population:
+    per-shard load before and after, plus the measured moved fraction
+    against the theoretical 1/(W+1).
+
+    All arithmetic is md5-integer; the argmax is a (hash DESC, w DESC)
+    row_number per key — windows partition by key, never global.
+
+    Output per shard of the EXPANDED ring: shard, n_keys_before (NULL
+    for the new shard), n_keys_after, plus the constant audit columns
+    n_keys_total, moved_frac, expected_moved_frac."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    from pyspark.sql import Window
+
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    hw = keys.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards))).alias("w"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit("@"),
+                        F.col("w").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w_all = Window.partitionBy("key").orderBy(F.desc("h"), F.desc("w"))
+    after = (
+        hw.withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") == 1)
+        .select("key", F.col("w").alias("shard_after"))
+    )
+    w_old = Window.partitionBy("key").orderBy(F.desc("h"), F.desc("w"))
+    before = (
+        hw.filter(F.col("w") < n_shards)
+        .withColumn("rn", F.row_number().over(w_old))
+        .filter(F.col("rn") == 1)
+        .select("key", F.col("w").alias("shard_before"))
+    )
+    assigned = after.join(before, "key")
+    audit = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_total"),
+        F.round(
+            F.sum(
+                (F.col("shard_after") != F.col("shard_before")).cast("int")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("moved_frac"),
+        F.round(F.lit(1.0) / (n_shards + 1), 6).alias(
+            "expected_moved_frac"
+        ),
+    )
+    cnt_after = assigned.groupBy(
+        F.col("shard_after").alias("shard")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_keys_after"))
+    cnt_before = assigned.groupBy(
+        F.col("shard_before").alias("shard")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_keys_before"))
+    return (
+        cnt_after.join(cnt_before, "shard", "left")
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "shard",
+            "n_keys_before",
+            "n_keys_after",
+            "n_keys_total",
+            "moved_frac",
+            "expected_moved_frac",
+        )
+        .orderBy("shard")
+    )

@@ -7930,6 +7930,139 @@ ORACLES["degree_distribution_profile"] = f"""
     ORDER BY bucket
 """
 
+# CUPED variance-reduced A/B readout (round 8): θ = cov/var from
+# pooled integer-cent moments; adjusted means collapse algebraically —
+# no per-row adjusted value, identical double shapes.
+QUERIES["cuped_adjusted_lift"] = analytics.cuped_adjusted_lift
+ORACLES["cuped_adjusted_lift"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    per_user AS (
+        SELECT CASE WHEN ('0x' || substr(md5('ab:'
+                        || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               user_id,
+               CAST(sum(CASE WHEN day <= m THEN vc ELSE 0 END) AS BIGINT)
+                   AS x,
+               CAST(sum(CASE WHEN day > m THEN vc ELSE 0 END) AS BIGINT)
+                   AS y
+        FROM ev CROSS JOIN mid GROUP BY 1, 2),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per_user),
+    arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS ax,
+               CAST(sum(y) AS BIGINT) AS ay
+        FROM per_user GROUP BY arm),
+    m2 AS (
+        SELECT a.*, p.n, p.sx,
+               CAST(p.n AS DOUBLE) * p.sxy
+                   - CAST(p.sx AS DOUBLE) * p.sy AS cov_n,
+               CAST(p.n AS DOUBLE) * p.sxx
+                   - CAST(p.sx AS DOUBLE) * p.sx AS var_x_n,
+               CAST(p.n AS DOUBLE) * p.syy
+                   - CAST(p.sy AS DOUBLE) * p.sy AS var_y_n
+        FROM arms a CROSS JOIN pooled p)
+    SELECT arm, n_users,
+           round(ay / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_y,
+           round((ay / CAST(n_users AS DOUBLE)
+                  - (cov_n / var_x_n)
+                    * (ax / CAST(n_users AS DOUBLE)
+                       - sx / CAST(n AS DOUBLE))) / 100.0, 6)
+               AS mean_y_cuped,
+           round(cov_n / var_x_n, 6) AS theta,
+           round(1.0 - (var_y_n - 2.0 * (cov_n / var_x_n) * cov_n
+                        + (cov_n / var_x_n) * (cov_n / var_x_n) * var_x_n)
+                       / var_y_n, 6) AS var_reduction
+    FROM m2 ORDER BY arm
+"""
+
+# Neyman-optimal allocation (round 8): n_h ∝ N_h·S_h with per-stratum
+# weights frozen to integers before the total fold.
+QUERIES["neyman_allocation_plan"] = analytics.neyman_allocation_plan
+ORACLES["neyman_allocation_plan"] = """
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    moments AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(vc) AS BIGINT) AS s,
+               CAST(sum(vc * vc) AS BIGINT) AS ss
+        FROM ev GROUP BY event_type),
+    weighted AS (
+        SELECT event_type, n_rows,
+               round(sqrt((ss - s * (s / CAST(n_rows AS DOUBLE)))
+                          / (CAST(n_rows AS DOUBLE) - 1.0)) / 100.0, 4)
+                   AS std,
+               CAST(round(n_rows
+                          * sqrt((ss - s * (s / CAST(n_rows AS DOUBLE)))
+                                 / (CAST(n_rows AS DOUBLE) - 1.0))
+                          * 10000.0) AS BIGINT) AS weight_micro
+        FROM moments),
+    total AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw
+              FROM weighted)
+    SELECT event_type, n_rows, std, weight_micro,
+           CAST(round(1000.0 * weight_micro / tw) AS BIGINT) AS alloc_n
+    FROM weighted CROSS JOIN total
+    ORDER BY event_type
+"""
+
+# Rendezvous sharding plan (round 8): highest-random-weight placement;
+# the W → W+1 expansion audit — md5-integer argmax per key.
+QUERIES["rendezvous_shard_plan"] = skew.rendezvous_shard_plan
+ORACLES["rendezvous_shard_plan"] = """
+    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
+    hw AS (
+        SELECT key, w,
+               ('0x' || substr(md5(CAST(key AS VARCHAR) || '@'
+                               || CAST(w AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM keys CROSS JOIN (SELECT unnest(range(0, 9)) AS w) ws),
+    after_a AS (
+        SELECT key, w AS shard_after FROM (
+            SELECT key, w, row_number() OVER (PARTITION BY key
+                           ORDER BY h DESC, w DESC) AS rn
+            FROM hw) WHERE rn = 1),
+    before_a AS (
+        SELECT key, w AS shard_before FROM (
+            SELECT key, w, row_number() OVER (PARTITION BY key
+                           ORDER BY h DESC, w DESC) AS rn
+            FROM hw WHERE w < 8) WHERE rn = 1),
+    assigned AS (
+        SELECT a.key, a.shard_after, b.shard_before
+        FROM after_a a JOIN before_a b USING (key)),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys_total,
+               round(sum(CASE WHEN shard_after <> shard_before
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS moved_frac,
+               round(1.0 / 9, 6) AS expected_moved_frac
+        FROM assigned),
+    ca AS (SELECT shard_after AS shard,
+                  CAST(count(*) AS BIGINT) AS n_keys_after
+           FROM assigned GROUP BY shard_after),
+    cb AS (SELECT shard_before AS shard,
+                  CAST(count(*) AS BIGINT) AS n_keys_before
+           FROM assigned GROUP BY shard_before)
+    SELECT ca.shard, cb.n_keys_before, ca.n_keys_after,
+           n_keys_total, moved_frac, expected_moved_frac
+    FROM ca LEFT JOIN cb USING (shard)
+    CROSS JOIN audit
+    ORDER BY ca.shard
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
