@@ -274,6 +274,11 @@ HEADLINE = [
     "cuped_adjusted_lift",
     "neyman_allocation_plan",
     "rendezvous_shard_plan",
+    # round-8 session-3 wave: data selection, ts diagnostics, QA, conformal
+    "dsir_importance_sample",
+    "acf_ljung_box",
+    "benford_audit",
+    "conformal_interval_eval",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

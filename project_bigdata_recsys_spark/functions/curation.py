@@ -1086,3 +1086,112 @@ def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dsir_importance_sample(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 512
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    estimate target and raw distributions over HASHED n-gram features
+    (unigrams + adjacent bigrams, md5-hashed into ``n_buckets``), weight
+    every raw document by its log importance ratio
+    ``sum ln(p_target(b)/p_raw(b))`` over its feature occurrences, and
+    select the raw documents whose weight is positive (more target-like
+    than raw-like).  Target class = ``lang = 'en'`` documents — the
+    "curated reference" stand-in; raw = everything else.  This completes
+    the data-selection suite next to :func:`domain_reweight` (DoReMi
+    group-level tilt) and ``text.quality_lr_score`` (NB mean-weight
+    classifier): DSIR is the per-document SUM-of-log-ratios form, the
+    log-space product of ratios of the paper.
+
+    Determinism: per-bucket log ratios are ln() of exact integer-derived
+    rationals with Laplace smoothing (the bm25/qlr libm precedent),
+    frozen to micro fixed point BEFORE the per-document sum, so every
+    document weight is an exact BIGINT on both engines.
+
+    Scale: tokenize once; the feature frame feeds both the bucket-count
+    pass and the scoring pass (persisted); the weight table is bounded
+    by ``n_buckets`` rows — broadcast by construction, it cannot outgrow
+    the budget the way a raw vocabulary would.  Two aggregations + one
+    broadcast join; no windows, no all-pairs.
+
+    Reference parity anchor: the reference has no data-selection stage;
+    this extends its curation surface (SURVEY.md §2.12) with the
+    published DSIR recipe re-expressed as two Spark aggregation passes.
+    """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(element_at(__toks, i), '_',"
+            " element_at(__toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("__tgt"),
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("term"),
+    )
+    hashed = persist_tracked(
+        base.select(
+            "doc_id",
+            "__tgt",
+            (hash32(F.col("term"), "dsir:") % n_buckets).alias("bucket"),
+        )
+    )
+    counts = hashed.groupBy("bucket").agg(
+        F.sum("__tgt").cast("long").alias("ct"),
+        F.sum(1 - F.col("__tgt")).cast("long").alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").cast("long").alias("__T"),
+        F.sum("cr").cast("long").alias("__R"),
+    )
+    wts = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.lit(1_000_000.0)
+            * (
+                F.log((F.col("ct") + 1) / (F.col("__T") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("__R") + n_buckets))
+            )
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+    docw = (
+        hashed.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("__w").cast("long").alias("__lw"))
+    )
+    scored = docs.select("doc_id", "source", (F.col("lang") == "en").cast("int").alias("__tgt")).join(
+        docw, "doc_id", "left"
+    ).withColumn("__lw", F.coalesce(F.col("__lw"), F.lit(0)))
+    raw_sel = F.when((F.col("__tgt") == 0) & (F.col("__lw") > 0), 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(1 - F.col("__tgt")).cast("long").alias("n_raw"),
+            F.round(F.sum("__lw") / 1_000_000.0 / F.count(F.lit(1)), 6).alias(
+                "avg_logw"
+            ),
+            F.sum(raw_sel).cast("long").alias("n_selected"),
+            F.round(
+                F.when(
+                    F.sum(1 - F.col("__tgt")) > 0,
+                    F.sum(raw_sel) / F.sum(1 - F.col("__tgt")),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("sel_frac"),
+        )
+        .orderBy("source")
+    )

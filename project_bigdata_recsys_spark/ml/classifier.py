@@ -452,3 +452,94 @@ def exact_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc, 6).alias("auc"),
         F.round(2.0 * auc - 1.0, 6).alias("gini"),
     ).orderBy("grp")
+
+
+def conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with group-conditional
+    coverage (Vovk et al.; the distribution-free interval recipe modern
+    eval stacks attach to any point model): md5-deterministic
+    train/calibration/test split of orders, a per-priority train-mean
+    point model, nonconformity = absolute residual in INTEGER cents,
+    q_hat = the ceil((n_calib + 1) * 0.9)-th smallest calibration score
+    (the finite-sample-valid conformal quantile, exact via
+    histogram-cumsum order statistic — never an approximate
+    percentile), and the achieved coverage of pred +/- q_hat on the
+    held-out test split, to compare against the 0.9 target.
+
+    Exactness: splits are hash32 % 4 buckets (2 train / 1 calib / 1
+    test); predictions are integer-cent means rounded once; scores and
+    q_hat stay BIGINT cents end-to-end; coverage is an integer ratio
+    rounded to 4 dp.
+
+    Scale: one scan to split + score (the model is a broadcast #groups
+    frame), the order statistic reads a (group, score) histogram —
+    cumsum windows partition per group over distinct cent values, the
+    group_quantile_threshold recipe — and coverage is one aggregation.
+    No fact-scale global sort."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (hash32(F.col("o_orderkey").cast("string"), "conf:") % 4).alias("__b"),
+    )
+    train = orders.filter(F.col("__b") <= 1)
+    calib = orders.filter(F.col("__b") == 2)
+    test = orders.filter(F.col("__b") == 3)
+    model = train.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.round(F.sum("cents") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("pred_cents"),
+    )
+    cal_scores = (
+        calib.join(F.broadcast(model), "prio")
+        .select("prio", F.abs(F.col("cents") - F.col("pred_cents")).alias("score"))
+        .groupBy("prio", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("prio").orderBy("score")
+    wn = Window.partitionBy("prio")
+    ranked = cal_scores.select(
+        "prio",
+        "score",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wn).cast("long").alias("n_calib"),
+    )
+    q_hat = (
+        ranked.filter(
+            F.col("cum_n")
+            >= F.ceil((F.col("n_calib") + 1) * 9.0 / 10).cast("long")
+        )
+        .groupBy("prio", "n_calib")
+        .agg(F.min("score").cast("long").alias("q_hat_cents"))
+    )
+    covered = (
+        test.join(F.broadcast(model), "prio")
+        .join(F.broadcast(q_hat), "prio")
+        .groupBy("prio", "n_train", "n_calib", "pred_cents", "q_hat_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("q_hat_cents")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return covered.select(
+        "prio",
+        "n_train",
+        "n_calib",
+        "n_test",
+        F.round(F.col("pred_cents") / 100.0, 2).alias("pred_price"),
+        F.round(F.col("q_hat_cents") / 100.0, 2).alias("q_hat_price"),
+        F.round(F.col("n_covered") / F.col("n_test"), 4).alias("coverage"),
+        F.lit(0.9).alias("target_coverage"),
+    ).orderBy("prio")

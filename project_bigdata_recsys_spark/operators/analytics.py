@@ -1802,3 +1802,138 @@ def neyman_allocation_plan(
         )
         .orderBy("event_type")
     )
+
+
+def acf_ljung_box(
+    spark: SparkSession, sf_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Sample autocorrelation (lags 1..max_lag) of each event type's
+    DAILY count series plus the cumulative Ljung-Box Q statistic — the
+    standard "is this volume series white noise?" diagnostic a pipeline
+    runs before trusting a seasonal baseline (complements
+    seasonal_naive_eval / ewma_anomalies, which ASSUME structure this
+    query tests for).
+
+    Exactness: with x_t the day-t count (missing days are true zeros in
+    the contiguous [min_day, max_day] range), the demeaned ACF expands
+    into pure BIGINT cross-moments —
+
+        r_k = (n^2*C_k - n*S*(A_k + B_k) + (n-k)*S^2)
+              / (n^2*SS - n*S^2)
+
+    where C_k = sum x_t*x_{t-k}, A_k / B_k the range-clipped sums and
+    S/SS the series total / sum of squares: one exact integer division
+    per lag, rounded to 6 dp; Q_k = n(n+2) * cumsum_j<=k(r_j^2/(n-j))
+    is computed from the ROUNDED r_j on both engines (identical doubles
+    in, identical doubles out), rounded to 4 dp.  Zero-count days
+    contribute nothing to C/A/B, so the whole statistic reads off the
+    nonzero (event_type, day) count frame — the day GRID is never
+    materialized.
+
+    Scale: one fact aggregation to (type, day) counts (bounded by
+    #types x #days, thousands of rows for years of data), then a
+    #lags-way self-join on that tiny frame.  Integer cross-moments stay
+    exact below ~9e15 (double/BIGINT); at counts where n^2*C_k would
+    pass 2^63 the same plan runs with DECIMAL(38,0) casts (the
+    fixedpoint.sum_fixed widening convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        (F.max("day") - F.min("day") + 1).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    # pair cross-products: join counts to itself at distance `lag`
+    c1 = counts.select("event_type", "day", F.col("x").alias("x_t"))
+    c2 = counts.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day0"),
+        F.col("x").alias("x_tk"),
+    )
+    ck = (
+        c1.crossJoin(F.broadcast(lags))
+        .join(
+            c2,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("day") == F.col("day0") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("x_t") * F.col("x_tk")).cast("long").alias("c_k"))
+    )
+    # range-clipped sums A_k (t > k) and B_k (t <= n-k)
+    clipped = (
+        counts.join(F.broadcast(bounds), "event_type")
+        .crossJoin(F.broadcast(lags))
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(
+                F.when(F.col("day") >= F.col("d0") + F.col("lag"), F.col("x"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("a_k"),
+            F.sum(
+                F.when(F.col("day") <= F.col("d1") - F.col("lag"), F.col("x"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("b_k"),
+        )
+    )
+    terms = (
+        clipped.join(ck, ["event_type", "lag"], "left")
+        .withColumn("c_k", F.coalesce(F.col("c_k"), F.lit(0)))
+        .join(F.broadcast(bounds), "event_type")
+        .filter(F.col("lag") < F.col("n"))
+        .select(
+            "event_type",
+            "lag",
+            F.col("n").alias("n_days"),
+            F.round(
+                (
+                    F.col("n") * F.col("n") * F.col("c_k")
+                    - F.col("n")
+                    * F.col("s")
+                    * (F.col("a_k") + F.col("b_k"))
+                    + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+                ).cast("double")
+                / (
+                    F.col("n") * F.col("n") * F.col("ss")
+                    - F.col("n") * F.col("s") * F.col("s")
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("lag")
+    return (
+        terms.withColumn(
+            "__term",
+            F.col("acf") * F.col("acf") / (F.col("n_days") - F.col("lag")),
+        )
+        .withColumn(
+            "q_stat",
+            F.round(
+                F.col("n_days")
+                * (F.col("n_days") + 2)
+                * F.sum("__term").over(w),
+                4,
+            ),
+        )
+        .drop("__term")
+        .orderBy("event_type", "lag")
+    )

@@ -1013,3 +1013,68 @@ def dp_noisy_counts(
         F.lit(eps).alias("eps"),
     )
     return released.orderBy("lang")
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of o_totalprice — the
+    classic fabricated-data / unit-mix-up detector for money columns: a
+    naturally-arising amount column should put ~30.1% of first digits at
+    1 and only ~4.6% at 9 (P(d) = log10(1 + 1/d)); a synthetic or
+    truncated feed deviates loudly.  Emits per digit the observed count,
+    observed fraction, Benford's expected fraction, and the total
+    chi-square statistic (same value on every row — the single-number
+    verdict alongside the per-digit evidence).
+
+    Exactness: the digit comes from the INTEGER cents string
+    (first char of CAST(round(x*100) AS BIGINT)), never from log10 of a
+    double or from float formatting — integer-to-string is identical on
+    both engines.  Expected fractions are ln-ratio doubles rounded to 6
+    dp before the chi-square fold, so both engines fold identical
+    doubles.
+
+    Scale: one projection + one 9-group aggregation over the fact
+    table; the chi-square join is a broadcast of a 9-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    tot = digits.agg(F.sum("observed").cast("long").alias("__n"))
+    # expected fraction log10(1 + 1/d) = ln(d+1)/ln(10) - ln(d)/ln(10),
+    # rounded to 6 dp on both engines before any downstream arithmetic
+    exp_frac = F.round(
+        (F.log(F.col("digit") + 1) - F.log(F.col("digit"))) / F.log(F.lit(10.0)),
+        6,
+    )
+    scored = digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        F.round(F.col("observed") / F.col("__n"), 6).alias("obs_frac"),
+        exp_frac.alias("exp_frac"),
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("observed") - exp_frac * F.col("__n"))
+            * (F.col("observed") - exp_frac * F.col("__n"))
+            / (exp_frac * F.col("__n"))
+        )
+        .cast("long")
+        .alias("__chi"),
+    )
+    chi = scored.agg(
+        F.round(F.sum("__chi") / 1_000_000.0, 4).alias("chi_square")
+    )
+    return (
+        scored.drop("__chi")
+        .crossJoin(F.broadcast(chi))
+        .orderBy("digit")
+    )

@@ -8063,6 +8063,199 @@ ORACLES["rendezvous_shard_plan"] = """
     ORDER BY ca.shard
 """
 
+# DSIR importance resampling (round 8, session 3): hashed
+# unigram+bigram log importance ratios, target = lang='en'; micro
+# fixed-point freeze before the per-doc sum keeps every weight exact.
+QUERIES["dsir_importance_sample"] = curation.dsir_importance_sample
+ORACLES["dsir_importance_sample"] = """
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               list_filter(string_split(text, ' '), t -> length(t) > 0)
+                   AS toks
+        FROM documents),
+    f AS (
+        SELECT doc_id, tgt,
+               unnest(list_concat(toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || '_' || toks[i + 1])
+                        ELSE [] END)) AS term
+        FROM d),
+    h AS (
+        SELECT doc_id, tgt,
+               ('0x' || substr(md5('dsir:' || term), 1, 8))::BIGINT % 512
+                   AS bucket
+        FROM f),
+    counts AS (
+        SELECT bucket, CAST(sum(tgt) AS BIGINT) AS ct,
+               CAST(sum(1 - tgt) AS BIGINT) AS cr
+        FROM h GROUP BY bucket),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS T,
+                   CAST(sum(cr) AS BIGINT) AS R FROM counts),
+    wts AS (
+        SELECT bucket,
+               CAST(round(1000000.0 * (ln((ct + 1) / (T + 512.0))
+                                       - ln((cr + 1) / (R + 512.0))))
+                    AS BIGINT) AS w
+        FROM counts CROSS JOIN tot),
+    docw AS (
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS lw
+        FROM h JOIN wts USING (bucket) GROUP BY doc_id),
+    scored AS (
+        SELECT d.doc_id, d.source, d.tgt, coalesce(docw.lw, 0) AS lw
+        FROM d LEFT JOIN docw USING (doc_id))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 - tgt) AS BIGINT) AS n_raw,
+           round(sum(lw) / 1000000.0 / count(*), 6) AS avg_logw,
+           CAST(sum(CASE WHEN tgt = 0 AND lw > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           round(CASE WHEN sum(1 - tgt) > 0
+                      THEN sum(CASE WHEN tgt = 0 AND lw > 0
+                                    THEN 1 ELSE 0 END)
+                           * 1.0 / sum(1 - tgt)
+                      ELSE 0.0 END, 4) AS sel_frac
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+# ACF + Ljung-Box (round 8, session 3): demeaned autocorrelation as
+# pure BIGINT cross-moments (one exact division per lag); Q from the
+# ROUNDED r_k so both engines fold identical doubles.
+QUERIES["acf_ljung_box"] = analytics.acf_ljung_box
+ORACLES["acf_ljung_box"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    b AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1,
+               CAST(max(day) - min(day) + 1 AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss
+        FROM c GROUP BY event_type),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    ck AS (
+        SELECT t.event_type, l.lag,
+               CAST(sum(t.x * p.x) AS BIGINT) AS c_k
+        FROM c t CROSS JOIN lags l
+        JOIN c p ON p.event_type = t.event_type
+                AND t.day = p.day + l.lag
+        GROUP BY 1, 2),
+    clip AS (
+        SELECT c.event_type, l.lag,
+               CAST(sum(CASE WHEN c.day >= b.d0 + l.lag THEN c.x
+                             ELSE 0 END) AS BIGINT) AS a_k,
+               CAST(sum(CASE WHEN c.day <= b.d1 - l.lag THEN c.x
+                             ELSE 0 END) AS BIGINT) AS b_k
+        FROM c JOIN b USING (event_type) CROSS JOIN lags l
+        GROUP BY 1, 2),
+    r AS (
+        SELECT clip.event_type, clip.lag, b.n AS n_days,
+               round((b.n * b.n * coalesce(ck.c_k, 0)
+                      - b.n * b.s * (clip.a_k + clip.b_k)
+                      + (b.n - clip.lag) * b.s * b.s) * 1.0
+                     / (b.n * b.n * b.ss - b.n * b.s * b.s), 6) AS acf
+        FROM clip
+        LEFT JOIN ck ON ck.event_type = clip.event_type
+                    AND ck.lag = clip.lag
+        JOIN b ON b.event_type = clip.event_type
+        WHERE clip.lag < b.n)
+    SELECT event_type, lag, n_days, acf,
+           round(n_days * (n_days + 2)
+                 * sum(acf * acf / (n_days - lag))
+                       OVER (PARTITION BY event_type ORDER BY lag),
+                 4) AS q_stat
+    FROM r
+    ORDER BY event_type, lag
+"""
+
+# Benford first-digit audit (round 8, session 3): digit from the
+# integer-cents STRING (never float formatting / log10); expected
+# fractions rounded to 6 dp and chi-square terms frozen to micro
+# fixed point before the fold.
+QUERIES["benford_audit"] = quality.benford_audit
+ORACLES["benford_audit"] = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM orders
+        GROUP BY 1 HAVING digit >= 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM digits),
+    scored AS (
+        SELECT digit, observed,
+               round(observed * 1.0 / n, 6) AS obs_frac,
+               round((ln(digit + 1) - ln(digit)) / ln(10.0), 6) AS exp_frac,
+               CAST(round(1000000.0
+                          * (observed - round((ln(digit + 1) - ln(digit))
+                                              / ln(10.0), 6) * n)
+                          * (observed - round((ln(digit + 1) - ln(digit))
+                                              / ln(10.0), 6) * n)
+                          / (round((ln(digit + 1) - ln(digit))
+                                   / ln(10.0), 6) * n)) AS BIGINT) AS chi
+        FROM digits CROSS JOIN tot),
+    total_chi AS (
+        SELECT round(sum(chi) / 1000000.0, 4) AS chi_square FROM scored)
+    SELECT digit, observed, obs_frac, exp_frac, chi_square
+    FROM scored CROSS JOIN total_chi
+    ORDER BY digit
+"""
+
+# Split-conformal intervals (round 8, session 3): exact integer-cent
+# order statistic at the finite-sample conformal rank; coverage on a
+# held-out md5 split.
+def _conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.classifier import conformal_interval_eval
+
+    return conformal_interval_eval(spark, sf_dir)
+
+
+QUERIES["conformal_interval_eval"] = _conformal_interval_eval
+ORACLES["conformal_interval_eval"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || substr(md5('conf:' || CAST(o_orderkey AS VARCHAR)),
+                               1, 8))::BIGINT % 4 AS b
+        FROM orders),
+    model AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(round(sum(cents) * 1.0 / count(*)) AS BIGINT)
+                   AS pred_cents
+        FROM o WHERE b <= 1 GROUP BY prio),
+    cal AS (
+        SELECT o.prio, abs(cents - pred_cents) AS score,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o JOIN model USING (prio) WHERE b = 2
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT prio, score,
+               sum(n) OVER (PARTITION BY prio ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               CAST(sum(n) OVER (PARTITION BY prio) AS BIGINT) AS n_calib
+        FROM cal),
+    q AS (
+        SELECT prio, n_calib, CAST(min(score) AS BIGINT) AS q_hat_cents
+        FROM ranked
+        WHERE cum_n >= CAST(ceil((n_calib + 1) * 9.0 / 10) AS BIGINT)
+        GROUP BY prio, n_calib),
+    cov AS (
+        SELECT o.prio, n_train, n_calib, pred_cents, q_hat_cents,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(cents - pred_cents) <= q_hat_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM o JOIN model USING (prio) JOIN q USING (prio)
+        WHERE b = 3
+        GROUP BY 1, 2, 3, 4, 5)
+    SELECT prio, n_train, n_calib, n_test,
+           round(pred_cents / 100.0, 2) AS pred_price,
+           round(q_hat_cents / 100.0, 2) AS q_hat_price,
+           round(n_covered * 1.0 / n_test, 4) AS coverage,
+           0.9 AS target_coverage
+    FROM cov ORDER BY prio
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
