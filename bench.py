@@ -279,6 +279,10 @@ HEADLINE = [
     "acf_ljung_box",
     "benford_audit",
     "conformal_interval_eval",
+    "bradley_terry_ratings",
+    "order_part_hits",
+    "textrank_keywords",
+    "kcore_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -622,3 +622,195 @@ def link_prediction_adamic_adar(
             F.round(F.col("__aa") / 1_000_000.0, 6).alias("aa_score"),
         )
     )
+
+
+def hits_scores(
+    edges: DataFrame, n_iterations: int = 3
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a bipartite
+    (hub, auth) edge frame, fixed iteration count: a(p) = Σ h(o) over
+    in-edges, h(o) = Σ a(p) over out-edges, each half-step normalized to
+    MEAN 1 (instead of the classic L2 norm — scale-free at any corpus
+    size, and exactly replayable in SQL) and frozen to 6 dp so both
+    engines fold identical doubles into the next round.
+
+    Scale: the edge frame is the fact-scale side (shuffles on hub then
+    auth per iteration — same shape as pagerank); score frames are one
+    row per distinct node.  Loop-invariant edges and each iterate are
+    persist_tracked (the pagerank lineage discipline)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    e = persist_tracked(edges.select("hub", "auth").distinct())
+    hubs = e.select("hub").distinct().select("hub", F.lit(1.0).alias("h"))
+
+    def normalize(df: DataFrame, key: str, col: str) -> DataFrame:
+        mean = df.agg((F.sum(col) / F.count(F.lit(1))).alias("__m"))
+        return df.crossJoin(F.broadcast(mean)).select(
+            key, F.round(F.col(col) / F.col("__m"), 6).alias(col)
+        )
+
+    auths = None
+    for _ in range(n_iterations):
+        # each normalize() reads its input twice (agg + join): truncate
+        # lineage per half-step or the plan quadruples every iteration
+        hubs = hubs.localCheckpoint()
+        auths = normalize(
+            e.join(hubs, "hub").groupBy("auth").agg(F.sum("h").alias("a")),
+            "auth",
+            "a",
+        )
+        auths = auths.localCheckpoint()
+        hubs = normalize(
+            e.join(auths, "auth").groupBy("hub").agg(F.sum("a").alias("h")),
+            "hub",
+            "h",
+        )
+    return auths
+
+
+def order_part_hits(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Gate query: top-k authority parts in the bipartite order→part
+    graph under HITS — parts are authoritative when ordered by orders
+    that also order other authoritative parts (a mutually-reinforcing
+    popularity notion PageRank's random walk doesn't express).  Rounded
+    score + total ordering under the LIMIT."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = lineitem.select(
+        F.col("l_orderkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    return (
+        hits_scores(edges)
+        .select(F.col("auth").alias("part"), F.col("a").alias("authority"))
+        .orderBy(F.desc("authority"), F.asc("part"))
+        .limit(k)
+    )
+
+
+def textrank_keywords(
+    spark: SparkSession, sf_dir: str, k: int = 25, min_len: int = 4
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph — words of length >= min_len that
+    appear next to each other in a document are linked; the stationary
+    rank surfaces corpus keywords that sit in many well-connected
+    contexts, a strictly different signal from raw frequency
+    (token_frequencies) or TF-IDF (tfidf_top_terms).
+
+    Composes the existing :func:`pagerank` kernel (same damping /
+    iteration count / lineage discipline) over adjacency edges built in
+    one tokenization pass; the adjacency self-pairing is positional
+    (array transform), never a join."""
+    from project_bigdata_recsys_spark.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").withColumn(
+        "__toks",
+        F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) >= min_len
+        ),
+    )
+    pairs = (
+        docs.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(element_at(__toks, i) AS w1,"
+                    " element_at(__toks, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    half = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = half.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
+    ).unionByName(
+        half.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+    )
+    # parallel adjacencies (a,b seen both ways) merge into one edge so
+    # the oracle's symmetric-sum matches exactly
+    edges = edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    ranks = pagerank(edges)
+    return (
+        ranks.select(
+            F.col("node").alias("word"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def kcore_profile(
+    spark: SparkSession, sf_dir: str, deg_frac: float = 0.25, n_rounds: int = 6
+) -> DataFrame:
+    """k-core peeling profile of the item co-occurrence graph at the
+    data-derived threshold k = the p25 initial degree (exact order
+    statistic off the degree histogram): per peel round, the surviving
+    node/edge counts — the subgraph-density diagnostic for deciding
+    where graph features (triangles, neighbors) are meaningful.  On an
+    expander-like graph (this corpus: random co-purchases) the profile
+    correctly shows the cascade — removing the low-degree quartile
+    drops survivors below k and the core empties within ~3 rounds —
+    which is itself the finding: there is no dense core, so
+    core-restricted features would be vacuous.  Fixed ``n_rounds``
+    synchronous rounds keep it deterministic and oracle-expressible
+    (chained materialized CTEs on the SQL side).
+
+    Scale: starts from the persist_shared co-occurrence edge frame
+    (zero rebuild next to pagerank/triangles/neighbors); the threshold
+    reads a #distinct-degrees histogram (bounded, broadcast); each
+    round is one degree aggregation + two semi-joins — O(m) per round,
+    nothing driver-side."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    g = persist_tracked(
+        shared_cooccurrence_edges(spark, sf_dir).select("src", "dst").distinct()
+    )
+    deg0 = g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg0.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "d",
+        F.sum("n").over(w).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("nt"),
+    )
+    kth = (
+        cum.filter(F.col("c") >= deg_frac * F.col("nt"))
+        .agg(F.min("d").cast("long").alias("k"))
+    )
+    rows = []
+    for r in range(1, n_rounds + 1):
+        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            deg.crossJoin(F.broadcast(kth))
+            .filter(F.col("deg") >= F.col("k"))
+            .select("src")
+        )
+        # keep's plan embeds g, and g_{r} reads g_{r-1} three ways — the
+        # chained-CTE blowup (3^rounds); localCheckpoint caps the plan
+        g = g.join(keep, "src", "semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        ).localCheckpoint()
+        rows.append(
+            g.agg(
+                F.count_distinct("src").cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).cast("long").alias("n_edges_directed"),
+            )
+            .crossJoin(F.broadcast(kth))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "k",
+                "n_nodes",
+                "n_edges_directed",
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("round")

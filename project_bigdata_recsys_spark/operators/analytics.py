@@ -1937,3 +1937,111 @@ def acf_ljung_box(
         .drop("__term")
         .orderBy("event_type", "lag")
     )
+
+
+def bradley_terry_ratings(
+    spark: SparkSession, sf_dir: str, iters: int = 8
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise preferences via the
+    MM algorithm (Hunter 2004) — the estimator behind RLHF reward-model
+    preference data and ranking-from-duels evaluations.  Duels are
+    derived deterministically from behavior: for every user and every
+    pair of event types the user performed, the type with the HIGHER
+    per-user count wins (ties dropped).  Eight MM updates
+    ``u_i = W_i / sum_j g_ij / (w_i + w_j)`` with per-iteration
+    sum-normalization, each iterate frozen to 6 dp so both engines fold
+    identical doubles (the pagerank unrolled-iteration recipe, plus a
+    per-step round).
+
+    Scale: the fact table reduces to (user, type) counts, then a
+    per-user self-join whose fan-out is bounded by #types^2 per user;
+    everything after the duel aggregation lives on #types-row frames
+    (broadcast by construction).  The MM loop never touches the fact
+    table again."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cnt.select(
+        "user_id", F.col("event_type").alias("ti"), F.col("n").alias("ni")
+    )
+    b = cnt.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("tj"),
+        F.col("n").alias("nj"),
+    )
+    duels = a.join(
+        b, (F.col("user_id") == F.col("u2")) & (F.col("ti") < F.col("tj"))
+    ).filter(F.col("ni") != F.col("nj"))
+    wins = (
+        duels.select(
+            F.when(F.col("ni") > F.col("nj"), F.col("ti"))
+            .otherwise(F.col("tj"))
+            .alias("winner"),
+            F.when(F.col("ni") > F.col("nj"), F.col("tj"))
+            .otherwise(F.col("ti"))
+            .alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # directed games frame: g_ij = contests between i and j (both roles)
+    games = (
+        wins.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "w")
+        .unionAll(
+            wins.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"), "w"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("long").alias("g"))
+    )
+    wins_tot = games.join(
+        wins.groupBy(F.col("winner").alias("i")).agg(
+            F.sum("w").cast("long").alias("W")
+        ),
+        "i",
+        "left",
+    ).select("i", "j", "g", F.coalesce(F.col("W"), F.lit(0)).alias("W"))
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    wins = persist_tracked(wins)
+    wins_tot = persist_tracked(wins_tot)
+    items = games.select(F.col("i").alias("item")).distinct()
+    rating = items.select("item", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        # rating feeds both sides of the update join: lineage would
+        # double every iteration (2^8 plan copies) — localCheckpoint
+        # truncates it (the connected_components discipline); the frame
+        # is #items rows, so materializing is free
+        rating = rating.localCheckpoint()
+        ri = rating.select(F.col("item").alias("i"), F.col("r").alias("ri"))
+        rj = rating.select(F.col("item").alias("j"), F.col("r").alias("rj"))
+        denom = (
+            wins_tot.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
+            .groupBy("i", "W")
+            .agg(F.sum(F.col("g") / (F.col("ri") + F.col("rj"))).alias("den"))
+        )
+        u = denom.select(
+            F.col("i").alias("item"), (F.col("W") / F.col("den")).alias("u")
+        )
+        s = u.agg(F.sum("u").alias("s"))
+        rating = u.crossJoin(F.broadcast(s)).select(
+            "item", F.round(F.col("u") / F.col("s"), 6).alias("r")
+        )
+    per_item = wins.groupBy(F.col("winner").alias("item")).agg(
+        F.sum("w").cast("long").alias("n_wins")
+    )
+    n_games = games.groupBy("i").agg(F.sum("g").cast("long").alias("n_games"))
+    return (
+        rating.join(per_item, "item", "left")
+        .join(n_games.withColumnRenamed("i", "item"), "item", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("n_wins"), F.lit(0)).alias("n_wins"),
+            F.coalesce(F.col("n_games"), F.lit(0)).alias("n_games"),
+            F.col("r").alias("rating"),
+        )
+        .orderBy(F.col("rating").desc(), "item")
+    )

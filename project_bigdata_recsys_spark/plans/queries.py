@@ -8256,6 +8256,203 @@ ORACLES["conformal_interval_eval"] = """
     FROM cov ORDER BY prio
 """
 
+# Bradley-Terry preference ratings (round 8, session 3): MM updates
+# unrolled like _pagerank_oracle, each iterate frozen to 6 dp.
+def _bradley_terry_oracle(iters: int = 8) -> str:
+    its = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+        d{t} AS (
+            SELECT wt.i, wt.W, sum(wt.g / (pi.r + pj.r)) AS den
+            FROM wt JOIN {prev} pi ON pi.item = wt.i
+                    JOIN {prev} pj ON pj.item = wt.j
+            GROUP BY wt.i, wt.W),
+        u{t} AS MATERIALIZED (SELECT i AS item, W / den AS u FROM d{t}),
+        s{t} AS (SELECT sum(u) AS s FROM u{t}),
+        r{t} AS MATERIALIZED (SELECT item, round(u / s, 6) AS r
+                 FROM u{t} CROSS JOIN s{t})""")
+        prev = f"r{t}"
+    return f"""
+    WITH cnt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    duels AS (
+        SELECT a.event_type AS ti, b.event_type AS tj, a.n AS ni, b.n AS nj
+        FROM cnt a JOIN cnt b ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+        WHERE a.n <> b.n),
+    wins AS MATERIALIZED (
+        SELECT CASE WHEN ni > nj THEN ti ELSE tj END AS winner,
+               CASE WHEN ni > nj THEN tj ELSE ti END AS loser,
+               CAST(count(*) AS BIGINT) AS w
+        FROM duels GROUP BY 1, 2),
+    games AS MATERIALIZED (
+        SELECT i, j, CAST(sum(w) AS BIGINT) AS g FROM (
+            SELECT winner AS i, loser AS j, w FROM wins
+            UNION ALL SELECT loser, winner, w FROM wins)
+        GROUP BY i, j),
+    wtot AS (SELECT winner AS i, CAST(sum(w) AS BIGINT) AS W
+             FROM wins GROUP BY winner),
+    wt AS MATERIALIZED (SELECT g.i, g.j, g.g, coalesce(wtot.W, 0) AS W
+           FROM games g LEFT JOIN wtot ON wtot.i = g.i),
+    r0 AS MATERIALIZED (SELECT DISTINCT i AS item, 1.0 AS r FROM games),
+    {",".join(its)},
+    per AS (SELECT winner AS item, CAST(sum(w) AS BIGINT) AS n_wins
+            FROM wins GROUP BY winner),
+    ng AS (SELECT i AS item, CAST(sum(g) AS BIGINT) AS n_games
+           FROM games GROUP BY i)
+    SELECT r.item, coalesce(per.n_wins, 0) AS n_wins,
+           coalesce(ng.n_games, 0) AS n_games, r.r AS rating
+    FROM {prev} r LEFT JOIN per USING (item) LEFT JOIN ng USING (item)
+    ORDER BY rating DESC, item
+    """
+
+
+QUERIES["bradley_terry_ratings"] = analytics.bradley_terry_ratings
+ORACLES["bradley_terry_ratings"] = _bradley_terry_oracle()
+
+# HITS authorities (round 8, session 3): mean-1 normalization per
+# half-step, each iterate frozen to 6 dp; unrolled like pagerank.
+def _hits_oracle(iters: int = 3, k: int = 25) -> str:
+    parts = []
+    prev_h = "h0"
+    prev_a = None
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        a{t}r AS (SELECT auth, sum(h) AS a
+                  FROM e JOIN {prev_h} USING (hub) GROUP BY auth),
+        a{t} AS (SELECT auth,
+                        round(a / (SELECT sum(a) / count(*) FROM a{t}r), 6)
+                            AS a
+                 FROM a{t}r),
+        h{t}r AS (SELECT hub, sum(a) AS h
+                  FROM e JOIN a{t} USING (auth) GROUP BY hub),
+        h{t} AS (SELECT hub,
+                        round(h / (SELECT sum(h) / count(*) FROM h{t}r), 6)
+                            AS h
+                 FROM h{t}r)""")
+        prev_h = f"h{t}"
+        prev_a = f"a{t}"
+    return f"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS hub, l_partkey AS auth
+               FROM lineitem),
+    h0 AS (SELECT DISTINCT hub, 1.0 AS h FROM e),
+    {",".join(parts)}
+    SELECT auth AS part, a AS authority
+    FROM {prev_a}
+    ORDER BY authority DESC, part
+    LIMIT {k}
+    """
+
+
+QUERIES["order_part_hits"] = graph.order_part_hits
+ORACLES["order_part_hits"] = _hits_oracle()
+
+
+# TextRank keywords (round 8, session 3): the pagerank kernel over the
+# word-adjacency graph; same unrolled-iteration oracle shape.
+def _textrank_oracle(damping: float = 0.85, k: int = 25) -> str:
+    d, t = damping, 1.0 - damping
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(f"""
+        c{i} AS (
+            SELECT m.dst, sum(r.rank * m.p) AS inflow
+            FROM norm m JOIN {prev} r ON r.node = m.src
+            GROUP BY m.dst),
+        r{i} AS (
+            SELECT n.node, {t} * b.tele + {d} * coalesce(c{i}.inflow, 0.0)
+                       AS rank
+            FROM nodes n JOIN base b ON b.node = n.node
+            LEFT JOIN c{i} ON c{i}.dst = n.node)""")
+        prev = f"r{i}"
+    return f"""
+    WITH tk AS (
+        SELECT list_filter(string_split(text, ' '), t -> length(t) >= 4)
+                   AS toks
+        FROM documents),
+    pr AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM tk WHERE len(toks) >= 2)),
+    half AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS w
+        FROM pr WHERE w1 <> w2 GROUP BY 1, 2),
+    edges AS (
+        SELECT src, dst, sum(w) AS w FROM (
+            SELECT w1 AS src, w2 AS dst, w FROM half
+            UNION ALL SELECT w2, w1, w FROM half)
+        GROUP BY 1, 2),
+    outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src),
+    norm AS (SELECT e.src, e.dst, e.w / o.w_out AS p
+             FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    base AS (SELECT node, 1.0 / nn.n AS tele FROM nodes
+             CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n
+                         FROM nodes) nn),
+    r0 AS (SELECT node, tele AS rank FROM base),
+    {",".join(iters)}
+    SELECT node AS word, round(rank, 6) AS rank
+    FROM {prev}
+    ORDER BY rank DESC, word
+    LIMIT {k}
+    """
+
+
+QUERIES["textrank_keywords"] = graph.textrank_keywords
+ORACLES["textrank_keywords"] = _textrank_oracle()
+
+
+# k-core peeling profile (round 8, session 3): 6 chained peel rounds
+# over the co-occurrence graph; per-round node/edge survival counts.
+def _kcore_oracle(deg_frac: float = 0.25, n_rounds: int = 6) -> str:
+    parts = []
+    prev = "g0"
+    selects = []
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT g.src FROM {prev} g GROUP BY g.src
+            HAVING count(*) >= (SELECT k FROM kv)),
+        g{r} AS MATERIALIZED (SELECT g.src, g.dst FROM {prev} g
+                 JOIN d{r} ON d{r}.src = g.src
+                 JOIN d{r} d{r}b ON d{r}b.src = g.dst),
+        s{r} AS (SELECT {r} AS round,
+                        (SELECT k FROM kv) AS k,
+                        CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+                        CAST(count(*) AS BIGINT) AS n_edges_directed
+                 FROM g{r})""")
+        selects.append(f"SELECT * FROM s{r}")
+        prev = f"g{r}"
+    return f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    g0 AS MATERIALIZED (SELECT src, dst FROM half
+           UNION ALL SELECT dst, src FROM half),
+    deg0 AS (SELECT src, count(*) AS d FROM g0 GROUP BY src),
+    hist AS (SELECT d, count(*) AS n FROM deg0 GROUP BY d),
+    cum AS (SELECT d,
+                   sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS c,
+                   sum(n) OVER () AS nt
+            FROM hist),
+    kv AS MATERIALIZED (
+        SELECT CAST(min(d) AS BIGINT) AS k FROM cum
+        WHERE c >= {deg_frac} * nt),
+    {",".join(parts)}
+    SELECT * FROM ({" UNION ALL ".join(selects)})
+    ORDER BY round
+    """
+
+
+QUERIES["kcore_profile"] = graph.kcore_profile
+ORACLES["kcore_profile"] = _kcore_oracle()
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

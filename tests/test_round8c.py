@@ -1,0 +1,113 @@
+"""Round-8 third-session semantic pins: invariants of the DSIR /
+diagnostics / preference-ranking / graph wave that value-parity with the
+oracle can't catch regressing on both engines at once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_dsir_selects_target_like_raw_docs(spark):
+    """DSIR semantics: selection only ever draws from the raw (non-en)
+    pool, and the selected fraction is a real filter (neither 0 nor 1
+    corpus-wide)."""
+    from project_bigdata_recsys_spark.functions import curation
+
+    rows = curation.dsir_importance_sample(spark, SF_SMALL).collect()
+    assert all(r["n_selected"] <= r["n_raw"] for r in rows)
+    total_sel = sum(r["n_selected"] for r in rows)
+    total_raw = sum(r["n_raw"] for r in rows)
+    assert 0 < total_sel < total_raw
+
+
+def test_acf_lag_zero_normalization(spark):
+    """ACF values are correlations: |r_k| <= 1, and the Ljung-Box Q is
+    nonnegative and nondecreasing in the lag within each series."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.acf_ljung_box(spark, SF_SMALL).collect()
+    assert rows, "events must span multiple days"
+    assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["lag"])):
+        by_type.setdefault(r["event_type"], []).append(r["q_stat"])
+    for qs in by_type.values():
+        assert all(b >= a - 1e-9 for a, b in zip(qs, qs[1:]))
+        assert qs[0] >= 0
+
+
+def test_benford_fractions_form_distribution(spark):
+    """All nine digits present; observed fractions sum to ~1; expected
+    fractions are exactly Benford's (monotone decreasing from d=1)."""
+    from project_bigdata_recsys_spark.operators import quality
+
+    rows = quality.benford_audit(spark, SF_SMALL).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-3
+    exp = [r["exp_frac"] for r in rows]
+    assert all(a > b for a, b in zip(exp, exp[1:]))
+    assert abs(exp[0] - 0.30103) < 1e-4
+
+
+def test_conformal_interval_is_calibrated(spark):
+    """Split-conformal guarantee, finite-sample form: per-group test
+    coverage sits near the 0.9 target (generous band — small calib
+    splits at sf0.001), and q_hat is a positive width."""
+    from project_bigdata_recsys_spark.ml.classifier import conformal_interval_eval
+
+    rows = conformal_interval_eval(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["q_hat_price"] > 0
+        assert 0.7 <= r["coverage"] <= 1.0
+
+
+def test_bradley_terry_ranks_by_strength(spark):
+    """MM fixpoint sanity: ratings are sum-normalized to 1 at every
+    iteration, every item has games, and the top-rated item is not
+    winless."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.bradley_terry_ratings(spark, SF_SMALL).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["rating"] for r in rows) - 1.0) < 1e-3
+    assert all(r["n_games"] > 0 for r in rows)
+    assert rows[0]["n_wins"] > 0
+
+
+def test_hits_authority_positive_and_ordered(spark):
+    """Authorities are positive, mean-normalized (avg over FULL node
+    set is 1, so top-k all sit above epsilon) and emitted in total
+    order."""
+    from project_bigdata_recsys_spark.functions import graph
+
+    rows = graph.order_part_hits(spark, SF_SMALL).collect()
+    assert rows and all(r["authority"] > 0 for r in rows)
+    scores = [r["authority"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kcore_peeling_is_monotone(spark):
+    """Peeling can only shrink the graph, k is the p25 initial degree
+    (positive), and round 1 strictly peels on this corpus."""
+    from project_bigdata_recsys_spark.functions import graph
+
+    rows = graph.kcore_profile(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    nodes = [r["n_nodes"] for r in rows]
+    assert all(a >= b for a, b in zip(nodes, nodes[1:]))
+    assert rows[0]["k"] > 0
+
+
+def test_textrank_differs_from_raw_frequency(spark):
+    """TextRank is a graph signal, not a count: ranks are positive and
+    the result is capped at k with a total order."""
+    from project_bigdata_recsys_spark.functions import graph
+
+    rows = graph.textrank_keywords(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 25
+    assert all(r["rank"] > 0 for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
