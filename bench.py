@@ -283,6 +283,9 @@ HEADLINE = [
     "order_part_hits",
     "textrank_keywords",
     "kcore_profile",
+    "collocation_llr",
+    "phrase_search",
+    "pinball_quantile_eval",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1641,3 +1641,140 @@ def rm3_query_expansion(
         )
         .orderBy("query_term", "rank")
     )
+
+
+def collocation_llr(
+    spark: SparkSession, sf_dir: str, min_pair: int = 10, k: int = 20
+) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio (G²,
+    Dunning 1993) over adjacent token bigrams — the statistically-sound
+    replacement for raw bigram counts / PMI when counts are small: G²
+    compares observed co-occurrence against the independence model over
+    the full 2x2 contingency table, so it neither explodes on rare
+    pairs (PMI's failure) nor just re-ranks frequency.
+
+    Exactness: all four cell counts are exact BIGINTs from one bigram
+    aggregation; each cell term O·ln(O/E) is computed from identical
+    integers in an identical expression order on both engines (4 terms,
+    one fixed a+b+c+d fold, 0-guarded), rounded once at 4 dp.
+
+    Scale: one tokenization pass, positional pairing via array
+    transform (no join), one bigram aggregation + two margin
+    aggregations joined back — margins are #distinct-token-sized,
+    broadcast.  Top-k under a total order."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    pairs = (
+        docs.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(element_at(__toks, i) AS w1,"
+                    " element_at(__toks, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    left = bi.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_left"))
+    right = bi.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_right"))
+    tot = bi.agg(F.sum("n_pair").cast("long").alias("__N"))
+    cand = (
+        bi.filter(F.col("n_pair") >= min_pair)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("n_pair").cast("double")
+    k12 = (F.col("n_left") - F.col("n_pair")).cast("double")
+    k21 = (F.col("n_right") - F.col("n_pair")).cast("double")
+    k22 = (
+        F.col("__N") - F.col("n_left") - F.col("n_right") + F.col("n_pair")
+    ).cast("double")
+    n = F.col("__N").cast("double")
+    r1, r2 = k11 + k12, k21 + k22
+    c1, c2 = k11 + k21, k12 + k22
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    llr = F.round(
+        2.0
+        * (
+            term(k11, r1 * c1 / n)
+            + term(k12, r1 * c2 / n)
+            + term(k21, r2 * c1 / n)
+            + term(k22, r2 * c2 / n)
+        ),
+        4,
+    )
+    return (
+        cand.select("w1", "w2", "n_pair", "n_left", "n_right", llr.alias("llr"))
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, top_docs: int = 5
+) -> DataFrame:
+    """Positional-index phrase search: exact adjacent-phrase matching
+    via a positional inverted index — posexplode the token stream to
+    (doc, pos, term), probe with a broadcast phrase table on the first
+    word, and verify adjacency with a self-join on (doc, pos + 1).
+    This is THE scalable phrase-query plan: the index is built once
+    (fact-scale, partitioned by doc), queries are a broadcast, and the
+    adjacency join is co-located on doc_id — no regex scan of raw text,
+    no cartesian.  Emits the top `top_docs` documents per phrase by
+    occurrence count (total order).
+
+    Fixed query set ('table scan', 'hash join', 'merge sort') — the
+    deterministic stand-in for a user query batch."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    idx = docs.select(
+        "doc_id", F.posexplode(F.col("__toks")).alias("pos", "term")
+    )
+    phrases = spark.createDataFrame(
+        [
+            ("table scan", "table", "scan"),
+            ("hash join", "hash", "join"),
+            ("merge sort", "merge", "sort"),
+        ],
+        ["phrase", "w1", "w2"],
+    )
+    m1 = idx.join(F.broadcast(phrases), idx.term == phrases.w1).select(
+        "doc_id", "pos", "phrase", "w2"
+    )
+    m2 = idx.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("t2"),
+    )
+    occ = (
+        m1.join(
+            m2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("t2") == F.col("w2")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phrase").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        occ.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= top_docs)
+        .select("phrase", "rn", "doc_id", "n_occurrences")
+        .orderBy("phrase", "rn")
+    )

@@ -2045,3 +2045,99 @@ def bradley_terry_ratings(
         )
         .orderBy(F.col("rating").desc(), "item")
     )
+
+
+def pinball_quantile_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-forecast backtest under pinball loss: per event type,
+    fit constant q10/q50/q90 predictors as EXACT order statistics of
+    the train-half daily counts (zero-count days included as true
+    zeros), then score the test half with the pinball (quantile) loss —
+    the standard scoring rule that makes under- vs over-prediction
+    asymmetry explicit and which a plain MAE/RMSE backtest
+    (seasonal_naive_eval) cannot assess.
+
+    Exactness: the day split is the integer midpoint of the observed
+    range; quantiles come off a (type, count) histogram cumsum at rank
+    ceil(q·n/100); pinball loss in integer hundredths —
+    q·(y−ŷ) or (100−q)·(ŷ−y) — summed as BIGINT and divided once.
+
+    Scale: the fact table reduces to (type, day) counts; the day grid
+    is #types × #days (bounded, years = thousands); histogram cumsum
+    windows partition per type over distinct count values."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        F.floor((F.col("d0") + F.col("d1")) / 2).cast("long").alias("mid"),
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "mid",
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    )
+    train = series.filter(F.col("day") <= F.col("mid"))
+    test = series.filter(F.col("day") > F.col("mid"))
+    hist = train.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("y")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "y",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wn).cast("long").alias("n_train_days"),
+    )
+    qs = spark.createDataFrame([(10,), (50,), (90,)], ["q"]).select(
+        F.col("q").cast("int").alias("q")
+    )
+    preds = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("cum_n")
+            >= F.ceil(F.col("q") * F.col("n_train_days") / 100.0).cast("long")
+        )
+        .groupBy("event_type", "q", "n_train_days")
+        .agg(F.min("y").cast("long").alias("pred"))
+    )
+    loss_c = F.when(
+        F.col("y") >= F.col("pred"),
+        F.col("q") * (F.col("y") - F.col("pred")),
+    ).otherwise((100 - F.col("q")) * (F.col("pred") - F.col("y")))
+    return (
+        test.join(F.broadcast(preds), "event_type")
+        .groupBy("event_type", "q", "n_train_days", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(F.sum(loss_c) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "avg_pinball"
+            ),
+        )
+        .select(
+            "event_type",
+            "q",
+            "pred",
+            "n_train_days",
+            "n_test_days",
+            "avg_pinball",
+        )
+        .orderBy("event_type", "q")
+    )

@@ -8453,6 +8453,129 @@ def _kcore_oracle(deg_frac: float = 0.25, n_rounds: int = 6) -> str:
 QUERIES["kcore_profile"] = graph.kcore_profile
 ORACLES["kcore_profile"] = _kcore_oracle()
 
+# Dunning G-squared collocations (round 8, session 3): exact 2x2 cell
+# counts, one fixed-order 4-term ln fold, rounded once.
+QUERIES["collocation_llr"] = text.collocation_llr
+ORACLES["collocation_llr"] = """
+    WITH d AS (
+        SELECT list_filter(string_split(text, ' '), t -> length(t) > 0)
+                   AS toks
+        FROM documents),
+    pr AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM d WHERE len(toks) >= 2)),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+           FROM pr GROUP BY 1, 2),
+    l AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+          FROM bi GROUP BY w1),
+    r AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right
+          FROM bi GROUP BY w2),
+    t AS (SELECT CAST(sum(n_pair) AS BIGINT) AS N FROM bi),
+    s AS (
+        SELECT bi.w1, bi.w2, n_pair, n_left, n_right,
+               CAST(n_pair AS DOUBLE) AS k11,
+               CAST(n_left - n_pair AS DOUBLE) AS k12,
+               CAST(n_right - n_pair AS DOUBLE) AS k21,
+               CAST(N - n_left - n_right + n_pair AS DOUBLE) AS k22,
+               CAST(N AS DOUBLE) AS n
+        FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+        WHERE n_pair >= 10)
+    SELECT w1, w2, n_pair, n_left, n_right,
+           round(2.0 * (
+               CASE WHEN k11 > 0
+                    THEN k11 * ln(k11 / ((k11 + k12) * (k11 + k21) / n))
+                    ELSE 0.0 END
+             + CASE WHEN k12 > 0
+                    THEN k12 * ln(k12 / ((k11 + k12) * (k12 + k22) / n))
+                    ELSE 0.0 END
+             + CASE WHEN k21 > 0
+                    THEN k21 * ln(k21 / ((k21 + k22) * (k11 + k21) / n))
+                    ELSE 0.0 END
+             + CASE WHEN k22 > 0
+                    THEN k22 * ln(k22 / ((k21 + k22) * (k12 + k22) / n))
+                    ELSE 0.0 END), 4) AS llr
+    FROM s ORDER BY llr DESC, w1, w2 LIMIT 20
+"""
+
+# Positional-index phrase search (round 8, session 3): the oracle
+# counts adjacency matches with a per-list lambda; the engine builds
+# the distributed positional index + co-located adjacency join.
+QUERIES["phrase_search"] = text.phrase_search
+ORACLES["phrase_search"] = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> length(t) > 0)
+                   AS toks
+        FROM documents),
+    ph(phrase, w1, w2) AS (VALUES
+        ('table scan', 'table', 'scan'),
+        ('hash join', 'hash', 'join'),
+        ('merge sort', 'merge', 'sort')),
+    occ AS (
+        SELECT ph.phrase, d.doc_id,
+               CAST(len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = ph.w1 AND toks[i + 1] = ph.w2))
+                    AS BIGINT) AS n_occurrences
+        FROM d CROSS JOIN ph),
+    rk AS (
+        SELECT phrase, doc_id, n_occurrences,
+               CAST(row_number() OVER (PARTITION BY phrase
+                    ORDER BY n_occurrences DESC, doc_id) AS INT) AS rn
+        FROM occ WHERE n_occurrences > 0)
+    SELECT phrase, rn, doc_id, n_occurrences
+    FROM rk WHERE rn <= 5 ORDER BY phrase, rn
+"""
+
+# Pinball quantile backtest (round 8, session 3): exact train-half
+# order-statistic predictors, integer-hundredth pinball loss.
+QUERIES["pinball_quantile_eval"] = analytics.pinball_quantile_eval
+ORACLES["pinball_quantile_eval"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1,
+               CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid
+        FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day, mid
+             FROM b),
+    series AS (
+        SELECT g.event_type, g.day, g.mid,
+               CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    hist AS (
+        SELECT event_type, y, CAST(count(*) AS BIGINT) AS n
+        FROM series WHERE day <= mid GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, y,
+               sum(n) OVER (PARTITION BY event_type ORDER BY y
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_train_days
+        FROM hist),
+    qs(q) AS (VALUES (10), (50), (90)),
+    preds AS (
+        SELECT event_type, CAST(q AS INT) AS q, n_train_days,
+               CAST(min(y) AS BIGINT) AS pred
+        FROM cum CROSS JOIN qs
+        WHERE cum_n >= CAST(ceil(q * n_train_days / 100.0) AS BIGINT)
+        GROUP BY 1, 2, 3)
+    SELECT s.event_type, p.q, p.pred, p.n_train_days,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           round(sum(CASE WHEN s.y >= p.pred
+                          THEN p.q * (s.y - p.pred)
+                          ELSE (100 - p.q) * (p.pred - s.y) END)
+                 / 100.0 / count(*), 4) AS avg_pinball
+    FROM series s JOIN preds p ON p.event_type = s.event_type
+    WHERE s.day > s.mid
+    GROUP BY 1, 2, 3, 4
+    ORDER BY s.event_type, p.q
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

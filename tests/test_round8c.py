@@ -111,3 +111,54 @@ def test_textrank_differs_from_raw_frequency(spark):
     assert all(r["rank"] > 0 for r in rows)
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_collocation_llr_nonnegative_and_capped(spark):
+    """G² is a deviance: nonnegative, top-k under total order, and the
+    margins always dominate the pair count."""
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.collocation_llr(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["llr"] >= 0
+        assert r["n_left"] >= r["n_pair"] and r["n_right"] >= r["n_pair"]
+
+
+def test_phrase_search_counts_match_text(spark):
+    """The positional-index join must agree with a direct recount of
+    adjacent pairs in the winning document's raw text."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.phrase_search(spark, SF_SMALL).collect()
+    assert rows
+    top = rows[0]
+    w1, w2 = top["phrase"].split(" ")
+    doc = (
+        load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") == top["doc_id"])
+        .collect()[0]["text"]
+    )
+    toks = [t for t in doc.split(" ") if t]
+    direct = sum(
+        1 for a, b in zip(toks, toks[1:]) if a == w1 and b == w2
+    )
+    assert direct == top["n_occurrences"]
+
+
+def test_pinball_quantile_ordering(spark):
+    """Order statistics are monotone in q, and the q50 predictor's
+    pinball loss is the scaled MAE of the train median — never worse
+    than the q10/q90 losses evaluated at their own asymmetry."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.pinball_quantile_eval(spark, SF_SMALL).collect()
+    assert rows
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["q"]] = r
+    for qs in by_type.values():
+        assert set(qs) == {10, 50, 90}
+        assert qs[10]["pred"] <= qs[50]["pred"] <= qs[90]["pred"]
+        assert all(r["avg_pinball"] >= 0 for r in qs.values())
