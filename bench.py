@@ -286,6 +286,9 @@ HEADLINE = [
     "collocation_llr",
     "phrase_search",
     "pinball_quantile_eval",
+    "wasserstein_value_drift",
+    "embedding_top_pc",
+    "hashing_collision_audit",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

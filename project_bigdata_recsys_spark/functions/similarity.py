@@ -2285,3 +2285,107 @@ def embedding_correlation_pairs(
         .limit(top_k)
         .drop("__abs_micro")
     )
+
+
+def embedding_top_pc(
+    spark: SparkSession, sf_dir: str, n_iterations: int = 4
+) -> DataFrame:
+    """Top principal component of the embedding matrix by power
+    iteration on the exact covariance — the PCA diagnostic a vector
+    pipeline runs before trusting ANN indexes or whitening transforms
+    (a dominant PC means anisotropic embeddings: cosine distances
+    compress, IVF centroids align with one axis, recall drops).
+
+    Exactness: components are frozen to 1e-4 fixed point, so every
+    covariance cell is pure BIGINT cross-moments — cov_ij =
+    (n·Σxy − Σx·Σy)/(n(n−1)) with ONE double division rounded to 9 dp;
+    the 64x64 matrix then drives ``n_iterations`` power steps
+    v → C·v / max|C·v| with each iterate rounded to 6 dp (both engines
+    fold identical doubles), and the Rayleigh quotient gives the
+    eigenvalue at 4 dp.  BIGINT headroom: n·Σxy stays under 2^63 up to
+    ~5·10^5 vectors; past that the same plan runs with DECIMAL(38,0)
+    casts (the fixedpoint widening convention).
+
+    Scale: one posexplode pass (n·d cells), the Gram fan-out joins on
+    vec_id with bounded d² = 4096 fan-out per vector and map-side
+    combines into a d²-row matrix — broadcast territory; the power
+    loop never touches the fact table again (d-row iterates,
+    localCheckpoint per step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 10_000).cast("long").alias("xm"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    n_tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sx = cells.groupBy("i").agg(F.sum("xm").cast("long").alias("sx"))
+    right = cells.select(
+        F.col("vec_id").alias("v2"),
+        F.col("i").alias("j"),
+        F.col("xm").alias("ym"),
+    )
+    sxy = (
+        cells.join(right, cells.vec_id == right.v2)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xm") * F.col("ym")).cast("long").alias("sxy"))
+    )
+    cov = (
+        sxy.join(F.broadcast(sx), "i")
+        .join(
+            F.broadcast(
+                sx.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * (F.col("n") - 1.0))
+                / 1e8,
+                9,
+            ).alias("c"),
+        )
+    )
+    cov = persist_tracked(cov)
+    v = cov.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(1.0).alias("v")
+    )
+    for _ in range(n_iterations):
+        v = v.localCheckpoint()
+        u = (
+            cov.join(v, cov.j == v.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("dim"), F.round(F.col("u") / F.col("m"), 6).alias("v")
+        )
+    v = v.localCheckpoint()
+    u = (
+        cov.join(v, cov.j == v.dim)
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+    )
+    ray = (
+        u.join(v, u.i == v.dim)
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("u")) / F.sum(F.col("v") * F.col("v")),
+                4,
+            ).alias("eigenvalue")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select("dim", F.col("v").alias("loading"), "eigenvalue")
+        .orderBy("dim")
+    )

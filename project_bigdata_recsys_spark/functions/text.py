@@ -1778,3 +1778,69 @@ def phrase_search(
         .select("phrase", "rn", "doc_id", "n_occurrences")
         .orderBy("phrase", "rn")
     )
+
+
+def hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit across bucket widths (256 /
+    1024 / 4096) — the sizing study behind every hashed-feature model
+    in the engine (quality_lr_score, dsir_importance_sample): per
+    width, how many distinct terms exist, how many buckets are
+    occupied, what fraction of TERMS share a bucket, and what fraction
+    of token MASS sits in colliding buckets (the quantity that actually
+    distorts hashed weights — a rare term colliding is noise, a
+    stopword colliding is bias).  The md5 bucket function is the same
+    hash32 the models use, so the audit measures the real thing.
+
+    Scale: ONE tokenization pass to a (term, count) vocabulary frame,
+    then a 3-way bucket sweep over vocabulary-sized (not corpus-sized)
+    data; every aggregation is bounded by #distinct terms."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    feats = F.concat(
+        F.col("__toks"),
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> concat(element_at(__toks, i), '_',"
+                " element_at(__toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    vocab = (
+        docs.select(F.explode(feats).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    widths = spark.createDataFrame([(256,), (1024,), (4096,)], ["n_buckets"])
+    bucketed = vocab.crossJoin(F.broadcast(widths)).select(
+        "n_buckets",
+        "cnt",
+        (hash32(F.col("term"), "fh:") % F.col("n_buckets")).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("n_buckets", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bt"),
+        F.sum("cnt").cast("long").alias("bm"),
+    )
+    return (
+        per_bucket.groupBy("n_buckets")
+        .agg(
+            F.sum("bt").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_occupied"),
+            F.max("bt").cast("long").alias("max_bucket_terms"),
+            F.round(
+                F.sum(F.when(F.col("bt") > 1, F.col("bt")).otherwise(0))
+                / F.sum("bt"),
+                6,
+            ).alias("term_collision_frac"),
+            F.round(
+                F.sum(F.when(F.col("bt") > 1, F.col("bm")).otherwise(0))
+                / F.sum("bm"),
+                6,
+            ).alias("mass_collision_frac"),
+        )
+        .orderBy("n_buckets")
+    )

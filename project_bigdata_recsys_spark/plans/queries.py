@@ -8576,6 +8576,128 @@ ORACLES["pinball_quantile_eval"] = """
     ORDER BY s.event_type, p.q
 """
 
+# 1-Wasserstein value drift (round 8, session 3): completes the drift
+# dashboard; every |cdf-gap| x value-gap term is a BIGINT micro product
+# on the shared cum kernel, one division at the end.
+QUERIES["wasserstein_value_drift"] = quality.wasserstein_value_drift
+ORACLES["wasserstein_value_drift"] = f"""
+    WITH {_DRIFT_CUM_SQL},
+    led AS (
+        SELECT v, cum_a, cum_b,
+               lead(v) OVER (ORDER BY v) AS v_next
+        FROM cum),
+    terms AS (
+        SELECT v,
+               abs(CAST(round(1000000.0 * cum_a / n_a) AS BIGINT)
+                   - CAST(round(1000000.0 * cum_b / n_b) AS BIGINT))
+               * coalesce(CAST(round((v_next - v) * 1000000.0) AS BIGINT),
+                          0) AS t
+        FROM led CROSS JOIN tot),
+    agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS ts,
+               CAST(count(*) AS BIGINT) AS n_values,
+               min(v) AS v_min, max(v) AS v_max
+        FROM terms)
+    SELECT n_a, n_b, n_values, v_min, v_max,
+           round(ts / 1e12, 6) AS w1,
+           round(ts / 1e12 / (v_max - v_min), 6) AS w1_norm
+    FROM agg CROSS JOIN tot
+"""
+
+# Top principal component (round 8, session 3): BIGINT covariance
+# cross-moments at 1e-4 fixed point, unrolled power iteration with
+# 6-dp frozen iterates, Rayleigh eigenvalue at 4 dp.
+def _top_pc_oracle(iters: int = 4) -> str:
+    parts = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        u{t} AS MATERIALIZED (
+            SELECT c.i, sum(c.c * p.v) AS u
+            FROM cov c JOIN {prev} p ON p.dim = c.j
+            GROUP BY c.i),
+        m{t} AS (SELECT max(abs(u)) AS m FROM u{t}),
+        v{t} AS MATERIALIZED (
+            SELECT CAST(i AS INT) AS dim, round(u / m, 6) AS v
+            FROM u{t} CROSS JOIN m{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xm
+        FROM embeddings),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sx AS (SELECT i, CAST(sum(xm) AS BIGINT) AS sx FROM cells GROUP BY i),
+    sxy AS (
+        SELECT a.i, b.i AS j, CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy
+        FROM cells a JOIN cells b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+    cov AS MATERIALIZED (
+        SELECT s.i, s.j,
+               round((n * sxy - x.sx * y.sx) / (n * (n - 1.0)) / 1e8, 9)
+                   AS c
+        FROM sxy s JOIN sx x ON x.i = s.i JOIN sx y ON y.i = s.j
+        CROSS JOIN n_t),
+    v0 AS (SELECT DISTINCT CAST(i AS INT) AS dim, 1.0 AS v FROM cov),
+    {",".join(parts)},
+    uf AS MATERIALIZED (
+        SELECT c.i, sum(c.c * p.v) AS u
+        FROM cov c JOIN {prev} p ON p.dim = c.j
+        GROUP BY c.i),
+    ray AS (
+        SELECT round(sum(p.v * uf.u) / sum(p.v * p.v), 4) AS eigenvalue
+        FROM uf JOIN {prev} p ON p.dim = uf.i)
+    SELECT dim, v AS loading, eigenvalue
+    FROM {prev} CROSS JOIN ray
+    ORDER BY dim
+    """
+
+
+QUERIES["embedding_top_pc"] = similarity.embedding_top_pc
+ORACLES["embedding_top_pc"] = _top_pc_oracle()
+
+# Feature-hashing collision audit (round 8, session 3): the bucket-
+# width sizing study over the same md5 hash the hashed-feature models
+# use; vocabulary-scale aggregations only.
+QUERIES["hashing_collision_audit"] = text.hashing_collision_audit
+ORACLES["hashing_collision_audit"] = """
+    WITH d AS (
+        SELECT list_filter(string_split(text, ' '), t -> length(t) > 0)
+                   AS toks
+        FROM documents),
+    vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_concat(toks,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                                           i -> toks[i] || '_' || toks[i + 1])
+                       ELSE [] END)) AS term
+              FROM d)
+        GROUP BY term),
+    widths(n_buckets) AS (VALUES (256), (1024), (4096)),
+    bucketed AS (
+        SELECT n_buckets, cnt,
+               ('0x' || substr(md5('fh:' || term), 1, 8))::BIGINT
+                   % n_buckets AS bucket
+        FROM vocab CROSS JOIN widths),
+    per_bucket AS (
+        SELECT n_buckets, bucket,
+               CAST(count(*) AS BIGINT) AS bt,
+               CAST(sum(cnt) AS BIGINT) AS bm
+        FROM bucketed GROUP BY 1, 2)
+    SELECT n_buckets,
+           CAST(sum(bt) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_occupied,
+           CAST(max(bt) AS BIGINT) AS max_bucket_terms,
+           round(sum(CASE WHEN bt > 1 THEN bt ELSE 0 END) * 1.0
+                 / sum(bt), 6) AS term_collision_frac,
+           round(sum(CASE WHEN bt > 1 THEN bm ELSE 0 END) * 1.0
+                 / sum(bm), 6) AS mass_collision_frac
+    FROM per_bucket GROUP BY n_buckets ORDER BY n_buckets
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

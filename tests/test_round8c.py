@@ -162,3 +162,36 @@ def test_pinball_quantile_ordering(spark):
         assert set(qs) == {10, 50, 90}
         assert qs[10]["pred"] <= qs[50]["pred"] <= qs[90]["pred"]
         assert all(r["avg_pinball"] >= 0 for r in qs.values())
+
+
+def test_wasserstein_bounded_by_range(spark):
+    """W1 between distributions on [v_min, v_max] can never exceed the
+    range; normalized form sits in [0, 1]."""
+    from project_bigdata_recsys_spark.operators import quality
+
+    r = quality.wasserstein_value_drift(spark, SF_SMALL).collect()[0]
+    assert 0 <= r["w1"] <= (r["v_max"] - r["v_min"]) + 1e-9
+    assert 0 <= r["w1_norm"] <= 1.0
+
+
+def test_top_pc_is_dominant_direction(spark):
+    """Power iteration lands on a positive eigenvalue, loadings are
+    max-normalized (|max| == 1 component present), one row per dim."""
+    from project_bigdata_recsys_spark.functions import similarity
+
+    rows = similarity.embedding_top_pc(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    assert rows[0]["eigenvalue"] > 0
+    assert max(abs(r["loading"]) for r in rows) == 1.0
+
+
+def test_hashing_collisions_shrink_with_width(spark):
+    """More buckets, fewer collisions — strictly decreasing on this
+    corpus; term totals identical across widths."""
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.hashing_collision_audit(spark, SF_SMALL).collect()
+    assert [r["n_buckets"] for r in rows] == [256, 1024, 4096]
+    assert len({r["n_terms"] for r in rows}) == 1
+    fr = [r["term_collision_frac"] for r in rows]
+    assert fr[0] > fr[1] > fr[2]
