@@ -289,6 +289,8 @@ HEADLINE = [
     "wasserstein_value_drift",
     "embedding_top_pc",
     "hashing_collision_audit",
+    "absorption_funnel_prob",
+    "stream_benford_values",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

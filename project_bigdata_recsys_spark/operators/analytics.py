@@ -2141,3 +2141,78 @@ def pinball_quantile_eval(
         )
         .orderBy("event_type", "q")
     )
+
+
+def absorption_funnel_prob(
+    spark: SparkSession, sf_dir: str, target: str = "purchase", steps: int = 6
+) -> DataFrame:
+    """Markov absorption probabilities: P(reach the ``target`` event
+    within 1/3/6 behavioral steps | current event type), from the
+    first-order transition chain with the target made absorbing — the
+    quantitative funnel (event_funnel counts one fixed path;
+    this scores EVERY state's distance-to-conversion, the number a
+    growth team ranks intervention points by).
+
+    p_0 = 1{target};  p_k(s) = Σ_to P(s→to)·p_{k-1}(to), target pinned
+    at 1 — ``steps`` unrolled fixed-point iterations, each iterate
+    rounded to 6 dp so both engines fold identical doubles (the
+    pagerank/BT recipe; localCheckpoint per step, #types-row frames).
+
+    Scale: the fact table reduces to the #types² transition matrix via
+    one user-partitioned lag window; the chain never touches the fact
+    table again."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps_df = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps_df.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    outs = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    probs = persist_tracked(
+        counts.join(F.broadcast(outs), "from_type").select(
+            "from_type",
+            "to_type",
+            (F.col("n") / F.col("n_out")).alias("p"),
+        )
+    )
+    states = outs.select(F.col("from_type").alias("state"), "n_out")
+    p = states.select(
+        "state",
+        F.when(F.col("state") == target, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("ph"),
+    )
+    snapshots = {}
+    for k in range(1, steps + 1):
+        p = p.localCheckpoint()
+        nxt = (
+            probs.join(p, probs.to_type == p.state)
+            .groupBy("from_type")
+            .agg(F.round(F.sum(F.col("p") * F.col("ph")), 6).alias("ph_new"))
+        )
+        p = (
+            states.join(nxt, states.state == nxt.from_type, "left")
+            .select(
+                "state",
+                F.when(F.col("state") == target, F.lit(1.0))
+                .otherwise(F.coalesce(F.col("ph_new"), F.lit(0.0)))
+                .alias("ph"),
+            )
+        )
+        if k in (1, 3, steps):
+            snapshots[k] = p.select(
+                "state", F.col("ph").alias(f"p_hit_{k}")
+            )
+    out = states
+    for k in sorted(snapshots):
+        out = out.join(snapshots[k], "state")
+    return out.orderBy("state")

@@ -1064,6 +1064,14 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
     )
+    return benford_readout(digits)
+
+
+def benford_readout(digits: DataFrame) -> DataFrame:
+    """Shared chi-square readout of a (digit, observed) first-digit
+    frame — the kernel behind :func:`benford_audit` and its streaming
+    twin (replay.stream_benford_values): expected fractions at 6 dp,
+    chi-square terms micro-frozen before the fold."""
     tot = digits.agg(F.sum("observed").cast("long").alias("__n"))
     # expected fraction log10(1 + 1/d) = ln(d+1)/ln(10) - ln(d)/ln(10),
     # rounded to 6 dp on both engines before any downstream arithmetic

@@ -8698,6 +8698,88 @@ ORACLES["hashing_collision_audit"] = """
     FROM per_bucket GROUP BY n_buckets ORDER BY n_buckets
 """
 
+# Markov absorption funnel (round 8, session 3): P(hit purchase within
+# k steps) from every state; unrolled fixed-point chain, 6-dp iterates.
+def _absorption_oracle(target: str = "purchase", steps: int = 6) -> str:
+    parts = []
+    prev = "p0"
+    for k in range(1, steps + 1):
+        parts.append(f"""
+        n{k} AS (
+            SELECT pr.from_type, round(sum(pr.p * pk.ph), 6) AS ph_new
+            FROM probs pr JOIN {prev} pk ON pk.state = pr.to_type
+            GROUP BY 1),
+        p{k} AS MATERIALIZED (
+            SELECT s.state,
+                   CASE WHEN s.state = '{target}' THEN 1.0
+                        ELSE coalesce(n{k}.ph_new, 0.0) END AS ph
+            FROM states s LEFT JOIN n{k} ON n{k}.from_type = s.state)""")
+        prev = f"p{k}"
+    return f"""
+    WITH stp AS MATERIALIZED (
+        SELECT from_type, to_type FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events)
+        WHERE to_type IS NOT NULL),
+    counts AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM stp GROUP BY 1, 2),
+    outs AS MATERIALIZED (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+        FROM counts GROUP BY 1),
+    probs AS MATERIALIZED (
+        SELECT c.from_type, c.to_type, c.n * 1.0 / o.n_out AS p
+        FROM counts c JOIN outs o USING (from_type)),
+    states AS (SELECT from_type AS state, n_out FROM outs),
+    p0 AS (SELECT state,
+                  CASE WHEN state = '{target}' THEN 1.0 ELSE 0.0 END AS ph
+           FROM states),
+    {",".join(parts)}
+    SELECT s.state, s.n_out,
+           p1.ph AS p_hit_1, p3.ph AS p_hit_3, p{steps}.ph AS p_hit_{steps}
+    FROM states s
+    JOIN p1 ON p1.state = s.state
+    JOIN p3 ON p3.state = s.state
+    JOIN p{steps} ON p{steps}.state = s.state
+    ORDER BY s.state
+    """
+
+
+QUERIES["absorption_funnel_prob"] = analytics.absorption_funnel_prob
+ORACLES["absorption_funnel_prob"] = _absorption_oracle()
+
+# Streaming Benford twin (round 8, session 3): 9 counters of streaming
+# state, shared chi-square readout kernel, same oracle recipe over the
+# event value column.
+QUERIES["stream_benford_values"] = replay.stream_benford_values
+ORACLES["stream_benford_values"] = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM events WHERE value > 0
+        GROUP BY 1 HAVING digit >= 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM digits),
+    scored AS (
+        SELECT digit, observed,
+               round(observed * 1.0 / n, 6) AS obs_frac,
+               round((ln(digit + 1) - ln(digit)) / ln(10.0), 6) AS exp_frac,
+               CAST(round(1000000.0
+                          * (observed - round((ln(digit + 1) - ln(digit))
+                                              / ln(10.0), 6) * n)
+                          * (observed - round((ln(digit + 1) - ln(digit))
+                                              / ln(10.0), 6) * n)
+                          / (round((ln(digit + 1) - ln(digit))
+                                   / ln(10.0), 6) * n)) AS BIGINT) AS chi
+        FROM digits CROSS JOIN tot),
+    total_chi AS (
+        SELECT round(sum(chi) / 1000000.0, 4) AS chi_square FROM scored)
+    SELECT digit, observed, obs_frac, exp_frac, chi_square
+    FROM scored CROSS JOIN total_chi
+    ORDER BY digit
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

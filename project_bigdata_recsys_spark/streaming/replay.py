@@ -1341,3 +1341,32 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("y"),
     ).write.mode("overwrite").parquet(state_dir)
     return cusum_from_counts(spark.read.parquet(state_dir))
+
+
+def stream_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit maintained BY THE STREAM over event
+    values — the data-quality monitor as a streaming aggregation
+    (complete-mode digit counts: 9 rows of state, the cheapest possible
+    streaming QA), read out through the shared
+    ``quality.benford_readout`` chi-square kernel so the streamed audit
+    is bit-identical to a batch audit of the same column.  A feed whose
+    first-digit mix drifts (unit mix-up, synthetic injection, truncated
+    upstream) flags here without any model.
+
+    Scale: per-batch shuffle is 9 keys; state is 9 counters."""
+    from project_bigdata_recsys_spark.operators.quality import benford_readout
+
+    events = replay_events_stream(spark, sf_dir).filter(F.col("value") > 0)
+    digit = (
+        F.substring(
+            F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    agg = events.groupBy(digit).agg(F.count(F.lit(1)).alias("n"))
+    table = _run_replay(agg, spark, "complete")
+    digits = table.filter(F.col("digit") >= 1).select(
+        "digit", F.col("n").cast("long").alias("observed")
+    )
+    return benford_readout(digits)

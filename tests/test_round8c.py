@@ -195,3 +195,47 @@ def test_hashing_collisions_shrink_with_width(spark):
     assert len({r["n_terms"] for r in rows}) == 1
     fr = [r["term_collision_frac"] for r in rows]
     assert fr[0] > fr[1] > fr[2]
+
+
+def test_absorption_monotone_in_steps(spark):
+    """Hitting probabilities are monotone in the horizon, the target
+    state is pinned at 1 throughout, and every state eventually has a
+    path to purchase on this corpus."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.absorption_funnel_prob(spark, SF_SMALL).collect()
+    by = {r["state"]: r for r in rows}
+    assert by["purchase"]["p_hit_1"] == 1.0 == by["purchase"]["p_hit_6"]
+    for r in rows:
+        assert r["p_hit_1"] <= r["p_hit_3"] + 1e-9 <= r["p_hit_6"] + 2e-9
+        assert r["p_hit_6"] > 0
+
+
+def test_stream_benford_matches_batch_of_same_column(spark):
+    """The streamed digit counts must equal a direct batch recount of
+    the same value column — streaming adds no drift."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.streaming import replay
+
+    streamed = {
+        r["digit"]: r["observed"]
+        for r in replay.stream_benford_values(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").filter(F.col("value") > 0)
+    batch = {
+        r["digit"]: r["n"]
+        for r in ev.select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+        if r["digit"] >= 1
+    }
+    assert streamed == batch
