@@ -291,6 +291,9 @@ HEADLINE = [
     "hashing_collision_audit",
     "absorption_funnel_prob",
     "stream_benford_values",
+    "did_lift_estimate",
+    "sprt_ab_monitor",
+    "jl_distortion_audit",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

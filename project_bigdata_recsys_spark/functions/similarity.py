@@ -2389,3 +2389,115 @@ def embedding_top_pc(
         .select("dim", F.col("v").alias("loading"), "eigenvalue")
         .orderBy("dim")
     )
+
+
+def jl_distortion_audit(
+    spark: SparkSession, sf_dir: str, d_out: int = 8, n_sample: int = 32
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: project the
+    64-d embeddings to ``d_out`` dimensions with a deterministic ±1
+    random-sign matrix (md5 parity per (dim, output-dim) cell — the
+    Achlioptas construction) and measure, on an md5-ranked sample of
+    ``n_sample`` vectors (bounded at ANY corpus size), how far pairwise
+    squared distances drift from the E[ratio]=1 guarantee.  The go/no-go
+    study before swapping full vectors for cheap sketches in the dedup /
+    ANN shortlist paths.
+
+    Exactness: components frozen at 1e-4, so projections and both
+    squared distances are pure BIGINTs; the per-pair ratio is ONE
+    double division rounded to 6 dp, and the mean folds micro-frozen
+    ratios.
+
+    Scale: the projection pass is one narrow (cells × d_out) fan-out
+    and would run corpus-wide; the AUDIT sample is a TakeOrdered of
+    n_sample vectors, so the pair stage is n_sample² regardless of
+    corpus size."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            hash_uniform(F.col("vec_id"), "jl:").alias("__u"),
+        )
+        .orderBy("__u", "vec_id")
+        .limit(n_sample)
+    )
+    cells = persist_tracked(
+        samp.select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
+        ).select(
+            "vec_id",
+            "i",
+            F.round(F.col("x").cast("double") * 10_000)
+            .cast("long")
+            .alias("xm"),
+        )
+    )
+    ks = spark.range(0, d_out).select(F.col("id").cast("int").alias("kk"))
+    sign = 1 - 2 * (
+        hash32(F.concat_ws(":", F.col("i"), F.col("kk")), "jls:") % 2
+    )
+    proj = persist_tracked(
+        cells.crossJoin(F.broadcast(ks))
+        .groupBy("vec_id", "kk")
+        .agg(F.sum(sign * F.col("xm")).cast("long").alias("p"))
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("va"), "kk", F.col("p").alias("p_a")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("kk").alias("k2"),
+        F.col("p").alias("p_b"),
+    )
+    po = (
+        pa.join(pb, (F.col("kk") == F.col("k2")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b"))
+            )
+            .cast("long")
+            .alias("proj2")
+        )
+    )
+    ca = cells.select(F.col("vec_id").alias("va"), "i", F.col("xm").alias("x_a"))
+    cb = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("i").alias("i2"),
+        F.col("xm").alias("x_b"),
+    )
+    od = (
+        ca.join(cb, (F.col("i") == F.col("i2")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("x_a") - F.col("x_b")) * (F.col("x_a") - F.col("x_b"))
+            )
+            .cast("long")
+            .alias("orig2")
+        )
+    )
+    ratio = F.round(
+        F.col("proj2") / (F.lit(float(d_out)) * F.col("orig2")), 6
+    )
+    pairs = po.join(od, ["va", "vb"]).select(ratio.alias("ratio"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("ratio") * 1e6).cast("long")) / 1e6
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.round(
+            F.sum((F.abs(F.col("ratio") - 1.0) <= 0.2).cast("int"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_within_20pct"),
+    )

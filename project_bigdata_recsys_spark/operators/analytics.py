@@ -2216,3 +2216,166 @@ def absorption_funnel_prob(
     for k in sorted(snapshots):
         out = out.join(snapshots[k], "state")
     return out.orderBy("state")
+
+
+def did_lift_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift estimate — the observational
+    complement of ab_test_lift/cuped_adjusted_lift for when treatment
+    turns ON at a point in time instead of being randomized per user:
+    arms from the deterministic md5 coin, periods split at the integer
+    midpoint day, DiD = (T_post − T_pre) − (C_post − C_pre) on mean
+    event value, with the large-sample SE from the four group variances
+    (parallel-trends caveat documented — this is the estimator, the
+    design assumption stays the analyst's).
+
+    Exactness: one aggregation to four (arm, period) groups of BIGINT
+    cent moments (n, Σc, Σc²); means rounded to 4 dp before the DiD
+    fold; per-group variance terms frozen to micro units before the SE
+    sum (4 values, fixed order)."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("double") / 86400).cast(
+        "long"
+    )
+    base = ev.select(
+        (hash32(F.col("user_id").cast("string"), "did:") % 2).alias("arm"),
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    anchor = base.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0).cast("long").alias("mid")
+    )
+    groups = (
+        base.crossJoin(F.broadcast(anchor))
+        .select(
+            "arm",
+            F.when(F.col("day") <= F.col("mid"), F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            "cents",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+        )
+    )
+    m = F.round(F.col("s") / 100.0 / F.col("n"), 4)
+    var_term = F.round(
+        F.lit(1_000_000.0)
+        * (F.col("ss") - F.col("s") * (F.col("s") / F.col("n").cast("double")))
+        / (F.col("n") - 1.0)
+        / 10_000.0
+        / F.col("n"),
+    ).cast("long")
+    wide = groups.select(
+        F.concat(
+            F.when(F.col("arm") == 1, F.lit("t")).otherwise(F.lit("c")),
+            F.lit("_"),
+            F.col("period"),
+        ).alias("g"),
+        m.alias("mean_v"),
+        var_term.alias("vt"),
+        F.col("n"),
+    )
+    agg = wide.groupBy().pivot(
+        "g", ["t_pre", "t_post", "c_pre", "c_post"]
+    ).agg(
+        F.first("mean_v").alias("m"),
+        F.first("vt").alias("vt"),
+        F.first("n").alias("n"),
+    )
+    did = F.round(
+        (F.col("t_post_m") - F.col("t_pre_m"))
+        - (F.col("c_post_m") - F.col("c_pre_m")),
+        4,
+    )
+    se = F.round(
+        F.sqrt(
+            (
+                F.col("t_post_vt")
+                + F.col("t_pre_vt")
+                + F.col("c_post_vt")
+                + F.col("c_pre_vt")
+            )
+            / 1e6
+        ),
+        4,
+    )
+    return agg.select(
+        F.col("t_pre_n").alias("n_t_pre"),
+        F.col("t_post_n").alias("n_t_post"),
+        F.col("c_pre_n").alias("n_c_pre"),
+        F.col("c_post_n").alias("n_c_post"),
+        F.col("t_pre_m").alias("mean_t_pre"),
+        F.col("t_post_m").alias("mean_t_post"),
+        F.col("c_pre_m").alias("mean_c_pre"),
+        F.col("c_post_m").alias("mean_c_post"),
+        did.alias("did_estimate"),
+        se.alias("se"),
+        F.round(did / se, 4).alias("z_score"),
+    )
+
+
+# SPRT log-likelihood micro literals for H0 p=0.18 vs H1 p=0.22 —
+# computed once from exact rationals and embedded in BOTH engines
+# (the EWMA_WEIGHTS_MICRO discipline):
+#   la = round(1e6 * ln(0.22/0.18)), lb = round(1e6 * ln(0.78/0.82))
+SPRT_LA_MICRO = 200671
+SPRT_LB_MICRO = -50010
+SPRT_THRESH_MICRO = 2944439  # round(1e6 * ln(0.95/0.05))
+
+
+def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT as a daily conversion monitor: the sequential test
+    that lets an experiment stop EARLY with controlled error — the
+    anytime-valid complement of the fixed-horizon readouts
+    (ab_test_lift, welch/cuped): per day, purchases k of events n fold
+    k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) into a running
+    log-likelihood path; crossing +ln((1−β)/α) accepts H1 (conversion
+    ≥ 22%), −ln((1−β)/α) accepts H0 (≤ 18%), else continue.
+
+    Exactness: the two log terms are precomputed micro-integer
+    LITERALS embedded identically in both engines, so the entire path
+    is a BIGINT cumsum — no float folds anywhere; the decision is an
+    integer comparison.
+
+    Scale: the fact table reduces to #days rows; the path cumsum is
+    the only unpartitioned window and covers that bounded frame
+    (audited in _GLOBAL_WINDOW_AUDITED)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("k"),
+        )
+    )
+    step = (
+        F.col("k") * SPRT_LA_MICRO
+        + (F.col("n") - F.col("k")) * SPRT_LB_MICRO
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    path = daily.withColumn(
+        "llr_micro", F.sum(step).over(w).cast("long")
+    )
+    return path.select(
+        "day",
+        "n",
+        "k",
+        F.round(F.col("llr_micro") / 1e6, 6).alias("llr"),
+        F.when(F.col("llr_micro") >= SPRT_THRESH_MICRO, F.lit("accept_h1"))
+        .when(F.col("llr_micro") <= -SPRT_THRESH_MICRO, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")

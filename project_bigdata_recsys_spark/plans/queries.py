@@ -8780,6 +8780,136 @@ ORACLES["stream_benford_values"] = """
     ORDER BY digit
 """
 
+# Difference-in-differences lift (round 8, session 3): four BIGINT
+# cent-moment groups, means rounded before the DiD fold, micro-frozen
+# variance terms.
+QUERIES["did_lift_estimate"] = analytics.did_lift_estimate
+ORACLES["did_lift_estimate"] = """
+    WITH base AS (
+        SELECT ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+    anchor AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+                   AS mid FROM base),
+    groups AS (
+        SELECT arm,
+               CASE WHEN day <= (SELECT mid FROM anchor)
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM base GROUP BY 1, 2),
+    wide AS (
+        SELECT (CASE WHEN arm = 1 THEN 't' ELSE 'c' END
+                || '_' || period) AS g,
+               round(s / 100.0 / n, 4) AS m,
+               CAST(round(1000000.0
+                          * (ss - s * (s / CAST(n AS DOUBLE)))
+                          / (n - 1.0) / 10000.0 / n) AS BIGINT) AS vt,
+               n
+        FROM groups),
+    p AS (
+        SELECT
+            max(CASE WHEN g = 't_pre' THEN n END) AS n_t_pre,
+            max(CASE WHEN g = 't_post' THEN n END) AS n_t_post,
+            max(CASE WHEN g = 'c_pre' THEN n END) AS n_c_pre,
+            max(CASE WHEN g = 'c_post' THEN n END) AS n_c_post,
+            max(CASE WHEN g = 't_pre' THEN m END) AS mean_t_pre,
+            max(CASE WHEN g = 't_post' THEN m END) AS mean_t_post,
+            max(CASE WHEN g = 'c_pre' THEN m END) AS mean_c_pre,
+            max(CASE WHEN g = 'c_post' THEN m END) AS mean_c_post,
+            max(CASE WHEN g = 't_post' THEN vt END)
+              + max(CASE WHEN g = 't_pre' THEN vt END)
+              + max(CASE WHEN g = 'c_post' THEN vt END)
+              + max(CASE WHEN g = 'c_pre' THEN vt END) AS vsum
+        FROM wide)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+           round((mean_t_post - mean_t_pre)
+                 - (mean_c_post - mean_c_pre), 4) AS did_estimate,
+           round(sqrt(vsum / 1e6), 4) AS se,
+           round(round((mean_t_post - mean_t_pre)
+                       - (mean_c_post - mean_c_pre), 4)
+                 / round(sqrt(vsum / 1e6), 4), 4) AS z_score
+    FROM p
+"""
+
+# Wald SPRT monitor (round 8, session 3): integer micro literal
+# log-likelihood steps, BIGINT path cumsum, integer decisions.
+QUERIES["sprt_ab_monitor"] = analytics.sprt_ab_monitor
+ORACLES["sprt_ab_monitor"] = f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1),
+    path AS (
+        SELECT day, n, k,
+               CAST(sum(k * ({analytics.SPRT_LA_MICRO})
+                        + (n - k) * ({analytics.SPRT_LB_MICRO}))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS llr_micro
+        FROM daily)
+    SELECT day, n, k,
+           round(llr_micro / 1e6, 6) AS llr,
+           CASE WHEN llr_micro >= {analytics.SPRT_THRESH_MICRO}
+                THEN 'accept_h1'
+                WHEN llr_micro <= -{analytics.SPRT_THRESH_MICRO}
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM path ORDER BY day
+"""
+
+# JL projection distortion audit (round 8, session 3): BIGINT
+# projections and distances; one double division per pair.
+QUERIES["jl_distortion_audit"] = similarity.jl_distortion_audit
+ORACLES["jl_distortion_audit"] = """
+    WITH samp AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY ('0x' || substr(md5('jl:' || CAST(vec_id AS VARCHAR)),
+                                 1, 8))::BIGINT / 4294967296.0, vec_id
+        LIMIT 32),
+    cells AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xm
+        FROM samp),
+    ks AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS kk),
+    proj AS MATERIALIZED (
+        SELECT vec_id, kk,
+               CAST(sum((1 - 2 * (('0x' || substr(md5('jls:'
+                             || CAST(i AS VARCHAR) || ':'
+                             || CAST(kk AS VARCHAR)), 1, 8))::BIGINT % 2))
+                        * xm) AS BIGINT) AS p
+        FROM cells CROSS JOIN ks GROUP BY 1, 2),
+    po AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj2
+        FROM proj a JOIN proj b ON a.kk = b.kk AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
+    od AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS orig2
+        FROM cells a JOIN cells b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT round(proj2 * 1.0 / (8.0 * orig2), 6) AS ratio
+        FROM po JOIN od USING (va, vb))
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(CAST(round(ratio * 1e6) AS BIGINT)) / 1e6
+                 / count(*), 6) AS mean_ratio,
+           min(ratio) AS min_ratio,
+           max(ratio) AS max_ratio,
+           round(sum(CASE WHEN abs(ratio - 1.0) <= 0.2
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS frac_within_20pct
+    FROM pairs
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

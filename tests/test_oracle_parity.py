@@ -55,6 +55,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "psi_drift",  # Aggregate(bucket): 10 histogram-bucket rows
     "rolling_distinct_users",  # Aggregate(day): ≤ ~2500 calendar days
     "survival_km_curve",  # Aggregate(t_hours): ≤ corpus-hour-span rows
+    "sprt_ab_monitor",  # Aggregate(day): ≤ calendar-day-span rows
 }
 
 

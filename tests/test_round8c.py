@@ -239,3 +239,55 @@ def test_stream_benford_matches_batch_of_same_column(spark):
         if r["digit"] >= 1
     }
     assert streamed == batch
+
+
+def test_did_components_reconcile(spark):
+    """The DiD estimate must equal the fold of its own reported group
+    means, and the SE must be positive."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.did_lift_estimate(spark, SF_SMALL).collect()[0]
+    manual = round(
+        (r["mean_t_post"] - r["mean_t_pre"])
+        - (r["mean_c_post"] - r["mean_c_pre"]),
+        4,
+    )
+    assert abs(manual - r["did_estimate"]) < 1e-9
+    assert r["se"] > 0
+
+
+def test_sprt_path_is_cumulative(spark):
+    """The LLR path is the running fold of per-day steps: recompute
+    each day's increment from (n, k) and the embedded micro literals."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.sprt_ab_monitor(spark, SF_SMALL).collect()
+    assert rows
+    acc = 0
+    for r in rows:
+        acc += (
+            r["k"] * analytics.SPRT_LA_MICRO
+            + (r["n"] - r["k"]) * analytics.SPRT_LB_MICRO
+        )
+        assert abs(r["llr"] - round(acc / 1e6, 6)) < 1e-9
+        expected = (
+            "accept_h1"
+            if acc >= analytics.SPRT_THRESH_MICRO
+            else "accept_h0"
+            if acc <= -analytics.SPRT_THRESH_MICRO
+            else "continue"
+        )
+        assert r["decision"] == expected
+
+
+def test_jl_audit_pair_count_and_mean(spark):
+    """32 sampled vectors give exactly C(32,2)=496 pairs; the mean
+    ratio sits in a sane band around the E[ratio]=1 JL guarantee for
+    d_out=8 (wide tolerance — 8 dims is intentionally coarse)."""
+    from project_bigdata_recsys_spark.functions import similarity
+
+    r = similarity.jl_distortion_audit(spark, SF_SMALL).collect()[0]
+    assert r["n_pairs"] == 496
+    assert 0.5 <= r["mean_ratio"] <= 1.5
+    assert r["min_ratio"] >= 0
+    assert 0 < r["frac_within_20pct"] < 1
