@@ -294,6 +294,9 @@ HEADLINE = [
     "did_lift_estimate",
     "sprt_ab_monitor",
     "jl_distortion_audit",
+    "mann_kendall_trend",
+    "theil_sen_trend",
+    "woe_iv_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -2379,3 +2379,260 @@ def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on each event type's daily
+    count series — the distribution-free complement of
+    ols_trend_per_group's parametric slope (MK sees ANY monotone trend,
+    is immune to outlier days, and needs no linearity):
+    S = Σ_{i<j} sign(x_j − x_i), Var(S) with the tie correction
+    Σ t(t−1)(2t+5), z with the ±1 continuity correction, verdict at
+    the 5% two-sided level.
+
+    Exactness: S and the tie-group terms are pure BIGINT folds over
+    the (type, day) count frame (zero days enter as true zeros via the
+    bounded day grid); z is one sqrt of an integer ratio, rounded 4 dp.
+
+    Scale: the fact table reduces to #types × #days counts; the pair
+    fold is a per-type self-join over that bounded frame (≤ #days²
+    per type, thousands of days = millions of tiny rows, still
+    negligible next to the fact scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    series = persist_tracked(series)
+    a = series.select("event_type", "day", "y")
+    b = series.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y2"),
+    )
+    s_stat = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("day") < F.col("day2")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_days = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        series.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    joined = (
+        n_days.join(s_stat, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                (
+                    F.col("n_days")
+                    * (F.col("n_days") - 1)
+                    * (2 * F.col("n_days") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.round(z, 4) > 1.96, F.lit("increasing"))
+        .when(F.round(z, 4) < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+def woe_iv_profile(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of event value
+    against conversion — the credit-scoring feature-screening standard
+    (IV < 0.02 useless, > 0.3 strong) that tells a feature-engineering
+    pass whether a numeric column separates the label BEFORE any model
+    is fit.  Value deciles are EXACT equal-count bins off the
+    range-shuffle cumulative histogram (text.global_value_cum kernel;
+    the bin index is pure integer arithmetic (n_bins·cum + N − 1) div
+    N); WoE per bin is ln of Laplace-smoothed class shares (+0.5/bin),
+    and IV folds micro-frozen per-bin terms so the total is exact.
+
+    Scale: one kernel pass (no global sort), one join of the fact rows
+    to the distinct-value bin map, one 10-group aggregation."""
+    from project_bigdata_recsys_spark.functions.text import global_value_cum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("good"),
+    )
+    cum = global_value_cum(ev.select("v"), "v")
+    binmap = cum.select(
+        "v",
+        F.expr(
+            f"(({n_bins} * `__cum` + `__n_total` - 1) div `__n_total`)"
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    binned = ev.join(binmap, "v").groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("good").cast("long").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+    )
+    tot = binned.agg(
+        F.sum("n_good").cast("long").alias("__G"),
+        F.sum("n_bad").cast("long").alias("__B"),
+    )
+    gs = (F.col("n_good") + 0.5) / (F.col("__G") + 0.5 * n_bins)
+    bs = (F.col("n_bad") + 0.5) / (F.col("__B") + 0.5 * n_bins)
+    woe = F.round(F.log(gs / bs), 6)
+    scored = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(F.col("n_good") / F.col("n"), 4).alias("good_rate"),
+        woe.alias("woe"),
+        F.round(F.lit(1_000_000.0) * (gs - bs) * woe)
+        .cast("long")
+        .alias("__ivt"),
+    )
+    iv = scored.agg(
+        F.round(F.sum("__ivt") / 1e6, 6).alias("iv_total")
+    )
+    return (
+        scored.drop("__ivt")
+        .crossJoin(F.broadcast(iv))
+        .orderBy("bin")
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of each event type's daily count series —
+    the median of all pairwise slopes (y_j − y_i)/(j − i): the
+    estimator that PAIRS with mann_kendall_trend (MK detects a
+    monotone trend, Theil-Sen quantifies it, both immune to outlier
+    days where the OLS slope is not).
+
+    Exactness: the pair frame is bounded (#days² per type); each slope
+    is ONE double division of integers rounded to 9 dp, and the median
+    is the exact lower-median order statistic under a total ordering
+    (slope, day_i, day_j) — deterministic under ties.
+
+    Scale: same shape as mann_kendall_trend — fact table → bounded
+    day grid, per-type self-join over it; the rank window partitions
+    per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    series = persist_tracked(series)
+    b = series.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y2"),
+    )
+    slopes = (
+        series.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("day") < F.col("day2")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "day2",
+            F.round(
+                (F.col("y2") - F.col("y")) / (F.col("day2") - F.col("day")),
+                9,
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "day", "day2")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(
+            F.col("rn") == F.expr("(`n_pairs` + 1) div 2")
+        )
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )

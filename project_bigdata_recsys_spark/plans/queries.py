@@ -8910,6 +8910,134 @@ ORACLES["jl_distortion_audit"] = """
     FROM pairs
 """
 
+# Mann-Kendall trend (round 8, session 3): BIGINT sign fold over the
+# bounded day grid, tie-corrected variance, continuity-corrected z.
+QUERIES["mann_kendall_trend"] = analytics.mann_kendall_trend
+ORACLES["mann_kendall_trend"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    series AS MATERIALIZED (
+        SELECT g.event_type, g.day, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b2.y > a.y THEN 1
+                             WHEN b2.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM series a JOIN series b2
+          ON b2.event_type = a.event_type AND a.day < b2.day
+        GROUP BY 1),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM series GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+              FROM series GROUP BY 1, 2)
+        GROUP BY 1),
+    j AS (
+        SELECT nd.event_type, n_days, s_stat,
+               (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+                   / 18.0 AS var_s
+        FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)),
+    zed AS (
+        SELECT event_type, n_days, s_stat, round(var_s, 4) AS var_s,
+               round(CASE WHEN s_stat > 0
+                          THEN (s_stat - 1) / sqrt(var_s)
+                          WHEN s_stat < 0
+                          THEN (s_stat + 1) / sqrt(var_s)
+                          ELSE 0.0 END, 4) AS z_score
+        FROM j)
+    SELECT event_type, n_days, s_stat, var_s, z_score,
+           CASE WHEN z_score > 1.96 THEN 'increasing'
+                WHEN z_score < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM zed ORDER BY event_type
+"""
+
+# WoE / IV feature screen (round 8, session 3): exact decile bins off
+# the cumulative-histogram kernel, smoothed ln shares, micro-frozen IV.
+QUERIES["woe_iv_profile"] = analytics.woe_iv_profile
+ORACLES["woe_iv_profile"] = """
+    WITH ev AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+        FROM events),
+    hist AS (SELECT v, count(*) AS n FROM ev GROUP BY v),
+    cum AS (
+        SELECT v,
+               sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER () AS nt
+        FROM hist),
+    binmap AS (
+        SELECT v, CAST((10 * c + nt - 1) // nt AS INT) AS bin FROM cum),
+    binned AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(good) AS BIGINT) AS n_good,
+               CAST(sum(1 - good) AS BIGINT) AS n_bad
+        FROM ev JOIN binmap USING (v)
+        GROUP BY bin),
+    tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS G,
+                   CAST(sum(n_bad) AS BIGINT) AS B FROM binned),
+    scored AS (
+        SELECT bin, n, n_good, n_bad,
+               round(n_good * 1.0 / n, 4) AS good_rate,
+               round(ln(((n_good + 0.5) / (G + 5.0))
+                        / ((n_bad + 0.5) / (B + 5.0))), 6) AS woe,
+               CAST(round(1000000.0
+                          * ((n_good + 0.5) / (G + 5.0)
+                             - (n_bad + 0.5) / (B + 5.0))
+                          * round(ln(((n_good + 0.5) / (G + 5.0))
+                                     / ((n_bad + 0.5) / (B + 5.0))), 6))
+                    AS BIGINT) AS ivt
+        FROM binned CROSS JOIN tot),
+    iv AS (SELECT round(sum(ivt) / 1e6, 6) AS iv_total FROM scored)
+    SELECT bin, n, n_good, n_bad, good_rate, woe, iv_total
+    FROM scored CROSS JOIN iv
+    ORDER BY bin
+"""
+
+# Theil-Sen robust slope (round 8, session 3): exact lower-median
+# order statistic over the bounded pairwise-slope frame.
+QUERIES["theil_sen_trend"] = analytics.theil_sen_trend
+ORACLES["theil_sen_trend"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    series AS MATERIALIZED (
+        SELECT g.event_type, g.day, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    slopes AS (
+        SELECT a.event_type, a.day, b2.day AS day2,
+               round((b2.y - a.y) * 1.0 / (b2.day - a.day), 9) AS slope
+        FROM series a JOIN series b2
+          ON b2.event_type = a.event_type AND a.day < b2.day),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, day, day2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope AS slope_per_day
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -56,6 +56,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "rolling_distinct_users",  # Aggregate(day): ≤ ~2500 calendar days
     "survival_km_curve",  # Aggregate(t_hours): ≤ corpus-hour-span rows
     "sprt_ab_monitor",  # Aggregate(day): ≤ calendar-day-span rows
+    "kcore_profile",  # Aggregate(degree): ≤ #distinct-degree rows
 }
 
 

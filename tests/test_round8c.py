@@ -291,3 +291,45 @@ def test_jl_audit_pair_count_and_mean(spark):
     assert 0.5 <= r["mean_ratio"] <= 1.5
     assert r["min_ratio"] >= 0
     assert 0 < r["frac_within_20pct"] < 1
+
+
+def test_mann_kendall_agrees_with_theil_sen_sign(spark):
+    """When MK declares a trend at 5%, the Theil-Sen median slope must
+    carry the same sign — the two robust-trend views cannot disagree
+    on direction."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    mk = {
+        r["event_type"]: r
+        for r in analytics.mann_kendall_trend(spark, SF_SMALL).collect()
+    }
+    ts = {
+        r["event_type"]: r["slope_per_day"]
+        for r in analytics.theil_sen_trend(spark, SF_SMALL).collect()
+    }
+    assert set(mk) == set(ts)
+    for et, r in mk.items():
+        if r["trend"] == "increasing":
+            assert ts[et] > 0
+        elif r["trend"] == "decreasing":
+            assert ts[et] < 0
+
+
+def test_woe_iv_bins_partition_events(spark):
+    """Ten equal-count-ish bins covering every event exactly once, and
+    the IV total reconciles with the per-bin WoE fold."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.woe_iv_profile(spark, SF_SMALL).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    g = sum(r["n_good"] for r in rows)
+    b = sum(r["n_bad"] for r in rows)
+    manual = sum(
+        ((r["n_good"] + 0.5) / (g + 5.0) - (r["n_bad"] + 0.5) / (b + 5.0))
+        * r["woe"]
+        for r in rows
+    )
+    assert abs(manual - rows[0]["iv_total"]) < 1e-4
