@@ -297,6 +297,8 @@ HEADLINE = [
     "mann_kendall_trend",
     "theil_sen_trend",
     "woe_iv_profile",
+    "holt_forecast_eval",
+    "stream_sprt_monitor",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

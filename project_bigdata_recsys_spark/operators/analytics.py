@@ -2361,6 +2361,16 @@ def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("conv").cast("long").alias("k"),
         )
     )
+    return sprt_path_from_daily(daily)
+
+
+def sprt_path_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared SPRT readout over a (day, n, k) frame — the kernel behind
+    :func:`sprt_ab_monitor` and its streaming twin
+    (replay.stream_sprt_monitor): BIGINT cumsum of the micro-literal
+    log-likelihood steps, integer threshold decisions."""
+    from pyspark.sql import Window
+
     step = (
         F.col("k") * SPRT_LA_MICRO
         + (F.col("n") - F.col("k")) * SPRT_LB_MICRO
@@ -2633,6 +2643,110 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n_pairs").cast("long").alias("n_pairs"),
             F.col("slope").alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Holt linear-trend weights for alpha=0.3, beta=0.1 over a 28-day
+# window, unrolled offline to closed-form per-day coefficients and
+# frozen to 1e-6 integers (the EWMA_WEIGHTS_MICRO discipline: the
+# recursion runs at AUTHORING time; the engines only fold literals).
+# Level weights sum to exactly 1_000_000, trend weights to 0.
+HOLT_LEVEL_MICRO = [
+    -21652, -3774, -4302, -4871, -5476, -6106, -6743, -7365, -7937,
+    -8415, -8737, -8823, -8567, -7834, -6451, -4199, -802, 4085, 10891,
+    20148, 32508, 48772, 69917, 97127, 131836, 175770, 231000, 300000,
+]
+HOLT_TREND_MICRO = [
+    -4577, -928, -1090, -1274, -1483, -1717, -1979, -2268, -2584,
+    -2924, -3285, -3659, -4037, -4404, -4740, -5017, -5196, -5231,
+    -5056, -4589, -3726, -2332, -242, 2754, 6917, 12567, 20100, 30000,
+]
+
+
+def holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing backtest: fit level + trend on
+    the 28 days before the final week of each event type's daily count
+    series and score the 7-day-ahead forecasts ŷ(h) = level + h·trend —
+    the trend-aware member of the forecasting family (seasonal_naive
+    assumes pure seasonality, pinball_quantile_eval scores constants,
+    ewma_anomalies has no trend term).
+
+    Exactness: the Holt recursion (α=0.3, β=0.1, l₁=y₁, b₁=0) is
+    linear in the observations, so its closed-form per-day weights are
+    precomputed offline and embedded as micro-integer LITERALS in both
+    engines — level, trend, every forecast and every absolute error is
+    then a pure BIGINT fold; one division at the readout.
+
+    Scale: fact table → bounded zero-filled day grid; the fit joins 28
+    grid rows per type to a broadcast 28-row weight table."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(F.max("day").alias("d1"))
+    grid = bounds.select(
+        "event_type",
+        "d1",
+        F.explode(F.sequence(F.col("d1") - 34, F.col("d1"))).alias("day"),
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "d1",
+        "day",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    weights = spark.createDataFrame(
+        [
+            (i + 1, HOLT_LEVEL_MICRO[i], HOLT_TREND_MICRO[i])
+            for i in range(28)
+        ],
+        ["idx", "wl", "wb"],
+    )
+    train = series.filter(F.col("day") <= F.col("d1") - 7).withColumn(
+        "idx", (F.col("day") - (F.col("d1") - 34) + 1).cast("long")
+    )
+    fit = (
+        train.join(F.broadcast(weights), "idx")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("wl") * F.col("y")).cast("long").alias("l_micro"),
+            F.sum(F.col("wb") * F.col("y")).cast("long").alias("b_micro"),
+        )
+    )
+    test = series.filter(F.col("day") > F.col("d1") - 7).withColumn(
+        "h", (F.col("day") - (F.col("d1") - 7)).cast("long")
+    )
+    scored = test.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "l_micro",
+        "b_micro",
+        F.abs(
+            F.col("y") * 1_000_000
+            - (F.col("l_micro") + F.col("h") * F.col("b_micro"))
+        ).alias("abs_err_micro"),
+    )
+    return (
+        scored.groupBy("event_type", "l_micro", "b_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(F.sum("abs_err_micro") / 1e6 / F.count(F.lit(1)), 4)
+            .alias("mae"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("l_micro") / 1e6, 4).alias("level"),
+            F.round(F.col("b_micro") / 1e6, 4).alias("trend_per_day"),
+            "n_test_days",
+            "mae",
         )
         .orderBy("event_type")
     )

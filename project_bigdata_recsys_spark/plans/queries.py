@@ -9038,6 +9038,54 @@ ORACLES["theil_sen_trend"] = """
     ORDER BY event_type
 """
 
+# Holt linear-trend backtest (round 8, session 3): offline-unrolled
+# closed-form weights as micro literals; pure BIGINT folds end-to-end.
+QUERIES["holt_forecast_eval"] = analytics.holt_forecast_eval
+ORACLES["holt_forecast_eval"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, max(day) AS d1 FROM c GROUP BY 1),
+    grid AS (SELECT event_type, d1,
+                    unnest(range(d1 - 34, d1 + 1)) AS day
+             FROM b),
+    series AS (
+        SELECT g.event_type, g.d1, g.day,
+               CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    w(idx, wl, wb) AS (VALUES (1, -21652, -4577), (2, -3774, -928), (3, -4302, -1090), (4, -4871, -1274), (5, -5476, -1483), (6, -6106, -1717), (7, -6743, -1979), (8, -7365, -2268), (9, -7937, -2584), (10, -8415, -2924), (11, -8737, -3285), (12, -8823, -3659), (13, -8567, -4037), (14, -7834, -4404), (15, -6451, -4740), (16, -4199, -5017), (17, -802, -5196), (18, 4085, -5231), (19, 10891, -5056), (20, 20148, -4589), (21, 32508, -3726), (22, 48772, -2332), (23, 69917, -242), (24, 97127, 2754), (25, 131836, 6917), (26, 175770, 12567), (27, 231000, 20100), (28, 300000, 30000)),
+    fit AS (
+        SELECT event_type,
+               CAST(sum(wl * y) AS BIGINT) AS l_micro,
+               CAST(sum(wb * y) AS BIGINT) AS b_micro
+        FROM series JOIN w ON w.idx = series.day - (d1 - 34) + 1
+        WHERE day <= d1 - 7
+        GROUP BY event_type),
+    scored AS (
+        SELECT s.event_type, f.l_micro, f.b_micro,
+               abs(s.y * 1000000
+                   - (f.l_micro + (s.day - (s.d1 - 7)) * f.b_micro))
+                   AS abs_err_micro
+        FROM series s JOIN fit f USING (event_type)
+        WHERE s.day > s.d1 - 7)
+    SELECT event_type,
+           round(l_micro / 1e6, 4) AS level,
+           round(b_micro / 1e6, 4) AS trend_per_day,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           round(sum(abs_err_micro) / 1e6 / count(*), 4) AS mae
+    FROM scored
+    GROUP BY event_type, l_micro, b_micro
+    ORDER BY event_type
+"""
+
+# Streaming SPRT twin (round 8, session 3): per-day count state,
+# shared path kernel, same oracle as the batch monitor.
+QUERIES["stream_sprt_monitor"] = replay.stream_sprt_monitor
+ORACLES["stream_sprt_monitor"] = ORACLES["sprt_ab_monitor"]
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1370,3 +1370,38 @@ def stream_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit", F.col("n").cast("long").alias("observed")
     )
     return benford_readout(digits)
+
+
+def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT conversion monitor maintained BY THE STREAM: per-day
+    (events, purchases) counts as complete-mode streaming state
+    (#days × 2 counters), the log-likelihood path and accept/continue
+    decisions read out through the shared
+    ``analytics.sprt_path_from_daily`` kernel — the anytime-valid
+    experiment monitor in the form it would actually run: state grows
+    one row per day, the decision updates every micro-batch, and the
+    streamed path is bit-identical to the batch monitor (same micro
+    literals, same oracle)."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        sprt_path_from_daily,
+    )
+
+    events = replay_events_stream(spark, sf_dir)
+    daily = events.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("k"),
+    )
+    table = _run_replay(daily, spark, "complete")
+    return sprt_path_from_daily(
+        table.select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+        )
+    )

@@ -57,6 +57,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "survival_km_curve",  # Aggregate(t_hours): ≤ corpus-hour-span rows
     "sprt_ab_monitor",  # Aggregate(day): ≤ calendar-day-span rows
     "kcore_profile",  # Aggregate(degree): ≤ #distinct-degree rows
+    "stream_sprt_monitor",  # Aggregate(day): ≤ calendar-day-span rows
 }
 
 

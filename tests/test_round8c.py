@@ -333,3 +333,46 @@ def test_woe_iv_bins_partition_events(spark):
         for r in rows
     )
     assert abs(manual - rows[0]["iv_total"]) < 1e-4
+
+
+def test_holt_weights_match_recursion(spark):
+    """The embedded micro literals must equal a fresh run of the Holt
+    recursion on unit-impulse series — the offline unrolling is
+    re-derivable, not hand-tuned."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    W, alpha, beta = 28, 0.3, 0.1
+    l = [0.0] * W
+    b = [0.0] * W
+    l[0] = 1.0
+    for t in range(1, W):
+        e = [0.0] * W
+        e[t] = 1.0
+        l_prev, b_prev = l[:], b[:]
+        l = [
+            alpha * e[i] + (1 - alpha) * (l_prev[i] + b_prev[i])
+            for i in range(W)
+        ]
+        b = [
+            beta * (l[i] - l_prev[i]) + (1 - beta) * b_prev[i]
+            for i in range(W)
+        ]
+    assert [round(1e6 * x) for x in l] == analytics.HOLT_LEVEL_MICRO
+    assert [round(1e6 * x) for x in b] == analytics.HOLT_TREND_MICRO
+    assert sum(analytics.HOLT_LEVEL_MICRO) == 1_000_000
+    assert sum(analytics.HOLT_TREND_MICRO) == 0
+
+
+def test_stream_sprt_matches_batch(spark):
+    """The streamed SPRT path must be row-identical to the batch
+    monitor — same days, same llr, same decisions."""
+    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.streaming import replay
+
+    batch = [
+        tuple(r) for r in analytics.sprt_ab_monitor(spark, SF_SMALL).collect()
+    ]
+    streamed = [
+        tuple(r) for r in replay.stream_sprt_monitor(spark, SF_SMALL).collect()
+    ]
+    assert batch == streamed
