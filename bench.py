@@ -299,6 +299,9 @@ HEADLINE = [
     "woe_iv_profile",
     "holt_forecast_eval",
     "stream_sprt_monitor",
+    "overdispersion_profile",
+    "capture_recapture_estimate",
+    "eb_shrunk_rates",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

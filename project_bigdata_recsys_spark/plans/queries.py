@@ -9086,6 +9086,121 @@ ORACLES["holt_forecast_eval"] = """
 QUERIES["stream_sprt_monitor"] = replay.stream_sprt_monitor
 ORACLES["stream_sprt_monitor"] = ORACLES["sprt_ab_monitor"]
 
+# Overdispersion check (round 8, session 3): BIGINT count moments over
+# the zero-filled day grid; Poisson-null chi-square.
+QUERIES["overdispersion_profile"] = analytics.overdispersion_profile
+ORACLES["overdispersion_profile"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    series AS (
+        SELECT g.event_type, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS ss
+        FROM series GROUP BY 1)
+    SELECT event_type, n_days,
+           round(s * 1.0 / n_days, 4) AS mean_daily,
+           round((ss - s * (s * 1.0 / n_days)) / (n_days - 1.0), 4)
+               AS var_daily,
+           round(((ss - s * (s * 1.0 / n_days)) / (n_days - 1.0))
+                 / (s * 1.0 / n_days), 4) AS dispersion_index,
+           round((n_days - 1) * ((ss - s * (s * 1.0 / n_days))
+                                 / (n_days - 1.0))
+                 / (s * 1.0 / n_days), 4) AS chi_square,
+           CASE WHEN round(((ss - s * (s * 1.0 / n_days))
+                            / (n_days - 1.0))
+                          / (s * 1.0 / n_days), 4) > 1.5
+                THEN 'overdispersed'
+                WHEN round(((ss - s * (s * 1.0 / n_days))
+                            / (n_days - 1.0))
+                          / (s * 1.0 / n_days), 4) < 0.67
+                THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict
+    FROM m ORDER BY event_type
+"""
+
+# Lincoln-Petersen capture-recapture (round 8, session 3): Chapman
+# bias-corrected population estimate from two observation windows.
+QUERIES["capture_recapture_estimate"] = analytics.capture_recapture_estimate
+ORACLES["capture_recapture_estimate"] = """
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('crA:'
+                          || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 < 0.3 THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN ('0x' || substr(md5('crB:'
+                          || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 < 0.3 THEN 1 ELSE 0 END AS in_b
+        FROM (SELECT DISTINCT user_id FROM events)),
+    agg AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+               CAST(sum(in_b) AS BIGINT) AS n2,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m,
+               CAST(sum(greatest(in_a, in_b)) AS BIGINT) AS n_observed,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM users)
+    SELECT n1, n2, m, n_observed,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2) AS n_hat,
+           n_true,
+           round(round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2)
+                 / n_true, 4) AS recovery_ratio
+    FROM agg
+"""
+
+# Empirical-Bayes beta-binomial shrinkage (round 8, session 3): MoM
+# prior from micro-frozen per-user rates; 6-dp shrunken rates.
+QUERIES["eb_shrunk_rates"] = analytics.eb_shrunk_rates
+ORACLES["eb_shrunk_rates"] = """
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+    rm AS (
+        SELECT user_id, n, conv,
+               CAST(round(1000000.0 * conv / n) AS BIGINT) AS rm
+        FROM per_user),
+    moments AS (
+        SELECT CAST(count(*) AS BIGINT) AS nu,
+               CAST(sum(rm) AS BIGINT) AS s1,
+               CAST(sum(rm * rm) AS BIGINT) AS s2
+        FROM rm),
+    prior AS (
+        SELECT round(round(s1 / 1e6 / nu, 6)
+                     * (round(s1 / 1e6 / nu, 6)
+                        * (1 - round(s1 / 1e6 / nu, 6))
+                        / round((s2 / 1e12
+                                 - nu * round(s1 / 1e6 / nu, 6)
+                                      * round(s1 / 1e6 / nu, 6))
+                                / (nu - 1.0), 6)
+                        - 1), 4) AS alpha,
+               round((1 - round(s1 / 1e6 / nu, 6))
+                     * (round(s1 / 1e6 / nu, 6)
+                        * (1 - round(s1 / 1e6 / nu, 6))
+                        / round((s2 / 1e12
+                                 - nu * round(s1 / 1e6 / nu, 6)
+                                      * round(s1 / 1e6 / nu, 6))
+                                / (nu - 1.0), 6)
+                        - 1), 4) AS beta
+        FROM moments)
+    SELECT user_id, n, conv,
+           round(conv * 1.0 / n, 4) AS raw_rate,
+           alpha, beta,
+           round((conv + alpha) / (n + alpha + beta), 6) AS eb_rate
+    FROM rm CROSS JOIN prior
+    ORDER BY eb_rate DESC, user_id
+    LIMIT 15
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

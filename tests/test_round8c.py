@@ -376,3 +376,58 @@ def test_stream_sprt_matches_batch(spark):
         tuple(r) for r in replay.stream_sprt_monitor(spark, SF_SMALL).collect()
     ]
     assert batch == streamed
+
+
+def test_overdispersion_moments_exact(spark):
+    """Dispersion index = var/mean of the zero-filled daily series —
+    recomputed directly from the events table."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.overdispersion_profile(spark, SF_SMALL).collect()
+    assert rows
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    import collections
+
+    days = collections.defaultdict(set)
+    counts = collections.Counter()
+    for e in ev:
+        d = int(e["ts"].timestamp() // 86400)
+        counts[(e["event_type"], d)] += 1
+        days[e["event_type"]].add(d)
+    for r in rows:
+        et = r["event_type"]
+        d0, d1 = min(days[et]), max(days[et])
+        ys = [counts.get((et, d), 0) for d in range(d0, d1 + 1)]
+        n = len(ys)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / (n - 1)
+        assert r["n_days"] == n
+        assert abs(r["dispersion_index"] - var / mean) < 1e-3
+
+
+def test_capture_recapture_recovers_population(spark):
+    """Chapman's estimator from two independent 30% md5 captures must
+    land within sampling error of the true distinct count (wide band —
+    LP variance is large at this population size)."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.capture_recapture_estimate(spark, SF_SMALL).collect()[0]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    assert r["n_observed"] <= r["n_true"]
+    assert 0.2 <= r["recovery_ratio"] <= 3.0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    """Every shrunken rate sits strictly between its raw rate and the
+    prior mean alpha/(alpha+beta) — the defining property of the
+    beta-binomial posterior mean."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.eb_shrunk_rates(spark, SF_SMALL).collect()
+    assert rows
+    a, b = rows[0]["alpha"], rows[0]["beta"]
+    pm = a / (a + b)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], pm))
+        assert lo - 1e-6 <= r["eb_rate"] <= hi + 1e-6
