@@ -302,6 +302,8 @@ HEADLINE = [
     "overdispersion_profile",
     "capture_recapture_estimate",
     "eb_shrunk_rates",
+    "sorted_neighborhood_pairs",
+    "shapley_channel_attribution",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

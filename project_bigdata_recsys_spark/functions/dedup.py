@@ -1766,3 +1766,64 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy(F.desc("n_bands"))
+
+
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str, window: int = 3, max_dist: int = 2
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo's
+    merge/purge): sort records on a domain key and compare each record
+    only with its ``window − 1`` successors — the THIRD blocking
+    strategy in the entity-resolution family, with a candidate bound of
+    (w−1)·n that is independent of block-size skew (fuzzy_name_matches'
+    length-band × rare-gram blocks and the minhash bands both degrade
+    on hot blocks; SN cannot).  The sort is distributed: records
+    partition by their leading token (the SN key's first component),
+    and the sliding window is a per-block lead() — no global sort.
+
+    Planted-data discipline (the url_canonical_dedup precedent): the
+    corpus's part vocabulary has no true near-duplicates, so
+    deterministic plural-typo variants (name || 's' for md5-selected
+    names) are planted; the operator must place every variant adjacent
+    to its original in sort order and verify it at Levenshtein 1.
+
+    Exactness: candidates are a pure function of the sort order (total
+    order on name, deterministic); verification is integer Levenshtein
+    on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    planted = names.filter(hash32(F.col("p_name"), "sn:") % 3 == 0).select(
+        F.concat(F.col("p_name"), F.lit("s")).alias("p_name"),
+        F.lit(0).cast("long").alias("n_parts"),
+    )
+    recs = names.unionByName(planted)
+    from pyspark.sql import Window
+
+    blk = F.split(F.col("p_name"), " ").getItem(0)
+    w = Window.partitionBy("blk").orderBy("p_name")
+    seq = recs.select("p_name", blk.alias("blk"))
+    leads = seq.select(
+        "p_name",
+        "blk",
+        *[
+            F.lead("p_name", i).over(w).alias(f"n{i}")
+            for i in range(1, window)
+        ],
+    )
+    cand = None
+    for i in range(1, window):
+        c = leads.filter(F.col(f"n{i}").isNotNull()).select(
+            F.col("p_name").alias("name_a"),
+            F.col(f"n{i}").alias("name_b"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("dist", "name_a", "name_b")
+        .limit(50)
+    )

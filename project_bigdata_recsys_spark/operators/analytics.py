@@ -2919,3 +2919,99 @@ def eb_shrunk_rates(
     return shrunk.orderBy(
         F.desc("eb_rate"), F.asc("user_id")
     ).limit(k)
+
+
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution over the four
+    non-purchase event channels (click=1, view=2, signup=4, error=8 as
+    bitmask members): the cooperative-game credit split marketing
+    teams cite as the principled alternative to last-touch /
+    position-based rules (multi_touch_attribution) — each channel's
+    credit is its average marginal contribution to the conversion rate
+    over ALL orderings of the other channels.  Exact enumeration is
+    feasible because the coalition lattice is 2⁴ = 16 masks; the game
+    value v(S) is the observed conversion rate of users whose channel
+    set is EXACTLY S (unobserved coalitions contribute 0 — the
+    standard observed-coalition convention).
+
+    Exactness: per-mask rates rounded to 6 dp; Shapley weights are the
+    exact rationals |S|!·(n−|S|−1)!/n! carried as integer numerators
+    over 24; φ folds micro-frozen terms.
+
+    Scale: one fact scan to per-user masks, one 16-row game table,
+    and a 4×16 broadcast lattice walk."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max((F.col("event_type") == "click").cast("int")) * 1
+            + F.max((F.col("event_type") == "view").cast("int")) * 2
+            + F.max((F.col("event_type") == "signup").cast("int")) * 4
+            + F.max((F.col("event_type") == "error").cast("int")) * 8
+        ).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    game = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("v"),
+    )
+    grid = spark.range(16).select(F.col("id").cast("int").alias("m"))
+    vfull = grid.join(game, grid.m == game.mask, "left").select(
+        "m", F.coalesce(F.col("v"), F.lit(0.0)).alias("v")
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        ["channel", "bit"],
+    )
+    # |S|!(n-|S|-1)!/n! for n=4 as 24ths, indexed by |S| = 0..3
+    w24 = (
+        F.when(F.col("s_size") == 0, 6)
+        .when(F.col("s_size") == 1, 2)
+        .when(F.col("s_size") == 2, 2)
+        .otherwise(6)
+    )
+    base = (
+        channels.crossJoin(F.broadcast(vfull))
+        .filter(F.expr("(m & bit) = 0"))
+        .select(
+            "channel",
+            "bit",
+            F.col("m").alias("s_mask"),
+            F.col("v").alias("v_s"),
+            F.expr("bit_count(m)").cast("int").alias("s_size"),
+        )
+    )
+    vb = vfull.select(
+        F.col("m").alias("m_with"), F.col("v").alias("v_with")
+    )
+    terms = base.join(
+        F.broadcast(vb),
+        F.expr("m_with = (s_mask | bit)"),
+    ).select(
+        "channel",
+        (
+            w24
+            * F.round(
+                F.lit(1_000_000.0) * (F.col("v_with") - F.col("v_s"))
+            ).cast("long")
+        ).alias("t24"),
+    )
+    with_ch = per_user.crossJoin(F.broadcast(channels)).filter(
+        F.expr("(mask & bit) != 0")
+    ).groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_with_channel")
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.round(F.sum("t24") / 24.0 / 1e6, 6).alias("shapley_value")
+        )
+        .join(with_ch, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_users_with_channel"), F.lit(0)).alias(
+                "n_users_with_channel"
+            ),
+            "shapley_value",
+        )
+        .orderBy(F.desc("shapley_value"), "channel")
+    )

@@ -9201,6 +9201,88 @@ ORACLES["eb_shrunk_rates"] = """
     LIMIT 15
 """
 
+# Sorted-neighborhood linkage (round 8, session 3): the merge/purge
+# blocking strategy — per-block sliding window over the sort order,
+# planted plural-typo variants, integer Levenshtein verify.
+QUERIES["sorted_neighborhood_pairs"] = dedup.sorted_neighborhood_pairs
+ORACLES["sorted_neighborhood_pairs"] = """
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name),
+    planted AS (
+        SELECT p_name || 's' AS p_name, CAST(0 AS BIGINT) AS n_parts
+        FROM names
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0),
+    recs AS (SELECT * FROM names UNION ALL SELECT * FROM planted),
+    seq AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM recs),
+    leads AS (
+        SELECT p_name, blk,
+               lead(p_name, 1) OVER (PARTITION BY blk ORDER BY p_name)
+                   AS n1,
+               lead(p_name, 2) OVER (PARTITION BY blk ORDER BY p_name)
+                   AS n2
+        FROM seq),
+    cand AS (
+        SELECT p_name AS name_a, n1 AS name_b FROM leads
+        WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT p_name, n2 FROM leads WHERE n2 IS NOT NULL)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY dist, name_a, name_b
+    LIMIT 50
+"""
+
+# Exact Shapley channel attribution (round 8, session 3): 2^4 coalition
+# lattice, observed-coalition game values at 6 dp, integer /24 weights.
+QUERIES["shapley_channel_attribution"] = analytics.shapley_channel_attribution
+ORACLES["shapley_channel_attribution"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+             + max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
+             + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+             + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 8
+                   AS mask,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id),
+    game AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(conv) * 1.0 / count(*), 6) AS v
+        FROM per_user GROUP BY mask),
+    grid AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS m),
+    vfull AS (
+        SELECT m, coalesce(game.v, 0.0) AS v
+        FROM grid LEFT JOIN game ON game.mask = grid.m),
+    channels(channel, bit) AS (VALUES
+        ('click', 1), ('view', 2), ('signup', 4), ('error', 8)),
+    terms AS (
+        SELECT c.channel,
+               (CASE bit_count(s.m)
+                     WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+               * CAST(round(1000000.0 * (w.v - s.v)) AS BIGINT) AS t24
+        FROM channels c
+        JOIN vfull s ON (s.m & c.bit) = 0
+        JOIN vfull w ON w.m = (s.m | c.bit)),
+    phi AS (
+        SELECT channel, round(sum(t24) / 24.0 / 1e6, 6) AS shapley_value
+        FROM terms GROUP BY channel),
+    wc AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_users_with_channel
+        FROM per_user CROSS JOIN channels
+        WHERE (mask & bit) != 0
+        GROUP BY channel)
+    SELECT p.channel,
+           coalesce(wc.n_users_with_channel, 0) AS n_users_with_channel,
+           p.shapley_value
+    FROM phi p LEFT JOIN wc USING (channel)
+    ORDER BY shapley_value DESC, channel
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

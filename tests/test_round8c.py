@@ -431,3 +431,48 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark):
     for r in rows:
         lo, hi = sorted((r["raw_rate"], pm))
         assert lo - 1e-6 <= r["eb_rate"] <= hi + 1e-6
+
+
+def test_sorted_neighborhood_finds_planted_variants(spark):
+    """Every emitted pair verifies at Levenshtein <= 2, and the planted
+    plural variants ARE found (each planted name differs from its
+    original by exactly one trailing char and sorts adjacent)."""
+    from project_bigdata_recsys_spark.functions import dedup
+
+    rows = dedup.sorted_neighborhood_pairs(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["dist"] <= 2 for r in rows)
+    assert any(
+        r["name_b"] == r["name_a"] + "s" or r["name_a"] == r["name_b"] + "s"
+        for r in rows
+    )
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley values are efficient: they sum to v(grand coalition)
+    minus v(empty set) — recomputed directly from per-user masks."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.shapley_channel_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    total = sum(r["shapley_value"] for r in rows)
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    users: dict = {}
+    for e in ev:
+        m, c = users.get(e["user_id"], (0, 0))
+        bit = {"click": 1, "view": 2, "signup": 4, "error": 8}.get(
+            e["event_type"], 0
+        )
+        users[e["user_id"]] = (
+            m | bit,
+            max(c, 1 if e["event_type"] == "purchase" else 0),
+        )
+    import collections
+
+    g = collections.defaultdict(list)
+    for m, c in users.values():
+        g[m].append(c)
+    v15 = round(sum(g[15]) / len(g[15]), 6) if g.get(15) else 0.0
+    v0 = round(sum(g[0]) / len(g[0]), 6) if g.get(0) else 0.0
+    assert abs(total - (v15 - v0)) < 1e-3
