@@ -304,6 +304,8 @@ HEADLINE = [
     "eb_shrunk_rates",
     "sorted_neighborhood_pairs",
     "shapley_channel_attribution",
+    "sequence_entropy_profile",
+    "join_order_advisor",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

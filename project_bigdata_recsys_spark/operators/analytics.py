@@ -3015,3 +3015,74 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("shapley_value"), "channel")
     )
+
+
+def sequence_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order predictability of user journeys: per current event
+    type, the conditional entropy H(next | current) = −Σ p·ln p over
+    the observed transition distribution, its normalized form
+    H/ln(#successors) ∈ [0,1], and the modal next step — the
+    information-theoretic readout of the same transition matrix
+    event_transitions counts and absorption_funnel_prob walks (H ≈ 0:
+    rule-like behavior worth a dedicated funnel; H ≈ max: the next
+    step is unpredictable and sequence features won't help a model).
+
+    Exactness: transition counts are BIGINTs; each −p·ln p term is
+    micro-frozen from exact integer ratios before the per-state fold;
+    the modal step breaks ties by name.
+
+    Scale: one user-partitioned lag window to #types² counts;
+    everything after is broadcast-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    outs = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("n_succ"),
+    )
+    term = F.round(
+        F.lit(-1_000_000.0)
+        * (F.col("n") / F.col("n_out"))
+        * F.log(F.col("n") / F.col("n_out"))
+    ).cast("long")
+    ent = (
+        counts.join(F.broadcast(outs), "from_type")
+        .groupBy("from_type", "n_out", "n_succ")
+        .agg(F.sum(term).cast("long").alias("h_micro"))
+    )
+    modal = counts.join(
+        counts.groupBy("from_type").agg(F.max("n").alias("__mx")),
+        "from_type",
+    ).filter(F.col("n") == F.col("__mx")).groupBy("from_type").agg(
+        F.min("to_type").alias("modal_next")
+    )
+    return (
+        ent.join(modal, "from_type")
+        .select(
+            "from_type",
+            "n_out",
+            "n_succ",
+            F.round(F.col("h_micro") / 1e6, 6).alias("entropy_nats"),
+            F.when(
+                F.col("n_succ") > 1,
+                F.round(
+                    F.col("h_micro")
+                    / 1e6
+                    / F.log(F.col("n_succ").cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_normalized"),
+            "modal_next",
+        )
+        .orderBy("from_type")
+    )

@@ -1625,3 +1625,87 @@ def cms_join_size_estimate(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_key")
+
+
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-based join-order advisor for the customer ⨝ orders ⨝
+    lineitem chain: estimates every left-deep order's intermediate
+    cardinality with the textbook containment formula
+    |A ⨝ B| = |A|·|B| / max(ndv_A(k), ndv_B(k)), computes the TRUE
+    intermediate sizes next to them, and recommends the order with the
+    smallest estimated intermediate — the explainable CBO decision
+    (what analyze_table's stats are FOR, and what Catalyst does
+    opaquely; cms_join_size_estimate is the sketch-based sibling for
+    keys too hot to count exactly).
+
+    Exactness: row counts and exact NDVs are BIGINTs; estimates are
+    one integer-derived division rounded to 2 dp; true sizes are exact
+    join counts.  Fully lazy: the five 1-row aggregates cross-join
+    broadcast-style — no driver-side collect splits the plan.
+
+    Scale: three stat aggregations + the chain's two real intermediate
+    counts; no windows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sc = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_c"),
+        F.count_distinct("c_custkey").cast("long").alias("ndv_c_cust"),
+    )
+    so = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_o"),
+        F.count_distinct("o_custkey").cast("long").alias("ndv_o_cust"),
+        F.count_distinct("o_orderkey").cast("long").alias("ndv_o_order"),
+    )
+    sl = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_l"),
+        F.count_distinct("l_orderkey").cast("long").alias("ndv_l_order"),
+    )
+    t_co = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_co"))
+    )
+    t_ol = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_ol"))
+    )
+    one = (
+        sc.crossJoin(F.broadcast(so))
+        .crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(t_co))
+        .crossJoin(F.broadcast(t_ol))
+    )
+    est_co = F.round(
+        F.col("rows_c")
+        * F.col("rows_o")
+        / F.greatest(F.col("ndv_c_cust"), F.col("ndv_o_cust")),
+        2,
+    )
+    est_ol = F.round(
+        F.col("rows_o")
+        * F.col("rows_l")
+        / F.greatest(F.col("ndv_o_order"), F.col("ndv_l_order")),
+        2,
+    )
+    rec = F.when(est_co <= est_ol, F.lit("customer_first")).otherwise(
+        F.lit("lineitem_first")
+    )
+    r1 = one.select(
+        F.lit("customer*orders").alias("step"),
+        F.col("rows_c").alias("rows_left"),
+        F.col("rows_o").alias("rows_right"),
+        est_co.alias("est_rows"),
+        F.col("true_co").alias("true_rows"),
+        F.round(est_co / F.col("true_co"), 4).alias("est_over_true"),
+        rec.alias("recommended"),
+    )
+    r2 = one.select(
+        F.lit("orders*lineitem").alias("step"),
+        F.col("rows_o").alias("rows_left"),
+        F.col("rows_l").alias("rows_right"),
+        est_ol.alias("est_rows"),
+        F.col("true_ol").alias("true_rows"),
+        F.round(est_ol / F.col("true_ol"), 4).alias("est_over_true"),
+        rec.alias("recommended"),
+    )
+    return r1.unionByName(r2).orderBy("step")

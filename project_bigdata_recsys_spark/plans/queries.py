@@ -9283,6 +9283,97 @@ ORACLES["shapley_channel_attribution"] = """
     ORDER BY shapley_value DESC, channel
 """
 
+# Sequence entropy (round 8, session 3): conditional H(next|current)
+# from the transition matrix, micro-frozen -p ln p terms.
+QUERIES["sequence_entropy_profile"] = analytics.sequence_entropy_profile
+ORACLES["sequence_entropy_profile"] = """
+    WITH stp AS (
+        SELECT from_type, to_type FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events)
+        WHERE to_type IS NOT NULL),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM stp GROUP BY 1, 2),
+    outs AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+               CAST(count(*) AS BIGINT) AS n_succ
+        FROM counts GROUP BY 1),
+    ent AS (
+        SELECT c.from_type, o.n_out, o.n_succ,
+               CAST(sum(CAST(round(-1000000.0 * (c.n * 1.0 / o.n_out)
+                                   * ln(c.n * 1.0 / o.n_out)) AS BIGINT))
+                    AS BIGINT) AS h_micro
+        FROM counts c JOIN outs o USING (from_type)
+        GROUP BY 1, 2, 3),
+    modal AS (
+        SELECT from_type, min(to_type) AS modal_next
+        FROM counts c
+        WHERE n = (SELECT max(n) FROM counts c2
+                   WHERE c2.from_type = c.from_type)
+        GROUP BY from_type)
+    SELECT e.from_type, e.n_out, e.n_succ,
+           round(e.h_micro / 1e6, 6) AS entropy_nats,
+           CASE WHEN e.n_succ > 1
+                THEN round(e.h_micro / 1e6 / ln(CAST(e.n_succ AS DOUBLE)),
+                           6)
+                ELSE 0.0 END AS entropy_normalized,
+           m.modal_next
+    FROM ent e JOIN modal m USING (from_type)
+    ORDER BY e.from_type
+"""
+
+# Join-order advisor (round 8, session 3): containment-formula
+# estimates vs true intermediates, lazy 1-row stat cross-joins.
+QUERIES["join_order_advisor"] = relational.join_order_advisor
+ORACLES["join_order_advisor"] = """
+    WITH sc AS (SELECT CAST(count(*) AS BIGINT) AS rows_c,
+                       CAST(count(DISTINCT c_custkey) AS BIGINT)
+                           AS ndv_c_cust
+                FROM customer),
+    so AS (SELECT CAST(count(*) AS BIGINT) AS rows_o,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_o_cust,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                      AS ndv_o_order
+           FROM orders),
+    sl AS (SELECT CAST(count(*) AS BIGINT) AS rows_l,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                      AS ndv_l_order
+           FROM lineitem),
+    tc AS (SELECT CAST(count(*) AS BIGINT) AS true_co
+           FROM customer JOIN orders ON c_custkey = o_custkey),
+    tl AS (SELECT CAST(count(*) AS BIGINT) AS true_ol
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    one AS (SELECT * FROM sc CROSS JOIN so CROSS JOIN sl
+            CROSS JOIN tc CROSS JOIN tl),
+    est AS (
+        SELECT *,
+               round(rows_c * rows_o * 1.0
+                     / greatest(ndv_c_cust, ndv_o_cust), 2) AS est_co,
+               round(rows_o * rows_l * 1.0
+                     / greatest(ndv_o_order, ndv_l_order), 2) AS est_ol
+        FROM one)
+    SELECT step, rows_left, rows_right, est_rows, true_rows,
+           est_over_true, recommended
+    FROM (
+        SELECT 'customer*orders' AS step, rows_c AS rows_left,
+               rows_o AS rows_right, est_co AS est_rows,
+               true_co AS true_rows,
+               round(est_co / true_co, 4) AS est_over_true,
+               CASE WHEN est_co <= est_ol THEN 'customer_first'
+                    ELSE 'lineitem_first' END AS recommended
+        FROM est
+        UNION ALL
+        SELECT 'orders*lineitem', rows_o, rows_l, est_ol, true_ol,
+               round(est_ol / true_ol, 4),
+               CASE WHEN est_co <= est_ol THEN 'customer_first'
+                    ELSE 'lineitem_first' END
+        FROM est)
+    ORDER BY step
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

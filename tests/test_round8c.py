@@ -476,3 +476,40 @@ def test_shapley_efficiency_axiom(spark):
     v15 = round(sum(g[15]) / len(g[15]), 6) if g.get(15) else 0.0
     v0 = round(sum(g[0]) / len(g[0]), 6) if g.get(0) else 0.0
     assert abs(total - (v15 - v0)) < 1e-3
+
+
+def test_sequence_entropy_bounded(spark):
+    """Conditional entropy sits in [0, ln(n_succ)], normalized form in
+    [0, 1]; the modal next step is a real successor."""
+    import math
+
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.sequence_entropy_profile(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["entropy_nats"] <= math.log(r["n_succ"]) + 1e-6
+        assert 0 <= r["entropy_normalized"] <= 1.0 + 1e-9
+        assert r["modal_next"]
+
+
+def test_join_order_advisor_estimates_exact_on_fks(spark):
+    """On clean FK joins the containment estimate is EXACT for
+    orders*lineitem (every lineitem has an order), so est_over_true
+    must be 1.0 there; the recommendation matches the smaller
+    estimate."""
+    from project_bigdata_recsys_spark.operators import relational
+
+    rows = {
+        r["step"]: r
+        for r in relational.join_order_advisor(spark, SF_SMALL).collect()
+    }
+    ol = rows["orders*lineitem"]
+    assert abs(ol["est_over_true"] - 1.0) < 0.01
+    co = rows["customer*orders"]
+    expect = (
+        "customer_first"
+        if co["est_rows"] <= ol["est_rows"]
+        else "lineitem_first"
+    )
+    assert co["recommended"] == expect == ol["recommended"]
