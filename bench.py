@@ -306,6 +306,9 @@ HEADLINE = [
     "shapley_channel_attribution",
     "sequence_entropy_profile",
     "join_order_advisor",
+    "source_kl_divergence",
+    "rake_keyphrases",
+    "cv_paired_ttest",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1844,3 +1844,144 @@ def hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_buckets")
     )
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(source ‖ corpus) over the unigram
+    term distribution (Laplace-smoothed) — the text-side member of the
+    distribution-shift family (psi_drift bins values, lang_source_chi2
+    tests independence; KL ranks sources by how far their LANGUAGE
+    deviates from the corpus, the signal behind mixture reweighting
+    and outlier-source triage).
+
+    Exactness: term counts are BIGINTs from one tokenization; each
+    p·ln(p/q) term is micro-frozen from exact smoothed integer ratios
+    before the per-source fold.
+
+    Scale: one token pass → (source, term) counts (vocab-bounded),
+    corpus margins broadcast back; no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    vocab = st.groupBy("term").agg(F.sum("n").cast("long").alias("nt"))
+    v_size = vocab.agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    corpus_tot = vocab.agg(F.sum("nt").cast("long").alias("ncorp"))
+    src_tot = st.groupBy("source").agg(
+        F.sum("n").cast("long").alias("ns")
+    )
+    # every (source, term-in-vocab) cell, absent terms at n=0 via the
+    # smoothing — build the full grid from src x vocab (vocab-bounded)
+    grid = src_tot.crossJoin(F.broadcast(vocab)).join(
+        st, ["source", "term"], "left"
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    cell = (
+        grid.crossJoin(F.broadcast(v_size))
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            "ns",
+            F.round(
+                F.lit(1_000_000.0)
+                * ((F.col("n") + 1) / (F.col("ns") + F.col("vsz")))
+                * F.log(
+                    ((F.col("n") + 1) / (F.col("ns") + F.col("vsz")))
+                    / ((F.col("nt") + 1) / (F.col("ncorp") + F.col("vsz")))
+                )
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return (
+        cell.groupBy("source", "ns")
+        .agg(F.round(F.sum("t") / 1e6, 6).alias("kl_nats"))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "kl_nats",
+        )
+        .orderBy(F.desc("kl_nats"), "source")
+    )
+
+
+def rake_keyphrases(
+    spark: SparkSession, sf_dir: str, k: int = 15
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands over the
+    positional token stream, split on the corpus stopword list); each
+    word scores deg(w)/freq(w) — degree counts co-occurring phrase
+    slots, so multi-word domain terms beat bare frequency — and a
+    phrase scores the sum over its words.  The third keyword extractor
+    beside tfidf_top_terms (document-discriminative) and
+    textrank_keywords (graph-central): RAKE is the phrase-level one.
+
+    Exactness: islands come from a per-doc positional window (pos −
+    dense-rank of non-stop positions); deg/freq are BIGINTs; per-word
+    scores are micro-frozen before the per-phrase fold.
+
+    Scale: one posexplode pass, per-doc partitioned windows only,
+    vocabulary-bounded word-stat frames broadcast back; top-k under a
+    total order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "term")
+    ).withColumn("stop", F.col("term").isin(*STOPWORDS).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        pos.withColumn(
+            "nsrank",
+            F.sum(1 - F.col("stop")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("stop") == 0)
+        .withColumn("island", F.col("pos") - F.col("nsrank"))
+    )
+    phrases = runs.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    words = runs.groupBy("doc_id", "island").agg(
+        F.collect_list("term").alias("ws"),
+        F.count(F.lit(1)).alias("plen"),
+    ).select(F.explode("ws").alias("term"), "plen")
+    stats = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    scored_words = stats.select(
+        "term",
+        F.round(F.lit(1_000_000.0) * F.col("deg") / F.col("freq"))
+        .cast("long")
+        .alias("wscore"),
+    )
+    phrase_words = runs.join(F.broadcast(scored_words), "term")
+    phrase_scores = phrase_words.groupBy("doc_id", "island").agg(
+        F.sum("wscore").cast("long").alias("score_micro")
+    )
+    agg = (
+        phrases.join(phrase_scores, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("score_micro") / 1e6, 4).alias("rake_score"),
+        )
+    )
+    return agg.orderBy(
+        F.desc("rake_score"), F.desc("n_occurrences"), "phrase"
+    ).limit(k)

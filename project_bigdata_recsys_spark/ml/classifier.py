@@ -543,3 +543,135 @@ def conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_covered") / F.col("n_test"), 4).alias("coverage"),
         F.lit(0.9).alias("target_coverage"),
     ).orderBy("prio")
+
+
+def cv_paired_ttest(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Paired t-test over grouped-CV folds comparing two predictors of
+    order price — per-priority train mean vs global train mean — the
+    model-comparison protocol (Dietterich): the SAME folds score both
+    models, the test runs on per-fold MAE DIFFERENCES, so fold-to-fold
+    variance cancels and k−1 degrees of freedom are honest.  Reports
+    per-fold MAEs plus the pooled t statistic and verdict at the
+    5% two-sided level (|t| > 2.776 for k=5).
+
+    Exactness: folds are md5(o_orderkey) % k; predictions are
+    integer-cent means of each fold's TRAINING complement (leakage-
+    free); per-fold MAEs are BIGINT cent folds rounded once; t is
+    computed from the k rounded differences in a fixed-order fold.
+
+    Scale: one scan to (fold, priority) cent moments; both models and
+    all k evaluations come off that one aggregate (broadcast-sized);
+    no second pass over the fact table."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (hash32(F.col("o_orderkey").cast("string"), "cv:") % k).alias("fold"),
+    )
+    cells = orders.groupBy("fold", "prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nall"),
+        F.sum("s").cast("long").alias("sall"),
+    )
+    pr_tot = cells.groupBy("prio").agg(
+        F.sum("n").cast("long").alias("np"),
+        F.sum("s").cast("long").alias("sp"),
+    )
+    # training complement per (fold, prio): totals minus the fold's own
+    train = (
+        cells.join(F.broadcast(pr_tot), "prio")
+        .select(
+            "fold",
+            "prio",
+            F.round((F.col("sp") - F.col("s")) / (F.col("np") - F.col("n")))
+            .cast("long")
+            .alias("pred_grp"),
+        )
+    )
+    # global-model prediction per fold: grand totals minus the fold
+    fold_tot = cells.groupBy("fold").agg(
+        F.sum("n").cast("long").alias("nf"),
+        F.sum("s").cast("long").alias("sf"),
+    )
+    glob = fold_tot.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.round(
+            (F.col("sall") - F.col("sf")) / (F.col("nall") - F.col("nf"))
+        )
+        .cast("long")
+        .alias("pred_glob"),
+    )
+    scored = (
+        orders.join(F.broadcast(train), ["fold", "prio"])
+        .join(F.broadcast(glob), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("pred_grp")))
+                / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mae_group_model"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("pred_glob")))
+                / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mae_global_model"),
+        )
+    )
+    diffs = scored.select(
+        "fold",
+        "n_test",
+        "mae_group_model",
+        "mae_global_model",
+        F.round(
+            F.col("mae_group_model") - F.col("mae_global_model"), 4
+        ).alias("d"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked as _pt
+
+    diffs = _pt(diffs)
+    d4 = F.round(F.col("d") * 10_000).cast("long")
+    stats = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("kf"),
+        F.sum(d4).cast("long").alias("s1"),
+        F.sum(d4 * d4).cast("long").alias("s2"),
+    )
+    dbar = F.col("s1") / 1e4 / F.col("kf")
+    t_stat = F.round(
+        dbar
+        / F.sqrt(
+            (F.col("s2") / 1e8 - F.col("kf") * dbar * dbar)
+            / (F.col("kf") - 1.0)
+            / F.col("kf")
+        ),
+        4,
+    )
+    verdict = stats.select(
+        t_stat.alias("t_stat"),
+        F.when(F.abs(t_stat) > 2.776, F.lit("group_model_differs"))
+        .otherwise(F.lit("no_significant_difference"))
+        .alias("verdict"),
+    )
+    return (
+        diffs.crossJoin(F.broadcast(verdict))
+        .select(
+            "fold",
+            "n_test",
+            "mae_group_model",
+            "mae_global_model",
+            F.col("d").alias("mae_diff"),
+            "t_stat",
+            "verdict",
+        )
+        .orderBy("fold")
+    )

@@ -9374,6 +9374,164 @@ ORACLES["join_order_advisor"] = """
     ORDER BY step
 """
 
+# Source KL divergence (round 8, session 3): smoothed unigram
+# distributions, micro-frozen p ln(p/q) cells over the vocab grid.
+QUERIES["source_kl_divergence"] = text.source_kl_divergence
+ORACLES["source_kl_divergence"] = """
+    WITH toks AS (
+        SELECT source, term FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+           FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, CAST(sum(n) AS BIGINT) AS nt
+              FROM st GROUP BY term),
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz,
+                  CAST(sum(nt) AS BIGINT) AS ncorp FROM vocab),
+    src AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+            FROM st GROUP BY source),
+    grid AS (
+        SELECT src.source, src.ns, vocab.term, vocab.nt,
+               coalesce(st.n, 0) AS n
+        FROM src CROSS JOIN vocab
+        LEFT JOIN st ON st.source = src.source AND st.term = vocab.term),
+    cell AS (
+        SELECT source, ns,
+               CAST(round(1000000.0
+                          * ((n + 1) * 1.0 / (ns + vsz))
+                          * ln(((n + 1) * 1.0 / (ns + vsz))
+                               / ((nt + 1) * 1.0 / (ncorp + vsz))))
+                    AS BIGINT) AS t
+        FROM grid CROSS JOIN vs)
+    SELECT source, ns AS n_tokens,
+           round(sum(t) / 1e6, 6) AS kl_nats
+    FROM cell GROUP BY source, ns
+    ORDER BY kl_nats DESC, source
+"""
+
+# RAKE keyphrases (round 8, session 3): gaps-and-islands candidate
+# runs, deg/freq word scores micro-frozen, per-phrase fold.
+QUERIES["rake_keyphrases"] = text.rake_keyphrases
+ORACLES["rake_keyphrases"] = """
+    WITH pos AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS term,
+               CASE WHEN toks[i] IN ('the', 'a', 'of', 'and')
+                    THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+             unnest(range(1, len(toks) + 1)) AS u(i)),
+    runs AS (
+        SELECT doc_id, pos, term,
+               pos - sum(1 - stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING)
+                   AS island
+        FROM pos
+        QUALIFY stop = 0),
+    phrases AS (
+        SELECT doc_id, island,
+               string_agg(term, ' ' ORDER BY pos) AS phrase
+        FROM runs GROUP BY 1, 2),
+    stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM (SELECT r.term,
+                     count(*) OVER (PARTITION BY r.doc_id, r.island)
+                         AS plen
+              FROM runs r)
+        GROUP BY term),
+    wscore AS (
+        SELECT term,
+               CAST(round(1000000.0 * deg / freq) AS BIGINT) AS wscore
+        FROM stats),
+    pscore AS (
+        SELECT r.doc_id, r.island,
+               CAST(sum(w.wscore) AS BIGINT) AS score_micro
+        FROM runs r JOIN wscore w USING (term)
+        GROUP BY 1, 2)
+    SELECT p.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(max(s.score_micro) / 1e6, 4) AS rake_score
+    FROM phrases p JOIN pscore s USING (doc_id, island)
+    GROUP BY p.phrase
+    ORDER BY rake_score DESC, n_occurrences DESC, phrase
+    LIMIT 15
+"""
+
+# CV paired t-test (round 8, session 3): grouped folds, leakage-free
+# complement predictors, integer-exact difference fold.
+def _cv_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.ml.classifier import cv_paired_ttest
+
+    return cv_paired_ttest(spark, sf_dir)
+
+
+QUERIES["cv_paired_ttest"] = _cv_paired_ttest
+ORACLES["cv_paired_ttest"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || substr(md5('cv:' || CAST(o_orderkey AS VARCHAR)),
+                               1, 8))::BIGINT % 5 AS fold
+        FROM orders),
+    cells AS (
+        SELECT fold, prio, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM o GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nall,
+                   CAST(sum(s) AS BIGINT) AS sall FROM cells),
+    pr AS (SELECT prio, CAST(sum(n) AS BIGINT) AS np,
+                  CAST(sum(s) AS BIGINT) AS sp
+           FROM cells GROUP BY prio),
+    train AS (
+        SELECT c.fold, c.prio,
+               CAST(round((pr.sp - c.s) * 1.0 / (pr.np - c.n)) AS BIGINT)
+                   AS pred_grp
+        FROM cells c JOIN pr USING (prio)),
+    ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nf,
+                  CAST(sum(s) AS BIGINT) AS sf
+           FROM cells GROUP BY fold),
+    gm AS (
+        SELECT fold,
+               CAST(round((sall - sf) * 1.0 / (nall - nf)) AS BIGINT)
+                   AS pred_glob
+        FROM ft CROSS JOIN tot),
+    scored AS (
+        SELECT o.fold, CAST(count(*) AS BIGINT) AS n_test,
+               round(sum(abs(cents - t.pred_grp)) / 100.0 / count(*), 4)
+                   AS mae_group_model,
+               round(sum(abs(cents - g.pred_glob)) / 100.0 / count(*), 4)
+                   AS mae_global_model
+        FROM o JOIN train t ON t.fold = o.fold AND t.prio = o.prio
+        JOIN gm g ON g.fold = o.fold
+        GROUP BY o.fold),
+    diffs AS (
+        SELECT fold, n_test, mae_group_model, mae_global_model,
+               round(mae_group_model - mae_global_model, 4) AS d
+        FROM scored),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS kf,
+               CAST(sum(CAST(round(d * 10000) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(d * 10000) AS BIGINT)
+                        * CAST(round(d * 10000) AS BIGINT)) AS BIGINT)
+                   AS s2
+        FROM diffs),
+    verdict AS (
+        SELECT round((s1 / 1e4 / kf)
+                     / sqrt((s2 / 1e8 - kf * (s1 / 1e4 / kf)
+                                           * (s1 / 1e4 / kf))
+                            / (kf - 1.0) / kf), 4) AS t_stat
+        FROM stats)
+    SELECT fold, n_test, mae_group_model, mae_global_model,
+           d AS mae_diff, t_stat,
+           CASE WHEN abs(t_stat) > 2.776 THEN 'group_model_differs'
+                ELSE 'no_significant_difference' END AS verdict
+    FROM diffs CROSS JOIN verdict
+    ORDER BY fold
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

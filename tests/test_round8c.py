@@ -513,3 +513,39 @@ def test_join_order_advisor_estimates_exact_on_fks(spark):
         else "lineitem_first"
     )
     assert co["recommended"] == expect == ol["recommended"]
+
+
+def test_source_kl_nonnegative(spark):
+    """KL(source || corpus) >= 0 by Gibbs' inequality (up to the 1e-6
+    freeze), one row per source."""
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.source_kl_divergence(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert all(r["kl_nats"] >= -1e-4 for r in rows)
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    """Candidate phrases are stopword-free by construction, and every
+    multi-word phrase outscores any of its single words' deg/freq
+    lower bound of 1."""
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.rake_keyphrases(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        ws = r["phrase"].split(" ")
+        assert not set(ws) & {"the", "a", "of", "and"}
+        assert r["rake_score"] >= len(ws)
+
+
+def test_cv_ttest_folds_cover_all_orders(spark):
+    """Five folds, every order scored exactly once, shared verdict."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.ml.classifier import cv_paired_ttest
+
+    rows = cv_paired_ttest(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    total = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_test"] for r in rows) == total
+    assert len({r["verdict"] for r in rows}) == 1
