@@ -309,6 +309,8 @@ HEADLINE = [
     "source_kl_divergence",
     "rake_keyphrases",
     "cv_paired_ttest",
+    "vocab_cover_sources",
+    "largest_remainder_allocation",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

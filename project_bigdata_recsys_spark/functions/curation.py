@@ -1195,3 +1195,153 @@ def dsir_importance_sample(
         )
         .orderBy("source")
     )
+
+
+def vocab_cover_sources(
+    spark: SparkSession, sf_dir: str, steps: int = 5
+) -> DataFrame:
+    """Greedy maximum-coverage source selection: which ``steps`` sources
+    together cover the most vocabulary — the classic (1 − 1/e)-
+    approximate set-cover greedy, run over (source, term) sets.  The
+    data-mixing question it answers is real: with budget for k source
+    pipelines, which ones buy the most linguistic coverage
+    (corpus_mixture weights by SIZE; this weighs by MARGINAL NOVELTY —
+    a tiny source full of unique vocabulary beats a huge redundant
+    one).
+
+    Determinism: pure counts with (gain DESC, source ASC) tie-break;
+    each greedy step is exact.
+
+    Scale: one tokenization to a distinct (source, term) frame over
+    the unigram+bigram feature space (the dsir/hashing-audit universe —
+    the unigram vocabulary alone is coverable by one source); each step is one anti-join + one argmax over
+    #sources rows; the covered set is localCheckpointed per step (the
+    iterative-loop lineage discipline)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    )
+    feats = F.concat(
+        F.col("__toks"),
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> concat(element_at(__toks, i), '_',"
+                " element_at(__toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    st = persist_tracked(
+        docs.select("source", F.explode(feats).alias("term")).distinct()
+    )
+    v_tot = st.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v_total")
+    )
+    covered = st.select("term").distinct().limit(0)
+    out = None
+    for step in range(1, steps + 1):
+        gains = (
+            st.join(covered, "term", "left_anti")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+        )
+        picked = gains.orderBy(
+            F.desc("new_terms"), F.asc("source")
+        ).limit(1)
+        covered = (
+            covered.unionByName(
+                st.join(
+                    F.broadcast(picked.select("source")), "source", "semi"
+                ).select("term")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cov_n = covered.agg(
+            F.count(F.lit(1)).cast("long").alias("covered_terms")
+        )
+        row = (
+            picked.crossJoin(F.broadcast(cov_n))
+            .crossJoin(F.broadcast(v_tot))
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "source",
+                "new_terms",
+                "covered_terms",
+                F.round(F.col("covered_terms") / F.col("v_total"), 4).alias(
+                    "coverage_frac"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")
+
+
+def largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str, budget: int = 1000
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across sources proportional to their token mass — the
+    exact-integer allocator behind shard budgets, sampling quotas and
+    mixture seats (corpus_mixture yields FRACTIONAL weights; training
+    jobs need integer counts that sum EXACTLY to the budget, and naive
+    rounding loses or invents seats).
+
+    Exactness: pure integer arithmetic — base seats are (B·w) div W,
+    remainders are the exact integer residues (B·w − base·W), and the
+    leftover seats go to the largest residues under a total tie-break;
+    seat totals are pinned to the budget.
+
+    Scale: one token-count aggregation; the apportionment runs on the
+    #sources-row frame (bounded window, audited)."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)).alias("tk")
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").cast("long").alias("n_tokens"))
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("long").alias("w_all"))
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({budget} * n_tokens) div w_all").cast("long").alias("base"),
+        (
+            F.lit(budget) * F.col("n_tokens")
+            - F.expr(f"({budget} * n_tokens) div w_all") * F.col("w_all")
+        ).cast("long").alias("rem"),
+        F.round(F.lit(float(budget)) * F.col("n_tokens") / F.col("w_all"), 4)
+        .alias("quota"),
+        F.col("w_all"),
+    )
+    leftover = quotas.groupBy("w_all").agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("extra_seats")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quotas.join(F.broadcast(leftover), "w_all").withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "quota",
+        F.col("base").alias("base_seats"),
+        F.when(F.col("rnk") <= F.col("extra_seats"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("extra_seats"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    ).orderBy("source")

@@ -9532,6 +9532,102 @@ ORACLES["cv_paired_ttest"] = """
     ORDER BY fold
 """
 
+# Greedy vocabulary set cover (round 8, session 3): unrolled greedy
+# steps with MATERIALIZED covered sets.
+def _vocab_cover_oracle(steps: int = 5) -> str:
+    parts = []
+    prev_cov = "cov0"
+    for t in range(1, steps + 1):
+        parts.append(f"""
+        g{t} AS (
+            SELECT st.source, CAST(count(*) AS BIGINT) AS new_terms
+            FROM st LEFT JOIN {prev_cov} c ON c.term = st.term
+            WHERE c.term IS NULL
+            GROUP BY st.source),
+        p{t} AS MATERIALIZED (
+            SELECT source, new_terms FROM g{t}
+            ORDER BY new_terms DESC, source LIMIT 1),
+        cov{t} AS MATERIALIZED (
+            SELECT term FROM {prev_cov}
+            UNION
+            SELECT st.term FROM st JOIN p{t} USING (source)),
+        s{t} AS (
+            SELECT {t} AS step, p{t}.source, p{t}.new_terms,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cov{t})
+                       AS covered_terms
+            FROM p{t})""")
+        prev_cov = f"cov{t}"
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, steps + 1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), t -> length(t) > 0)
+                   AS toks
+        FROM documents),
+    st AS MATERIALIZED (
+        SELECT DISTINCT source, term FROM (
+            SELECT source,
+                   unnest(list_concat(toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || '_'
+                                                     || toks[i + 1])
+                            ELSE [] END)) AS term
+            FROM d)),
+    vt AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_total
+           FROM st),
+    cov0 AS (SELECT term FROM st WHERE 1 = 0),
+    {",".join(parts)}
+    SELECT CAST(step AS INT) AS step, source, new_terms, covered_terms,
+           round(covered_terms * 1.0 / v_total, 4) AS coverage_frac
+    FROM ({selects}) CROSS JOIN vt
+    ORDER BY step
+    """
+
+
+QUERIES["vocab_cover_sources"] = curation.vocab_cover_sources
+ORACLES["vocab_cover_sources"] = _vocab_cover_oracle()
+
+# Largest-remainder apportionment (round 8, session 3): pure integer
+# base seats + exact residue ranking; seat totals pin to the budget.
+QUERIES["largest_remainder_allocation"] = curation.largest_remainder_allocation
+ORACLES["largest_remainder_allocation"] = """
+    WITH counts AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        t -> length(t) > 0))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_all FROM counts),
+    quotas AS (
+        SELECT source, n_tokens,
+               CAST((1000 * n_tokens) // w_all AS BIGINT) AS base,
+               CAST(1000 * n_tokens
+                    - ((1000 * n_tokens) // w_all) * w_all AS BIGINT)
+                   AS rem,
+               round(1000.0 * n_tokens / w_all, 4) AS quota,
+               w_all
+        FROM counts CROSS JOIN tot),
+    leftover AS (
+        SELECT CAST(1000 - sum(base) AS BIGINT) AS extra_seats
+        FROM quotas),
+    ranked AS (
+        SELECT q.*, l.extra_seats,
+               CAST(row_number() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rnk
+        FROM quotas q CROSS JOIN leftover l)
+    SELECT source, n_tokens, quota,
+           base AS base_seats,
+           CAST(CASE WHEN rnk <= extra_seats THEN 1 ELSE 0 END AS INT)
+               AS extra,
+           CAST(base + CASE WHEN rnk <= extra_seats THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM ranked
+    ORDER BY source
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -58,6 +58,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "sprt_ab_monitor",  # Aggregate(day): ≤ calendar-day-span rows
     "kcore_profile",  # Aggregate(degree): ≤ #distinct-degree rows
     "stream_sprt_monitor",  # Aggregate(day): ≤ calendar-day-span rows
+    "largest_remainder_allocation",  # Aggregate(source): ≤ #sources rows
 }
 
 

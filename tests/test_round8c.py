@@ -549,3 +549,33 @@ def test_cv_ttest_folds_cover_all_orders(spark):
     total = load_table(spark, SF_SMALL, "orders").count()
     assert sum(r["n_test"] for r in rows) == total
     assert len({r["verdict"] for r in rows}) == 1
+
+
+def test_vocab_cover_greedy_properties(spark):
+    """Greedy gains are nonincreasing, coverage is nondecreasing, and
+    no source is picked twice."""
+    from project_bigdata_recsys_spark.functions import curation
+
+    rows = curation.vocab_cover_sources(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    gains = [r["new_terms"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    cov = [r["covered_terms"] for r in rows]
+    assert cov == sorted(cov)
+    assert len({r["source"] for r in rows}) == 5
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    """Hamilton apportionment: seats sum EXACTLY to the budget, every
+    source gets floor(quota) or floor(quota)+1 (quota-rule)."""
+    import math
+
+    from project_bigdata_recsys_spark.functions import curation
+
+    rows = curation.largest_remainder_allocation(spark, SF_SMALL).collect()
+    assert sum(r["seats"] for r in rows) == 1000
+    for r in rows:
+        assert r["seats"] in (
+            math.floor(r["quota"]),
+            math.floor(r["quota"]) + 1,
+        )
