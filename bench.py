@@ -311,6 +311,7 @@ HEADLINE = [
     "cv_paired_ttest",
     "vocab_cover_sources",
     "largest_remainder_allocation",
+    "markov_removal_attribution",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -3086,3 +3086,149 @@ def sequence_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str, target: str = "purchase", steps: int = 6
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.): each
+    channel's credit is how much the journey-level conversion
+    probability DROPS when walks may no longer pass through it — the
+    other principled data-driven attribution next to
+    shapley_channel_attribution (Shapley credits presence in the
+    journey SET; removal effects credit position in the journey
+    GRAPH).  Base conversion = Σ_s π(s)·p_hit(s) over the first-event
+    distribution with the absorption chain of absorption_funnel_prob;
+    removing channel c zeroes every transition into c (walks through
+    it die, the classic unnormalized removal), and journeys STARTING
+    at c die outright.
+
+    Exactness: one transition matrix + one first-event distribution
+    feed all five chains (base + 4 removals); every iterate is rounded
+    to 6 dp (the absorption recipe), every Σ π·p term micro-frozen.
+
+    Scale: the fact table is read twice (lag window, first-event
+    window), both user-partitioned; the 5 chains run on #types-row
+    frames with localCheckpoint lineage."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps_df = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps_df.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    outs = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    probs = persist_tracked(
+        counts.join(F.broadcast(outs), "from_type").select(
+            "from_type",
+            "to_type",
+            (F.col("n") / F.col("n_out")).alias("p"),
+        )
+    )
+    states = persist_tracked(
+        outs.select(F.col("from_type").alias("state"))
+    )
+    first = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    )
+    n_users = first.agg(F.sum("n_first").cast("long").alias("nu"))
+    pi = persist_tracked(
+        first.select(F.col("event_type").alias("state"), "n_first")
+    )
+
+    def chain(excl: str | None):
+        pr = probs
+        st = states
+        if excl is not None:
+            pr = probs.filter(
+                (F.col("from_type") != excl) & (F.col("to_type") != excl)
+            )
+            st = states.filter(F.col("state") != excl)
+        p = st.select(
+            "state",
+            F.when(F.col("state") == target, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("ph"),
+        )
+        for _ in range(steps):
+            p = p.localCheckpoint()
+            nxt = (
+                pr.join(p, pr.to_type == p.state)
+                .groupBy("from_type")
+                .agg(
+                    F.round(F.sum(F.col("p") * F.col("ph")), 6).alias(
+                        "ph_new"
+                    )
+                )
+            )
+            p = st.join(nxt, st.state == nxt.from_type, "left").select(
+                "state",
+                F.when(F.col("state") == target, F.lit(1.0))
+                .otherwise(F.coalesce(F.col("ph_new"), F.lit(0.0)))
+                .alias("ph"),
+            )
+        # B = Σ π(s)·p(s) over surviving states, micro-frozen per term
+        return (
+            pi.join(p, "state")
+            .select(
+                F.round(F.col("n_first") * F.col("ph") * 1e6)
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.sum("t").cast("long").alias("tm"))
+            .crossJoin(F.broadcast(n_users))
+            .select(
+                F.round(F.col("tm") / 1e6 / F.col("nu"), 6).alias("b")
+            )
+        )
+
+    base = chain(None).select(F.col("b").alias("base_conv_prob"))
+    out = None
+    for ch in ("click", "view", "signup", "error"):
+        row = (
+            chain(ch)
+            .select(F.col("b").alias("conv_prob_without"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(ch).alias("channel"),
+                "base_conv_prob",
+                "conv_prob_without",
+                F.round(
+                    1.0 - F.col("conv_prob_without") / F.col("base_conv_prob"),
+                    6,
+                ).alias("removal_effect"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    out = persist_tracked(out)
+    tot_re = out.agg(
+        F.sum(F.round(F.col("removal_effect") * 1e6).cast("long")).alias(
+            "__sre"
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            "base_conv_prob",
+            "conv_prob_without",
+            "removal_effect",
+            F.round(
+                F.round(F.col("removal_effect") * 1e6).cast("long")
+                / F.col("__sre"),
+                4,
+            ).alias("attribution_share"),
+        )
+        .orderBy(F.desc("removal_effect"), "channel")
+    )

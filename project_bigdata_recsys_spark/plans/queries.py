@@ -9628,6 +9628,99 @@ ORACLES["largest_remainder_allocation"] = """
     ORDER BY source
 """
 
+# Markov removal-effect attribution (round 8, session 3): base + four
+# channel-removed absorption chains, unrolled and materialized.
+def _removal_oracle(target: str = "purchase", steps: int = 6) -> str:
+    chans = ["click", "view", "signup", "error"]
+    parts = []
+    for tag, excl in [("v0", None)] + [
+        (f"v{i + 1}", c) for i, c in enumerate(chans)
+    ]:
+        if excl is None:
+            parts.append(f"""
+        pr_{tag} AS (SELECT * FROM probs),
+        st_{tag} AS (SELECT * FROM states)""")
+        else:
+            parts.append(f"""
+        pr_{tag} AS (SELECT * FROM probs
+                     WHERE from_type <> '{excl}'
+                       AND to_type <> '{excl}'),
+        st_{tag} AS (SELECT * FROM states WHERE state <> '{excl}')""")
+        prev = f"p0_{tag}"
+        parts.append(f"""
+        p0_{tag} AS (SELECT state,
+                            CASE WHEN state = '{target}' THEN 1.0
+                                 ELSE 0.0 END AS ph
+                     FROM st_{tag})""")
+        for k in range(1, steps + 1):
+            parts.append(f"""
+        n{k}_{tag} AS (
+            SELECT pr.from_type, round(sum(pr.p * pk.ph), 6) AS ph_new
+            FROM pr_{tag} pr JOIN {prev} pk ON pk.state = pr.to_type
+            GROUP BY 1),
+        p{k}_{tag} AS MATERIALIZED (
+            SELECT s.state,
+                   CASE WHEN s.state = '{target}' THEN 1.0
+                        ELSE coalesce(n.ph_new, 0.0) END AS ph
+            FROM st_{tag} s
+            LEFT JOIN n{k}_{tag} n ON n.from_type = s.state)""")
+            prev = f"p{k}_{tag}"
+        parts.append(f"""
+        b_{tag} AS MATERIALIZED (
+            SELECT round(sum(CAST(round(pi.n_first * p.ph * 1e6)
+                                  AS BIGINT)) / 1e6
+                         / (SELECT nu FROM n_users), 6) AS b
+            FROM pi JOIN {prev} p USING (state))""")
+    rows = " UNION ALL ".join(
+        f"""SELECT '{c}' AS channel,
+                   (SELECT b FROM b_v0) AS base_conv_prob,
+                   (SELECT b FROM b_v{i + 1}) AS conv_prob_without"""
+        for i, c in enumerate(chans)
+    )
+    return f"""
+    WITH stp AS MATERIALIZED (
+        SELECT from_type, to_type FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events)
+        WHERE to_type IS NOT NULL),
+    counts AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM stp GROUP BY 1, 2),
+    outs AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+             FROM counts GROUP BY 1),
+    probs AS MATERIALIZED (
+        SELECT c.from_type, c.to_type, c.n * 1.0 / o.n_out AS p
+        FROM counts c JOIN outs o USING (from_type)),
+    states AS MATERIALIZED (SELECT from_type AS state FROM outs),
+    firsts AS (
+        SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n_first
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1 GROUP BY 1),
+    pi AS MATERIALIZED (SELECT * FROM firsts),
+    n_users AS (SELECT CAST(sum(n_first) AS BIGINT) AS nu FROM firsts),
+    {",".join(parts)},
+    re AS (
+        SELECT channel, base_conv_prob, conv_prob_without,
+               round(1.0 - conv_prob_without / base_conv_prob, 6)
+                   AS removal_effect
+        FROM ({rows})),
+    tot AS (SELECT CAST(sum(CAST(round(removal_effect * 1e6) AS BIGINT))
+                        AS BIGINT) AS sre FROM re)
+    SELECT channel, base_conv_prob, conv_prob_without, removal_effect,
+           round(CAST(round(removal_effect * 1e6) AS BIGINT) * 1.0 / sre,
+                 4) AS attribution_share
+    FROM re CROSS JOIN tot
+    ORDER BY removal_effect DESC, channel
+    """
+
+
+QUERIES["markov_removal_attribution"] = analytics.markov_removal_attribution
+ORACLES["markov_removal_attribution"] = _removal_oracle()
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

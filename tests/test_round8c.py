@@ -579,3 +579,18 @@ def test_largest_remainder_sums_to_budget(spark):
             math.floor(r["quota"]),
             math.floor(r["quota"]) + 1,
         )
+
+
+def test_markov_removal_effects_valid(spark):
+    """Removing any channel can only hurt conversion (effects in
+    (0, 1]), base probability is shared, and attribution shares sum
+    to 1."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.markov_removal_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    assert len({r["base_conv_prob"] for r in rows}) == 1
+    for r in rows:
+        assert 0 < r["removal_effect"] <= 1
+        assert r["conv_prob_without"] < r["base_conv_prob"]
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 2e-3
