@@ -312,6 +312,7 @@ HEADLINE = [
     "vocab_cover_sources",
     "largest_remainder_allocation",
     "markov_removal_attribution",
+    "changepoint_slopes",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

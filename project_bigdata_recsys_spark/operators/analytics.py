@@ -3232,3 +3232,115 @@ def markov_removal_attribution(
         )
         .orderBy(F.desc("removal_effect"), "channel")
     )
+
+
+def changepoint_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented trend readout at the CUSUM changepoint: split each
+    event type's zero-filled daily series at the shared
+    :func:`cusum_from_counts` peak and fit exact closed-form OLS slopes
+    on each side — the composition that turns "a changepoint exists
+    here" (cusum_changepoint) into "the trend went from +a/day to
+    −b/day at day D", which is what an incident review actually asks.
+
+    Exactness: both slopes are pure BIGINT sufficient-statistic folds
+    ((nΣxy − ΣxΣy)/(nΣx² − (Σx)²), the ols_trend_per_group recipe),
+    one division each rounded to 6 dp; degenerate one-day segments
+    report slope 0.
+
+    Scale: one fact aggregation + the bounded day grid; the CUSUM
+    kernel and both OLS fits run on #types × #days rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    daily = persist_tracked(daily)
+    peak = cusum_from_counts(daily).select(
+        "event_type", "peak_day", "cusum_max"
+    )
+    seg = daily.join(F.broadcast(peak), "event_type").select(
+        "event_type",
+        "peak_day",
+        "cusum_max",
+        (F.col("day") <= F.col("peak_day")).cast("int").alias("before"),
+        (F.col("day") - F.col("peak_day")).cast("long").alias("x"),
+        "y",
+    )
+    stats = seg.groupBy("event_type", "peak_day", "cusum_max", "before").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    sided = stats.select(
+        "event_type",
+        "peak_day",
+        "cusum_max",
+        "before",
+        slope.alias("slope"),
+        F.round(F.col("sy") / F.col("n").cast("double"), 4).alias("mean_y"),
+        F.col("n").alias("n_days"),
+    )
+    b = sided.filter(F.col("before") == 1).select(
+        "event_type",
+        "peak_day",
+        "cusum_max",
+        F.col("n_days").alias("n_days_before"),
+        F.col("mean_y").alias("mean_before"),
+        F.col("slope").alias("slope_before"),
+    )
+    a = sided.filter(F.col("before") == 0).select(
+        "event_type",
+        F.col("n_days").alias("n_days_after"),
+        F.col("mean_y").alias("mean_after"),
+        F.col("slope").alias("slope_after"),
+    )
+    return (
+        b.join(a, "event_type", "left")
+        .select(
+            "event_type",
+            "peak_day",
+            "cusum_max",
+            "n_days_before",
+            F.coalesce(F.col("n_days_after"), F.lit(0)).alias("n_days_after"),
+            "mean_before",
+            F.coalesce(F.col("mean_after"), F.lit(0.0)).alias("mean_after"),
+            "slope_before",
+            F.coalesce(F.col("slope_after"), F.lit(0.0)).alias("slope_after"),
+            F.round(
+                F.coalesce(F.col("slope_after"), F.lit(0.0))
+                - F.col("slope_before"),
+                6,
+            ).alias("slope_change"),
+        )
+        .orderBy("event_type")
+    )

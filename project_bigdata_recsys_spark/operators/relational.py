@@ -1366,26 +1366,54 @@ def bloom_pruned_join(
         )
         return (F.conv(hex8, 16, 10).cast("long") % m_bits).cast("long")
 
-    bitmap = (
+    # dense 64-bit-word bitmap: m_bits/64 longs in a fixed-index array,
+    # so each probe is element_at (O(1)) + shift/mask — NOT a linear
+    # array_contains scan over up to m_bits entries (the r8 session-3
+    # bench finding: the scan made this 34 s at sf0.1; the bitmap test
+    # is set-membership-exact, so the oracle is untouched)
+    n_words = m_bits // 64
+    words = (
         build.select(
             F.explode(
                 F.array(*[pos(F.col("o_orderkey"), j) for j in range(n_hashes)])
             ).alias("p")
         )
-        .distinct()
-        .agg(F.collect_set("p").alias("__bitmap"))
+        .select(
+            F.expr("p div 64").cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bitmap = (
+        spark.range(n_words)
+        .select(F.col("id").cast("long").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce(F.col("bits"), F.lit(0)).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "bits"))),
+                lambda x: x["bits"],
+            ).alias("__bm")
+        )
     )
     probed = lineitem.select(
         "l_orderkey",
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     ).crossJoin(F.broadcast(bitmap))
+
     keep = probed
     for j in range(n_hashes):
-        keep = keep.filter(
-            F.array_contains(F.col("__bitmap"), pos(F.col("l_orderkey"), j))
-        )
-    passed = keep.drop("__bitmap")
+        pj = pos(F.col("l_orderkey"), j)
+        keep = keep.withColumn("__p", pj).filter(
+            F.expr(
+                "(shiftright(element_at(__bm, CAST(__p / 64 AS INT) + 1),"
+                " CAST(__p % 64 AS INT)) & 1) = 1"
+            )
+        ).drop("__p")
+    passed = keep.drop("__bm")
     stats = (
         lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
         .crossJoin(

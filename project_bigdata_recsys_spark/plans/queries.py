@@ -9721,6 +9721,75 @@ def _removal_oracle(target: str = "purchase", steps: int = 6) -> str:
 QUERIES["markov_removal_attribution"] = analytics.markov_removal_attribution
 ORACLES["markov_removal_attribution"] = _removal_oracle()
 
+# Segmented slopes at the CUSUM changepoint (round 8, session 3):
+# BIGINT OLS sufficient statistics on each side of the shared peak.
+QUERIES["changepoint_slopes"] = analytics.changepoint_slopes
+ORACLES["changepoint_slopes"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    daily AS MATERIALIZED (
+        SELECT g.event_type, g.day, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    totals AS (
+        SELECT event_type, CAST(sum(y) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1),
+    path AS (
+        SELECT d.event_type, d.day, t.n_days,
+               sum(t.n_days * d.y - t.total)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily d JOIN totals t USING (event_type)),
+    peak AS MATERIALIZED (
+        SELECT event_type, day AS peak_day,
+               round(abs(s) / CAST(n_days AS DOUBLE), 4) AS cusum_max
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(s) DESC, day) AS rk
+              FROM path)
+        WHERE rk = 1),
+    seg AS (
+        SELECT d.event_type, p.peak_day, p.cusum_max,
+               CASE WHEN d.day <= p.peak_day THEN 1 ELSE 0 END AS before,
+               CAST(d.day - p.peak_day AS BIGINT) AS x, d.y
+        FROM daily d JOIN peak p USING (event_type)),
+    stats AS (
+        SELECT event_type, peak_day, cusum_max, before,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM seg GROUP BY 1, 2, 3, 4),
+    sided AS (
+        SELECT event_type, peak_day, cusum_max, before,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN round((n * sxy - sx * sy) * 1.0
+                               / (n * sxx - sx * sx), 6)
+                    ELSE 0.0 END AS slope,
+               round(sy * 1.0 / n, 4) AS mean_y,
+               n AS n_days
+        FROM stats)
+    SELECT bf.event_type, bf.peak_day, bf.cusum_max,
+           bf.n_days AS n_days_before,
+           coalesce(af.n_days, 0) AS n_days_after,
+           bf.mean_y AS mean_before,
+           coalesce(af.mean_y, 0.0) AS mean_after,
+           bf.slope AS slope_before,
+           coalesce(af.slope, 0.0) AS slope_after,
+           round(coalesce(af.slope, 0.0) - bf.slope, 6) AS slope_change
+    FROM (SELECT * FROM sided WHERE before = 1) bf
+    LEFT JOIN (SELECT * FROM sided WHERE before = 0) af
+           ON af.event_type = bf.event_type
+    ORDER BY bf.event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1263,7 +1263,14 @@ def stream_bootstrap_ci(
     )
     from project_bigdata_recsys_spark.sources.ingest import hash_uniform
 
-    events = replay_events_stream(spark, sf_dir)
+    # the streaming file source hands the whole events file to ONE task;
+    # the x(B+1) explode + per-replica md5 is the hottest map in the
+    # streaming surface, so spread it across the executor threads BEFORE
+    # exploding (a stateless narrow-row shuffle — measured 100 s -> ~5 s
+    # at sf0.1; the batch twin always had this via parquet splitting)
+    events = replay_events_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     reps = events.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("vc"),

