@@ -313,6 +313,8 @@ HEADLINE = [
     "largest_remainder_allocation",
     "markov_removal_attribution",
     "changepoint_slopes",
+    "aa_test_calibration",
+    "quantile_normalize_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1345,3 +1345,81 @@ def largest_remainder_allocation(
         .cast("long")
         .alias("seats"),
     ).orderBy("source")
+
+
+def quantile_normalize_profile(
+    spark: SparkSession, sf_dir: str, grid: int = 1000
+) -> DataFrame:
+    """Per-mille quantile normalization of document length across
+    sources — the batch-effect correction (standard in bioinformatics,
+    same move as cross-domain score calibration): every document's
+    length maps to the POOLED length at its within-source quantile, so
+    after normalization all sources share one distribution and
+    downstream length filters stop encoding source identity.  The
+    profile shows per source the mean before and after plus the
+    post-normalization spread across sources (should collapse toward
+    the pooled mean).
+
+    Exactness: within-source ranks are row_numbers under a total
+    (value, doc_id) order; the quantile grid index is pure integer
+    arithmetic (grid·r + n − 1) div n; pooled grid values are exact
+    order statistics off the cumulative histogram; all means are
+    integer folds.
+
+    Scale: the rank window partitions per source; the pooled lookup is
+    a ``grid``-row broadcast built from the distinct-value histogram —
+    per-row mapping is an equi join, never a range join."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.text import global_value_cum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("v")
+    )
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "v",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("ns"),
+    ).withColumn(
+        "g",
+        F.expr(f"({grid} * r + ns - 1) div ns").cast("long"),
+    )
+    cum = global_value_cum(docs.select("v"), "v")
+    grid_df = spark.range(1, grid + 1).select(F.col("id").alias("g"))
+    pooled = (
+        grid_df.join(
+            cum,
+            F.col("__cum")
+            >= F.expr(f"CAST(ceil(g * `__n_total` / {grid}.0) AS BIGINT)"),
+        )
+        .groupBy("g")
+        .agg(F.min("v").cast("long").alias("v_mapped"))
+    )
+    mapped = ranked.join(F.broadcast(pooled), "g")
+    per_source = mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("v") / F.count(F.lit(1)), 4).alias("mean_pre"),
+        F.round(F.sum("v_mapped") / F.count(F.lit(1)), 4).alias("mean_post"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    per_source = persist_tracked(per_source)
+    spread = per_source.agg(
+        F.round(
+            F.max(F.round(F.col("mean_pre") * 1e4).cast("long")) / 1e4
+            - F.min(F.round(F.col("mean_pre") * 1e4).cast("long")) / 1e4,
+            4,
+        ).alias("pre_spread"),
+        F.round(
+            F.max(F.round(F.col("mean_post") * 1e4).cast("long")) / 1e4
+            - F.min(F.round(F.col("mean_post") * 1e4).cast("long")) / 1e4,
+            4,
+        ).alias("post_spread"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(spread))
+        .orderBy("source")
+    )

@@ -3344,3 +3344,109 @@ def changepoint_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def aa_test_calibration(
+    spark: SparkSession, sf_dir: str, n_splits: int = 20
+) -> DataFrame:
+    """A/A-test calibration of the experimentation stack: run
+    ``n_splits`` INDEPENDENT md5 null experiments (both "arms" draw
+    from the same population, so every detected lift is a false
+    positive) and report each split's Welch z plus the calibration
+    summary — fraction flagged at 1.96 (should be ≈ 0.05) and the
+    mean/variance of z (should be ≈ 0/1).  This is the platform QA
+    that catches broken bucketing, clustered users, or variance
+    formulas gone wrong BEFORE anyone trusts a real A/B readout
+    (ab_test_lift / welch_ttest_drift / cuped_adjusted_lift all lean
+    on exactly this machinery).
+
+    Exactness: one fact scan explodes each event into its n_splits
+    assignments; per-(split, arm) BIGINT cent moments; each z is one
+    closed-form Welch fold rounded to 4 dp; summary moments fold the
+    micro-frozen z values.
+
+    Scale: the x n_splits fan-out is a narrow map; the aggregation
+    lands on 2·n_splits rows."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_splits - 1))
+        ).alias("split_id"),
+    )
+    arm = (
+        hash32(
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"), F.col("split_id")
+            ),
+            "aa:",
+        )
+        % 2
+    )
+    cells = reps.groupBy("split_id", arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (
+        F.col("ss") - F.col("s") * (F.col("s") / F.col("n").cast("double"))
+    ) / (F.col("n") - 1.0)
+    sides = cells.select(
+        "split_id",
+        "arm",
+        F.col("n"),
+        mean.alias("m"),
+        var.alias("v"),
+    )
+    t = sides.filter(F.col("arm") == 1).select(
+        "split_id",
+        F.col("n").alias("nt"),
+        F.col("m").alias("mt"),
+        F.col("v").alias("vt"),
+    )
+    c = sides.filter(F.col("arm") == 0).select(
+        "split_id",
+        F.col("n").alias("nc"),
+        F.col("m").alias("mc"),
+        F.col("v").alias("vc"),
+    )
+    z = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("nt") + F.col("vc") / F.col("nc")),
+        4,
+    )
+    per_split = t.join(c, "split_id").select(
+        "split_id",
+        "nt",
+        "nc",
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).cast("int").alias("false_positive"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    per_split = persist_tracked(per_split)
+    zmicro = F.round(F.col("z_score") * 1e4).cast("long")
+    summary = per_split.agg(
+        F.round(F.sum("false_positive") / F.count(F.lit(1)), 4).alias(
+            "fp_rate"
+        ),
+        F.round(F.sum(zmicro) / 1e4 / F.count(F.lit(1)), 4).alias("mean_z"),
+        F.round(
+            (
+                F.sum(zmicro * zmicro) / 1e8
+                - F.count(F.lit(1))
+                * (F.sum(zmicro) / 1e4 / F.count(F.lit(1)))
+                * (F.sum(zmicro) / 1e4 / F.count(F.lit(1)))
+            )
+            / (F.count(F.lit(1)) - 1.0),
+            4,
+        ).alias("var_z"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(summary))
+        .orderBy("split_id")
+    )

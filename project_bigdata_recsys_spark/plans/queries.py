@@ -9790,6 +9790,105 @@ ORACLES["changepoint_slopes"] = """
     ORDER BY bf.event_type
 """
 
+# A/A-test calibration (round 8, session 3): 20 md5 null experiments,
+# exact Welch z per split, micro-frozen summary moments.
+QUERIES["aa_test_calibration"] = analytics.aa_test_calibration
+ORACLES["aa_test_calibration"] = """
+    WITH reps AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               unnest(range(0, 20)) AS split_id
+        FROM events),
+    cells AS (
+        SELECT split_id,
+               ('0x' || substr(md5('aa:' || CAST(user_id AS VARCHAR)
+                               || ':' || CAST(split_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM reps GROUP BY 1, 2),
+    sides AS (
+        SELECT split_id, arm, n,
+               s / CAST(n AS DOUBLE) AS m,
+               (ss - s * (s / CAST(n AS DOUBLE))) / (n - 1.0) AS v
+        FROM cells),
+    per_split AS MATERIALIZED (
+        SELECT t.split_id, t.n AS nt, c.n AS nc,
+               round((t.m - c.m) / sqrt(t.v / t.n + c.v / c.n), 4)
+                   AS z_score,
+               CAST(CASE WHEN abs(round((t.m - c.m)
+                          / sqrt(t.v / t.n + c.v / c.n), 4)) > 1.96
+                         THEN 1 ELSE 0 END AS INT) AS false_positive
+        FROM (SELECT * FROM sides WHERE arm = 1) t
+        JOIN (SELECT * FROM sides WHERE arm = 0) c USING (split_id)),
+    summary AS (
+        SELECT round(sum(false_positive) * 1.0 / count(*), 4) AS fp_rate,
+               round(sum(CAST(round(z_score * 1e4) AS BIGINT)) / 1e4
+                     / count(*), 4) AS mean_z,
+               round((sum(CAST(round(z_score * 1e4) AS BIGINT)
+                          * CAST(round(z_score * 1e4) AS BIGINT)) / 1e8
+                      - count(*)
+                        * (sum(CAST(round(z_score * 1e4) AS BIGINT)) / 1e4
+                           / count(*))
+                        * (sum(CAST(round(z_score * 1e4) AS BIGINT)) / 1e4
+                           / count(*)))
+                     / (count(*) - 1.0), 4) AS var_z
+        FROM per_split)
+    SELECT split_id, nt, nc, z_score, false_positive,
+           fp_rate, mean_z, var_z
+    FROM per_split CROSS JOIN summary
+    ORDER BY split_id
+"""
+
+# Quantile normalization (round 8, session 3): per-mille grid mapping
+# to pooled order statistics; integer grid index, integer value folds.
+QUERIES["quantile_normalize_profile"] = curation.quantile_normalize_profile
+ORACLES["quantile_normalize_profile"] = """
+    WITH docs AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        FROM documents),
+    ranked AS (
+        SELECT source, v,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY v, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM docs),
+    withg AS (
+        SELECT source, v,
+               CAST((1000 * r + ns - 1) // ns AS BIGINT) AS g
+        FROM ranked),
+    hist AS (SELECT v, count(*) AS n FROM docs GROUP BY v),
+    cum AS (
+        SELECT v,
+               sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER () AS nt
+        FROM hist),
+    pooled AS MATERIALIZED (
+        SELECT g.g, CAST(min(cum.v) AS BIGINT) AS v_mapped
+        FROM (SELECT unnest(range(1, 1001)) AS g) g
+        JOIN cum ON cum.c >= CAST(ceil(g.g * cum.nt / 1000.0) AS BIGINT)
+        GROUP BY g.g),
+    mapped AS (
+        SELECT w.source, w.v, p.v_mapped
+        FROM withg w JOIN pooled p USING (g)),
+    per_source AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(v) * 1.0 / count(*), 4) AS mean_pre,
+               round(sum(v_mapped) * 1.0 / count(*), 4) AS mean_post
+        FROM mapped GROUP BY source),
+    spread AS (
+        SELECT round(max(CAST(round(mean_pre * 1e4) AS BIGINT)) / 1e4
+                     - min(CAST(round(mean_pre * 1e4) AS BIGINT)) / 1e4,
+                     4) AS pre_spread,
+               round(max(CAST(round(mean_post * 1e4) AS BIGINT)) / 1e4
+                     - min(CAST(round(mean_post * 1e4) AS BIGINT)) / 1e4,
+                     4) AS post_spread
+        FROM per_source)
+    SELECT source, n_docs, mean_pre, mean_post, pre_spread, post_spread
+    FROM per_source CROSS JOIN spread
+    ORDER BY source
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -610,3 +610,27 @@ def test_changepoint_slopes_reconcile_with_cusum(spark):
         assert abs(
             r["slope_change"] - round(r["slope_after"] - r["slope_before"], 6)
         ) < 1e-9
+
+
+def test_aa_calibration_null_experiments(spark):
+    """Twenty null splits: every z is finite, the false-positive rate
+    stays within a generous binomial band of 5%, and summary columns
+    are shared."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.aa_test_calibration(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert len({(r["fp_rate"], r["mean_z"], r["var_z"]) for r in rows}) == 1
+    assert rows[0]["fp_rate"] <= 0.3
+    manual_fp = sum(r["false_positive"] for r in rows) / 20
+    assert abs(manual_fp - rows[0]["fp_rate"]) < 1e-9
+
+
+def test_quantile_normalization_collapses_spread(spark):
+    """After mapping to pooled order statistics the cross-source mean
+    spread must shrink (that is the point of the correction)."""
+    from project_bigdata_recsys_spark.functions import curation
+
+    rows = curation.quantile_normalize_profile(spark, SF_SMALL).collect()
+    assert rows
+    assert rows[0]["post_spread"] <= rows[0]["pre_spread"]
