@@ -315,6 +315,8 @@ HEADLINE = [
     "changepoint_slopes",
     "aa_test_calibration",
     "quantile_normalize_profile",
+    "spearman_user_metrics",
+    "price_elasticity",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -3450,3 +3450,128 @@ def aa_test_calibration(
         per_split.crossJoin(F.broadcast(summary))
         .orderBy("split_id")
     )
+
+
+def spearman_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation between per-user
+    activity (event count) and per-user spend (value total) — the
+    robust dependence check beside the Pearson machinery
+    (embedding_correlation_pairs): Spearman sees any monotone
+    relationship and ignores the heavy upper tail that drives Pearson
+    on money columns.
+
+    Exactness: midranks are computed from the cumulative histogram as
+    pure integers (double-rank 2c − n + 1, so .5 midranks never leave
+    integer space); the correlation is one closed-form fold of BIGINT
+    rank moments with a single sqrt, rounded to 6 dp.
+
+    Scale: one fact aggregation to per-user pairs; both rank maps come
+    off the range-shuffle cumulative-histogram kernel (no global sort)
+    and join back by value — broadcast-sized distinct-value frames."""
+    from project_bigdata_recsys_spark.functions.text import global_value_cum
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("a"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("b"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    per_user = persist_tracked(per_user)
+
+    def drank(col: str):
+        hist = per_user.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__nv")
+        )
+        cum = global_value_cum(per_user.select(col), col)
+        return (
+            cum.join(hist, col)
+            .select(
+                F.col(col),
+                (2 * F.col("__cum") - F.col("__nv") + 1)
+                .cast("long")
+                .alias(f"dr_{col}"),
+            )
+        )
+    ranked = per_user.join(F.broadcast(drank("a")), "a").join(
+        F.broadcast(drank("b")), "b"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dr_a").cast("long").alias("sx"),
+        F.sum("dr_b").cast("long").alias("sy"),
+        F.sum(F.col("dr_a") * F.col("dr_a")).cast("long").alias("sxx"),
+        F.sum(F.col("dr_b") * F.col("dr_b")).cast("long").alias("syy"),
+        F.sum(F.col("dr_a") * F.col("dr_b")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(
+            num.cast("double") / F.sqrt(denx.cast("double") * deny),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part type: within each
+    p_type, OLS of ln(total quantity sold) on ln(retail price) across
+    parts — the econometric readout (a slope of −1.2 means a 1% price
+    increase loses 1.2% of volume) that turns the warehouse's
+    lineitem × part join into a pricing decision.
+
+    Exactness: both logs are frozen to 1e-4 integers per part (libm ln
+    of exact cent-derived doubles, the bm25 precedent), so the OLS
+    sufficient statistics are BIGINT folds; the slope and R² divide
+    once each (R² numerators cast to double before multiplying — the
+    BIGINT product would overflow), rounded to 4 dp.
+
+    Scale: one lineitem aggregation to per-part quantities, a
+    broadcast join to the part dimension, one per-type fold."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    base = qty.join(
+        F.broadcast(
+            part.select("p_partkey", "p_type", "p_retailprice")
+        ),
+        qty.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_type",
+        F.round(F.log(F.round(F.col("p_retailprice") * 100) / 100.0) * 10_000)
+        .cast("long")
+        .alias("xm"),
+        F.round(F.log(F.col("q").cast("double")) * 10_000)
+        .cast("long")
+        .alias("ym"),
+    )
+    m = base.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).cast("long").alias("syy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "p_type",
+        F.col("n").alias("n_parts"),
+        F.round(F.col("sx") / 1e4 / F.col("n"), 4).alias("avg_ln_price"),
+        F.round(F.col("sy") / 1e4 / F.col("n"), 4).alias("avg_ln_qty"),
+        F.round(num.cast("double") / denx, 4).alias("elasticity"),
+        F.round(
+            num.cast("double") * num / (denx.cast("double") * deny), 4
+        ).alias("r_squared"),
+    ).orderBy("p_type")

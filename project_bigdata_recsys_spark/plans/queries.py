@@ -9889,6 +9889,83 @@ ORACLES["quantile_normalize_profile"] = """
     ORDER BY source
 """
 
+# Spearman rank correlation (round 8, session 3): integer double-rank
+# midranks off the cumulative histogram; one sqrt of double-cast
+# moments (BIGINT products would overflow).
+QUERIES["spearman_user_metrics"] = analytics.spearman_user_metrics
+ORACLES["spearman_user_metrics"] = """
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS a,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS b
+        FROM events GROUP BY user_id),
+    ha AS (SELECT a, CAST(count(*) AS BIGINT) AS nv FROM per_user
+           GROUP BY a),
+    ca AS (SELECT a, nv,
+                  sum(nv) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)
+                      AS c
+           FROM ha),
+    dra AS (SELECT a, CAST(2 * c - nv + 1 AS BIGINT) AS dr_a FROM ca),
+    hb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM per_user
+           GROUP BY b),
+    cb AS (SELECT b, nv,
+                  sum(nv) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                      AS c
+           FROM hb),
+    drb AS (SELECT b, CAST(2 * c - nv + 1 AS BIGINT) AS dr_b FROM cb),
+    ranked AS (
+        SELECT dr_a, dr_b
+        FROM per_user JOIN dra USING (a) JOIN drb USING (b)),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dr_a) AS BIGINT) AS sx,
+               CAST(sum(dr_b) AS BIGINT) AS sy,
+               CAST(sum(dr_a * dr_a) AS BIGINT) AS sxx,
+               CAST(sum(dr_b * dr_b) AS BIGINT) AS syy,
+               CAST(sum(dr_a * dr_b) AS BIGINT) AS sxy
+        FROM ranked)
+    SELECT n AS n_users,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman_rho
+    FROM m
+"""
+
+# Price elasticity (round 8, session 3): ln-ln OLS across parts per
+# type, 1e-4 frozen logs, BIGINT sufficient statistics.
+QUERIES["price_elasticity"] = analytics.price_elasticity
+ORACLES["price_elasticity"] = """
+    WITH qty AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY l_partkey),
+    base AS (
+        SELECT p.p_type,
+               CAST(round(ln(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                             / 100.0) * 10000) AS BIGINT) AS xm,
+               CAST(round(ln(CAST(q AS DOUBLE)) * 10000) AS BIGINT) AS ym
+        FROM qty JOIN part p ON p.p_partkey = qty.l_partkey),
+    m AS (
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xm) AS BIGINT) AS sx,
+               CAST(sum(ym) AS BIGINT) AS sy,
+               CAST(sum(xm * xm) AS BIGINT) AS sxx,
+               CAST(sum(ym * ym) AS BIGINT) AS syy,
+               CAST(sum(xm * ym) AS BIGINT) AS sxy
+        FROM base GROUP BY p_type)
+    SELECT p_type, n AS n_parts,
+           round(sx / 1e4 / n, 4) AS avg_ln_price,
+           round(sy / 1e4 / n, 4) AS avg_ln_qty,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 4)
+               AS elasticity,
+           round((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               AS r_squared
+    FROM m ORDER BY p_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

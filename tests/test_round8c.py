@@ -634,3 +634,55 @@ def test_quantile_normalization_collapses_spread(spark):
     rows = curation.quantile_normalize_profile(spark, SF_SMALL).collect()
     assert rows
     assert rows[0]["post_spread"] <= rows[0]["pre_spread"]
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """Recompute Spearman with pure-Python midranks from raw events —
+    the engine's integer double-rank fold must agree to 1e-6."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.spearman_user_metrics(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    agg: dict = {}
+    for e in ev:
+        a, b = agg.get(e["user_id"], (0, 0))
+        agg[e["user_id"]] = (a + 1, b + round(e["value"] * 100))
+    xs = [v[0] for v in agg.values()]
+    ys = [v[1] for v in agg.values()]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                out[order[k]] = mr
+            i = j + 1
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert abs(r["spearman_rho"] - num / den) < 1e-6
+    assert r["n_users"] == n
+
+
+def test_price_elasticity_r2_bounded(spark):
+    """R-squared sits in [0, 1] and every type has enough parts for a
+    slope."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.price_elasticity(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_parts"] >= 2
+        assert 0 <= r["r_squared"] <= 1.0 + 1e-9
