@@ -317,6 +317,8 @@ HEADLINE = [
     "quantile_normalize_profile",
     "spearman_user_metrics",
     "price_elasticity",
+    "doubly_robust_ate",
+    "pps_horvitz_thompson",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -3575,3 +3575,148 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") * num / (denx.cast("double") * deny), 4
         ).alias("r_squared"),
     ).orderBy("p_type")
+
+
+def doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average-treatment-effect estimate — the
+    modern default causal estimator that completes the family
+    (ab_test_lift: naive diff; cuped: variance reduction; ips_eval:
+    pure reweighting; did: time designs): outcome models m₁/m₀ and a
+    propensity e are all estimated per event-type stratum, and
+    μₜ = mean[ mₜ(x) + 1{T=t}·(y − mₜ(x))/P(T=t|x) ] stays consistent
+    if EITHER the outcome model or the propensity is right.
+
+    Exactness: strata models are 6-dp-rounded means of BIGINT cent
+    moments (a broadcast #types-row frame); each row's AIPW term is
+    micro-frozen from identical doubles on both engines before the
+    exact integer sum; one division at the readout.
+
+    Scale: one scan builds the strata table, one scan folds the
+    correction terms; no windows."""
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        (hash32(F.col("user_id").cast("string"), "dr:") % 2).alias("t"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    ev = persist_tracked(ev)
+    strata = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("nt"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("st"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("sc"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("nt") / F.col("n").cast("double"), 6).alias("e"),
+            F.round(F.col("st") / F.col("nt").cast("double"), 6).alias("m1"),
+            F.round(
+                F.col("sc") / (F.col("n") - F.col("nt")).cast("double"), 6
+            ).alias("m0"),
+        )
+    )
+    scored = ev.join(F.broadcast(strata), "event_type")
+    term1 = F.round(
+        F.lit(1_000_000.0)
+        * (
+            F.col("m1")
+            + F.col("t") * (F.col("y") - F.col("m1")) / F.col("e")
+        )
+    ).cast("long")
+    term0 = F.round(
+        F.lit(1_000_000.0)
+        * (
+            F.col("m0")
+            + (1 - F.col("t"))
+            * (F.col("y") - F.col("m0"))
+            / (1 - F.col("e"))
+        )
+    ).cast("long")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treat"),
+        F.sum(term1).cast("long").alias("s1"),
+        F.sum(term0).cast("long").alias("s0"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("syt"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("syc"),
+    )
+    mu1 = F.col("s1") / 1e6 / F.col("n") / 100.0
+    mu0 = F.col("s0") / 1e6 / F.col("n") / 100.0
+    naive = (
+        F.col("syt") / F.col("n_treat").cast("double")
+        - F.col("syc") / (F.col("n") - F.col("n_treat")).cast("double")
+    ) / 100.0
+    return agg.select(
+        "n",
+        "n_treat",
+        F.round(naive, 4).alias("ate_naive"),
+        F.round(mu1, 4).alias("mu1_dr"),
+        F.round(mu0, 4).alias("mu0_dr"),
+        F.round(mu1 - mu0, 4).alias("ate_dr"),
+    )
+
+
+def pps_horvitz_thompson(
+    spark: SparkSession, sf_dir: str, frac: float = 0.05
+) -> DataFrame:
+    """Probability-proportional-to-size sampling with the
+    Horvitz-Thompson total estimator: orders enter the sample with
+    inclusion probability π ∝ their price (md5-uniform draw, so the
+    sample is a pure function of the data), and Σ y/π over the sample
+    estimates the exact population revenue — the unbiased-by-design
+    sampling machinery a pipeline uses to price full-scan questions
+    from a 5% read, shipped WITH its own validation column (the exact
+    total and the relative error).
+
+    Exactness: π = least(1, target·size/total) from exact integer cent
+    sums — identical doubles both engines; each sampled contribution
+    is frozen to integer cents before the exact sum.
+
+    Scale: two scans (one total, one sample fold); no windows."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tot = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    base = orders.crossJoin(F.broadcast(tot)).select(
+        "o_orderkey",
+        "cents",
+        "n_pop",
+        "s_all",
+        F.least(
+            F.lit(1.0),
+            F.round(F.col("n_pop") * frac).cast("long")
+            * F.col("cents")
+            / F.col("s_all").cast("double"),
+        ).alias("pi"),
+        hash_uniform(F.col("o_orderkey"), "pps:").alias("u"),
+    )
+    sampled = base.filter(F.col("u") < F.col("pi"))
+    est = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            F.round(F.col("cents") / F.col("pi")).cast("long")
+        ).cast("long").alias("ht_cents"),
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "n_pop",
+            "n_sampled",
+            F.round(F.col("s_all") / 100.0, 2).alias("true_total"),
+            F.round(F.col("ht_cents") / 100.0, 2).alias("ht_estimate"),
+            F.round(
+                F.col("ht_cents") / F.col("s_all").cast("double") - 1.0, 6
+            ).alias("rel_err"),
+        )
+    )

@@ -9966,6 +9966,79 @@ ORACLES["price_elasticity"] = """
     FROM m ORDER BY p_type
 """
 
+# Doubly-robust ATE (round 8, session 3): per-stratum 6-dp models,
+# micro-frozen AIPW terms, exact integer folds.
+QUERIES["doubly_robust_ate"] = analytics.doubly_robust_ate
+ORACLES["doubly_robust_ate"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               ('0x' || substr(md5('dr:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS t
+        FROM events),
+    strata AS (
+        SELECT event_type,
+               round(sum(t) / CAST(count(*) AS DOUBLE), 6) AS e,
+               round(sum(t * y) / CAST(sum(t) AS DOUBLE), 6) AS m1,
+               round(sum((1 - t) * y)
+                     / CAST(count(*) - sum(t) AS DOUBLE), 6) AS m0
+        FROM ev GROUP BY event_type),
+    scored AS (
+        SELECT ev.t, ev.y, s.e, s.m1, s.m0,
+               CAST(round(1000000.0 * (s.m1 + ev.t * (ev.y - s.m1) / s.e))
+                    AS BIGINT) AS t1,
+               CAST(round(1000000.0 * (s.m0 + (1 - ev.t) * (ev.y - s.m0)
+                                       / (1 - s.e))) AS BIGINT) AS t0
+        FROM ev JOIN strata s USING (event_type)),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS n_treat,
+               CAST(sum(t1) AS BIGINT) AS s1,
+               CAST(sum(t0) AS BIGINT) AS s0,
+               CAST(sum(t * y) AS BIGINT) AS syt,
+               CAST(sum((1 - t) * y) AS BIGINT) AS syc
+        FROM scored)
+    SELECT n, n_treat,
+           round((syt / CAST(n_treat AS DOUBLE)
+                  - syc / CAST(n - n_treat AS DOUBLE)) / 100.0, 4)
+               AS ate_naive,
+           round(s1 / 1e6 / n / 100.0, 4) AS mu1_dr,
+           round(s0 / 1e6 / n / 100.0, 4) AS mu0_dr,
+           round(s1 / 1e6 / n / 100.0 - s0 / 1e6 / n / 100.0, 4)
+               AS ate_dr
+    FROM agg
+"""
+
+# PPS + Horvitz-Thompson (round 8, session 3): md5-uniform inclusion
+# draws at pi ∝ size; frozen per-row contributions; shipped with its
+# own exact-total validation.
+QUERIES["pps_horvitz_thompson"] = analytics.pps_horvitz_thompson
+ORACLES["pps_horvitz_thompson"] = """
+    WITH orders_c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pop,
+                   CAST(sum(cents) AS BIGINT) AS s_all FROM orders_c),
+    base AS (
+        SELECT o_orderkey, cents, n_pop, s_all,
+               least(1.0, CAST(round(n_pop * 0.05) AS BIGINT) * cents
+                          / CAST(s_all AS DOUBLE)) AS pi,
+               ('0x' || substr(md5('pps:' || CAST(o_orderkey AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM orders_c CROSS JOIN tot),
+    est AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(CAST(round(cents / pi) AS BIGINT)) AS BIGINT)
+                   AS ht_cents
+        FROM base WHERE u < pi)
+    SELECT n_pop, n_sampled,
+           round(s_all / 100.0, 2) AS true_total,
+           round(ht_cents / 100.0, 2) AS ht_estimate,
+           round(ht_cents / CAST(s_all AS DOUBLE) - 1.0, 6) AS rel_err
+    FROM est CROSS JOIN tot
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -686,3 +686,27 @@ def test_price_elasticity_r2_bounded(spark):
     for r in rows:
         assert r["n_parts"] >= 2
         assert 0 <= r["r_squared"] <= 1.0 + 1e-9
+
+
+def test_doubly_robust_near_naive_under_randomization(spark):
+    """With a true md5 coin, DR and naive diff-in-means estimate the
+    same (null) effect — they must agree within a small band, and both
+    mu estimates stay near the population mean."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.doubly_robust_ate(spark, SF_SMALL).collect()[0]
+    assert abs(r["ate_dr"] - r["ate_naive"]) <= max(
+        0.25 * abs(r["ate_naive"]), 1.0
+    )
+    assert r["mu1_dr"] > 0 and r["mu0_dr"] > 0
+
+
+def test_pps_ht_estimator_close_to_truth(spark):
+    """Horvitz-Thompson from a ~5% PPS sample must land within 25% of
+    the exact total (HT variance on this size-skew is small because
+    big orders enter with high probability)."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.pps_horvitz_thompson(spark, SF_SMALL).collect()[0]
+    assert 0 < r["n_sampled"] < r["n_pop"]
+    assert abs(r["rel_err"]) < 0.25
