@@ -319,6 +319,8 @@ HEADLINE = [
     "price_elasticity",
     "doubly_robust_ate",
     "pps_horvitz_thompson",
+    "seasonal_indices",
+    "term_burstiness",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1985,3 +1985,57 @@ def rake_keyphrases(
     return agg.orderBy(
         F.desc("rake_score"), F.desc("n_occurrences"), "phrase"
     ).limit(k)
+
+
+def term_burstiness(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Church-Gale term burstiness: for each high-frequency term,
+    compare its observed document frequency against the Poisson
+    expectation D*(1 - e^(-tf/D)) — content words are BURSTY (once a
+    document mentions one it mentions it again, so df sits far below
+    the Poisson line) while function words scatter uniformly (ratio
+    near 1).  The corpus statistic behind stopword induction and
+    keyword-candidate filtering that raw frequency cannot provide.
+
+    Exactness: tf and df are BIGINTs from one tokenization; the
+    Poisson expectation is one exp() of an exact integer ratio (libm
+    precedent) rounded to 4 dp before the ratio; per-doc occurrence
+    rate is one more rounded division.
+
+    Scale: one token pass aggregated twice (per (term, doc), then per
+    term); top-k under a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = td.groupBy("term").agg(
+        F.sum("n").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    expected = F.round(
+        F.col("n_corpus")
+        * (1 - F.exp(-F.col("tf") / F.col("n_corpus").cast("double"))),
+        4,
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "tf",
+            "df",
+            expected.alias("expected_df"),
+            F.round(F.col("df") / expected, 4).alias("df_ratio"),
+            F.round(F.col("tf") / F.col("df").cast("double"), 4).alias(
+                "occurrences_per_doc"
+            ),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(k)
+    )

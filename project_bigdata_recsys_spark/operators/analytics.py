@@ -3720,3 +3720,65 @@ def pps_horvitz_thompson(
             ).alias("rel_err"),
         )
     )
+
+
+def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal indices per event type —
+    the decomposition readout behind seasonal_naive_eval's y(d)=y(d-7)
+    assumption: index_w = mean(count | weekday w) / overall mean.  An
+    index row near 1.0 everywhere says the weekly forecast baseline
+    buys nothing; a 1.4 Monday says alerts must be weekday-aware
+    (ewma_anomalies' flat baseline would page every Monday).
+
+    Exactness: weekday from the integer epoch day ((day + 4) % 7 —
+    1970-01-01 was a Thursday), BIGINT count sums over the zero-filled
+    grid, one division per index rounded to 4 dp.
+
+    Scale: fact table -> bounded day grid -> 7 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        ((F.col("day") + 4) % 7).cast("int").alias("weekday"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    per_wd = series.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    tot = per_wd.groupBy("event_type").agg(
+        F.sum("n_days").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    return (
+        per_wd.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            "n_days",
+            F.round(F.col("s") / F.col("n_days").cast("double"), 4).alias(
+                "mean_count"
+            ),
+            F.round(
+                (F.col("s") / F.col("n_days").cast("double"))
+                / (F.col("st") / F.col("nt").cast("double")),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "weekday")
+    )

@@ -10039,6 +10039,68 @@ ORACLES["pps_horvitz_thompson"] = """
     FROM est CROSS JOIN tot
 """
 
+# Day-of-week seasonal indices (round 8, session 3): integer weekday
+# arithmetic over the zero-filled grid.
+QUERIES["seasonal_indices"] = analytics.seasonal_indices
+ORACLES["seasonal_indices"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    series AS (
+        SELECT g.event_type,
+               CAST((g.day + 4) % 7 AS INT) AS weekday,
+               CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    per_wd AS (
+        SELECT event_type, weekday,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM series GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, CAST(sum(n_days) AS BIGINT) AS nt,
+               CAST(sum(s) AS BIGINT) AS st
+        FROM per_wd GROUP BY 1)
+    SELECT p.event_type, p.weekday, p.n_days,
+           round(p.s * 1.0 / p.n_days, 4) AS mean_count,
+           round((p.s * 1.0 / p.n_days)
+                 / (t.st * 1.0 / t.nt), 4) AS seasonal_index
+    FROM per_wd p JOIN tot t USING (event_type)
+    ORDER BY p.event_type, p.weekday
+"""
+
+# Church-Gale burstiness (round 8, session 3): df vs the Poisson
+# expectation from one exp() of exact integer ratios.
+QUERIES["term_burstiness"] = text.term_burstiness
+ORACLES["term_burstiness"] = """
+    WITH td AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE length(term) > 0
+        GROUP BY term, doc_id),
+    stats AS (
+        SELECT term, CAST(sum(n) AS BIGINT) AS tf,
+               CAST(count(*) AS BIGINT) AS df
+        FROM td GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT term, tf, df,
+           round(n_corpus * (1 - exp(-tf / CAST(n_corpus AS DOUBLE))), 4)
+               AS expected_df,
+           round(df / round(n_corpus
+                            * (1 - exp(-tf / CAST(n_corpus AS DOUBLE))),
+                            4), 4) AS df_ratio,
+           round(tf * 1.0 / df, 4) AS occurrences_per_doc
+    FROM stats CROSS JOIN nd
+    ORDER BY tf DESC, term
+    LIMIT 20
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

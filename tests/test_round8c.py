@@ -710,3 +710,34 @@ def test_pps_ht_estimator_close_to_truth(spark):
     r = analytics.pps_horvitz_thompson(spark, SF_SMALL).collect()[0]
     assert 0 < r["n_sampled"] < r["n_pop"]
     assert abs(r["rel_err"]) < 0.25
+
+
+def test_seasonal_indices_average_to_one(spark):
+    """Weighted by day counts, the seasonal indices of each type must
+    average to exactly 1 (the multiplicative-decomposition identity),
+    and all seven weekdays are present."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.seasonal_indices(spark, SF_SMALL).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(r)
+    for et, rs in by.items():
+        assert len(rs) == 7
+        nt = sum(r["n_days"] for r in rs)
+        wavg = sum(r["seasonal_index"] * r["n_days"] for r in rs) / nt
+        assert abs(wavg - 1.0) < 1e-2
+
+
+def test_burstiness_content_words_under_poisson(spark):
+    """Every term's df can never exceed min(tf, D); expected_df is
+    positive; at least one high-frequency term shows sub-Poisson df
+    (burstiness exists in any natural-ish corpus)."""
+    from project_bigdata_recsys_spark.functions import text
+
+    rows = text.term_burstiness(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] <= r["tf"]
+        assert r["expected_df"] > 0
+    assert any(r["df_ratio"] < 1.0 for r in rows)
