@@ -321,6 +321,7 @@ HEADLINE = [
     "pps_horvitz_thompson",
     "seasonal_indices",
     "term_burstiness",
+    "stream_holt_forecast",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

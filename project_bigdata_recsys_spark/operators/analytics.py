@@ -2692,6 +2692,15 @@ def holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
+    return holt_eval_from_counts(counts)
+
+
+def holt_eval_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared readout of the Holt backtest over a (event_type, day, y)
+    count frame — the kernel behind :func:`holt_forecast_eval` and its
+    streaming twin (replay.stream_holt_forecast), so the streamed fit
+    and MAE are bit-identical to batch."""
+    spark = counts.sparkSession
     bounds = counts.groupBy("event_type").agg(F.max("day").alias("d1"))
     grid = bounds.select(
         "event_type",

@@ -10101,6 +10101,11 @@ ORACLES["term_burstiness"] = """
     LIMIT 20
 """
 
+# Streaming Holt twin (round 8, session 3): daily count state, shared
+# weight-literal kernel, same oracle as the batch backtest.
+QUERIES["stream_holt_forecast"] = replay.stream_holt_forecast
+ORACLES["stream_holt_forecast"] = ORACLES["holt_forecast_eval"]
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1412,3 +1412,34 @@ def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("long").alias("k"),
         )
     )
+
+
+def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt trend backtest maintained BY THE STREAM: per-(type,
+    day) counts as complete-mode state, level/trend/forecast/MAE read
+    out through the shared ``analytics.holt_eval_from_counts`` kernel
+    with the same offline-unrolled micro weight literals — the
+    trend-aware forecast monitor in deployable form, bit-identical to
+    the batch backtest (same oracle)."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        holt_eval_from_counts,
+    )
+
+    events = replay_events_stream(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    table = _run_replay(daily, spark, "complete")
+    # the kernel reads the count frame on BOTH sides of its grid join —
+    # memory-sink frames conflict with themselves there; break lineage
+    # through a KB-scale scratch parquet (the stream_bootstrap_ci
+    # discipline)
+    state_dir = os.path.join(scratch_dir(prefix="spark_holt_state_"), "state")
+    table.write.mode("overwrite").parquet(state_dir)
+    counts = spark.read.parquet(state_dir).select(
+        "event_type", "day", F.col("y").cast("long").alias("y")
+    )
+    return holt_eval_from_counts(counts)

@@ -741,3 +741,20 @@ def test_burstiness_content_words_under_poisson(spark):
         assert r["df"] <= r["tf"]
         assert r["expected_df"] > 0
     assert any(r["df_ratio"] < 1.0 for r in rows)
+
+
+def test_stream_holt_matches_batch(spark):
+    """The streamed Holt backtest must be row-identical to the batch
+    operator — same kernel, same literals, same numbers."""
+    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.streaming import replay
+
+    batch = [
+        tuple(r)
+        for r in analytics.holt_forecast_eval(spark, SF_SMALL).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in replay.stream_holt_forecast(spark, SF_SMALL).collect()
+    ]
+    assert batch == streamed
