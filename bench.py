@@ -322,6 +322,7 @@ HEADLINE = [
     "seasonal_indices",
     "term_burstiness",
     "stream_holt_forecast",
+    "bh_fdr_correction",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

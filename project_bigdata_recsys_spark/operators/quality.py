@@ -1156,3 +1156,121 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__ts") / 1e12 / (F.col("v_max") - F.col("v_min")), 6
         ).alias("w1_norm"),
     )
+
+
+# Two-sided normal quantiles for BH at FDR alpha=0.1 over m=5 tests:
+# z*(k) = Phi^-1(1 - (alpha*k/m)/2), precomputed offline and embedded
+# in BOTH engines (the EWMA/SPRT micro-literal discipline) because SQL
+# has no inverse normal CDF.
+BH_Z_MICRO = [
+    (1, 2326348),
+    (2, 2053749),
+    (3, 1880794),
+    (4, 1750686),
+    (5, 1644854),
+]
+
+
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-type drift tests
+    — the multiple-testing layer the drift dashboard needs once it
+    fires five Welch tests per run (at alpha=0.05 each, one of five
+    "drifts" is a coin flip): order the |z| scores, compare the k-th
+    largest against the BH boundary z*(alpha·k/m), and reject exactly
+    ranks 1..k* where k* is the LARGEST passing rank (the step-up
+    rule — a rank can be rejected even if its own comparison fails).
+
+    Exactness: per-type Welch z from BIGINT cent moments of the
+    early/late halves, rounded to 4 dp; BH boundaries are offline
+    normal quantiles as micro literals; the step-up fold is a max over
+    5 integer comparisons.
+
+    Scale: one scan to 2·#types moment rows; everything after is a
+    #types-row frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("double") / 86400).cast(
+        "long"
+    )
+    base = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    anchor = base.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0).cast("long").alias("mid")
+    )
+    m = (
+        base.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.when(F.col("day") <= F.col("mid"), 1).otherwise(0).alias("a"),
+            "cents",
+        )
+        .groupBy("event_type", "a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+        )
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (
+        F.col("ss") - F.col("s") * (F.col("s") / F.col("n").cast("double"))
+    ) / (F.col("n") - 1.0)
+    sides = m.select("event_type", "a", F.col("n"), mean.alias("mu"), var.alias("v"))
+    ea = sides.filter(F.col("a") == 1).select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.col("mu").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    eb = sides.filter(F.col("a") == 0).select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.col("mu").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    z = F.round(
+        (F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+        4,
+    )
+    scored = ea.join(eb, "event_type").select(
+        "event_type", z.alias("z_score")
+    )
+    w = Window.orderBy(
+        F.desc(F.abs(F.col("z_score"))), F.asc("event_type")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    thresholds = spark.createDataFrame(
+        BH_Z_MICRO, ["rank", "z_star_micro"]
+    ).select(F.col("rank").cast("int").alias("rank"), "z_star_micro")
+    passed = ranked.join(F.broadcast(thresholds), "rank").withColumn(
+        "passes",
+        (
+            F.round(F.abs(F.col("z_score")) * 1e6).cast("long")
+            >= F.col("z_star_micro")
+        ).cast("int"),
+    )
+    kstar = passed.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("int")
+        .alias("k_star")
+    )
+    return (
+        passed.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "rank",
+            "z_score",
+            F.round(F.col("z_star_micro") / 1e6, 6).alias("bh_boundary"),
+            (F.col("rank") <= F.col("k_star")).cast("int").alias(
+                "drift_rejected"
+            ),
+        )
+        .orderBy("rank")
+    )

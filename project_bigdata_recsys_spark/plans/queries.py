@@ -10106,6 +10106,62 @@ ORACLES["term_burstiness"] = """
 QUERIES["stream_holt_forecast"] = replay.stream_holt_forecast
 ORACLES["stream_holt_forecast"] = ORACLES["holt_forecast_eval"]
 
+# Benjamini-Hochberg FDR correction (round 8, session 3): per-type
+# Welch drift z vs offline normal-quantile micro literals; step-up k*.
+QUERIES["bh_fdr_correction"] = quality.bh_fdr_correction
+ORACLES["bh_fdr_correction"] = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+    anchor AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT)
+                   AS mid FROM base),
+    m AS (
+        SELECT event_type,
+               CASE WHEN day <= (SELECT mid FROM anchor)
+                    THEN 1 ELSE 0 END AS a,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM base GROUP BY 1, 2),
+    sides AS (
+        SELECT event_type, a, n,
+               s / CAST(n AS DOUBLE) AS mu,
+               (ss - s * (s / CAST(n AS DOUBLE))) / (n - 1.0) AS v
+        FROM m),
+    scored AS (
+        SELECT ea.event_type,
+               round((ea.mu - eb.mu)
+                     / sqrt(ea.v / ea.n + eb.v / eb.n), 4) AS z_score
+        FROM (SELECT * FROM sides WHERE a = 1) ea
+        JOIN (SELECT * FROM sides WHERE a = 0) eb USING (event_type)),
+    ranked AS (
+        SELECT event_type, z_score,
+               CAST(row_number() OVER (ORDER BY abs(z_score) DESC,
+                                       event_type) AS INT) AS rank
+        FROM scored),
+    th(rank, z_star_micro) AS (VALUES
+        (1, 2326348), (2, 2053749), (3, 1880794),
+        (4, 1750686), (5, 1644854)),
+    passed AS MATERIALIZED (
+        SELECT r.event_type, r.rank, r.z_score, t.z_star_micro,
+               CASE WHEN CAST(round(abs(r.z_score) * 1e6) AS BIGINT)
+                         >= t.z_star_micro
+                    THEN 1 ELSE 0 END AS passes
+        FROM ranked r JOIN th t USING (rank)),
+    kstar AS (
+        SELECT CAST(coalesce(max(CASE WHEN passes = 1 THEN rank END), 0)
+                    AS INT) AS k_star
+        FROM passed)
+    SELECT event_type, rank, z_score,
+           round(z_star_micro / 1e6, 6) AS bh_boundary,
+           CAST(CASE WHEN rank <= k_star THEN 1 ELSE 0 END AS INT)
+               AS drift_rejected
+    FROM passed CROSS JOIN kstar
+    ORDER BY rank
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -59,6 +59,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "kcore_profile",  # Aggregate(degree): ≤ #distinct-degree rows
     "stream_sprt_monitor",  # Aggregate(day): ≤ calendar-day-span rows
     "largest_remainder_allocation",  # Aggregate(source): ≤ #sources rows
+    "bh_fdr_correction",  # Aggregate(event_type): ≤ #types rows
 }
 
 

@@ -758,3 +758,19 @@ def test_stream_holt_matches_batch(spark):
         for r in replay.stream_holt_forecast(spark, SF_SMALL).collect()
     ]
     assert batch == streamed
+
+
+def test_bh_stepup_is_contiguous_and_thresholds_rederive(spark):
+    """Rejections are exactly ranks 1..k* (never a gap), and the
+    embedded boundaries re-derive from the inverse normal CDF."""
+    from statistics import NormalDist
+
+    from project_bigdata_recsys_spark.operators import quality
+
+    nd = NormalDist()
+    for k, zmicro in quality.BH_Z_MICRO:
+        assert round(1e6 * nd.inv_cdf(1 - (0.1 * k / 5) / 2)) == zmicro
+    rows = quality.bh_fdr_correction(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    flags = [r["drift_rejected"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert flags == sorted(flags, reverse=True)
