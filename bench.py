@@ -323,6 +323,8 @@ HEADLINE = [
     "term_burstiness",
     "stream_holt_forecast",
     "bh_fdr_correction",
+    "icc_profile",
+    "mde_power_analysis",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

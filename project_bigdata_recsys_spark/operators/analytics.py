@@ -3791,3 +3791,135 @@ def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "weekday")
     )
+
+
+def icc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation + design effect of event value under
+    user clustering — the number that explains why event-level
+    variance formulas mislead user-randomized experiments (the
+    aa_test_calibration readout showed var_z < 1; ICC quantifies the
+    clustering behind it): one-way random-effects ANOVA with users as
+    groups, σ²_b = (MSB − MSW)/m̄₀, ICC = σ²_b/(σ²_b + MSW), and
+    design effect 1 + (m̄ − 1)·ICC — the variance inflation a
+    cluster-randomized readout must apply.
+
+    Exactness: per-user Σy and Σy² are BIGINTs; the only rationals
+    (s_i²/n_i) are micro-frozen per user before the exact fold; the
+    ANOVA identities divide once each, rounded at the readout.
+
+    Scale: one scan to per-user moments, one fold; no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("long")
+            * F.round(F.col("value") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("ss"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("sy"),
+        F.sum("ss").cast("long").alias("syy"),
+        F.sum(
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("s")
+                * F.col("s")
+                / F.col("n").cast("double")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sb_micro"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+    )
+    ssb = F.col("sb_micro") / 1e6 - F.col("sy") * (
+        F.col("sy") / F.col("nn").cast("double")
+    )
+    ssw = F.col("syy") - F.col("sb_micro") / 1e6
+    msb = ssb / (F.col("k") - 1.0)
+    msw = ssw / (F.col("nn") - F.col("k")).cast("double")
+    m0 = (
+        F.col("nn") - F.col("sn2") / F.col("nn").cast("double")
+    ) / (F.col("k") - 1.0)
+    # negative variance-component estimates clamp to 0 (the standard
+    # ANOVA convention when MSB < MSW — no detectable clustering)
+    sigma_b = F.greatest(F.lit(0.0), (msb - msw) / m0)
+    icc = sigma_b / (sigma_b + msw)
+    mbar = F.col("nn") / F.col("k").cast("double")
+    return agg.select(
+        F.col("k").alias("n_users"),
+        F.col("nn").alias("n_events"),
+        F.round(mbar, 4).alias("avg_cluster_size"),
+        F.round(msw / 10_000.0, 4).alias("within_var"),
+        F.round(sigma_b / 10_000.0, 4).alias("between_var"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1.0 + (mbar - 1.0) * icc, 4).alias("design_effect"),
+    )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, offline
+# (SQL has no inverse CDF — the BH_Z_MICRO discipline)
+MDE_Z_ALPHA_MICRO = 1959964
+MDE_Z_BETA_MICRO = 841621
+
+
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect power analysis for a two-arm test on
+    event value: at alpha = 0.05 (two-sided) and 80% power,
+    MDE = (z_{α/2} + z_β)·sqrt(2σ²/n) per arm size n — the planning
+    table an experimenter reads BEFORE launching (ab_test_lift and the
+    SPRT monitor tell you what happened; this tells you what's even
+    detectable), with the corpus's own pooled variance and the
+    observed n as the last row.
+
+    Exactness: σ² from BIGINT cent moments; the z sum is an offline
+    micro literal; one sqrt per row, rounded 4 dp.
+
+    Scale: one scan to a 1-row moment aggregate crossed with a 4-row
+    plan grid."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("long")
+            * F.round(F.col("value") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("ss"),
+    )
+    grid = spark.createDataFrame(
+        [(1_000,), (10_000,), (100_000,), (-1,)], ["n_per_arm"]
+    ).select(F.col("n_per_arm").cast("long").alias("n_per_arm"))
+    base = m.crossJoin(F.broadcast(grid)).select(
+        F.when(F.col("n_per_arm") == -1, F.expr("n_obs div 2"))
+        .otherwise(F.col("n_per_arm"))
+        .cast("long")
+        .alias("n_per_arm"),
+        (F.col("n_per_arm") == -1).cast("int").alias("is_observed_n"),
+        (F.col("s") / F.col("n_obs").cast("double")).alias("mu_c"),
+        (
+            (
+                F.col("ss")
+                - F.col("s") * (F.col("s") / F.col("n_obs").cast("double"))
+            )
+            / (F.col("n_obs") - 1.0)
+        ).alias("var_c"),
+    )
+    zsum = (MDE_Z_ALPHA_MICRO + MDE_Z_BETA_MICRO) / 1e6
+    mde_c = F.lit(zsum) * F.sqrt(2.0 * F.col("var_c") / F.col("n_per_arm"))
+    return base.select(
+        "n_per_arm",
+        "is_observed_n",
+        F.round(F.col("mu_c") / 100.0, 4).alias("baseline_mean"),
+        F.round(mde_c / 100.0, 4).alias("mde_abs"),
+        F.round(mde_c / F.col("mu_c"), 6).alias("mde_rel"),
+    ).orderBy("n_per_arm")

@@ -10162,6 +10162,81 @@ ORACLES["bh_fdr_correction"] = """
     ORDER BY rank
 """
 
+# ICC / design effect (round 8, session 3): one-way ANOVA identities
+# from BIGINT moments; micro-frozen per-user s^2/n terms.
+QUERIES["icc_profile"] = analytics.icc_profile
+ORACLES["icc_profile"] = """
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events GROUP BY user_id),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS BIGINT) AS sy,
+               CAST(sum(ss) AS BIGINT) AS syy,
+               CAST(sum(CAST(round(1000000.0 * s * s
+                                   / CAST(n AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS sb_micro,
+               CAST(sum(n * n) AS BIGINT) AS sn2
+        FROM per_user),
+    d AS (
+        SELECT k, nn,
+               nn * 1.0 / k AS mbar,
+               (sb_micro / 1e6 - sy * (sy / CAST(nn AS DOUBLE)))
+                   / (k - 1.0) AS msb,
+               (syy - sb_micro / 1e6) / CAST(nn - k AS DOUBLE) AS msw,
+               (nn - sn2 / CAST(nn AS DOUBLE)) / (k - 1.0) AS m0
+        FROM agg)
+    SELECT k AS n_users, nn AS n_events,
+           round(mbar, 4) AS avg_cluster_size,
+           round(msw / 10000.0, 4) AS within_var,
+           round(greatest(0.0, (msb - msw) / m0) / 10000.0, 4)
+               AS between_var,
+           round(greatest(0.0, (msb - msw) / m0)
+                 / (greatest(0.0, (msb - msw) / m0) + msw), 6) AS icc,
+           round(1.0 + (mbar - 1.0)
+                       * (greatest(0.0, (msb - msw) / m0)
+                          / (greatest(0.0, (msb - msw) / m0) + msw)), 4)
+               AS design_effect
+    FROM d
+"""
+
+# MDE power table (round 8, session 3): offline z literals, pooled
+# cent variance, one sqrt per plan row.
+QUERIES["mde_power_analysis"] = analytics.mde_power_analysis
+ORACLES["mde_power_analysis"] = """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events),
+    grid(n0) AS (VALUES (1000), (10000), (100000), (-1)),
+    base AS (
+        SELECT CASE WHEN n0 = -1 THEN n_obs // 2
+                    ELSE CAST(n0 AS BIGINT) END AS n_per_arm,
+               CAST(CASE WHEN n0 = -1 THEN 1 ELSE 0 END AS INT)
+                   AS is_observed_n,
+               s / CAST(n_obs AS DOUBLE) AS mu_c,
+               (ss - s * (s / CAST(n_obs AS DOUBLE))) / (n_obs - 1.0)
+                   AS var_c
+        FROM m CROSS JOIN grid)
+    SELECT n_per_arm, is_observed_n,
+           round(mu_c / 100.0, 4) AS baseline_mean,
+           round(2.801585 * sqrt(2.0 * var_c / n_per_arm) / 100.0, 4)
+               AS mde_abs,
+           round(2.801585 * sqrt(2.0 * var_c / n_per_arm) / mu_c, 6)
+               AS mde_rel
+    FROM base ORDER BY n_per_arm
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -774,3 +774,32 @@ def test_bh_stepup_is_contiguous_and_thresholds_rederive(spark):
     assert len(rows) == 5
     flags = [r["drift_rejected"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_icc_explains_aa_clustering(spark):
+    """ICC sits in [0, 1); design effect >= 1 and reconciles with its
+    own formula from the reported columns."""
+    from project_bigdata_recsys_spark.operators import analytics
+
+    r = analytics.icc_profile(spark, SF_SMALL).collect()[0]
+    assert 0 <= r["icc"] < 1
+    assert r["design_effect"] >= 1
+    manual = round(1.0 + (r["avg_cluster_size"] - 1.0) * r["icc"], 2)
+    assert abs(manual - round(r["design_effect"], 2)) < 0.02
+
+
+def test_mde_shrinks_with_sample_size(spark):
+    """MDE scales as 1/sqrt(n): doubling logs are monotone, and the z
+    literals re-derive from the inverse normal CDF."""
+    from statistics import NormalDist
+
+    from project_bigdata_recsys_spark.operators import analytics
+
+    nd = NormalDist()
+    assert round(1e6 * nd.inv_cdf(0.975)) == analytics.MDE_Z_ALPHA_MICRO
+    assert round(1e6 * nd.inv_cdf(0.8)) == analytics.MDE_Z_BETA_MICRO
+    rows = analytics.mde_power_analysis(spark, SF_SMALL).collect()
+    ordered = sorted(rows, key=lambda r: r["n_per_arm"])
+    mdes = [r["mde_abs"] for r in ordered]
+    assert mdes == sorted(mdes, reverse=True)
+    assert sum(r["is_observed_n"] for r in rows) == 1
