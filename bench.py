@@ -325,6 +325,8 @@ HEADLINE = [
     "bh_fdr_correction",
     "icc_profile",
     "mde_power_analysis",
+    "session_gap_sweep",
+    "freshness_audit",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -1274,3 +1274,38 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment data-freshness audit relative to the corpus
+    high-water mark: each event type's last-seen timestamp, its lag in
+    hours behind the freshest segment, and a staleness flag at 48 h —
+    the first page of every pipeline-health dashboard (a segment whose
+    feed silently died shows up here before any drift test fires).
+    Anchoring to the corpus max (never wall-clock) keeps the audit a
+    pure function of the data — reproducible, oracle-checkable, and
+    timezone-proof.
+
+    Scale: one scan, one #types-row aggregate + broadcast anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.floor(F.col("ts").cast("timestamp").cast("double")))
+        .cast("long")
+        .alias("last_epoch"),
+    )
+    anchor = per_type.agg(F.max("last_epoch").alias("hwm"))
+    lag_h = F.round(
+        (F.col("hwm") - F.col("last_epoch")) / 3600.0, 4
+    )
+    return (
+        per_type.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            "n_events",
+            "last_epoch",
+            lag_h.alias("lag_hours"),
+            (lag_h > 48.0).cast("int").alias("stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -303,3 +303,63 @@ def deterministic_group_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> 
                 F.round("o_totalprice", 2).alias("totalprice"), "rn")
         .orderBy("o_custkey", "rn")
     )
+
+
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter-sensitivity sweep: session counts and
+    mean lengths at inactivity gaps of 10/30/60 minutes from ONE pass
+    over the per-user event deltas — the calibration table that turns
+    'we use 30 minutes because everyone does' into a measured choice
+    (if 10 and 60 give nearly the same session count, the corpus is
+    insensitive and any gap is safe; a steep slope means sessions are
+    an artifact of the parameter).
+
+    Exactness: deltas are integer seconds from one user-partitioned
+    lag window; per-gap session counts are integer sums (#users +
+    #breaks); means divide once, rounded 4 dp.
+
+    Scale: one lag window (user-partitioned), one aggregation per gap
+    over the SAME delta frame — the sweep never rescans the fact
+    table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "user_id",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+        ).alias("dt"),
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    deltas = persist_tracked(deltas)
+    totals = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("dt").isNull().cast("int")).cast("long").alias("n_users"),
+    )
+    out = None
+    for gap_min in (10, 30, 60):
+        gap_s = gap_min * 60
+        breaks = deltas.agg(
+            F.sum((F.col("dt") > gap_s).cast("int")).cast("long").alias(
+                "n_breaks"
+            )
+        )
+        row = (
+            breaks.crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(gap_min).cast("int").alias("gap_minutes"),
+                (F.col("n_users") + F.col("n_breaks"))
+                .cast("long")
+                .alias("n_sessions"),
+                F.round(
+                    F.col("n_events")
+                    / (F.col("n_users") + F.col("n_breaks")).cast("double"),
+                    4,
+                ).alias("avg_events_per_session"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gap_minutes")

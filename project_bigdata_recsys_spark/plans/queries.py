@@ -10237,6 +10237,53 @@ ORACLES["mde_power_analysis"] = """
     FROM base ORDER BY n_per_arm
 """
 
+# Sessionization gap sweep (round 8, session 3): one delta pass,
+# three integer break counts.
+QUERIES["session_gap_sweep"] = windows.session_gap_sweep
+ORACLES["session_gap_sweep"] = """
+    WITH deltas AS (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                   AS dt
+        FROM events),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN dt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_users
+        FROM deltas),
+    gaps(gap_minutes) AS (VALUES (10), (30), (60)),
+    sweep AS (
+        SELECT g.gap_minutes,
+               CAST(sum(CASE WHEN d.dt > g.gap_minutes * 60
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+        FROM deltas d CROSS JOIN gaps g
+        GROUP BY g.gap_minutes)
+    SELECT CAST(s.gap_minutes AS INT) AS gap_minutes,
+           CAST(t.n_users + s.n_breaks AS BIGINT) AS n_sessions,
+           round(t.n_events * 1.0 / (t.n_users + s.n_breaks), 4)
+               AS avg_events_per_session
+    FROM sweep s CROSS JOIN totals t
+    ORDER BY gap_minutes
+"""
+
+# Freshness audit (round 8, session 3): per-type high-water lag,
+# anchored to the corpus max (pure function of the data).
+QUERIES["freshness_audit"] = quality.freshness_audit
+ORACLES["freshness_audit"] = """
+    WITH per_type AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_epoch
+        FROM events GROUP BY event_type),
+    anchor AS (SELECT max(last_epoch) AS hwm FROM per_type)
+    SELECT event_type, n_events, last_epoch,
+           round((hwm - last_epoch) / 3600.0, 4) AS lag_hours,
+           CAST(CASE WHEN round((hwm - last_epoch) / 3600.0, 4) > 48.0
+                     THEN 1 ELSE 0 END AS INT) AS stale
+    FROM per_type CROSS JOIN anchor
+    ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

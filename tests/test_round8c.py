@@ -803,3 +803,28 @@ def test_mde_shrinks_with_sample_size(spark):
     mdes = [r["mde_abs"] for r in ordered]
     assert mdes == sorted(mdes, reverse=True)
     assert sum(r["is_observed_n"] for r in rows) == 1
+
+
+def test_session_sweep_monotone_in_gap(spark):
+    """A larger inactivity gap can only merge sessions: session counts
+    are nonincreasing and events-per-session nondecreasing in the
+    gap."""
+    from project_bigdata_recsys_spark.operators import windows
+
+    rows = windows.session_gap_sweep(spark, SF_SMALL).collect()
+    assert [r["gap_minutes"] for r in rows] == [10, 30, 60]
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    ev = [r["avg_events_per_session"] for r in rows]
+    assert ev == sorted(ev)
+
+
+def test_freshness_anchor_is_corpus_max(spark):
+    """Exactly one segment sits at lag 0 (the high-water mark) and
+    every lag is nonnegative."""
+    from project_bigdata_recsys_spark.operators import quality
+
+    rows = quality.freshness_audit(spark, SF_SMALL).collect()
+    assert rows
+    assert min(r["lag_hours"] for r in rows) == 0.0
+    assert all(r["lag_hours"] >= 0 for r in rows)
