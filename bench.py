@@ -327,6 +327,8 @@ HEADLINE = [
     "mde_power_analysis",
     "session_gap_sweep",
     "freshness_audit",
+    "stream_mann_kendall",
+    "negbin_fit_profile",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -2419,6 +2419,14 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
+    return mann_kendall_from_counts(counts)
+
+
+def mann_kendall_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared readout of the Mann-Kendall test over a (event_type, day,
+    y) count frame — the kernel behind :func:`mann_kendall_trend` and
+    its streaming twin (replay.stream_mann_kendall), so the streamed
+    verdict is bit-identical to batch."""
     bounds = counts.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -3923,3 +3931,83 @@ def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde_c / 100.0, 4).alias("mde_abs"),
         F.round(mde_c / F.col("mu_c"), 6).alias("mde_rel"),
     ).orderBy("n_per_arm")
+
+
+def negbin_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of the daily count
+    series per event type — the parametric follow-up to
+    overdispersion_profile's verdict: r = mean²/(var − mean),
+    p = mean/var (NB2 parameterization), shipped WITH its own
+    goodness check — the fitted zero probability (r/(r + mean))^r next
+    to the OBSERVED zero-day fraction (the comparison a Poisson fit
+    fails loudly on clumped feeds).  Types with var <= mean report the
+    Poisson limit (r = NULL semantics as r = 0, p0 from e^(−mean)).
+
+    Exactness: BIGINT count moments over the zero-filled grid; mean
+    and var rounded to 6 dp before the one pow()/exp() (libm
+    precedent), outputs rounded 4 dp.
+
+    Scale: fact table → bounded day grid → one fold per type."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    m = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        F.sum((F.col("y") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+    mean = F.round(F.col("s") / F.col("n_days").cast("double"), 6)
+    var = F.round(
+        (
+            F.col("ss")
+            - F.col("s") * (F.col("s") / F.col("n_days").cast("double"))
+        )
+        / (F.col("n_days") - 1.0),
+        6,
+    )
+    over = var > mean
+    r = F.when(over, F.round(mean * mean / (var - mean), 4)).otherwise(
+        F.lit(0.0)
+    )
+    p = F.when(over, F.round(mean / var, 4)).otherwise(F.lit(1.0))
+    p0_fit = F.when(
+        over,
+        F.round(
+            F.pow(
+                F.round(mean * mean / (var - mean), 4)
+                / (F.round(mean * mean / (var - mean), 4) + mean),
+                F.round(mean * mean / (var - mean), 4),
+            ),
+            4,
+        ),
+    ).otherwise(F.round(F.exp(-mean), 4))
+    return m.select(
+        "event_type",
+        "n_days",
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        r.alias("nb_r"),
+        p.alias("nb_p"),
+        p0_fit.alias("p0_fitted"),
+        F.round(F.col("n_zero") / F.col("n_days").cast("double"), 4).alias(
+            "p0_observed"
+        ),
+    ).orderBy("event_type")

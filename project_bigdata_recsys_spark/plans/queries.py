@@ -10284,6 +10284,57 @@ ORACLES["freshness_audit"] = """
     ORDER BY event_type
 """
 
+# Streaming Mann-Kendall twin (round 8, session 3): daily count state,
+# shared kernel, same oracle.
+QUERIES["stream_mann_kendall"] = replay.stream_mann_kendall
+ORACLES["stream_mann_kendall"] = ORACLES["mann_kendall_trend"]
+
+# Negative-binomial MoM fit (round 8, session 3): NB2 parameters from
+# 6-dp moments with the fitted-vs-observed zero-fraction check.
+QUERIES["negbin_fit_profile"] = analytics.negbin_fit_profile
+ORACLES["negbin_fit_profile"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+    series AS (
+        SELECT g.event_type, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                               AND c.day = g.day),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS ss,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM series GROUP BY 1),
+    d AS (
+        SELECT event_type, n_days, n_zero,
+               round(s * 1.0 / n_days, 6) AS mean,
+               round((ss - s * (s * 1.0 / n_days)) / (n_days - 1.0), 6)
+                   AS var
+        FROM m)
+    SELECT event_type, n_days,
+           mean AS mean_daily, var AS var_daily,
+           CASE WHEN var > mean
+                THEN round(mean * mean / (var - mean), 4)
+                ELSE 0.0 END AS nb_r,
+           CASE WHEN var > mean THEN round(mean / var, 4)
+                ELSE 1.0 END AS nb_p,
+           CASE WHEN var > mean
+                THEN round(pow(round(mean * mean / (var - mean), 4)
+                               / (round(mean * mean / (var - mean), 4)
+                                  + mean),
+                               round(mean * mean / (var - mean), 4)), 4)
+                ELSE round(exp(-mean), 4) END AS p0_fitted,
+           round(n_zero * 1.0 / n_days, 4) AS p0_observed
+    FROM d ORDER BY event_type
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1443,3 +1443,29 @@ def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", F.col("y").cast("long").alias("y")
     )
     return holt_eval_from_counts(counts)
+
+
+def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mann-Kendall trend test maintained BY THE STREAM: per-(type,
+    day) counts as complete-mode state, verdicts read out through the
+    shared ``analytics.mann_kendall_from_counts`` kernel — the robust
+    trend monitor in deployable form, bit-identical to batch (same
+    oracle)."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        mann_kendall_from_counts,
+    )
+
+    events = replay_events_stream(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    table = _run_replay(daily, spark, "complete")
+    state_dir = os.path.join(scratch_dir(prefix="spark_mk_state_"), "state")
+    table.write.mode("overwrite").parquet(state_dir)
+    counts = spark.read.parquet(state_dir).select(
+        "event_type", "day", F.col("y").cast("long").alias("y")
+    )
+    return mann_kendall_from_counts(counts)

@@ -828,3 +828,41 @@ def test_freshness_anchor_is_corpus_max(spark):
     assert rows
     assert min(r["lag_hours"] for r in rows) == 0.0
     assert all(r["lag_hours"] >= 0 for r in rows)
+
+
+def test_stream_mann_kendall_matches_batch(spark):
+    """Streamed MK verdict row-identical to the batch test."""
+    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.streaming import replay
+
+    batch = [
+        tuple(r)
+        for r in analytics.mann_kendall_trend(spark, SF_SMALL).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in replay.stream_mann_kendall(spark, SF_SMALL).collect()
+    ]
+    assert batch == streamed
+
+
+def test_negbin_reduces_to_poisson_when_underdispersed(spark):
+    """Where var <= mean the profile reports the Poisson limit (r=0,
+    p=1, p0=e^-mean); where overdispersed, the NB zero fraction must
+    exceed the Poisson one (the defining clumping signature)."""
+    import math
+
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.negbin_fit_profile(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["var_daily"] <= r["mean_daily"]:
+            assert r["nb_r"] == 0.0 and r["nb_p"] == 1.0
+            assert abs(
+                r["p0_fitted"] - round(math.exp(-r["mean_daily"]), 4)
+            ) < 1e-9
+        else:
+            assert r["p0_fitted"] >= round(
+                math.exp(-r["mean_daily"]), 4
+            ) - 1e-9
