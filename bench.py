@@ -329,6 +329,8 @@ HEADLINE = [
     "freshness_audit",
     "stream_mann_kendall",
     "negbin_fit_profile",
+    "lang_source_vmeasure",
+    "theil_inequality_index",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

@@ -4011,3 +4011,61 @@ def negbin_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p0_observed"
         ),
     ).orderBy("event_type")
+
+
+def theil_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of user spend per event type and
+    overall — the decomposable concentration measure (0 = perfectly
+    equal, ln(n) = one user owns everything) that complements
+    pareto_curve's band view with a single comparable number and,
+    unlike Gini, needs NO sorting: T = Σ (xᵢ/X)·ln(xᵢ/μ) is one
+    scan-and-fold.
+
+    Exactness: per-user cent totals are BIGINTs; each share·ln term is
+    micro-frozen from exact integer ratios before the fold; zero-spend
+    users contribute 0 (the x→0 limit).
+
+    Scale: one aggregation to per-(type, user) totals, one fold per
+    type; the 'all' row folds the same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    per = persist_tracked(per)
+
+    def theil(df, key_expr):
+        g = df.groupBy(key_expr.alias("segment"), "user_id").agg(
+            F.sum("x").cast("long").alias("x")
+        )
+        tot = g.groupBy("segment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("xt"),
+        )
+        term = F.when(
+            F.col("x") > 0,
+            F.round(
+                F.lit(1_000_000.0)
+                * (F.col("x") / F.col("xt").cast("double"))
+                * F.log(
+                    F.col("x")
+                    / (F.col("xt") / F.col("n_users").cast("double"))
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        return (
+            g.join(F.broadcast(tot), "segment")
+            .groupBy("segment", "n_users")
+            .agg(F.sum(term).cast("long").alias("tm"))
+            .select(
+                "segment",
+                "n_users",
+                F.round(F.col("tm") / 1e6, 6).alias("theil_t"),
+            )
+        )
+    by_type = theil(per, F.col("event_type"))
+    overall = theil(per, F.lit("__all__"))
+    return by_type.unionByName(overall).orderBy("segment")

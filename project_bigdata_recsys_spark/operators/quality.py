@@ -1309,3 +1309,66 @@ def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def lang_source_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure between the corpus's two document partitions (lang,
+    source) — the entropy-based clustering agreement score
+    (Rosenberg & Hirschberg 2007): homogeneity = 1 − H(lang|source)
+    / H(lang), completeness = 1 − H(source|lang)/H(source), V their
+    harmonic mean.  The information-theoretic member of the agreement
+    family (label_agreement_kappa is chance-corrected counting,
+    lang_source_chi2 tests independence; V-measure SCORES how far one
+    partition explains the other — near 0 here is itself the QA
+    finding: sources are language-balanced, so source-stratified
+    sampling cannot skew language mix).
+
+    Exactness: every entropy is a fold of micro-frozen p·ln p terms
+    from exact BIGINT cell counts (one contingency aggregation);
+    ratios divide rounded micro sums.
+
+    Scale: one scan to the #langs × #sources contingency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    tot = cells.agg(F.sum("n").cast("long").alias("N"))
+
+    def entropy_micro(df, group_cols):
+        """Σ −(n/N)·ln(n/N) micro-frozen, over `group_cols` marginals."""
+        marg = df.groupBy(*group_cols).agg(
+            F.sum("n").cast("long").alias("m")
+        )
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select(
+                F.round(
+                    F.lit(-1_000_000.0)
+                    * (F.col("m") / F.col("N"))
+                    * F.log(F.col("m") / F.col("N"))
+                )
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.sum("t").cast("long").alias("h"))
+        )
+    h_lang = entropy_micro(cells, ["lang"]).withColumnRenamed("h", "h_lang")
+    h_src = entropy_micro(cells, ["source"]).withColumnRenamed("h", "h_src")
+    h_joint = entropy_micro(cells, ["lang", "source"]).withColumnRenamed(
+        "h", "h_joint"
+    )
+    j = h_lang.crossJoin(h_src).crossJoin(h_joint)
+    # H(lang|source) = H(joint) − H(source); H(source|lang) likewise
+    hom = 1.0 - (F.col("h_joint") - F.col("h_src")) / F.col("h_lang")
+    com = 1.0 - (F.col("h_joint") - F.col("h_lang")) / F.col("h_src")
+    return j.select(
+        F.round(F.col("h_lang") / 1e6, 6).alias("h_lang"),
+        F.round(F.col("h_src") / 1e6, 6).alias("h_source"),
+        F.round(F.col("h_joint") / 1e6, 6).alias("h_joint"),
+        F.round(hom, 6).alias("homogeneity"),
+        F.round(com, 6).alias("completeness"),
+        F.round(2.0 * hom * com / (hom + com), 6).alias("v_measure"),
+    )

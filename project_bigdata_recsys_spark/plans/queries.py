@@ -10335,6 +10335,81 @@ ORACLES["negbin_fit_profile"] = """
     FROM d ORDER BY event_type
 """
 
+# V-measure (round 8, session 3): entropy agreement between the lang
+# and source partitions; micro-frozen p ln p folds.
+QUERIES["lang_source_vmeasure"] = quality.lang_source_vmeasure
+ORACLES["lang_source_vmeasure"] = """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM cells),
+    hl AS (
+        SELECT CAST(sum(CAST(round(-1000000.0 * (m * 1.0 / ntot)
+                                   * ln(m * 1.0 / ntot)) AS BIGINT))
+                    AS BIGINT) AS h_lang
+        FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS m
+              FROM cells GROUP BY lang) CROSS JOIN tot),
+    hs AS (
+        SELECT CAST(sum(CAST(round(-1000000.0 * (m * 1.0 / ntot)
+                                   * ln(m * 1.0 / ntot)) AS BIGINT))
+                    AS BIGINT) AS h_src
+        FROM (SELECT source, CAST(sum(n) AS BIGINT) AS m
+              FROM cells GROUP BY source) CROSS JOIN tot),
+    hj AS (
+        SELECT CAST(sum(CAST(round(-1000000.0 * (n * 1.0 / ntot)
+                                   * ln(n * 1.0 / ntot)) AS BIGINT))
+                    AS BIGINT) AS h_joint
+        FROM cells CROSS JOIN tot),
+    j AS (SELECT * FROM hl CROSS JOIN hs CROSS JOIN hj)
+    SELECT round(h_lang / 1e6, 6) AS h_lang,
+           round(h_src / 1e6, 6) AS h_source,
+           round(h_joint / 1e6, 6) AS h_joint,
+           round(1.0 - (h_joint - h_src) * 1.0 / h_lang, 6)
+               AS homogeneity,
+           round(1.0 - (h_joint - h_lang) * 1.0 / h_src, 6)
+               AS completeness,
+           round(2.0 * (1.0 - (h_joint - h_src) * 1.0 / h_lang)
+                     * (1.0 - (h_joint - h_lang) * 1.0 / h_src)
+                 / ((1.0 - (h_joint - h_src) * 1.0 / h_lang)
+                    + (1.0 - (h_joint - h_lang) * 1.0 / h_src)), 6)
+               AS v_measure
+    FROM j
+"""
+
+# Theil-T inequality (round 8, session 3): sort-free decomposable
+# concentration index; micro-frozen share*ln terms.
+QUERIES["theil_inequality_index"] = analytics.theil_inequality_index
+ORACLES["theil_inequality_index"] = """
+    WITH per AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1, 2),
+    both_g AS (
+        SELECT event_type AS segment, user_id, x FROM per
+        UNION ALL
+        SELECT '__all__', user_id, CAST(sum(x) AS BIGINT)
+        FROM per GROUP BY user_id),
+    tot AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS xt
+        FROM both_g GROUP BY segment),
+    terms AS (
+        SELECT g.segment, t.n_users,
+               CASE WHEN g.x > 0
+                    THEN CAST(round(1000000.0
+                              * (g.x / CAST(t.xt AS DOUBLE))
+                              * ln(g.x / (t.xt
+                                          / CAST(t.n_users AS DOUBLE))))
+                         AS BIGINT)
+                    ELSE 0 END AS tm
+        FROM both_g g JOIN tot t USING (segment))
+    SELECT segment, n_users,
+           round(sum(tm) / 1e6, 6) AS theil_t
+    FROM terms GROUP BY segment, n_users
+    ORDER BY segment
+"""
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

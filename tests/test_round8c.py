@@ -866,3 +866,36 @@ def test_negbin_reduces_to_poisson_when_underdispersed(spark):
             assert r["p0_fitted"] >= round(
                 math.exp(-r["mean_daily"]), 4
             ) - 1e-9
+
+
+def test_vmeasure_bounds_and_identity(spark):
+    """Entropies satisfy H(joint) <= H(lang) + H(source) with equality
+    iff independent; homogeneity/completeness/V all in [0, 1]."""
+    from project_bigdata_recsys_spark.operators import quality
+
+    r = quality.lang_source_vmeasure(spark, SF_SMALL).collect()[0]
+    assert r["h_joint"] <= r["h_lang"] + r["h_source"] + 1e-6
+    for c in ("homogeneity", "completeness", "v_measure"):
+        assert -1e-6 <= r[c] <= 1.0 + 1e-6
+
+
+def test_theil_zero_iff_equal_and_bounded(spark):
+    """Theil-T is nonnegative and bounded by ln(n_users); the overall
+    row aggregates every user once."""
+    import math
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import analytics
+
+    rows = analytics.theil_inequality_index(spark, SF_SMALL).collect()
+    by = {r["segment"]: r for r in rows}
+    assert "__all__" in by
+    n_users = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert by["__all__"]["n_users"] == n_users
+    for r in rows:
+        assert -1e-6 <= r["theil_t"] <= math.log(r["n_users"]) + 1e-6
