@@ -4330,80 +4330,91 @@ ORACLES["split_source_audit"] = f"""
 # this block — which must stay the LAST statement touching QUERIES, since
 # later registrations would append BELOW the window and never be gated
 # (the round-5 late-wave mistake) — pins the window explicitly.
-# Round-8 rotation (VERDICT r7 task #1): the 33 queries whose driver
-# evidence was 5-6 rounds stale — the 27-query r1 relational/window core
-# and the 6 r2 text profiles — take slots 1-33; the remaining 17 slots
-# backfill with the oldest-r4 evidence block.  New queries added this
-# round replace tail backfill slots (r4 entries then rejoin the r9
-# backlog).  After this rotation nothing in the registry has driver
-# evidence older than round 4.  Everything below the window stays
-# regression-guarded every test run by tests/test_oracle_parity.py
-# (same oracles, sf0.001).
+# Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
+# with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
+# ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then
+# the session-3 statistics/retrieval waves, taken oldest-first in
+# registration order.  After this round the never-driver-checked count
+# drops 98 -> 48.
+#
+# Round-10 rotation schedule (write-ahead so it survives session loss):
+#   slots 1-46: the remaining never-checked tail, registration order —
+#     pinball_quantile_eval, wasserstein_value_drift, embedding_top_pc,
+#     hashing_collision_audit, absorption_funnel_prob,
+#     stream_benford_values, did_lift_estimate, sprt_ab_monitor,
+#     jl_distortion_audit, mann_kendall_trend, woe_iv_profile,
+#     theil_sen_trend, holt_forecast_eval, stream_sprt_monitor,
+#     overdispersion_profile, capture_recapture_estimate, eb_shrunk_rates,
+#     sorted_neighborhood_pairs, shapley_channel_attribution,
+#     sequence_entropy_profile, join_order_advisor, source_kl_divergence,
+#     rake_keyphrases, cv_paired_ttest, vocab_cover_sources,
+#     largest_remainder_allocation, markov_removal_attribution,
+#     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
+#     spearman_user_metrics, price_elasticity, doubly_robust_ate,
+#     pps_horvitz_thompson, seasonal_indices, term_burstiness,
+#     stream_holt_forecast, bh_fdr_correction, icc_profile,
+#     mde_power_analysis, session_gap_sweep, freshness_audit,
+#     stream_mann_kendall, negbin_fit_profile, lang_source_vmeasure,
+#     theil_inequality_index
+#   slots 47-48: the two _reused aliases (near_dup_clusters_reused,
+#     split_source_audit_reused)
+#   slots 49-50 (and r11 onward): the oldest-r4 evidence block —
+#     pricing_summary, sessionize-era r4 rows (ALS/classifier profiles,
+#     stream_stateful_features, stream_bootstrapped_features,
+#     stream_tumbling_counts, json_extraction, early dedup/LLM block).
+# Everything below the window stays regression-guarded every test run
+# by tests/test_oracle_parity.py (same oracles, sf0.001).
 _GATE_WINDOW = [
-    # -- r1 relational/window core (driver evidence stale since round 1) --
-    "running_total",
-    "moving_avg_range",
-    "ntile_quartiles",
-    "order_gaps",
-    "priority_union_all",
-    "latest_order_per_customer",
-    "drift_lag",
-    "top_n_per_group",
-    "customers_intersect",
-    "customers_except",
-    "quantity_band_stats",
-    "price_tier_join",
-    "grouping_sets_stats",
-    "big_orders",
-    "small_quantity_revenue",
-    "shipping_priority",
-    "local_supplier_volume",
-    "paginated_orders",
-    "semi_join_filter",
-    "cooccurrence_pairs",
-    "sample_deterministic",
-    "data_quality_report",
-    "cube_totals",
-    "percentile_stats",
-    "pivot_status_by_priority",
-    "cheapest_order_per_customer",
-    "time_rollup",
-    # -- r2 text profiles (stale since round 2) ---------------------------
-    "doc_quality_profile",
-    "lang_profile",
-    "doc_fingerprints",
-    "token_stats",
-    "lang_id_confusion",
-    "pii_redaction_profile",
-    # -- backfill slots yielded to round-8 queries with NO driver
-    #    evidence yet (simhash_near_pairs, near_dup_clusters,
-    #    stream_tumbling_counts keep their r4 rows and rejoin the r9
-    #    backlog): the CCNet tercile split, the DoReMi reweighting, and
-    #    hybrid RRF retrieval ---------------------------------------------
-    "perplexity_buckets",
-    "domain_reweight",
-    "hybrid_search",
-    # -- new in round 8: first driver evidence (displaced the r4
-    #    backfill tail — knn_brute_force, rolling_median, chunk_documents,
-    #    embedding_stats, tfidf_top_terms, stratified_sample,
-    #    synthetic_interactions, mutated_interactions, json_extraction,
-    #    events_per_day, event_rate, exact_duplicates, minhash_candidates,
-    #    token_frequencies rejoin the r9 backlog; all stay
-    #    regression-guarded every test run by test_oracle_parity) -------
-    "semdedup_profile",
-    "domain_quota_sample",
-    "k_anonymity_profile",
-    "incremental_domain_quota",
-    "stream_domain_quota",
-    "ranking_metrics",
-    "kmv_distinct_rollup",
-    "doc_repetition_profile",
-    "trending_items",
-    "stream_kmv_distinct",
-    "als_ranking_eval",
-    "ks_value_drift",
-    "mann_whitney_drift",
-    "bloom_membership_profile",
+    "l_diversity_profile",
+    "ucb_ranking",
+    "session_ngrams",
+    "quality_lr_score",
+    "ewma_anomalies",
+    "zorder_layout_profile",
+    "link_prediction_adamic_adar",
+    "ips_eval",
+    "recs_diversity_profile",
+    "compaction_plan",
+    "stream_ewma_anomalies",
+    "stream_pit_enrichment",
+    "welch_ttest_drift",
+    "t_closeness_profile",
+    "survival_km_curve",
+    "ols_trend_per_group",
+    "target_encoding_oof",
+    "calibration_bins",
+    "bloom_pruned_join",
+    "salted_join_agg",
+    "kmv_set_ops",
+    "stream_welch_drift",
+    "embedding_correlation_pairs",
+    "url_canonical_dedup",
+    "dp_noisy_counts",
+    "exact_auc_by_group",
+    "bootstrap_ci_mean",
+    "lsh_band_sweep",
+    "rm3_query_expansion",
+    "cusum_changepoint",
+    "stream_bootstrap_ci",
+    "cms_join_size_estimate",
+    "seasonal_naive_eval",
+    "sql_recursive_cte",
+    "stream_cusum_changepoint",
+    "winsorized_stats",
+    "degree_distribution_profile",
+    "cuped_adjusted_lift",
+    "neyman_allocation_plan",
+    "rendezvous_shard_plan",
+    "dsir_importance_sample",
+    "acf_ljung_box",
+    "benford_audit",
+    "conformal_interval_eval",
+    "bradley_terry_ratings",
+    "order_part_hits",
+    "textrank_keywords",
+    "kcore_profile",
+    "collocation_llr",
+    "phrase_search",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
