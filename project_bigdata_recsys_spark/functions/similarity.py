@@ -929,14 +929,14 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixed-point avg (per-row 1e-9 quantize, exact BIGINT sum)
             # so the 6-decimal comparison is partition-order-independent
             F.round(
-                sum_fixed(F.round(F.col("norm") * 1e9).cast("long"))
+                sum_fixed(F.round(F.col("norm") * 1e9).cast("long"), sf_dir=sf_dir)
                 / F.count(F.lit(1))
                 / 1e9,
                 6,
             ).alias("avg_norm"),
             F.round(F.max("norm"), 6).alias("max_norm"),
             F.round(
-                sum_fixed(F.round(F.col("max_component") * 1e9).cast("long"))
+                sum_fixed(F.round(F.col("max_component") * 1e9).cast("long"), sf_dir=sf_dir)
                 / F.count(F.lit(1))
                 / 1e9,
                 6,

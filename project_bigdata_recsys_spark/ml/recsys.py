@@ -326,7 +326,7 @@ def kb_success_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderstatus") == "F").agg(
         F.round(
-            sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
+            sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir)
             / F.count(F.lit(1))
             / 100.0,
             4,

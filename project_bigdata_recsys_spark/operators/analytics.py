@@ -54,17 +54,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rounding between runs.  sum_fixed picks the accumulator:
             # BIGINT at test sf, DECIMAL(38,0) past the ~sf1 headroom
             # (functions/fixedpoint.py).
-            F.round(sum_fixed(qty_c) / 100.0, 2).alias("sum_qty"),
-            F.round(sum_fixed(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(sum_fixed(disc_c) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(sum_fixed(charge_c) / 1000000.0, 2).alias("sum_charge"),
-            F.round(sum_fixed(qty_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            F.round(sum_fixed(qty_c, sf_dir=sf_dir) / 100.0, 2).alias("sum_qty"),
+            F.round(sum_fixed(price_c, sf_dir=sf_dir) / 100.0, 2).alias("sum_base_price"),
+            F.round(sum_fixed(disc_c, sf_dir=sf_dir) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(sum_fixed(charge_c, sf_dir=sf_dir) / 1000000.0, 2).alias("sum_charge"),
+            F.round(sum_fixed(qty_c, sf_dir=sf_dir) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_qty"
             ),
-            F.round(sum_fixed(price_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            F.round(sum_fixed(price_c, sf_dir=sf_dir) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_price"
             ),
-            F.round(sum_fixed(dpct_c) / F.count(F.lit(1)) / 100.0, 4).alias(
+            F.round(sum_fixed(dpct_c, sf_dir=sf_dir) / F.count(F.lit(1)) / 100.0, 4).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -102,7 +102,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long"), sf_dir=sf_dir) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -149,7 +149,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long"), sf_dir=sf_dir) / 10000.0, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -175,7 +175,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0 / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -314,7 +314,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         # exact integer-cent spend: rank + avg stay order-independent
-        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir).alias(
             "spend_cents"
         ),
     )
@@ -333,7 +333,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.round(
-                sum_fixed("spend_cents") / F.count(F.lit(1)) / 100.0, 4
+                sum_fixed("spend_cents", sf_dir=sf_dir) / F.count(F.lit(1)) / 100.0, 4
             ).alias("avg_spend"),
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
@@ -386,7 +386,7 @@ def multi_touch_attribution(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
             F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
-            F.round(sum_fixed("credit_micros") / 1000000.0, 4).alias(
+            F.round(sum_fixed("credit_micros", sf_dir=sf_dir) / 1000000.0, 4).alias(
                 "credited_value"
             ),
         )
@@ -418,7 +418,7 @@ def decayed_popularity(
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(sum_fixed("w_nanos") / 1e9, 4).alias("decayed_score"),
+            F.round(sum_fixed("w_nanos", sf_dir=sf_dir) / 1e9, 4).alias("decayed_score"),
         )
         .orderBy("event_type")
     )
@@ -450,7 +450,7 @@ def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(
-                sum_fixed(F.round(F.col("value") * 1000000).cast("long"))
+                sum_fixed(F.round(F.col("value") * 1000000).cast("long"), sf_dir=sf_dir)
                 / 1000000.0,
                 4,
             ).alias("total_value"),
@@ -549,7 +549,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conversion_rate"
             ),
             F.round(
-                sum_fixed("micros") / F.count(F.lit(1)) / 1000000.0, 4
+                sum_fixed("micros", sf_dir=sf_dir) / F.count(F.lit(1)) / 1000000.0, 4
             ).alias("value_per_user"),
         )
         .orderBy("arm")
@@ -576,7 +576,7 @@ def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFra
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     per_part = lineitem.groupBy("l_partkey").agg(
-        sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir).alias(
             "cents"
         )
     )
@@ -594,7 +594,7 @@ def pareto_curve(spark: SparkSession, sf_dir: str, n_bands: int = 10) -> DataFra
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            sum_fixed("cents").alias("band_cents"),
+            sum_fixed("cents", sf_dir=sf_dir).alias("band_cents"),
         )
     )
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -689,7 +689,7 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir).alias(
             "cents"
         ),
     )

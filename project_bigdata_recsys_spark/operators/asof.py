@@ -195,7 +195,7 @@ def pit_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.countDistinct("c_custkey").cast("long").alias("n_customers"),
-            F.round(sum_fixed("cents") / 100.0, 2).alias("total_spend"),
+            F.round(sum_fixed("cents", sf_dir=sf_dir) / 100.0, 2).alias("total_spend"),
         )
         .orderBy("segment")
     )

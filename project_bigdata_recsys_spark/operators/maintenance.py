@@ -336,7 +336,7 @@ def merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.countDistinct("part").cast("long").alias("n_parts"),
             F.round(
-                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir)
                 / 100.0,
                 2,
             ).alias("total_price"),
@@ -499,7 +499,7 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.round(
-                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir)
                 / 100.0,
                 2,
             ).alias("total_price"),

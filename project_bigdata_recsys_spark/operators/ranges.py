@@ -42,7 +42,7 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band") * 10.0).alias("band_lo"),
             ((F.col("band") + 1) * 10.0).alias("band_hi"),
             F.count(F.lit(1)).alias("n"),
-            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("revenue"),
         )
         .select("band", "band_lo", "band_hi", "n", "revenue")
         .orderBy("band")
@@ -76,9 +76,9 @@ def price_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / F.count(F.lit(1)) / 100.0, 4
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / F.count(F.lit(1)) / 100.0, 4
             ).alias("avg_price"),
-            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("total"),
         )
         .orderBy("tier")
     )

@@ -52,7 +52,7 @@ def course_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("failed"),
             F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
             F.round(
-                sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir)
                 / F.count(F.lit(1))
                 / 100.0,
                 4,
@@ -96,7 +96,7 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             # exact integer-cent sums (order-independent; see snapshot.py)
             F.round(
-                F.coalesce(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)) / 100.0, 2
+                F.coalesce(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir), F.lit(0)) / 100.0, 2
             ).alias("total_spend"),
         )
         .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
@@ -130,9 +130,9 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
             F.round(F.sum(F.col("l_quantity")), 2).alias("sum_qty"),
             # 4dp-exact fixed-point sum / cent-exact avg (order-independent)
-            F.round(sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long"), sf_dir=sf_dir) / 10000.0, 2).alias("sum_disc_price"),
             F.round(
-                sum_fixed(F.round(F.col("l_discount") * 100).cast("long"))
+                sum_fixed(F.round(F.col("l_discount") * 100).cast("long"), sf_dir=sf_dir)
                 / F.count(F.lit(1))
                 / 100.0,
                 6,
@@ -156,7 +156,7 @@ def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -220,7 +220,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)
             ).alias("n_orders"),
             F.round(
-                F.coalesce(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)) / 100.0, 2
+                F.coalesce(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir), F.lit(0)) / 100.0, 2
             ).alias("spend"),
         )
         .filter(F.col("n_orders") >= 0)
@@ -254,7 +254,7 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")) / 10000.0, 2
+                sum_fixed(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long"), sf_dir=sf_dir) / 10000.0, 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -429,7 +429,7 @@ def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
+            F.round(sum_fixed(F.round(F.col("l_extendedprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("revenue"),
         )
         .orderBy(
             F.asc_nulls_last("l_returnflag"), F.asc_nulls_last("l_linestatus")
@@ -481,7 +481,7 @@ def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(sum_fixed(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0, 4).alias("total_value"),
+            F.round(sum_fixed(F.round(F.col("value") * 1000000).cast("long"), sf_dir=sf_dir) / 1000000.0, 4).alias("total_value"),
         )
         .orderBy("day")
     )
@@ -677,7 +677,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_year", "o_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("revenue"),
         )
         .orderBy(
             F.asc_nulls_last("o_year"), F.asc_nulls_last("o_month")
@@ -786,7 +786,7 @@ def gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        sum_fixed(F.round(F.col("value") * 1000000).cast("long")).alias(
+        sum_fixed(F.round(F.col("value") * 1000000).cast("long"), sf_dir=sf_dir).alias(
             "micros"
         ),
     )

@@ -57,7 +57,7 @@ def priority_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("total"),
         )
         .orderBy("src")
     )

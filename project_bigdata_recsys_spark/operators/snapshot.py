@@ -198,7 +198,7 @@ def cdc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # partition-order-independent, unlike sum(double) whose
             # 2-decimal rounding can flip vs a serial oracle summation.
             F.round(
-                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"))
+                sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir)
                 / 100.0,
                 2,
             ).alias("total_price"),
@@ -313,7 +313,7 @@ def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
         F.count(F.lit(1)).cast("long").alias("n"),
-        sum_fixed("micros").alias("micros"),
+        sum_fixed("micros", sf_dir=sf_dir).alias("micros"),
     )
     prior = part(ev.filter(F.col("day") < "2024-01-16"))
     delta = part(ev.filter(F.col("day") >= "2024-01-16"))
@@ -323,7 +323,7 @@ def incremental_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("n").cast("long").alias("n_events"),
-            F.round(sum_fixed("micros") / 1000000.0, 4).alias("total_value"),
+            F.round(sum_fixed("micros", sf_dir=sf_dir) / 1000000.0, 4).alias("total_value"),
         )
         .orderBy("event_type")
     )

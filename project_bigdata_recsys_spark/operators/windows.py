@@ -90,7 +90,7 @@ def power_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         # exact integer-cent sum (order-independent; see snapshot.py note)
         F.round(
-            sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2
         ).alias("total_spend"),
     ).filter(F.col("n_orders") > 5)
     rank_map = (
@@ -159,7 +159,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
         sessioned.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(sum_fixed(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0, 4).alias("session_value"),
+            F.round(sum_fixed(F.round(F.col("value") * 1000000).cast("long"), sf_dir=sf_dir) / 1000000.0, 4).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -4337,84 +4337,89 @@ ORACLES["split_source_audit"] = f"""
 # registration order.  After this round the never-driver-checked count
 # drops 98 -> 48.
 #
-# Round-10 rotation schedule (write-ahead so it survives session loss):
-#   slots 1-46: the remaining never-checked tail, registration order —
-#     pinball_quantile_eval, wasserstein_value_drift, embedding_top_pc,
-#     hashing_collision_audit, absorption_funnel_prob,
-#     stream_benford_values, did_lift_estimate, sprt_ab_monitor,
-#     jl_distortion_audit, mann_kendall_trend, woe_iv_profile,
-#     theil_sen_trend, holt_forecast_eval, stream_sprt_monitor,
-#     overdispersion_profile, capture_recapture_estimate, eb_shrunk_rates,
-#     sorted_neighborhood_pairs, shapley_channel_attribution,
-#     sequence_entropy_profile, join_order_advisor, source_kl_divergence,
-#     rake_keyphrases, cv_paired_ttest, vocab_cover_sources,
-#     largest_remainder_allocation, markov_removal_attribution,
-#     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
-#     spearman_user_metrics, price_elasticity, doubly_robust_ate,
-#     pps_horvitz_thompson, seasonal_indices, term_burstiness,
-#     stream_holt_forecast, bh_fdr_correction, icc_profile,
-#     mde_power_analysis, session_gap_sweep, freshness_audit,
-#     stream_mann_kendall, negbin_fit_profile, lang_source_vmeasure,
-#     theil_inequality_index
-#   slots 47-48: the two _reused aliases (near_dup_clusters_reused,
-#     split_source_audit_reused)
-#   slots 49-50 (and r11 onward): the oldest-r4 evidence block —
-#     pricing_summary, sessionize-era r4 rows (ALS/classifier profiles,
-#     stream_stateful_features, stream_bootstrapped_features,
-#     stream_tumbling_counts, json_extraction, early dedup/LLM block).
-# Everything below the window stays regression-guarded every test run
-# by tests/test_oracle_parity.py (same oracles, sf0.001).
+# Round-10 rotation (EXECUTED below, per VERDICT r9 task #1): slots 1-46 =
+# the 46-query never-driver-checked tail in registration order
+# (pinball_quantile_eval ... theil_inequality_index), slots 47-48 = the two
+# _reused aliases, slots 49-50 = the oldest-r4-evidence block head.  One
+# correction vs the r9 write-ahead comment: it named pricing_summary for
+# slot 49, but pricing_summary's latest driver evidence is r6 (it re-ran in
+# the r6 window); the actual oldest-r4 block in registration order starts
+# pack_sequences, corpus_mixture — those take slots 49-50.  After this
+# round the never-driver-checked count is 0.
+#
+# Round-11 rotation schedule (write-ahead so it survives session loss):
+# the remaining 48 r4-latest-evidence queries in registration order, then
+# the first two of the r5 block:
+#     tfidf_top_terms, curation_funnel, incremental_dedup,
+#     embedding_near_dup_lsh, knn_ivf_centroid, embedding_dup_clusters,
+#     chunk_documents, quality_percentile_filter, token_frequencies,
+#     repetition_profile, exact_duplicates, ngram_jaccard_pairs,
+#     minhash_candidates, simhash_near_pairs, near_dup_clusters,
+#     contamination_check, dedup_corpus_stats, minhash_verified_pairs,
+#     knn_brute_force, knn_multi_query, embedding_near_dup_pairs,
+#     knn_ivf_bucketed, knn_rp_lsh, knn_lsh,
+#     embedding_stats, media_profile, video_frame_profile,
+#     synthetic_interactions, mutated_interactions, stratified_sample,
+#     als_top_recommendations, als_user_factors, classifier_metrics,
+#     kb_popular_items, kb_success_profile, stream_stateful_features,
+#     stream_bootstrapped_features, stream_tumbling_counts, stream_sliding_counts,
+#     stream_dedup_events, stream_stream_attribution, stream_session_windows,
+#     rolling_median, deterministic_group_sample, json_extraction,
+#     events_per_day, event_rate, user_topk_recommendations,
+#     span_dedup_profile, duplicated_spans
+# (recomputed from the CORRECTNESS_r01..r10 union; r12 onward continues
+# with the r5 block: weighted_sample, cluster_aware_split, ...)
 _GATE_WINDOW = [
-    "l_diversity_profile",
-    "ucb_ranking",
-    "session_ngrams",
-    "quality_lr_score",
-    "ewma_anomalies",
-    "zorder_layout_profile",
-    "link_prediction_adamic_adar",
-    "ips_eval",
-    "recs_diversity_profile",
-    "compaction_plan",
-    "stream_ewma_anomalies",
-    "stream_pit_enrichment",
-    "welch_ttest_drift",
-    "t_closeness_profile",
-    "survival_km_curve",
-    "ols_trend_per_group",
-    "target_encoding_oof",
-    "calibration_bins",
-    "bloom_pruned_join",
-    "salted_join_agg",
-    "kmv_set_ops",
-    "stream_welch_drift",
-    "embedding_correlation_pairs",
-    "url_canonical_dedup",
-    "dp_noisy_counts",
-    "exact_auc_by_group",
-    "bootstrap_ci_mean",
-    "lsh_band_sweep",
-    "rm3_query_expansion",
-    "cusum_changepoint",
-    "stream_bootstrap_ci",
-    "cms_join_size_estimate",
-    "seasonal_naive_eval",
-    "sql_recursive_cte",
-    "stream_cusum_changepoint",
-    "winsorized_stats",
-    "degree_distribution_profile",
-    "cuped_adjusted_lift",
-    "neyman_allocation_plan",
-    "rendezvous_shard_plan",
-    "dsir_importance_sample",
-    "acf_ljung_box",
-    "benford_audit",
-    "conformal_interval_eval",
-    "bradley_terry_ratings",
-    "order_part_hits",
-    "textrank_keywords",
-    "kcore_profile",
-    "collocation_llr",
-    "phrase_search",
+    "pinball_quantile_eval",
+    "wasserstein_value_drift",
+    "embedding_top_pc",
+    "hashing_collision_audit",
+    "absorption_funnel_prob",
+    "stream_benford_values",
+    "did_lift_estimate",
+    "sprt_ab_monitor",
+    "jl_distortion_audit",
+    "mann_kendall_trend",
+    "woe_iv_profile",
+    "theil_sen_trend",
+    "holt_forecast_eval",
+    "stream_sprt_monitor",
+    "overdispersion_profile",
+    "capture_recapture_estimate",
+    "eb_shrunk_rates",
+    "sorted_neighborhood_pairs",
+    "shapley_channel_attribution",
+    "sequence_entropy_profile",
+    "join_order_advisor",
+    "source_kl_divergence",
+    "rake_keyphrases",
+    "cv_paired_ttest",
+    "vocab_cover_sources",
+    "largest_remainder_allocation",
+    "markov_removal_attribution",
+    "changepoint_slopes",
+    "aa_test_calibration",
+    "quantile_normalize_profile",
+    "spearman_user_metrics",
+    "price_elasticity",
+    "doubly_robust_ate",
+    "pps_horvitz_thompson",
+    "seasonal_indices",
+    "term_burstiness",
+    "stream_holt_forecast",
+    "bh_fdr_correction",
+    "icc_profile",
+    "mde_power_analysis",
+    "session_gap_sweep",
+    "freshness_audit",
+    "stream_mann_kendall",
+    "negbin_fit_profile",
+    "lang_source_vmeasure",
+    "theil_inequality_index",
+    "near_dup_clusters_reused",
+    "split_source_audit_reused",
+    "pack_sequences",
+    "corpus_mixture",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)

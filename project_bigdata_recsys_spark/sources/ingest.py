@@ -148,7 +148,7 @@ def csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
+            F.round(sum_fixed(F.round(F.col("o_totalprice") * 100).cast("long"), sf_dir=sf_dir) / 100.0, 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -606,7 +606,8 @@ def stream_cdc_current(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.round(
                 sum_fixed(
-                    F.round(F.col("cur.o_totalprice") * 100).cast("long")
+                    F.round(F.col("cur.o_totalprice") * 100).cast("long"),
+                    sf_dir=sf_dir,
                 )
                 / 100.0,
                 2,
