@@ -30,6 +30,22 @@ from project_bigdata_recsys_spark.catalog import load_table
 from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Driver-side twin of Spark's ``F.round`` on doubles: HALF_UP on the
+    shortest decimal representation (Java ``BigDecimal.valueOf`` uses
+    ``Double.toString``; ``repr`` is Python's equivalent).  Python's
+    built-in ``round`` is banker's rounding and would diverge on exact
+    .5 boundaries, so every driver-side iterate that must fold the same
+    doubles as the SQL oracle goes through this."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-pass wide aggregation over the fact table
     with derived expressions (disc price, charge) computed pre-aggregation
@@ -1954,10 +1970,15 @@ def bradley_terry_ratings(
     per-step round).
 
     Scale: the fact table reduces to (user, type) counts, then a
-    per-user self-join whose fan-out is bounded by #types^2 per user;
-    everything after the duel aggregation lives on #types-row frames
-    (broadcast by construction).  The MM loop never touches the fact
-    table again."""
+    per-user self-join whose fan-out is bounded by #types^2 per user.
+    The duel matrix itself is bounded by #event-types² (~25 cells at any
+    sf), so it is collected ONCE (the bounded-collect class of
+    ml/ranking.py and the partition-metadata collects in
+    operators/maintenance.py) and the MM fixed-point runs driver-side —
+    8 iterations over a 25-cell matrix is arithmetic, not a distributed
+    job, and the pre-r10 frame-per-iterate version spent ~3 s of pure
+    scheduler round-trips on it.  The fact table is never touched after
+    the one distributed duel aggregation."""
     ev = load_table(spark, sf_dir, "events")
     cnt = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -1985,66 +2006,38 @@ def bradley_terry_ratings(
         .groupBy("winner", "loser")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    # directed games frame: g_ij = contests between i and j (both roles)
-    games = (
-        wins.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "w")
-        .unionAll(
-            wins.select(
-                F.col("loser").alias("i"), F.col("winner").alias("j"), "w"
-            )
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("w").cast("long").alias("g"))
-    )
-    wins_tot = games.join(
-        wins.groupBy(F.col("winner").alias("i")).agg(
-            F.sum("w").cast("long").alias("W")
-        ),
-        "i",
-        "left",
-    ).select("i", "j", "g", F.coalesce(F.col("W"), F.lit(0)).alias("W"))
-    from project_bigdata_recsys_spark.caching import persist_tracked
-
-    wins = persist_tracked(wins)
-    wins_tot = persist_tracked(wins_tot)
-    items = games.select(F.col("i").alias("item")).distinct()
-    rating = items.select("item", F.lit(1.0).alias("r"))
+    # the ONE bounded collect: ≤ #event-types² (winner, loser, w) cells
+    win_rows = wins.collect()
+    games: dict[tuple[str, str], int] = {}
+    big_w: dict[str, int] = {}
+    n_wins: dict[str, int] = {}
+    for r in win_rows:
+        games[(r.winner, r.loser)] = games.get((r.winner, r.loser), 0) + r.w
+        games[(r.loser, r.winner)] = games.get((r.loser, r.winner), 0) + r.w
+        big_w[r.winner] = big_w.get(r.winner, 0) + r.w
+        n_wins[r.winner] = n_wins.get(r.winner, 0) + r.w
+    items = sorted({i for i, _ in games})
+    rating = {i: 1.0 for i in items}
     for _ in range(iters):
-        # rating feeds both sides of the update join: lineage would
-        # double every iteration (2^8 plan copies) — localCheckpoint
-        # truncates it (the connected_components discipline); the frame
-        # is #items rows, so materializing is free
-        rating = rating.localCheckpoint()
-        ri = rating.select(F.col("item").alias("i"), F.col("r").alias("ri"))
-        rj = rating.select(F.col("item").alias("j"), F.col("r").alias("rj"))
-        denom = (
-            wins_tot.join(F.broadcast(ri), "i")
-            .join(F.broadcast(rj), "j")
-            .groupBy("i", "W")
-            .agg(F.sum(F.col("g") / (F.col("ri") + F.col("rj"))).alias("den"))
-        )
-        u = denom.select(
-            F.col("i").alias("item"), (F.col("W") / F.col("den")).alias("u")
-        )
-        s = u.agg(F.sum("u").alias("s"))
-        rating = u.crossJoin(F.broadcast(s)).select(
-            "item", F.round(F.col("u") / F.col("s"), 6).alias("r")
-        )
-    per_item = wins.groupBy(F.col("winner").alias("item")).agg(
-        F.sum("w").cast("long").alias("n_wins")
-    )
-    n_games = games.groupBy("i").agg(F.sum("g").cast("long").alias("n_games"))
-    return (
-        rating.join(per_item, "item", "left")
-        .join(n_games.withColumnRenamed("i", "item"), "item", "left")
-        .select(
-            "item",
-            F.coalesce(F.col("n_wins"), F.lit(0)).alias("n_wins"),
-            F.coalesce(F.col("n_games"), F.lit(0)).alias("n_games"),
-            F.col("r").alias("rating"),
-        )
-        .orderBy(F.col("rating").desc(), "item")
-    )
+        u = {}
+        for i in items:
+            den = 0.0
+            for j in items:
+                g = games.get((i, j))
+                if g:
+                    den += g / (rating[i] + rating[j])
+            u[i] = big_w.get(i, 0) / den
+        s = sum(u[i] for i in items)
+        rating = {i: _round_half_up(u[i] / s, 6) for i in items}
+    n_games = {
+        i: sum(g for (a, _), g in games.items() if a == i) for i in items
+    }
+    out_rows = [
+        (i, n_wins.get(i, 0), n_games.get(i, 0), rating[i]) for i in items
+    ]
+    return spark.createDataFrame(
+        out_rows, "item string, n_wins bigint, n_games bigint, rating double"
+    ).orderBy(F.col("rating").desc(), "item")
 
 
 def pinball_quantile_eval(
@@ -2156,14 +2149,15 @@ def absorption_funnel_prob(
     p_0 = 1{target};  p_k(s) = Σ_to P(s→to)·p_{k-1}(to), target pinned
     at 1 — ``steps`` unrolled fixed-point iterations, each iterate
     rounded to 6 dp so both engines fold identical doubles (the
-    pagerank/BT recipe; localCheckpoint per step, #types-row frames).
+    pagerank/BT recipe, with :func:`_round_half_up` as the driver-side
+    twin of ``F.round``).
 
     Scale: the fact table reduces to the #types² transition matrix via
-    one user-partitioned lag window; the chain never touches the fact
-    table again."""
+    one user-partitioned lag window; the matrix (~25 cells at any sf)
+    is collected ONCE (bounded-collect class, ml/ranking.py precedent)
+    and the absorption chain runs driver-side — the pre-r10 version
+    burned ~3 s of scheduler round-trips iterating #types-row frames."""
     from pyspark.sql import Window
-
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2174,48 +2168,37 @@ def absorption_funnel_prob(
     counts = steps_df.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    outs = counts.groupBy("from_type").agg(
-        F.sum("n").cast("long").alias("n_out")
-    )
-    probs = persist_tracked(
-        counts.join(F.broadcast(outs), "from_type").select(
-            "from_type",
-            "to_type",
-            (F.col("n") / F.col("n_out")).alias("p"),
-        )
-    )
-    states = outs.select(F.col("from_type").alias("state"), "n_out")
-    p = states.select(
-        "state",
-        F.when(F.col("state") == target, F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("ph"),
-    )
-    snapshots = {}
+    # the ONE bounded collect: ≤ #event-types² transition cells
+    cells = counts.collect()
+    n_out: dict[str, int] = {}
+    for r in cells:
+        n_out[r.from_type] = n_out.get(r.from_type, 0) + r.n
+    prob = {(r.from_type, r.to_type): r.n / n_out[r.from_type] for r in cells}
+    states = sorted(n_out)
+    ph = {s: 1.0 if s == target else 0.0 for s in states}
+    snapshots: dict[int, dict[str, float]] = {}
     for k in range(1, steps + 1):
-        p = p.localCheckpoint()
-        nxt = (
-            probs.join(p, probs.to_type == p.state)
-            .groupBy("from_type")
-            .agg(F.round(F.sum(F.col("p") * F.col("ph")), 6).alias("ph_new"))
-        )
-        p = (
-            states.join(nxt, states.state == nxt.from_type, "left")
-            .select(
-                "state",
-                F.when(F.col("state") == target, F.lit(1.0))
-                .otherwise(F.coalesce(F.col("ph_new"), F.lit(0.0)))
-                .alias("ph"),
-            )
-        )
+        nxt = {}
+        for s in states:
+            acc = 0.0
+            for t in states:
+                p_st = prob.get((s, t))
+                if p_st:
+                    acc += p_st * ph[t]
+            nxt[s] = _round_half_up(acc, 6)
+        ph = {
+            s: 1.0 if s == target else nxt.get(s, 0.0) for s in states
+        }
         if k in (1, 3, steps):
-            snapshots[k] = p.select(
-                "state", F.col("ph").alias(f"p_hit_{k}")
-            )
-    out = states
-    for k in sorted(snapshots):
-        out = out.join(snapshots[k], "state")
-    return out.orderBy("state")
+            snapshots[k] = dict(ph)
+    out_rows = [
+        (s, n_out[s], *(snapshots[k][s] for k in sorted(snapshots)))
+        for s in states
+    ]
+    schema = "state string, n_out bigint, " + ", ".join(
+        f"p_hit_{k} double" for k in sorted(snapshots)
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy("state")
 
 
 def did_lift_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3125,11 +3108,13 @@ def markov_removal_attribution(
     to 6 dp (the absorption recipe), every Σ π·p term micro-frozen.
 
     Scale: the fact table is read twice (lag window, first-event
-    window), both user-partitioned; the 5 chains run on #types-row
-    frames with localCheckpoint lineage."""
+    window), both user-partitioned distributed reductions; the #types²
+    transition matrix and #types first-event distribution (~30 cells
+    total at any sf) are collected ONCE (bounded-collect class,
+    ml/ranking.py precedent) and all five absorption chains run
+    driver-side — the pre-r10 version burned ~6.6 s of scheduler
+    round-trips iterating 5 chains × 6 steps of #types-row frames."""
     from pyspark.sql import Window
-
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3140,115 +3125,64 @@ def markov_removal_attribution(
     counts = steps_df.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    outs = counts.groupBy("from_type").agg(
-        F.sum("n").cast("long").alias("n_out")
-    )
-    probs = persist_tracked(
-        counts.join(F.broadcast(outs), "from_type").select(
-            "from_type",
-            "to_type",
-            (F.col("n") / F.col("n_out")).alias("p"),
-        )
-    )
-    states = persist_tracked(
-        outs.select(F.col("from_type").alias("state"))
-    )
     first = (
         ev.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
     )
-    n_users = first.agg(F.sum("n_first").cast("long").alias("nu"))
-    pi = persist_tracked(
-        first.select(F.col("event_type").alias("state"), "n_first")
-    )
+    # the two bounded collects: #types² transition cells + #types firsts
+    cells = counts.collect()
+    n_first = {r.event_type: r.n_first for r in first.collect()}
+    n_users = sum(n_first.values())
+    n_out: dict[str, int] = {}
+    for r in cells:
+        n_out[r.from_type] = n_out.get(r.from_type, 0) + r.n
+    prob = {(r.from_type, r.to_type): r.n / n_out[r.from_type] for r in cells}
+    all_states = sorted(n_out)
 
-    def chain(excl: str | None):
-        pr = probs
-        st = states
-        if excl is not None:
-            pr = probs.filter(
-                (F.col("from_type") != excl) & (F.col("to_type") != excl)
-            )
-            st = states.filter(F.col("state") != excl)
-        p = st.select(
-            "state",
-            F.when(F.col("state") == target, F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("ph"),
-        )
+    def chain(excl: str | None) -> float:
+        states = [s for s in all_states if s != excl]
+        ph = {s: 1.0 if s == target else 0.0 for s in states}
         for _ in range(steps):
-            p = p.localCheckpoint()
-            nxt = (
-                pr.join(p, pr.to_type == p.state)
-                .groupBy("from_type")
-                .agg(
-                    F.round(F.sum(F.col("p") * F.col("ph")), 6).alias(
-                        "ph_new"
-                    )
-                )
-            )
-            p = st.join(nxt, st.state == nxt.from_type, "left").select(
-                "state",
-                F.when(F.col("state") == target, F.lit(1.0))
-                .otherwise(F.coalesce(F.col("ph_new"), F.lit(0.0)))
-                .alias("ph"),
-            )
+            nxt = {}
+            for s in states:
+                acc = 0.0
+                for t in states:
+                    p_st = prob.get((s, t))
+                    if p_st:
+                        acc += p_st * ph[t]
+                nxt[s] = _round_half_up(acc, 6)
+            ph = {s: 1.0 if s == target else nxt[s] for s in states}
         # B = Σ π(s)·p(s) over surviving states, micro-frozen per term
-        return (
-            pi.join(p, "state")
-            .select(
-                F.round(F.col("n_first") * F.col("ph") * 1e6)
-                .cast("long")
-                .alias("t")
-            )
-            .agg(F.sum("t").cast("long").alias("tm"))
-            .crossJoin(F.broadcast(n_users))
-            .select(
-                F.round(F.col("tm") / 1e6 / F.col("nu"), 6).alias("b")
-            )
+        tm = sum(
+            int(_round_half_up(n_first[s] * ph[s] * 1e6, 0))
+            for s in states
+            if s in n_first
         )
+        return _round_half_up(tm / 1e6 / n_users, 6)
 
-    base = chain(None).select(F.col("b").alias("base_conv_prob"))
-    out = None
+    base = chain(None)
+    rows = []
     for ch in ("click", "view", "signup", "error"):
-        row = (
-            chain(ch)
-            .select(F.col("b").alias("conv_prob_without"))
-            .crossJoin(F.broadcast(base))
-            .select(
-                F.lit(ch).alias("channel"),
-                "base_conv_prob",
-                "conv_prob_without",
-                F.round(
-                    1.0 - F.col("conv_prob_without") / F.col("base_conv_prob"),
-                    6,
-                ).alias("removal_effect"),
-            )
+        cpw = chain(ch)
+        rows.append((ch, base, cpw, _round_half_up(1.0 - cpw / base, 6)))
+    sre = sum(int(_round_half_up(re * 1e6, 0)) for _, _, _, re in rows)
+    out_rows = [
+        (
+            ch,
+            b,
+            cpw,
+            re,
+            _round_half_up(int(_round_half_up(re * 1e6, 0)) / sre, 4),
         )
-        out = row if out is None else out.unionByName(row)
-    out = persist_tracked(out)
-    tot_re = out.agg(
-        F.sum(F.round(F.col("removal_effect") * 1e6).cast("long")).alias(
-            "__sre"
-        )
-    )
-    return (
-        out.crossJoin(F.broadcast(tot_re))
-        .select(
-            "channel",
-            "base_conv_prob",
-            "conv_prob_without",
-            "removal_effect",
-            F.round(
-                F.round(F.col("removal_effect") * 1e6).cast("long")
-                / F.col("__sre"),
-                4,
-            ).alias("attribution_share"),
-        )
-        .orderBy(F.desc("removal_effect"), "channel")
-    )
+        for ch, b, cpw, re in rows
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, base_conv_prob double, conv_prob_without double,"
+        " removal_effect double, attribution_share double",
+    ).orderBy(F.desc("removal_effect"), "channel")
 
 
 def changepoint_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
