@@ -331,6 +331,9 @@ HEADLINE = [
     "negbin_fit_profile",
     "lang_source_vmeasure",
     "theil_inequality_index",
+    # round-10 stretch: cross-run dedup manifest diff (digest-only keeper
+    # diff between corpus snapshots)
+    "dedup_manifest_diff",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a
@@ -451,6 +454,17 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # Ambient guard (r9 verdict task #6): the r1 anchor has ranged
+    # 18.0–24.8 s across r1–r9 on this box at acceptable load; a run
+    # whose anchor lands outside that band is measuring the host, not
+    # the code, and its total must not be compared across rounds
+    # without anchor normalization.  Both the normalized ratio and the
+    # in/out-of-band verdict are published so no judge-side
+    # recomputation is needed.
+    anchor_band = (18.0, 24.8)
+    r1_anchor = anchors["r1_25"]
+    anchor_normalized_ratio = round(total / r1_anchor, 3) if r1_anchor else None
+    ambient_ok = anchor_band[0] <= r1_anchor <= anchor_band[1]
     # host load at start/end: this box is shared, and measured co-tenant
     # load swings totals ~2x run-to-run; numbers only compare at similar
     # load.  "queries" carries the 10 slowest only — full map in detail.
@@ -465,6 +479,17 @@ def main() -> None:
                 "queries_truncated_to": 10,
                 "detail_file": "BENCH_DETAIL.json",
                 "anchors": anchors,
+                "anchor_normalized_ratio": anchor_normalized_ratio,
+                "anchor_band_sec": list(anchor_band),
+                "ambient_ok": ambient_ok,
+                "ambient_flag": None
+                if ambient_ok
+                else (
+                    f"r1 anchor {r1_anchor}s outside "
+                    f"{anchor_band[0]}-{anchor_band[1]}s band — ambient "
+                    "load skewed this run; compare anchor_normalized_ratio, "
+                    "not totals"
+                ),
                 "sf": sf,
                 "loadavg_1m": round(os.getloadavg()[0], 2),
                 "settle_wait_sec": settle_wait,

@@ -1827,3 +1827,118 @@ def sorted_neighborhood_pairs(
         .orderBy("dist", "name_a", "name_b")
         .limit(50)
     )
+
+
+def dedup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup manifest diff: which documents survive exact
+    dedup in THIS corpus snapshot vs the previous one — the nightly
+    question a training-data pipeline asks after every crawl merge
+    ("what did the new batch actually add, and which old keepers did
+    it displace?").  Composes the exact-dedup keeper rule (min doc_id
+    per sha256 fingerprint, `dedup_exact`) with a snapshot split.
+
+    Runs are derived deterministically: the corpus is documents plus
+    the standard planted duplicate set (every doc_id % 10 == 0
+    re-appears at doc_id + 1,000,000 — the exact_duplicates planting,
+    without which the driver corpus has no duplicates and the diff is
+    vacuous); the "new batch" is the ~20% of rows whose md5-uniform
+    draw (salt ``manifest:``) lands >= 0.8, so the previous snapshot
+    is the other ~80%.  Per source, current keepers split into
+    retained (same keeper as previous run), displaced (fingerprint
+    existed, a new smaller-id copy took over), and new_content
+    (fingerprint absent from the previous corpus); arrivals split
+    into kept vs deduped-away.
+
+    Scale: two digest-only aggregations over (fingerprint, doc_id) —
+    the text never shuffles; the keeper join is fingerprint-keyed; the
+    final rollup is #sources rows.  O(corpus) with no self-join."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    corpus = docs.unionByName(planted)
+    tagged = corpus.select(
+        "doc_id",
+        "source",
+        (hash_uniform(F.col("doc_id"), "manifest:") >= 0.8).alias("is_new"),
+        F.sha2("text", 256).alias("fp"),
+    )
+    tagged = persist_tracked(tagged)  # 3 consumers: prev/curr keepers, arrivals
+    prev_k = (
+        tagged.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("prev_keeper"))
+    )
+    curr_k = tagged.groupBy("fp").agg(F.min("doc_id").alias("curr_keeper"))
+    keepers = (
+        curr_k.join(prev_k, "fp", "left")
+        .join(
+            tagged.select(F.col("doc_id").alias("curr_keeper"), "source"),
+            "curr_keeper",
+        )
+        .select(
+            "source",
+            F.when(F.col("prev_keeper").isNull(), "new_content")
+            .when(F.col("prev_keeper") == F.col("curr_keeper"), "retained")
+            .otherwise("displaced")
+            .alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keepers"),
+            F.sum((F.col("status") == "retained").cast("long"))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum((F.col("status") == "displaced").cast("long"))
+            .cast("long")
+            .alias("n_displaced"),
+            F.sum((F.col("status") == "new_content").cast("long"))
+            .cast("long")
+            .alias("n_new_content"),
+        )
+    )
+    arrivals = (
+        tagged.filter(F.col("is_new"))
+        .join(
+            curr_k.select(F.col("curr_keeper").alias("doc_id")).withColumn(
+                "is_keeper", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.sum(F.coalesce(F.col("is_keeper"), F.lit(0)))
+            .cast("long")
+            .alias("n_arrivals_kept"),
+        )
+    )
+    return (
+        keepers.join(arrivals, "source", "full")
+        .select(
+            "source",
+            *(
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "n_keepers",
+                    "n_retained",
+                    "n_displaced",
+                    "n_new_content",
+                    "n_arrivals",
+                    "n_arrivals_kept",
+                )
+            ),
+            (
+                F.coalesce(F.col("n_arrivals"), F.lit(0))
+                - F.coalesce(F.col("n_arrivals_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_arrivals_deduped"),
+        )
+        .orderBy("source")
+    )

@@ -10426,6 +10426,67 @@ ORACLES["theil_inequality_index"] = """
     ORDER BY segment
 """
 
+# Cross-run dedup manifest diff (round 10 stretch, VERDICT r9 task #7):
+# current-vs-previous snapshot keeper diff under the exact-dedup rule —
+# enters the gate via the r11+ window per the write-ahead discipline;
+# until then test_oracle_parity regression-guards it every run.
+QUERIES["dedup_manifest_diff"] = dedup.dedup_manifest_diff
+ORACLES["dedup_manifest_diff"] = """
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+        WHERE doc_id % 10 = 0),
+    tagged AS MATERIALIZED (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('manifest:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 >= 0.8 AS is_new,
+               sha256(text) AS fp
+        FROM corpus),
+    prev_k AS (SELECT fp, min(doc_id) AS prev_keeper FROM tagged
+               WHERE NOT is_new GROUP BY fp),
+    curr_k AS MATERIALIZED (
+        SELECT fp, min(doc_id) AS curr_keeper FROM tagged GROUP BY fp),
+    keep AS (
+        SELECT t.source,
+               CASE WHEN p.prev_keeper IS NULL THEN 'new_content'
+                    WHEN p.prev_keeper = c.curr_keeper THEN 'retained'
+                    ELSE 'displaced' END AS status
+        FROM curr_k c
+        LEFT JOIN prev_k p USING (fp)
+        JOIN tagged t ON t.doc_id = c.curr_keeper),
+    ks AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_keepers,
+               CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN status = 'displaced' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_displaced,
+               CAST(sum(CASE WHEN status = 'new_content' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_content
+        FROM keep GROUP BY source),
+    arr AS (
+        SELECT t.source,
+               CAST(count(*) AS BIGINT) AS n_arrivals,
+               CAST(sum(CASE WHEN c.curr_keeper IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_arrivals_kept
+        FROM tagged t
+        LEFT JOIN curr_k c ON c.curr_keeper = t.doc_id
+        WHERE t.is_new GROUP BY t.source)
+    SELECT source,
+           CAST(coalesce(n_keepers, 0) AS BIGINT) AS n_keepers,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(n_displaced, 0) AS BIGINT) AS n_displaced,
+           CAST(coalesce(n_new_content, 0) AS BIGINT) AS n_new_content,
+           CAST(coalesce(n_arrivals, 0) AS BIGINT) AS n_arrivals,
+           CAST(coalesce(n_arrivals_kept, 0) AS BIGINT) AS n_arrivals_kept,
+           CAST(coalesce(n_arrivals, 0) - coalesce(n_arrivals_kept, 0)
+                AS BIGINT) AS n_arrivals_deduped
+    FROM ks FULL OUTER JOIN arr USING (source)
+    ORDER BY source
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
