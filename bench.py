@@ -332,8 +332,9 @@ HEADLINE = [
     "lang_source_vmeasure",
     "theil_inequality_index",
     # round-10 stretch: cross-run dedup manifest diff (digest-only keeper
-    # diff between corpus snapshots)
+    # diff between corpus snapshots) + contrastive hard-negative mining
     "dedup_manifest_diff",
+    "hard_negative_mining",
 ]
 
 #: After these queries, the inter-query cache release is SKIPPED so a

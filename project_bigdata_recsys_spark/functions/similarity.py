@@ -2501,3 +2501,65 @@ def jl_distortion_audit(
             4,
         ).alias("frac_within_20pct"),
     )
+
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    anchor vector, the top-k most-similar vectors with a DIFFERENT label
+    — near the anchor in embedding space yet semantically negative, the
+    examples a contrastive loss learns the most from (and the standard
+    curation step before dense-retriever / embedding-model training;
+    random negatives are trivially separable at scale).
+
+    Output: (query_id, anchor_label, rank, neg_vec_id, neg_label,
+    cos_sim) — exactly k rows per anchor, ranked by similarity.
+
+    Scale: anchors broadcast (n_queries rows), corpus scans once, the
+    different-label filter drops same-class rows BEFORE the per-anchor
+    rank window (one shuffle keyed by query id).  This exact form is the
+    oracle/gate variant; at corpus scale the candidate stage swaps for
+    the IVF/RP-LSH bucketed probes (`ivf_bucketed_knn`, `knn_rp_lsh`)
+    with this as the verification baseline — identical composition to
+    knn_multi_query vs the ANN family."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "anchor_label",
+            "rank",
+            "neg_vec_id",
+            "neg_label",
+            "cos_sim",
+        )
+        .orderBy("query_id", "rank")
+    )

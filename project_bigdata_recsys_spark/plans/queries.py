@@ -10487,6 +10487,37 @@ ORACLES["dedup_manifest_diff"] = """
 """
 
 
+# Hard-negative mining (round 10 stretch #2): per-anchor top-k
+# most-similar DIFFERENT-label vectors — the contrastive-training
+# curation step; exact form is the gate/oracle variant, ANN probes are
+# the corpus-scale candidate stage (knn family composition).
+QUERIES["hard_negative_mining"] = similarity.hard_negative_mining
+ORACLES["hard_negative_mining"] = """
+    WITH q AS (SELECT vec_id AS query_id, label AS anchor_label,
+                      embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, q.anchor_label,
+               e.vec_id AS neg_vec_id, e.label AS neg_label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.q_emb AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                                CAST(q.q_emb AS DOUBLE[])))),
+                     6) AS cos_sim
+        FROM embeddings e CROSS JOIN q WHERE e.label != q.anchor_label),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, neg_vec_id) AS INTEGER) AS rank
+        FROM scored)
+    SELECT query_id, anchor_label, rank, neg_vec_id, neg_label, cos_sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to
