@@ -132,3 +132,46 @@ def test_two_dirs_one_session_values_parity(spark, monkeypatch):
     finally:
         fp.reset_sf_hints()
         fp.note_sf_dir(SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# round-10 stretch operators: semantic invariants beyond oracle parity
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_manifest_diff_invariants(spark):
+    """Keeper statuses partition the keeper set; arrival fate sums; the
+    planted-duplicate corpus guarantees every class is non-vacuous."""
+    from project_bigdata_recsys_spark.functions.dedup import dedup_manifest_diff
+
+    rows = dedup_manifest_diff(spark, SF_SMALL).collect()
+    assert rows, "empty manifest diff"
+    for r in rows:
+        assert r.n_keepers == r.n_retained + r.n_displaced + r.n_new_content
+        assert r.n_arrivals_deduped == r.n_arrivals - r.n_arrivals_kept
+        assert 0 <= r.n_arrivals_kept <= r.n_arrivals
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_displaced", "n_new_content", "n_arrivals_deduped")
+    }
+    assert all(v > 0 for v in tot.values()), f"vacuous class: {tot}"
+
+
+def test_hard_negatives_are_cross_label_and_exactly_k(spark):
+    """Every mined negative carries a different label than its anchor,
+    each anchor yields exactly k ranked rows, and similarity is
+    non-increasing in rank (the 'hard' ordering)."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        hard_negative_mining,
+    )
+
+    out = hard_negative_mining(spark, SF_SMALL, n_queries=4, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neg_label != r.anchor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
