@@ -4340,17 +4340,18 @@ ORACLES["split_source_audit"] = f"""
 # Round-10 rotation (EXECUTED below, per VERDICT r9 task #1): slots 1-46 =
 # the 46-query never-driver-checked tail in registration order
 # (pinball_quantile_eval ... theil_inequality_index), slots 47-48 = the two
-# _reused aliases, slots 49-50 = the oldest-r4-evidence block head.  One
-# correction vs the r9 write-ahead comment: it named pricing_summary for
-# slot 49, but pricing_summary's latest driver evidence is r6 (it re-ran in
-# the r6 window); the actual oldest-r4 block in registration order starts
-# pack_sequences, corpus_mixture — those take slots 49-50.  After this
-# round the never-driver-checked count is 0.
+# _reused aliases, slots 49-50 = the two round-10 stretch operators
+# (dedup_manifest_diff, hard_negative_mining — new entries enter VIA the
+# window per the r9 verdict task #7, so they get driver evidence
+# immediately and the never-driver-checked count is 0 after this round).
+# One correction vs the r9 write-ahead comment: it named pricing_summary
+# for a tail slot, but pricing_summary's latest driver evidence is r6 (it
+# re-ran in the r6 window); the oldest evidence is the 50-query r4 block,
+# which is exactly the r11 rotation below.
 #
 # Round-11 rotation schedule (write-ahead so it survives session loss):
-# the remaining 48 r4-latest-evidence queries in registration order, then
-# the first two of the r5 block:
-#     tfidf_top_terms, curation_funnel, incremental_dedup,
+# the 50 r4-latest-evidence queries in registration order:
+#     pack_sequences, corpus_mixture, tfidf_top_terms, curation_funnel, incremental_dedup,
 #     embedding_near_dup_lsh, knn_ivf_centroid, embedding_dup_clusters,
 #     chunk_documents, quality_percentile_filter, token_frequencies,
 #     repetition_profile, exact_duplicates, ngram_jaccard_pairs,
@@ -4365,10 +4366,10 @@ ORACLES["split_source_audit"] = f"""
 #     stream_bootstrapped_features, stream_tumbling_counts, stream_sliding_counts,
 #     stream_dedup_events, stream_stream_attribution, stream_session_windows,
 #     rolling_median, deterministic_group_sample, json_extraction,
-#     events_per_day, event_rate, user_topk_recommendations,
-#     span_dedup_profile, duplicated_spans
+#     events_per_day, event_rate, user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union; r12 onward continues
-# with the r5 block: weighted_sample, cluster_aware_split, ...)
+# with the r5 block: span_dedup_profile, duplicated_spans,
+# weighted_sample, cluster_aware_split, ...)
 _GATE_WINDOW = [
     "pinball_quantile_eval",
     "wasserstein_value_drift",
@@ -4418,8 +4419,8 @@ _GATE_WINDOW = [
     "theil_inequality_index",
     "near_dup_clusters_reused",
     "split_source_audit_reused",
-    "pack_sequences",
-    "corpus_mixture",
+    "dedup_manifest_diff",
+    "hard_negative_mining",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
