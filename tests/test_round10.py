@@ -175,3 +175,26 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
         assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_r11_write_ahead_schedule_names_are_registered():
+    """The write-ahead rotation above _GATE_WINDOW is only worth its
+    session-loss insurance if every name in it resolves; a typo would
+    surface as a driver KeyError one round later."""
+    import re
+
+    from project_bigdata_recsys_spark.plans.queries import QUERIES
+
+    src = open(
+        os.path.join(PKG, "plans", "queries.py"), encoding="utf-8"
+    ).read()
+    block = re.search(
+        r"# Round-11 rotation schedule.*?_GATE_WINDOW", src, re.S
+    ).group(0)
+    names = []
+    for line in block.splitlines():
+        if line.startswith("#     "):
+            names += [x.strip() for x in line[6:].split(",") if x.strip()]
+    assert len(names) == 50 and len(set(names)) == 50, len(names)
+    missing = [n for n in names if n not in QUERIES]
+    assert missing == [], f"r11 schedule names not in QUERIES: {missing}"
