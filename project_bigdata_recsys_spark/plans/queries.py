@@ -4367,9 +4367,30 @@ ORACLES["split_source_audit"] = f"""
 #     stream_dedup_events, stream_stream_attribution, stream_session_windows,
 #     rolling_median, deterministic_group_sample, json_extraction,
 #     events_per_day, event_rate, user_topk_recommendations
-# (recomputed from the CORRECTNESS_r01..r10 union; r12 onward continues
-# with the r5 block: span_dedup_profile, duplicated_spans,
-# weighted_sample, cluster_aware_split, ...)
+# (recomputed from the CORRECTNESS_r01..r10 union.)
+#
+# Round-12 rotation schedule (write-ahead, same discipline): the 44
+# r5-latest-evidence queries in registration order, then the first six
+# of the r6 block:
+#       span_dedup_profile, duplicated_spans, weighted_sample,
+#       cluster_aware_split, group_quantile_filter, span_dedup_incremental,
+#       stream_trending_items, knn_pq, sql_cheapest_supplier,
+#       sql_exists_filter, sql_in_subquery, entropy_profile,
+#       item_pmi, corpus_mixture_tokens, stream_span_dedup,
+#       augment_token_dropout, corpus_mixture_tokens_sharded, jsonl_roundtrip_ingest,
+#       variant_extraction, equi_depth_histogram, span_contamination,
+#       knn_pq_multi, analyze_table, cohort_retention,
+#       event_funnel, association_rules, robust_outliers,
+#       dau_wau_stickiness, item_communities, scd2_history,
+#       span_curation_funnel, pack_sequences_sharded, embedding_dup_clusters_lsh,
+#       knn_ivf_lloyd, knn_graph, cluster_capped_sample,
+#       stream_ingest_dedup, skew_report, media_dedup,
+#       interval_overlap_counts, corpus_mixture_sharded, curation_funnel_sharded,
+#       incremental_dedup_indexed, purchase_asof_click, normalized_duplicates,
+#       rfm_segments, power_user_rank, source_scorecard,
+#       cross_source_overlap, boilerplate_prefix_profile
+# (r13 onward continues the r6 block: source_mixture, approx_profile,
+# csv_roundtrip_ingest, ...)
 _GATE_WINDOW = [
     "pinball_quantile_eval",
     "wasserstein_value_drift",

@@ -177,9 +177,13 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
         assert sims == sorted(sims, reverse=True)
 
 
-def test_r11_write_ahead_schedule_names_are_registered():
-    """The write-ahead rotation above _GATE_WINDOW is only worth its
-    session-loss insurance if every name in it resolves; a typo would
+@pytest.mark.parametrize(
+    "rnd,stop",
+    [("11", r"# \(recomputed"), ("12", r"# \(r13")],
+)
+def test_write_ahead_schedule_names_are_registered(rnd, stop):
+    """The write-ahead rotations above _GATE_WINDOW are only worth their
+    session-loss insurance if every name in them resolves; a typo would
     surface as a driver KeyError one round later."""
     import re
 
@@ -189,7 +193,7 @@ def test_r11_write_ahead_schedule_names_are_registered():
         os.path.join(PKG, "plans", "queries.py"), encoding="utf-8"
     ).read()
     block = re.search(
-        r"# Round-11 rotation schedule.*?_GATE_WINDOW", src, re.S
+        rf"# Round-{rnd} rotation schedule.*?{stop}", src, re.S
     ).group(0)
     names = []
     for line in block.splitlines():
@@ -197,4 +201,4 @@ def test_r11_write_ahead_schedule_names_are_registered():
             names += [x.strip() for x in line[6:].split(",") if x.strip()]
     assert len(names) == 50 and len(set(names)) == 50, len(names)
     missing = [n for n in names if n not in QUERIES]
-    assert missing == [], f"r11 schedule names not in QUERIES: {missing}"
+    assert missing == [], f"r{rnd} schedule names not in QUERIES: {missing}"
