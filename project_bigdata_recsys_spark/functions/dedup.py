@@ -124,10 +124,15 @@ def sorted_pairs(ds_col):
 PAIR_GEN_ARRAY_MAX = 64
 
 
-def bucket_pairs(doc_lists: DataFrame, key_cols: list[str]) -> DataFrame:
+def bucket_pairs(
+    doc_lists: DataFrame, key_cols: list[str], carry: list[str] | None = None
+) -> DataFrame:
     """Generate all intra-bucket (a, b) pairs (a < b) from a DataFrame of
     ``key_cols + ds`` rows, where ``ds`` is the SORTED member array of the
-    bucket — hybrid strategy, one column ``p`` = struct(a, b) out.
+    bucket — hybrid strategy, one column ``p`` = struct(a, b) out, plus
+    any ``carry`` columns passed through unchanged (for multi-config
+    sweeps that tag each bucket with its config and aggregate per tag
+    downstream — lsh_band_sweep's single-pass plan).
 
     Small buckets (≤ PAIR_GEN_ARRAY_MAX members) use array combinatorics:
     the whole pair set is built inline in the row, no join, no shuffle.
@@ -141,8 +146,10 @@ def bucket_pairs(doc_lists: DataFrame, key_cols: list[str]) -> DataFrame:
     AQE skew-join splits at scale.  Struct comparison ``a < b`` orders by
     the first field (the id), so both strategies emit identical pair sets.
     """
+    carry = list(carry or [])
+    assert all(c in key_cols for c in carry), "carry must be key columns"
     small = doc_lists.filter(F.size("ds") <= PAIR_GEN_ARRAY_MAX).select(
-        F.explode(sorted_pairs(F.col("ds"))).alias("p")
+        *carry, F.explode(sorted_pairs(F.col("ds"))).alias("p")
     )
     big = doc_lists.filter(F.size("ds") > PAIR_GEN_ARRAY_MAX)
     left = big.select(*key_cols, F.explode("ds").alias("a"))
@@ -150,7 +157,7 @@ def bucket_pairs(doc_lists: DataFrame, key_cols: list[str]) -> DataFrame:
     big_pairs = (
         left.join(right, key_cols)
         .filter(F.col("a") < F.col("b"))
-        .select(F.struct("a", "b").alias("p"))
+        .select(*carry, F.struct("a", "b").alias("p"))
     )
     return small.unionByName(big_pairs)
 
@@ -345,6 +352,43 @@ def minhash_signatures(
     return with_bases.select("doc_id", sig.alias("sig"))
 
 
+def shared_minhash_signatures(
+    spark: SparkSession, sf_dir: str, n: int = 3, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """The corpus minhash signature frame, persisted once per (session,
+    sf, n, n_hashes) — the same shared-state tier as the co-occurrence
+    edge frame (graph.py): minhash_candidates, minhash_verified_pairs
+    (transitively), and lsh_band_sweep all consume the identical
+    (doc_id, 16-long sig) frame, and the md5 shingle pass that builds it
+    dominates each of their costs (~4-5 s of a 4-7 s query at sf0.1).
+    In production the signatures are a persisted nightly artifact anyway
+    (build_dedup_index writes them to parquet); this tier is the
+    in-session equivalent — PARQUET-backed like the CC-labeling memo
+    (shared_components), not persist(): session owners' block sweeps
+    drop cached blocks between queries, and an evicted in-memory frame
+    would silently re-run the whole md5 pass on the next consumer.
+    ~140 B/doc; the path revalidates against scratch purges."""
+    import os
+
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    key = (spark.sparkContext.applicationId, str(sf_dir), n, n_hashes)
+    if key not in _MINHASH_SIGS or not os.path.exists(_MINHASH_SIGS[key]):
+        path = os.path.join(scratch_dir(prefix="spark_minhash_sigs_"), "sigs")
+        minhash_signatures(
+            fan_out(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            ),
+            n=n,
+            n_hashes=n_hashes,
+        ).write.mode("overwrite").parquet(path)
+        _MINHASH_SIGS[key] = path
+    return spark.read.parquet(_MINHASH_SIGS[key])
+
+
+_MINHASH_SIGS: dict[tuple, str] = {}
+
+
 def minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -367,15 +411,15 @@ def minhash_candidates(
     vectors, no join-side explode) and deterministic, so the driver
     oracle-checks it instead of rows-only.
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # Persist the signatures: this frame feeds THREE consumers (band
-    # explosion + both sides of the signature re-join), and Spark has no
+    # The signatures feed THREE consumers here (band explosion + both
+    # sides of the signature re-join) and other queries besides (the
+    # band sweep, the verified-pairs composition), and Spark has no
     # cross-branch common-subexpression sharing — unpersisted, the whole
-    # scan+shingle+md5 pipeline executes three times (measured ~2x query
-    # cost at sf0.1).  Size is doc_id + 16 longs per doc — ~140 B/doc,
-    # memory-and-disk safe at any corpus scale.  Tracked: the session
-    # owner frees it via caching.release_tracked() after the action.
-    with_sig = persist_tracked(minhash_signatures(docs, n=n, n_hashes=n_hashes))
+    # scan+shingle+md5 pipeline executes per consumer (measured ~2x
+    # query cost at sf0.1).  Shared tier, keyed (session, sf, n,
+    # n_hashes): the build runs once per session, like the nightly
+    # signature artifact it models.
+    with_sig = shared_minhash_signatures(spark, sf_dir, n=n, n_hashes=n_hashes)
     n_bands = n_hashes // MINHASH_BAND_ROWS
     band_structs = F.array(
         *[
@@ -1687,85 +1731,106 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     rows per band → higher precision, fewer candidates; the sweep shows
     where the knee sits on THIS corpus instead of trusting the formula.
 
-    Cost shape: the signatures (the expensive text scan + md5 pass) are
-    computed once and persisted; each config re-bands the in-memory
-    16-int arrays — explode + bucket groupBy per config, pair
-    combinatorics per hot bucket (the bucket_pairs hybrid kernel —
-    never all-pairs), DISTINCT over candidate pairs.  All arithmetic
-    is the integer minhash family, so the sweep hash-checks outright.
+    Cost shape (single-pass, round 10): the signatures (the expensive
+    text scan + md5 pass) are computed once and persisted; every
+    config's band keys come out of ONE explode tagged with the config
+    id, so the whole sweep is ONE bucket groupBy shuffle, ONE hybrid
+    pair generation (the bucket_pairs kernel with the config carried
+    through — never all-pairs), ONE per-config DISTINCT, and ONE
+    signature re-join, instead of the pre-r10 plan's four of each
+    (measured 7.1 s → ~3 s at sf0.1).  Configs that produce no hot
+    buckets at tiny SFs still emit their row via the broadcast config
+    frame.  All arithmetic is the integer minhash family, so the sweep
+    hash-checks outright.
 
     Output per config: n_bands, rows_per_band, threshold_50 (frozen
     Python literal), n_hot_buckets, n_candidate_pairs,
     avg_est_jaccard."""
     from project_bigdata_recsys_spark.caching import persist_tracked
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = persist_tracked(minhash_signatures(docs, n=n))
+    sigs = shared_minhash_signatures(spark, sf_dir, n=n)
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
-    outs = []
-    for b_cnt, r in LSH_SWEEP_CONFIGS:
-        thresh = round((1.0 / b_cnt) ** (1.0 / r), 6)
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_no"),
-                            F.slice("sig", i * r + 1, r).alias("key"),
-                        )
-                        for i in range(b_cnt)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
-        buckets = bands.groupBy("band_no", "key").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ds")
+    band_structs = [
+        F.struct(
+            F.lit(b_cnt).alias("n_bands"),
+            F.lit(i).alias("band_no"),
+            F.slice("sig", i * r + 1, r).alias("key"),
         )
-        hot = buckets.filter(F.size("ds") >= 2)
-        n_hot = hot.agg(
-            F.count(F.lit(1)).cast("long").alias("n_hot_buckets")
+        for b_cnt, r in LSH_SWEEP_CONFIGS
+        for i in range(b_cnt)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.n_bands").alias("n_bands"),
+        F.col("bk.band_no").alias("band_no"),
+        F.col("bk.key").alias("key"),
+    )
+    hot = bands.groupBy("n_bands", "band_no", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    hot = persist_tracked(hot)  # 2 consumers: hot-bucket count, pair gen
+    n_hot = hot.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot_buckets")
+    )
+    pairs = (
+        bucket_pairs(
+            hot, ["n_bands", "band_no", "key"], carry=["n_bands"]
         )
-        pairs = (
-            bucket_pairs(hot, ["band_no", "key"])
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .distinct()
+        .select(
+            "n_bands",
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
         )
-        est = pairs.join(sa, "a").join(sb, "b").select(
+        .distinct()
+    )
+    pair_agg = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "n_bands",
             F.aggregate(
-                F.zip_with(
-                    "sa", "sb", lambda x, y: (x == y).cast("int")
-                ),
+                F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
                 F.lit(0),
                 lambda acc, m: acc + m,
-            ).alias("matches")
+            ).alias("matches"),
         )
-        pair_agg = est.agg(
+        .groupBy("n_bands")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
             F.sum("matches").cast("long").alias("__sm"),
         )
-        outs.append(
-            pair_agg.crossJoin(F.broadcast(n_hot)).select(
-                F.lit(b_cnt).cast("long").alias("n_bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(thresh).alias("threshold_50"),
-                "n_hot_buckets",
-                "n_candidate_pairs",
-                F.when(
-                    F.col("n_candidate_pairs") > 0,
-                    F.round(
-                        F.col("__sm")
-                        / (16.0 * F.col("n_candidate_pairs")),
-                        6,
-                    ),
-                ).alias("avg_est_jaccard"),
-            )
+    )
+    configs = spark.createDataFrame(
+        [
+            (b_cnt, r, round((1.0 / b_cnt) ** (1.0 / r), 6))
+            for b_cnt, r in LSH_SWEEP_CONFIGS
+        ],
+        "n_bands long, rows_per_band long, threshold_50 double",
+    )
+    return (
+        configs
+        .join(n_hot, "n_bands", "left")
+        .join(pair_agg, "n_bands", "left")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "threshold_50",
+            F.coalesce(F.col("n_hot_buckets"), F.lit(0))
+            .cast("long")
+            .alias("n_hot_buckets"),
+            F.coalesce(F.col("n_candidate_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            F.when(
+                F.col("n_candidate_pairs") > 0,
+                F.round(F.col("__sm") / (16.0 * F.col("n_candidate_pairs")), 6),
+            ).alias("avg_est_jaccard"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy(F.desc("n_bands"))
+        .orderBy(F.desc("n_bands"))
+    )
 
 
 def sorted_neighborhood_pairs(
