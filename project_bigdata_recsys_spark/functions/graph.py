@@ -59,16 +59,34 @@ def item_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shared_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The co-occurrence edge frame, built ONCE per (session, sf) and
-    persisted across queries: within a single :func:`pagerank` call the
-    lazy edge pipeline is re-derived by norm/outw/nodes, and the classic
-    + personalized gate pair used to pay the basket self-join twice more
-    on top (r6 advisory: ~19.5 s of bench on two rebuilds).  The session
-    key guards against returning a frame bound to a stopped session."""
-    from project_bigdata_recsys_spark.caching import persist_shared
+    """The co-occurrence edge frame, built ONCE per (session, sf):
+    within a single :func:`pagerank` call the lazy edge pipeline is
+    re-derived by norm/outw/nodes, and the classic + personalized gate
+    pair used to pay the basket self-join twice more on top (r6
+    advisory: ~19.5 s of bench on two rebuilds).  PARQUET-backed
+    (round 10, the shared_components / shared_minhash_signatures
+    pattern): the memory-persist tier only protected ADJACENT
+    consumers — a session owner's block sweep between queries evicted
+    the blocks, so every non-adjacent consumer (kcore, triangles,
+    Adamic-Adar, degree profiles) silently re-ran the basket self-join
+    (~5-6 s each at sf0.1).  A parquet read is sweep-proof and is what
+    the real contract does anyway (a nightly graph-build job).  The
+    path revalidates against scratch purges."""
+    import os
 
-    key = f"cooc-edges:{spark.sparkContext.applicationId}:{sf_dir}"
-    return persist_shared(key, lambda: item_cooccurrence_edges(spark, sf_dir))
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key not in _COOC_EDGES or not os.path.exists(_COOC_EDGES[key]):
+        path = os.path.join(scratch_dir(prefix="spark_cooc_edges_"), "edges")
+        item_cooccurrence_edges(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _COOC_EDGES[key] = path
+    return spark.read.parquet(_COOC_EDGES[key])
+
+
+_COOC_EDGES: dict[tuple, str] = {}
 
 
 def pagerank(
@@ -402,16 +420,29 @@ def _orient_edges(edges: DataFrame) -> DataFrame:
 
 
 def shared_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The degree-ordered oriented edge frame, persisted once per
+    """The degree-ordered oriented edge frame, built once per
     (session, sf) — r7 advisory: item_triangles and every other wedge
     consumer re-derived degrees + orientation from the shared edge frame
-    per call; this tier makes the orientation itself a one-time cost."""
-    from project_bigdata_recsys_spark.caching import persist_shared
+    per call; this tier makes the orientation itself a one-time cost.
+    Parquet-backed (round 10) for the same sweep-proofing as the edge
+    frame it derives from."""
+    import os
 
-    key = f"cooc-oriented:{spark.sparkContext.applicationId}:{sf_dir}"
-    return persist_shared(
-        key, lambda: _orient_edges(shared_cooccurrence_edges(spark, sf_dir))
-    )
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key not in _COOC_ORIENTED or not os.path.exists(_COOC_ORIENTED[key]):
+        path = os.path.join(
+            scratch_dir(prefix="spark_cooc_oriented_"), "oriented"
+        )
+        _orient_edges(shared_cooccurrence_edges(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _COOC_ORIENTED[key] = path
+    return spark.read.parquet(_COOC_ORIENTED[key])
+
+
+_COOC_ORIENTED: dict[tuple, str] = {}
 
 
 def shared_item_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,9 +793,15 @@ def kcore_profile(
 
     Scale: starts from the persist_shared co-occurrence edge frame
     (zero rebuild next to pagerank/triangles/neighbors); the threshold
-    reads a #distinct-degrees histogram (bounded, broadcast); each
-    round is one degree aggregation + two semi-joins — O(m) per round,
-    nothing driver-side."""
+    is ONE bounded 1-row collect off the #distinct-degrees histogram
+    (the ml/ranking.py bounded-collect class) embedded as a literal;
+    each live round is one degree aggregation + two semi-joins — O(m)
+    per round — and the per-round survivor stats (1-row aggregates,
+    same bounded class) short-circuit the loop: once the core empties,
+    the remaining rounds are emitted as zero literals instead of
+    running empty-frame jobs (on this corpus the cascade empties by
+    round ~3, so half the pre-r10 rounds were pure scheduler
+    overhead)."""
     from pyspark.sql import Window
 
     from project_bigdata_recsys_spark.caching import persist_tracked
@@ -780,16 +817,21 @@ def kcore_profile(
         F.sum("n").over(w).alias("c"),
         F.sum("n").over(Window.partitionBy()).alias("nt"),
     )
-    kth = (
+    k_val = int(
         cum.filter(F.col("c") >= deg_frac * F.col("nt"))
         .agg(F.min("d").cast("long").alias("k"))
+        .collect()[0]["k"]
     )
-    rows = []
+    rows: list[tuple[int, int, int, int]] = []
+    empty = False
     for r in range(1, n_rounds + 1):
-        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        if empty:
+            rows.append((r, k_val, 0, 0))
+            continue
         keep = (
-            deg.crossJoin(F.broadcast(kth))
-            .filter(F.col("deg") >= F.col("k"))
+            g.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k_val)
             .select("src")
         )
         # keep's plan embeds g, and g_{r} reads g_{r-1} three ways — the
@@ -797,20 +839,12 @@ def kcore_profile(
         g = g.join(keep, "src", "semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "semi"
         ).localCheckpoint()
-        rows.append(
-            g.agg(
-                F.count_distinct("src").cast("long").alias("n_nodes"),
-                F.count(F.lit(1)).cast("long").alias("n_edges_directed"),
-            )
-            .crossJoin(F.broadcast(kth))
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                "k",
-                "n_nodes",
-                "n_edges_directed",
-            )
-        )
-    out = rows[0]
-    for extra in rows[1:]:
-        out = out.unionByName(extra)
-    return out.orderBy("round")
+        stats = g.agg(
+            F.count_distinct("src").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edges_directed"),
+        ).collect()[0]
+        rows.append((r, k_val, stats["n_nodes"], stats["n_edges_directed"]))
+        empty = stats["n_edges_directed"] == 0
+    return spark.createDataFrame(
+        rows, "round int, k long, n_nodes bigint, n_edges_directed bigint"
+    ).orderBy("round")
