@@ -202,3 +202,33 @@ def test_write_ahead_schedule_names_are_registered(rnd, stop):
     assert len(names) == 50 and len(set(names)) == 50, len(names)
     missing = [n for n in names if n not in QUERIES]
     assert missing == [], f"r{rnd} schedule names not in QUERIES: {missing}"
+
+
+def test_parquet_memos_revalidate_after_purge(spark):
+    """The r10 parquet-backed shared memos (minhash signatures,
+    co-occurrence edges, oriented edges) must rebuild when their scratch
+    path vanishes mid-process — the shared_components revalidation
+    contract — and the rebuilt frame must be row-identical."""
+    import shutil
+
+    from project_bigdata_recsys_spark.functions import dedup, graph
+
+    sig1 = sorted(
+        map(tuple, dedup.shared_minhash_signatures(spark, SF_SMALL).collect())
+    )
+    key = next(iter(dedup._MINHASH_SIGS))
+    shutil.rmtree(os.path.dirname(dedup._MINHASH_SIGS[key]))
+    sig2 = sorted(
+        map(tuple, dedup.shared_minhash_signatures(spark, SF_SMALL).collect())
+    )
+    assert sig1 == sig2
+
+    e1 = sorted(
+        map(tuple, graph.shared_cooccurrence_edges(spark, SF_SMALL).collect())
+    )
+    gkey = next(iter(graph._COOC_EDGES))
+    shutil.rmtree(os.path.dirname(graph._COOC_EDGES[gkey]))
+    e2 = sorted(
+        map(tuple, graph.shared_cooccurrence_edges(spark, SF_SMALL).collect())
+    )
+    assert e1 == e2
