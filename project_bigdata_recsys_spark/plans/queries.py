@@ -4349,8 +4349,8 @@ ORACLES["split_source_audit"] = f"""
 # re-ran in the r6 window); the oldest evidence is the 50-query r4 block,
 # which is exactly the r11 rotation below.
 #
-# Round-11 rotation schedule (write-ahead so it survives session loss):
-# the 50 r4-latest-evidence queries in registration order:
+# Round-11 rotation (EXECUTED below, per VERDICT r10 task #1): the 50
+# r4-latest-evidence queries in registration order:
 #     pack_sequences, corpus_mixture, tfidf_top_terms, curation_funnel, incremental_dedup,
 #     embedding_near_dup_lsh, knn_ivf_centroid, embedding_dup_clusters,
 #     chunk_documents, quality_percentile_filter, token_frequencies,
@@ -4389,59 +4389,82 @@ ORACLES["split_source_audit"] = f"""
 #       incremental_dedup_indexed, purchase_asof_click, normalized_duplicates,
 #       rfm_segments, power_user_rank, source_scorecard,
 #       cross_source_overlap, boilerplate_prefix_profile
-# (r13 onward continues the r6 block: source_mixture, approx_profile,
-# csv_roundtrip_ingest, ...)
+# (r13 continues below; r14 onward = the remaining 36 r7-evidence queries
+# then the r8 block.)
+#
+# Round-13 rotation schedule (write-ahead, same discipline): the 36
+# remaining r6-latest-evidence queries in registration order, then the
+# 14 oldest r7-evidence queries in registration order:
+#     source_mixture, sessionize, approx_profile,
+#     csv_roundtrip_ingest, pricing_summary, unigram_logloss,
+#     length_bucketed_batches, novelty_profile, source_dup_attribution,
+#     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
+#     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
+#     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
+#     int8_quantization_profile, split_source_audit, ann_recall_profile,
+#     centroid_confusion, conversion_lag, gap_filled_daily,
+#     ab_test_lift, pareto_curve, forget_users_plan,
+#     event_transitions, multi_touch_attribution, decayed_popularity,
+#     kfold_assignment, negative_samples, pit_segment_rollup,
+#     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
+#     snapshot_diff, item_pagerank, cdc_current_view,
+#     course_stats, label_histogram, user_activity,
+#     distinct_counts, conditional_pivot, time_range_filter,
+#     derived_projection, top_k_orders, null_handling,
+#     multiway_join, rollup_totals
+# (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
+# rotations land.)
 _GATE_WINDOW = [
-    "pinball_quantile_eval",
-    "wasserstein_value_drift",
-    "embedding_top_pc",
-    "hashing_collision_audit",
-    "absorption_funnel_prob",
-    "stream_benford_values",
-    "did_lift_estimate",
-    "sprt_ab_monitor",
-    "jl_distortion_audit",
-    "mann_kendall_trend",
-    "woe_iv_profile",
-    "theil_sen_trend",
-    "holt_forecast_eval",
-    "stream_sprt_monitor",
-    "overdispersion_profile",
-    "capture_recapture_estimate",
-    "eb_shrunk_rates",
-    "sorted_neighborhood_pairs",
-    "shapley_channel_attribution",
-    "sequence_entropy_profile",
-    "join_order_advisor",
-    "source_kl_divergence",
-    "rake_keyphrases",
-    "cv_paired_ttest",
-    "vocab_cover_sources",
-    "largest_remainder_allocation",
-    "markov_removal_attribution",
-    "changepoint_slopes",
-    "aa_test_calibration",
-    "quantile_normalize_profile",
-    "spearman_user_metrics",
-    "price_elasticity",
-    "doubly_robust_ate",
-    "pps_horvitz_thompson",
-    "seasonal_indices",
-    "term_burstiness",
-    "stream_holt_forecast",
-    "bh_fdr_correction",
-    "icc_profile",
-    "mde_power_analysis",
-    "session_gap_sweep",
-    "freshness_audit",
-    "stream_mann_kendall",
-    "negbin_fit_profile",
-    "lang_source_vmeasure",
-    "theil_inequality_index",
-    "near_dup_clusters_reused",
-    "split_source_audit_reused",
-    "dedup_manifest_diff",
-    "hard_negative_mining",
+    "pack_sequences",
+    "corpus_mixture",
+    "tfidf_top_terms",
+    "curation_funnel",
+    "incremental_dedup",
+    "embedding_near_dup_lsh",
+    "knn_ivf_centroid",
+    "embedding_dup_clusters",
+    "chunk_documents",
+    "quality_percentile_filter",
+    "token_frequencies",
+    "repetition_profile",
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_candidates",
+    "simhash_near_pairs",
+    "near_dup_clusters",
+    "contamination_check",
+    "dedup_corpus_stats",
+    "minhash_verified_pairs",
+    "knn_brute_force",
+    "knn_multi_query",
+    "embedding_near_dup_pairs",
+    "knn_ivf_bucketed",
+    "knn_rp_lsh",
+    "knn_lsh",
+    "embedding_stats",
+    "media_profile",
+    "video_frame_profile",
+    "synthetic_interactions",
+    "mutated_interactions",
+    "stratified_sample",
+    "als_top_recommendations",
+    "als_user_factors",
+    "classifier_metrics",
+    "kb_popular_items",
+    "kb_success_profile",
+    "stream_stateful_features",
+    "stream_bootstrapped_features",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_dedup_events",
+    "stream_stream_attribution",
+    "stream_session_windows",
+    "rolling_median",
+    "deterministic_group_sample",
+    "json_extraction",
+    "events_per_day",
+    "event_rate",
+    "user_topk_recommendations",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
