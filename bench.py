@@ -416,6 +416,15 @@ def main() -> None:
     shared_minhash_signatures(spark, sf_dir).count()
     shared_cooccurrence_edges(spark, sf_dir).count()
     shared_oriented_edges(spark, sf_dir).count()
+    # r11: the unigram-LM doc-score kernel joined the memo contract —
+    # its two consumers (perplexity_buckets, domain_reweight) sit four
+    # entries apart, so the memory tier was silently rebuilt by the
+    # later one after the between-query block sweep
+    from project_bigdata_recsys_spark.functions.text import (
+        doc_unigram_scores,
+    )
+
+    doc_unigram_scores(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1328,17 +1328,25 @@ def doc_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared kernel of :func:`perplexity_buckets` and
     `curation.domain_reweight`: one corpus tokenization feeds the vocab
     counts and the per-doc mean negative log-probability (4-dp, same
-    recipe as :func:`unigram_logloss_profile`).  persist_shared: the
-    frame fans into 2+ consumers inside each caller AND is rebuilt
-    identically by two separate gate queries (perplexity_buckets,
-    domain_reweight) — the session tier pays the tokenization once.
+    recipe as :func:`unigram_logloss_profile`).  PARQUET-backed memo
+    like the minhash-signature / CC-labeling tiers, not persist(): its
+    two gate consumers (perplexity_buckets, domain_reweight) sit four
+    bench entries apart, and a session owner's between-query block
+    sweep evicts in-memory shared frames, silently re-running the full
+    corpus tokenization on the later consumer.  ~20 B/doc; the path
+    revalidates against scratch purges.
 
     The vocab side is deliberately NOT hint-broadcast: a whitespace
     vocabulary is unbounded at corpus scale; AQE still picks broadcast
     at runtime when the built vocab is small."""
-    from project_bigdata_recsys_spark.caching import persist_shared
+    import os
 
-    def build() -> DataFrame:
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key not in _UNIGRAM_SCORES or not os.path.exists(
+        _UNIGRAM_SCORES[key]
+    ):
         docs = load_table(spark, sf_dir, "documents")
         term_rows = docs.select(
             "doc_id",
@@ -1350,17 +1358,21 @@ def doc_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         total = vocab.agg(F.sum("n_term").alias("n_total"))
         logp = F.log(F.col("n_term") / F.col("n_total"))
-        return (
+        scored = (
             term_rows.join(vocab, "term")
             .crossJoin(F.broadcast(total))
             .groupBy("doc_id", "source")
             .agg(F.round(F.avg(-logp), 4).alias("score"))
         )
+        path = os.path.join(
+            scratch_dir(prefix="spark_unigram_scores_"), "scores"
+        )
+        scored.write.mode("overwrite").parquet(path)
+        _UNIGRAM_SCORES[key] = path
+    return spark.read.parquet(_UNIGRAM_SCORES[key])
 
-    key = (
-        f"doc-unigram-scores:{spark.sparkContext.applicationId}:{sf_dir}"
-    )
-    return persist_shared(key, build)
+
+_UNIGRAM_SCORES: dict[tuple, str] = {}
 
 
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

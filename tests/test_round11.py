@@ -1,0 +1,91 @@
+"""Round-11 regression pins: the parquet-memo audit (VERDICT r10 task #3).
+
+The r10 late pass established the rule: cross-query shared state must be
+parquet-memo-backed, because a session owner's between-query block sweep
+evicts in-memory persist_shared frames and the tier silently rebuilds.
+This round converts the last cross-query tier (doc_unigram_scores — its
+consumers perplexity_buckets and domain_reweight run four bench entries
+apart) and pins, per remaining tier, which regime it is in:
+
+- PARQUET MEMO (cross-query consumers): shared_components,
+  shared_simhash_bands, shared_minhash_signatures,
+  shared_cooccurrence_edges, shared_oriented_edges, doc_unigram_scores.
+- persist_shared MEMORY tier (adjacent-only consumers, protected by
+  bench's _SHARE_WITH_NEXT): shared_item_margins — its single call site
+  (graph.item_similar_neighbors) runs immediately after item_triangles,
+  which bench marks share-with-next; an eviction there costs one basket
+  scan, not a corpus tokenization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_SMALL
+
+PKG = os.path.join(
+    os.path.dirname(__file__), "..", "project_bigdata_recsys_spark"
+)
+
+
+def test_unigram_scores_memo_revalidates_after_purge(spark):
+    """doc_unigram_scores must rebuild when its scratch path vanishes
+    mid-process (the shared_components revalidation contract) and the
+    rebuilt frame must be row-identical — the same pin the r10 memos
+    carry in test_round10."""
+    import shutil
+
+    from project_bigdata_recsys_spark.functions import text as text_fns
+
+    s1 = sorted(
+        map(tuple, text_fns.doc_unigram_scores(spark, SF_SMALL).collect())
+    )
+    assert s1, "unigram score frame is empty at sf0.001"
+    key = next(iter(text_fns._UNIGRAM_SCORES))
+    shutil.rmtree(os.path.dirname(text_fns._UNIGRAM_SCORES[key]))
+    s2 = sorted(
+        map(tuple, text_fns.doc_unigram_scores(spark, SF_SMALL).collect())
+    )
+    assert s1 == s2
+
+
+def test_unigram_consumers_read_the_memo_not_the_corpus(spark):
+    """Once the memo exists, perplexity_buckets and domain_reweight must
+    scan the memo parquet — NOT re-tokenize documents.parquet.  A plan
+    that still reads the documents text column after the memo landed is
+    the silent-rebuild failure mode coming back."""
+    from project_bigdata_recsys_spark.functions import text as text_fns
+    from project_bigdata_recsys_spark.functions.curation import (
+        domain_reweight,
+    )
+
+    text_fns.doc_unigram_scores(spark, SF_SMALL).count()  # memo exists
+    for df in (
+        text_fns.perplexity_buckets(spark, SF_SMALL),
+        domain_reweight(spark, SF_SMALL),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "spark_unigram_scores_" in plan, plan
+        assert "documents.parquet" not in plan, plan
+
+
+def test_item_margins_single_call_site_is_adjacent_regime():
+    """shared_item_margins stays on the memory tier on purpose: exactly
+    one consumer module-wide, and bench runs it inside a
+    _SHARE_WITH_NEXT span.  If a second cross-query consumer appears,
+    this count bumps and the tier must move to a parquet memo — the
+    failing assert is the reminder."""
+    import glob
+
+    call_sites = 0
+    for path in glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True):
+        src = open(path, encoding="utf-8").read()
+        hits = src.count("shared_item_margins(")
+        if "def shared_item_margins(" in src:
+            hits -= 1
+        call_sites += hits
+    assert call_sites == 1, (
+        f"shared_item_margins now has {call_sites} call sites — "
+        "adjacent-only justification no longer holds; convert it to a "
+        "parquet memo (see functions/dedup.py shared_minhash_signatures)"
+    )
