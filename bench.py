@@ -337,6 +337,51 @@ HEADLINE = [
     "hard_negative_mining",
 ]
 
+#: Frozen cross-round comparison subset (r10 verdict task #5): the
+#: headline list grows every round, so totals never compare directly and
+#: every verdict re-derived comparability by hand.  The anchors fixed the
+#: AMBIENT axis (how fast was the box); this fixes the COMPOSITION axis
+#: (which queries are being summed).  Contents: the full r1 anchor set
+#: (25) plus one representative of each recurring cost class — memo-fed
+#: dedup (minhash_candidates), iterative graph (item_pagerank), ANN
+#: self-join (knn_graph), CC-composition (source_triage_report), and a
+#: bounded streaming replay (stream_tumbling_counts).  FROZEN: never
+#: add, remove, or reorder entries — a changed subset is a broken
+#: comparison axis.  bench.py publishes its sum as
+#: `frozen_subset_total` every run.
+FROZEN_SUBSET = [
+    "course_stats",
+    "conditional_pivot",
+    "multiway_join",
+    "pricing_summary",
+    "local_supplier_volume",
+    "big_orders",
+    "purchase_asof_click",
+    "moving_avg_range",
+    "user_activity",
+    "cooccurrence_pairs",
+    "latest_order_per_customer",
+    "sessionize",
+    "top_n_per_group",
+    "doc_quality_profile",
+    "token_frequencies",
+    "ngram_jaccard_pairs",
+    "knn_brute_force",
+    "json_extraction",
+    "grouping_sets_stats",
+    "data_quality_report",
+    "token_stats",
+    "exact_duplicates",
+    "cheapest_order_per_customer",
+    "rolling_median",
+    "time_rollup",
+    "minhash_candidates",
+    "item_pagerank",
+    "knn_graph",
+    "source_triage_report",
+    "stream_tumbling_counts",
+]
+
 #: After these queries, the inter-query cache release is SKIPPED so a
 #: persist_shared frame survives into the immediately-following entry.
 _SHARE_WITH_NEXT = {
@@ -466,6 +511,9 @@ def main() -> None:
     # earlier-round bench artifacts are on disk (shared-query sums are
     # the only fair round-over-round comparison as the list grows)
     anchors = {"r1_25": round(sum(timings[q] for q in HEADLINE[:25]), 3)}
+    frozen_subset_total = round(
+        sum(timings[q] for q in FROZEN_SUBSET if q in timings), 3
+    )
     for rnd in ("r05", "r01"):
         try:
             with open(f"BENCH_{rnd}.json") as fh:
@@ -505,6 +553,8 @@ def main() -> None:
                 "queries_truncated_to": 10,
                 "detail_file": "BENCH_DETAIL.json",
                 "anchors": anchors,
+                "frozen_subset_total": frozen_subset_total,
+                "frozen_subset_n": len(FROZEN_SUBSET),
                 "anchor_normalized_ratio": anchor_normalized_ratio,
                 "anchor_band_sec": list(anchor_band),
                 "ambient_ok": ambient_ok,

@@ -10563,6 +10563,54 @@ ORACLES["hard_negative_mining"] = """
 """
 
 
+def _stream_update_ann_index_oracle(
+    n_tables: int = 4, n_planes: int = 6
+) -> str:
+    """SQL twin of replay.stream_update_ann_index: the stream-maintained
+    index (nightly base ⊕ every arrival micro-batch) must equal a
+    from-scratch RP-LSH hash of the FULL corpus — same deterministic
+    Rademacher bucket expressions as _ann_recall_oracle, rolled up to
+    the per-table profile with an integer membership checksum."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        buck AS ({buck})
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+               CAST(sum(bucket * 100003 + vec_id) AS BIGINT) AS checksum
+        FROM buck GROUP BY t ORDER BY t
+    """
+
+
+# Streaming maintenance of the persisted ANN index (round 11 stretch,
+# r10 verdict task #7): foreachBatch folds each embedding-ingest
+# micro-batch into the nightly RP-LSH index via update_ann_index;
+# fold ≡ rebuild makes the full profile oracle-checkable.
+QUERIES["stream_update_ann_index"] = replay.stream_update_ann_index
+ORACLES["stream_update_ann_index"] = _stream_update_ann_index_oracle()
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -1470,3 +1470,94 @@ def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", F.col("y").cast("long").alias("y")
     )
     return mann_kendall_from_counts(counts)
+
+
+def stream_update_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    split_at: int = 250,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """Streaming MAINTENANCE of the persisted RP-LSH index — the last
+    batch-only gap in the index-maintenance story closed: the nightly
+    build (similarity.build_ann_index layout, settled corpus =
+    ``vec_id < split_at``) is kept current by a foreachBatch consumer of
+    the embedding ingest stream, each micro-batch folded in via
+    :func:`similarity.update_ann_index` (dynamic partition overwrite of
+    only the (t, bucket) partitions the batch touches — O(batch +
+    touched-buckets) per trigger, never O(corpus)).
+
+    Index membership is a set union (one (vec_id, t, bucket) row per
+    vector per table), trivially associative, so base ⊕ every arrival
+    micro-batch ≡ a from-scratch build over the full corpus — which is
+    exactly what the oracle recomputes: the returned per-table profile
+    (row/vector/bucket counts + an integer membership checksum) must
+    match DuckDB hashing ALL vectors with the same deterministic
+    Rademacher planes.  Arrivals are written as ``n_arrival_files``
+    files and replayed with ``maxFilesPerTrigger=1`` so the fold runs
+    across several real micro-batches, not one.
+
+    Composes two oracle-green pieces: the update_ann_index fold
+    (fold ≡ rebuild pinned by test_update_ann_index_equals_rebuild) and
+    the deterministic bucket expressions ann_recall_profile's oracle
+    already mirrors in SQL."""
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.functions.similarity import (
+        rp_index_rows,
+        update_ann_index,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    work = scratch_dir(prefix="spark_stream_ann_update_")
+    index_dir = os.path.join(work, "ann_index")
+    arrivals_dir = os.path.join(work, "arrivals")
+
+    # nightly base index over the settled corpus (own scratch copy —
+    # the fold MUTATES it; never point this at the shared
+    # prepare_semantic_index memo other queries probe)
+    rp_index_rows(
+        emb.filter(F.col("vec_id") < split_at), n_tables, n_planes
+    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(index_dir)
+
+    emb.filter(F.col("vec_id") >= split_at).repartition(
+        n_arrival_files
+    ).write.parquet(arrivals_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        update_ann_index(spark, index_dir, batch_df, n_tables, n_planes)
+
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("bounded ANN-maintenance replay did not terminate")
+
+    idx = spark.read.parquet(index_dir)
+    return (
+        idx.groupBy(F.col("t").cast("long").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+            F.sum(
+                F.col("bucket").cast("long") * F.lit(100003)
+                + F.col("vec_id").cast("long")
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("t")
+    )

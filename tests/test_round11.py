@@ -89,3 +89,20 @@ def test_item_margins_single_call_site_is_adjacent_regime():
         "adjacent-only justification no longer holds; convert it to a "
         "parquet memo (see functions/dedup.py shared_minhash_signatures)"
     )
+
+
+def test_frozen_subset_is_actually_frozen():
+    """bench.FROZEN_SUBSET is the cross-round composition axis — its sum
+    only means something if the list NEVER changes.  The fingerprint
+    below was taken when the subset was defined (r11); if this test
+    fails, someone edited the subset, and the fix is to revert the edit,
+    not to update the hash."""
+    import hashlib
+
+    import bench
+
+    fp = hashlib.sha256("|".join(bench.FROZEN_SUBSET).encode()).hexdigest()
+    assert fp[:16] == "a2c28345bef97603", bench.FROZEN_SUBSET
+    assert bench.FROZEN_SUBSET[:25] == bench.HEADLINE[:25]
+    missing = [q for q in bench.FROZEN_SUBSET if q not in bench.HEADLINE]
+    assert missing == [], missing
