@@ -147,7 +147,13 @@ def bucket_pairs(
     the first field (the id), so both strategies emit identical pair sets.
     """
     carry = list(carry or [])
-    assert all(c in key_cols for c in carry), "carry must be key columns"
+    if not all(c in key_cols for c in carry):
+        # ValueError, not assert: the precondition must survive
+        # ``python -O`` — a silent pass here surfaces later as an
+        # opaque missing-column AnalysisException
+        raise ValueError(
+            f"carry columns {carry} must be a subset of key_cols {key_cols}"
+        )
     small = doc_lists.filter(F.size("ds") <= PAIR_GEN_ARRAY_MAX).select(
         *carry, F.explode(sorted_pairs(F.col("ds"))).alias("p")
     )
@@ -1908,6 +1914,14 @@ def dedup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     without which the driver corpus has no duplicates and the diff is
     vacuous); the "new batch" is the ~20% of rows whose md5-uniform
     draw (salt ``manifest:``) lands >= 0.8, so the previous snapshot
+
+    PLANTING ASSUMPTION (shared by every +1,000,000 planting oracle in
+    this repo, exact_duplicates included): the documents table holds
+    < 1M rows per sf, so planted ids never collide with real ones.
+    That holds for every shipped sf (sf1 would be ~600k docs); a corpus
+    beyond 1M docs needs the offset re-derived from max(doc_id) IN BOTH
+    the Spark builder and the SQL oracle — drifting only one side
+    breaks parity, which is why the literal convention is kept.
     is the other ~80%.  Per source, current keepers split into
     retained (same keeper as previous run), displaced (fingerprint
     existed, a new smaller-id copy took over), and new_content

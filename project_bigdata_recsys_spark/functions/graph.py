@@ -817,11 +817,14 @@ def kcore_profile(
         F.sum("n").over(w).alias("c"),
         F.sum("n").over(Window.partitionBy()).alias("nt"),
     )
-    k_val = int(
+    k_raw = (
         cum.filter(F.col("c") >= deg_frac * F.col("nt"))
         .agg(F.min("d").cast("long").alias("k"))
         .collect()[0]["k"]
     )
+    # empty edge frame: min over an empty agg is NULL — default k to 0
+    # (every round peels nothing) instead of raising TypeError
+    k_val = int(k_raw) if k_raw is not None else 0
     rows: list[tuple[int, int, int, int]] = []
     empty = False
     for r in range(1, n_rounds + 1):

@@ -2025,9 +2025,15 @@ def bradley_terry_ratings(
             for j in items:
                 g = games.get((i, j))
                 if g:
-                    den += g / (rating[i] + rating[j])
-            u[i] = big_w.get(i, 0) / den
+                    # clamp: two all-loss items dueling only each other
+                    # can collapse rating[i]+rating[j] to 0 after an
+                    # all-loss iteration — the distributed version
+                    # produced NULLs there, not a ZeroDivisionError
+                    den += g / max(rating[i] + rating[j], 1e-12)
+            u[i] = (big_w.get(i, 0) / den) if den else 0.0
         s = sum(u[i] for i in items)
+        if not s:
+            break
         rating = {i: _round_half_up(u[i] / s, 6) for i in items}
     n_games = {
         i: sum(g for (a, _), g in games.items() if a == i) for i in items
@@ -3166,15 +3172,27 @@ def markov_removal_attribution(
     rows = []
     for ch in ("click", "view", "signup", "error"):
         cpw = chain(ch)
-        rows.append((ch, base, cpw, _round_half_up(1.0 - cpw / base, 6)))
-    sre = sum(int(_round_half_up(re * 1e6, 0)) for _, _, _, re in rows)
+        # degenerate corpus (base conversion probability 0): the removal
+        # effect is undefined — emit NULL, the pre-collapse Spark-plan
+        # divide-by-zero semantics
+        re = (
+            _round_half_up(1.0 - cpw / base, 6) if base else None
+        )
+        rows.append((ch, base, cpw, re))
+    sre = sum(
+        int(_round_half_up(re * 1e6, 0))
+        for _, _, _, re in rows
+        if re is not None
+    )
     out_rows = [
         (
             ch,
             b,
             cpw,
             re,
-            _round_half_up(int(_round_half_up(re * 1e6, 0)) / sre, 4),
+            _round_half_up(int(_round_half_up(re * 1e6, 0)) / sre, 4)
+            if re is not None and sre
+            else None,
         )
         for ch, b, cpw, re in rows
     ]

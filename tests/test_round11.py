@@ -106,3 +106,16 @@ def test_frozen_subset_is_actually_frozen():
     assert bench.FROZEN_SUBSET[:25] == bench.HEADLINE[:25]
     missing = [q for q in bench.FROZEN_SUBSET if q not in bench.HEADLINE]
     assert missing == [], missing
+
+
+def test_bucket_pairs_carry_precondition_raises_value_error(spark):
+    """r10 advisory: the carry ⊆ key_cols precondition must survive
+    ``python -O`` — a bare assert would vanish and resurface later as an
+    opaque missing-column AnalysisException."""
+    import pytest as _pytest
+
+    from project_bigdata_recsys_spark.functions import dedup
+
+    frame = spark.range(0).selectExpr("array(id) as ds", "id as k")
+    with _pytest.raises(ValueError, match="carry columns"):
+        dedup.bucket_pairs(frame, key_cols=["k"], carry=["nope"])
