@@ -4366,7 +4366,7 @@ ORACLES["split_source_audit"] = f"""
 #     stream_bootstrapped_features, stream_tumbling_counts, stream_sliding_counts,
 #     stream_dedup_events, stream_stream_attribution, stream_session_windows,
 #     rolling_median, deterministic_group_sample, json_extraction,
-#     events_per_day, event_rate, user_topk_recommendations
+#     events_per_day, event_rate, stream_update_ann_index
 # (recomputed from the CORRECTNESS_r01..r10 union.)
 #
 # Round-12 rotation schedule (write-ahead, same discipline): the 44
@@ -4411,7 +4411,7 @@ ORACLES["split_source_audit"] = f"""
 #     course_stats, label_histogram, user_activity,
 #     distinct_counts, conditional_pivot, time_range_filter,
 #     derived_projection, top_k_orders, null_handling,
-#     multiway_join, rollup_totals
+#     multiway_join, user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
 # rotations land.)
 _GATE_WINDOW = [
@@ -4464,7 +4464,10 @@ _GATE_WINDOW = [
     "json_extraction",
     "events_per_day",
     "event_rate",
-    "user_topk_recommendations",
+    # slot 50: the round-11 stretch op enters VIA the window (r10 verdict
+    # task #7 discipline — new entries get driver evidence immediately);
+    # user_topk_recommendations moved to the r13 schedule tail
+    "stream_update_ann_index",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
