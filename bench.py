@@ -335,6 +335,11 @@ HEADLINE = [
     # diff between corpus snapshots) + contrastive hard-negative mining
     "dedup_manifest_diff",
     "hard_negative_mining",
+    # round-11 wave: training-mix planning (temperature sweep + budget
+    # allocation under the repetition cap) + credential scanning
+    "mixture_temperature_sweep",
+    "token_budget_planner",
+    "secret_scan_profile",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

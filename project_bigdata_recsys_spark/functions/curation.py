@@ -1423,3 +1423,184 @@ def quantile_normalize_profile(
         per_source.crossJoin(F.broadcast(spread))
         .orderBy("source")
     )
+
+
+def mixture_temperature_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    alphas: tuple[float, ...] = (0.2, 0.3, 0.5, 0.7, 1.0),
+) -> DataFrame:
+    """Temperature-sampling sweep over the source mixture — the tuning
+    artifact behind the mT5/XLM-R/CC-100 "temperature" knob: for each
+    candidate alpha, the sampled share of every source under
+    ``w_s ∝ p_s^alpha`` (p_s = the source's token share), the boost
+    factor vs natural sampling, and the resulting mixture entropy.  A
+    data team reads exactly this table to pick the alpha that upweights
+    small sources enough without flattening the mixture (alpha=1 is
+    natural sampling; alpha→0 is uniform).  corpus_mixture ships ONE
+    fixed alpha (0.5) as a doc-quota sampler; this is the sweep that
+    justifies the choice.
+
+    Exactness: p_s is BIGINT/BIGINT token shares; each pow() weight is
+    frozen to micro fixed-point BEFORE the normalizing sum (the
+    bm25/ucb libm precedent); entropy terms freeze at nano before
+    summing.  Scale: ONE corpus tokenization scan reduced to #sources
+    rows, then a #alphas-way explode of a tiny frame — all downstream
+    joins broadcast."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.filter(tokens(F.col("text")), lambda x: F.length(x) > 0)
+        ).alias("n_tokens"),
+    )
+    # the #sources-row reduction feeds total/fanned/norms/ent — without
+    # the persist every lineage branch re-tokenizes the corpus (8 scans)
+    sizes = persist_tracked(
+        per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("src_tokens"),
+        )
+    )
+    total = sizes.agg(F.sum("src_tokens").cast("long").alias("total"))
+    fanned = (
+        sizes.crossJoin(F.broadcast(total))
+        .withColumn(
+            "alpha", F.explode(F.array(*[F.lit(float(a)) for a in alphas]))
+        )
+        .withColumn("p", F.col("src_tokens") / F.col("total"))
+        .withColumn(
+            "w_micro",
+            F.round(F.pow("p", F.col("alpha")) * 1e6, 0).cast("long"),
+        )
+    )
+    norms = fanned.groupBy("alpha").agg(
+        F.sum("w_micro").cast("long").alias("w_sum")
+    )
+    shared = fanned.join(F.broadcast(norms), "alpha").withColumn(
+        "share", F.col("w_micro") / F.col("w_sum")
+    )
+    ent = shared.groupBy("alpha").agg(
+        F.round(
+            F.sum(
+                F.round(-F.col("share") * F.log("share") * 1e9, 0).cast(
+                    "long"
+                )
+            )
+            / 1e9,
+            6,
+        ).alias("mix_entropy")
+    )
+    return (
+        shared.join(F.broadcast(ent), "alpha")
+        .select(
+            "alpha",
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("p", 6).alias("base_share"),
+            F.round("share", 6).alias("sampling_share"),
+            F.round(F.col("share") / F.col("p"), 4).alias("boost"),
+            "mix_entropy",
+        )
+        .orderBy("alpha", "source")
+    )
+
+
+def token_budget_planner(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_ratio: float = 1.5,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Token-budget allocation under a repetition cap — the
+    data-constrained-scaling planning step (Muennighoff et al. 2023:
+    repeating a source beyond ~4 epochs returns almost nothing): given
+    a training budget of ``budget_ratio × corpus tokens``, fill it
+    greedily from the best-scoring source down (corpus-unigram LM
+    score, the shared doc_unigram_scores kernel — lower loss = more
+    fluent), each source contributing at most ``max_epochs`` passes
+    over its own tokens.  Output per source: quality rank inputs, the
+    allocated tokens, and the resulting epoch count — the table a
+    pretraining run's data card publishes.
+
+    Exactness: allocation is pure BIGINT arithmetic under an ordered
+    cumulative window (greatest/least clamp); the only floats are the
+    4-dp mean score (micro-frozen sums) and the final epochs division.
+    Scale: the corpus reduces to #sources rows before the window; the
+    unpartitioned cumsum is bounded by source cardinality (audited,
+    same class as largest_remainder_allocation)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.text import doc_unigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted for the same reason as mixture_temperature_sweep's sizes
+    # frame: the total-budget agg branch would re-tokenize the corpus
+    sizes = persist_tracked(
+        docs.select(
+            "source",
+            F.size(
+                F.filter(tokens(F.col("text")), lambda x: F.length(x) > 0)
+            ).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    )
+    quality = (
+        doc_unigram_scores(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col("score") * 10000, 0).cast("long"))
+            .cast("long")
+            .alias("s4"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("s4") / 10000.0 / F.col("n_docs"), 4).alias(
+                "mean_score"
+            ),
+        )
+    )
+    total = sizes.agg(F.sum("src_tokens").cast("long").alias("total"))
+    base = (
+        sizes.join(quality, "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "budget",
+            F.floor(F.col("total") * F.lit(float(budget_ratio))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "cap_tokens",
+            (F.lit(int(max_epochs)) * F.col("src_tokens")).cast("long"),
+        )
+    )
+    w = (
+        Window.orderBy("mean_score", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    alloc = base.withColumn(
+        "cum_before", F.coalesce(F.sum("cap_tokens").over(w), F.lit(0))
+    ).withColumn(
+        "alloc_tokens",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("cap_tokens"), F.col("budget") - F.col("cum_before")),
+        ).cast("long"),
+    )
+    return alloc.select(
+        "source",
+        "mean_score",
+        "n_docs",
+        F.col("src_tokens").alias("n_tokens"),
+        "cap_tokens",
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("src_tokens"), 4).alias(
+            "epochs"
+        ),
+    ).orderBy("mean_score", "source")

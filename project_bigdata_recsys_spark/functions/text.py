@@ -2051,3 +2051,92 @@ def term_burstiness(
         .orderBy(F.desc("tf"), "term")
         .limit(k)
     )
+
+
+SECRET_PATTERNS = {
+    # stays in the RE2/Java common regex subset (the PII_PATTERNS rule)
+    # so the DuckDB oracle runs the identical expressions
+    "aws_key": r"AKIA[0-9A-F]{16}",
+    "hex32": r"\b[0-9a-f]{32}\b",
+    "bearer": r"sk-[0-9a-f]{20}",
+}
+
+
+def plant_secrets(docs: DataFrame) -> DataFrame:
+    """Append doc_id-derived credential strings to fixed doc subsets —
+    the corpus ships with no secrets, so the scanner plants its own
+    test signal (the plant_pii discipline, md5-derived so both engines
+    synthesize byte-identical text)."""
+    did = F.col("doc_id").cast("string")
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            text,
+            F.lit(" key AKIA"),
+            F.upper(F.substring(F.md5(F.concat(F.lit("aws:"), did)), 1, 16)),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(text, F.lit(" token "), F.md5(F.concat(F.lit("hex:"), did))),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            text,
+            F.lit(" Bearer sk-"),
+            F.substring(F.md5(F.concat(F.lit("sk:"), did)), 1, 20),
+        ),
+    ).otherwise(text)
+    return docs.withColumn("text", text)
+
+
+def secret_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential/secret scanning over the corpus — the Dolma/StarCoder
+    pipeline step that runs BEFORE any text ships to training: detect
+    cloud access keys, raw hex secrets, and bearer-style API tokens,
+    and report the per-source exposure profile a data-governance
+    review reads (docs scanned, docs flagged, matches per class).
+    Detection is pure JVM regexp over one projection — the
+    pii_redaction_profile shape with a per-source rollup instead of a
+    per-doc listing (secrets are rarer than PII; the per-source rate
+    is the actionable number).
+
+    Scale: one corpus scan, counts reduced per (source) — #sources
+    output rows at any corpus size; no shuffle wider than the final
+    #sources-key aggregation."""
+    planted = plant_secrets(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    counted = planted.select(
+        "source",
+        *[
+            F.size(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pat in SECRET_PATTERNS.items()
+        ],
+    )
+    flagged = (
+        F.col("n_aws_key") + F.col("n_hex32") + F.col("n_bearer") > 0
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_flagged"),
+            F.sum("n_aws_key").cast("long").alias("n_aws_key"),
+            F.sum("n_hex32").cast("long").alias("n_hex32"),
+            F.sum("n_bearer").cast("long").alias("n_bearer"),
+            F.round(
+                F.sum(F.when(flagged, 1).otherwise(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )

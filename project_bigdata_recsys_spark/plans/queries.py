@@ -10614,6 +10614,135 @@ QUERIES["stream_update_ann_index"] = replay.stream_update_ann_index
 ORACLES["stream_update_ann_index"] = _stream_update_ann_index_oracle()
 
 
+# Round-11 wave: training-mix planning + secret scanning -------------------
+
+# Temperature-sampling sweep (mT5/XLM-R temperature knob): per-alpha
+# source shares, boost vs natural sampling, and mixture entropy — the
+# table that justifies corpus_mixture's fixed alpha.
+QUERIES["mixture_temperature_sweep"] = curation.mixture_temperature_sweep
+ORACLES["mixture_temperature_sweep"] = """
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM t GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM sizes),
+    alphas AS (SELECT unnest([0.2, 0.3, 0.5, 0.7, 1.0]) AS alpha),
+    fanned AS (
+        SELECT alpha, source, n_docs, src_tokens,
+               src_tokens * 1.0 / total AS p,
+               CAST(round(pow(src_tokens * 1.0 / total, alpha) * 1e6, 0)
+                    AS BIGINT) AS w_micro
+        FROM sizes CROSS JOIN tot CROSS JOIN alphas),
+    norms AS (SELECT alpha, CAST(sum(w_micro) AS BIGINT) AS w_sum
+              FROM fanned GROUP BY alpha),
+    shared AS (
+        SELECT f.*, w_micro * 1.0 / w_sum AS share
+        FROM fanned f JOIN norms USING (alpha)),
+    ent AS (
+        SELECT alpha,
+               round(sum(CAST(round(-share * ln(share) * 1e9, 0) AS BIGINT))
+                     / 1e9, 6) AS mix_entropy
+        FROM shared GROUP BY alpha)
+    SELECT alpha, source, n_docs, src_tokens,
+           round(p, 6) AS base_share,
+           round(share, 6) AS sampling_share,
+           round(share / p, 4) AS boost,
+           mix_entropy
+    FROM shared JOIN ent USING (alpha)
+    ORDER BY alpha, source
+"""
+
+# Token-budget allocation under a repetition cap (data-constrained
+# scaling, Muennighoff et al. 2023): greedy quality-ordered fill,
+# max_epochs passes per source; pure BIGINT window arithmetic.
+QUERIES["token_budget_planner"] = curation.token_budget_planner
+ORACLES["token_budget_planner"] = """
+    WITH t2 AS (
+        SELECT doc_id, source, term FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS n_term FROM t2 GROUP BY term),
+    tot AS (SELECT sum(n_term) AS n_total FROM vocab),
+    scored AS (
+        SELECT doc_id, source,
+               round(avg(-ln(n_term * 1.0 / n_total)), 4) AS score
+        FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY doc_id, source),
+    quality AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(CAST(round(score * 10000) AS BIGINT))
+                     / 10000.0 / count(*), 4) AS mean_score
+        FROM scored GROUP BY source),
+    tok AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        x -> length(x) > 0)))
+                    AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+    tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM tok),
+    base AS (
+        SELECT q.source, q.mean_score, q.n_docs, k.src_tokens,
+               CAST(floor(total * 1.5) AS BIGINT) AS budget,
+               CAST(4 * k.src_tokens AS BIGINT) AS cap_tokens
+        FROM quality q JOIN tok k USING (source) CROSS JOIN tt),
+    alloc AS (
+        SELECT *, coalesce(sum(cap_tokens) OVER (
+                   ORDER BY mean_score, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM base)
+    SELECT source, mean_score, n_docs, src_tokens AS n_tokens, cap_tokens,
+           CAST(greatest(0, least(cap_tokens, budget - cum_before))
+                AS BIGINT) AS alloc_tokens,
+           round(greatest(0, least(cap_tokens, budget - cum_before))
+                 * 1.0 / src_tokens, 4) AS epochs
+    FROM alloc ORDER BY mean_score, source
+"""
+
+# Credential/secret scanning (Dolma/StarCoder pre-training governance
+# step): planted md5-derived secrets, per-source exposure profile.
+QUERIES["secret_scan_profile"] = text.secret_scan_profile
+ORACLES["secret_scan_profile"] = r"""
+    WITH planted AS (
+        SELECT doc_id, source,
+               text
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' key AKIA' || upper(substr(
+                             md5('aws:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' token ' || md5('hex:' || CAST(doc_id AS VARCHAR))
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0
+                        THEN ' Bearer sk-' || substr(
+                             md5('sk:' || CAST(doc_id AS VARCHAR)), 1, 20)
+                        ELSE '' END) AS text
+        FROM documents),
+    counted AS (
+        SELECT source,
+               len(regexp_extract_all(text, 'AKIA[0-9A-F]{16}')) AS n_aws_key,
+               len(regexp_extract_all(text, '\b[0-9a-f]{32}\b')) AS n_hex32,
+               len(regexp_extract_all(text, 'sk-[0-9a-f]{20}')) AS n_bearer
+        FROM planted)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_aws_key + n_hex32 + n_bearer > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+           CAST(sum(n_aws_key) AS BIGINT) AS n_aws_key,
+           CAST(sum(n_hex32) AS BIGINT) AS n_hex32,
+           CAST(sum(n_bearer) AS BIGINT) AS n_bearer,
+           round(sum(CASE WHEN n_aws_key + n_hex32 + n_bearer > 0
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS flag_rate
+    FROM counted GROUP BY source ORDER BY source
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

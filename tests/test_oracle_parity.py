@@ -60,6 +60,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "stream_sprt_monitor",  # Aggregate(day): ≤ calendar-day-span rows
     "largest_remainder_allocation",  # Aggregate(source): ≤ #sources rows
     "bh_fdr_correction",  # Aggregate(event_type): ≤ #types rows
+    "token_budget_planner",  # Aggregate(source): ≤ #sources rows
 }
 
 

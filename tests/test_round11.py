@@ -119,3 +119,80 @@ def test_bucket_pairs_carry_precondition_raises_value_error(spark):
     frame = spark.range(0).selectExpr("array(id) as ds", "id as k")
     with _pytest.raises(ValueError, match="carry columns"):
         dedup.bucket_pairs(frame, key_cols=["k"], carry=["nope"])
+
+
+def test_token_budget_planner_greedy_invariants(spark):
+    """Allocation must exhaust the budget exactly (caps exceed it on
+    this corpus), respect the epoch cap, and be greedy in quality
+    order: full allocations form a prefix, at most one source is
+    partial, everything after it gets zero."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        token_budget_planner,
+    )
+
+    rows = token_budget_planner(spark, SF_SMALL).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * 1.5)
+    assert sum(r.alloc_tokens for r in rows) == budget
+    assert all(r.epochs <= 4.0 for r in rows)
+    states = [
+        "full" if r.alloc_tokens == r.cap_tokens
+        else ("zero" if r.alloc_tokens == 0 else "partial")
+        for r in rows  # rows arrive quality-ordered
+    ]
+    import re
+
+    assert re.fullmatch(r"(full)*(partial)?(zero)*", "".join(states))
+
+
+def test_mixture_temperature_sweep_entropy_monotone(spark):
+    """Lower alpha flattens the mixture: entropy must be nonincreasing
+    in alpha, every per-alpha share column must sum to ~1, and alpha=1
+    must reproduce natural sampling (boost 1 for every source)."""
+    from collections import defaultdict
+
+    from project_bigdata_recsys_spark.functions.curation import (
+        mixture_temperature_sweep,
+    )
+
+    rows = mixture_temperature_sweep(spark, SF_SMALL).collect()
+    by_alpha = defaultdict(list)
+    for r in rows:
+        by_alpha[r.alpha].append(r)
+    ent = {a: rs[0].mix_entropy for a, rs in by_alpha.items()}
+    alphas = sorted(ent)
+    assert all(ent[a] >= ent[b] for a, b in zip(alphas, alphas[1:]))
+    for rs in by_alpha.values():
+        assert abs(sum(r.sampling_share for r in rs) - 1.0) < 1e-4
+    assert all(abs(r.boost - 1.0) < 5e-4 for r in by_alpha[1.0])
+
+
+def test_secret_scan_detects_every_planted_class(spark):
+    """Each planted credential class must be found, and the per-source
+    flagged-doc count can never exceed the docs scanned."""
+    from project_bigdata_recsys_spark.functions.text import (
+        secret_scan_profile,
+    )
+
+    rows = secret_scan_profile(spark, SF_SMALL).collect()
+    assert sum(r.n_aws_key for r in rows) > 0
+    assert sum(r.n_hex32 for r in rows) > 0
+    assert sum(r.n_bearer for r in rows) > 0
+    assert all(0 < r.docs_flagged <= r.n_docs for r in rows)
+
+
+def test_mix_planning_ops_cache_the_source_reduction(spark):
+    """Both round-11 mix-planning ops fan a tiny per-source frame into
+    several aggregation branches; without the persist every branch
+    re-tokenizes the corpus (8 scans at 100 TB).  Pin the cache node."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        mixture_temperature_sweep,
+        token_budget_planner,
+    )
+
+    for df in (
+        mixture_temperature_sweep(spark, SF_SMALL),
+        token_budget_planner(spark, SF_SMALL),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
