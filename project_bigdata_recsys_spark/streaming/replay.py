@@ -1475,15 +1475,16 @@ def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_update_ann_index(
     spark: SparkSession,
     sf_dir: str,
-    split_at: int = 250,
+    split_frac: float = 0.9,
     n_tables: int = 4,
     n_planes: int = 6,
     n_arrival_files: int = 3,
 ) -> DataFrame:
     """Streaming MAINTENANCE of the persisted RP-LSH index — the last
     batch-only gap in the index-maintenance story closed: the nightly
-    build (similarity.build_ann_index layout, settled corpus =
-    ``vec_id < split_at``) is kept current by a foreachBatch consumer of
+    build (similarity.build_ann_index layout, settled corpus = the
+    first ``split_frac`` of vec_ids) is kept current by a foreachBatch
+    consumer of
     the embedding ingest stream, each micro-batch folded in via
     :func:`similarity.update_ann_index` (dynamic partition overwrite of
     only the (t, bucket) partitions the batch touches — O(batch +
@@ -1513,6 +1514,14 @@ def stream_update_ann_index(
     work = scratch_dir(prefix="spark_stream_ann_update_")
     index_dir = os.path.join(work, "ann_index")
     arrivals_dir = os.path.join(work, "arrivals")
+
+    # production-faithful split: the nightly index covers ~split_frac of
+    # the corpus (one batch build, the cheap path); the stream folds
+    # only the tail.  The oracle hashes the FULL corpus, so the split
+    # point is free — it just decides how much work runs as a stream.
+    split_at = int(
+        emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * split_frac
+    )
 
     # nightly base index over the settled corpus (own scratch copy —
     # the fold MUTATES it; never point this at the shared
