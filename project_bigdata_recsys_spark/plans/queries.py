@@ -4365,8 +4365,8 @@ ORACLES["split_source_audit"] = f"""
 #     kb_popular_items, kb_success_profile, stream_stateful_features,
 #     stream_bootstrapped_features, stream_tumbling_counts, stream_sliding_counts,
 #     stream_dedup_events, stream_stream_attribution, stream_session_windows,
-#     rolling_median, deterministic_group_sample, json_extraction,
-#     events_per_day, event_rate, stream_update_ann_index
+#     rolling_median, deterministic_group_sample, mixture_temperature_sweep,
+#     token_budget_planner, secret_scan_profile, stream_update_ann_index
 # (recomputed from the CORRECTNESS_r01..r10 union.)
 #
 # Round-12 rotation schedule (write-ahead, same discipline): the 44
@@ -4409,7 +4409,7 @@ ORACLES["split_source_audit"] = f"""
 #     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
 #     snapshot_diff, item_pagerank, cdc_current_view,
 #     course_stats, label_histogram, user_activity,
-#     distinct_counts, conditional_pivot, time_range_filter,
+#     json_extraction, events_per_day, event_rate,
 #     derived_projection, top_k_orders, null_handling,
 #     multiway_join, user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
@@ -4461,12 +4461,14 @@ _GATE_WINDOW = [
     "stream_session_windows",
     "rolling_median",
     "deterministic_group_sample",
-    "json_extraction",
-    "events_per_day",
-    "event_rate",
-    # slot 50: the round-11 stretch op enters VIA the window (r10 verdict
-    # task #7 discipline — new entries get driver evidence immediately);
-    # user_topk_recommendations moved to the r13 schedule tail
+    # slots 47-50: the four round-11 ops enter VIA the window (r10
+    # verdict task #7 discipline — new entries get driver evidence
+    # immediately); the displaced r4-evidence queries
+    # (json_extraction, events_per_day, event_rate,
+    # user_topk_recommendations) moved to the r13 schedule tail
+    "mixture_temperature_sweep",
+    "token_budget_planner",
+    "secret_scan_profile",
     "stream_update_ann_index",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
