@@ -340,6 +340,11 @@ HEADLINE = [
     "mixture_temperature_sweep",
     "token_budget_planner",
     "secret_scan_profile",
+    # second r11 wave: streaming governance twin, ORC breadth, MinHash
+    # estimator calibration (rides the shared signature memo)
+    "stream_secret_scan",
+    "orc_roundtrip_ingest",
+    "minhash_calibration_profile",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

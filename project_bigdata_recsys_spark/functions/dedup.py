@@ -2021,3 +2021,68 @@ def dedup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def minhash_calibration_profile(
+    spark: SparkSession, sf_dir: str, n: int = 3, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """MinHash estimator calibration measured, not assumed — the
+    empirical S-curve the band-config sweep (lsh_band_sweep) only
+    derives in theory: for every signature-agreement level the LSH
+    stage can emit (est = k/n_hashes over the band-collision pairs),
+    the EXACT shingle Jaccard of those pairs — pair count, mean exact
+    similarity, mean |est − exact|, and the false-positive rate at the
+    0.5 verify threshold.  This is the table that tells an index owner
+    whether 16 hashes are enough BEFORE anything gets deleted, the same
+    measured-not-asserted contract as ann_recall_profile.
+
+    Scale: candidates come from the banded generator (linear, capped
+    buckets); the exact pass touches candidate pairs only; every mean
+    is micro-frozen before summation; output is ≤ n_hashes+1 rows."""
+    cands = minhash_candidates(
+        spark, sf_dir, n=n, n_hashes=n_hashes, jaccard_threshold=0.0
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sh_tbl = docs.select(
+        "doc_id",
+        F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0).alias(
+            "sh"
+        ),
+    )
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "est_jaccard",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    err_micro = F.round(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) * 1e6, 0
+    ).cast("long")
+    jac_micro = F.round(F.col("jaccard") * 1e6, 0).cast("long")
+    return (
+        scored.groupBy("est_jaccard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum(jac_micro) / 1e6 / F.count(F.lit(1)), 6).alias(
+                "mean_exact"
+            ),
+            F.round(F.sum(err_micro) / 1e6 / F.count(F.lit(1)), 6).alias(
+                "mean_abs_err"
+            ),
+            F.sum(F.when(F.col("jaccard") < 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_half"),
+            F.round(
+                F.sum(F.when(F.col("jaccard") < 0.5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("fp_rate_at_half"),
+        )
+        .orderBy("est_jaccard")
+    )

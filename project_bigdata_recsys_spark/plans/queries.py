@@ -10745,6 +10745,91 @@ ORACLES["secret_scan_profile"] = r"""
 """
 
 
+# Round-11 second wave: streaming governance twin, ORC format breadth,
+# MinHash estimator calibration --------------------------------------------
+
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.sources.ingest import orc_roundtrip_query
+
+    return orc_roundtrip_query(spark, sf_dir)
+
+
+# ORC is lossless for the orders schema, so the roundtrip aggregate
+# shares the CSV roundtrip's oracle (both must equal the parquet truth).
+QUERIES["orc_roundtrip_ingest"] = _orc_roundtrip
+ORACLES["orc_roundtrip_ingest"] = ORACLES["csv_roundtrip_ingest"]
+
+# streaming twin of secret_scan_profile — bounded replay must equal the
+# batch exposure profile exactly, so the SQL twin is shared verbatim
+QUERIES["stream_secret_scan"] = replay.stream_secret_scan
+ORACLES["stream_secret_scan"] = ORACLES["secret_scan_profile"]
+
+
+def _minhash_calibration_oracle(n_hashes: int = 16) -> str:
+    """SQL twin of dedup.minhash_calibration_profile: band-collision
+    candidates at threshold 0, exact shingle Jaccard, rolled up to the
+    per-agreement-level calibration table."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    mins = ",\n               ".join(
+        f"list_min(list_transform(bases, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, m{2 * b} AS k1, m{2 * b + 1} AS k2 FROM sig"
+        for b in range(n_hashes // 2)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n_hashes))
+    jac = (
+        "len(list_intersect(ga.gs, gb.gs)) * 1.0"
+        " / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))"
+    )
+    return f"""
+        WITH {_DD_SHINGLES},
+        basesq AS (SELECT doc_id,
+               list_transform(gs, s -> {_dd_hash32('s', '')} % {MINHASH_PRIME})
+                   AS bases
+           FROM sh2),
+        sig AS (SELECT doc_id,
+               {mins}
+           FROM basesq),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_no = b.band_no AND a.k1 = b.k1 AND a.k2 = b.k2
+                      AND a.doc_id < b.doc_id),
+        est AS (SELECT doc_a, doc_b,
+                       round(({matches}) / {float(n_hashes)}, 6) AS est_jaccard
+                FROM cand
+                JOIN sig sa ON sa.doc_id = doc_a
+                JOIN sig sb ON sb.doc_id = doc_b),
+        scored AS (
+            SELECT est_jaccard, round({jac}, 6) AS jaccard
+            FROM est e
+            JOIN sh2 ga ON ga.doc_id = e.doc_a
+            JOIN sh2 gb ON gb.doc_id = e.doc_b)
+        SELECT est_jaccard,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(CAST(round(jaccard * 1e6) AS BIGINT))
+                     / 1e6 / count(*), 6) AS mean_exact,
+               round(sum(CAST(round(abs(est_jaccard - jaccard) * 1e6) AS BIGINT))
+                     / 1e6 / count(*), 6) AS mean_abs_err,
+               CAST(sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below_half,
+               round(sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS fp_rate_at_half
+        FROM scored GROUP BY est_jaccard ORDER BY est_jaccard
+    """
+
+
+QUERIES["minhash_calibration_profile"] = dedup.minhash_calibration_profile
+ORACLES["minhash_calibration_profile"] = _minhash_calibration_oracle()
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

@@ -291,3 +291,41 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC snapshot sink + re-scan, gate-checkable (the columnar sibling
+    of :func:`csv_roundtrip_query`): orders → ORC (Spark-native, no
+    extra jars) → full re-scan → the same per-status aggregate, which
+    must equal the oracle's aggregate over the original parquet.  ORC
+    is schema-preserving, so unlike the CSV path there is no tolerant
+    coercion to exercise — what this pins is the write/read fidelity of
+    the second columnar format a lake migration actually encounters
+    (types, decimals-as-doubles, TIMESTAMP_NTZ order dates).
+
+    Scale: one snapshot write + one scan; the re-scan aggregate pushes
+    the usual partial-agg path, and ORC predicate pushdown/column
+    pruning apply exactly as for parquet."""
+    import os
+
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = os.path.join(scratch_dir(prefix="spark_orc_snapshot_"), "orders_orc")
+    orders.write.mode("overwrite").orc(snap)
+    back = spark.read.orc(snap)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                sum_fixed(
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    sf_dir=sf_dir,
+                )
+                / 100.0,
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1570,3 +1570,59 @@ def stream_update_ann_index(
         )
         .orderBy("t")
     )
+
+
+def stream_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential scanning ON INGEST — the streaming twin of
+    text.secret_scan_profile (the Dolma/StarCoder governance step moved
+    to where it actually runs in production: the document firehose,
+    before anything lands in the corpus).  The planted corpus replays
+    as a bounded file stream; detection is the same stateless JVM
+    regexp projection (plant_secrets + SECRET_PATTERNS are pure
+    column expressions, so they stream untouched); ONE keyed streaming
+    aggregation per source maintains the exposure profile.  A full
+    bounded replay must equal the batch profile exactly — the oracle is
+    shared verbatim.
+
+    Scale: stateless scan + #sources-key aggregation state; unbounded
+    deployments run the identical plan from Kafka with a watermark, and
+    the per-source flag rates read out of the sink continuously."""
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.functions.text import (
+        SECRET_PATTERNS,
+        plant_secrets,
+    )
+
+    emb_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    planted = plant_secrets(stream.select("doc_id", "source", "text"))
+    counted = planted.select(
+        "source",
+        *[
+            F.size(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pat in SECRET_PATTERNS.items()
+        ],
+    )
+    flagged = (
+        F.col("n_aws_key") + F.col("n_hex32") + F.col("n_bearer") > 0
+    )
+    agg = counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_flagged"),
+        F.sum("n_aws_key").cast("long").alias("n_aws_key"),
+        F.sum("n_hex32").cast("long").alias("n_hex32"),
+        F.sum("n_bearer").cast("long").alias("n_bearer"),
+        F.round(
+            F.sum(F.when(flagged, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("flag_rate"),
+    )
+    table = _run_replay(agg, spark, "complete")
+    return table.orderBy("source")

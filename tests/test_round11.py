@@ -196,3 +196,55 @@ def test_mix_planning_ops_cache_the_source_reduction(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, plan
+
+
+def test_minhash_calibration_separates_true_and_false_positives(spark):
+    """Estimates live on the k/n_hashes grid; the full-agreement bucket
+    must exist (planted exact dups collide in every band) and read as
+    near-exact duplicates, while some sub-half bucket must expose LSH
+    false positives — otherwise the audit is vacuous."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        minhash_calibration_profile,
+    )
+
+    rows = minhash_calibration_profile(spark, SF_SMALL).collect()
+    assert rows, "no candidate pairs at sf0.001"
+    for r in rows:
+        assert abs(r.est_jaccard * 16 - round(r.est_jaccard * 16)) < 1e-9
+        assert 0.0 <= r.fp_rate_at_half <= 1.0
+    full = [r for r in rows if r.est_jaccard == 1.0]
+    assert full and full[0].mean_exact > 0.9
+    assert any(r.n_below_half > 0 for r in rows)
+
+
+def test_orc_roundtrip_matches_parquet_truth(spark):
+    """The ORC snapshot + re-scan aggregate must equal the same
+    aggregate computed straight off the parquet table."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+    from project_bigdata_recsys_spark.sources.ingest import (
+        orc_roundtrip_query,
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(map(tuple, orc_roundtrip_query(spark, SF_SMALL).collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_SMALL, "orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    sum_fixed(
+                        F.round(F.col("o_totalprice") * 100).cast("long"),
+                        sf_dir=SF_SMALL,
+                    )
+                    / 100.0,
+                    2,
+                ).alias("total"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
