@@ -4364,9 +4364,9 @@ ORACLES["split_source_audit"] = f"""
 #     als_top_recommendations, als_user_factors, classifier_metrics,
 #     kb_popular_items, kb_success_profile, stream_stateful_features,
 #     stream_bootstrapped_features, stream_tumbling_counts, stream_sliding_counts,
-#     stream_dedup_events, stream_stream_attribution, stream_session_windows,
-#     rolling_median, deterministic_group_sample, mixture_temperature_sweep,
-#     token_budget_planner, secret_scan_profile, stream_update_ann_index
+#     stream_dedup_events, stream_stream_attribution, mixture_temperature_sweep,
+#     token_budget_planner, secret_scan_profile, stream_secret_scan,
+#     orc_roundtrip_ingest, minhash_calibration_profile, stream_update_ann_index
 # (recomputed from the CORRECTNESS_r01..r10 union.)
 #
 # Round-12 rotation schedule (write-ahead, same discipline): the 44
@@ -4410,7 +4410,7 @@ ORACLES["split_source_audit"] = f"""
 #     snapshot_diff, item_pagerank, cdc_current_view,
 #     course_stats, label_histogram, user_activity,
 #     json_extraction, events_per_day, event_rate,
-#     derived_projection, top_k_orders, null_handling,
+#     stream_session_windows, rolling_median, deterministic_group_sample,
 #     multiway_join, user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
 # rotations land.)
@@ -4458,17 +4458,19 @@ _GATE_WINDOW = [
     "stream_sliding_counts",
     "stream_dedup_events",
     "stream_stream_attribution",
-    "stream_session_windows",
-    "rolling_median",
-    "deterministic_group_sample",
-    # slots 47-50: the four round-11 ops enter VIA the window (r10
+    # slots 44-50: the seven round-11 ops enter VIA the window (r10
     # verdict task #7 discipline — new entries get driver evidence
-    # immediately); the displaced r4-evidence queries
-    # (json_extraction, events_per_day, event_rate,
-    # user_topk_recommendations) moved to the r13 schedule tail
+    # immediately, keeping the never-driver-checked count at 0); the
+    # displaced r4-evidence queries (stream_session_windows,
+    # rolling_median, deterministic_group_sample, json_extraction,
+    # events_per_day, event_rate, user_topk_recommendations) moved to
+    # the r13 schedule
     "mixture_temperature_sweep",
     "token_budget_planner",
     "secret_scan_profile",
+    "stream_secret_scan",
+    "orc_roundtrip_ingest",
+    "minhash_calibration_profile",
     "stream_update_ann_index",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
