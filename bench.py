@@ -345,6 +345,8 @@ HEADLINE = [
     "stream_secret_scan",
     "orc_roundtrip_ingest",
     "minhash_calibration_profile",
+    # S5+S6 live: embedded-Derby JDBC sink + parallel range re-scan
+    "jdbc_roundtrip_ingest",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

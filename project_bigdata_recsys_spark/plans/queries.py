@@ -4358,7 +4358,7 @@ ORACLES["split_source_audit"] = f"""
 #     minhash_candidates, simhash_near_pairs, near_dup_clusters,
 #     contamination_check, dedup_corpus_stats, minhash_verified_pairs,
 #     knn_brute_force, knn_multi_query, embedding_near_dup_pairs,
-#     knn_ivf_bucketed, knn_rp_lsh, knn_lsh,
+#     knn_ivf_bucketed, knn_rp_lsh, jdbc_roundtrip_ingest,
 #     embedding_stats, media_profile, video_frame_profile,
 #     synthetic_interactions, mutated_interactions, stratified_sample,
 #     als_top_recommendations, als_user_factors, classifier_metrics,
@@ -4411,7 +4411,7 @@ ORACLES["split_source_audit"] = f"""
 #     course_stats, label_histogram, user_activity,
 #     json_extraction, events_per_day, event_rate,
 #     stream_session_windows, rolling_median, deterministic_group_sample,
-#     multiway_join, user_topk_recommendations
+#     knn_lsh, user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
 # rotations land.)
 _GATE_WINDOW = [
@@ -4440,7 +4440,7 @@ _GATE_WINDOW = [
     "embedding_near_dup_pairs",
     "knn_ivf_bucketed",
     "knn_rp_lsh",
-    "knn_lsh",
+    "jdbc_roundtrip_ingest",
     "embedding_stats",
     "media_profile",
     "video_frame_profile",
@@ -10830,6 +10830,19 @@ def _minhash_calibration_oracle(n_hashes: int = 16) -> str:
 
 QUERIES["minhash_calibration_profile"] = dedup.minhash_calibration_profile
 ORACLES["minhash_calibration_profile"] = _minhash_calibration_oracle()
+
+
+def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_recsys_spark.sources.jdbc import jdbc_roundtrip_query
+
+    return jdbc_roundtrip_query(spark, sf_dir)
+
+
+# S5+S6 live: orders -> embedded-Derby JDBC sink -> parallel partitioned
+# re-scan (auto-probed bounds) -> aggregate; lossless round-trip, so the
+# CSV roundtrip's parquet-truth oracle is shared.
+QUERIES["jdbc_roundtrip_ingest"] = _jdbc_roundtrip
+ORACLES["jdbc_roundtrip_ingest"] = ORACLES["csv_roundtrip_ingest"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -13,9 +13,11 @@ wrappers fix both scale problems:
     a 1000-partition DataFrame must not open 1000 database connections)
     and batches inserts (``batchsize``).
 
-No JDBC driver jar ships in this sandbox, so tests cover the option
-assembly (pure) and skip the live round-trip; the wrappers are the
-deploy-complete surface.
+Embedded Derby ships inside pyspark's jars (the Hive-metastore
+dependency), so the wrappers are LIVE-tested in-sandbox against a real
+JDBC database (:func:`jdbc_roundtrip_query`, oracle-gated) — no external
+service needed.  The env-gated Postgres round-trip test remains for
+deployments with a server to point at.
 """
 
 from __future__ import annotations
@@ -71,20 +73,29 @@ def read_jdbc(
     and makes the parallel scan self-configuring.
     """
     if partition_column is not None and (lower_bound is None or upper_bound is None):
+        # ANSI-quote the column: Spark's JDBC writer creates tables with
+        # quoted (case-preserved) column names, so an unquoted probe
+        # breaks on case-folding databases (Derby resolves bare ``id``
+        # to ``ID`` and misses the quoted ``"id"`` column).  Spark's own
+        # range predicates quote via the dialect; the probe must match.
+        qcol = '"' + partition_column.replace('"', '""') + '"'
         probe = spark.read.format("jdbc").options(
             url=url,
             dbtable=(
-                f"(SELECT MIN({partition_column}) AS lo, "
-                f"MAX({partition_column}) AS hi FROM {table}) AS bounds"
+                f"(SELECT MIN({qcol}) AS lo, "
+                f"MAX({qcol}) AS hi FROM {table}) AS bounds"
             ),
             **(properties or {}),
         )
         row = probe.load().head()
-        if row is None or row.lo is None:
+        # positional access: case-folding databases may hand the aliases
+        # back upper-cased (Derby: lo -> LO), so attribute access is not
+        # portable across dialects
+        if row is None or row[0] is None:
             # empty table — fall back to a single-partition read
             partition_column = None
         else:
-            lower_bound, upper_bound = int(row.lo), int(row.hi)
+            lower_bound, upper_bound = int(row[0]), int(row[1])
 
     opts = jdbc_read_options(
         url,
@@ -120,3 +131,64 @@ def write_jdbc(
     opts = {"url": url, "dbtable": table, "batchsize": str(batch_size)}
     opts.update(properties or {})
     out.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def jdbc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6 live and gate-checkable (the JDBC sibling of the CSV/ORC
+    roundtrips): orders → embedded-Derby JDBC sink (bounded connection
+    fan-in, batched inserts) → PARALLEL partitioned re-scan with
+    auto-probed bounds → the same per-status aggregate, which must
+    equal the oracle's aggregate over the original parquet.
+
+    Derby ships inside pyspark's jars (the Hive-metastore dependency),
+    so unlike a Postgres round-trip this needs no external service —
+    the identical wrapper calls serve both.  What this pins live: the
+    writer's type mapping (DOUBLE totals survive exactly), the quoted
+    bounds-probe pushdown, and that the re-scan really is range-split
+    (``numPartitions`` concurrent range queries, not one connection
+    pulling the table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.caching import scratch_dir
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.fixedpoint import sum_fixed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    db = os.path.join(scratch_dir(prefix="spark_jdbc_snapshot_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    write_jdbc(
+        orders,
+        url,
+        "orders_jdbc",
+        mode="overwrite",
+        max_connections=8,
+        properties=props,
+    )
+    back = read_jdbc(
+        spark,
+        url,
+        "orders_jdbc",
+        partition_column="o_orderkey",
+        num_partitions=8,
+        properties=props,
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                sum_fixed(
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    sf_dir=sf_dir,
+                )
+                / 100.0,
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

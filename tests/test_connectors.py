@@ -1,8 +1,10 @@
-"""Connector surface tests — Kafka payload symmetry and JDBC option
-assembly.  No broker and no JDBC driver jar exist in this sandbox, so the
-live paths are exercised only up to the last broker/database-free point
-(payload serialization, reader option maps); the network calls themselves
-are deploy-time."""
+"""Connector surface tests — Kafka payload symmetry and JDBC I/O.
+
+No broker exists in this sandbox, so the Kafka path is exercised up to
+the last broker-free point (payload serialization) plus an env-gated
+live test.  JDBC, however, runs LIVE here: pyspark ships the Derby
+embedded driver, so the wrappers round-trip against a real database
+in-process (plus the env-gated Postgres twin for deployments)."""
 
 from __future__ import annotations
 
@@ -75,8 +77,40 @@ def test_jdbc_read_options_unpartitioned():
     assert "partitionColumn" not in opts and "numPartitions" not in opts
 
 
-def test_jdbc_live_round_trip():
-    pytest.skip("no JDBC driver jar in the sandbox; wrappers are deploy-time")
+def test_jdbc_live_round_trip_embedded_derby(spark, tmp_path):
+    """S5/S6 LIVE in-sandbox: pyspark ships the Derby embedded driver
+    (the Hive-metastore dependency), so the wrappers round-trip against
+    a real JDBC database with no external service — bounded-fan-in
+    batched write (overwrite then append), quoted bounds probe, and a
+    genuinely range-split parallel re-scan."""
+    from project_bigdata_recsys_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    write_jdbc(
+        df, url, "roundtrip", mode="overwrite", max_connections=4,
+        properties=props,
+    )
+    back = read_jdbc(
+        spark, url, "roundtrip", partition_column="id", num_partitions=4,
+        properties=props,
+    )
+    assert back.count() == 1000
+    assert back.rdd.getNumPartitions() == 4  # the parallel range scan
+    assert back.agg(F.sum("bucket")).head()[0] == df.agg(F.sum("bucket")).head()[0]
+    # append mode: the upsert building block must not clobber the table
+    write_jdbc(
+        df.limit(10), url, "roundtrip", mode="append", max_connections=2,
+        properties=props,
+    )
+    again = read_jdbc(
+        spark, url, "roundtrip", partition_column="id", num_partitions=2,
+        properties=props,
+    )
+    assert again.count() == 1010
 
 
 # --------------------------------------------------------------------------
