@@ -248,3 +248,38 @@ def test_orc_roundtrip_matches_parquet_truth(spark):
         )
     )
     assert got == want
+
+
+def test_secret_scan_is_one_corpus_scan(spark):
+    """Planting + three regex counters + the rollup must fuse into a
+    single documents scan — a second scan means the detect pass stopped
+    sharing the planted projection."""
+    from project_bigdata_recsys_spark.functions.text import (
+        secret_scan_profile,
+    )
+
+    plan = (
+        secret_scan_profile(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_minhash_calibration_rides_the_signature_memo(spark):
+    """The candidate stage must read the shared signature parquet memo,
+    never re-run the md5 shingle pass the memo exists to amortize."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        minhash_calibration_profile,
+        shared_minhash_signatures,
+    )
+
+    shared_minhash_signatures(spark, SF_SMALL).count()  # memo exists
+    plan = (
+        minhash_calibration_profile(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "spark_minhash_sigs_" in plan, plan
