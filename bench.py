@@ -347,6 +347,9 @@ HEADLINE = [
     "minhash_calibration_profile",
     # S5+S6 live: embedded-Derby JDBC sink + parallel range re-scan
     "jdbc_roundtrip_ingest",
+    # per-source release artifact: six kernels composed (rides the
+    # unigram memo the warmup prepares)
+    "training_data_card",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -1604,3 +1604,160 @@ def token_budget_planner(
             "epochs"
         ),
     ).orderBy("mean_score", "source")
+
+
+def training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATA CARD a corpus release ships (Datasheets for
+    Datasets / Dolma precedent): one row per source with the numbers a
+    consumer of the corpus needs before training on it — volume (docs,
+    tokens), exact-duplicate exposure, content quality (corpus-unigram
+    LM score), PII and credential exposure rates, and language-mix
+    entropy.  Composes six existing oracle-green kernels into ONE
+    relation; every constituent stays individually gated, this is the
+    release artifact.
+
+    Population: the planted corpus (documents plus the standard
+    +1,000,000 duplicate planting) — the 'as ingested' view in which
+    duplicate exposure is non-vacuous; the LM quality column joins the
+    shared unigram memo, which scores the original snapshot (unique
+    content), and is reported per source over those docs.
+
+    Scale: three corpus scans (stats+language mix, fingerprints,
+    PII+secret regex — text never shuffles; the dup join is
+    digest-only) plus the #sources-row memo rollup; all per-source
+    frames meet in broadcast joins."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+    from project_bigdata_recsys_spark.functions.text import (
+        PII_PATTERNS,
+        SECRET_PATTERNS,
+        doc_unigram_scores,
+        plant_pii,
+        plant_secrets,
+    )
+
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    # md5-uniform ~10% planting (salt "card:"), NOT the %10 convention:
+    # doc_id assignment correlates with source in the synthetic corpus
+    # (doc_id % 10 == 0 lands in 2 of 20 sources), so the modular plant
+    # would leave 18 sources' dup_rate vacuously zero
+    corpus = docs.unionByName(
+        docs.filter(hash_uniform(F.col("doc_id"), "card:") < 0.1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            "lang",
+            "text",
+        )
+    )
+
+    # scan A: volume + language mix (entropy nano-frozen, the
+    # mixture_temperature_sweep discipline)
+    lang_counts = persist_tracked(
+        corpus.select(
+            "source",
+            "lang",
+            F.size(
+                F.filter(tokens(F.col("text")), lambda x: F.length(x) > 0)
+            ).alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_tokens").cast("long").alias("toks"),
+        )
+    )
+    src_tot = lang_counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    p = F.col("n") / F.col("n_docs")
+    stats = (
+        lang_counts.join(F.broadcast(src_tot), "source")
+        .groupBy("source", "n_docs", "n_tokens")
+        .agg(
+            F.round(
+                F.sum(F.round(-p * F.log(p) * 1e9, 0).cast("long")) / 1e9, 6
+            ).alias("lang_entropy")
+        )
+    )
+
+    # scan B: exact-duplicate exposure (digest-only shuffle)
+    fps = corpus.select("source", F.sha2("text", 256).alias("fp"))
+    fp_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    dups = (
+        fps.join(fp_counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs")
+        )
+    )
+
+    # scan C: PII + credential exposure in one planted projection
+    exposed = plant_pii(plant_secrets(corpus))
+    pii_any = sum(
+        (
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+            for pat in PII_PATTERNS.values()
+        ),
+        F.lit(0),
+    )
+    sec_any = sum(
+        (
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+            for pat in SECRET_PATTERNS.values()
+        ),
+        F.lit(0),
+    )
+    exposure = (
+        exposed.select(
+            "source",
+            (pii_any > 0).cast("int").alias("has_pii"),
+            (sec_any > 0).cast("int").alias("has_secret"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("has_pii").cast("long").alias("pii_docs"),
+            F.sum("has_secret").cast("long").alias("secret_docs"),
+        )
+    )
+
+    # memo rollup: LM quality over the original snapshot
+    quality = (
+        doc_unigram_scores(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("score") * 10000, 0).cast("long"))
+                / 10000.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_lm_score")
+        )
+    )
+
+    return (
+        stats.join(F.broadcast(dups), "source")
+        .join(F.broadcast(exposure), "source")
+        .join(F.broadcast(quality), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "dup_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+            "mean_lm_score",
+            "pii_docs",
+            F.round(F.col("pii_docs") / F.col("n_docs"), 6).alias("pii_rate"),
+            "secret_docs",
+            F.round(F.col("secret_docs") / F.col("n_docs"), 6).alias(
+                "secret_rate"
+            ),
+            "lang_entropy",
+        )
+        .orderBy("source")
+    )

@@ -580,7 +580,9 @@ def plant_pii(docs: DataFrame) -> DataFrame:
             text,
         ),
     ).otherwise(text)
-    return docs.select("doc_id", text.alias("text"))
+    # withColumn, not select: carrier columns (source, lang) must
+    # survive for rollup consumers like training_data_card
+    return docs.withColumn("text", text)
 
 
 def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10845,6 +10845,117 @@ QUERIES["jdbc_roundtrip_ingest"] = _jdbc_roundtrip
 ORACLES["jdbc_roundtrip_ingest"] = ORACLES["csv_roundtrip_ingest"]
 
 
+# Training-data card (round 11 capstone): six oracle-green kernels
+# composed into the per-source release artifact.
+QUERIES["training_data_card"] = curation.training_data_card
+ORACLES["training_data_card"] = r"""
+    WITH corpus AS (
+        SELECT doc_id, source, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, lang, text FROM documents
+        WHERE ('0x' || substr(md5('card:' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT / 4294967296.0 < 0.1),
+    tok AS (
+        SELECT source, lang,
+               len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM corpus),
+    lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_tokens) AS BIGINT) AS toks
+           FROM tok GROUP BY source, lang),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                  CAST(sum(toks) AS BIGINT) AS n_tokens
+           FROM lc GROUP BY source),
+    ent AS (
+        SELECT source,
+               round(sum(CAST(round(-(n * 1.0 / n_docs)
+                                    * ln(n * 1.0 / n_docs) * 1e9)
+                              AS BIGINT)) / 1e9, 6) AS lang_entropy
+        FROM lc JOIN st USING (source) GROUP BY source),
+    fps AS (SELECT source, sha256(text) AS fp FROM corpus),
+    fpc AS (SELECT fp, count(*) AS cnt FROM fps GROUP BY fp),
+    dups AS (
+        SELECT source,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_docs
+        FROM fps JOIN fpc USING (fp) GROUP BY source),
+    exposed AS (
+        SELECT source,
+               (CASE WHEN doc_id % 13 = 0
+                     THEN 'call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' '
+                     ELSE '' END)
+               || text
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' key AKIA' || upper(substr(
+                             md5('aws:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' token ' || md5('hex:' || CAST(doc_id AS VARCHAR))
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0
+                        THEN ' Bearer sk-' || substr(
+                             md5('sk:' || CAST(doc_id AS VARCHAR)), 1, 20)
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' see https://docs.example/'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE '' END) AS text
+        FROM corpus),
+    exp2 AS (
+        SELECT source,
+               CASE WHEN len(regexp_extract_all(text,
+                        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                       + len(regexp_extract_all(text, 'https?://[^ ]+'))
+                       + len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}'))
+                       > 0 THEN 1 ELSE 0 END AS has_pii,
+               CASE WHEN len(regexp_extract_all(text, 'AKIA[0-9A-F]{16}'))
+                       + len(regexp_extract_all(text, '\b[0-9a-f]{32}\b'))
+                       + len(regexp_extract_all(text, 'sk-[0-9a-f]{20}'))
+                       > 0 THEN 1 ELSE 0 END AS has_secret
+        FROM exposed),
+    expo AS (
+        SELECT source, CAST(sum(has_pii) AS BIGINT) AS pii_docs,
+               CAST(sum(has_secret) AS BIGINT) AS secret_docs
+        FROM exp2 GROUP BY source),
+    t2 AS (
+        SELECT doc_id, source, term FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS n_term FROM t2 GROUP BY term),
+    tot AS (SELECT sum(n_term) AS n_total FROM vocab),
+    scored AS (
+        SELECT doc_id, source,
+               round(avg(-ln(n_term * 1.0 / n_total)), 4) AS score
+        FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY doc_id, source),
+    quality AS (
+        SELECT source,
+               round(sum(CAST(round(score * 10000) AS BIGINT))
+                     / 10000.0 / count(*), 4) AS mean_lm_score
+        FROM scored GROUP BY source)
+    SELECT s.source, n_docs, n_tokens, dup_docs,
+           round(dup_docs * 1.0 / n_docs, 6) AS dup_rate,
+           mean_lm_score,
+           pii_docs, round(pii_docs * 1.0 / n_docs, 6) AS pii_rate,
+           secret_docs, round(secret_docs * 1.0 / n_docs, 6) AS secret_rate,
+           lang_entropy
+    FROM st s
+    JOIN ent USING (source) JOIN dups USING (source)
+    JOIN expo USING (source) JOIN quality USING (source)
+    ORDER BY source
+"""
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

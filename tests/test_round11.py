@@ -283,3 +283,24 @@ def test_minhash_calibration_rides_the_signature_memo(spark):
         .toString()
     )
     assert "spark_minhash_sigs_" in plan, plan
+
+
+def test_training_data_card_internal_consistency(spark):
+    """Rates must be consistent with their counts, the dup signal must
+    spread across sources (the md5-uniform planting exists for this),
+    and dup docs come in pairs (every planted copy flags its original)."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        training_data_card,
+    )
+
+    rows = training_data_card(spark, SF_SMALL).collect()
+    assert rows
+    total_dups = 0
+    for r in rows:
+        assert 0 <= r.dup_docs <= r.n_docs
+        assert abs(r.dup_rate - round(r.dup_docs / r.n_docs, 6)) < 1e-9
+        assert abs(r.pii_rate - round(r.pii_docs / r.n_docs, 6)) < 1e-9
+        assert r.lang_entropy >= 0.0
+        total_dups += r.dup_docs
+    assert total_dups > 0 and total_dups % 2 == 0
+    assert sum(1 for r in rows if r.dup_docs > 0) >= len(rows) // 2

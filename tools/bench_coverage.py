@@ -45,6 +45,8 @@ CENSUS_EXCLUDED = {
     "incremental_components": "gate form rebuilds the prior labeling a "
     "production run loads; scale twin incremental_components_fold is "
     "benched",
+    "embedding_near_dup_pairs": "exact all-pairs gate form (32 s in the "
+    "r11 census); scale twin embedding_near_dup_lsh is benched",
 }
 
 
