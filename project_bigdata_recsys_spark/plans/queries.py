@@ -4359,7 +4359,7 @@ ORACLES["split_source_audit"] = f"""
 #     contamination_check, dedup_corpus_stats, minhash_verified_pairs,
 #     knn_brute_force, knn_multi_query, embedding_near_dup_pairs,
 #     knn_ivf_bucketed, knn_rp_lsh, jdbc_roundtrip_ingest,
-#     embedding_stats, media_profile, video_frame_profile,
+#     training_data_card, media_profile, video_frame_profile,
 #     synthetic_interactions, mutated_interactions, stratified_sample,
 #     als_top_recommendations, als_user_factors, classifier_metrics,
 #     kb_popular_items, kb_success_profile, stream_stateful_features,
@@ -4408,10 +4408,11 @@ ORACLES["split_source_audit"] = f"""
 #     kfold_assignment, negative_samples, pit_segment_rollup,
 #     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
 #     snapshot_diff, item_pagerank, cdc_current_view,
-#     course_stats, label_histogram, user_activity,
+#     course_stats, label_histogram,
 #     json_extraction, events_per_day, event_rate,
 #     stream_session_windows, rolling_median, deterministic_group_sample,
-#     knn_lsh, user_topk_recommendations
+#     knn_lsh, embedding_stats,
+#     user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
 # rotations land.)
 _GATE_WINDOW = [
@@ -4441,7 +4442,7 @@ _GATE_WINDOW = [
     "knn_ivf_bucketed",
     "knn_rp_lsh",
     "jdbc_roundtrip_ingest",
-    "embedding_stats",
+    "training_data_card",
     "media_profile",
     "video_frame_profile",
     "synthetic_interactions",
