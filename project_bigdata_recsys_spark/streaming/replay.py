@@ -1519,9 +1519,9 @@ def stream_update_ann_index(
     # the corpus (one batch build, the cheap path); the stream folds
     # only the tail.  The oracle hashes the FULL corpus, so the split
     # point is free — it just decides how much work runs as a stream.
-    split_at = int(
-        emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] * split_frac
-    )
+    max_vec = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    # empty corpus: max is NULL — build an empty base and stream nothing
+    split_at = int(max_vec * split_frac) if max_vec is not None else 0
 
     # nightly base index over the settled corpus (own scratch copy —
     # the fold MUTATES it; never point this at the shared
