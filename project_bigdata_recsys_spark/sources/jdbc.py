@@ -158,7 +158,13 @@ def jdbc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    db = os.path.join(scratch_dir(prefix="spark_jdbc_snapshot_"), "db")
+    work = scratch_dir(prefix="spark_jdbc_snapshot_")
+    db = os.path.join(work, "db")
+    # keep derby.log out of the CWD (only effective if set before the
+    # engine boots, i.e. before the first Derby connection this JVM)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(work, "derby.log")
+    )
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
     write_jdbc(
