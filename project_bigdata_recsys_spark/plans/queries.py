@@ -4369,7 +4369,9 @@ ORACLES["split_source_audit"] = f"""
 #     orc_roundtrip_ingest, minhash_calibration_profile, stream_update_ann_index
 # (recomputed from the CORRECTNESS_r01..r10 union.)
 #
-# Round-12 rotation schedule (write-ahead, same discipline): the 44
+# Round-12 rotation schedule (write-ahead, same discipline;
+# PRE-VERIFIED 50/50 against the sf0.01 oracle on 2026-08-15 during
+# round 11 — the rotation is a pure list swap): the 44
 # r5-latest-evidence queries in registration order, then the first six
 # of the r6 block:
 #       span_dedup_profile, duplicated_spans, weighted_sample,
