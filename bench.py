@@ -350,6 +350,8 @@ HEADLINE = [
     # per-source release artifact: six kernels composed (rides the
     # unigram memo the warmup prepares)
     "training_data_card",
+    # Spark-4 Python DataSource surface (cost = Python worker fan-out)
+    "python_datasource_interactions",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -4359,7 +4359,7 @@ ORACLES["split_source_audit"] = f"""
 #     contamination_check, dedup_corpus_stats, minhash_verified_pairs,
 #     knn_brute_force, knn_multi_query, embedding_near_dup_pairs,
 #     knn_ivf_bucketed, knn_rp_lsh, jdbc_roundtrip_ingest,
-#     training_data_card, media_profile, video_frame_profile,
+#     training_data_card, python_datasource_interactions, video_frame_profile,
 #     synthetic_interactions, mutated_interactions, stratified_sample,
 #     als_top_recommendations, als_user_factors, classifier_metrics,
 #     kb_popular_items, kb_success_profile, stream_stateful_features,
@@ -4410,7 +4410,7 @@ ORACLES["split_source_audit"] = f"""
 #     kfold_assignment, negative_samples, pit_segment_rollup,
 #     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
 #     snapshot_diff, item_pagerank, cdc_current_view,
-#     course_stats, label_histogram,
+#     media_profile, label_histogram,
 #     json_extraction, events_per_day, event_rate,
 #     stream_session_windows, rolling_median, deterministic_group_sample,
 #     knn_lsh, embedding_stats,
@@ -4445,7 +4445,7 @@ _GATE_WINDOW = [
     "knn_rp_lsh",
     "jdbc_roundtrip_ingest",
     "training_data_card",
-    "media_profile",
+    "python_datasource_interactions",
     "video_frame_profile",
     "synthetic_interactions",
     "mutated_interactions",
@@ -10957,6 +10957,29 @@ ORACLES["training_data_card"] = r"""
     JOIN expo USING (source) JOIN quality USING (source)
     ORDER BY source
 """
+
+
+def _python_datasource_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 through the Spark-4 Python DataSource API: the pure-Python
+    partitioned reader must yield BIT-IDENTICAL rows to the Catalyst
+    expression generator, so the oracle is shared verbatim."""
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    return (
+        spark.read.format("synthetic_interactions")
+        .option("n", 2000)
+        .option("seed", 42)
+        .option("numPartitions", 8)
+        .load()
+        .orderBy("user_id", "course_id", "event_ts")
+    )
+
+
+QUERIES["python_datasource_interactions"] = _python_datasource_interactions
+ORACLES["python_datasource_interactions"] = ORACLES["synthetic_interactions"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

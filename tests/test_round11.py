@@ -304,3 +304,32 @@ def test_training_data_card_internal_consistency(spark):
         total_dups += r.dup_docs
     assert total_dups > 0 and total_dups % 2 == 0
     assert sum(1 for r in rows if r.dup_docs > 0) >= len(rows) // 2
+
+
+def test_python_datasource_rows_equal_expression_generator(spark):
+    """The Spark-4 Python DataSource reader must yield bit-identical
+    rows to the Catalyst expression generator — the equivalence that
+    lets it share the synthetic_interactions oracle."""
+    from project_bigdata_recsys_spark.sources.ingest import (
+        synthetic_interactions,
+    )
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_interactions")
+            .option("n", 500)
+            .option("seed", 7)
+            .option("numPartitions", 4)
+            .load()
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, synthetic_interactions(spark, n=500, seed=7).collect())
+    )
+    assert got == want
