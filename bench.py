@@ -352,6 +352,7 @@ HEADLINE = [
     "training_data_card",
     # Spark-4 Python DataSource surface (cost = Python worker fan-out)
     "python_datasource_interactions",
+    "stream_python_datasource",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -4359,7 +4359,7 @@ ORACLES["split_source_audit"] = f"""
 #     contamination_check, dedup_corpus_stats, minhash_verified_pairs,
 #     knn_brute_force, knn_multi_query, embedding_near_dup_pairs,
 #     knn_ivf_bucketed, knn_rp_lsh, jdbc_roundtrip_ingest,
-#     training_data_card, python_datasource_interactions, video_frame_profile,
+#     training_data_card, python_datasource_interactions, stream_python_datasource,
 #     synthetic_interactions, mutated_interactions, stratified_sample,
 #     als_top_recommendations, als_user_factors, classifier_metrics,
 #     kb_popular_items, kb_success_profile, stream_stateful_features,
@@ -4409,7 +4409,7 @@ ORACLES["split_source_audit"] = f"""
 #     event_transitions, multi_touch_attribution, decayed_popularity,
 #     kfold_assignment, negative_samples, pit_segment_rollup,
 #     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
-#     snapshot_diff, item_pagerank, cdc_current_view,
+#     snapshot_diff, item_pagerank, video_frame_profile,
 #     media_profile, label_histogram,
 #     json_extraction, events_per_day, event_rate,
 #     stream_session_windows, rolling_median, deterministic_group_sample,
@@ -4446,7 +4446,7 @@ _GATE_WINDOW = [
     "jdbc_roundtrip_ingest",
     "training_data_card",
     "python_datasource_interactions",
-    "video_frame_profile",
+    "stream_python_datasource",
     "synthetic_interactions",
     "mutated_interactions",
     "stratified_sample",
@@ -10980,6 +10980,35 @@ def _python_datasource_interactions(spark: SparkSession, sf_dir: str) -> DataFra
 
 QUERIES["python_datasource_interactions"] = _python_datasource_interactions
 ORACLES["python_datasource_interactions"] = ORACLES["synthetic_interactions"]
+
+
+def _stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 as a Python STREAMING DataSource: the custom-source offset/
+    partition/read protocol end to end, bounded replay row-identical to
+    the batch generator (shared oracle).  availableNow snapshots one
+    offset poll, so the bounded form admits the full range in one
+    micro-batch; incremental multi-batch consumption is pinned in
+    tests/test_round11.py under a processing-time trigger."""
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import _run_replay
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_interactions")
+        .option("n", 2000)
+        .option("seed", 42)
+        .option("batchSize", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    table = _run_replay(stream, spark, "append")
+    return table.orderBy("user_id", "course_id", "event_ts")
+
+
+QUERIES["stream_python_datasource"] = _stream_python_datasource
+ORACLES["stream_python_datasource"] = ORACLES["synthetic_interactions"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from decimal import ROUND_HALF_UP, Decimal
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SCHEMA = (
     "user_id bigint, course_id string, truth int, "
@@ -104,3 +109,60 @@ class SyntheticInteractionsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticInteractionsReader:
         return SyntheticInteractionsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticInteractionsStreamReader":
+        return SyntheticInteractionsStreamReader(self.options)
+
+
+class SyntheticInteractionsStreamReader(DataSourceStreamReader):
+    """Python STREAMING DataSource reader for the same generator — the
+    Spark-4 extension point for custom streaming sources (queue
+    consumers, vendor event APIs).  Offsets are row positions; each
+    ``latestOffset`` poll admits up to ``batchSize`` more rows (the
+    admission-control contract a rate-limited production source
+    implements), ``partitions(start, end)`` splits every micro-batch
+    into ``numPartitions`` independent slices, and ``read`` reuses the
+    exact-deterministic row generator — so a bounded replay is
+    row-identical to the batch form and the DuckDB oracle.
+
+    Note for bounded replays: ``trigger(availableNow=True)`` snapshots
+    ONE ``latestOffset`` poll, so a full-corpus replay passes
+    ``batchSize >= n``; incremental multi-batch consumption (the
+    production shape) runs under a processing-time trigger — pinned in
+    tests with a manual stop."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 5000))
+        self.seed = int(options.get("seed", 42))
+        self.batch_size = int(
+            options.get("batchsize", options.get("batchSize", 1000))
+        )
+        self.num_partitions = int(
+            options.get("numpartitions", options.get("numPartitions", 4))
+        )
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self.n, self._pos + self.batch_size)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        if hi <= lo:
+            return [_IdRange(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.num_partitions))
+        return [
+            _IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        reader = SyntheticInteractionsReader(
+            {"n": str(self.n), "seed": str(self.seed)}
+        )
+        return reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -333,3 +333,52 @@ def test_python_datasource_rows_equal_expression_generator(spark):
         map(tuple, synthetic_interactions(spark, n=500, seed=7).collect())
     )
     assert got == want
+
+
+def test_python_stream_datasource_multi_batch_incremental(spark, tmp_path):
+    """The production shape: incremental offset polls admit batchSize
+    rows per micro-batch under a processing-time trigger.  All n rows
+    must arrive, across MORE THAN ONE batch, row-identical to the batch
+    generator."""
+    import time
+
+    from project_bigdata_recsys_spark.sources.ingest import (
+        synthetic_interactions,
+    )
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_interactions")
+        .option("n", 300)
+        .option("seed", 9)
+        .option("batchSize", 120)
+        .option("numPartitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (
+            spark.table("pyds_stream").count() < 300
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+        n_batches = len(q.recentProgress)
+        got = sorted(map(tuple, spark.table("pyds_stream").collect()))
+    finally:
+        q.stop()
+    want = sorted(
+        map(tuple, synthetic_interactions(spark, n=300, seed=9).collect())
+    )
+    assert got == want
+    assert n_batches >= 3  # 300 rows at 120/batch => at least 3 polls
