@@ -22,13 +22,16 @@ independent slices, so generation parallelizes exactly like
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -166,3 +169,80 @@ class SyntheticInteractionsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    """Python DataSource WRITER with a real two-phase commit: each
+    partition writes its rows to a uniquely-named staged ``.jsonl``
+    part and returns a commit message; ``commit`` (driver-side, fires
+    only when EVERY partition succeeded) publishes the manifest that
+    makes the output visible, and ``abort`` removes the stage — the
+    task-retry/speculation contract any exactly-once sink needs.
+    Readers treat only manifest-listed parts as data, so a torn write
+    is invisible by construction."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        part = _os.path.join(
+            self.path, f"part-{pid:05d}-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(path=part, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "parts": sorted(
+                [{"path": m.path, "n_rows": m.n_rows} for m in messages],
+                key=lambda d: d["path"],
+            ),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(
+            _os.path.join(self.path, "_MANIFEST.json"), "w", encoding="utf-8"
+        ) as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", dir).save()``
+    after ``spark.dataSource.register(JsonlAuditDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlAuditWriter:
+        return JsonlAuditWriter(self.options, overwrite)

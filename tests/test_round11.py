@@ -382,3 +382,27 @@ def test_python_stream_datasource_multi_batch_incremental(spark, tmp_path):
     )
     assert got == want
     assert n_batches >= 3  # 300 rows at 120/batch => at least 3 polls
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The jsonl_audit writer must publish a driver-side manifest only
+    after every partition commits, and manifest-listed parts must
+    re-read to exactly the written frame."""
+    import json
+    import os
+
+    from project_bigdata_recsys_spark.sources.pyds import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = str(tmp_path / "audit")
+    df = spark.range(0, 500, 1, 4).selectExpr("id", "id % 9 AS v")
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_rows"] == 500 and len(man["parts"]) == 4
+    back = spark.read.json([p["path"] for p in man["parts"]])
+    got = sorted(map(tuple, back.select("id", "v").collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
