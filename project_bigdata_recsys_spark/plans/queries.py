@@ -4416,7 +4416,30 @@ ORACLES["split_source_audit"] = f"""
 #     knn_lsh, embedding_stats,
 #     user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
-# rotations land.)
+# rotations land.  PRE-VERIFIED 50/50 against the sf0.01 oracle on
+# 2026-08-15 during round 11.)
+#
+# Round-14 rotation schedule (write-ahead, same discipline): the 47
+# remaining r7-evidence queries in registration order, then the first
+# three of the r8 block:
+#     cdc_current_view, course_stats, user_activity,
+#     distinct_counts, conditional_pivot, time_range_filter,
+#     derived_projection, top_k_orders, null_handling,
+#     multiway_join, rollup_totals, scalar_functions,
+#     union_dedup, anti_join_new_keys, semantic_contamination,
+#     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
+#     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
+#     rolling_distinct_users, fuzzy_name_matches, psi_drift,
+#     backfill_plan, schema_drift_report, source_dup_attribution_reused,
+#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
+#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
+#     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
+#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply,
+#     concurrent_events_peak, label_agreement_kappa, bm25_scores,
+#     vocab_coverage_curve, item_triangles, cms_heavy_hitters,
+#     item_similar_neighbors, lang_source_chi2, doc_quality_profile,
+#     lang_profile, doc_fingerprints
+# (r15 onward continues the r8 block.)
 _GATE_WINDOW = [
     "pack_sequences",
     "corpus_mixture",
