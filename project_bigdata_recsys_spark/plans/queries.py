@@ -4419,7 +4419,9 @@ ORACLES["split_source_audit"] = f"""
 # rotations land.  PRE-VERIFIED 50/50 against the sf0.01 oracle on
 # 2026-08-15 during round 11.)
 #
-# Round-14 rotation schedule (write-ahead, same discipline): the 47
+# Round-14 rotation schedule (write-ahead, same discipline;
+# PRE-VERIFIED 50/50 against the sf0.01 oracle on 2026-08-15 during
+# round 11): the 47
 # remaining r7-evidence queries in registration order, then the first
 # three of the r8 block:
 #     cdc_current_view, course_stats, user_activity,
