@@ -4349,8 +4349,19 @@ ORACLES["split_source_audit"] = f"""
 # re-ran in the r6 window); the oldest evidence is the 50-query r4 block,
 # which is exactly the r11 rotation below.
 #
-# Round-11 rotation (EXECUTED below, per VERDICT r10 task #1): the 50
-# r4-latest-evidence queries in registration order:
+# Round-11 rotation (EXECUTED in round 11, per VERDICT r10 task #1): 39
+# r4-latest-evidence queries plus ELEVEN round-11 entrants with no prior
+# driver evidence (jdbc_roundtrip_ingest, training_data_card,
+# python_datasource_interactions, stream_python_datasource at slots
+# 26-29 displacing knn_lsh/embedding_stats/media_profile/
+# video_frame_profile, and mixture_temperature_sweep,
+# token_budget_planner, secret_scan_profile, stream_secret_scan,
+# orc_roundtrip_ingest, minhash_calibration_profile,
+# stream_update_ann_index at slots 44-50 displacing
+# stream_session_windows/rolling_median/deterministic_group_sample/
+# json_extraction/events_per_day/event_rate/user_topk_recommendations —
+# every displaced name moved to the r13 schedule, nothing dropped).
+# Final window as driven (CORRECTNESS_r11.json 50/50):
 #     pack_sequences, corpus_mixture, tfidf_top_terms, curation_funnel, incremental_dedup,
 #     embedding_near_dup_lsh, knn_ivf_centroid, embedding_dup_clusters,
 #     chunk_documents, quality_percentile_filter, token_frequencies,
@@ -4367,11 +4378,11 @@ ORACLES["split_source_audit"] = f"""
 #     stream_dedup_events, stream_stream_attribution, mixture_temperature_sweep,
 #     token_budget_planner, secret_scan_profile, stream_secret_scan,
 #     orc_roundtrip_ingest, minhash_calibration_profile, stream_update_ann_index
-# (recomputed from the CORRECTNESS_r01..r10 union.)
+# (39 names from the CORRECTNESS_r01..r10 oldest-evidence union; 11 new.)
 #
-# Round-12 rotation schedule (write-ahead, same discipline;
-# PRE-VERIFIED 50/50 against the sf0.01 oracle on 2026-08-15 during
-# round 11 — the rotation is a pure list swap): the 44
+# Round-12 rotation schedule (EXECUTED below in round 12; local
+# sf0.01 gate-window sweep output committed as PRECHECK_r12_gate.json —
+# the rotation counts only once CORRECTNESS_r12.json is green): the 44
 # r5-latest-evidence queries in registration order, then the first six
 # of the r6 block:
 #       span_dedup_profile, duplicated_spans, weighted_sample,
@@ -4416,12 +4427,11 @@ ORACLES["split_source_audit"] = f"""
 #     knn_lsh, embedding_stats,
 #     user_topk_recommendations
 # (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
-# rotations land.  PRE-VERIFIED 50/50 against the sf0.01 oracle on
-# 2026-08-15 during round 11.)
+# rotations land.  Schedule only — it counts once CORRECTNESS_r13.json
+# is green; re-verify locally at rotation time.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
-# PRE-VERIFIED 50/50 against the sf0.01 oracle on 2026-08-15 during
-# round 11): the 47
+# schedule only — counts once CORRECTNESS_r14.json is green): the 47
 # remaining r7-evidence queries in registration order, then the first
 # three of the r8 block:
 #     cdc_current_view, course_stats, user_activity,
@@ -4443,63 +4453,56 @@ ORACLES["split_source_audit"] = f"""
 #     lang_profile, doc_fingerprints
 # (r15 onward continues the r8 block.)
 _GATE_WINDOW = [
-    "pack_sequences",
-    "corpus_mixture",
-    "tfidf_top_terms",
-    "curation_funnel",
-    "incremental_dedup",
-    "embedding_near_dup_lsh",
-    "knn_ivf_centroid",
-    "embedding_dup_clusters",
-    "chunk_documents",
-    "quality_percentile_filter",
-    "token_frequencies",
-    "repetition_profile",
-    "exact_duplicates",
-    "ngram_jaccard_pairs",
-    "minhash_candidates",
-    "simhash_near_pairs",
-    "near_dup_clusters",
-    "contamination_check",
-    "dedup_corpus_stats",
-    "minhash_verified_pairs",
-    "knn_brute_force",
-    "knn_multi_query",
-    "embedding_near_dup_pairs",
-    "knn_ivf_bucketed",
-    "knn_rp_lsh",
-    "jdbc_roundtrip_ingest",
-    "training_data_card",
-    "python_datasource_interactions",
-    "stream_python_datasource",
-    "synthetic_interactions",
-    "mutated_interactions",
-    "stratified_sample",
-    "als_top_recommendations",
-    "als_user_factors",
-    "classifier_metrics",
-    "kb_popular_items",
-    "kb_success_profile",
-    "stream_stateful_features",
-    "stream_bootstrapped_features",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_events",
-    "stream_stream_attribution",
-    # slots 44-50: the seven round-11 ops enter VIA the window (r10
-    # verdict task #7 discipline — new entries get driver evidence
-    # immediately, keeping the never-driver-checked count at 0); the
-    # displaced r4-evidence queries (stream_session_windows,
-    # rolling_median, deterministic_group_sample, json_extraction,
-    # events_per_day, event_rate, user_topk_recommendations) moved to
-    # the r13 schedule
-    "mixture_temperature_sweep",
-    "token_budget_planner",
-    "secret_scan_profile",
-    "stream_secret_scan",
-    "orc_roundtrip_ingest",
-    "minhash_calibration_profile",
-    "stream_update_ann_index",
+    "span_dedup_profile",
+    "duplicated_spans",
+    "weighted_sample",
+    "cluster_aware_split",
+    "group_quantile_filter",
+    "span_dedup_incremental",
+    "stream_trending_items",
+    "knn_pq",
+    "sql_cheapest_supplier",
+    "sql_exists_filter",
+    "sql_in_subquery",
+    "entropy_profile",
+    "item_pmi",
+    "corpus_mixture_tokens",
+    "stream_span_dedup",
+    "augment_token_dropout",
+    "corpus_mixture_tokens_sharded",
+    "jsonl_roundtrip_ingest",
+    "variant_extraction",
+    "equi_depth_histogram",
+    "span_contamination",
+    "knn_pq_multi",
+    "analyze_table",
+    "cohort_retention",
+    "event_funnel",
+    "association_rules",
+    "robust_outliers",
+    "dau_wau_stickiness",
+    "item_communities",
+    "scd2_history",
+    "span_curation_funnel",
+    "pack_sequences_sharded",
+    "embedding_dup_clusters_lsh",
+    "knn_ivf_lloyd",
+    "knn_graph",
+    "cluster_capped_sample",
+    "stream_ingest_dedup",
+    "skew_report",
+    "media_dedup",
+    "interval_overlap_counts",
+    "corpus_mixture_sharded",
+    "curation_funnel_sharded",
+    "incremental_dedup_indexed",
+    "purchase_asof_click",
+    "normalized_duplicates",
+    "rfm_segments",
+    "power_user_rank",
+    "source_scorecard",
+    "cross_source_overlap",
+    "boilerplate_prefix_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
