@@ -221,6 +221,61 @@ def forget_users_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+def _stage_and_swap(
+    target_dir: str,
+    merged: DataFrame,
+    part_col: str,
+    touched: list,
+) -> set:
+    """Shared CoW commit for the two MERGE forms: write the merged rows
+    ONCE (partitioned, one shuffle so each partition lands as one file
+    set instead of #tasks fragments), then swap the touched partition
+    directories with filesystem moves.  This replaces the former
+    stage-unpartitioned → re-read → dynamic-partition-overwrite →
+    re-read-for-surviving sequence — three extra passes over the merged
+    rows that dominated `stream_merge_apply`'s cost (r11 bench: 8.13 s,
+    of which the double write was ~half).
+
+    Not atomic (same contract as before): a crash mid-swap leaves some
+    partitions moved; the staged output is still on disk, so recovery
+    is re-running the swap.  Local-FS moves here; on an object store
+    these become per-partition copy+delete (or a real table format's
+    commit).  Returns the staged partition directory names."""
+    import os
+    import shutil
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
+    # explicit numPartitions: a bare repartition(col) gets AQE-coalesced
+    # to ~2 tasks at this volume, which then write all the partition
+    # directories sequentially; hashing into min(#touched, cluster
+    # parallelism) tasks keeps each partition in one task (≈1 file per
+    # partition) while writing directories in parallel
+    n_parts = max(1, min(
+        len(touched),
+        merged.sparkSession.sparkContext.defaultParallelism,
+    ))
+    merged.repartition(n_parts, F.col(part_col)).write.mode(
+        "overwrite"
+    ).partitionBy(part_col).parquet(staging)
+    prefix = f"{part_col}="
+    staged = {
+        d for d in os.listdir(staging) if d.startswith(prefix)
+    }
+    # drop every touched partition (a fully-deleted one simply never
+    # comes back), then move the staged replacements in
+    for part in touched:
+        shutil.rmtree(
+            os.path.join(target_dir, f"{prefix}{part}"), ignore_errors=True
+        )
+    for d in staged:
+        dst = os.path.join(target_dir, d)
+        if os.path.exists(dst):  # touched-name escaping mismatch guard
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(staging, d), dst)
+    return staged
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_dir: str,
@@ -237,20 +292,21 @@ def merge_into_partitioned(
     2. ONLY those partitions are read back (partition-pruned scan),
        merged latest-wins with the batch (the cdc_current_view kernel:
        one PK window, batch rows win);
-    3. the merged rows are staged, then written with DYNAMIC partition
-       overwrite — untouched partitions are never read OR rewritten.
+    3. the merged rows are written ONCE, partitioned, to a staging
+       directory, and the touched partition directories are swapped in
+       (see :func:`_stage_and_swap`) — untouched partitions are never
+       read OR rewritten, and the merged rows are never materialized
+       twice.
 
     Single-writer semantics (no commit protocol — concurrent writers
-    need a real table format, documented).  The staging write prevents
-    the read-then-overwrite self-conflict (step 3 never reads the
-    partitions it is replacing), but the final dynamic-partition
-    overwrite is itself NOT atomic: a crash mid-overwrite can leave the
-    touched partitions half-written, and recovery is re-running the
-    overwrite from the still-present staged output (or the whole merge).
-    True crash atomicity — like multi-writer — needs a real table
-    format's commit protocol.  The partitionOverwriteMode conf flip is
-    session-global; do not run this concurrently with other writers in
-    the same session.  Returns the touched partition values.
+    need a real table format, documented).  Writing to staging prevents
+    the read-then-overwrite self-conflict (the merge never reads the
+    partitions it is replacing), but the directory swap is NOT atomic:
+    a crash mid-swap can leave the touched partitions half-replaced,
+    and recovery is re-running the swap from the still-present staged
+    output (or the whole merge).  True crash atomicity — like
+    multi-writer — needs a real table format's commit protocol.
+    Returns the touched partition values.
 
     Scale: cost is O(touched partitions + batch), never O(table) — the
     same partition-scoped discipline as backfill_plan, now on the write
@@ -274,16 +330,7 @@ def merge_into_partitioned(
         updates.withColumn("__seq", F.lit(1)).withColumn("__op", F.lit("I"))
     )
     merged = cdc_current_view(changelog, key_cols, "__seq", "__op")
-    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
-    merged.write.mode("overwrite").parquet(staging)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-            part_col
-        ).parquet(target_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _stage_and_swap(target_dir, merged, part_col, touched)
     return touched
 
 
@@ -362,11 +409,11 @@ def merge_apply_changelog(
     :func:`merge_into_partitioned` (which is the special case of an
     insert-only changelog).
 
-    A partition whose every row is deleted produces no output rows, and
-    dynamic partition overwrite cannot write an empty partition — those
-    directories are pruned explicitly after the write (local-FS rmtree
-    here; the same listing+delete call on an object store).  Returns
-    the touched partition values."""
+    A partition whose every row is deleted produces no staged output
+    directory, so the swap in :func:`_stage_and_swap` simply never
+    restores it — the touched directory is removed and nothing moves
+    back in (local-FS moves here; per-partition copy+delete on an
+    object store).  Returns the touched partition values."""
     import os
     import shutil
     from project_bigdata_recsys_spark.caching import scratch_dir
@@ -388,26 +435,7 @@ def merge_apply_changelog(
         seq_col,
         op_col,
     )
-    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
-    merged.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        staged.write.mode("overwrite").partitionBy(part_col).parquet(
-            target_dir
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    surviving = {
-        r[0] for r in staged.select(part_col).distinct().collect()
-    }
-    for part in touched:
-        if part not in surviving:
-            shutil.rmtree(
-                os.path.join(target_dir, f"{part_col}={part}"),
-                ignore_errors=True,
-            )
+    _stage_and_swap(target_dir, merged, part_col, touched)
     return touched
 
 
@@ -438,7 +466,12 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("part"),
     )
     target = os.path.join(scratch_dir(prefix="spark_smerge_"), "t")
-    orders.write.mode("overwrite").partitionBy("part").parquet(target)
+    # explicit task count: without it one or two tasks write all ~80
+    # month directories sequentially (AQE coalesces a bare
+    # repartition(col) at this volume) — 3.4 s -> 0.8 s at sf0.1
+    orders.repartition(
+        spark.sparkContext.defaultParallelism, F.col("part")
+    ).write.mode("overwrite").partitionBy("part").parquet(target)
 
     schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
     stream = (
@@ -473,9 +506,16 @@ def stream_merge_apply_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_apply_changelog(
-            spark, target, batch_df, ["o_orderkey"], "part"
-        )
+        # the merge scans the batch twice (touched-partition distinct,
+        # then the collapse) — pin it so the file-source micro-batch and
+        # its md5 cohort filters aren't recomputed per action
+        batch_df.persist()
+        try:
+            merge_apply_changelog(
+                spark, target, batch_df, ["o_orderkey"], "part"
+            )
+        finally:
+            batch_df.unpersist()
 
     ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
     q = (
