@@ -400,6 +400,38 @@ FROZEN_SUBSET = [
     "stream_tumbling_counts",
 ]
 
+#: r11 driver-recorded frozen-subset baseline (BENCH_r11.json,
+#: ambient_ok run).  Re-baseline ONLY when a round's verdict accepts a
+#: new steady state — never to silence the flag.
+FROZEN_SUBSET_BASELINE_SEC = 49.9
+
+
+def frozen_subset_verdict(
+    frozen_total: float,
+    ambient_ok: bool,
+    baseline: float = FROZEN_SUBSET_BASELINE_SEC,
+    tolerance: float = 0.15,
+) -> tuple[float | None, str | None]:
+    """The composition-axis twin of the ambient guard (r11 verdict task
+    #3): the frozen subset moving >15% while the r1 anchor sits INSIDE
+    its band cannot be ambient load (the anchor would have moved with
+    it) and cannot be list growth (the subset never changes) — it is a
+    real code-level shift.  Returns (ratio_vs_baseline, flag_or_None);
+    out-of-band runs return no flag because the ambient flag already
+    disqualifies cross-round comparison."""
+    if not baseline or frozen_total is None:
+        return None, None
+    ratio = round(frozen_total / baseline, 3)
+    if not ambient_ok or abs(ratio - 1.0) <= tolerance:
+        return ratio, None
+    direction = "regressed" if ratio > 1 else "improved"
+    return ratio, (
+        f"frozen subset {frozen_total}s is {ratio}x the r11 baseline "
+        f"{baseline}s with the anchor in-band — composition-independent "
+        f"{direction}, not ambient; diagnose before comparing totals"
+    )
+
+
 #: After these queries, the inter-query cache release is SKIPPED so a
 #: persist_shared frame survives into the immediately-following entry.
 _SHARE_WITH_NEXT = {
@@ -557,6 +589,9 @@ def main() -> None:
     r1_anchor = anchors["r1_25"]
     anchor_normalized_ratio = round(total / r1_anchor, 3) if r1_anchor else None
     ambient_ok = anchor_band[0] <= r1_anchor <= anchor_band[1]
+    frozen_ratio, frozen_flag = frozen_subset_verdict(
+        frozen_subset_total, ambient_ok
+    )
     # host load at start/end: this box is shared, and measured co-tenant
     # load swings totals ~2x run-to-run; numbers only compare at similar
     # load.  "queries" carries the 10 slowest only — full map in detail.
@@ -573,6 +608,8 @@ def main() -> None:
                 "anchors": anchors,
                 "frozen_subset_total": frozen_subset_total,
                 "frozen_subset_n": len(FROZEN_SUBSET),
+                "frozen_subset_ratio": frozen_ratio,
+                "frozen_subset_flag": frozen_flag,
                 "anchor_normalized_ratio": anchor_normalized_ratio,
                 "anchor_band_sec": list(anchor_band),
                 "ambient_ok": ambient_ok,
