@@ -258,6 +258,7 @@ def curation_funnel(
     Output (single row): n_raw, n_unique, n_kept, kept_tokens, n_chunks,
     chunk_tokens, n_sequences.
     """
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     from pyspark.sql import Window
 
     from project_bigdata_recsys_spark.functions.dedup import dedup_exact
@@ -269,7 +270,7 @@ def curation_funnel(
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        planted_id("doc_id").alias("doc_id"), "text", "lang"
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
     uniq = dedup_exact(corpus)
@@ -1626,6 +1627,7 @@ def training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII+secret regex — text never shuffles; the dup join is
     digest-only) plus the #sources-row memo rollup; all per-source
     frames meet in broadcast joins."""
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.text import (
         PII_PATTERNS,
@@ -1646,7 +1648,7 @@ def training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would leave 18 sources' dup_rate vacuously zero
     corpus = docs.unionByName(
         docs.filter(hash_uniform(F.col("doc_id"), "card:") < 0.1).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            planted_id("doc_id").alias("doc_id"),
             "source",
             "lang",
             "text",

@@ -21,7 +21,7 @@ reproduce bit-for-bit in DuckDB and are oracle-checked by the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.caching import persist_tracked, scratch_dir
@@ -32,6 +32,39 @@ from project_bigdata_recsys_spark.functions.text import tokens
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
+#: Offset for deterministically planted duplicate ids (the shipped
+#: corpora contain no duplicates, so the dedup gates plant their own).
+#: The SQL oracles embed the same literal, which is why it stays a
+#: constant instead of a max(doc_id) derivation — drifting one side
+#: would break parity.  :func:`planted_id` makes the convention's
+#: assumption (real ids stay below the offset) fail LOUDLY at scan time
+#: instead of silently colliding on a >1M-doc corpus.
+PLANTING_OFFSET = 1_000_000
+
+
+def planted_id(doc_id) -> Column:
+    """Planted-duplicate id: ``doc_id + PLANTING_OFFSET``, guarded — a
+    source id at or above the offset raises at execution time (per-row
+    check riding the normal scan, no extra pass) rather than colliding
+    with a planted id and silently changing every planting oracle's
+    semantics (r11 verdict task #7)."""
+    doc_id = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.when(
+        doc_id < PLANTING_OFFSET, doc_id + PLANTING_OFFSET
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("planting-offset collision: doc_id "),
+                doc_id.cast("string"),
+                F.lit(
+                    f" >= {PLANTING_OFFSET}; re-derive the offset from"
+                    " max(doc_id) in BOTH engines (see PLANTING_OFFSET)"
+                ),
+            )
+        )
+    )
+
+
 def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: keep the min doc_id as the canonical copy.
 
@@ -47,7 +80,7 @@ def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        planted_id("doc_id").alias("doc_id"), "text"
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
     return (
@@ -859,7 +892,7 @@ def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate detection."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        planted_id("doc_id").alias("doc_id"), "text", "lang"
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
     kept = dedup_exact(corpus)
@@ -1921,7 +1954,10 @@ def dedup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     That holds for every shipped sf (sf1 would be ~600k docs); a corpus
     beyond 1M docs needs the offset re-derived from max(doc_id) IN BOTH
     the Spark builder and the SQL oracle — drifting only one side
-    breaks parity, which is why the literal convention is kept.
+    breaks parity, which is why the literal convention is kept.  Since
+    r12 the assumption is ENFORCED, not just documented: every planting
+    site goes through :func:`planted_id`, which raises at scan time on
+    the first id at or above the offset.
     is the other ~80%.  Per source, current keepers split into
     retained (same keeper as previous run), displaced (fingerprint
     existed, a new smaller-id copy took over), and new_content
@@ -1937,7 +1973,7 @@ def dedup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        planted_id("doc_id").alias("doc_id"), "source", "text"
     )
     corpus = docs.unionByName(planted)
     tagged = corpus.select(

@@ -62,11 +62,12 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (digest + two numbers per doc) is persist_tracked because it feeds
     both the copy count and the join probe — one text scan total.
     """
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+        planted_id("doc_id").alias("doc_id"), "text", "lang", "source"
     )
     corpus = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
     per_doc = persist_tracked(
@@ -256,9 +257,10 @@ def boilerplate_suffix_profile(
     re-appears, source preserved) and must find exactly those footer
     groups.
     """
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        planted_id("doc_id").alias("doc_id"), "text", "source"
     )
     corpus = docs.select("doc_id", "text", "source").unionByName(planted)
     return boilerplate_profile_for(corpus, k=k, min_docs=min_docs, tail=True)
@@ -442,9 +444,10 @@ def prefix_cache_savings(
     Same digest-shuffle shape as boilerplate_prefix_profile; the gate
     corpus plants the deterministic duplicate set so the savings table
     is non-vacuous (the raw corpus repeats prefixes naturally too)."""
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        planted_id("doc_id").alias("doc_id"), "text", "lang"
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
     toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)

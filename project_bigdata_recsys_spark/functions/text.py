@@ -636,10 +636,11 @@ def planted_disguised_variants(base: DataFrame) -> DataFrame:
     form but hash differently raw, so gate queries over normalized
     fingerprints have guaranteed non-vacuous groups.  Shared by
     :func:`normalized_duplicates` and :func:`dedup_keep_best`."""
+    from project_bigdata_recsys_spark.functions.dedup import planted_id
     tenth = base.filter(F.col("doc_id") % 10 == 0)
     return (
         tenth.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            planted_id("doc_id").alias("doc_id"),
             F.upper("text").alias("text"),
         )
         .unionByName(

@@ -109,3 +109,32 @@ def test_stage_and_swap_preserves_untouched_partitions(spark, tmp_path):
         (9, "new", "2024-04"),
     }
     shutil.rmtree(target)
+
+
+def test_planted_id_guard_raises_on_offset_collision(spark):
+    """planted_id (r11 verdict task #7): valid ids shift by exactly the
+    offset; an id at/above the offset fails LOUDLY at execution instead
+    of silently colliding with a planted id."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from project_bigdata_recsys_spark.functions.dedup import (
+        PLANTING_OFFSET,
+        planted_id,
+    )
+
+    ok = spark.createDataFrame([(0,), (999_999,)], "doc_id long").select(
+        planted_id("doc_id").alias("doc_id")
+    )
+    assert {r.doc_id for r in ok.collect()} == {
+        PLANTING_OFFSET,
+        PLANTING_OFFSET + 999_999,
+    }
+
+    bad = spark.createDataFrame(
+        [(5,), (PLANTING_OFFSET,)], "doc_id long"
+    ).select(planted_id("doc_id").alias("doc_id"))
+    with pytest.raises(
+        SparkRuntimeException, match="planting-offset collision"
+    ):
+        bad.collect()
