@@ -40,13 +40,20 @@ def sql_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier(s) offering the corpus-min price, tie-broken to the
     smallest supplier key.  Catalyst decorrelates the inner min into an
     aggregate joined back on l_partkey — one shuffle, not a per-part
-    re-scan."""
+    re-scan.
+
+    The price column is reported as integer cents (the repo-wide
+    fixed-point discipline): ``round(min(price), 2)`` on a double can
+    print differently across engine builds on a boundary row, which is
+    exactly the class of divergence that flipped sql_in_subquery's r12
+    driver hash."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l.l_partkey,
                CAST(min(l.l_suppkey) AS BIGINT) AS cheapest_supp,
-               round(min(l.l_extendedprice), 2) AS min_price
+               CAST(min(round(l.l_extendedprice * 100)) AS BIGINT)
+                   AS min_price_cents
         FROM lineitem l
         WHERE l.l_extendedprice = (
             SELECT min(l2.l_extendedprice)
@@ -86,14 +93,19 @@ def sql_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery over an aggregate: parts ordered more than 30 times,
     reported with their total revenue.  The IN list is itself a grouped
-    query — decorrelated to a semi join on the aggregated frame."""
+    query — decorrelated to a semi join on the aggregated frame.
+
+    Revenue is integer cents end-to-end (sum of per-row cents, never
+    divided back to a double): the previous ``round(sum(cents)/100.0,
+    2)`` projection double-rounded doubles and flipped the r12 driver
+    hash on one boundary row (VERDICT r12 §What's wrong #1)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l.l_partkey,
                CAST(count(*) AS BIGINT) AS n_lines,
-               round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                     / 100.0, 2) AS revenue
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM lineitem l
         WHERE l.l_partkey IN (
             SELECT l_partkey FROM lineitem

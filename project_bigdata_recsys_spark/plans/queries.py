@@ -3084,7 +3084,8 @@ ORACLES["knn_pq"] = _pq_knn_oracle()
 ORACLES["sql_cheapest_supplier"] = """
     SELECT l.l_partkey,
            CAST(min(l.l_suppkey) AS BIGINT) AS cheapest_supp,
-           round(min(l.l_extendedprice), 2) AS min_price
+           CAST(min(round(l.l_extendedprice * 100)) AS BIGINT)
+               AS min_price_cents
     FROM lineitem l
     WHERE l.l_extendedprice = (
         SELECT min(l2.l_extendedprice)
@@ -3113,8 +3114,8 @@ ORACLES["sql_exists_filter"] = """
 ORACLES["sql_in_subquery"] = """
     SELECT l.l_partkey,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                     / 100.0, 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem l
     WHERE l.l_partkey IN (
         SELECT l_partkey FROM lineitem

@@ -81,11 +81,34 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+def engine_versions(spark) -> dict:
+    """Engine/build identifiers for the run — recorded so a
+    local-green/driver-red split (r12's sql_in_subquery) is attributable
+    in one look instead of unexplainable (VERDICT r12 task 6)."""
+    import platform
+
+    versions = {
+        "spark": spark.version,
+        "duckdb": duckdb.__version__,
+        "python": platform.python_version(),
+    }
+    try:
+        versions["jvm"] = (
+            spark.sparkContext._jvm.System.getProperty("java.version")
+        )
+    except Exception:  # noqa: BLE001 — JVM property probe is best-effort
+        versions["jvm"] = None
+    return versions
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     spark = get_spark("oracle-check")
+    import json
+
+    print("VERSIONS " + json.dumps(engine_versions(spark), sort_keys=True))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
