@@ -411,24 +411,34 @@ def frozen_subset_verdict(
     ambient_ok: bool,
     baseline: float = FROZEN_SUBSET_BASELINE_SEC,
     tolerance: float = 0.15,
-) -> tuple[float | None, str | None]:
+) -> tuple[float | None, str | None, str | None]:
     """The composition-axis twin of the ambient guard (r11 verdict task
     #3): the frozen subset moving >15% while the r1 anchor sits INSIDE
     its band cannot be ambient load (the anchor would have moved with
     it) and cannot be list growth (the subset never changes) — it is a
-    real code-level shift.  Returns (ratio_vs_baseline, flag_or_None);
-    out-of-band runs return no flag because the ambient flag already
-    disqualifies cross-round comparison."""
+    real code-level shift.  Returns (ratio_vs_baseline, flag, advisory):
+    the hard flag fires only on in-band runs; out-of-band runs with a
+    beyond-tolerance subset move get the ADVISORY instead (r12 ADVICE:
+    r12's own 0.86 ratio hid behind a 0.7% ambient excursion — a real
+    shift must not be silenced just because the anchor strayed)."""
     if not baseline or frozen_total is None:
-        return None, None
+        return None, None, None
     ratio = round(frozen_total / baseline, 3)
-    if not ambient_ok or abs(ratio - 1.0) <= tolerance:
-        return ratio, None
+    if abs(ratio - 1.0) <= tolerance:
+        return ratio, None, None
     direction = "regressed" if ratio > 1 else "improved"
-    return ratio, (
+    msg = (
         f"frozen subset {frozen_total}s is {ratio}x the r11 baseline "
-        f"{baseline}s with the anchor in-band — composition-independent "
-        f"{direction}, not ambient; diagnose before comparing totals"
+        f"{baseline}s — composition-independent {direction}"
+    )
+    if ambient_ok:
+        return ratio, msg + (
+            " with the anchor in-band, not ambient; diagnose before "
+            "comparing totals"
+        ), None
+    return ratio, None, msg + (
+        " on an out-of-band-anchor run; ambient may contribute but "
+        "does not automatically explain it — check before trusting"
     )
 
 
@@ -589,7 +599,7 @@ def main() -> None:
     r1_anchor = anchors["r1_25"]
     anchor_normalized_ratio = round(total / r1_anchor, 3) if r1_anchor else None
     ambient_ok = anchor_band[0] <= r1_anchor <= anchor_band[1]
-    frozen_ratio, frozen_flag = frozen_subset_verdict(
+    frozen_ratio, frozen_flag, frozen_advisory = frozen_subset_verdict(
         frozen_subset_total, ambient_ok
     )
     # host load at start/end: this box is shared, and measured co-tenant
@@ -610,6 +620,7 @@ def main() -> None:
                 "frozen_subset_n": len(FROZEN_SUBSET),
                 "frozen_subset_ratio": frozen_ratio,
                 "frozen_subset_flag": frozen_flag,
+                "frozen_subset_advisory": frozen_advisory,
                 "anchor_normalized_ratio": anchor_normalized_ratio,
                 "anchor_band_sec": list(anchor_band),
                 "ambient_ok": ambient_ok,

@@ -46,6 +46,19 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def track_scratch(path: str) -> str:
+    """Register an EXISTING directory for the process-exit purge.
+
+    The deferred twin of :func:`scratch_dir`, for callers whose scratch
+    must survive a graceful exit until some commit point — e.g. the CoW
+    merge's staging dir, which is the only recovery source if the
+    directory swap dies halfway (registering it at creation would let a
+    mid-swap exception + clean interpreter exit delete the one copy of
+    the staged rows)."""
+    _SCRATCH.append(path)
+    return path
+
+
 def _purge_scratch() -> None:
     while _SCRATCH:
         shutil.rmtree(_SCRATCH.pop(), ignore_errors=True)

@@ -236,16 +236,32 @@ def _stage_and_swap(
     rows that dominated `stream_merge_apply`'s cost (r11 bench: 8.13 s,
     of which the double write was ~half).
 
+    Swap discipline (r12 ADVICE): each staged partition replaces its
+    target in one rmtree+move pair, so the data-absent window is one
+    partition wide, never all-touched-at-once; fully-deleted touched
+    partitions are removed last.  Touched directory names are resolved
+    by LISTING the target and unescaping (Spark Hive-escapes special
+    partition-value characters and writes __HIVE_DEFAULT_PARTITION__
+    for null), never by f-string interpolation of the raw value.  The
+    staging dir joins the process-exit purge only AFTER the swap
+    completes, so a mid-swap failure — even followed by a graceful
+    interpreter exit — leaves the staged copy on disk as the recovery
+    source.
+
     Not atomic (same contract as before): a crash mid-swap leaves some
-    partitions moved; the staged output is still on disk, so recovery
-    is re-running the swap.  Local-FS moves here; on an object store
-    these become per-partition copy+delete (or a real table format's
-    commit).  Returns the staged partition directory names."""
+    partitions moved; recovery is re-running the swap from the
+    still-present staged output.  Local-FS moves here; on an object
+    store these become per-partition copy+delete (or a real table
+    format's commit).  Returns the staged partition directory names."""
     import os
     import shutil
-    from project_bigdata_recsys_spark.caching import scratch_dir
+    import tempfile
+    from urllib.parse import unquote
 
-    staging = os.path.join(scratch_dir(prefix="spark_merge_"), "stage")
+    from project_bigdata_recsys_spark.caching import track_scratch
+
+    staging_root = tempfile.mkdtemp(prefix="spark_merge_")
+    staging = os.path.join(staging_root, "stage")
     # explicit numPartitions: a bare repartition(col) gets AQE-coalesced
     # to ~2 tasks at this volume, which then write all the partition
     # directories sequentially; hashing into min(#touched, cluster
@@ -259,20 +275,33 @@ def _stage_and_swap(
         "overwrite"
     ).partitionBy(part_col).parquet(staging)
     prefix = f"{part_col}="
+    hive_null = "__HIVE_DEFAULT_PARTITION__"
     staged = {
         d for d in os.listdir(staging) if d.startswith(prefix)
     }
-    # drop every touched partition (a fully-deleted one simply never
-    # comes back), then move the staged replacements in
-    for part in touched:
-        shutil.rmtree(
-            os.path.join(target_dir, f"{prefix}{part}"), ignore_errors=True
-        )
+    # resolve each touched VALUE to its actual escaped directory name by
+    # listing the target and inverting Spark's %XX path escaping
+    existing = {}
+    if os.path.isdir(target_dir):
+        for d in os.listdir(target_dir):
+            if d.startswith(prefix):
+                raw = d[len(prefix):]
+                existing[raw if raw == hive_null else unquote(raw)] = d
+    # per-partition swap: rmtree+move as one pair per directory
     for d in staged:
         dst = os.path.join(target_dir, d)
-        if os.path.exists(dst):  # touched-name escaping mismatch guard
+        if os.path.exists(dst):
             shutil.rmtree(dst)
         shutil.move(os.path.join(staging, d), dst)
+    # touched partitions with no staged replacement were fully deleted
+    for part in touched:
+        key = hive_null if part is None else str(part)
+        dirname = existing.get(key)
+        if dirname is not None and dirname not in staged:
+            shutil.rmtree(
+                os.path.join(target_dir, dirname), ignore_errors=True
+            )
+    track_scratch(staging_root)  # swap committed — safe to purge at exit
     return staged
 
 

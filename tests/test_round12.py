@@ -22,9 +22,10 @@ PKG = os.path.join(
 
 def test_frozen_subset_flag_logic():
     """The composition-axis guard: in-band anchor + >15% frozen-subset
-    move flags in BOTH directions; out-of-band runs never flag (the
-    ambient flag already disqualifies the comparison); small moves and
-    missing baselines stay silent."""
+    move hard-flags in BOTH directions; out-of-band runs get the
+    ADVISORY instead of silence (r13 ADVICE fix — r12's real 0.86 move
+    hid behind a 0.7% ambient excursion); small moves and missing
+    baselines stay silent."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -32,26 +33,35 @@ def test_frozen_subset_flag_logic():
 
     base = FROZEN_SUBSET_BASELINE_SEC
 
-    # in-band, within tolerance: ratio published, no flag
-    ratio, flag = frozen_subset_verdict(base * 1.10, ambient_ok=True)
-    assert ratio == 1.1 and flag is None
+    # in-band, within tolerance: ratio published, no flag, no advisory
+    ratio, flag, adv = frozen_subset_verdict(base * 1.10, ambient_ok=True)
+    assert ratio == 1.1 and flag is None and adv is None
 
-    # in-band, regression beyond tolerance: flag fires
-    ratio, flag = frozen_subset_verdict(base * 1.30, ambient_ok=True)
+    # in-band, regression beyond tolerance: hard flag fires
+    ratio, flag, adv = frozen_subset_verdict(base * 1.30, ambient_ok=True)
     assert ratio == 1.3 and flag is not None and "regressed" in flag
+    assert adv is None
 
     # in-band, improvement beyond tolerance: also flagged (a 20%
     # composition-independent speedup needs explaining too)
-    ratio, flag = frozen_subset_verdict(base * 0.70, ambient_ok=True)
+    ratio, flag, adv = frozen_subset_verdict(base * 0.70, ambient_ok=True)
     assert flag is not None and "improved" in flag
 
-    # out-of-band ambient: never flags, ratio still published
-    ratio, flag = frozen_subset_verdict(base * 2.0, ambient_ok=False)
+    # out-of-band ambient + beyond-tolerance move: advisory, not the
+    # hard flag — visible but distinct from the in-band verdict
+    ratio, flag, adv = frozen_subset_verdict(base * 2.0, ambient_ok=False)
     assert ratio == 2.0 and flag is None
+    assert adv is not None and "regressed" in adv
+
+    # out-of-band but within tolerance: silent
+    ratio, flag, adv = frozen_subset_verdict(base * 1.05, ambient_ok=False)
+    assert flag is None and adv is None
 
     # degenerate inputs stay silent
-    assert frozen_subset_verdict(None, True) == (None, None)
-    assert frozen_subset_verdict(10.0, True, baseline=0.0) == (None, None)
+    assert frozen_subset_verdict(None, True) == (None, None, None)
+    assert frozen_subset_verdict(10.0, True, baseline=0.0) == (
+        None, None, None,
+    )
 
 
 def test_stage_and_swap_preserves_untouched_partitions(spark, tmp_path):
