@@ -1681,6 +1681,151 @@ def update_ann_index(
     )
 
 
+def append_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> None:
+    """Append-only fold of new vectors into the persisted RP-LSH index —
+    the production-cadence sibling of :func:`update_ann_index`: instead
+    of REWRITING every touched (t, bucket) partition (overwrite cost =
+    O(touched partition size) per trigger, which grows with the hot
+    buckets), this anti-joins the batch against only the touched
+    partitions (partition-pruned probe) and APPENDS the genuinely-new
+    membership rows — O(batch) written per trigger, stored rows never
+    rewritten.
+
+    The price is layout, not content: every fold adds at least one
+    file to each touched partition, so hot buckets fragment at cadence
+    — which is exactly the debt :func:`compact_ann_index` retires.
+    Content equivalence with the overwrite fold (and with a rebuild) is
+    by construction: membership is a set, the anti-join inserts each
+    (vec_id, t, bucket) at most once."""
+    batch_rows = rp_index_rows(new_emb, n_tables, n_planes)
+    touched = [
+        (r.t, r.bucket)
+        for r in batch_rows.select("t", "bucket").distinct().collect()
+    ]
+    if not touched:
+        return
+    cond = None
+    for t, bkt in touched:
+        c = (F.col("t") == t) & (F.col("bucket") == bkt)
+        cond = c if cond is None else (cond | c)
+    stored = spark.read.parquet(index_dir).filter(cond).select(
+        "vec_id", "t", "bucket"
+    )
+    fresh = (
+        batch_rows.select("vec_id", "t", "bucket")
+        .dropDuplicates(["vec_id", "t", "bucket"])
+        .join(stored, ["vec_id", "t", "bucket"], "left_anti")
+    )
+    fresh.write.mode("append").partitionBy("t", "bucket").parquet(index_dir)
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact the persisted RP-LSH index after streaming folds
+    (r11 verdict task #4, carried to r13): every
+    :func:`update_ann_index` fold rewrites its touched (t, bucket)
+    partitions with however many files the fold's tasks produced, so at
+    production cadence the hot buckets accumulate small files and probe
+    cost drifts from "read one clustered file set" toward "open
+    hundreds of fragments".  This rewrites ONLY the partitions holding
+    more files than their row count justifies, to
+    ``ceil(rows / target_rows_per_file)`` files each — probe results
+    are identical before and after (same rows, same pruning), which is
+    the compaction contract a table format's OPTIMIZE gives you.
+
+    Cost shape: the fragmentation census is one directory listing
+    (driver-side, bounded by n_tables × 2^n_planes partitions by
+    construction — the bucket space is fixed at index build time, not
+    data-sized) plus one footer-only row-count aggregation; the rewrite
+    reads and writes ONLY fragmented partitions (partition-pruned scan,
+    dynamic partition overwrite) — O(fragmented), never O(index).
+
+    Returns a stats dict: partitions seen/compacted, files before/after
+    (after = files actually on disk post-rewrite)."""
+    import math
+    import os
+
+    # census: files per partition directory (two-level Hive layout)
+    n_files: dict[tuple[str, str], int] = {}
+    for t_name in os.listdir(index_dir):
+        if not t_name.startswith("t="):
+            continue
+        t_dir = os.path.join(index_dir, t_name)
+        for b_name in os.listdir(t_dir):
+            if not b_name.startswith("bucket="):
+                continue
+            n_files[(t_name, b_name)] = sum(
+                1
+                for f in os.listdir(os.path.join(t_dir, b_name))
+                if f.endswith(".parquet")
+            )
+    # row counts per partition: partition-column-only aggregation —
+    # answered from parquet footers, no column IO
+    rows = {
+        (f"t={r.t}", f"bucket={r.bucket}"): r.n
+        for r in spark.read.parquet(index_dir)
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    plan = []  # (t_value, bucket_value, files_needed)
+    for key, nf in n_files.items():
+        n = rows.get(key, 0)
+        need = max(1, math.ceil(n / target_rows_per_file))
+        if nf > need:
+            plan.append(
+                (int(key[0][2:]), int(key[1][7:]), need)
+            )
+    stats = {
+        "partitions_total": len(n_files),
+        "partitions_compacted": len(plan),
+        "files_before": sum(n_files.values()),
+    }
+    if plan:
+        pred = None
+        for t, bkt, _ in plan:
+            c = (F.col("t") == t) & (F.col("bucket") == bkt)
+            pred = c if pred is None else (pred | c)
+        need_df = F.broadcast(
+            spark.createDataFrame(
+                plan, "t int, bucket int, __need int"
+            )
+        )
+        out_files = max(1, sum(p[2] for p in plan))
+        (
+            spark.read.parquet(index_dir)
+            .filter(pred)
+            .join(need_df, ["t", "bucket"])
+            .withColumn(
+                "__salt", F.pmod(F.col("vec_id"), F.col("__need"))
+            )
+            .repartition(out_files, "t", "bucket", "__salt")
+            .drop("__need", "__salt")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("t", "bucket")
+            .parquet(index_dir)
+        )
+    stats["files_after"] = sum(
+        sum(
+            1
+            for f in os.listdir(os.path.join(index_dir, t_name, b_name))
+            if f.endswith(".parquet")
+        )
+        for (t_name, b_name) in n_files
+    )
+    return stats
+
+
 def ann_recall_profile(
     spark: SparkSession,
     sf_dir: str,

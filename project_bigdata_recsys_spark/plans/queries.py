@@ -10649,6 +10649,13 @@ def _stream_update_ann_index_oracle(
 QUERIES["stream_update_ann_index"] = replay.stream_update_ann_index
 ORACLES["stream_update_ann_index"] = _stream_update_ann_index_oracle()
 
+# Round-13 (r11 verdict task #4 carried): the same bounded fold followed
+# by compact_ann_index — the oracle is shared VERBATIM because
+# compaction must change the file layout without changing one row of
+# index content; the file-count drop and probe identity are test-pinned.
+QUERIES["stream_ann_compaction"] = replay.stream_ann_compaction
+ORACLES["stream_ann_compaction"] = _stream_update_ann_index_oracle()
+
 
 # Round-11 wave: training-mix planning + secret scanning -------------------
 

@@ -1554,7 +1554,14 @@ def stream_update_ann_index(
         q.stop()
         raise RuntimeError("bounded ANN-maintenance replay did not terminate")
 
-    idx = spark.read.parquet(index_dir)
+    return _rp_index_profile(spark.read.parquet(index_dir))
+
+
+def _rp_index_profile(idx: DataFrame) -> DataFrame:
+    """Per-table membership profile of a persisted RP-LSH index — the
+    content-sensitive readout (row/vector/bucket counts + integer
+    checksum) both index-maintenance gate queries return, so any
+    content drift flips the shared oracle hash."""
     return (
         idx.groupBy(F.col("t").cast("long").alias("t"))
         .agg(
@@ -1570,6 +1577,82 @@ def stream_update_ann_index(
         )
         .orderBy("t")
     )
+
+
+def stream_ann_compaction(
+    spark: SparkSession,
+    sf_dir: str,
+    split_frac: float = 0.9,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    n_arrival_files: int = 3,
+) -> DataFrame:
+    """fold → COMPACT → read out: the maintenance loop
+    :func:`stream_update_ann_index` leaves open, closed (r11 verdict
+    task #4, carried to r13).  Each foreachBatch fold dynamically
+    overwrites the (t, bucket) partitions its micro-batch touches, and
+    at production cadence that fragments the hot buckets into stacks of
+    small files; this query runs the bounded fold in its
+    production-cadence APPEND form (:func:`similarity.append_ann_index`
+    — O(batch) written per trigger, stored rows never rewritten, so
+    every fold really does add files to its touched partitions), then
+    :func:`similarity.compact_ann_index` (rows-per-file target,
+    fragmented-partitions-only rewrite), then returns the same
+    per-table membership profile — sharing
+    ``ORACLES["stream_update_ann_index"]`` VERBATIM, so the driver hash
+    proves compaction changed the file layout without changing one row
+    of index content.  Probe-identity (same kNN results through the
+    compacted index) and the actual file-count drop are pinned in
+    tests/test_round13.py.
+
+    Reference analog: the factor-table sink kept queryable over time
+    (spark_jobs/batch_als_train.py:236-248) — here the maintained
+    artifact is the ANN index relation itself."""
+    from project_bigdata_recsys_spark.catalog import table_path
+    from project_bigdata_recsys_spark.functions.similarity import (
+        append_ann_index,
+        compact_ann_index,
+        rp_index_rows,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    work = scratch_dir(prefix="spark_stream_ann_compact_")
+    index_dir = os.path.join(work, "ann_index")
+    arrivals_dir = os.path.join(work, "arrivals")
+
+    max_vec = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    split_at = int(max_vec * split_frac) if max_vec is not None else 0
+
+    rp_index_rows(
+        emb.filter(F.col("vec_id") < split_at), n_tables, n_planes
+    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(index_dir)
+
+    emb.filter(F.col("vec_id") >= split_at).repartition(
+        n_arrival_files
+    ).write.parquet(arrivals_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        append_ann_index(spark, index_dir, batch_df, n_tables, n_planes)
+
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("bounded ANN-maintenance replay did not terminate")
+
+    compact_ann_index(spark, index_dir, target_rows_per_file=1_000_000)
+    return _rp_index_profile(spark.read.parquet(index_dir))
 
 
 def stream_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,6 +50,73 @@ def test_stage_and_swap_escaped_partition_full_delete(spark, tmp_path):
     shutil.rmtree(target)
 
 
+def test_compact_ann_index_probe_identity_and_file_drop(spark, tmp_path):
+    """fold → compact → probe ≡ rebuild → probe (r11 verdict task #4):
+    compaction must cut the fragment count the streaming folds created
+    while leaving every probe result — and therefore index content —
+    bit-identical to a from-scratch build over the full corpus."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.similarity import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        query_ann_index,
+        rp_index_rows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    max_vec = emb.agg({"vec_id": "max"}).collect()[0][0]
+    split = int(max_vec * 0.7)
+
+    idx = str(tmp_path / "idx")
+    rp_index_rows(
+        emb.filter(emb.vec_id < split), 4, 6
+    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(idx)
+
+    # three append-mode fold batches, like three micro-batches of the
+    # ingest stream — each append adds files to its touched partitions
+    lo = split
+    step = max(1, (int(max_vec) - split) // 3 + 1)
+    for i in range(3):
+        batch = emb.filter(
+            (emb.vec_id >= lo + i * step) & (emb.vec_id < lo + (i + 1) * step)
+        )
+        append_ann_index(spark, idx, batch, 4, 6)
+
+    before = [
+        tuple(r)
+        for r in query_ann_index(spark, sf, idx, query_vec_id=0).collect()
+    ]
+    stats = compact_ann_index(spark, idx, target_rows_per_file=1_000_000)
+    assert stats["partitions_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    # every partition now holds exactly the files its rows justify (=1
+    # at this scale)
+    assert stats["files_after"] == stats["partitions_total"]
+
+    after = [
+        tuple(r)
+        for r in query_ann_index(spark, sf, idx, query_vec_id=0).collect()
+    ]
+    assert before == after  # probe identity through the compacted index
+
+    rebuilt = str(tmp_path / "idx2")
+    build_ann_index(spark, sf, rebuilt)
+    reb = [
+        tuple(r)
+        for r in query_ann_index(
+            spark, sf, rebuilt, query_vec_id=0
+        ).collect()
+    ]
+    assert after == reb  # fold→compact ≡ rebuild
+
+    # idempotent: a second compaction finds nothing to do
+    again = compact_ann_index(spark, idx, target_rows_per_file=1_000_000)
+    assert again["partitions_compacted"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+
 def test_stage_and_swap_escaped_partition_update(spark, tmp_path):
     """An UPDATE on an escaped-value partition swaps the escaped dir in
     place (staged name and target name agree because both are
