@@ -11047,6 +11047,48 @@ QUERIES["stream_python_datasource"] = _stream_python_datasource
 ORACLES["stream_python_datasource"] = ORACLES["synthetic_interactions"]
 
 
+def _stream_python_datasource_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming Python DataSource consumed INCREMENTALLY (r11
+    verdict task #5, carried to r13): batchSize 700 over n=2000 forces
+    ≥3 latestOffset polls / partition plans under a processing-time
+    trigger (`_run_replay_incremental` raises below 3 non-empty
+    micro-batches), and the union of all increments must still be
+    row-identical to the batch generator — the shared
+    synthetic_interactions oracle, now gating the production
+    consumption shape instead of the one-snapshot availableNow form."""
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        _run_replay_incremental,
+    )
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    n = 2000
+    stream = (
+        spark.readStream.format("synthetic_interactions")
+        .option("n", n)
+        .option("seed", 42)
+        .option("batchSize", 700)
+        .option("numPartitions", 4)
+        .load()
+    )
+    table = _run_replay_incremental(
+        stream, spark, expected_rows=n, min_batches=3
+    )
+    return table.orderBy("user_id", "course_id", "event_ts")
+
+
+QUERIES["stream_python_datasource_incremental"] = (
+    _stream_python_datasource_incremental
+)
+ORACLES["stream_python_datasource_incremental"] = ORACLES[
+    "synthetic_interactions"
+]
+
+
 # Apply the rotation: this must remain the LAST statement touching
 # QUERIES — anything registered after it would land below the gate
 # window unseen (the round-5 late-wave mistake this block exists to

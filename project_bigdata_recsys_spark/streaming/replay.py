@@ -54,6 +54,75 @@ def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _run_replay_incremental(
+    sdf,
+    spark: SparkSession,
+    expected_rows: int,
+    min_batches: int = 3,
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """Drain a bounded stream under a PROCESSING-TIME trigger until the
+    memory sink holds ``expected_rows``, then stop — the incremental
+    multi-batch consumption path ``availableNow`` cannot exercise (it
+    snapshots ONE ``latestOffset`` poll, so a rate-limited source
+    collapses to a single micro-batch; pinned in tests/test_round11.py).
+    Raises unless at least ``min_batches`` non-empty micro-batches were
+    consumed, so a gate query through here proves the source's
+    offset → partitions(start, end) → read protocol across several REAL
+    increments, not one snapshot."""
+    import time
+
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _data_batches() -> int:
+        n = 0
+        for p in q.recentProgress:
+            rows = (
+                p["numInputRows"]
+                if isinstance(p, dict)
+                else getattr(p, "numInputRows", 0)
+            )
+            n += 1 if rows and int(rows) > 0 else 0
+        return n
+
+    try:
+        deadline = time.time() + timeout_sec
+        drained = False
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected_rows:
+                drained = True
+                break
+            time.sleep(0.25)
+        if not drained:
+            raise RuntimeError(
+                f"incremental replay {name} did not reach "
+                f"{expected_rows} rows within {timeout_sec}s"
+            )
+        # the final batch's progress event can land a beat after its
+        # rows appear in the sink — give it a bounded moment
+        settle = time.time() + 30
+        while _data_batches() < min_batches and time.time() < settle:
+            time.sleep(0.25)
+        n_batches = _data_batches()
+        if n_batches < min_batches:
+            raise RuntimeError(
+                f"incremental replay {name} consumed {n_batches} "
+                f"non-empty micro-batches; gate requires >= {min_batches}"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful per-(user, event_type) counters via applyInPandasWithState,
     replayed to completion.  After a full replay the final state equals the

@@ -117,6 +117,36 @@ def test_compact_ann_index_probe_identity_and_file_drop(spark, tmp_path):
     assert again["files_after"] == stats["files_after"]
 
 
+def test_run_replay_incremental_enforces_min_batches(spark):
+    """The incremental gate helper must FAIL, not silently pass, when
+    the source drains in fewer micro-batches than the gate claims —
+    here batchSize >= n collapses consumption to one poll, so the ≥3
+    requirement raises (r11 verdict task #5: the multi-batch claim has
+    to be load-bearing, not decorative)."""
+    import pytest
+
+    from project_bigdata_recsys_spark.sources.pyds import (
+        SyntheticInteractionsDataSource,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        _run_replay_incremental,
+    )
+
+    spark.dataSource.register(SyntheticInteractionsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_interactions")
+        .option("n", 300)
+        .option("seed", 42)
+        .option("batchSize", 300)
+        .option("numPartitions", 2)
+        .load()
+    )
+    with pytest.raises(RuntimeError, match="micro-batches"):
+        _run_replay_incremental(
+            stream, spark, expected_rows=300, min_batches=3
+        )
+
+
 def test_stage_and_swap_escaped_partition_update(spark, tmp_path):
     """An UPDATE on an escaped-value partition swaps the escaped dir in
     place (staged name and target name agree because both are
