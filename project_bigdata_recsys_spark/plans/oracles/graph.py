@@ -1,0 +1,119 @@
+"""DuckDB oracle SQL texts — graph family.
+
+Moved verbatim out of plans/queries.py (r12 verdict task 5: the
+11k-line registry split).  These are DATA, not code: each entry
+is the ANSI-SQL twin the driver runs against the same parquet
+tables; plans/queries.py re-exports them into ORACLES at the
+original registration sites, so registry order and text bytes
+are unchanged.  Oracle-parity rules live in the queries.py
+docstring.
+"""
+
+TEXTS: dict[str, str] = {}
+
+TEXTS['item_pmi'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS c_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3),
+    margins AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY 1),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets
+           FROM basket)
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS c_ab,
+           round(log2(nb.n_baskets * p.c_ab / (ma.c * mb.c)), 6) AS pmi
+    FROM pair_counts p
+    JOIN margins ma ON ma.l_partkey = p.part_a
+    JOIN margins mb ON mb.l_partkey = p.part_b
+    CROSS JOIN nb
+    ORDER BY pmi DESC, p.part_a, p.part_b
+    LIMIT 25
+"""
+
+TEXTS['item_communities'] = """
+    WITH RECURSIVE basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+        SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+              UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+    cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+    SELECT label AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(id) AS min_part,
+           max(id) AS max_part
+    FROM cc
+    GROUP BY label
+    HAVING count(*) >= 2
+    ORDER BY n_parts DESC, cluster_id
+    LIMIT 25
+"""
+
+TEXTS['item_triangles'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM und e1
+        JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    corners AS (
+        SELECT x AS l_partkey FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    per_node AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY l_partkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+    SELECT l_partkey, n_triangles, total_triangles
+    FROM per_node CROSS JOIN t
+    ORDER BY n_triangles DESC, l_partkey
+    LIMIT 20
+"""
+
+TEXTS['link_prediction_adamic_adar'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (
+        SELECT src AS z, dst AS nb FROM und
+        UNION ALL SELECT dst, src FROM und),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg
+            FROM adj GROUP BY z),
+    centers AS (
+        SELECT z, CAST(round(1000000.0 / ln(dg)) AS BIGINT) AS w
+        FROM deg WHERE dg >= 2 AND dg <= 64),
+    wedges AS (
+        SELECT a.nb AS u, b.nb AS v, c.w
+        FROM adj a
+        JOIN centers c ON a.z = c.z
+        JOIN adj b ON b.z = a.z AND a.nb < b.nb),
+    scored AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(w) AS BIGINT) AS aa
+        FROM wedges GROUP BY u, v),
+    ne AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.src = s.u AND e.dst = s.v))
+    SELECT u, v, n_common, round(aa / 1000000.0, 6) AS aa_score
+    FROM ne ORDER BY aa DESC, u, v LIMIT 20
+"""
