@@ -353,6 +353,11 @@ HEADLINE = [
     # Spark-4 Python DataSource surface (cost = Python worker fan-out)
     "python_datasource_interactions",
     "stream_python_datasource",
+    # round-13 wave: index-maintenance compaction (append folds + layout
+    # rewrite) and the multi-batch incremental datasource consumption
+    # (cost = 3 processing-time micro-batches + Python worker fan-out)
+    "stream_ann_compaction",
+    "stream_python_datasource_incremental",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2388,104 +2388,110 @@ ORACLES["split_source_audit"] = f"""
 # (r13 continues below; r14 onward = the remaining 36 r7-evidence queries
 # then the r8 block.)
 #
-# Round-13 rotation schedule (write-ahead, same discipline): the 36
-# remaining r6-latest-evidence queries in registration order, then the
-# 14 oldest r7-evidence queries in registration order:
-#     source_mixture, sessionize, approx_profile,
-#     csv_roundtrip_ingest, pricing_summary, unigram_logloss,
-#     length_bucketed_batches, novelty_profile, source_dup_attribution,
-#     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
-#     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
-#     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
-#     int8_quantization_profile, split_source_audit, ann_recall_profile,
-#     centroid_confusion, conversion_lag, gap_filled_daily,
-#     ab_test_lift, pareto_curve, forget_users_plan,
-#     event_transitions, multi_touch_attribution, decayed_popularity,
-#     kfold_assignment, negative_samples, pit_segment_rollup,
-#     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
-#     snapshot_diff, item_pagerank, video_frame_profile,
-#     media_profile, label_histogram,
-#     json_extraction, events_per_day, event_rate,
-#     stream_session_windows, rolling_median, deterministic_group_sample,
-#     knn_lsh, embedding_stats,
-#     user_topk_recommendations
-# (recomputed from the CORRECTNESS_r01..r10 union after the r11/r12
-# rotations land.  Schedule only — it counts once CORRECTNESS_r13.json
-# is green; re-verify locally at rotation time.)
+# Round-13 rotation schedule (EXECUTED below in round 13; local sf0.01
+# gate-window sweep output committed as PRECHECK_r13_gate.json — the
+# rotation counts only once CORRECTNESS_r13.json is green): the r6- and
+# oldest-r7/r4-evidence backlog from the write-ahead plan, with four
+# slots displaced to the r14 head (sessionize, approx_profile,
+# csv_roundtrip_ingest, pricing_summary — all r6-evidenced and
+# bench-/judge-exercised in r12) for the two repaired SQL-surface
+# queries (integer-cents fix, VERDICT r12 #1) and the two new r13 ops
+# entering with immediate driver evidence per the standing discipline:
+#     source_mixture, unigram_logloss, length_bucketed_batches,
+#     novelty_profile, source_dup_attribution, boilerplate_suffix_profile,
+#     source_vocabulary_profile, source_triage_report, label_centroid_outliers,
+#     nearest_centroid_agreement, source_quantile_filter, incremental_components,
+#     shuffled_export_manifest, pack_sequences_boundaries, int8_quantization_profile,
+#     split_source_audit, ann_recall_profile, centroid_confusion,
+#     conversion_lag, gap_filled_daily, ab_test_lift,
+#     pareto_curve, forget_users_plan, event_transitions,
+#     multi_touch_attribution, decayed_popularity, kfold_assignment,
+#     negative_samples, pit_segment_rollup, incremental_agg_merge,
+#     hll_daily_rollup, dedup_keep_best, snapshot_diff,
+#     item_pagerank, video_frame_profile, media_profile,
+#     label_histogram, json_extraction, events_per_day,
+#     event_rate, stream_session_windows, rolling_median,
+#     deterministic_group_sample, knn_lsh, embedding_stats,
+#     user_topk_recommendations, sql_cheapest_supplier, sql_in_subquery,
+#     stream_ann_compaction, stream_python_datasource_incremental
+# (recomputed at rotation time from the r01..r12 union; the 11
+# r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r14.json is green): the 47
-# remaining r7-evidence queries in registration order, then the first
-# three of the r8 block:
-#     cdc_current_view, course_stats, user_activity,
-#     distinct_counts, conditional_pivot, time_range_filter,
-#     derived_projection, top_k_orders, null_handling,
-#     multiway_join, rollup_totals, scalar_functions,
-#     union_dedup, anti_join_new_keys, semantic_contamination,
-#     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
-#     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
-#     rolling_distinct_users, fuzzy_name_matches, psi_drift,
-#     backfill_plan, schema_drift_report, source_dup_attribution_reused,
-#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
-#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
-#     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
-#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply,
-#     concurrent_events_peak, label_agreement_kappa, bm25_scores,
-#     vocab_coverage_curve, item_triangles, cms_heavy_hitters,
-#     item_similar_neighbors, lang_source_chi2, doc_quality_profile,
-#     lang_profile, doc_fingerprints
-# (r15 onward continues the r8 block.)
+# schedule only — counts once CORRECTNESS_r14.json is green): the four
+# names displaced from r13, then the remaining r7-evidence queries in
+# registration order:
+#     sessionize, approx_profile, csv_roundtrip_ingest,
+#     pricing_summary, cdc_current_view, course_stats,
+#     user_activity, distinct_counts, conditional_pivot,
+#     time_range_filter, derived_projection, top_k_orders,
+#     null_handling, multiway_join, rollup_totals,
+#     scalar_functions, union_dedup, anti_join_new_keys,
+#     semantic_contamination, stream_semantic_dedup, item_pagerank_personalized,
+#     prefix_cache_savings, packing_efficiency_sweep, monthly_growth,
+#     embedding_dim_profile, rolling_distinct_users, fuzzy_name_matches,
+#     psi_drift, backfill_plan, schema_drift_report,
+#     source_dup_attribution_reused, cluster_aware_split_reused, incremental_components_fold,
+#     stream_semantic_dedup_probe, stream_cdc_current, ann_rerank,
+#     ddsketch_quantile_rollup, stream_value_quantiles, merge_upsert_profile,
+#     bpe_pair_counts, rerank_uplift_profile, stream_late_data_audit,
+#     stream_merge_apply, concurrent_events_peak, label_agreement_kappa,
+#     bm25_scores, vocab_coverage_curve, item_triangles,
+#     cms_heavy_hitters, item_similar_neighbors
+# (r15 onward continues with lang_source_chi2, doc_quality_profile,
+#  lang_profile, doc_fingerprints — displaced from this block's tail —
+#  then the r8 block.)
 _GATE_WINDOW = [
-    "span_dedup_profile",
-    "duplicated_spans",
-    "weighted_sample",
-    "cluster_aware_split",
-    "group_quantile_filter",
-    "span_dedup_incremental",
-    "stream_trending_items",
-    "knn_pq",
+    "source_mixture",
+    "unigram_logloss",
+    "length_bucketed_batches",
+    "novelty_profile",
+    "source_dup_attribution",
+    "boilerplate_suffix_profile",
+    "source_vocabulary_profile",
+    "source_triage_report",
+    "label_centroid_outliers",
+    "nearest_centroid_agreement",
+    "source_quantile_filter",
+    "incremental_components",
+    "shuffled_export_manifest",
+    "pack_sequences_boundaries",
+    "int8_quantization_profile",
+    "split_source_audit",
+    "ann_recall_profile",
+    "centroid_confusion",
+    "conversion_lag",
+    "gap_filled_daily",
+    "ab_test_lift",
+    "pareto_curve",
+    "forget_users_plan",
+    "event_transitions",
+    "multi_touch_attribution",
+    "decayed_popularity",
+    "kfold_assignment",
+    "negative_samples",
+    "pit_segment_rollup",
+    "incremental_agg_merge",
+    "hll_daily_rollup",
+    "dedup_keep_best",
+    "snapshot_diff",
+    "item_pagerank",
+    "video_frame_profile",
+    "media_profile",
+    "label_histogram",
+    "json_extraction",
+    "events_per_day",
+    "event_rate",
+    "stream_session_windows",
+    "rolling_median",
+    "deterministic_group_sample",
+    "knn_lsh",
+    "embedding_stats",
+    "user_topk_recommendations",
     "sql_cheapest_supplier",
-    "sql_exists_filter",
     "sql_in_subquery",
-    "entropy_profile",
-    "item_pmi",
-    "corpus_mixture_tokens",
-    "stream_span_dedup",
-    "augment_token_dropout",
-    "corpus_mixture_tokens_sharded",
-    "jsonl_roundtrip_ingest",
-    "variant_extraction",
-    "equi_depth_histogram",
-    "span_contamination",
-    "knn_pq_multi",
-    "analyze_table",
-    "cohort_retention",
-    "event_funnel",
-    "association_rules",
-    "robust_outliers",
-    "dau_wau_stickiness",
-    "item_communities",
-    "scd2_history",
-    "span_curation_funnel",
-    "pack_sequences_sharded",
-    "embedding_dup_clusters_lsh",
-    "knn_ivf_lloyd",
-    "knn_graph",
-    "cluster_capped_sample",
-    "stream_ingest_dedup",
-    "skew_report",
-    "media_dedup",
-    "interval_overlap_counts",
-    "corpus_mixture_sharded",
-    "curation_funnel_sharded",
-    "incremental_dedup_indexed",
-    "purchase_asof_click",
-    "normalized_duplicates",
-    "rfm_segments",
-    "power_user_rank",
-    "source_scorecard",
-    "cross_source_overlap",
-    "boilerplate_prefix_profile",
+    "stream_ann_compaction",
+    "stream_python_datasource_incremental",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
