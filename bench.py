@@ -358,6 +358,10 @@ HEADLINE = [
     # (cost = 3 processing-time micro-batches + Python worker fan-out)
     "stream_ann_compaction",
     "stream_python_datasource_incremental",
+    # r13 stretch: cross-snapshot index churn audit + tokenizer
+    # fertility table (one documents scan, byte/char/token kernels)
+    "ann_index_diff",
+    "tokenizer_fertility_audit",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

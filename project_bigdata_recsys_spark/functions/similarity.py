@@ -1826,6 +1826,102 @@ def compact_ann_index(
     return stats
 
 
+def ann_index_diff(
+    spark: SparkSession,
+    sf_dir: str,
+    split_frac: float = 0.9,
+    retire_frac: float = 0.05,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Cross-snapshot ANN-index DIFF (r12 verdict task 7): the
+    manifest-diff recipe (functions/dedup.py::dedup_manifest_diff)
+    applied to the persisted (vec_id, t, bucket) relation — the
+    audit an index owner runs between two maintenance states: which
+    memberships appeared, which were retired, and per-table churn
+    checksums, without re-probing anything.
+
+    Snapshots are deterministic: T0 indexes the settled corpus
+    (vec_id < split); T1 retires an md5-chosen ``retire_frac`` cohort
+    of the base and adds the arrival tail — so the diff has BOTH
+    directions.  Both snapshots are persisted in the index layout and
+    diffed with anti-joins on (vec_id, t, bucket): co-partitioned by
+    the layout they were written in, output bounded by churn, never
+    O(index²).  Stable counts derive arithmetically (|T0| − removed),
+    so the whole readout is one pass over each snapshot."""
+    import os
+
+    from project_bigdata_recsys_spark.caching import scratch_dir
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_vec = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    split_at = int(max_vec * split_frac) if max_vec is not None else 0
+
+    base = emb.filter(F.col("vec_id") < split_at)
+    survivors = base.filter(
+        hash_uniform(F.col("vec_id"), "retire:") >= retire_frac
+    )
+    t1_members = survivors.unionByName(
+        emb.filter(F.col("vec_id") >= split_at)
+    )
+
+    work = scratch_dir(prefix="spark_ann_diff_")
+    d0 = os.path.join(work, "t0")
+    d1 = os.path.join(work, "t1")
+    rp_index_rows(base, n_tables, n_planes).write.mode(
+        "overwrite"
+    ).partitionBy("t", "bucket").parquet(d0)
+    rp_index_rows(t1_members, n_tables, n_planes).write.mode(
+        "overwrite"
+    ).partitionBy("t", "bucket").parquet(d1)
+
+    s0 = spark.read.parquet(d0).select("vec_id", "t", "bucket")
+    s1 = spark.read.parquet(d1).select("vec_id", "t", "bucket")
+    chk = (
+        F.col("bucket").cast("long") * F.lit(100003)
+        + F.col("vec_id").cast("long")
+    )
+    added = (
+        s1.join(s0, ["vec_id", "t", "bucket"], "left_anti")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_added"),
+            F.sum(chk).cast("long").alias("added_checksum"),
+        )
+    )
+    removed = (
+        s0.join(s1, ["vec_id", "t", "bucket"], "left_anti")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+            F.sum(chk).cast("long").alias("removed_checksum"),
+        )
+    )
+    tot = s0.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_t0"))
+    return (
+        tot.join(added, "t", "left")
+        .join(removed, "t", "left")
+        .select(
+            F.col("t").cast("long").alias("t"),
+            (
+                F.col("n_t0") - F.coalesce("n_removed", F.lit(0))
+            ).cast("long").alias("n_stable"),
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+            F.coalesce("added_checksum", F.lit(0)).cast("long").alias(
+                "added_checksum"
+            ),
+            F.coalesce("removed_checksum", F.lit(0)).cast("long").alias(
+                "removed_checksum"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
 def ann_recall_profile(
     spark: SparkSession,
     sf_dir: str,

@@ -223,6 +223,87 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic multibyte markers per language for the fertility audit:
+#: the synthetic corpus is ASCII-only, so without a plant every
+#: bytes-per-token ratio degenerates to chars-per-token.  Appended
+#: identically in both engines (the oracle repeats the same CASE), the
+#: markers give each non-English language a realistic UTF-8 overhead —
+#: exactly the signal a tokenizer-fertility audit exists to expose.
+FERTILITY_MARKERS = {
+    "es": " año señal más" * 3,
+    "fr": " été déjà côté" * 3,
+    "de": " größe über straße" * 3,
+    "zh": " 数据 模型 训练" * 3,
+}
+
+
+def plant_fertility_markers(text: Column, lang: Column) -> Column:
+    """Append the language's multibyte marker (no-op for 'en')."""
+    out = text
+    expr = None
+    for lg, suffix in sorted(FERTILITY_MARKERS.items()):
+        branch = F.concat(text, F.lit(suffix))
+        expr = (
+            F.when(lang == lg, branch)
+            if expr is None
+            else expr.when(lang == lg, branch)
+        )
+    return expr.otherwise(out)
+
+
+def tokenizer_fertility_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per (lang, source) — bytes/token, tokens/word
+    and multibyte overhead, the table a tokenizer owner reads before
+    fixing a token budget across languages (r12 verdict task 7; sits
+    beside bpe_pair_counts the way a fertility report sits beside merge
+    statistics).  High bytes-per-token for a language means the BPE-ish
+    segmentation is paying more raw corpus per training token there —
+    the classic under-served-language signal.
+
+    Everything is JVM-side column work on one scan: UTF-8 byte length
+    (octet_length) vs character length, the proven whitespace and
+    BPE-ish token kernels, integer sums, and 6-dp ratios of exact
+    integers — so DuckDB reproduces every value bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "lang",
+        "source",
+        plant_fertility_markers(F.col("text"), F.col("lang")).alias("t"),
+    )
+    per_doc = planted.select(
+        "lang",
+        "source",
+        token_count(F.col("t")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("t")).alias("bpe_tokens"),
+        F.length("t").cast("long").alias("n_chars"),
+        F.octet_length("t").cast("long").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.round(F.sum("n_bytes") * 1.0 / F.sum("bpe_tokens"), 6).alias(
+                "bytes_per_token"
+            ),
+            F.round(F.sum("bpe_tokens") * 1.0 / F.sum("ws_tokens"), 6).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.sum("n_chars") * 1.0 / F.sum("bpe_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(
+                (F.sum("n_bytes") - F.sum("n_chars")) * 1.0
+                / F.sum("n_bytes"),
+                6,
+            ).alias("multibyte_ratio"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 #: 25 marker repetitions — enough to dominate any incidental English
 #: marker count in the synthetic corpus (texts are English-ish tech words
 #: for every label, so unaugmented detection degenerates to all-'en').

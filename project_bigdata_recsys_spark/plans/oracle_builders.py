@@ -1915,3 +1915,115 @@ def _minhash_calibration_oracle(n_hashes: int = 16) -> str:
                      / count(*), 6) AS fp_rate_at_half
         FROM scored GROUP BY est_jaccard ORDER BY est_jaccard
     """
+
+
+def _ann_index_diff_oracle(
+    split_frac: float = 0.9,
+    retire_frac: float = 0.05,
+    n_tables: int = 4,
+    n_planes: int = 6,
+) -> str:
+    """SQL twin of similarity.ann_index_diff: recompute BOTH snapshot
+    memberships with the deterministic Rademacher bucket expressions
+    (same as _stream_update_ann_index_oracle), diff them with EXCEPT,
+    and roll up per-table churn counts + checksums."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = (
+                f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
+                f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+            )
+            proj = (
+                f"list_sum(list_transform(range(0, len(emb)),"
+                f" i -> emb[i + 1] * {w}))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    buck = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        mx AS (SELECT CAST(floor(max(vec_id) * CAST({split_frac} AS DOUBLE))
+                           AS BIGINT) AS split_at FROM b),
+        buck AS ({buck}),
+        t0 AS (SELECT vec_id, t, bucket FROM buck
+               WHERE vec_id < (SELECT split_at FROM mx)),
+        retired AS (SELECT vec_id FROM b
+                    WHERE ('0x' || substr(md5('retire:'
+                              || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 < CAST({retire_frac} AS DOUBLE)),
+        t1 AS (SELECT vec_id, t, bucket FROM buck
+               WHERE (vec_id < (SELECT split_at FROM mx)
+                      AND vec_id NOT IN (SELECT vec_id FROM retired))
+                  OR vec_id >= (SELECT split_at FROM mx)),
+        added AS (SELECT * FROM t1 EXCEPT SELECT * FROM t0),
+        removed AS (SELECT * FROM t0 EXCEPT SELECT * FROM t1),
+        a AS (SELECT t, count(*) AS n_added,
+                     sum(bucket * 100003 + vec_id) AS ac
+              FROM added GROUP BY t),
+        r AS (SELECT t, count(*) AS n_removed,
+                     sum(bucket * 100003 + vec_id) AS rc
+              FROM removed GROUP BY t),
+        tot AS (SELECT t, count(*) AS n_t0 FROM t0 GROUP BY t)
+        SELECT CAST(tot.t AS BIGINT) AS t,
+               CAST(tot.n_t0 - coalesce(r.n_removed, 0) AS BIGINT)
+                   AS n_stable,
+               CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(coalesce(a.ac, 0) AS BIGINT) AS added_checksum,
+               CAST(coalesce(r.rc, 0) AS BIGINT) AS removed_checksum
+        FROM tot LEFT JOIN a ON a.t = tot.t LEFT JOIN r ON r.t = tot.t
+        ORDER BY t
+    """
+
+
+def _tokenizer_fertility_oracle() -> str:
+    """SQL twin of text.tokenizer_fertility_audit: the same multibyte
+    markers (imported, so both engines plant IDENTICAL strings), the
+    proven whitespace + BPE-ish token kernels, and 6-dp ratios of
+    exact integer sums.  strlen = UTF-8 bytes, length = code points."""
+    from project_bigdata_recsys_spark.functions.text import (
+        FERTILITY_MARKERS,
+    )
+
+    whens = "\n                   ".join(
+        f"WHEN '{lg}' THEN text || '{sfx}'"
+        for lg, sfx in sorted(FERTILITY_MARKERS.items())
+    )
+    return rf"""
+        WITH planted AS (
+            SELECT lang, source,
+                   CASE lang
+                   {whens}
+                   ELSE text END AS t
+            FROM documents),
+        per_doc AS (
+            SELECT lang, source,
+                   len(string_split(t, ' ')) AS ws_tokens,
+                   list_sum(list_transform(
+                       regexp_extract_all(t,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                       w -> CAST(ceil(length(w)/4.0) AS BIGINT)))
+                       AS bpe_tokens,
+                   length(t) AS n_chars,
+                   strlen(t) AS n_bytes
+            FROM planted)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               round(sum(n_bytes) * 1.0 / sum(bpe_tokens), 6)
+                   AS bytes_per_token,
+               round(sum(bpe_tokens) * 1.0 / sum(ws_tokens), 6)
+                   AS tokens_per_word,
+               round(sum(n_chars) * 1.0 / sum(bpe_tokens), 6)
+                   AS chars_per_token,
+               round((sum(n_bytes) - sum(n_chars)) * 1.0 / sum(n_bytes), 6)
+                   AS multibyte_ratio
+        FROM per_doc GROUP BY lang, source ORDER BY lang, source
+    """

@@ -59,6 +59,7 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
     _absorption_oracle,
     _analyze_table_oracle,
+    _ann_index_diff_oracle,
     _ann_recall_oracle,
     _bradley_terry_oracle,
     _cluster_aware_split_oracle,
@@ -97,6 +98,9 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _textrank_oracle,
     _top_pc_oracle,
     _vocab_cover_oracle,
+)
+from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
+    _tokenizer_fertility_oracle,
 )
 from project_bigdata_recsys_spark.plans.oracles import TEXTS as _TEXTS
 from project_bigdata_recsys_spark.streaming import replay
@@ -2391,59 +2395,59 @@ ORACLES["split_source_audit"] = f"""
 # Round-13 rotation schedule (EXECUTED below in round 13; local sf0.01
 # gate-window sweep output committed as PRECHECK_r13_gate.json — the
 # rotation counts only once CORRECTNESS_r13.json is green): the r6- and
-# oldest-r7/r4-evidence backlog from the write-ahead plan, with four
+# oldest-r7/r4-evidence backlog from the write-ahead plan, with six
 # slots displaced to the r14 head (sessionize, approx_profile,
-# csv_roundtrip_ingest, pricing_summary — all r6-evidenced and
-# bench-/judge-exercised in r12) for the two repaired SQL-surface
-# queries (integer-cents fix, VERDICT r12 #1) and the two new r13 ops
-# entering with immediate driver evidence per the standing discipline:
-#     source_mixture, unigram_logloss, length_bucketed_batches,
-#     novelty_profile, source_dup_attribution, boilerplate_suffix_profile,
-#     source_vocabulary_profile, source_triage_report, label_centroid_outliers,
-#     nearest_centroid_agreement, source_quantile_filter, incremental_components,
-#     shuffled_export_manifest, pack_sequences_boundaries, int8_quantization_profile,
-#     split_source_audit, ann_recall_profile, centroid_confusion,
-#     conversion_lag, gap_filled_daily, ab_test_lift,
-#     pareto_curve, forget_users_plan, event_transitions,
-#     multi_touch_attribution, decayed_popularity, kfold_assignment,
-#     negative_samples, pit_segment_rollup, incremental_agg_merge,
-#     hll_daily_rollup, dedup_keep_best, snapshot_diff,
-#     item_pagerank, video_frame_profile, media_profile,
-#     label_histogram, json_extraction, events_per_day,
-#     event_rate, stream_session_windows, rolling_median,
-#     deterministic_group_sample, knn_lsh, embedding_stats,
-#     user_topk_recommendations, sql_cheapest_supplier, sql_in_subquery,
-#     stream_ann_compaction, stream_python_datasource_incremental
+# csv_roundtrip_ingest, pricing_summary, source_mixture,
+# unigram_logloss — all r6-evidenced and bench-/judge-exercised) for
+# the two repaired SQL-surface queries (integer-cents fix, VERDICT r12
+# #1) and the four new r13 ops entering with immediate driver evidence
+# per the standing discipline:
+#     length_bucketed_batches, novelty_profile, source_dup_attribution,
+#     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
+#     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
+#     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
+#     int8_quantization_profile, split_source_audit, ann_recall_profile,
+#     centroid_confusion, conversion_lag, gap_filled_daily,
+#     ab_test_lift, pareto_curve, forget_users_plan,
+#     event_transitions, multi_touch_attribution, decayed_popularity,
+#     kfold_assignment, negative_samples, pit_segment_rollup,
+#     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
+#     snapshot_diff, item_pagerank, video_frame_profile,
+#     media_profile, label_histogram, json_extraction,
+#     events_per_day, event_rate, stream_session_windows,
+#     rolling_median, deterministic_group_sample, knn_lsh,
+#     embedding_stats, user_topk_recommendations, sql_cheapest_supplier,
+#     sql_in_subquery, stream_ann_compaction, stream_python_datasource_incremental,
+#     ann_index_diff, tokenizer_fertility_audit
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r14.json is green): the four
+# schedule only — counts once CORRECTNESS_r14.json is green): the six
 # names displaced from r13, then the remaining r7-evidence queries in
 # registration order:
-#     sessionize, approx_profile, csv_roundtrip_ingest,
-#     pricing_summary, cdc_current_view, course_stats,
-#     user_activity, distinct_counts, conditional_pivot,
-#     time_range_filter, derived_projection, top_k_orders,
-#     null_handling, multiway_join, rollup_totals,
-#     scalar_functions, union_dedup, anti_join_new_keys,
-#     semantic_contamination, stream_semantic_dedup, item_pagerank_personalized,
-#     prefix_cache_savings, packing_efficiency_sweep, monthly_growth,
-#     embedding_dim_profile, rolling_distinct_users, fuzzy_name_matches,
-#     psi_drift, backfill_plan, schema_drift_report,
-#     source_dup_attribution_reused, cluster_aware_split_reused, incremental_components_fold,
-#     stream_semantic_dedup_probe, stream_cdc_current, ann_rerank,
-#     ddsketch_quantile_rollup, stream_value_quantiles, merge_upsert_profile,
-#     bpe_pair_counts, rerank_uplift_profile, stream_late_data_audit,
-#     stream_merge_apply, concurrent_events_peak, label_agreement_kappa,
-#     bm25_scores, vocab_coverage_curve, item_triangles,
-#     cms_heavy_hitters, item_similar_neighbors
-# (r15 onward continues with lang_source_chi2, doc_quality_profile,
-#  lang_profile, doc_fingerprints — displaced from this block's tail —
-#  then the r8 block.)
+#     source_mixture, unigram_logloss, sessionize,
+#     approx_profile, csv_roundtrip_ingest, pricing_summary,
+#     cdc_current_view, course_stats, user_activity,
+#     distinct_counts, conditional_pivot, time_range_filter,
+#     derived_projection, top_k_orders, null_handling,
+#     multiway_join, rollup_totals, scalar_functions,
+#     union_dedup, anti_join_new_keys, semantic_contamination,
+#     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
+#     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
+#     rolling_distinct_users, fuzzy_name_matches, psi_drift,
+#     backfill_plan, schema_drift_report, source_dup_attribution_reused,
+#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
+#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
+#     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
+#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply,
+#     concurrent_events_peak, label_agreement_kappa, bm25_scores,
+#     vocab_coverage_curve, item_triangles
+# (r15 onward continues with cms_heavy_hitters, item_similar_neighbors,
+#  lang_source_chi2, doc_quality_profile, lang_profile,
+#  doc_fingerprints — displaced from this block's tail — then the r8
+#  block.)
 _GATE_WINDOW = [
-    "source_mixture",
-    "unigram_logloss",
     "length_bucketed_batches",
     "novelty_profile",
     "source_dup_attribution",
@@ -2492,6 +2496,8 @@ _GATE_WINDOW = [
     "sql_in_subquery",
     "stream_ann_compaction",
     "stream_python_datasource_incremental",
+    "ann_index_diff",
+    "tokenizer_fertility_audit",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -3658,6 +3664,39 @@ ORACLES["stream_update_ann_index"] = _stream_update_ann_index_oracle()
 # index content; the file-count drop and probe identity are test-pinned.
 QUERIES["stream_ann_compaction"] = replay.stream_ann_compaction
 ORACLES["stream_ann_compaction"] = _stream_update_ann_index_oracle()
+
+
+def _ann_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ANN-index diff (r12 verdict task 7): persisted
+    (vec_id, t, bucket) snapshots T0/T1 — md5-retired base cohort +
+    arrival tail — diffed with co-partitioned anti-joins; see
+    functions.similarity.ann_index_diff."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        ann_index_diff,
+    )
+
+    return ann_index_diff(spark, sf_dir)
+
+
+QUERIES["ann_index_diff"] = _ann_index_diff
+ORACLES["ann_index_diff"] = _ann_index_diff_oracle()
+
+
+def _tokenizer_fertility_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per (lang, source): bytes/token, tokens/word,
+    multibyte overhead — see functions.text.tokenizer_fertility_audit
+    (r12 verdict task 7, the bpe_pair_counts sibling)."""
+    from project_bigdata_recsys_spark.functions.text import (
+        tokenizer_fertility_audit,
+    )
+
+    return tokenizer_fertility_audit(spark, sf_dir)
+
+
+QUERIES["tokenizer_fertility_audit"] = _tokenizer_fertility_audit
+ORACLES["tokenizer_fertility_audit"] = _tokenizer_fertility_oracle()
 
 
 # Round-11 wave: training-mix planning + secret scanning -------------------
