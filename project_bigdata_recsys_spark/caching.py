@@ -46,6 +46,16 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def scratch_dir_deferred(prefix: str) -> str:
+    """mkdtemp NOT yet registered for the exit purge — for scratch that
+    is the only recovery source until some commit point (the CoW
+    merge's staging dir).  The caller MUST hand the path to
+    :func:`track_scratch` once its commit completes; until then a
+    failure deliberately leaves the directory on disk (that's the
+    point), so an abandoned path is a recovery artifact, not a leak."""
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def track_scratch(path: str) -> str:
     """Register an EXISTING directory for the process-exit purge.
 

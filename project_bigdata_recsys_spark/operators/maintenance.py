@@ -255,12 +255,14 @@ def _stage_and_swap(
     format's commit).  Returns the staged partition directory names."""
     import os
     import shutil
-    import tempfile
     from urllib.parse import unquote
 
-    from project_bigdata_recsys_spark.caching import track_scratch
+    from project_bigdata_recsys_spark.caching import (
+        scratch_dir_deferred,
+        track_scratch,
+    )
 
-    staging_root = tempfile.mkdtemp(prefix="spark_merge_")
+    staging_root = scratch_dir_deferred(prefix="spark_merge_")
     staging = os.path.join(staging_root, "stage")
     # explicit numPartitions: a bare repartition(col) gets AQE-coalesced
     # to ~2 tasks at this volume, which then write all the partition

@@ -2447,6 +2447,30 @@ ORACLES["split_source_audit"] = f"""
 #  lang_source_chi2, doc_quality_profile, lang_profile,
 #  doc_fingerprints — displaced from this block's tail — then the r8
 #  block.)
+#
+# Round-15 rotation schedule (write-ahead, same discipline;
+# schedule only — counts once CORRECTNESS_r15.json is green): the six
+# names displaced past r14, then the oldest-evidence (r8) queries in
+# registration order:
+#     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
+#     doc_quality_profile, lang_profile, doc_fingerprints,
+#     token_stats, lang_id_confusion, pii_redaction_profile,
+#     semi_join_filter, cooccurrence_pairs, sample_deterministic,
+#     data_quality_report, cube_totals, percentile_stats,
+#     pivot_status_by_priority, cheapest_order_per_customer, time_rollup,
+#     paginated_orders, shipping_priority, local_supplier_volume,
+#     small_quantity_revenue, big_orders, quantity_band_stats,
+#     price_tier_join, grouping_sets_stats, customers_intersect,
+#     customers_except, priority_union_all, latest_order_per_customer,
+#     drift_lag, top_n_per_group, running_total,
+#     moving_avg_range, ntile_quartiles, order_gaps,
+#     semdedup_profile, domain_quota_sample, k_anonymity_profile,
+#     stream_domain_quota, incremental_domain_quota, ranking_metrics,
+#     bloom_membership_profile, ks_value_drift, mann_whitney_drift,
+#     als_ranking_eval, stream_kmv_distinct, trending_items,
+#     doc_repetition_profile, kmv_distinct_rollup
+# (r16 onward continues the remaining r8/r9 blocks in evidence-age
+#  order.)
 _GATE_WINDOW = [
     "length_bucketed_batches",
     "novelty_profile",

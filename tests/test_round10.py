@@ -179,7 +179,12 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
 
 @pytest.mark.parametrize(
     "rnd,stop",
-    [("12", r"# \(r13"), ("13", r"# \(recomputed"), ("14", r"# \(r15")],
+    [
+        ("12", r"# \(r13"),
+        ("13", r"# \(recomputed"),
+        ("14", r"# \(r15"),
+        ("15", r"# \(r16"),
+    ],
 )
 def test_write_ahead_schedule_names_are_registered(rnd, stop):
     """The write-ahead rotations above _GATE_WINDOW are only worth their
