@@ -117,6 +117,43 @@ def test_compact_ann_index_probe_identity_and_file_drop(spark, tmp_path):
     assert again["files_after"] == stats["files_after"]
 
 
+def test_compact_ann_index_multi_file_target(spark, tmp_path):
+    """The rows-per-file target above 1 output file per partition (the
+    salt path): a partition holding more files than its rows justify is
+    rewritten to at most ceil(rows/target) files with the row set
+    untouched; partitions already within budget are left alone."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.functions.similarity import (
+        compact_ann_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    rows = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("t"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+    )
+    # 8 fragments per partition directory
+    rows.repartition(8).write.mode("overwrite").partitionBy(
+        "t", "bucket"
+    ).parquet(idx)
+
+    before = {
+        tuple(r) for r in spark.read.parquet(idx).collect()
+    }
+    stats = compact_ann_index(spark, idx, target_rows_per_file=25)
+    # 50 rows per bucket / 25 per file = 2 files each, down from 8
+    assert stats["partitions_total"] == 2
+    assert stats["partitions_compacted"] == 2
+    assert stats["files_after"] <= 4 < stats["files_before"]
+    after = {tuple(r) for r in spark.read.parquet(idx).collect()}
+    assert before == after
+
+    again = compact_ann_index(spark, idx, target_rows_per_file=25)
+    assert again["partitions_compacted"] == 0
+
+
 def test_run_replay_incremental_enforces_min_batches(spark):
     """The incremental gate helper must FAIL, not silently pass, when
     the source drains in fewer micro-batches than the gate claims —
