@@ -1656,29 +1656,35 @@ def update_ann_index(
     The index rows are plain (vec_id, t, bucket) membership — a set
     union, trivially associative — so yesterday's index ⊕ today's batch
     ≡ a from-scratch build over the union (test-pinned)."""
-    batch_rows = rp_index_rows(new_emb, n_tables, n_planes)
-    touched = [
-        (r.t, r.bucket)
-        for r in batch_rows.select("t", "bucket").distinct().collect()
-    ]
-    if not touched:
-        return
-    cond = None
-    for t, bkt in touched:
-        c = (F.col("t") == t) & (F.col("bucket") == bkt)
-        cond = c if cond is None else (cond | c)
-    stored = spark.read.parquet(index_dir).filter(cond).select(
-        "vec_id", "t", "bucket"
-    )
-    merged = stored.unionByName(
-        batch_rows.select("vec_id", "t", "bucket")
-    ).dropDuplicates(["vec_id", "t", "bucket"])
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("t", "bucket")
-        .parquet(index_dir)
-    )
+    # persist: the touched-partition collect AND the write both consume
+    # this frame, and the n_tables × n_planes RP projections are the
+    # expensive part of a fold — hash the batch once, not twice
+    batch_rows = rp_index_rows(new_emb, n_tables, n_planes).persist()
+    try:
+        touched = [
+            (r.t, r.bucket)
+            for r in batch_rows.select("t", "bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        cond = None
+        for t, bkt in touched:
+            c = (F.col("t") == t) & (F.col("bucket") == bkt)
+            cond = c if cond is None else (cond | c)
+        stored = spark.read.parquet(index_dir).filter(cond).select(
+            "vec_id", "t", "bucket"
+        )
+        merged = stored.unionByName(
+            batch_rows.select("vec_id", "t", "bucket")
+        ).dropDuplicates(["vec_id", "t", "bucket"])
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("t", "bucket")
+            .parquet(index_dir)
+        )
+    finally:
+        batch_rows.unpersist()
 
 
 def append_ann_index(
@@ -1703,26 +1709,33 @@ def append_ann_index(
     Content equivalence with the overwrite fold (and with a rebuild) is
     by construction: membership is a set, the anti-join inserts each
     (vec_id, t, bucket) at most once."""
-    batch_rows = rp_index_rows(new_emb, n_tables, n_planes)
-    touched = [
-        (r.t, r.bucket)
-        for r in batch_rows.select("t", "bucket").distinct().collect()
-    ]
-    if not touched:
-        return
-    cond = None
-    for t, bkt in touched:
-        c = (F.col("t") == t) & (F.col("bucket") == bkt)
-        cond = c if cond is None else (cond | c)
-    stored = spark.read.parquet(index_dir).filter(cond).select(
-        "vec_id", "t", "bucket"
-    )
-    fresh = (
-        batch_rows.select("vec_id", "t", "bucket")
-        .dropDuplicates(["vec_id", "t", "bucket"])
-        .join(stored, ["vec_id", "t", "bucket"], "left_anti")
-    )
-    fresh.write.mode("append").partitionBy("t", "bucket").parquet(index_dir)
+    # hash the batch once (see update_ann_index): both the touched
+    # collect and the append read this frame
+    batch_rows = rp_index_rows(new_emb, n_tables, n_planes).persist()
+    try:
+        touched = [
+            (r.t, r.bucket)
+            for r in batch_rows.select("t", "bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        cond = None
+        for t, bkt in touched:
+            c = (F.col("t") == t) & (F.col("bucket") == bkt)
+            cond = c if cond is None else (cond | c)
+        stored = spark.read.parquet(index_dir).filter(cond).select(
+            "vec_id", "t", "bucket"
+        )
+        fresh = (
+            batch_rows.select("vec_id", "t", "bucket")
+            .dropDuplicates(["vec_id", "t", "bucket"])
+            .join(stored, ["vec_id", "t", "bucket"], "left_anti")
+        )
+        fresh.write.mode("append").partitionBy("t", "bucket").parquet(
+            index_dir
+        )
+    finally:
+        batch_rows.unpersist()
 
 
 def compact_ann_index(
