@@ -1871,23 +1871,25 @@ def ann_index_diff(
     max_vec = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     split_at = int(max_vec * split_frac) if max_vec is not None else 0
 
-    base = emb.filter(F.col("vec_id") < split_at)
-    survivors = base.filter(
-        hash_uniform(F.col("vec_id"), "retire:") >= retire_frac
-    )
-    t1_members = survivors.unionByName(
-        emb.filter(F.col("vec_id") >= split_at)
-    )
-
     work = scratch_dir(prefix="spark_ann_diff_")
     d0 = os.path.join(work, "t0")
     d1 = os.path.join(work, "t1")
-    rp_index_rows(base, n_tables, n_planes).write.mode(
-        "overwrite"
-    ).partitionBy("t", "bucket").parquet(d0)
-    rp_index_rows(t1_members, n_tables, n_planes).write.mode(
-        "overwrite"
-    ).partitionBy("t", "bucket").parquet(d1)
+    # a vector's buckets depend only on the vector, so hash the corpus
+    # ONCE and carve both snapshot memberships out of the hashed
+    # relation with filters — T0 and T1 overlap on ~95% of the base,
+    # and the RP projections are the expensive part
+    hashed = rp_index_rows(emb, n_tables, n_planes).persist()
+    try:
+        hashed.filter(F.col("vec_id") < split_at).write.mode(
+            "overwrite"
+        ).partitionBy("t", "bucket").parquet(d0)
+        retained = hash_uniform(F.col("vec_id"), "retire:") >= retire_frac
+        hashed.filter(
+            ((F.col("vec_id") < split_at) & retained)
+            | (F.col("vec_id") >= split_at)
+        ).write.mode("overwrite").partitionBy("t", "bucket").parquet(d1)
+    finally:
+        hashed.unpersist()
 
     s0 = spark.read.parquet(d0).select("vec_id", "t", "bucket")
     s1 = spark.read.parquet(d1).select("vec_id", "t", "bucket")
