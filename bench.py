@@ -362,6 +362,13 @@ HEADLINE = [
     # fertility table (one documents scan, byte/char/token kernels)
     "ann_index_diff",
     "tokenizer_fertility_audit",
+    # r13 third wave: merge-on-read join-view lifecycle — ledger-append
+    # MOR resolution (broadcast-only read path), CoW reconcile fold, and
+    # the three-micro-batch streaming append twin.  Each pays the same
+    # one-time base materialization (orders ⋈ customer write).
+    "join_view_mor",
+    "join_view_reconcile",
+    "stream_join_view_mor",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2986,3 +2986,45 @@ TEXTS['negbin_fit_profile'] = """
            round(n_zero * 1.0 / n_days, 4) AS p0_observed
     FROM d ORDER BY event_type
 """
+
+# Full recompute of the merge-on-read join view's end state: customers
+# with segment overrides applied (jv-dim cohort), orders with the fact
+# delta applied (jv-upd integer-cents bumps + jv-new re-keyed inserts),
+# joined and profiled per segment.  Shared verbatim by join_view_mor
+# (broadcast-only ledger resolution), join_view_reconcile (CoW fold then
+# plain scan) and stream_join_view_mor (three micro-batch ledger
+# appends) — one text proving three engine paths reach the identical
+# fully-applied join.  Money is exact integer cents (BIGINT sum, one
+# final /100 display division), per the post-r12 SQL-surface discipline.
+TEXTS['join_view_mor'] = """
+    WITH dim AS (
+        SELECT c_custkey,
+               CASE WHEN ('0x' || substr(md5('jv-dim:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0 < 0.02
+                    THEN 'MOVED' ELSE c_mktsegment END AS segment
+        FROM customer),
+    o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ('0x' || substr(md5('jv-upd:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_upd,
+               ('0x' || substr(md5('jv-new:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u_new
+        FROM orders),
+    final AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN u_upd < 0.03
+                    THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+        FROM o WHERE u_new < 0.01)
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_custs,
+           round(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_price
+    FROM final f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY d.segment
+    ORDER BY d.segment
+"""

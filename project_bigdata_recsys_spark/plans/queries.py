@@ -52,6 +52,7 @@ from project_bigdata_recsys_spark.operators import (
     skew,
     snapshot,
     sqlsurface,
+    viewmaint,
     windows,
 )
 from project_bigdata_recsys_spark.sources import multimodal
@@ -2401,7 +2402,12 @@ ORACLES["split_source_audit"] = f"""
 # unigram_logloss — all r6-evidenced and bench-/judge-exercised) for
 # the two repaired SQL-surface queries (integer-cents fix, VERDICT r12
 # #1) and the four new r13 ops entering with immediate driver evidence
-# per the standing discipline:
+# per the standing discipline; three MORE slots displaced to the r14
+# head in the round's third wave (incremental_agg_merge,
+# hll_daily_rollup, dedup_keep_best — r7-evidenced, bench-exercised)
+# for the merge-on-read join-view trio (join_view_mor,
+# join_view_reconcile, stream_join_view_mor), window replica re-run and
+# PRECHECK_r13_gate.json refreshed at that swap:
 #     length_bucketed_batches, novelty_profile, source_dup_attribution,
 #     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
 #     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
@@ -2411,23 +2417,25 @@ ORACLES["split_source_audit"] = f"""
 #     ab_test_lift, pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
 #     kfold_assignment, negative_samples, pit_segment_rollup,
-#     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
 #     snapshot_diff, item_pagerank, video_frame_profile,
 #     media_profile, label_histogram, json_extraction,
 #     events_per_day, event_rate, stream_session_windows,
 #     rolling_median, deterministic_group_sample, knn_lsh,
 #     embedding_stats, user_topk_recommendations, sql_cheapest_supplier,
 #     sql_in_subquery, stream_ann_compaction, stream_python_datasource_incremental,
-#     ann_index_diff, tokenizer_fertility_audit
+#     ann_index_diff, tokenizer_fertility_audit, join_view_mor,
+#     join_view_reconcile, stream_join_view_mor
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r14.json is green): the six
-# names displaced from r13, then the remaining r7-evidence queries in
+# schedule only — counts once CORRECTNESS_r14.json is green): the nine
+# names displaced from r13 (six at the rotation swap, three at the
+# third-wave tail insertion), then the remaining r7-evidence queries in
 # registration order:
 #     source_mixture, unigram_logloss, sessionize,
 #     approx_profile, csv_roundtrip_ingest, pricing_summary,
+#     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
 #     cdc_current_view, course_stats, user_activity,
 #     distinct_counts, conditional_pivot, time_range_filter,
 #     derived_projection, top_k_orders, null_handling,
@@ -2441,17 +2449,18 @@ ORACLES["split_source_audit"] = f"""
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
 #     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply,
-#     concurrent_events_peak, label_agreement_kappa, bm25_scores,
-#     vocab_coverage_curve, item_triangles
-# (r15 onward continues with cms_heavy_hitters, item_similar_neighbors,
-#  lang_source_chi2, doc_quality_profile, lang_profile,
-#  doc_fingerprints — displaced from this block's tail — then the r8
-#  block.)
+#     concurrent_events_peak, label_agreement_kappa
+# (r15 onward continues with bm25_scores, vocab_coverage_curve,
+#  item_triangles — displaced by the r13 third wave — plus
+#  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
+#  doc_quality_profile, lang_profile, doc_fingerprints — displaced from
+#  this block's tail — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r15.json is green): the six
+# schedule only — counts once CORRECTNESS_r15.json is green): the nine
 # names displaced past r14, then the oldest-evidence (r8) queries in
 # registration order:
+#     bm25_scores, vocab_coverage_curve, item_triangles,
 #     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #     doc_quality_profile, lang_profile, doc_fingerprints,
 #     token_stats, lang_id_confusion, pii_redaction_profile,
@@ -2467,10 +2476,10 @@ ORACLES["split_source_audit"] = f"""
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     stream_domain_quota, incremental_domain_quota, ranking_metrics,
 #     bloom_membership_profile, ks_value_drift, mann_whitney_drift,
-#     als_ranking_eval, stream_kmv_distinct, trending_items,
-#     doc_repetition_profile, kmv_distinct_rollup
-# (r16 onward continues the remaining r8/r9 blocks in evidence-age
-#  order.)
+#     als_ranking_eval, stream_kmv_distinct
+# (r16 onward continues with trending_items, doc_repetition_profile,
+#  kmv_distinct_rollup — displaced by the r13 third wave — then the
+#  remaining r8/r9 blocks in evidence-age order.)
 _GATE_WINDOW = [
     "length_bucketed_batches",
     "novelty_profile",
@@ -2499,9 +2508,6 @@ _GATE_WINDOW = [
     "kfold_assignment",
     "negative_samples",
     "pit_segment_rollup",
-    "incremental_agg_merge",
-    "hll_daily_rollup",
-    "dedup_keep_best",
     "snapshot_diff",
     "item_pagerank",
     "video_frame_profile",
@@ -2522,6 +2528,9 @@ _GATE_WINDOW = [
     "stream_python_datasource_incremental",
     "ann_index_diff",
     "tokenizer_fertility_audit",
+    "join_view_mor",
+    "join_view_reconcile",
+    "stream_join_view_mor",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -3878,6 +3887,25 @@ QUERIES["stream_python_datasource_incremental"] = (
 ORACLES["stream_python_datasource_incremental"] = ORACLES[
     "synthetic_interactions"
 ]
+
+
+# Round-13 third wave: merge-on-read join-view maintenance ------------------
+# The lakehouse trade-off the CoW merge family doesn't cover: a
+# materialized fact⋈dim view under fact AND dim deltas, deltas landing
+# as O(batch) ledger appends, reads resolving base ∪ ledgers with
+# broadcast joins only, reconcile folding the ledgers back through the
+# partition-pruned CoW merge.  One oracle text (full recompute of
+# orders′ ⋈ dim′) shared by all three paths — MOR resolution, fold-then-
+# scan, and three-micro-batch streaming appends — proves they reach the
+# identical fully-applied join.
+QUERIES["join_view_mor"] = viewmaint.join_view_mor
+ORACLES["join_view_mor"] = _TEXTS["join_view_mor"]
+
+QUERIES["join_view_reconcile"] = viewmaint.join_view_reconcile
+ORACLES["join_view_reconcile"] = _TEXTS["join_view_mor"]
+
+QUERIES["stream_join_view_mor"] = viewmaint.stream_join_view_mor
+ORACLES["stream_join_view_mor"] = _TEXTS["join_view_mor"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

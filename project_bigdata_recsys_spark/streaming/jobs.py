@@ -198,9 +198,12 @@ def _make_feature_accumulator(ttl_ms: int | None):
     contributes pre-aggregated history — n += seed_n, total += value —
     instead of counting as one event.  See bootstrapped_feature_stream for
     why bootstrap arrives in-band: PySpark's applyInPandasWithState has no
-    initialState parameter (that is transformWithState's handleInitialState,
-    unavailable in this container), so the snapshot is staged as the first
-    replay file."""
+    initialState parameter (that is transformWithState's handleInitialState;
+    transformWithStateInPandas exists in this PySpark but its Python
+    state-server protocol needs the `protobuf` package, absent in this
+    container — verified: the query fails at StreamingPythonRunner init
+    with `ImportError: google.protobuf`), so the snapshot is staged as the
+    first replay file."""
     import json
 
     def accumulate(key, pdfs, state: GroupState):
@@ -274,7 +277,10 @@ def stage_bootstrapped_replay(
     run_consumer.py:127-154 reloads its dict state from a CSV snapshot).
     In-band seeding is deliberate: PySpark's applyInPandasWithState has
     no initialState parameter, and the native alternative
-    (transformWithState handleInitialState) is unavailable here; staging
+    (transformWithState handleInitialState) is unavailable here — the
+    API and RocksDB jar ship with this PySpark, but its Python
+    state-server needs `protobuf`, absent in this container (verified
+    end-to-end: StreamingPythonRunner init dies on the import); staging
     the snapshot as the first micro-batch gives identical semantics with
     checkpointable, replayable state.
     """

@@ -210,3 +210,132 @@ def test_stage_and_swap_escaped_partition_update(spark, tmp_path):
     got = {(r.id, r.v, r.part) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a2", "x:1"), (2, "b", "plain")}
     shutil.rmtree(target)
+
+
+# --- merge-on-read join-view maintenance (r13 third wave) ------------------
+
+
+def test_join_view_mor_reconcile_and_recompute_agree(spark):
+    """The three lifecycle states — merge-on-read resolution over
+    base+ledgers, the post-reconcile plain scan, and a from-scratch
+    recompute of orders' ⋈ dim' — must be row-identical; reconcile must
+    leave the ledgers empty; and a second reconcile must be a no-op that
+    rewrites no base partition (mtime-pinned idempotency)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import viewmaint as vm
+
+    sf = "/root/testdata/sf0.001"
+    customer = load_table(spark, sf, "customer")
+
+    dirs = vm.setup_join_view(spark, sf)
+    mor = vm.profile_join_view(
+        vm.resolve_join_view(
+            spark,
+            dirs["base"],
+            dirs["fact_ledger"],
+            dirs["dim_ledger"],
+            customer,
+        ),
+        sf,
+    ).collect()
+
+    vm.reconcile_join_view(
+        spark, dirs["base"], dirs["fact_ledger"], dirs["dim_ledger"], customer
+    )
+    for d in (dirs["fact_ledger"], dirs["dim_ledger"]):
+        assert not any(f.endswith(".parquet") for f in os.listdir(d))
+    rec = vm.profile_join_view(
+        vm.resolve_join_view(
+            spark,
+            dirs["base"],
+            dirs["fact_ledger"],
+            dirs["dim_ledger"],
+            customer,
+        ),
+        sf,
+    ).collect()
+    assert [tuple(r) for r in mor] == [tuple(r) for r in rec]
+
+    # from-scratch recompute: apply both deltas and re-join
+    from pyspark.sql import functions as F
+
+    lf = vm.fact_delta(spark, sf).drop("seq")
+    base_orders = vm._orders_projected(spark, sf)
+    orders2 = base_orders.join(
+        lf.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(lf)
+    ld = vm.dim_delta(spark, sf)
+    dim2 = customer.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    ).join(ld.select("c_custkey", "new_segment"), "c_custkey", "left")
+    dim2 = dim2.select(
+        "c_custkey", F.coalesce("new_segment", "segment").alias("segment")
+    )
+    full = orders2.join(
+        dim2, orders2["o_custkey"] == dim2["c_custkey"]
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "part", "segment")
+    scratch = vm.profile_join_view(full, sf).collect()
+    assert [tuple(r) for r in mor] == [tuple(r) for r in scratch]
+
+    # idempotency: nothing to fold, no partition directory rewritten
+    mtimes = {
+        d: os.path.getmtime(os.path.join(dirs["base"], d))
+        for d in os.listdir(dirs["base"])
+        if d.startswith("part=")
+    }
+    vm.reconcile_join_view(
+        spark, dirs["base"], dirs["fact_ledger"], dirs["dim_ledger"], customer
+    )
+    after = {
+        d: os.path.getmtime(os.path.join(dirs["base"], d))
+        for d in os.listdir(dirs["base"])
+        if d.startswith("part=")
+    }
+    assert mtimes == after
+
+
+def test_join_view_mor_resolution_never_shuffles_base(spark):
+    """The MOR read path's contract at 100 TB: the base participates in
+    broadcast joins only.  No SortMergeJoin anywhere in the resolved
+    plan, and every ledger join is a BroadcastHashJoin."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import viewmaint as vm
+
+    sf = "/root/testdata/sf0.001"
+    dirs = vm.setup_join_view(spark, sf)
+    resolved = vm.resolve_join_view(
+        spark,
+        dirs["base"],
+        dirs["fact_ledger"],
+        dirs["dim_ledger"],
+        load_table(spark, sf, "customer"),
+    )
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # anti, enrich, override
+
+
+def test_join_view_insert_offset_guard_fires(spark, tmp_path):
+    """A base order key at/above the +1e9 planting offset must fail the
+    build loudly (scan-time raise_error), not silently collide with a
+    planted insert — the dedup family's planted_id contract."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from project_bigdata_recsys_spark.operators import viewmaint as vm
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(vm.INSERT_KEY_OFFSET + 7, 1, 100.0, "1995-01-01")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.parquet(os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(os.path.join(sf, "customer.parquet"))
+
+    with pytest.raises(SparkRuntimeException, match="offset collision"):
+        vm.setup_join_view(spark, sf)
