@@ -1398,10 +1398,22 @@ def bloom_pruned_join(
             ).alias("__bm")
         )
     )
-    probed = lineitem.select(
-        "l_orderkey",
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    # fan the probe out first: the single parquet file splits into only
+    # ~3 input partitions at sf0.1, so the 4-hash md5 filter would run
+    # on 3 of 32 cores; fanning out the 3 narrow columns costs far less
+    # than it recovers (the standing fan_out lesson — measured 4.2-4.7 s
+    # -> 1.5-1.7 s warm at sf0.1 together with the single-pass fold
+    # below)
+    from project_bigdata_recsys_spark.catalog import fan_out
+
+    probed = fan_out(
+        lineitem.select(
+            "l_orderkey",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     ).crossJoin(F.broadcast(bitmap))
 
     keep = probed
@@ -1414,26 +1426,42 @@ def bloom_pruned_join(
             )
         ).drop("__p")
     passed = keep.drop("__bm")
-    stats = (
-        lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    # ONE pass over the bloom-passed rows: the exact join runs as a LEFT
+    # join (build keys are distinct, so multiplicity is 1 and AQE still
+    # broadcasts the small side), which lets the bloom-pass audit count
+    # and the joined rollup come out of the SAME aggregation — the
+    # pre-r13 shape ran a separate passed.count() branch that re-scanned
+    # lineitem and re-evaluated the 4-hash md5 filter end to end; at
+    # 100 TB that duplicate probe pass is a full extra fact scan.
+    matched = passed.join(
+        build.withColumnRenamed("o_orderkey", "l_orderkey").withColumn(
+            "__hit", F.lit(1)
+        ),
+        "l_orderkey",
+        "left",
+    )
+    per_flag = matched.groupBy("l_returnflag").agg(
+        F.count("__hit").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.when(F.col("__hit") == 1, F.col("cents"))) / 100.0, 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("__n_pass_flag"),
+    )
+    from pyspark.sql import Window
+
+    all_rows = Window.partitionBy()  # ≤ #returnflags rows — driver-tiny
+    return (
+        per_flag.withColumn(
+            "n_bloom_pass",
+            F.sum("__n_pass_flag").over(all_rows).cast("long"),
+        )
+        .filter(F.col("n_items") > 0)
+        .drop("__n_pass_flag")
         .crossJoin(
             F.broadcast(
-                passed.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_bloom_pass")
-                )
+                lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
             )
         )
-    )
-    joined = passed.join(
-        build.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
-    )
-    return (
-        joined.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
-        )
-        .crossJoin(F.broadcast(stats))
         .select(
             "l_returnflag", "n_items", "revenue", "n_probe", "n_bloom_pass"
         )
