@@ -454,6 +454,23 @@ def stream_join_view_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 600s"
             + (f" (query error: {q.exception()})" if q.exception() else "")
         )
+    # enforce the multi-batch claim (the _run_replay_incremental
+    # discipline): maxFilesPerTrigger must actually have split the three
+    # replay files into three ledger appends — a Spark behavior change
+    # collapsing them into one batch would silently weaken this gate to
+    # the single-append form
+    n_commits = len(
+        [
+            f
+            for f in os.listdir(os.path.join(ck, "commits"))
+            if not f.startswith(".")
+        ]
+    )
+    if n_commits < 3:
+        raise AssertionError(
+            f"stream_join_view_mor: expected >=3 micro-batch appends,"
+            f" got {n_commits} checkpoint commits"
+        )
     resolved = resolve_join_view(
         spark,
         dirs["base"],
