@@ -2477,9 +2477,32 @@ ORACLES["split_source_audit"] = f"""
 #     stream_domain_quota, incremental_domain_quota, ranking_metrics,
 #     bloom_membership_profile, ks_value_drift, mann_whitney_drift,
 #     als_ranking_eval, stream_kmv_distinct
-# (r16 onward continues with trending_items, doc_repetition_profile,
-#  kmv_distinct_rollup — displaced by the r13 third wave — then the
-#  remaining r8/r9 blocks in evidence-age order.)
+# (r16 block below.)
+#
+# Round-16 rotation schedule (write-ahead, same discipline;
+# schedule only — counts once CORRECTNESS_r16.json is green): the three
+# names displaced past r15 by the r13 third wave, the remaining three
+# r8-evidence queries, then the oldest r9-evidence queries in
+# registration order:
+#     trending_items, doc_repetition_profile, kmv_distinct_rollup,
+#     perplexity_buckets, domain_reweight, hybrid_search,
+#     l_diversity_profile, ucb_ranking, session_ngrams,
+#     quality_lr_score, ewma_anomalies, zorder_layout_profile,
+#     link_prediction_adamic_adar, ips_eval, recs_diversity_profile,
+#     compaction_plan, stream_ewma_anomalies, stream_pit_enrichment,
+#     welch_ttest_drift, t_closeness_profile, survival_km_curve,
+#     ols_trend_per_group, target_encoding_oof, calibration_bins,
+#     bloom_pruned_join, salted_join_agg, kmv_set_ops,
+#     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
+#     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
+#     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
+#     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
+#     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
+#     degree_distribution_profile, cuped_adjusted_lift, neyman_allocation_plan,
+#     rendezvous_shard_plan, dsir_importance_sample, acf_ljung_box,
+#     benford_audit, conformal_interval_eval
+# (r17 onward continues the remaining r9/r10 blocks in evidence-age
+#  order.)
 _GATE_WINDOW = [
     "length_bucketed_batches",
     "novelty_profile",

@@ -61,6 +61,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "largest_remainder_allocation",  # Aggregate(source): ≤ #sources rows
     "bh_fdr_correction",  # Aggregate(event_type): ≤ #types rows
     "token_budget_planner",  # Aggregate(source): ≤ #sources rows
+    "bloom_pruned_join",  # Aggregate(l_returnflag): ≤ #returnflags rows
 }
 
 

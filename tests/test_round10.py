@@ -184,6 +184,7 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
         ("13", r"# \(recomputed"),
         ("14", r"# \(r15"),
         ("15", r"# \(r16"),
+        ("16", r"# \(r17"),
     ],
 )
 def test_write_ahead_schedule_names_are_registered(rnd, stop):
