@@ -339,3 +339,62 @@ def test_join_view_insert_offset_guard_fires(spark, tmp_path):
 
     with pytest.raises(SparkRuntimeException, match="offset collision"):
         vm.setup_join_view(spark, sf)
+
+
+def test_join_view_reconcile_midstream_is_invariant(spark):
+    """Fold-point invariance — the MOR semantics contract under
+    continuous ingest: land part of the fact delta, reconcile, land the
+    rest, and the resolved profile must equal the never-reconciled
+    resolution of the full delta.  (Production reconciles on a ledger-
+    size trigger, so correctness must not depend on WHEN the fold
+    happens.)"""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators import viewmaint as vm
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    sf = "/root/testdata/sf0.001"
+    customer = load_table(spark, sf, "customer")
+
+    # path A: all deltas as ledgers, resolve once (the join_view_mor shape)
+    dirs_a = vm.setup_join_view(spark, sf)
+    want = vm.profile_join_view(
+        vm.resolve_join_view(
+            spark,
+            dirs_a["base"],
+            dirs_a["fact_ledger"],
+            dirs_a["dim_ledger"],
+            customer,
+        ),
+        sf,
+    ).collect()
+
+    # path B: first tercile -> reconcile -> remaining terciles -> resolve
+    dirs_b = vm.setup_join_view(spark, sf, write_fact_ledger=False)
+    delta = vm.fact_delta(spark, sf)
+    u = hash_uniform(F.col("o_orderkey"), "jv-batch:")
+    delta.filter(u < 1 / 3).write.mode("overwrite").parquet(
+        dirs_b["fact_ledger"]
+    )
+    vm.reconcile_join_view(
+        spark,
+        dirs_b["base"],
+        dirs_b["fact_ledger"],
+        dirs_b["dim_ledger"],
+        customer,
+    )
+    delta.filter(u >= 1 / 3).write.mode("overwrite").parquet(
+        dirs_b["fact_ledger"]
+    )
+    got = vm.profile_join_view(
+        vm.resolve_join_view(
+            spark,
+            dirs_b["base"],
+            dirs_b["fact_ledger"],
+            dirs_b["dim_ledger"],
+            customer,
+        ),
+        sf,
+    ).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
