@@ -520,11 +520,16 @@ def with_exact_percent_rank(
     tiny per-partition counts cumsum into offsets; global rank = offset
     + local rank; percent_rank = (rank-1)/(n-1).
 
-    The partition count is pinned explicitly — AQE never coalesces a
-    user-specified repartition, so BOTH consumers of the range exchange
-    (the local-rank window and the per-partition counts) see identical
-    pid assignment; with an implicit count AQE could coalesce the two
-    shuffle reads differently and desynchronize pid between branches.
+    The ranged frame is PERSISTED so both consumers (the local-rank
+    window and the per-partition counts) read ONE materialization of
+    the range exchange.  The explicit partition count alone is not
+    enough: repartitionByRange samples its boundaries with an
+    evaluation-dependent seed, and under AQE the identical exchange
+    subtrees can materialize as separate stages with separate
+    samplings — then ``__pid`` means different value ranges in
+    different branches and offsets desynchronize (the
+    ``_value_side_cum`` successor-patch bug caught by
+    tools/check_order_stability.py; this kernel shares the shape).
     The only single-partition work is the offset cumsum over the
     ~num-partitions-row count frame.
 
@@ -534,9 +539,13 @@ def with_exact_percent_rank(
     export manifest)."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     n_range_parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_range_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = persist_tracked(
+        df.repartitionByRange(n_range_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     local = ranged.withColumn(
         "__lr",

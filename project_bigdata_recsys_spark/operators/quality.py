@@ -632,7 +632,7 @@ def l_diversity_profile(
     )
 
 
-def _value_side_cum(spark: SparkSession, sf_dir: str):
+def _value_side_cum(spark: SparkSession, sf_dir: str, n_parts: int | None = None):
     """Shared kernel of the two-sample drift tests (:func:`ks_value_drift`,
     :func:`mann_whitney_drift`): split events into an EARLY and a LATE
     half at the midpoint epoch day (integer arithmetic on a broadcast
@@ -646,6 +646,8 @@ def _value_side_cum(spark: SparkSession, sf_dir: str):
     (v, t_a, t_b, cum_a, cum_b); n_a/n_b are the side totals as 1-row
     broadcastable aggregates folded in as columns."""
     from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
 
     ev = load_table(spark, sf_dir, "events").select(
         F.floor(F.col("ts").cast("double") / 86400.0)
@@ -666,9 +668,23 @@ def _value_side_cum(spark: SparkSession, sf_dir: str):
         F.sum("__a").cast("long").alias("t_a"),
         F.sum(1 - F.col("__a")).cast("long").alias("t_b"),
     )
-    n_parts = spark.sparkContext.defaultParallelism
-    ranged = hist.repartitionByRange(n_parts, "v").withColumn(
-        "__pid", F.spark_partition_id()
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    # PERSIST pins one materialization of the range shuffle.  Three
+    # branches consume this frame (local cumsums, the per-partition
+    # offset/size frame, the partition-min successor patch) and
+    # repartitionByRange SAMPLES its boundaries with an evaluation-
+    # dependent seed: under AQE the identical exchange subtrees can
+    # materialize as SEPARATE stages with separate samplings, and then
+    # __pid means different ranges in different branches — measured at
+    # 7-core parallelism as edge rows patched with a *smaller*
+    # "successor" (v_next < v), silently shrinking W1 by ~3%
+    # (tools/check_order_stability.py caught it; the cum offsets share
+    # the exposure).  The persisted frame is the distinct-value
+    # histogram — bounded by value cardinality, not events.
+    ranged = persist_tracked(
+        hist.repartitionByRange(n_parts, "v").withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w_loc = (
         Window.partitionBy("__pid")

@@ -398,3 +398,37 @@ def test_join_view_reconcile_midstream_is_invariant(spark):
         sf,
     ).collect()
     assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
+def test_value_side_cum_partitioning_invariant(spark):
+    """The drift kernel's output — including the partition-edge
+    successor patch — must be identical at any range-partition count.
+    The pre-fix kernel re-sampled its range boundaries per consuming
+    branch under AQE, so `__pid` meant different ranges in different
+    branches and edge rows got a WRONG successor (v_next < v at 7-core
+    parallelism, shrinking W1 ~3%; caught by
+    tools/check_order_stability.py).  The persist pins one
+    materialization; this pins the invariance."""
+    from project_bigdata_recsys_spark.caching import release_tracked
+    from project_bigdata_recsys_spark.operators.quality import (
+        _value_side_cum,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    frames = {}
+    for n in (3, 7, 32):
+        pdf = _value_side_cum(spark, sf, n_parts=n).toPandas()
+        # the global-max row's successor is null -> NaN in pandas, and
+        # NaN != NaN would fail the comparison on identical frames
+        pdf = pdf.astype(object).where(pdf.notna(), None)
+        frames[n] = sorted(map(tuple, pdf.itertuples(index=False)))
+        release_tracked()
+    assert frames[3] == frames[7] == frames[32]
+    # sanity: every successor is strictly greater than its value
+    vs = {c: i for i, c in enumerate(
+        _value_side_cum(spark, sf, n_parts=7).columns
+    )}
+    release_tracked()
+    for row in frames[7]:
+        v, v_next = row[vs["v"]], row[vs["v_next"]]
+        assert v_next is None or v_next > v
