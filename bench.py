@@ -369,6 +369,11 @@ HEADLINE = [
     "join_view_mor",
     "join_view_reconcile",
     "stream_join_view_mor",
+    # r13 fourth wave: corpus Zipf-exponent fit (one vocab-bounded
+    # corpus pass) and the bucketed co-located join (cost = the gate's
+    # own bucketed-layout write + the exchange-free fact⋈fact join)
+    "zipf_fit_profile",
+    "bucketed_join_agg",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2233,3 +2233,81 @@ def secret_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def zipf_fit_profile(
+    spark: SparkSession, sf_dir: str, top_ranks: int = 100
+) -> DataFrame:
+    """Zipf-law fit per language — the corpus-health statistic that
+    catches degenerate sources before training: natural text follows
+    freq ∝ rank^(-s) with s ≈ 1, so a source whose fitted exponent sits
+    far from 1 (boilerplate floods, template spam, truncated crawls) is
+    flagged by one number.  Classic reference: Zipf (1949); the
+    log-log OLS fit is the standard estimator (e.g. Piantadosi 2014).
+
+    Method: per-(lang, token) frequencies, rank tokens per lang by
+    (freq DESC, token ASC), keep the top ``top_ranks`` ranks, regress
+    ln(freq) on ln(rank) per lang in closed form from the six OLS
+    sufficient statistics — slope (−s), intercept (ln C), and R²
+    (goodness of the power law), rounded at 6 dp per the repo's
+    double-output discipline (the sums span ≤100 log-magnitude terms,
+    so engine/partition-order float drift sits ~1e-12 below the
+    rounding quantum).
+
+    Scale: ONE explode+groupBy bounded by |lang|×|vocab| (map-side
+    combined — the only corpus-sized pass), reused for both the vocab
+    totals and the ranked head; the per-lang window sorts |vocab|-sized
+    groups, never corpus rows, and the regression folds ≤``top_ranks``
+    rows per lang.  Adding a segmentation column means widening the
+    groupBy key, not a new pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    totals = freqs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    xy = (
+        freqs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_ranks)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    stats = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov_n = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    var_x_n = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    var_y_n = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov_n / var_x_n
+    return (
+        stats.join(totals, "lang")
+        .select(
+            "lang",
+            "n_ranks",
+            "vocab_size",
+            "total_tokens",
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6).alias(
+                "intercept"
+            ),
+            F.round(cov_n * cov_n / (var_x_n * var_y_n), 6).alias("r2"),
+        )
+        .orderBy("lang")
+    )

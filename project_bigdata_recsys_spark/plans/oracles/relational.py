@@ -3028,3 +3028,13 @@ TEXTS['join_view_mor'] = """
     GROUP BY d.segment
     ORDER BY d.segment
 """
+
+TEXTS['bucketed_join_agg'] = """
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""

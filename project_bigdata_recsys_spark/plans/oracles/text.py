@@ -826,3 +826,44 @@ TEXTS['secret_scan_profile'] = r"""
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS flag_rate
     FROM counted GROUP BY source ORDER BY source
 """
+
+TEXTS['zipf_fit_profile'] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    freqs AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+        FROM toks WHERE length(token) > 0
+        GROUP BY lang, token),
+    totals AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(freq) AS BIGINT) AS total_tokens
+        FROM freqs GROUP BY lang),
+    ranked AS (
+        SELECT lang, freq,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY freq DESC, token ASC) AS rnk
+        FROM freqs),
+    xy AS (
+        SELECT lang,
+               ln(CAST(rnk AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked WHERE rnk <= 100),
+    st AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_ranks,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM xy GROUP BY lang)
+    SELECT st.lang, n_ranks, vocab_size, total_tokens,
+           round((n_ranks * sxy - sx * sy)
+                 / (n_ranks * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n_ranks * sxy - sx * sy)
+                        / (n_ranks * sxx - sx * sx)) * sx)
+                 / n_ranks, 6) AS intercept,
+           round((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy)
+                 / ((n_ranks * sxx - sx * sx)
+                    * (n_ranks * syy - sy * sy)), 6) AS r2
+    FROM st JOIN totals USING (lang) ORDER BY lang
+"""

@@ -44,6 +44,7 @@ from project_bigdata_recsys_spark.functions import (
 from project_bigdata_recsys_spark.operators import (
     analytics,
     asof,
+    bucketing,
     maintenance,
     quality,
     ranges,
@@ -2407,8 +2408,13 @@ ORACLES["split_source_audit"] = f"""
 # hll_daily_rollup, dedup_keep_best — r7-evidenced, bench-exercised)
 # for the merge-on-read join-view trio (join_view_mor,
 # join_view_reconcile, stream_join_view_mor), window replica re-run and
-# PRECHECK_r13_gate.json refreshed at that swap:
-#     length_bucketed_batches, novelty_profile, source_dup_attribution,
+# PRECHECK_r13_gate.json refreshed at that swap; two FURTHER slots
+# displaced to the r14 head in the fourth wave (length_bucketed_batches,
+# novelty_profile — r5-evidenced, bench-exercised every round) for the
+# fourth-wave pair (zipf_fit_profile, bucketed_join_agg), window
+# replica re-run and PRECHECK_r13_gate.json refreshed again at that
+# swap:
+#     source_dup_attribution,
 #     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
 #     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
 #     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
@@ -2424,15 +2430,18 @@ ORACLES["split_source_audit"] = f"""
 #     embedding_stats, user_topk_recommendations, sql_cheapest_supplier,
 #     sql_in_subquery, stream_ann_compaction, stream_python_datasource_incremental,
 #     ann_index_diff, tokenizer_fertility_audit, join_view_mor,
-#     join_view_reconcile, stream_join_view_mor
+#     join_view_reconcile, stream_join_view_mor, zipf_fit_profile,
+#     bucketed_join_agg
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r14.json is green): the nine
-# names displaced from r13 (six at the rotation swap, three at the
-# third-wave tail insertion), then the remaining r7-evidence queries in
-# registration order:
+# schedule only — counts once CORRECTNESS_r14.json is green): the
+# eleven names displaced from r13 (six at the rotation swap, three at
+# the third-wave tail insertion, two at the fourth-wave tail
+# insertion), then the remaining r7-evidence queries in registration
+# order:
+#     length_bucketed_batches, novelty_profile,
 #     source_mixture, unigram_logloss, sessionize,
 #     approx_profile, csv_roundtrip_ingest, pricing_summary,
 #     incremental_agg_merge, hll_daily_rollup, dedup_keep_best,
@@ -2448,19 +2457,21 @@ ORACLES["split_source_audit"] = f"""
 #     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
-#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply,
-#     concurrent_events_peak, label_agreement_kappa
+#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #  doc_quality_profile, lang_profile, doc_fingerprints — displaced from
-#  this block's tail — then the r8 block.)
+#  this block's tail — plus concurrent_events_peak,
+#  label_agreement_kappa — displaced by the r13 fourth wave — then the
+#  r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r15.json is green): the nine
-# names displaced past r14, then the oldest-evidence (r8) queries in
-# registration order:
+# schedule only — counts once CORRECTNESS_r15.json is green): the
+# eleven names displaced past r14, then the oldest-evidence (r8)
+# queries in registration order:
 #     bm25_scores, vocab_coverage_curve, item_triangles,
+#     concurrent_events_peak, label_agreement_kappa,
 #     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #     doc_quality_profile, lang_profile, doc_fingerprints,
 #     token_stats, lang_id_confusion, pii_redaction_profile,
@@ -2475,15 +2486,16 @@ ORACLES["split_source_audit"] = f"""
 #     moving_avg_range, ntile_quartiles, order_gaps,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     stream_domain_quota, incremental_domain_quota, ranking_metrics,
-#     bloom_membership_profile, ks_value_drift, mann_whitney_drift,
-#     als_ranking_eval, stream_kmv_distinct
-# (r16 block below.)
+#     bloom_membership_profile, ks_value_drift, mann_whitney_drift
+# (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
+#  its head by the r13 fourth-wave ripple.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r16.json is green): the three
-# names displaced past r15 by the r13 third wave, the remaining three
-# r8-evidence queries, then the oldest r9-evidence queries in
-# registration order:
+# schedule only — counts once CORRECTNESS_r16.json is green): the
+# names displaced past r15 (three by the r13 third wave, two by its
+# fourth wave), the remaining r8-evidence queries, then the oldest
+# r9-evidence queries in registration order:
+#     als_ranking_eval, stream_kmv_distinct,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2499,13 +2511,11 @@ ORACLES["split_source_audit"] = f"""
 #     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     degree_distribution_profile, cuped_adjusted_lift, neyman_allocation_plan,
-#     rendezvous_shard_plan, dsir_importance_sample, acf_ljung_box,
-#     benford_audit, conformal_interval_eval
-# (r17 onward continues the remaining r9/r10 blocks in evidence-age
-#  order.)
+#     rendezvous_shard_plan, dsir_importance_sample, acf_ljung_box
+# (r17 onward continues with benford_audit, conformal_interval_eval —
+#  displaced from this block's tail by the r13 fourth-wave ripple —
+#  then the remaining r9/r10 blocks in evidence-age order.)
 _GATE_WINDOW = [
-    "length_bucketed_batches",
-    "novelty_profile",
     "source_dup_attribution",
     "boilerplate_suffix_profile",
     "source_vocabulary_profile",
@@ -2554,6 +2564,8 @@ _GATE_WINDOW = [
     "join_view_mor",
     "join_view_reconcile",
     "stream_join_view_mor",
+    "zipf_fit_profile",
+    "bucketed_join_agg",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -3929,6 +3941,21 @@ ORACLES["join_view_reconcile"] = _TEXTS["join_view_mor"]
 
 QUERIES["stream_join_view_mor"] = viewmaint.stream_join_view_mor
 ORACLES["stream_join_view_mor"] = _TEXTS["join_view_mor"]
+
+
+# Round-13 fourth wave ------------------------------------------------------
+# zipf_fit_profile: the corpus-health power-law exponent per language —
+# closed-form log-log OLS over the per-lang top-100 token ranks, one
+# |lang|×|vocab|-bounded corpus pass (functions/text.py).
+# bucketed_join_agg: the bucketed co-located fact⋈fact join as DRIVER
+# evidence, not just a plan test — orders⋈lineitem through same-bucket
+# layouts with zero exchange below the join (operators/bucketing.py;
+# plan pinned in tests/test_round13b.py).
+QUERIES["zipf_fit_profile"] = text.zipf_fit_profile
+ORACLES["zipf_fit_profile"] = _TEXTS["zipf_fit_profile"]
+
+QUERIES["bucketed_join_agg"] = bucketing.bucketed_join_agg
+ORACLES["bucketed_join_agg"] = _TEXTS["bucketed_join_agg"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

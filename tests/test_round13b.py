@@ -1,0 +1,113 @@
+"""Round-13 fourth wave pins: the Zipf-fit regression and the bucketed
+co-located join gate query.
+
+- zipf_fit_profile: the closed-form log-log OLS must agree with an
+  independent numpy fit on the same ranked head, and the outputs must
+  satisfy the power-law sanity envelope (negative slope, R^2 in (0,1]);
+- bucketed_join_agg: the join below the rollup must consume co-located
+  buckets — ZERO Exchange below the SortMergeJoin (the single exchange
+  in the plan is the 5-group aggregation) — and the values must equal
+  the plain (shuffled) join computed independently.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMALL
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        tokens,
+        zipf_fit_profile,
+    )
+
+    prof = {r.lang: r for r in zipf_fit_profile(spark, SF_SMALL).collect()}
+    assert prof, "empty profile"
+    for r in prof.values():
+        assert r.zipf_slope < 0, r
+        assert 0 < r.r2 <= 1, r
+        assert r.n_ranks == min(100, r.vocab_size)
+        assert r.total_tokens >= r.vocab_size
+
+    # independent fit for one language on the identically-ranked head
+    lang = sorted(prof)[0]
+    freqs = (
+        load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("lang") == lang)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(100)
+        .collect()
+    )
+    y = np.log([float(r["count"]) for r in freqs])
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert math.isclose(prof[lang].zipf_slope, slope, abs_tol=5e-6)
+    assert math.isclose(prof[lang].intercept, intercept, abs_tol=5e-6)
+
+
+def test_bucketed_join_agg_no_exchange_below_join(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.bucketing import (
+        bucketed_join_agg,
+    )
+
+    # at sf0.001 the planner would broadcast the orders side (rightly —
+    # and the gate run lets it); disable broadcast here to observe the
+    # co-located-join property that matters when BOTH fact sides are too
+    # big to broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_agg(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # the join consumes co-located buckets: every Exchange in the
+        # plan sits ABOVE the join (the rollup), never between the join
+        # and its bucketed scans
+        join_pos = plan.index("SortMergeJoin")
+        assert "Exchange" not in plan[join_pos:], plan[join_pos:]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    got = {r.o_orderpriority: r for r in df.collect()}
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    want = {
+        r.o_orderpriority: r
+        for r in orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_orders, g.n_items, g.revenue_cents) == (
+            w.n_orders,
+            w.n_items,
+            w.cents,
+        )
