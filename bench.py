@@ -374,6 +374,11 @@ HEADLINE = [
     # own bucketed-layout write + the exchange-free fact⋈fact join)
     "zipf_fit_profile",
     "bucketed_join_agg",
+    # r13 fifth wave: Heaps vocabulary-growth fit (same vocab-bounded
+    # shuffle class as the Zipf fit) and the seed-bounded 2-hop reach
+    # over the shared co-occurrence edge memo
+    "heaps_fit_profile",
+    "two_hop_reach",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -851,3 +851,58 @@ def kcore_profile(
     return spark.createDataFrame(
         rows, "round int, k long, n_nodes bigint, n_edges_directed bigint"
     ).orderBy("round")
+
+
+def two_hop_reach(
+    spark: SparkSession, sf_dir: str, k_seeds: int = 20
+) -> DataFrame:
+    """Exact 2-hop neighborhood size for the top-degree items in the
+    co-occurrence graph — the expansion diagnostic that separates hub
+    items whose influence saturates in one hop from bridges that reach
+    a large second shell (what a graph-feature or candidate-generation
+    stage needs to know before fanning out 2-hop features corpus-wide).
+
+    Bounded by construction, never corpus-n²: seeds are the ``k_seeds``
+    highest-degree nodes (total order: degree DESC, node ASC), their
+    1-hop pair list (Σ seed degrees rows) BROADCASTS into the edge
+    scan for the second hop, so the only big-side work is two passes
+    over the shared edge memo; the frontier blowup is capped at
+    Σ_{v∈N1(seeds)} deg(v) — the documented deg² knob, controlled by
+    ``k_seeds``, not data size.  Reach counts dedupe (seed, node) pairs
+    exactly and exclude the seed itself."""
+    edges = shared_cooccurrence_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    seeds = (
+        deg.orderBy(F.desc("degree"), F.asc("src"))
+        .limit(k_seeds)
+        .select(F.col("src").alias("seed"), "degree")
+    )
+    h1 = edges.join(
+        F.broadcast(seeds), edges.src == F.col("seed")
+    ).select("seed", "degree", F.col("dst").alias("n1"))
+    h2 = edges.join(
+        F.broadcast(h1.select("seed", "n1")), edges.src == F.col("n1")
+    ).select("seed", F.col("dst").alias("node"))
+    reach = (
+        h1.select("seed", F.col("n1").alias("node"))
+        .unionByName(h2)
+        .filter(F.col("node") != F.col("seed"))
+        .distinct()
+    )
+    return (
+        reach.groupBy("seed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_two_hop"))
+        .join(F.broadcast(seeds), "seed")
+        .select(
+            F.col("seed").alias("part"),
+            "degree",
+            F.col("degree").alias("n_one_hop"),
+            "n_two_hop",
+            F.round(
+                F.col("n_two_hop") / F.col("degree").cast("double"), 6
+            ).alias("expansion_ratio"),
+        )
+        .orderBy("part")
+    )

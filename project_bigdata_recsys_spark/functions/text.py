@@ -2260,8 +2260,6 @@ def zipf_fit_profile(
     groups, never corpus rows, and the regression folds ≤``top_ranks``
     rows per lang.  Adding a segmentation column means widening the
     groupBy key, not a new pass."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     freqs = (
         docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
@@ -2269,6 +2267,16 @@ def zipf_fit_profile(
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    return zipf_fit_from_freqs(freqs, top_ranks=top_ranks)
+
+
+def zipf_fit_from_freqs(freqs: DataFrame, top_ranks: int = 100) -> DataFrame:
+    """The Zipf fit kernel over an already-aggregated (lang, token,
+    freq) frame — shared verbatim by the batch profile and the
+    streaming ledger fold (streaming.replay.stream_zipf_fit), so both
+    reach the identical DuckDB oracle from the same projection."""
+    from pyspark.sql import Window
+
     totals = freqs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
         F.sum("freq").cast("long").alias("total_tokens"),
@@ -2296,6 +2304,13 @@ def zipf_fit_profile(
     var_x_n = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     var_y_n = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
     slope = cov_n / var_x_n
+    # degenerate-variance guard (shared with heaps_fit_profile): when
+    # the y side is constant, var_y_n and cov_n are pure float
+    # RESIDUALS (~1e-13) whose ratio is engine/summation-order luck —
+    # the r12 sql_in_subquery class.  NULL is the hash-stable answer;
+    # the 1e-9 cut sits ≥4 orders above residuals and ≥4 below any real
+    # variance.  var_x degenerates only at a single fit point.
+    null_d = F.lit(None).cast("double")
     return (
         stats.join(totals, "lang")
         .select(
@@ -2303,11 +2318,153 @@ def zipf_fit_profile(
             "n_ranks",
             "vocab_size",
             "total_tokens",
-            F.round(slope, 6).alias("zipf_slope"),
-            F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6).alias(
-                "intercept"
-            ),
-            F.round(cov_n * cov_n / (var_x_n * var_y_n), 6).alias("r2"),
+            F.when(var_x_n < 1e-9, null_d)
+            .when(var_y_n < 1e-9, F.lit(0.0))
+            .otherwise(F.round(slope, 6))
+            .alias("zipf_slope"),
+            F.when(var_x_n < 1e-9, null_d)
+            .when(var_y_n < 1e-9, F.round(F.col("__sy") / n, 6))
+            .otherwise(
+                F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6)
+            )
+            .alias("intercept"),
+            F.when((var_x_n < 1e-9) | (var_y_n < 1e-9), null_d)
+            .otherwise(F.round(cov_n * cov_n / (var_x_n * var_y_n), 6))
+            .alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def heaps_fit_profile(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 20
+) -> DataFrame:
+    """Heaps-law fit per language — vocabulary growth V(N) ≈ K·N^β as
+    the corpus grows, the companion statistic to :func:`zipf_fit_profile`
+    (Heaps 1978; β ≈ 0.4–0.6 for natural text).  A β near 0 means the
+    vocabulary has saturated (template/boilerplate floods); β near 1
+    means near-unbounded novelty (IDs, hashes, OCR noise) — either tail
+    flags a source before tokenizer training mis-sizes its vocab.
+
+    Distributed formulation with NO corpus-sized window: docs bucket by
+    pure arithmetic on doc_id against a broadcast per-lang (min, max)
+    anchor — bucket b covers an equal doc_id range, and the growth curve
+    uses MEASURED (cum tokens, cum new types) per bucket, so uneven
+    buckets cost nothing.  "New type in bucket b" = the token's
+    first-occurrence doc (min doc_id, one vocab-bounded groupBy — the
+    same shuffle class as the Zipf fit) falls in b.  The cumulative and
+    OLS folds run over ≤``n_buckets`` rows per lang; ln-space sums stay
+    ~1e-12 below the 6-dp rounding quantum (the zipf discipline).
+
+    Scale: ONE explode+groupBy bounded by |lang|×|vocab| (first
+    occurrences), ONE cheap per-doc token-count scan, a broadcast
+    anchor join, and bucket-count-sized everything downstream."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+        ).alias("n_tok"),
+    )
+    anchors = per_doc.groupBy("lang").agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+
+    def bucket_of(doc_col):
+        span = F.col("__hi") - F.col("__lo") + 1
+        return F.least(
+            F.lit(n_buckets),
+            (
+                F.floor(
+                    (doc_col - F.col("__lo"))
+                    * n_buckets
+                    / span
+                )
+                + 1
+            ).cast("int"),
+        )
+
+    doc_b = per_doc.join(F.broadcast(anchors), "lang").select(
+        "lang", bucket_of(F.col("doc_id")).alias("bkt"), "n_tok"
+    )
+    tok_counts = doc_b.groupBy("lang", "bkt").agg(
+        F.sum("n_tok").cast("long").alias("toks")
+    )
+    first_occ = (
+        docs.select("lang", "doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("lang", "token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .join(F.broadcast(anchors), "lang")
+        .select("lang", bucket_of(F.col("first_doc")).alias("bkt"))
+        .groupBy("lang", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    per_bucket = tok_counts.join(first_occ, ["lang", "bkt"], "left").select(
+        "lang",
+        "bkt",
+        "toks",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias("new_types"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = per_bucket.select(
+        "lang",
+        "bkt",
+        F.sum("toks").over(w).cast("long").alias("cum_n"),
+        F.sum("new_types").over(w).cast("long").alias("cum_v"),
+    ).filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+    xy = curve.select(
+        "lang",
+        F.log(F.col("cum_n").cast("double")).alias("x"),
+        F.log(F.col("cum_v").cast("double")).alias("y"),
+    )
+    stats = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    totals = curve.groupBy("lang").agg(
+        F.max("cum_v").alias("vocab_size"), F.max("cum_n").alias("total_tokens")
+    )
+    n = F.col("n_points").cast("double")
+    cov_n = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    var_x_n = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    var_y_n = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov_n / var_x_n
+    null_d = F.lit(None).cast("double")
+    return (
+        stats.join(totals, "lang")
+        .select(
+            "lang",
+            "n_points",
+            "vocab_size",
+            "total_tokens",
+            # degenerate-variance guard — see zipf_fit_profile: constant
+            # y makes cov/var_y pure residuals; β pins to the literal
+            # 0.0 (saturated vocabulary IS the finding), r² to NULL
+            F.when(var_x_n < 1e-9, null_d)
+            .when(var_y_n < 1e-9, F.lit(0.0))
+            .otherwise(F.round(slope, 6))
+            .alias("heaps_beta"),
+            F.when(var_x_n < 1e-9, null_d)
+            .when(var_y_n < 1e-9, F.round(F.col("__sy") / n, 6))
+            .otherwise(
+                F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6)
+            )
+            .alias("intercept"),
+            F.when((var_x_n < 1e-9) | (var_y_n < 1e-9), null_d)
+            .otherwise(F.round(cov_n * cov_n / (var_x_n * var_y_n), 6))
+            .alias("r2"),
         )
         .orderBy("lang")
     )

@@ -117,3 +117,38 @@ TEXTS['link_prediction_adamic_adar'] = """
     SELECT u, v, n_common, round(aa / 1000000.0, 6) AS aa_score
     FROM ne ORDER BY aa DESC, u, v LIMIT 20
 """
+
+TEXTS['two_hop_reach'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst, src FROM half),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src),
+    seeds AS (
+        SELECT src AS seed, degree FROM deg
+        ORDER BY degree DESC, src ASC LIMIT 20),
+    h1 AS (
+        SELECT s.seed, e.dst AS n1
+        FROM seeds s JOIN edges e ON e.src = s.seed),
+    h2 AS (
+        SELECT h.seed, e.dst AS node
+        FROM h1 h JOIN edges e ON e.src = h.n1),
+    reach AS (
+        SELECT DISTINCT seed, node FROM (
+            SELECT seed, n1 AS node FROM h1
+            UNION ALL SELECT seed, node FROM h2)
+        WHERE node <> seed)
+    SELECT s.seed AS part, s.degree,
+           s.degree AS n_one_hop,
+           CAST(count(*) AS BIGINT) AS n_two_hop,
+           round(count(*) * 1.0 / s.degree, 6) AS expansion_ratio
+    FROM reach r JOIN seeds s ON s.seed = r.seed
+    GROUP BY s.seed, s.degree ORDER BY part
+"""

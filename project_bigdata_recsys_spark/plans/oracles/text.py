@@ -857,13 +857,114 @@ TEXTS['zipf_fit_profile'] = """
                sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
         FROM xy GROUP BY lang)
     SELECT st.lang, n_ranks, vocab_size, total_tokens,
-           round((n_ranks * sxy - sx * sy)
-                 / (n_ranks * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - ((n_ranks * sxy - sx * sy)
-                        / (n_ranks * sxx - sx * sx)) * sx)
-                 / n_ranks, 6) AS intercept,
-           round((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy)
-                 / ((n_ranks * sxx - sx * sx)
-                    * (n_ranks * syy - sy * sy)), 6) AS r2
+           CASE WHEN (n_ranks * sxx - sx * sx) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                WHEN (n_ranks * syy - sy * sy) < 1e-9 THEN 0.0
+                ELSE round((n_ranks * sxy - sx * sy)
+                           / (n_ranks * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN (n_ranks * sxx - sx * sx) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                WHEN (n_ranks * syy - sy * sy) < 1e-9
+                    THEN round(sy / n_ranks, 6)
+                ELSE round((sy - ((n_ranks * sxy - sx * sy)
+                                  / (n_ranks * sxx - sx * sx)) * sx)
+                           / n_ranks, 6)
+           END AS intercept,
+           CASE WHEN (n_ranks * sxx - sx * sx) < 1e-9
+                  OR (n_ranks * syy - sy * sy) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                ELSE round((n_ranks * sxy - sx * sy)
+                           * (n_ranks * sxy - sx * sy)
+                           / ((n_ranks * sxx - sx * sx)
+                              * (n_ranks * syy - sy * sy)), 6)
+           END AS r2
+    FROM st JOIN totals USING (lang) ORDER BY lang
+"""
+
+TEXTS['heaps_fit_profile'] = """
+    WITH per_doc AS (
+        SELECT lang, doc_id,
+               len(list_filter(string_split(text, ' '),
+                               t -> length(t) > 0)) AS n_tok
+        FROM documents),
+    anchors AS (
+        SELECT lang, min(doc_id) AS lo, max(doc_id) AS hi
+        FROM per_doc GROUP BY lang),
+    doc_b AS (
+        SELECT d.lang,
+               least(20, CAST(floor((d.doc_id - a.lo) * 20
+                                    / (a.hi - a.lo + 1)) AS INTEGER) + 1)
+                   AS bkt,
+               d.n_tok
+        FROM per_doc d JOIN anchors a ON a.lang = d.lang),
+    tok_counts AS (
+        SELECT lang, bkt, CAST(sum(n_tok) AS BIGINT) AS toks
+        FROM doc_b GROUP BY lang, bkt),
+    first_occ AS (
+        SELECT lang, token, min(doc_id) AS first_doc
+        FROM (SELECT lang, doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE length(token) > 0
+        GROUP BY lang, token),
+    new_types AS (
+        SELECT f.lang,
+               least(20, CAST(floor((f.first_doc - a.lo) * 20
+                                    / (a.hi - a.lo + 1)) AS INTEGER) + 1)
+                   AS bkt,
+               CAST(count(*) AS BIGINT) AS new_types
+        FROM first_occ f JOIN anchors a ON a.lang = f.lang
+        GROUP BY 1, 2),
+    per_bucket AS (
+        SELECT t.lang, t.bkt, t.toks,
+               CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types
+        FROM tok_counts t
+        LEFT JOIN new_types n ON n.lang = t.lang AND n.bkt = t.bkt),
+    curve AS (
+        SELECT lang, bkt,
+               CAST(sum(toks) OVER (PARTITION BY lang ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+               CAST(sum(new_types) OVER (PARTITION BY lang ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_v
+        FROM per_bucket),
+    xy AS (
+        SELECT lang, ln(CAST(cum_n AS DOUBLE)) AS x,
+               ln(CAST(cum_v AS DOUBLE)) AS y
+        FROM curve WHERE cum_n > 0 AND cum_v > 0),
+    st AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM xy GROUP BY lang),
+    totals AS (
+        SELECT lang, CAST(max(cum_v) AS BIGINT) AS vocab_size,
+               CAST(max(cum_n) AS BIGINT) AS total_tokens
+        FROM curve WHERE cum_n > 0 AND cum_v > 0 GROUP BY lang)
+    SELECT st.lang, n_points, vocab_size, total_tokens,
+           CASE WHEN (n_points * sxx - sx * sx) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                WHEN (n_points * syy - sy * sy) < 1e-9 THEN 0.0
+                ELSE round((n_points * sxy - sx * sy)
+                           / (n_points * sxx - sx * sx), 6)
+           END AS heaps_beta,
+           CASE WHEN (n_points * sxx - sx * sx) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                WHEN (n_points * syy - sy * sy) < 1e-9
+                    THEN round(sy / n_points, 6)
+                ELSE round((sy - ((n_points * sxy - sx * sy)
+                                  / (n_points * sxx - sx * sx)) * sx)
+                           / n_points, 6)
+           END AS intercept,
+           CASE WHEN (n_points * sxx - sx * sx) < 1e-9
+                  OR (n_points * syy - sy * sy) < 1e-9
+                    THEN CAST(NULL AS DOUBLE)
+                ELSE round((n_points * sxy - sx * sy)
+                           * (n_points * sxy - sx * sy)
+                           / ((n_points * sxx - sx * sx)
+                              * (n_points * syy - sy * sy)), 6)
+           END AS r2
     FROM st JOIN totals USING (lang) ORDER BY lang
 """

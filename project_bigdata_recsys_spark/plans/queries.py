@@ -2413,9 +2413,12 @@ ORACLES["split_source_audit"] = f"""
 # novelty_profile — r5-evidenced, bench-exercised every round) for the
 # fourth-wave pair (zipf_fit_profile, bucketed_join_agg), window
 # replica re-run and PRECHECK_r13_gate.json refreshed again at that
-# swap:
-#     source_dup_attribution,
-#     boilerplate_suffix_profile, source_vocabulary_profile, source_triage_report,
+# swap; two MORE slots displaced to the r14 head in the fifth wave
+# (source_dup_attribution, boilerplate_suffix_profile — r5-evidenced,
+# bench-exercised) for the fifth-wave pair (heaps_fit_profile,
+# two_hop_reach), window replica re-run and PRECHECK_r13_gate.json
+# refreshed again:
+#     source_vocabulary_profile, source_triage_report,
 #     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
 #     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
 #     int8_quantization_profile, split_source_audit, ann_recall_profile,
@@ -2431,16 +2434,17 @@ ORACLES["split_source_audit"] = f"""
 #     sql_in_subquery, stream_ann_compaction, stream_python_datasource_incremental,
 #     ann_index_diff, tokenizer_fertility_audit, join_view_mor,
 #     join_view_reconcile, stream_join_view_mor, zipf_fit_profile,
-#     bucketed_join_agg
+#     bucketed_join_agg, heaps_fit_profile, two_hop_reach
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# eleven names displaced from r13 (six at the rotation swap, three at
-# the third-wave tail insertion, two at the fourth-wave tail
-# insertion), then the remaining r7-evidence queries in registration
-# order:
+# thirteen names displaced from r13 (six at the rotation swap, three
+# at the third-wave tail insertion, two each at the fourth- and
+# fifth-wave tail insertions), then the remaining r7-evidence queries
+# in registration order:
+#     source_dup_attribution, boilerplate_suffix_profile,
 #     length_bucketed_batches, novelty_profile,
 #     source_mixture, unigram_logloss, sessionize,
 #     approx_profile, csv_roundtrip_ingest, pricing_summary,
@@ -2457,21 +2461,23 @@ ORACLES["split_source_audit"] = f"""
 #     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
-#     rerank_uplift_profile, stream_late_data_audit, stream_merge_apply
+#     rerank_uplift_profile
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #  doc_quality_profile, lang_profile, doc_fingerprints — displaced from
 #  this block's tail — plus concurrent_events_peak,
-#  label_agreement_kappa — displaced by the r13 fourth wave — then the
-#  r8 block.)
+#  label_agreement_kappa — displaced by the r13 fourth wave — plus
+#  stream_late_data_audit, stream_merge_apply — displaced by its fifth
+#  wave — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# eleven names displaced past r14, then the oldest-evidence (r8)
+# thirteen names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
 #     bm25_scores, vocab_coverage_curve, item_triangles,
 #     concurrent_events_peak, label_agreement_kappa,
+#     stream_late_data_audit, stream_merge_apply,
 #     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #     doc_quality_profile, lang_profile, doc_fingerprints,
 #     token_stats, lang_id_confusion, pii_redaction_profile,
@@ -2486,16 +2492,18 @@ ORACLES["split_source_audit"] = f"""
 #     moving_avg_range, ntile_quartiles, order_gaps,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     stream_domain_quota, incremental_domain_quota, ranking_metrics,
-#     bloom_membership_profile, ks_value_drift, mann_whitney_drift
+#     bloom_membership_profile
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
-#  its head by the r13 fourth-wave ripple.)
+#  its head by the r13 fourth-wave ripple, ks_value_drift,
+#  mann_whitney_drift by its fifth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
-# names displaced past r15 (three by the r13 third wave, two by its
-# fourth wave), the remaining r8-evidence queries, then the oldest
-# r9-evidence queries in registration order:
+# names displaced past r15 (three by the r13 third wave, two each by
+# its fourth and fifth waves), the remaining r8-evidence queries, then
+# the oldest r9-evidence queries in registration order:
 #     als_ranking_eval, stream_kmv_distinct,
+#     ks_value_drift, mann_whitney_drift,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2511,13 +2519,34 @@ ORACLES["split_source_audit"] = f"""
 #     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     degree_distribution_profile, cuped_adjusted_lift, neyman_allocation_plan,
-#     rendezvous_shard_plan, dsir_importance_sample, acf_ljung_box
-# (r17 onward continues with benford_audit, conformal_interval_eval —
-#  displaced from this block's tail by the r13 fourth-wave ripple —
-#  then the remaining r9/r10 blocks in evidence-age order.)
+#     rendezvous_shard_plan
+# (r17 block below.)
+#
+# Round-17 rotation schedule (write-ahead, same discipline;
+# schedule only — counts once CORRECTNESS_r17.json is green): the four
+# names displaced past r16 by the r13 fourth- and fifth-wave ripples,
+# the remaining r9-evidence queries, then the oldest r10-evidence
+# queries in registration order:
+#     benford_audit, conformal_interval_eval, dsir_importance_sample,
+#     acf_ljung_box, bradley_terry_ratings, order_part_hits,
+#     textrank_keywords, kcore_profile, collocation_llr,
+#     phrase_search, near_dup_clusters_reused, split_source_audit_reused,
+#     pinball_quantile_eval, wasserstein_value_drift, embedding_top_pc,
+#     hashing_collision_audit, absorption_funnel_prob, stream_benford_values,
+#     did_lift_estimate, sprt_ab_monitor, jl_distortion_audit,
+#     mann_kendall_trend, woe_iv_profile, theil_sen_trend,
+#     holt_forecast_eval, stream_sprt_monitor, overdispersion_profile,
+#     capture_recapture_estimate, eb_shrunk_rates, sorted_neighborhood_pairs,
+#     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
+#     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
+#     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
+#     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
+#     spearman_user_metrics, price_elasticity, doubly_robust_ate,
+#     pps_horvitz_thompson, seasonal_indices, term_burstiness,
+#     stream_holt_forecast, bh_fdr_correction
+# (r18 onward continues the remaining 10 r10-evidence queries, then
+#  the r11/r12 blocks in evidence-age order.)
 _GATE_WINDOW = [
-    "source_dup_attribution",
-    "boilerplate_suffix_profile",
     "source_vocabulary_profile",
     "source_triage_report",
     "label_centroid_outliers",
@@ -2566,6 +2595,8 @@ _GATE_WINDOW = [
     "stream_join_view_mor",
     "zipf_fit_profile",
     "bucketed_join_agg",
+    "heaps_fit_profile",
+    "two_hop_reach",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -3956,6 +3987,22 @@ ORACLES["zipf_fit_profile"] = _TEXTS["zipf_fit_profile"]
 
 QUERIES["bucketed_join_agg"] = bucketing.bucketed_join_agg
 ORACLES["bucketed_join_agg"] = _TEXTS["bucketed_join_agg"]
+
+
+# Round-13 fifth wave -------------------------------------------------------
+# heaps_fit_profile: vocabulary-growth exponent per language (Heaps'
+# law V ≈ K·N^β) — first-occurrence bucketing by pure doc_id arithmetic
+# against a broadcast per-lang anchor, NO corpus-sized window; the
+# companion readout to zipf_fit_profile (functions/text.py).
+# two_hop_reach: exact 2-hop neighborhood size for the top-degree
+# co-occurrence nodes — seed-bounded broadcast expansion over the
+# shared edge memo, the deg² knob capped by k_seeds
+# (functions/graph.py).
+QUERIES["heaps_fit_profile"] = text.heaps_fit_profile
+ORACLES["heaps_fit_profile"] = _TEXTS["heaps_fit_profile"]
+
+QUERIES["two_hop_reach"] = graph.two_hop_reach
+ORACLES["two_hop_reach"] = _TEXTS["two_hop_reach"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -185,6 +185,7 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
         ("14", r"# \(r15"),
         ("15", r"# \(r16"),
         ("16", r"# \(r17"),
+        ("17", r"# \(r18"),
     ],
 )
 def test_write_ahead_schedule_names_are_registered(rnd, stop):

@@ -111,3 +111,71 @@ def test_bucketed_join_agg_no_exchange_below_join(spark):
             w.n_items,
             w.cents,
         )
+
+
+def test_heaps_fit_totals_and_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        heaps_fit_profile,
+        tokens,
+    )
+
+    prof = {r.lang: r for r in heaps_fit_profile(spark, SF_SMALL).collect()}
+    assert prof, "empty profile"
+
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    want = {
+        r.lang: r
+        for r in toks.groupBy("lang")
+        .agg(
+            F.countDistinct("token").alias("vocab"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .collect()
+    }
+    assert set(prof) == set(want)
+    for lang, r in prof.items():
+        # the cumulative curve must end at the exact corpus totals
+        assert r.vocab_size == want[lang].vocab
+        assert r.total_tokens == want[lang].total
+        # growth-exponent envelope: β in [0, 1] — and on THIS corpus the
+        # template vocabulary (~31 types/lang) saturates inside the
+        # first bucket, so β must hit the pinned degenerate branch:
+        # literal 0.0 with a NULL r² (constant-y guard), never a float
+        # residual ratio
+        assert r.heaps_beta is not None
+        assert 0 <= r.heaps_beta <= 1.000001, r
+        assert r.r2 is None or 0 <= r.r2 <= 1, r
+        assert r.n_points > 2
+        if r.vocab_size == want[lang].vocab and r.heaps_beta == 0.0:
+            assert r.r2 is None, r
+
+
+def test_two_hop_reach_matches_python_sets(spark):
+    from project_bigdata_recsys_spark.functions.graph import (
+        shared_cooccurrence_edges,
+        two_hop_reach,
+    )
+
+    got = {r.part: r for r in two_hop_reach(spark, SF_SMALL).collect()}
+    assert len(got) == 20
+
+    adj: dict = {}
+    for r in shared_cooccurrence_edges(spark, SF_SMALL).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    seeds = sorted(adj, key=lambda v: (-len(adj[v]), v))[:20]
+    assert set(got) == set(seeds)
+    for s in seeds:
+        reach = set(adj[s])
+        for n1 in adj[s]:
+            reach |= adj.get(n1, set())
+        reach.discard(s)
+        assert got[s].degree == len(adj[s])
+        assert got[s].n_one_hop == len(adj[s])
+        assert got[s].n_two_hop == len(reach), s
