@@ -379,6 +379,12 @@ HEADLINE = [
     # over the shared co-occurrence edge memo
     "heaps_fit_profile",
     "two_hop_reach",
+    # r13 sixth wave: month-over-month edge churn (per-month basket
+    # self-join + one co-partitioned intersection) and the streaming
+    # vocabulary-ledger fold twin of the Zipf fit (3 enforced
+    # micro-batch appends + exact partial-count merge)
+    "cooccurrence_drift",
+    "stream_zipf_fit",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

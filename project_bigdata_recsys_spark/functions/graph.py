@@ -906,3 +906,114 @@ def two_hop_reach(
         )
         .orderBy("part")
     )
+
+
+def cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month churn of the co-occurrence graph — the
+    graph-evolution audit that tells a recommender when its item-item
+    edges actually move: per consecutive month pair, how many edges
+    survived, appeared, and dropped, and the edge-set Jaccard.  A flat
+    Jaccard says cached graph features stay valid; a cliff says the
+    co-purchase structure rotated and downstream features (triangles,
+    neighbors, PageRank) need a rebuild — the temporal complement to
+    the static profiles.
+
+    Scale: the per-month edge build is the SAME basket-bounded
+    self-join as item_cooccurrence_edges with the month tag riding
+    along (blowup capped by basket size, never corpus n²); the
+    month-over-month intersection is ONE co-partitioned (src, dst)
+    equi-join of the edge frame against itself restricted to a
+    broadcast consecutive-month map; everything after is
+    #months-sized.  Counts are exact BIGINTs, the single ratio rounds
+    at 6 dp."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("month", "l_orderkey", "l_partkey")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.month").alias("month"),
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    months = edges.select("month").distinct()
+    w = Window.orderBy("month").rowsBetween(-1, -1)
+    # the month list is #months-sized; the unkeyed window is bounded
+    month_pairs = (
+        months.withColumn("prev_month", F.max("month").over(w))
+        .filter(F.col("prev_month").isNotNull())
+        .select("prev_month", F.col("month").alias("curr_month"))
+    )
+    counts = edges.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    prev_e = edges.select(
+        F.col("month").alias("prev_month"), "src", "dst"
+    )
+    curr_e = edges.select(
+        F.col("month").alias("curr_month"), "src", "dst"
+    )
+    common = (
+        prev_e.join(F.broadcast(month_pairs), "prev_month")
+        .join(curr_e, ["curr_month", "src", "dst"])
+        .groupBy("prev_month", "curr_month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        month_pairs.join(
+            counts.select(
+                F.col("month").alias("prev_month"),
+                F.col("n_edges").alias("n_prev"),
+            ),
+            "prev_month",
+        )
+        .join(
+            counts.select(
+                F.col("month").alias("curr_month"),
+                F.col("n_edges").alias("n_curr"),
+            ),
+            "curr_month",
+        )
+        .join(common, ["prev_month", "curr_month"], "left")
+        .select(
+            "prev_month",
+            "curr_month",
+            "n_prev",
+            "n_curr",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return out.select(
+        "prev_month",
+        "curr_month",
+        "n_prev",
+        "n_curr",
+        "n_common",
+        (F.col("n_curr") - F.col("n_common")).cast("long").alias("n_new"),
+        (F.col("n_prev") - F.col("n_common")).cast("long").alias("n_dropped"),
+        F.round(
+            F.col("n_common")
+            / (F.col("n_prev") + F.col("n_curr") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("edge_jaccard"),
+    ).orderBy("curr_month")

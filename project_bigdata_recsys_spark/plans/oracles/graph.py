@@ -152,3 +152,47 @@ TEXTS['two_hop_reach'] = """
     FROM reach r JOIN seeds s ON s.seed = r.seed
     GROUP BY s.seed, s.degree ORDER BY part
 """
+
+TEXTS['cooccurrence_drift'] = """
+    WITH basket AS (
+        SELECT DISTINCT strftime(o.o_orderdate, '%Y-%m') AS month,
+               l.l_orderkey, l.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+        SELECT DISTINCT a.month, a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    months AS (SELECT DISTINCT month FROM edges),
+    month_pairs AS (
+        SELECT lag(month) OVER (ORDER BY month) AS prev_month,
+               month AS curr_month
+        FROM months QUALIFY prev_month IS NOT NULL),
+    counts AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS n_edges
+        FROM edges GROUP BY month),
+    common AS (
+        SELECT p.prev_month, p.curr_month,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM month_pairs p
+        JOIN edges e1 ON e1.month = p.prev_month
+        JOIN edges e2 ON e2.month = p.curr_month
+                     AND e2.src = e1.src AND e2.dst = e1.dst
+        GROUP BY p.prev_month, p.curr_month)
+    SELECT p.prev_month, p.curr_month,
+           cp.n_edges AS n_prev,
+           cc.n_edges AS n_curr,
+           CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+           CAST(cc.n_edges - coalesce(cm.n_common, 0) AS BIGINT) AS n_new,
+           CAST(cp.n_edges - coalesce(cm.n_common, 0) AS BIGINT)
+               AS n_dropped,
+           round(coalesce(cm.n_common, 0) * 1.0
+                 / (cp.n_edges + cc.n_edges - coalesce(cm.n_common, 0)), 6)
+               AS edge_jaccard
+    FROM month_pairs p
+    JOIN counts cp ON cp.month = p.prev_month
+    JOIN counts cc ON cc.month = p.curr_month
+    LEFT JOIN common cm ON cm.prev_month = p.prev_month
+                       AND cm.curr_month = p.curr_month
+    ORDER BY p.curr_month
+"""

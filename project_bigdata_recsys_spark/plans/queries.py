@@ -2417,8 +2417,11 @@ ORACLES["split_source_audit"] = f"""
 # (source_dup_attribution, boilerplate_suffix_profile — r5-evidenced,
 # bench-exercised) for the fifth-wave pair (heaps_fit_profile,
 # two_hop_reach), window replica re-run and PRECHECK_r13_gate.json
-# refreshed again:
-#     source_vocabulary_profile, source_triage_report,
+# refreshed again; two LAST slots displaced to the r14 head in the
+# sixth wave (source_vocabulary_profile, source_triage_report —
+# r5-evidenced, bench-exercised every round) for the sixth-wave pair
+# (cooccurrence_drift, stream_zipf_fit), window replica re-run and
+# PRECHECK_r13_gate.json refreshed once more:
 #     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
 #     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
 #     int8_quantization_profile, split_source_audit, ann_recall_profile,
@@ -2434,16 +2437,18 @@ ORACLES["split_source_audit"] = f"""
 #     sql_in_subquery, stream_ann_compaction, stream_python_datasource_incremental,
 #     ann_index_diff, tokenizer_fertility_audit, join_view_mor,
 #     join_view_reconcile, stream_join_view_mor, zipf_fit_profile,
-#     bucketed_join_agg, heaps_fit_profile, two_hop_reach
+#     bucketed_join_agg, heaps_fit_profile, two_hop_reach,
+#     cooccurrence_drift, stream_zipf_fit
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# thirteen names displaced from r13 (six at the rotation swap, three
-# at the third-wave tail insertion, two each at the fourth- and
-# fifth-wave tail insertions), then the remaining r7-evidence queries
-# in registration order:
+# fifteen names displaced from r13 (six at the rotation swap, three
+# at the third-wave tail insertion, two each at the fourth-, fifth-
+# and sixth-wave tail insertions), then the remaining r7-evidence
+# queries in registration order:
+#     source_vocabulary_profile, source_triage_report,
 #     source_dup_attribution, boilerplate_suffix_profile,
 #     length_bucketed_batches, novelty_profile,
 #     source_mixture, unigram_logloss, sessionize,
@@ -2460,8 +2465,7 @@ ORACLES["split_source_audit"] = f"""
 #     backfill_plan, schema_drift_report, source_dup_attribution_reused,
 #     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
-#     stream_value_quantiles, merge_upsert_profile, bpe_pair_counts,
-#     rerank_uplift_profile
+#     stream_value_quantiles, merge_upsert_profile
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2469,15 +2473,17 @@ ORACLES["split_source_audit"] = f"""
 #  this block's tail — plus concurrent_events_peak,
 #  label_agreement_kappa — displaced by the r13 fourth wave — plus
 #  stream_late_data_audit, stream_merge_apply — displaced by its fifth
-#  wave — then the r8 block.)
+#  wave — plus bpe_pair_counts, rerank_uplift_profile — displaced by
+#  its sixth — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# thirteen names displaced past r14, then the oldest-evidence (r8)
+# fifteen names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
 #     bm25_scores, vocab_coverage_curve, item_triangles,
 #     concurrent_events_peak, label_agreement_kappa,
 #     stream_late_data_audit, stream_merge_apply,
+#     bpe_pair_counts, rerank_uplift_profile,
 #     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #     doc_quality_profile, lang_profile, doc_fingerprints,
 #     token_stats, lang_id_confusion, pii_redaction_profile,
@@ -2491,19 +2497,20 @@ ORACLES["split_source_audit"] = f"""
 #     drift_lag, top_n_per_group, running_total,
 #     moving_avg_range, ntile_quartiles, order_gaps,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
-#     stream_domain_quota, incremental_domain_quota, ranking_metrics,
-#     bloom_membership_profile
+#     stream_domain_quota, incremental_domain_quota
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
-#  mann_whitney_drift by its fifth.)
+#  mann_whitney_drift by its fifth, ranking_metrics,
+#  bloom_membership_profile by its sixth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
 # names displaced past r15 (three by the r13 third wave, two each by
-# its fourth and fifth waves), the remaining r8-evidence queries, then
-# the oldest r9-evidence queries in registration order:
+# its fourth, fifth and sixth waves), the remaining r8-evidence
+# queries, then the oldest r9-evidence queries in registration order:
 #     als_ranking_eval, stream_kmv_distinct,
 #     ks_value_drift, mann_whitney_drift,
+#     ranking_metrics, bloom_membership_profile,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2518,15 +2525,16 @@ ORACLES["split_source_audit"] = f"""
 #     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
 #     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
-#     degree_distribution_profile, cuped_adjusted_lift, neyman_allocation_plan,
-#     rendezvous_shard_plan
-# (r17 block below.)
+#     degree_distribution_profile, cuped_adjusted_lift
+# (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
+#  displaced to its head by the r13 sixth-wave ripple.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r17.json is green): the four
-# names displaced past r16 by the r13 fourth- and fifth-wave ripples,
-# the remaining r9-evidence queries, then the oldest r10-evidence
-# queries in registration order:
+# schedule only — counts once CORRECTNESS_r17.json is green): the six
+# names displaced past r16 by the r13 fourth-, fifth- and sixth-wave
+# ripples, the remaining r9-evidence queries, then the oldest
+# r10-evidence queries in registration order:
+#     neyman_allocation_plan, rendezvous_shard_plan,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2542,13 +2550,12 @@ ORACLES["split_source_audit"] = f"""
 #     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
 #     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
 #     spearman_user_metrics, price_elasticity, doubly_robust_ate,
-#     pps_horvitz_thompson, seasonal_indices, term_burstiness,
-#     stream_holt_forecast, bh_fdr_correction
-# (r18 onward continues the remaining 10 r10-evidence queries, then
-#  the r11/r12 blocks in evidence-age order.)
+#     pps_horvitz_thompson, seasonal_indices, term_burstiness
+# (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
+#  displaced from this block's tail by the r13 sixth-wave ripple —
+#  then the remaining 10 r10-evidence queries and the r11/r12 blocks
+#  in evidence-age order.)
 _GATE_WINDOW = [
-    "source_vocabulary_profile",
-    "source_triage_report",
     "label_centroid_outliers",
     "nearest_centroid_agreement",
     "source_quantile_filter",
@@ -2597,6 +2604,8 @@ _GATE_WINDOW = [
     "bucketed_join_agg",
     "heaps_fit_profile",
     "two_hop_reach",
+    "cooccurrence_drift",
+    "stream_zipf_fit",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4003,6 +4012,23 @@ ORACLES["heaps_fit_profile"] = _TEXTS["heaps_fit_profile"]
 
 QUERIES["two_hop_reach"] = graph.two_hop_reach
 ORACLES["two_hop_reach"] = _TEXTS["two_hop_reach"]
+
+
+# Round-13 sixth wave -------------------------------------------------------
+# cooccurrence_drift: month-over-month edge churn of the co-occurrence
+# graph (survived/new/dropped edges + edge-set Jaccard per consecutive
+# month pair) — the temporal graph-evolution audit; per-month edges are
+# the same basket-bounded self-join, the intersection is one
+# co-partitioned equi-join (functions/graph.py).
+# stream_zipf_fit: the Zipf fit maintained BY THE STREAM — per-batch
+# partial (lang, token, cnt) ledger appends merged exactly after a
+# >=3-micro-batch enforced replay, shared fit kernel AND shared oracle
+# text with the batch form (streaming/replay.py).
+QUERIES["cooccurrence_drift"] = graph.cooccurrence_drift
+ORACLES["cooccurrence_drift"] = _TEXTS["cooccurrence_drift"]
+
+QUERIES["stream_zipf_fit"] = replay.stream_zipf_fit
+ORACLES["stream_zipf_fit"] = _TEXTS["zipf_fit_profile"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

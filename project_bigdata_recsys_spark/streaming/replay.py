@@ -1778,3 +1778,110 @@ def stream_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_replay(agg, spark, "complete")
     return table.orderBy("source")
+
+
+def stream_zipf_fit(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """Streaming vocabulary fold twin of text.zipf_fit_profile — proves
+    the corpus-health fit is maintainable from a stream without ever
+    re-scanning the corpus: each micro-batch APPENDS its map-side
+    partial (lang, token, cnt) counts to a parquet ledger (no state
+    store, no cross-batch shuffle — the cheapest streaming write, the
+    stream_join_view_mor discipline), and the post-replay merge sums
+    partials per (lang, token).  Count-sum folding is exact and
+    order-independent, so however the replay slices the corpus the
+    merged frequency frame is bit-identical to the batch aggregation —
+    the shared fit kernel (text.zipf_fit_from_freqs) and the SHARED
+    DuckDB oracle text then prove the whole pipeline, not just the
+    counts.
+
+    The corpus is staged as ``n_waves`` mtime-ordered single-file waves
+    (doc_id % n_waves) replayed with maxFilesPerTrigger=1; the
+    checkpoint commit count enforces that >= n_waves micro-batches
+    actually ran (a Spark behavior change collapsing them would
+    silently weaken this gate to the batch form).
+
+    Scale: the ledger holds one partial-count row set per (batch,
+    lang, token) — bounded by batches × |vocab|; a nightly compaction
+    (groupBy sum, overwrite) keeps it flat, which is exactly what the
+    final merge here computes."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        tokens,
+        zipf_fit_from_freqs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    work = scratch_dir(prefix="spark_zipf_stream_")
+    in_dir = os.path.join(work, "in")
+    ledger = os.path.join(work, "ledger")
+    os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for w in range(n_waves):
+        tmp = os.path.join(work, f"tmp{w}")
+        docs.filter(F.col("doc_id") % n_waves == w).coalesce(1).write.parquet(
+            tmp
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        staged = os.path.join(in_dir, f"{w:03d}.parquet")
+        shutil.copyfile(part, staged)
+        os.utime(staged, (now - 100 + w, now - 100 + w))
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                "lang", F.explode(tokens(F.col("text"))).alias("token")
+            )
+            .filter(F.length("token") > 0)
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_zipf_fit: availableNow replay did not finish in 600s"
+            + (f" (query error: {q.exception()})" if q.exception() else "")
+        )
+    n_commits = len(
+        [
+            f
+            for f in os.listdir(os.path.join(ck, "commits"))
+            if not f.startswith(".")
+        ]
+    )
+    if n_commits < n_waves:
+        raise AssertionError(
+            f"stream_zipf_fit: expected >={n_waves} micro-batch folds,"
+            f" got {n_commits} checkpoint commits"
+        )
+    freqs = (
+        spark.read.parquet(ledger)
+        .groupBy("lang", "token")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    return zipf_fit_from_freqs(freqs)

@@ -179,3 +179,61 @@ def test_two_hop_reach_matches_python_sets(spark):
         assert got[s].degree == len(adj[s])
         assert got[s].n_one_hop == len(adj[s])
         assert got[s].n_two_hop == len(reach), s
+
+
+def test_cooccurrence_drift_invariants_and_spot_check(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.graph import (
+        cooccurrence_drift,
+    )
+
+    rows = cooccurrence_drift(spark, SF_SMALL).collect()
+    assert rows, "empty drift"
+    for r in rows:
+        assert r.prev_month < r.curr_month
+        assert r.n_common <= min(r.n_prev, r.n_curr)
+        assert r.n_new + r.n_common == r.n_curr
+        assert r.n_dropped + r.n_common == r.n_prev
+        assert 0 <= r.edge_jaccard <= 1
+
+    # independent set-intersection for the first month pair
+    r0 = rows[0]
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    basket = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+
+    def edge_set(month):
+        by_order: dict = {}
+        for row in basket.filter(F.col("month") == month).collect():
+            by_order.setdefault(row.l_orderkey, set()).add(row.l_partkey)
+        out = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    out.add((a, b))
+        return out
+
+    prev, curr = edge_set(r0.prev_month), edge_set(r0.curr_month)
+    assert r0.n_prev == len(prev)
+    assert r0.n_curr == len(curr)
+    assert r0.n_common == len(prev & curr)
+
+
+def test_stream_zipf_fit_equals_batch(spark):
+    from project_bigdata_recsys_spark.functions.text import zipf_fit_profile
+    from project_bigdata_recsys_spark.streaming.replay import stream_zipf_fit
+
+    batch = [tuple(r) for r in zipf_fit_profile(spark, SF_SMALL).collect()]
+    stream = [tuple(r) for r in stream_zipf_fit(spark, SF_SMALL).collect()]
+    # the ledger fold must reach the batch fit BIT-identically — counts
+    # merge exactly, the fit kernel is shared
+    assert stream == batch
