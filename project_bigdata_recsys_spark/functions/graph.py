@@ -937,6 +937,11 @@ def cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "l_orderkey", "l_partkey")
     )
     a, b = basket.alias("a"), basket.alias("b")
+    # NOT persisted: all four consumers hang off the identical
+    # self-join+distinct subtree, which AQE dedupes via ReusedExchange —
+    # an explicit persist was A/B-measured SLOWER (materialization cost
+    # without saved work); contrast heaps_fit_profile's per_doc, whose
+    # consumers differ and genuinely re-run the producer
     edges = (
         a.join(
             b,

@@ -2274,9 +2274,16 @@ def zipf_fit_from_freqs(freqs: DataFrame, top_ranks: int = 100) -> DataFrame:
     """The Zipf fit kernel over an already-aggregated (lang, token,
     freq) frame — shared verbatim by the batch profile and the
     streaming ledger fold (streaming.replay.stream_zipf_fit), so both
-    reach the identical DuckDB oracle from the same projection."""
+    reach the identical DuckDB oracle from the same projection.
+
+    The frequency frame is PERSISTED (tracked tier): both consumers
+    (vocab totals, ranked head) would otherwise re-run the producer's
+    corpus explode — the frame itself is only |lang|×|vocab|."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    freqs = persist_tracked(freqs)
     totals = freqs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
         F.sum("freq").cast("long").alias("total_tokens"),
@@ -2361,13 +2368,21 @@ def heaps_fit_profile(
     anchor join, and bucket-count-sized everything downstream."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "lang",
-        "doc_id",
-        F.size(
-            F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
-        ).alias("n_tok"),
+    # persisted (tracked tier): anchors and doc_b both consume it, and
+    # the token-count expression is the only reason to touch `text` a
+    # second time — persisting pins one light (lang, doc_id, n_tok)
+    # projection instead of re-scanning the corpus text
+    per_doc = persist_tracked(
+        docs.select(
+            "lang",
+            "doc_id",
+            F.size(
+                F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+            ).alias("n_tok"),
+        )
     )
     anchors = per_doc.groupBy("lang").agg(
         F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
