@@ -62,6 +62,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "bh_fdr_correction",  # Aggregate(event_type): ≤ #types rows
     "token_budget_planner",  # Aggregate(source): ≤ #sources rows
     "bloom_pruned_join",  # Aggregate(l_returnflag): ≤ #returnflags rows
+    "cooccurrence_drift",  # Distinct(month): ≤ calendar-month-span rows
 }
 
 
