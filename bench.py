@@ -385,6 +385,11 @@ HEADLINE = [
     # micro-batch appends + exact partial-count merge)
     "cooccurrence_drift",
     "stream_zipf_fit",
+    # r13 seventh wave: Dirichlet query-likelihood ranking (one token
+    # explosion + broadcast postings join) and 3-round synchronous LPA
+    # over the shared edge memo
+    "lm_dirichlet_scores",
+    "label_prop_communities",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

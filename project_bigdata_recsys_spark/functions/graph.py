@@ -1022,3 +1022,67 @@ def cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("edge_jaccard"),
     ).orderBy("curr_month")
+
+
+def label_prop_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = 3,
+    min_weight: float = 2.0,
+    top_k: int = 50,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-occurrence graph thresholded at
+    ``min_weight`` shared baskets — the finer-grained companion to
+    :func:`item_communities`' connected components: CC lumps everything
+    reachable into one family, LPA splits a connected region along its
+    internal density structure, which is what a merchandiser wants when
+    the whole catalog is one giant component.
+
+    Determinism (the property plain LPA lacks): updates are SYNCHRONOUS
+    (every round reads only the previous round's labels) and the vote
+    is totally ordered — max neighbor-label count, ties to the MINIMUM
+    label — so the fixed ``n_rounds`` unrolled rounds give one exact
+    answer on any engine, partition order, or schedule; the DuckDB twin
+    unrolls the identical three rounds (the pagerank-oracle pattern).
+
+    Scale: each round is one |E|-bounded join (labels onto edge
+    destinations) + one (node, label)-bounded vote count — shuffles on
+    the node key reuse the same partitioning round to round; nothing is
+    iterated to convergence (fixed rounds, the incremental-CC
+    discipline for bounded lineage)."""
+    from pyspark.sql import Window
+
+    edges = (
+        shared_cooccurrence_edges(spark, sf_dir)
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(n_rounds):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .select("src", "label")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+            F.sum("node").cast("long").alias("member_checksum"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(top_k)
+    )

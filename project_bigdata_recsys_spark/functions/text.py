@@ -2483,3 +2483,84 @@ def heaps_fit_profile(
         )
         .orderBy("lang")
     )
+
+
+def lm_dirichlet_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query_terms: int = 3,
+    top_docs: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft 1998; Zhai & Lafferty 2001) — the third classic lexical
+    ranker beside :func:`bm25_scores` and the RM3 expansion, and the
+    one whose scores are calibrated log-probabilities:
+    score(t, d) = ln((tf + μ·P(t|C)) / (dl + μ)), P(t|C) the corpus
+    unigram model.  Query terms are the same top-``n_query_terms``
+    corpus terms the BM25 baseline ranks, so the two surfaces are
+    directly comparable.
+
+    Determinism: every input to the formula is an exact BIGINT (tf, dl,
+    total_tf, corpus total); the single libm call (ln) is protected by
+    ranking on the 6-dp-rounded score with doc_id as total tie-break —
+    the bm25_scores discipline.
+
+    Shape at 100 TB: ONE token explosion feeds tf, dl and the corpus
+    stats; query terms are a TakeOrdered top-3 broadcast into the
+    postings join (only matching postings survive — Dirichlet smoothing
+    scores non-matching docs too, but they can never enter a
+    matching-postings top-10, so the scan prune is lossless for this
+    readout); the per-query top-10 window partitions on the query
+    term."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("total_tf")
+    )
+    corpus = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    qterms = (
+        df_t.orderBy(F.desc("total_tf"), "term")
+        .limit(n_query_terms)
+        .crossJoin(F.broadcast(corpus))
+        .select("term", "total_tf", "c_total")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select(
+            F.col("term").alias("query_term"),
+            "doc_id",
+            "tf",
+            "dl",
+            F.round(
+                F.log(
+                    (
+                        F.col("tf")
+                        + F.lit(mu) * F.col("total_tf") / F.col("c_total")
+                    )
+                    / (F.col("dl") + F.lit(mu))
+                ),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.desc("lm_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_docs)
+        .select("query_term", "rnk", "doc_id", "tf", "dl", "lm_score")
+        .orderBy("query_term", "rnk")
+    )

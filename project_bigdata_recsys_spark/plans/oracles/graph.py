@@ -196,3 +196,47 @@ TEXTS['cooccurrence_drift'] = """
                        AND cm.curr_month = p.curr_month
     ORDER BY p.curr_month
 """
+
+TEXTS['label_prop_communities'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT src, dst FROM half WHERE w >= 2.0
+        UNION ALL SELECT dst, src FROM half WHERE w >= 2.0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    v1 AS (
+        SELECT e.src, l.label, count(*) AS n
+        FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.label),
+    l1 AS (
+        SELECT src AS node, label FROM (
+            SELECT src, label, row_number() OVER (PARTITION BY src
+                ORDER BY n DESC, label ASC) AS rk FROM v1)
+        WHERE rk = 1),
+    v2 AS (
+        SELECT e.src, l.label, count(*) AS n
+        FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY e.src, l.label),
+    l2 AS (
+        SELECT src AS node, label FROM (
+            SELECT src, label, row_number() OVER (PARTITION BY src
+                ORDER BY n DESC, label ASC) AS rk FROM v2)
+        WHERE rk = 1),
+    v3 AS (
+        SELECT e.src, l.label, count(*) AS n
+        FROM edges e JOIN l2 l ON l.node = e.dst GROUP BY e.src, l.label),
+    l3 AS (
+        SELECT src AS node, label FROM (
+            SELECT src, label, row_number() OVER (PARTITION BY src
+                ORDER BY n DESC, label ASC) AS rk FROM v3)
+        WHERE rk = 1)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(sum(node) AS BIGINT) AS member_checksum
+    FROM l3 GROUP BY label
+    ORDER BY n_members DESC, label ASC LIMIT 50
+"""

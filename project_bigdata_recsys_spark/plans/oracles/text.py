@@ -968,3 +968,40 @@ TEXTS['heaps_fit_profile'] = """
            END AS r2
     FROM st JOIN totals USING (lang) ORDER BY lang
 """
+
+TEXTS['lm_dirichlet_scores'] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    ftoks AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM ftoks GROUP BY doc_id, term),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM ftoks GROUP BY doc_id),
+    df_t AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS c_total FROM ftoks),
+    qterms AS (
+        SELECT term, total_tf FROM df_t
+        ORDER BY total_tf DESC, term ASC LIMIT 3),
+    scored AS (
+        SELECT q.term AS query_term, t.doc_id, t.tf, d.dl,
+               round(ln((t.tf + 2000.0 * q.total_tf / c.c_total)
+                        / (d.dl + 2000.0)), 6) AS lm_score
+        FROM tf t
+        JOIN qterms q ON q.term = t.term
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN corpus c),
+    ranked AS (
+        SELECT query_term, doc_id, tf, dl, lm_score,
+               row_number() OVER (PARTITION BY query_term
+                   ORDER BY lm_score DESC, doc_id ASC) AS rnk
+        FROM scored)
+    SELECT query_term, CAST(rnk AS BIGINT) AS rnk, doc_id, tf, dl,
+           lm_score
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_term, rnk
+"""

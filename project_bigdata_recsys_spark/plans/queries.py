@@ -2421,8 +2421,13 @@ ORACLES["split_source_audit"] = f"""
 # sixth wave (source_vocabulary_profile, source_triage_report —
 # r5-evidenced, bench-exercised every round) for the sixth-wave pair
 # (cooccurrence_drift, stream_zipf_fit), window replica re-run and
-# PRECHECK_r13_gate.json refreshed once more:
-#     label_centroid_outliers, nearest_centroid_agreement, source_quantile_filter,
+# PRECHECK_r13_gate.json refreshed once more; two slots displaced to
+# the r14 head in the seventh wave (label_centroid_outliers,
+# nearest_centroid_agreement — r5-evidenced, bench-exercised) for the
+# seventh-wave pair (lm_dirichlet_scores, label_prop_communities),
+# window replica re-run and PRECHECK_r13_gate.json refreshed once
+# more:
+#     source_quantile_filter,
 #     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
 #     int8_quantization_profile, split_source_audit, ann_recall_profile,
 #     centroid_confusion, conversion_lag, gap_filled_daily,
@@ -2438,16 +2443,18 @@ ORACLES["split_source_audit"] = f"""
 #     ann_index_diff, tokenizer_fertility_audit, join_view_mor,
 #     join_view_reconcile, stream_join_view_mor, zipf_fit_profile,
 #     bucketed_join_agg, heaps_fit_profile, two_hop_reach,
-#     cooccurrence_drift, stream_zipf_fit
+#     cooccurrence_drift, stream_zipf_fit, lm_dirichlet_scores,
+#     label_prop_communities
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# fifteen names displaced from r13 (six at the rotation swap, three
-# at the third-wave tail insertion, two each at the fourth-, fifth-
-# and sixth-wave tail insertions), then the remaining r7-evidence
+# seventeen names displaced from r13 (six at the rotation swap, three
+# at the third-wave tail insertion, two each at the fourth- through
+# seventh-wave tail insertions), then the remaining r7-evidence
 # queries in registration order:
+#     label_centroid_outliers, nearest_centroid_agreement,
 #     source_vocabulary_profile, source_triage_report,
 #     source_dup_attribution, boilerplate_suffix_profile,
 #     length_bucketed_batches, novelty_profile,
@@ -2464,8 +2471,7 @@ ORACLES["split_source_audit"] = f"""
 #     rolling_distinct_users, fuzzy_name_matches, psi_drift,
 #     backfill_plan, schema_drift_report, source_dup_attribution_reused,
 #     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
-#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
-#     stream_value_quantiles, merge_upsert_profile
+#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2474,16 +2480,18 @@ ORACLES["split_source_audit"] = f"""
 #  label_agreement_kappa — displaced by the r13 fourth wave — plus
 #  stream_late_data_audit, stream_merge_apply — displaced by its fifth
 #  wave — plus bpe_pair_counts, rerank_uplift_profile — displaced by
-#  its sixth — then the r8 block.)
+#  its sixth — plus stream_value_quantiles, merge_upsert_profile —
+#  displaced by its seventh — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# fifteen names displaced past r14, then the oldest-evidence (r8)
+# seventeen names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
 #     bm25_scores, vocab_coverage_curve, item_triangles,
 #     concurrent_events_peak, label_agreement_kappa,
 #     stream_late_data_audit, stream_merge_apply,
 #     bpe_pair_counts, rerank_uplift_profile,
+#     stream_value_quantiles, merge_upsert_profile,
 #     cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
 #     doc_quality_profile, lang_profile, doc_fingerprints,
 #     token_stats, lang_id_confusion, pii_redaction_profile,
@@ -2496,12 +2504,12 @@ ORACLES["split_source_audit"] = f"""
 #     customers_except, priority_union_all, latest_order_per_customer,
 #     drift_lag, top_n_per_group, running_total,
 #     moving_avg_range, ntile_quartiles, order_gaps,
-#     semdedup_profile, domain_quota_sample, k_anonymity_profile,
-#     stream_domain_quota, incremental_domain_quota
+#     semdedup_profile, domain_quota_sample, k_anonymity_profile
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
-#  bloom_membership_profile by its sixth.)
+#  bloom_membership_profile by its sixth, stream_domain_quota,
+#  incremental_domain_quota by its seventh.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2511,6 +2519,7 @@ ORACLES["split_source_audit"] = f"""
 #     als_ranking_eval, stream_kmv_distinct,
 #     ks_value_drift, mann_whitney_drift,
 #     ranking_metrics, bloom_membership_profile,
+#     stream_domain_quota, incremental_domain_quota,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2524,10 +2533,10 @@ ORACLES["split_source_audit"] = f"""
 #     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
 #     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
 #     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
-#     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
-#     degree_distribution_profile, cuped_adjusted_lift
+#     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
-#  displaced to its head by the r13 sixth-wave ripple.)
+#  displaced to its head by the r13 sixth-wave ripple,
+#  degree_distribution_profile, cuped_adjusted_lift by its seventh.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the six
@@ -2535,6 +2544,7 @@ ORACLES["split_source_audit"] = f"""
 # ripples, the remaining r9-evidence queries, then the oldest
 # r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
+#     degree_distribution_profile, cuped_adjusted_lift,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2550,14 +2560,13 @@ ORACLES["split_source_audit"] = f"""
 #     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
 #     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
 #     spearman_user_metrics, price_elasticity, doubly_robust_ate,
-#     pps_horvitz_thompson, seasonal_indices, term_burstiness
+#     pps_horvitz_thompson
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
+#  plus seasonal_indices, term_burstiness — displaced by its seventh —
 #  then the remaining 10 r10-evidence queries and the r11/r12 blocks
 #  in evidence-age order.)
 _GATE_WINDOW = [
-    "label_centroid_outliers",
-    "nearest_centroid_agreement",
     "source_quantile_filter",
     "incremental_components",
     "shuffled_export_manifest",
@@ -2606,6 +2615,8 @@ _GATE_WINDOW = [
     "two_hop_reach",
     "cooccurrence_drift",
     "stream_zipf_fit",
+    "lm_dirichlet_scores",
+    "label_prop_communities",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4029,6 +4040,22 @@ ORACLES["cooccurrence_drift"] = _TEXTS["cooccurrence_drift"]
 
 QUERIES["stream_zipf_fit"] = replay.stream_zipf_fit
 ORACLES["stream_zipf_fit"] = _TEXTS["zipf_fit_profile"]
+
+
+# Round-13 seventh wave -----------------------------------------------------
+# lm_dirichlet_scores: query-likelihood retrieval with Dirichlet
+# smoothing — the third classic lexical ranker beside BM25/RM3, exact
+# BIGINT inputs, ranked on the 6-dp-rounded log-probability
+# (functions/text.py).
+# label_prop_communities: deterministic synchronous label propagation
+# (3 unrolled rounds, max-count/min-label votes) over the thresholded
+# co-occurrence graph — the finer companion to item_communities' CC
+# (functions/graph.py; oracle unrolls the identical rounds).
+QUERIES["lm_dirichlet_scores"] = text.lm_dirichlet_scores
+ORACLES["lm_dirichlet_scores"] = _TEXTS["lm_dirichlet_scores"]
+
+QUERIES["label_prop_communities"] = graph.label_prop_communities
+ORACLES["label_prop_communities"] = _TEXTS["label_prop_communities"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -237,3 +237,88 @@ def test_stream_zipf_fit_equals_batch(spark):
     # the ledger fold must reach the batch fit BIT-identically — counts
     # merge exactly, the fit kernel is shared
     assert stream == batch
+
+
+def test_lm_dirichlet_matches_python_math(spark):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        lm_dirichlet_scores,
+        tokens,
+    )
+
+    got = lm_dirichlet_scores(spark, SF_SMALL).collect()
+    assert got
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_term, []).append(r)
+    for rows in by_q.values():
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # scores are log-probabilities of a single term: strictly < 0
+        scores = [r.lm_score for r in rows]
+        assert all(s < 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+    # independent recompute for the top query term
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    c_total = toks.count()
+    term = sorted(by_q)[0]
+    total_tf = toks.filter(F.col("term") == term).count()
+    dl = {r.doc_id: r.n for r in toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tf = {
+        r.doc_id: r.n
+        for r in toks.filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in by_q[term]:
+        want = m.log(
+            (tf[r.doc_id] + 2000.0 * total_tf / c_total)
+            / (dl[r.doc_id] + 2000.0)
+        )
+        assert abs(r.lm_score - want) < 5e-6, (r, want)
+
+
+def test_label_prop_matches_python_lpa(spark):
+    from project_bigdata_recsys_spark.functions.graph import (
+        label_prop_communities,
+        shared_cooccurrence_edges,
+    )
+
+    got = [tuple(r) for r in label_prop_communities(spark, SF_SMALL).collect()]
+    assert got
+
+    adj: dict = {}
+    for r in shared_cooccurrence_edges(spark, SF_SMALL).collect():
+        if r.w >= 2.0:
+            adj.setdefault(r.src, []).append(r.dst)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for n in nbrs:
+                lbl = labels[n]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        labels = nxt
+    comm: dict = {}
+    for v, lbl in labels.items():
+        comm.setdefault(lbl, []).append(v)
+    want = sorted(
+        (
+            (lbl, len(vs), min(vs), sum(vs))
+            for lbl, vs in comm.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    assert got == want
