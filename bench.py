@@ -390,6 +390,13 @@ HEADLINE = [
     # over the shared edge memo
     "lm_dirichlet_scores",
     "label_prop_communities",
+    # r13 eighth wave: blocked Fellegi-Sunter pair scoring (frozen
+    # per-field ln(m/u) weights, exact BIGINT pair sums), all-integer
+    # IPF raking on the (lang, source) cell table, and the
+    # two-range-window sort-filter skyline
+    "fellegi_sunter_linkage",
+    "ipf_weight_calibration",
+    "skyline_orders",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

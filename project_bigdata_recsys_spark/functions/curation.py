@@ -1763,3 +1763,82 @@ def training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ipf_weight_calibration(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iters: int = 3,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-cell corpus
+    weights so the weighted (lang, source) margins approach uniform
+    targets — the survey-statistics calibration step a corpus mixer
+    runs when the crawl over-represents some language × source cells
+    and the training mix must honor BOTH axis quotas at once
+    (corpus_mixture handles one axis; IPF reconciles two).
+
+    Determinism/exactness (the all-integer IPF): weights live in micro
+    units (``n_docs × unit``), axis targets are a largest-remainder
+    integer split of the grand total (the largest_remainder_allocation
+    rule), and every scaling step is an exact integer floor division
+    ``w·t ÷ margin`` — Spark computes it as DECIMAL(38,0) ``div`` and
+    DuckDB as HUGEINT ``//``, the same integers on both engines, so the
+    unrolled ``n_iters`` rounds are hash-identical with no float
+    anywhere.
+
+    Scale: the ONLY full-data pass is the initial (lang, source)
+    count; every IPF round then runs on the |langs|·|sources| cell
+    table (bounded by contract — axis cardinalities, not corpus size),
+    including its single-partition rank windows.  At 100 TB this is
+    one scan + driver-scale refinement, the same shape as
+    token_budget_planner."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    cells = cells.withColumn("w", (F.col("n_docs") * F.lit(unit)).cast("long"))
+    totals = cells.agg(
+        F.sum("w").cast("long").alias("wt"),
+        F.countDistinct("lang").cast("long").alias("nl"),
+        F.countDistinct("source").cast("long").alias("ns"),
+    )
+    cur = cells.crossJoin(F.broadcast(totals))
+    # largest-remainder uniform targets per axis: the first (wt % k)
+    # values in lexicographic order get one extra micro-unit
+    lang_rk = F.dense_rank().over(Window.orderBy("lang"))
+    src_rk = F.dense_rank().over(Window.orderBy("source"))
+    cur = cur.withColumn(
+        "t_l",
+        F.expr("wt div nl")
+        + F.when(lang_rk <= F.col("wt") % F.col("nl"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn(
+        "t_s",
+        F.expr("wt div ns")
+        + F.when(src_rk <= F.col("wt") % F.col("ns"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    scale = (
+        "CAST(w AS DECIMAL(38,0)) * CAST({t} AS DECIMAL(38,0))"
+        " div CAST(GREATEST(m, 1) AS DECIMAL(38,0))"
+    )
+    for _ in range(n_iters):
+        cur = (
+            cur.withColumn("m", F.sum("w").over(Window.partitionBy("lang")))
+            .withColumn("w", F.expr(scale.format(t="t_l")))
+            .drop("m")
+        )
+        cur = (
+            cur.withColumn("m", F.sum("w").over(Window.partitionBy("source")))
+            .withColumn("w", F.expr(scale.format(t="t_s")))
+            .drop("m")
+        )
+    return cur.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("w").cast("long").alias("weight_micro"),
+    ).orderBy("lang", "source")

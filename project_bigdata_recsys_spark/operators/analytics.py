@@ -4021,3 +4021,71 @@ def theil_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_type = theil(per, F.col("event_type"))
     overall = theil(per, F.lit("__all__"))
     return by_type.unionByName(overall).orderBy("segment")
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 2-D skyline (Pareto frontier): the orders no other
+    same-segment order strictly dominates on (cheaper-or-equal price,
+    same-or-later date, at least one strict) — Börzsönyi et al.'s
+    SKYLINE OF operator, the "best deals" frontier that pareto_curve's
+    band view cannot answer (it ranks one measure; the skyline trades
+    off two).
+
+    Plan (the sort-filter skyline, NOT the textbook O(n²) NOT EXISTS):
+    with orders sorted by price within a segment, an order is dominated
+    iff a strictly-cheaper order has a same-or-later date, OR a
+    cheaper-or-equal one has a strictly-later date — both are range
+    running-max windows over the cent-exact price, so the whole
+    operator is ONE window sort per segment partition (two frames share
+    it) instead of a per-segment self-join.  At 100 TB that is one
+    shuffle on the segment key; the oracle runs the identical
+    window formulation, and the n² NOT EXISTS form is pinned equal in
+    tests at sf0.001.
+
+    Exactness: prices as BIGINT cents, dates as integer days — no
+    doubles anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_n"),
+    )
+    from pyspark.sql import Window
+
+    strictly_cheaper = (
+        Window.partitionBy("segment")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cheaper_or_equal = (
+        Window.partitionBy("segment")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = base.select(
+        "segment",
+        "o_orderkey",
+        "price_cents",
+        "order_date",
+        "day_n",
+        F.max("day_n").over(strictly_cheaper).alias("best_day_lt"),
+        F.max("day_n").over(cheaper_or_equal).alias("best_day_le"),
+    )
+    return (
+        flagged.filter(
+            (F.col("best_day_lt").isNull() | (F.col("best_day_lt") < F.col("day_n")))
+            & (F.col("best_day_le") == F.col("day_n"))
+        )
+        .select("segment", "o_orderkey", "price_cents", "order_date")
+        .orderBy("segment", "price_cents", "o_orderkey")
+    )

@@ -545,3 +545,53 @@ TEXTS['training_data_card'] = r"""
     JOIN expo USING (source) JOIN quality USING (source)
     ORDER BY source
 """
+
+TEXTS['ipf_weight_calibration'] = """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) * 1000000 AS w
+        FROM documents GROUP BY lang, source),
+    tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS wt,
+               CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+               CAST(count(DISTINCT source) AS BIGINT) AS ns
+        FROM cells),
+    lt AS (
+        SELECT lang, row_number() OVER (ORDER BY lang) AS rk
+        FROM (SELECT DISTINCT lang FROM cells)),
+    st AS (
+        SELECT source, row_number() OVER (ORDER BY source) AS rk
+        FROM (SELECT DISTINCT source FROM cells)),
+    c0 AS (
+        SELECT c.lang, c.source, c.n_docs, CAST(c.w AS HUGEINT) AS w,
+               (wt // nl) + CASE WHEN lt.rk <= wt % nl THEN 1 ELSE 0 END AS t_l,
+               (wt // ns) + CASE WHEN st.rk <= wt % ns THEN 1 ELSE 0 END AS t_s
+        FROM cells c CROSS JOIN tot
+        JOIN lt ON c.lang = lt.lang JOIN st ON c.source = st.source),
+    i1a AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_l) // GREATEST(sum(w) OVER (PARTITION BY lang), 1) AS w
+        FROM c0),
+    i1b AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_s) // GREATEST(sum(w) OVER (PARTITION BY source), 1) AS w
+        FROM i1a),
+    i2a AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_l) // GREATEST(sum(w) OVER (PARTITION BY lang), 1) AS w
+        FROM i1b),
+    i2b AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_s) // GREATEST(sum(w) OVER (PARTITION BY source), 1) AS w
+        FROM i2a),
+    i3a AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_l) // GREATEST(sum(w) OVER (PARTITION BY lang), 1) AS w
+        FROM i2b),
+    i3b AS (
+        SELECT lang, source, n_docs, t_l, t_s,
+               (w * t_s) // GREATEST(sum(w) OVER (PARTITION BY source), 1) AS w
+        FROM i3a)
+    SELECT lang, source, n_docs, CAST(w AS BIGINT) AS weight_micro
+    FROM i3b ORDER BY lang, source
+"""

@@ -354,3 +354,50 @@ TEXTS['dedup_manifest_diff'] = """
     FROM ks FULL OUTER JOIN arr USING (source)
     ORDER BY source
 """
+
+TEXTS['fellegi_sunter_linkage'] = """
+    WITH recs AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+                   AS blk_band,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+                   AS band100,
+               right(c_name, 2) AS suffix2
+        FROM customer),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM recs),
+    useg AS (SELECT CAST(sum(c * c) AS BIGINT) AS u_seg FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY segment)),
+    uband AS (SELECT CAST(sum(c * c) AS BIGINT) AS u_band FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY band100)),
+    usuf AS (SELECT CAST(sum(c * c) AS BIGINT) AS u_suf FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY suffix2)),
+    wts AS (
+        SELECT
+            CAST(round(ln((19 * n * n) / (20.0 * u_seg)) * 1e6) AS BIGINT) AS wa_seg,
+            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_seg))) * 1e6) AS BIGINT) AS wd_seg,
+            CAST(round(ln((19 * n * n) / (20.0 * u_band)) * 1e6) AS BIGINT) AS wa_band,
+            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_band))) * 1e6) AS BIGINT) AS wd_band,
+            CAST(round(ln((19 * n * n) / (20.0 * u_suf)) * 1e6) AS BIGINT) AS wa_suf,
+            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_suf))) * 1e6) AS BIGINT) AS wd_suf
+        FROM useg, uband, usuf, nt),
+    pairs AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               a.segment = b.segment AS g_seg,
+               a.band100 = b.band100 AS g_band,
+               a.suffix2 = b.suffix2 AS g_suf
+        FROM recs a JOIN recs b
+          ON a.nation = b.nation AND a.blk_band = b.blk_band
+         AND a.c_custkey < b.c_custkey)
+    SELECT custkey_a, custkey_b,
+           (CASE WHEN g_seg THEN '1' ELSE '0' END ||
+            CASE WHEN g_band THEN '1' ELSE '0' END ||
+            CASE WHEN g_suf THEN '1' ELSE '0' END) AS pattern,
+           CAST((CASE WHEN g_seg THEN wa_seg ELSE wd_seg END)
+              + (CASE WHEN g_band THEN wa_band ELSE wd_band END)
+              + (CASE WHEN g_suf THEN wa_suf ELSE wd_suf END) AS BIGINT)
+               AS score_micro
+    FROM pairs CROSS JOIN wts
+    ORDER BY score_micro DESC, custkey_a ASC, custkey_b ASC
+    LIMIT 50
+"""

@@ -3038,3 +3038,27 @@ TEXTS['bucketed_join_agg'] = """
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
+
+TEXTS['skyline_orders'] = """
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+               strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+               CAST(datediff('day', DATE '1990-01-01',
+                             CAST(o.o_orderdate AS DATE)) AS BIGINT) AS day_n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    flagged AS (
+        SELECT segment, o_orderkey, price_cents, order_date, day_n,
+               max(day_n) OVER (PARTITION BY segment ORDER BY price_cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_day_lt,
+               max(day_n) OVER (PARTITION BY segment ORDER BY price_cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS best_day_le
+        FROM base)
+    SELECT segment, o_orderkey, price_cents, order_date
+    FROM flagged
+    WHERE (best_day_lt IS NULL OR best_day_lt < day_n)
+      AND best_day_le = day_n
+    ORDER BY segment, price_cents, o_orderkey
+"""

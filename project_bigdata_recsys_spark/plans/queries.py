@@ -2426,9 +2426,13 @@ ORACLES["split_source_audit"] = f"""
 # nearest_centroid_agreement — r5-evidenced, bench-exercised) for the
 # seventh-wave pair (lm_dirichlet_scores, label_prop_communities),
 # window replica re-run and PRECHECK_r13_gate.json refreshed once
-# more:
-#     source_quantile_filter,
-#     incremental_components, shuffled_export_manifest, pack_sequences_boundaries,
+# more; three slots displaced to the r14 head in the eighth wave
+# (source_quantile_filter, incremental_components,
+# shuffled_export_manifest — r5-evidenced, bench-exercised) for the
+# eighth-wave trio (fellegi_sunter_linkage, ipf_weight_calibration,
+# skyline_orders), window replica re-run and PRECHECK_r13_gate.json
+# refreshed once more:
+#     pack_sequences_boundaries,
 #     int8_quantization_profile, split_source_audit, ann_recall_profile,
 #     centroid_confusion, conversion_lag, gap_filled_daily,
 #     ab_test_lift, pareto_curve, forget_users_plan,
@@ -2444,16 +2448,19 @@ ORACLES["split_source_audit"] = f"""
 #     join_view_reconcile, stream_join_view_mor, zipf_fit_profile,
 #     bucketed_join_agg, heaps_fit_profile, two_hop_reach,
 #     cooccurrence_drift, stream_zipf_fit, lm_dirichlet_scores,
-#     label_prop_communities
+#     label_prop_communities, fellegi_sunter_linkage,
+#     ipf_weight_calibration, skyline_orders
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# seventeen names displaced from r13 (six at the rotation swap, three
+# twenty names displaced from r13 (six at the rotation swap, three
 # at the third-wave tail insertion, two each at the fourth- through
-# seventh-wave tail insertions), then the remaining r7-evidence
-# queries in registration order:
+# seventh-wave tail insertions, three at the eighth), then the
+# remaining r7-evidence queries in registration order:
+#     source_quantile_filter, incremental_components,
+#     shuffled_export_manifest,
 #     label_centroid_outliers, nearest_centroid_agreement,
 #     source_vocabulary_profile, source_triage_report,
 #     source_dup_attribution, boilerplate_suffix_profile,
@@ -2470,8 +2477,7 @@ ORACLES["split_source_audit"] = f"""
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
 #     rolling_distinct_users, fuzzy_name_matches, psi_drift,
 #     backfill_plan, schema_drift_report, source_dup_attribution_reused,
-#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe,
-#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup
+#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2481,12 +2487,15 @@ ORACLES["split_source_audit"] = f"""
 #  stream_late_data_audit, stream_merge_apply — displaced by its fifth
 #  wave — plus bpe_pair_counts, rerank_uplift_profile — displaced by
 #  its sixth — plus stream_value_quantiles, merge_upsert_profile —
-#  displaced by its seventh — then the r8 block.)
+#  displaced by its seventh — plus stream_cdc_current, ann_rerank,
+#  ddsketch_quantile_rollup — displaced by its eighth — then the r8
+#  block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# seventeen names displaced past r14, then the oldest-evidence (r8)
+# twenty names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
+#     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     bm25_scores, vocab_coverage_curve, item_triangles,
 #     concurrent_events_peak, label_agreement_kappa,
 #     stream_late_data_audit, stream_merge_apply,
@@ -2503,23 +2512,25 @@ ORACLES["split_source_audit"] = f"""
 #     price_tier_join, grouping_sets_stats, customers_intersect,
 #     customers_except, priority_union_all, latest_order_per_customer,
 #     drift_lag, top_n_per_group, running_total,
-#     moving_avg_range, ntile_quartiles, order_gaps,
-#     semdedup_profile, domain_quota_sample, k_anonymity_profile
+#     moving_avg_range, ntile_quartiles, order_gaps
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
 #  bloom_membership_profile by its sixth, stream_domain_quota,
-#  incremental_domain_quota by its seventh.)
+#  incremental_domain_quota by its seventh, semdedup_profile,
+#  domain_quota_sample, k_anonymity_profile by its eighth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
 # names displaced past r15 (three by the r13 third wave, two each by
-# its fourth, fifth and sixth waves), the remaining r8-evidence
-# queries, then the oldest r9-evidence queries in registration order:
+# its fourth through seventh waves, three by its eighth), the
+# remaining r8-evidence queries, then the oldest r9-evidence queries
+# in registration order:
 #     als_ranking_eval, stream_kmv_distinct,
 #     ks_value_drift, mann_whitney_drift,
 #     ranking_metrics, bloom_membership_profile,
 #     stream_domain_quota, incremental_domain_quota,
+#     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2532,19 +2543,21 @@ ORACLES["split_source_audit"] = f"""
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
 #     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
 #     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
-#     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval,
-#     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats
+#     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
-#  degree_distribution_profile, cuped_adjusted_lift by its seventh.)
+#  degree_distribution_profile, cuped_adjusted_lift by its seventh,
+#  sql_recursive_cte, stream_cusum_changepoint, winsorized_stats by
+#  its eighth.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
-# schedule only — counts once CORRECTNESS_r17.json is green): the six
-# names displaced past r16 by the r13 fourth-, fifth- and sixth-wave
+# schedule only — counts once CORRECTNESS_r17.json is green): the
+# seven names displaced past r16 by the r13 sixth- through eighth-wave
 # ripples, the remaining r9-evidence queries, then the oldest
 # r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
+#     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2559,17 +2572,14 @@ ORACLES["split_source_audit"] = f"""
 #     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
 #     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
 #     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
-#     spearman_user_metrics, price_elasticity, doubly_robust_ate,
-#     pps_horvitz_thompson
+#     spearman_user_metrics
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
-#  then the remaining 10 r10-evidence queries and the r11/r12 blocks
-#  in evidence-age order.)
+#  plus price_elasticity, doubly_robust_ate, pps_horvitz_thompson —
+#  displaced by its eighth — then the remaining 10 r10-evidence
+#  queries and the r11/r12 blocks in evidence-age order.)
 _GATE_WINDOW = [
-    "source_quantile_filter",
-    "incremental_components",
-    "shuffled_export_manifest",
     "pack_sequences_boundaries",
     "int8_quantization_profile",
     "split_source_audit",
@@ -2617,6 +2627,9 @@ _GATE_WINDOW = [
     "stream_zipf_fit",
     "lm_dirichlet_scores",
     "label_prop_communities",
+    "fellegi_sunter_linkage",
+    "ipf_weight_calibration",
+    "skyline_orders",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4056,6 +4069,31 @@ ORACLES["lm_dirichlet_scores"] = _TEXTS["lm_dirichlet_scores"]
 
 QUERIES["label_prop_communities"] = graph.label_prop_communities
 ORACLES["label_prop_communities"] = _TEXTS["label_prop_communities"]
+
+
+# Round-13 eighth wave ------------------------------------------------------
+# fellegi_sunter_linkage: probabilistic record linkage — blocked pairs
+# scored by exact BIGINT sums of per-FIELD frozen ln(m/u) weights (six
+# ln calls total, the lm_dirichlet freezing discipline); the fourth
+# entity-resolution strategy beside rare-gram blocks, minhash bands
+# and the sorted neighborhood (functions/dedup.py).
+# ipf_weight_calibration: all-integer iterative proportional fitting
+# (raking) of (lang, source) cell weights to largest-remainder uniform
+# axis targets — every scaling step an exact DECIMAL(38,0) div /
+# HUGEINT // floor division, unrolled identically in the oracle
+# (functions/curation.py).
+# skyline_orders: per-segment 2-D Pareto frontier via two range
+# running-max windows over cent-exact prices — the sort-filter
+# skyline, never the O(n²) NOT EXISTS (operators/analytics.py; the n²
+# form is pinned equal in tests).
+QUERIES["fellegi_sunter_linkage"] = dedup.fellegi_sunter_linkage
+ORACLES["fellegi_sunter_linkage"] = _TEXTS["fellegi_sunter_linkage"]
+
+QUERIES["ipf_weight_calibration"] = curation.ipf_weight_calibration
+ORACLES["ipf_weight_calibration"] = _TEXTS["ipf_weight_calibration"]
+
+QUERIES["skyline_orders"] = analytics.skyline_orders
+ORACLES["skyline_orders"] = _TEXTS["skyline_orders"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -63,6 +63,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "token_budget_planner",  # Aggregate(source): ≤ #sources rows
     "bloom_pruned_join",  # Aggregate(l_returnflag): ≤ #returnflags rows
     "cooccurrence_drift",  # Distinct(month): ≤ calendar-month-span rows
+    "ipf_weight_calibration",  # Aggregate(lang, source): ≤ |langs|·|sources| cell rows
 }
 
 

@@ -1,0 +1,212 @@
+"""Round-13 eighth wave pins: Fellegi-Sunter linkage, integer IPF
+raking, and the sort-filter skyline.
+
+- fellegi_sunter_linkage: the frozen per-field weights must equal an
+  independent Python recompute of ln(m/u) from exact value-frequency
+  integers, and the top-50 pair scores must equal a brute-force
+  re-scoring of the blocked pairs;
+- ipf_weight_calibration: the unrolled integer IPF must equal a pure
+  Python big-int recompute cell by cell, and the final lang margins
+  must sit within the floor-division loss bound of their targets;
+- skyline_orders: the two-window plan must return EXACTLY the orders
+  the textbook O(n²) dominance test keeps (the plan is the optimized
+  form; the n² form is the spec).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from tests.conftest import SF_SMALL
+
+
+def _half_up_micro(x: float) -> int:
+    """Spark F.round(double)-compatible HALF_UP at 0 dp of x*1e6."""
+    return int(
+        Decimal(repr(float(x) * 1e6)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def test_skyline_equals_brute_force_dominance(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.analytics import skyline_orders
+
+    got = [
+        (r.segment, r.o_orderkey, r.price_cents, r.order_date)
+        for r in skyline_orders(spark, SF_SMALL).collect()
+    ]
+    assert got, "empty skyline"
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    cust = load_table(spark, SF_SMALL, "customer")
+    base = [
+        (r.segment, r.o_orderkey, r.cents, r.day, r.order_date)
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("day"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .collect()
+    ]
+    by_seg: dict = {}
+    for seg, key, cents, day, ds in base:
+        by_seg.setdefault(seg, []).append((key, cents, day, ds))
+    want = []
+    for seg, rows in by_seg.items():
+        for key, cents, day, ds in rows:
+            dominated = any(
+                sc <= cents and sd >= day and (sc < cents or sd > day)
+                for _, sc, sd, _ in rows
+            )
+            if not dominated:
+                want.append((seg, key, cents, ds))
+    want.sort(key=lambda t: (t[0], t[2], t[1]))
+    assert got == want
+
+
+def test_ipf_matches_python_bigint_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.curation import (
+        ipf_weight_calibration,
+    )
+
+    got = [
+        (r.lang, r.source, r.n_docs, r.weight_micro)
+        for r in ipf_weight_calibration(spark, SF_SMALL).collect()
+    ]
+    assert got
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    counts = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    langs = sorted({k[0] for k in counts})
+    srcs = sorted({k[1] for k in counts})
+    w = {k: n * 1_000_000 for k, n in counts.items()}
+    wt = sum(w.values())
+    t_l = {
+        lang: wt // len(langs) + (1 if i + 1 <= wt % len(langs) else 0)
+        for i, lang in enumerate(langs)
+    }
+    t_s = {
+        s: wt // len(srcs) + (1 if i + 1 <= wt % len(srcs) else 0)
+        for i, s in enumerate(srcs)
+    }
+    for _ in range(3):
+        for axis, target in ((0, t_l), (1, t_s)):
+            margins: dict = {}
+            for k, v in w.items():
+                margins[k[axis]] = margins.get(k[axis], 0) + v
+            w = {
+                k: (v * target[k[axis]]) // max(margins[k[axis]], 1)
+                for k, v in w.items()
+            }
+    want = sorted(
+        (lang, src, counts[(lang, src)], w[(lang, src)])
+        for (lang, src) in counts
+    )
+    assert got == want
+
+    # margin-convergence sanity: after the final LANG... the final
+    # scaling is on source, so check SOURCE margins — each sits below
+    # its target by at most the per-group floor loss (#cells)
+    marg: dict = {}
+    for lang, src, _, wm in got:
+        marg[src] = marg.get(src, 0) + wm
+    cells_per_src: dict = {}
+    for lang, src, _, _ in got:
+        cells_per_src[src] = cells_per_src.get(src, 0) + 1
+    for s, m in marg.items():
+        assert 0 <= t_s[s] - m <= cells_per_src[s], (s, m, t_s[s])
+
+
+def test_fellegi_sunter_matches_python_rescore(spark):
+    from pyspark.sql import functions as F
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        fellegi_sunter_linkage,
+    )
+
+    got = [
+        (r.custkey_a, r.custkey_b, r.pattern, r.score_micro)
+        for r in fellegi_sunter_linkage(spark, SF_SMALL).collect()
+    ]
+    assert got
+
+    cust = load_table(spark, SF_SMALL, "customer").collect()
+    recs = []
+    for r in cust:
+        cents_shift = int(
+            Decimal(repr(float(r.c_acctbal) * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        ) + 100_000
+        recs.append(
+            (
+                r.c_custkey,
+                int(r.c_nationkey),
+                r.c_mktsegment,
+                cents_shift // 100_000,
+                cents_shift // 10_000,
+                r.c_name[-2:],
+            )
+        )
+    n = len(recs)
+
+    def u_stat(idx: int) -> int:
+        freq: dict = {}
+        for rec in recs:
+            freq[rec[idx]] = freq.get(rec[idx], 0) + 1
+        return sum(c * c for c in freq.values())
+
+    weights = {}
+    for f, idx in (("seg", 2), ("band", 4), ("suf", 5)):
+        u = u_stat(idx)
+        weights[("a", f)] = _half_up_micro(math.log((19 * n * n) / (20 * u)))
+        weights[("d", f)] = _half_up_micro(
+            math.log((1 * n * n) / (20 * (n * n - u)))
+        )
+
+    pairs = []
+    by_block: dict = {}
+    for rec in recs:
+        by_block.setdefault((rec[1], rec[3]), []).append(rec)
+    for rows in by_block.values():
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                lo, hi = (a, b) if a[0] < b[0] else (b, a)
+                pattern = "".join(
+                    "1" if lo[idx] == hi[idx] else "0" for idx in (2, 4, 5)
+                )
+                score = sum(
+                    weights[("a" if agree == "1" else "d", f)]
+                    for agree, f in zip(pattern, ("seg", "band", "suf"))
+                )
+                pairs.append((lo[0], hi[0], pattern, score))
+    pairs.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == pairs[:50]
+
+    # calibrated-score sanity: full agreement outranks every partial
+    # pattern, and all-field agreement weight is positive
+    assert all(w > 0 for (k, f), w in weights.items() if k == "a")
+    best = max(got, key=lambda t: t[3])
+    assert best[2] == "111" or "111" not in {p for _, _, p, _ in pairs}
