@@ -397,6 +397,11 @@ HEADLINE = [
     "fellegi_sunter_linkage",
     "ipf_weight_calibration",
     "skyline_orders",
+    # r13 ninth wave: MOSS winnowing fingerprint overlap (per-doc
+    # sliding-window minima + df-capped pair join) and greedy k-center
+    # coreset selection (k-1 broadcast-literal scans)
+    "winnowing_overlap",
+    "kcenter_coreset",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2819,3 +2819,92 @@ def hard_negative_mining(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation,
+    the farthest-point heuristic behind k-center coreset sampling for
+    training data): starting from the lowest vec_id, repeatedly pick
+    the vector FARTHEST from the chosen set — the vector whose maximum
+    cosine to any selected center is smallest — then report each
+    center's covered population and coverage radius.  This is the
+    DIVERSITY sampler of the curation family: quota/temperature
+    sampling balances counts, dedup removes near-equals, k-center picks
+    a spread that covers the embedding space.
+
+    Determinism: each round ranks on the 6-dp-rounded cosine with a
+    vec_id tie-break (the knn-family discipline), and final assignment
+    breaks cosine ties toward the earlier-selected center — total
+    orders both engines replay; the oracle unrolls the identical k−1
+    greedy rounds.
+
+    Scale: each greedy round is ONE scan with the current centers as
+    broadcast literals (k·dim doubles — never a join), and the
+    selection itself is a TakeOrderedAndProject top-1, so the loop is
+    k−1 bounded-driver-collect rounds of O(n·k·dim) work; the final
+    assignment explodes the k-center literal array once (n·k rows).
+    The k collected rows are bounded by contract (k is the coreset
+    budget, never data-sized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding")
+        .collect()[0]
+    )
+    centers: list[tuple[int, list[float]]] = [
+        (int(seed.vec_id), [float(x) for x in seed.embedding])
+    ]
+    for _ in range(k - 1):
+        cos_cols = [
+            F.round(
+                cosine(F.col("embedding"), F.array(*[F.lit(v) for v in cemb])),
+                6,
+            )
+            for _, cemb in centers
+        ]
+        max_cos = cos_cols[0] if len(cos_cols) == 1 else F.greatest(*cos_cols)
+        nxt = (
+            emb.filter(~F.col("vec_id").isin([cid for cid, _ in centers]))
+            .select("vec_id", "embedding", max_cos.alias("mc"))
+            .orderBy(F.asc("mc"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(nxt.vec_id), [float(x) for x in nxt.embedding]))
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("sel_order"),
+                F.lit(cid).cast("long").alias("center_id"),
+                F.array(*[F.lit(v) for v in cemb]).alias("cemb"),
+            )
+            for i, (cid, cemb) in enumerate(centers)
+        ]
+    )
+    asg = (
+        emb.select("vec_id", "embedding", F.explode(carr).alias("c"))
+        .select(
+            "vec_id",
+            F.col("c.sel_order").alias("sel_order"),
+            F.col("c.center_id").alias("center_id"),
+            F.round(cosine(F.col("embedding"), F.col("c.cemb")), 6).alias(
+                "cos_r"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_r"), F.asc("sel_order")
+    )
+    return (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("sel_order", "center_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("cos_r").alias("min_cos"),
+        )
+        .orderBy("sel_order")
+    )

@@ -2027,3 +2027,57 @@ def _tokenizer_fertility_oracle() -> str:
                    AS multibyte_ratio
         FROM per_doc GROUP BY lang, source ORDER BY lang, source
     """
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """SQL twin of functions.similarity.kcenter_coreset — the k−1 greedy
+    farthest-point rounds unrolled as (p_i, r_i, cents_i) CTE triples
+    (the _lloyd_prefix_sql pattern), each ranking on the 6-dp-rounded
+    cosine with a vec_id tie-break, then the final nearest-center
+    assignment with ties toward the earlier-selected center."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    rounds = []
+    prev = "cents0"
+    for t in range(1, k):
+        rounds.append(
+            f"""p{t} AS (
+            SELECT e.vec_id, max({cos('e.emb', 'c.cemb')}) AS mc
+            FROM e JOIN {prev} c ON true
+            WHERE e.vec_id NOT IN (SELECT center_id FROM {prev})
+            GROUP BY e.vec_id),
+        r{t} AS (
+            SELECT {t} AS sel_order, e.vec_id AS center_id, e.emb AS cemb
+            FROM p{t} JOIN e USING (vec_id)
+            ORDER BY p{t}.mc ASC, e.vec_id ASC LIMIT 1),
+        cents{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM r{t})"""
+        )
+        prev = f"cents{t}"
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents0 AS (
+            SELECT 0 AS sel_order, vec_id AS center_id, emb AS cemb
+            FROM e ORDER BY vec_id LIMIT 1),
+        {rounds_sql},
+        asg AS (
+            SELECT e.vec_id, c.sel_order, c.center_id,
+                   {cos('e.emb', 'c.cemb')} AS cos_r,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos('e.emb', 'c.cemb')} DESC,
+                                c.sel_order ASC) AS rn
+            FROM e CROSS JOIN {prev} c)
+        SELECT CAST(sel_order AS INT) AS sel_order,
+               CAST(center_id AS BIGINT) AS center_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(cos_r) AS min_cos
+        FROM asg WHERE rn = 1
+        GROUP BY sel_order, center_id ORDER BY sel_order
+    """

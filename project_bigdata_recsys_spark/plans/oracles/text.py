@@ -1005,3 +1005,34 @@ TEXTS['lm_dirichlet_scores'] = """
     FROM ranked WHERE rnk <= 10
     ORDER BY query_term, rnk
 """
+
+TEXTS['winnowing_overlap'] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT)
+                   AS grams
+        FROM t),
+    m AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                   j -> list_min(grams[j:j+3]))) AS fps
+        FROM g),
+    f AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM m),
+    rare AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) <= 10),
+    fr AS (SELECT f.doc_id, f.n_fp, f.fp FROM f JOIN rare USING (fp)),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+               count(*) AS shared_fps
+        FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(shared_fps AS BIGINT) AS shared_fps,
+           CAST(n_fp_a AS BIGINT) AS n_fp_a,
+           CAST(n_fp_b AS BIGINT) AS n_fp_b,
+           CAST((CAST(shared_fps AS HUGEINT) * 1000000)
+                // least(n_fp_a, n_fp_b) AS BIGINT) AS containment_ppm
+    FROM p ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 20
+"""

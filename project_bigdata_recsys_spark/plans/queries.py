@@ -102,6 +102,7 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _vocab_cover_oracle,
 )
 from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
+    _kcenter_oracle,
     _tokenizer_fertility_oracle,
 )
 from project_bigdata_recsys_spark.plans.oracles import TEXTS as _TEXTS
@@ -2431,9 +2432,12 @@ ORACLES["split_source_audit"] = f"""
 # shuffled_export_manifest — r5-evidenced, bench-exercised) for the
 # eighth-wave trio (fellegi_sunter_linkage, ipf_weight_calibration,
 # skyline_orders), window replica re-run and PRECHECK_r13_gate.json
-# refreshed once more:
-#     pack_sequences_boundaries,
-#     int8_quantization_profile, split_source_audit, ann_recall_profile,
+# refreshed once more; two slots displaced to the r14 head in the
+# ninth wave (pack_sequences_boundaries, int8_quantization_profile —
+# r5-evidenced, bench-exercised) for the ninth-wave pair
+# (winnowing_overlap, kcenter_coreset), window replica re-run and
+# PRECHECK_r13_gate.json refreshed once more:
+#     split_source_audit, ann_recall_profile,
 #     centroid_confusion, conversion_lag, gap_filled_daily,
 #     ab_test_lift, pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
@@ -2449,16 +2453,19 @@ ORACLES["split_source_audit"] = f"""
 #     bucketed_join_agg, heaps_fit_profile, two_hop_reach,
 #     cooccurrence_drift, stream_zipf_fit, lm_dirichlet_scores,
 #     label_prop_communities, fellegi_sunter_linkage,
-#     ipf_weight_calibration, skyline_orders
+#     ipf_weight_calibration, skyline_orders, winnowing_overlap,
+#     kcenter_coreset
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# twenty names displaced from r13 (six at the rotation swap, three
-# at the third-wave tail insertion, two each at the fourth- through
-# seventh-wave tail insertions, three at the eighth), then the
-# remaining r7-evidence queries in registration order:
+# twenty-two names displaced from r13 (six at the rotation swap,
+# three at the third-wave tail insertion, two each at the fourth-
+# through seventh- and ninth-wave tail insertions, three at the
+# eighth), then the remaining r7-evidence queries in registration
+# order:
+#     pack_sequences_boundaries, int8_quantization_profile,
 #     source_quantile_filter, incremental_components,
 #     shuffled_export_manifest,
 #     label_centroid_outliers, nearest_centroid_agreement,
@@ -2477,7 +2484,7 @@ ORACLES["split_source_audit"] = f"""
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
 #     rolling_distinct_users, fuzzy_name_matches, psi_drift,
 #     backfill_plan, schema_drift_report, source_dup_attribution_reused,
-#     cluster_aware_split_reused, incremental_components_fold, stream_semantic_dedup_probe
+#     cluster_aware_split_reused
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2488,13 +2495,15 @@ ORACLES["split_source_audit"] = f"""
 #  wave — plus bpe_pair_counts, rerank_uplift_profile — displaced by
 #  its sixth — plus stream_value_quantiles, merge_upsert_profile —
 #  displaced by its seventh — plus stream_cdc_current, ann_rerank,
-#  ddsketch_quantile_rollup — displaced by its eighth — then the r8
-#  block.)
+#  ddsketch_quantile_rollup — displaced by its eighth — plus
+#  incremental_components_fold, stream_semantic_dedup_probe —
+#  displaced by its ninth — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# twenty names displaced past r14, then the oldest-evidence (r8)
+# twenty-two names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
+#     incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     bm25_scores, vocab_coverage_curve, item_triangles,
 #     concurrent_events_peak, label_agreement_kappa,
@@ -2512,13 +2521,14 @@ ORACLES["split_source_audit"] = f"""
 #     price_tier_join, grouping_sets_stats, customers_intersect,
 #     customers_except, priority_union_all, latest_order_per_customer,
 #     drift_lag, top_n_per_group, running_total,
-#     moving_avg_range, ntile_quartiles, order_gaps
+#     moving_avg_range
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
 #  bloom_membership_profile by its sixth, stream_domain_quota,
 #  incremental_domain_quota by its seventh, semdedup_profile,
-#  domain_quota_sample, k_anonymity_profile by its eighth.)
+#  domain_quota_sample, k_anonymity_profile by its eighth,
+#  ntile_quartiles, order_gaps by its ninth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2531,6 +2541,7 @@ ORACLES["split_source_audit"] = f"""
 #     ranking_metrics, bloom_membership_profile,
 #     stream_domain_quota, incremental_domain_quota,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
+#     ntile_quartiles, order_gaps,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2543,21 +2554,23 @@ ORACLES["split_source_audit"] = f"""
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
 #     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
 #     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
-#     stream_bootstrap_ci, cms_join_size_estimate, seasonal_naive_eval
+#     stream_bootstrap_ci
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
 #  degree_distribution_profile, cuped_adjusted_lift by its seventh,
 #  sql_recursive_cte, stream_cusum_changepoint, winsorized_stats by
-#  its eighth.)
+#  its eighth, cms_join_size_estimate, seasonal_naive_eval by its
+#  ninth.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the
-# seven names displaced past r16 by the r13 sixth- through eighth-wave
+# nine names displaced past r16 by the r13 sixth- through ninth-wave
 # ripples, the remaining r9-evidence queries, then the oldest
 # r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
+#     cms_join_size_estimate, seasonal_naive_eval,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2571,17 +2584,16 @@ ORACLES["split_source_audit"] = f"""
 #     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
 #     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
 #     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
-#     changepoint_slopes, aa_test_calibration, quantile_normalize_profile,
-#     spearman_user_metrics
+#     changepoint_slopes, aa_test_calibration
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
 #  plus price_elasticity, doubly_robust_ate, pps_horvitz_thompson —
-#  displaced by its eighth — then the remaining 10 r10-evidence
-#  queries and the r11/r12 blocks in evidence-age order.)
+#  displaced by its eighth — plus quantile_normalize_profile,
+#  spearman_user_metrics — displaced by its ninth — then the
+#  remaining 10 r10-evidence queries and the r11/r12 blocks in
+#  evidence-age order.)
 _GATE_WINDOW = [
-    "pack_sequences_boundaries",
-    "int8_quantization_profile",
     "split_source_audit",
     "ann_recall_profile",
     "centroid_confusion",
@@ -2630,6 +2642,8 @@ _GATE_WINDOW = [
     "fellegi_sunter_linkage",
     "ipf_weight_calibration",
     "skyline_orders",
+    "winnowing_overlap",
+    "kcenter_coreset",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4094,6 +4108,24 @@ ORACLES["ipf_weight_calibration"] = _TEXTS["ipf_weight_calibration"]
 
 QUERIES["skyline_orders"] = analytics.skyline_orders
 ORACLES["skyline_orders"] = _TEXTS["skyline_orders"]
+
+
+# Round-13 ninth wave -------------------------------------------------------
+# winnowing_overlap: MOSS positional fingerprinting — per-doc window
+# minima over k-gram hash arrays (any shared run of >= w+k-1 tokens
+# leaves a common fingerprint), pair overlap via a df-capped
+# fingerprint join, containment as exact floor-division ppm
+# (functions/text.py).
+# kcenter_coreset: Gonzalez greedy farthest-point selection over the
+# embedding corpus — k-1 one-scan rounds with broadcast-literal
+# centers, ranked on 6-dp-rounded cosine with vec_id tie-breaks; the
+# oracle unrolls the identical rounds (functions/similarity.py;
+# plans/oracle_builders.py::_kcenter_oracle).
+QUERIES["winnowing_overlap"] = text.winnowing_overlap
+ORACLES["winnowing_overlap"] = _TEXTS["winnowing_overlap"]
+
+QUERIES["kcenter_coreset"] = similarity.kcenter_coreset
+ORACLES["kcenter_coreset"] = _kcenter_oracle(k=5)
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -210,3 +210,107 @@ def test_fellegi_sunter_matches_python_rescore(spark):
     assert all(w > 0 for (k, f), w in weights.items() if k == "a")
     best = max(got, key=lambda t: t[3])
     assert best[2] == "111" or "111" not in {p for _, _, p, _ in pairs}
+
+
+def _hash32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_winnowing_matches_python_recompute(spark):
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import winnowing_overlap
+
+    got = [tuple(r) for r in winnowing_overlap(spark, SF_SMALL).collect()]
+    assert got, "no overlapping pairs at sf0.001"
+
+    k, w, max_df = 3, 4, 10
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    fps: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        n_g = max(len(toks) - k + 1, 1)
+        grams = [
+            _hash32_py(" ".join(toks[i : i + k])) for i in range(n_g)
+        ]
+        n_w = max(len(grams) - w + 1, 1)
+        fps[r.doc_id] = {
+            min(grams[j : j + w]) for j in range(n_w)
+        }
+    df: dict = {}
+    for s in fps.values():
+        for fp in s:
+            df[fp] = df.get(fp, 0) + 1
+    rare = {fp for fp, c in df.items() if c <= max_df}
+    ids = sorted(fps)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(fps[a] & fps[b] & rare)
+            if shared:
+                mn = min(len(fps[a]), len(fps[b]))
+                pairs.append(
+                    (a, b, shared, len(fps[a]), len(fps[b]),
+                     shared * 1_000_000 // mn)
+                )
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == pairs[:20]
+
+
+def test_kcenter_matches_python_greedy(spark):
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.similarity import (
+        kcenter_coreset,
+    )
+
+    got = [tuple(r) for r in kcenter_coreset(spark, SF_SMALL).collect()]
+    assert len(got) == 5
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        v = dot / (math.sqrt(na) * math.sqrt(nb))
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    import math
+
+    centers = [min(emb)]
+    for _ in range(4):
+        best = None
+        for vid in sorted(emb):
+            if vid in centers:
+                continue
+            mc = max(cos6(emb[vid], emb[c]) for c in centers)
+            if best is None or mc < best[0] or (mc == best[0] and vid < best[1]):
+                best = (mc, vid)
+        centers.append(best[1])
+    # assignment: nearest center, ties to earlier-selected
+    stats = {c: [0, 2.0] for c in centers}
+    for vid, v in emb.items():
+        best = None
+        for order, c in enumerate(centers):
+            cr = cos6(v, emb[c])
+            if best is None or cr > best[0] or (cr == best[0] and order < best[1]):
+                best = (cr, order)
+        c = centers[best[1]]
+        stats[c][0] += 1
+        stats[c][1] = min(stats[c][1], best[0])
+    want = [
+        (i, c, stats[c][0], stats[c][1]) for i, c in enumerate(centers)
+    ]
+    assert got == want
