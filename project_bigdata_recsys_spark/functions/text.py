@@ -2612,18 +2612,17 @@ def winnowing_overlap(
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     hashed = docs.select(
-        "doc_id", F.posexplode(gram_txt).alias("pos", "gram")
-    ).select("doc_id", "pos", hash32(F.col("gram")).alias("h"))
+        "doc_id",
+        n_grams.alias("ng"),
+        F.posexplode(gram_txt).alias("pos", "gram"),
+    ).select("doc_id", "ng", "pos", hash32(F.col("gram")).alias("h"))
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     cnt = Window.partitionBy("doc_id")
     fps_set = (
         hashed.select(
-            "doc_id",
-            "pos",
-            F.min("h").over(win).alias("fp"),
-            F.count(F.lit(1)).over(cnt).alias("n_grams"),
+            "doc_id", "ng", "pos", F.min("h").over(win).alias("fp")
         )
-        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
         .select("doc_id", "fp")
         .distinct()
     )
