@@ -402,6 +402,10 @@ HEADLINE = [
     # coreset selection (k-1 broadcast-literal scans)
     "winnowing_overlap",
     "kcenter_coreset",
+    # r13 tenth wave: ledger-fold streaming twins (fingerprint-index
+    # appends; per-batch local skylines merged by the skyline algebra)
+    "stream_winnowing",
+    "stream_skyline",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

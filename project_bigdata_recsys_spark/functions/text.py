@@ -2566,45 +2566,18 @@ def lm_dirichlet_scores(
     )
 
 
-def winnowing_overlap(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    w: int = 4,
-    max_df: int = 10,
-    top_k: int = 20,
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
 ) -> DataFrame:
-    """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken's MOSS
-    algorithm): select, per document, the minimum k-gram hash of every
-    w-wide window — the POSITIONAL fingerprinting scheme that
-    guarantees any shared run of ≥ w+k−1 tokens leaves at least one
-    common fingerprint — then report the document pairs sharing the
-    most fingerprints.  This is the passage-overlap detector between
-    doc_fingerprints (whole-document hashes) and span_dedup (fixed
-    non-overlapping windows): winnowing catches shared runs at ANY
-    alignment, which fixed spans miss when the copy shifts by a token.
-
-    Exactness: gram hashes are data-derived hash32 (md5 prefix), window
-    minima are integer min over hash arrays (Spark array_min over
-    slices ≡ DuckDB list_min over identical slices), and the
-    containment ratio is an exact floor division to ppm — no doubles.
-
-    Scale: grams explode to (doc_id, pos, hash64) rows and the window
-    minima run as ONE per-doc sliding-frame window (vectorized codegen,
-    one shuffle on doc_id carrying 8-byte hashes, never gram text) — a
-    per-doc ARRAY formulation was measured 25× slower here because
-    CollapseProject re-inlines the gram-hash array into every window
-    slice, turning n windows into n² md5 calls.  The pair join shuffles
-    fingerprints only and caps fan-out with the ``max_df``
-    document-frequency guard (a fingerprint in > max_df docs is
-    boilerplate — exactly the hot key the dedup family always excludes
-    from pair generation), so pair work is Σ_fp df² over bounded df,
-    never n²."""
+    """Per-document winnowing fingerprint rows (doc_id, n_fp, fp) — the
+    shared kernel of winnowing_overlap and its streaming ledger fold
+    (a document's fingerprint set is a pure per-doc function, so a
+    micro-batch can compute its docs' rows independently and the
+    merged ledger is bit-identical to the batch computation)."""
     from pyspark.sql import Window
 
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
     gram_txt = F.transform(
@@ -2626,14 +2599,19 @@ def winnowing_overlap(
         .select("doc_id", "fp")
         .distinct()
     )
-    fps = fps_set.select(
+    return fps_set.select(
         "doc_id",
         F.count(F.lit(1)).over(cnt).cast("int").alias("n_fp"),
         "fp",
     )
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
-    fps = persist_tracked(fps)
+
+def winnowing_pairs_from_fps(
+    fps: DataFrame, max_df: int = 10, top_k: int = 20
+) -> DataFrame:
+    """Pair-overlap readout over a (doc_id, n_fp, fp) fingerprint frame
+    — the df-capped fingerprint join + exact floor-division containment
+    shared by the batch and streaming winnowing forms."""
     rare = (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2672,3 +2650,44 @@ def winnowing_overlap(
         .orderBy(F.desc("shared_fps"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(top_k)
     )
+
+
+def winnowing_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): select, per document, the minimum k-gram hash of every
+    w-wide window — the POSITIONAL fingerprinting scheme that
+    guarantees any shared run of ≥ w+k−1 tokens leaves at least one
+    common fingerprint — then report the document pairs sharing the
+    most fingerprints.  This is the passage-overlap detector between
+    doc_fingerprints (whole-document hashes) and span_dedup (fixed
+    non-overlapping windows): winnowing catches shared runs at ANY
+    alignment, which fixed spans miss when the copy shifts by a token.
+
+    Exactness: gram hashes are data-derived hash32 (md5 prefix), window
+    minima are integer min over hash arrays (Spark array_min over
+    slices ≡ DuckDB list_min over identical slices), and the
+    containment ratio is an exact floor division to ppm — no doubles.
+
+    Scale: grams explode to (doc_id, pos, hash64) rows and the window
+    minima run as ONE per-doc sliding-frame window (vectorized codegen,
+    one shuffle on doc_id carrying 8-byte hashes, never gram text) — a
+    per-doc ARRAY formulation was measured 25× slower here because
+    CollapseProject re-inlines the gram-hash array into every window
+    slice, turning n windows into n² md5 calls.  The pair join shuffles
+    fingerprints only and caps fan-out with the ``max_df``
+    document-frequency guard (a fingerprint in > max_df docs is
+    boilerplate — exactly the hot key the dedup family always excludes
+    from pair generation), so pair work is Σ_fp df² over bounded df,
+    never n²."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = persist_tracked(winnowing_fingerprints(docs, k, w))
+    return winnowing_pairs_from_fps(fps, max_df, top_k)

@@ -4044,9 +4044,21 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: prices as BIGINT cents, dates as integer days — no
     doubles anywhere."""
+    base = skyline_base(spark, sf_dir)
+    return (
+        skyline_filter(base)
+        .select("segment", "o_orderkey", "price_cents", "order_date")
+        .orderBy("segment", "price_cents", "o_orderkey")
+    )
+
+
+def skyline_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (segment, o_orderkey, price_cents, order_date, day_n) frame
+    the skyline runs over — shared by the batch form and the streaming
+    local-skyline fold."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    base = orders.join(
+    return orders.join(
         F.broadcast(cust.select("c_custkey", "c_mktsegment")),
         orders.o_custkey == cust.c_custkey,
     ).select(
@@ -4060,6 +4072,14 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_n"),
     )
+
+
+def skyline_filter(base: DataFrame) -> DataFrame:
+    """The two-range-window dominance filter over a skyline base frame
+    — the shared kernel of skyline_orders and stream_skyline.  Skylines
+    are an idempotent merge algebra (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))), which is what makes the
+    streaming per-batch local-skyline fold exact."""
     from pyspark.sql import Window
 
     strictly_cheaper = (
@@ -4081,11 +4101,7 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day_n").over(strictly_cheaper).alias("best_day_lt"),
         F.max("day_n").over(cheaper_or_equal).alias("best_day_le"),
     )
-    return (
-        flagged.filter(
-            (F.col("best_day_lt").isNull() | (F.col("best_day_lt") < F.col("day_n")))
-            & (F.col("best_day_le") == F.col("day_n"))
-        )
-        .select("segment", "o_orderkey", "price_cents", "order_date")
-        .orderBy("segment", "price_cents", "o_orderkey")
-    )
+    return flagged.filter(
+        (F.col("best_day_lt").isNull() | (F.col("best_day_lt") < F.col("day_n")))
+        & (F.col("best_day_le") == F.col("day_n"))
+    ).drop("best_day_lt", "best_day_le")

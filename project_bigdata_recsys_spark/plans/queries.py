@@ -2436,8 +2436,13 @@ ORACLES["split_source_audit"] = f"""
 # ninth wave (pack_sequences_boundaries, int8_quantization_profile —
 # r5-evidenced, bench-exercised) for the ninth-wave pair
 # (winnowing_overlap, kcenter_coreset), window replica re-run and
-# PRECHECK_r13_gate.json refreshed once more:
-#     split_source_audit, ann_recall_profile,
+# PRECHECK_r13_gate.json refreshed once more; two slots displaced to
+# the r14 head in the tenth wave (split_source_audit,
+# ann_recall_profile — r5-evidenced, bench-exercised) for the
+# tenth-wave pair (stream_winnowing, stream_skyline — ledger-fold
+# streaming twins sharing their batch forms' oracle texts verbatim),
+# window replica re-run and PRECHECK_r13_gate.json refreshed once
+# more:
 #     centroid_confusion, conversion_lag, gap_filled_daily,
 #     ab_test_lift, pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
@@ -2454,17 +2459,18 @@ ORACLES["split_source_audit"] = f"""
 #     cooccurrence_drift, stream_zipf_fit, lm_dirichlet_scores,
 #     label_prop_communities, fellegi_sunter_linkage,
 #     ipf_weight_calibration, skyline_orders, winnowing_overlap,
-#     kcenter_coreset
+#     kcenter_coreset, stream_winnowing, stream_skyline
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# twenty-two names displaced from r13 (six at the rotation swap,
+# twenty-four names displaced from r13 (six at the rotation swap,
 # three at the third-wave tail insertion, two each at the fourth-
-# through seventh- and ninth-wave tail insertions, three at the
-# eighth), then the remaining r7-evidence queries in registration
+# through seventh-, ninth- and tenth-wave tail insertions, three at
+# the eighth), then the remaining r7-evidence queries in registration
 # order:
+#     split_source_audit, ann_recall_profile,
 #     pack_sequences_boundaries, int8_quantization_profile,
 #     source_quantile_filter, incremental_components,
 #     shuffled_export_manifest,
@@ -2483,8 +2489,7 @@ ORACLES["split_source_audit"] = f"""
 #     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
 #     rolling_distinct_users, fuzzy_name_matches, psi_drift,
-#     backfill_plan, schema_drift_report, source_dup_attribution_reused,
-#     cluster_aware_split_reused
+#     backfill_plan, schema_drift_report
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2497,12 +2502,15 @@ ORACLES["split_source_audit"] = f"""
 #  displaced by its seventh — plus stream_cdc_current, ann_rerank,
 #  ddsketch_quantile_rollup — displaced by its eighth — plus
 #  incremental_components_fold, stream_semantic_dedup_probe —
-#  displaced by its ninth — then the r8 block.)
+#  displaced by its ninth — plus source_dup_attribution_reused,
+#  cluster_aware_split_reused — displaced by its tenth — then the r8
+#  block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# twenty-two names displaced past r14, then the oldest-evidence (r8)
+# twenty-four names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
+#     source_dup_attribution_reused, cluster_aware_split_reused,
 #     incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
 #     bm25_scores, vocab_coverage_curve, item_triangles,
@@ -2520,15 +2528,15 @@ ORACLES["split_source_audit"] = f"""
 #     small_quantity_revenue, big_orders, quantity_band_stats,
 #     price_tier_join, grouping_sets_stats, customers_intersect,
 #     customers_except, priority_union_all, latest_order_per_customer,
-#     drift_lag, top_n_per_group, running_total,
-#     moving_avg_range
+#     drift_lag, top_n_per_group
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
 #  bloom_membership_profile by its sixth, stream_domain_quota,
 #  incremental_domain_quota by its seventh, semdedup_profile,
 #  domain_quota_sample, k_anonymity_profile by its eighth,
-#  ntile_quartiles, order_gaps by its ninth.)
+#  ntile_quartiles, order_gaps by its ninth, running_total,
+#  moving_avg_range by its tenth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2541,7 +2549,7 @@ ORACLES["split_source_audit"] = f"""
 #     ranking_metrics, bloom_membership_profile,
 #     stream_domain_quota, incremental_domain_quota,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
-#     ntile_quartiles, order_gaps,
+#     ntile_quartiles, order_gaps, running_total, moving_avg_range,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2553,24 +2561,24 @@ ORACLES["split_source_audit"] = f"""
 #     bloom_pruned_join, salted_join_agg, kmv_set_ops,
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
 #     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
-#     lsh_band_sweep, rm3_query_expansion, cusum_changepoint,
-#     stream_bootstrap_ci
+#     lsh_band_sweep, rm3_query_expansion
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
 #  degree_distribution_profile, cuped_adjusted_lift by its seventh,
 #  sql_recursive_cte, stream_cusum_changepoint, winsorized_stats by
 #  its eighth, cms_join_size_estimate, seasonal_naive_eval by its
-#  ninth.)
+#  ninth, cusum_changepoint, stream_bootstrap_ci by its tenth.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the
-# nine names displaced past r16 by the r13 sixth- through ninth-wave
+# eleven names displaced past r16 by the r13 sixth- through tenth-wave
 # ripples, the remaining r9-evidence queries, then the oldest
 # r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     cms_join_size_estimate, seasonal_naive_eval,
+#     cusum_changepoint, stream_bootstrap_ci,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2583,19 +2591,17 @@ ORACLES["split_source_audit"] = f"""
 #     capture_recapture_estimate, eb_shrunk_rates, sorted_neighborhood_pairs,
 #     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
 #     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
-#     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution,
-#     changepoint_slopes, aa_test_calibration
+#     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
 #  plus price_elasticity, doubly_robust_ate, pps_horvitz_thompson —
 #  displaced by its eighth — plus quantile_normalize_profile,
-#  spearman_user_metrics — displaced by its ninth — then the
-#  remaining 10 r10-evidence queries and the r11/r12 blocks in
-#  evidence-age order.)
+#  spearman_user_metrics — displaced by its ninth — plus
+#  changepoint_slopes, aa_test_calibration — displaced by its tenth —
+#  then the remaining 10 r10-evidence queries and the r11/r12 blocks
+#  in evidence-age order.)
 _GATE_WINDOW = [
-    "split_source_audit",
-    "ann_recall_profile",
     "centroid_confusion",
     "conversion_lag",
     "gap_filled_daily",
@@ -2644,6 +2650,8 @@ _GATE_WINDOW = [
     "skyline_orders",
     "winnowing_overlap",
     "kcenter_coreset",
+    "stream_winnowing",
+    "stream_skyline",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4126,6 +4134,22 @@ ORACLES["winnowing_overlap"] = _TEXTS["winnowing_overlap"]
 
 QUERIES["kcenter_coreset"] = similarity.kcenter_coreset
 ORACLES["kcenter_coreset"] = _kcenter_oracle(k=5)
+
+
+# Round-13 tenth wave -------------------------------------------------------
+# Ledger-fold streaming twins sharing their batch forms' oracle texts
+# VERBATIM, so the gate hash proves stream ≡ batch end to end:
+# stream_winnowing — the winnowing fingerprint index maintained by the
+# stream (per-doc fingerprints are batch-local, appends never
+# duplicate a doc; streaming/replay.py);
+# stream_skyline — per-batch LOCAL skylines folded by the idempotent
+# skyline merge algebra (skyline(A∪B) = skyline(skyline(A) ∪
+# skyline(B)); strict dominance is transitive).
+QUERIES["stream_winnowing"] = replay.stream_winnowing
+ORACLES["stream_winnowing"] = _TEXTS["winnowing_overlap"]
+
+QUERIES["stream_skyline"] = replay.stream_skyline
+ORACLES["stream_skyline"] = _TEXTS["skyline_orders"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

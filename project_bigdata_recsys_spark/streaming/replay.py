@@ -1885,3 +1885,165 @@ def stream_zipf_fit(
         .agg(F.sum("cnt").cast("long").alias("freq"))
     )
     return zipf_fit_from_freqs(freqs)
+
+
+def _staged_waves(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    schema: str,
+    n_waves: int,
+    prefix: str,
+):
+    """Stage ``df`` as n_waves mtime-ordered single-file parquet waves
+    (``key % n_waves``) and open a maxFilesPerTrigger=1 file stream over
+    them — the shared harness of the ledger-fold family
+    (stream_zipf_fit, stream_winnowing, stream_skyline)."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    work = scratch_dir(prefix=prefix)
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for wv in range(n_waves):
+        tmp = os.path.join(work, f"tmp{wv}")
+        df.filter(F.col(key_col) % n_waves == wv).coalesce(1).write.parquet(
+            tmp
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        staged = os.path.join(in_dir, f"{wv:03d}.parquet")
+        shutil.copyfile(part, staged)
+        os.utime(staged, (now - 100 + wv, now - 100 + wv))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    return work, stream
+
+
+def _run_ledger_fold(
+    spark: SparkSession, stream, fold, name: str, n_waves: int
+) -> None:
+    """Run an availableNow foreachBatch replay and enforce that at least
+    ``n_waves`` micro-batches committed (a Spark behavior change
+    collapsing them would silently weaken the gate to the batch form)."""
+    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: availableNow replay did not finish in 600s"
+            + (f" (query error: {q.exception()})" if q.exception() else "")
+        )
+    n_commits = len(
+        [
+            f
+            for f in os.listdir(os.path.join(ck, "commits"))
+            if not f.startswith(".")
+        ]
+    )
+    if n_commits < n_waves:
+        raise AssertionError(
+            f"{name}: expected >={n_waves} micro-batch folds,"
+            f" got {n_commits} checkpoint commits"
+        )
+
+
+def stream_winnowing(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """Streaming twin of text.winnowing_overlap — the winnowing
+    fingerprint INDEX maintained by the stream: a document's
+    fingerprint set is a pure per-doc function (text.
+    winnowing_fingerprints), so each micro-batch computes its docs'
+    (doc_id, n_fp, fp) rows independently and APPENDS them to a parquet
+    ledger — no state store, no cross-batch shuffle, the stream_zipf_fit
+    discipline — and the post-replay pair readout over the merged
+    ledger is bit-identical to the batch form.  SHARED oracle text with
+    winnowing_overlap: the gate hash proves stream ≡ batch for the
+    whole fingerprint-index pipeline.
+
+    Scale: the ledger is the fingerprint index itself ((doc_id, n_fp,
+    fp) rows, 8-byte hashes) — exactly what an incremental corpus
+    overlap service persists; compaction is a no-op because appends
+    never duplicate a doc (each doc arrives once)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_pairs_from_fps,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work, stream = _staged_waves(
+        spark,
+        docs,
+        "doc_id",
+        "doc_id long, text string",
+        n_waves,
+        "spark_winnow_stream_",
+    )
+    ledger = os.path.join(work, "ledger")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        winnowing_fingerprints(batch_df).write.mode("append").parquet(ledger)
+
+    _run_ledger_fold(spark, stream, fold, "stream_winnowing", n_waves)
+    fps = spark.read.parquet(ledger)
+    return winnowing_pairs_from_fps(fps)
+
+
+def stream_skyline(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """Streaming twin of analytics.skyline_orders — the Pareto frontier
+    maintained by per-batch LOCAL skylines: skylines are an idempotent
+    merge algebra (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)),
+    strict dominance is transitive so a locally-removed point's
+    dominator survives to dominate it globally), so each micro-batch
+    appends only its own frontier to the ledger and the final filter
+    over the merged frontiers equals the batch skyline exactly.  SHARED
+    oracle text with skyline_orders.
+
+    Scale: the ledger holds per-batch frontiers (~log-sized per
+    segment), so the final merge filter runs over batches × frontier
+    rows — the streaming state a deals-frontier service would actually
+    keep, never the raw order stream."""
+    from project_bigdata_recsys_spark.operators.analytics import (
+        skyline_base,
+        skyline_filter,
+    )
+
+    base = skyline_base(spark, sf_dir)
+    work, stream = _staged_waves(
+        spark,
+        base,
+        "o_orderkey",
+        "segment string, o_orderkey long, price_cents long,"
+        " order_date string, day_n long",
+        n_waves,
+        "spark_skyline_stream_",
+    )
+    ledger = os.path.join(work, "ledger")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        skyline_filter(batch_df).write.mode("append").parquet(ledger)
+
+    _run_ledger_fold(spark, stream, fold, "stream_skyline", n_waves)
+    merged = spark.read.parquet(ledger)
+    return (
+        skyline_filter(merged)
+        .select("segment", "o_orderkey", "price_cents", "order_date")
+        .orderBy("segment", "price_cents", "o_orderkey")
+    )

@@ -314,3 +314,25 @@ def test_kcenter_matches_python_greedy(spark):
         (i, c, stats[c][0], stats[c][1]) for i, c in enumerate(centers)
     ]
     assert got == want
+
+
+def test_stream_winnowing_equals_batch(spark):
+    from project_bigdata_recsys_spark.functions.text import winnowing_overlap
+    from project_bigdata_recsys_spark.streaming.replay import stream_winnowing
+
+    batch = [tuple(r) for r in winnowing_overlap(spark, SF_SMALL).collect()]
+    stream = [tuple(r) for r in stream_winnowing(spark, SF_SMALL).collect()]
+    # per-doc fingerprints are batch-local, so the merged ledger readout
+    # must equal the batch form BIT-identically
+    assert stream == batch
+
+
+def test_stream_skyline_equals_batch(spark):
+    from project_bigdata_recsys_spark.operators.analytics import skyline_orders
+    from project_bigdata_recsys_spark.streaming.replay import stream_skyline
+
+    batch = [tuple(r) for r in skyline_orders(spark, SF_SMALL).collect()]
+    stream = [tuple(r) for r in stream_skyline(spark, SF_SMALL).collect()]
+    # skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — the local
+    # frontier fold must reach the batch frontier exactly
+    assert stream == batch
