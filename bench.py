@@ -406,6 +406,9 @@ HEADLINE = [
     # appends; per-batch local skylines merged by the skyline algebra)
     "stream_winnowing",
     "stream_skyline",
+    # r13 eleventh wave: stratified exact matching (equal-arm cohorts
+    # per pre-activity band, md5-ranked selection, integer outcomes)
+    "exact_matched_cohort",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -4105,3 +4105,139 @@ def skyline_filter(base: DataFrame) -> DataFrame:
         (F.col("best_day_lt").isNull() | (F.col("best_day_lt") < F.col("day_n")))
         & (F.col("best_day_le") == F.col("day_n"))
     ).drop("best_day_lt", "best_day_le")
+
+
+def exact_matched_cohort(
+    spark: SparkSession, sf_dir: str, band_width: int = 5
+) -> DataFrame:
+    """Stratified exact matching (coarsened exact matching with integer
+    activity bands): estimate the association between a pre-period
+    exposure and a post-period outcome by matching EQUAL numbers of
+    exposed and unexposed users inside each pre-activity band — the
+    observational-causal companion to did_lift_estimate /
+    cuped_adjusted_lift / doubly_robust_ate, for when no experiment
+    assignment exists and selection-on-activity must be removed by
+    construction.
+
+    Setup on the events table: the pre-period is the first half of the
+    month, exposure = the user logged at least as many pre-period
+    errors as purchases (data-derived, ~half the population at any sf),
+    outcome = post-period purchase count.  Bands are exact integer
+    buckets of pre-period event count (``n_pre div band_width``);
+    within each band the match takes k = min(#exposed, #unexposed)
+    users per arm, ranked by md5 hash with a user_id tie-break — the
+    deterministic stand-in for random matching that both engines
+    replay.  Output: per-band arm sizes, matched k, and matched-arm
+    outcome SUMS as exact BIGINTs (no division — a ratio would be the
+    consumer's rounding choice, and trunc-vs-floor diverges on
+    negatives), plus a band = -1 grand-total row.
+
+    Scale: two groupBys on user_id (pre and post), one groupBy on
+    (band, exposed) for arm sizes, one rank window per (band, exposed)
+    partition — everything keyed, nothing global; band count is
+    bounded by max-activity/band_width."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    events = load_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    pre = (
+        events.filter(F.col("ts") < t0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("pre_err"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pre_pur"),
+        )
+    )
+    post = (
+        events.filter(F.col("ts") >= t0)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("post_pur")
+        )
+    )
+    users = (
+        pre.join(post, "user_id", "left")
+        .na.fill({"post_pur": 0})
+        .select(
+            "user_id",
+            F.expr(f"n_pre div {band_width}").alias("band"),
+            (F.col("pre_err") >= F.col("pre_pur")).alias("exposed"),
+            "post_pur",
+        )
+    )
+    arm_sizes = users.groupBy("band", "exposed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm")
+    )
+    k_per_band = arm_sizes.groupBy("band").agg(
+        F.min("n_arm").alias("k"),
+        F.count(F.lit(1)).alias("n_arms"),
+    )
+    # a band missing one arm entirely has no match (k applies only when
+    # both arms exist)
+    k_per_band = k_per_band.filter(F.col("n_arms") == 2).select("band", "k")
+    w = Window.partitionBy("band", "exposed").orderBy(
+        hash32(F.col("user_id").cast("string"), "match:"), "user_id"
+    )
+    matched = (
+        users.join(F.broadcast(k_per_band), "band")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    per_band = matched.groupBy("band").agg(
+        F.max("k").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("exposed"), F.col("post_pur")).otherwise(0))
+        .cast("long")
+        .alias("out_exposed"),
+        F.sum(F.when(~F.col("exposed"), F.col("post_pur")).otherwise(0))
+        .cast("long")
+        .alias("out_control"),
+    )
+    sizes = (
+        arm_sizes.groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("exposed"), F.col("n_arm")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed"),
+            F.sum(F.when(~F.col("exposed"), F.col("n_arm")).otherwise(0))
+            .cast("long")
+            .alias("n_unexposed"),
+        )
+    )
+    bands = sizes.join(per_band, "band", "left").na.fill(
+        {"n_matched": 0, "out_exposed": 0, "out_control": 0}
+    )
+    total = bands.agg(
+        F.sum("n_exposed").cast("long").alias("n_exposed"),
+        F.sum("n_unexposed").cast("long").alias("n_unexposed"),
+        F.sum("n_matched").cast("long").alias("n_matched"),
+        F.sum("out_exposed").cast("long").alias("out_exposed"),
+        F.sum("out_control").cast("long").alias("out_control"),
+    ).select(
+        F.lit(-1).cast("long").alias("band"),
+        "n_exposed",
+        "n_unexposed",
+        "n_matched",
+        "out_exposed",
+        "out_control",
+    )
+    return (
+        bands.select(
+            F.col("band").cast("long").alias("band"),
+            "n_exposed",
+            "n_unexposed",
+            "n_matched",
+            "out_exposed",
+            "out_control",
+        )
+        .unionByName(total)
+        .orderBy("band")
+    )

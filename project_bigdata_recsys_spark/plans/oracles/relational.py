@@ -3062,3 +3062,69 @@ TEXTS['skyline_orders'] = """
       AND best_day_le = day_n
     ORDER BY segment, price_cents, o_orderkey
 """
+
+TEXTS['exact_matched_cohort'] = """
+    WITH pre AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_pre,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pre_err,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pre_pur
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id),
+    post AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS post_pur
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id),
+    users AS (
+        SELECT p.user_id, p.n_pre // 5 AS band,
+               p.pre_err >= p.pre_pur AS exposed,
+               COALESCE(po.post_pur, 0) AS post_pur
+        FROM pre p LEFT JOIN post po ON p.user_id = po.user_id),
+    arm AS (SELECT band, exposed, CAST(count(*) AS BIGINT) AS n_arm
+            FROM users GROUP BY 1, 2),
+    kb AS (SELECT band, min(n_arm) AS k FROM arm
+           GROUP BY band HAVING count(*) = 2),
+    ranked AS (
+        SELECT u.band, u.exposed, u.post_pur, kb.k,
+               row_number() OVER (PARTITION BY u.band, u.exposed
+                   ORDER BY ('0x' || substr(md5('match:' ||
+                                CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT,
+                            u.user_id) AS rn
+        FROM users u JOIN kb ON u.band = kb.band),
+    mt AS (
+        SELECT band, CAST(max(k) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN exposed THEN post_pur ELSE 0 END)
+                    AS BIGINT) AS out_exposed,
+               CAST(sum(CASE WHEN NOT exposed THEN post_pur ELSE 0 END)
+                    AS BIGINT) AS out_control
+        FROM ranked WHERE rn <= k GROUP BY band),
+    sz AS (
+        SELECT band,
+               CAST(sum(CASE WHEN exposed THEN n_arm ELSE 0 END)
+                    AS BIGINT) AS n_exposed,
+               CAST(sum(CASE WHEN NOT exposed THEN n_arm ELSE 0 END)
+                    AS BIGINT) AS n_unexposed
+        FROM arm GROUP BY band),
+    bands AS (
+        SELECT CAST(s.band AS BIGINT) AS band, s.n_exposed, s.n_unexposed,
+               COALESCE(m.n_matched, 0) AS n_matched,
+               COALESCE(m.out_exposed, 0) AS out_exposed,
+               COALESCE(m.out_control, 0) AS out_control
+        FROM sz s LEFT JOIN mt m ON s.band = m.band)
+    SELECT * FROM (
+        SELECT band, n_exposed, n_unexposed, n_matched,
+               out_exposed, out_control
+        FROM bands
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(sum(n_exposed) AS BIGINT),
+               CAST(sum(n_unexposed) AS BIGINT),
+               CAST(sum(n_matched) AS BIGINT),
+               CAST(sum(out_exposed) AS BIGINT),
+               CAST(sum(out_control) AS BIGINT)
+        FROM bands)
+    ORDER BY band
+"""

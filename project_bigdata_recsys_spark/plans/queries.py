@@ -2442,8 +2442,11 @@ ORACLES["split_source_audit"] = f"""
 # tenth-wave pair (stream_winnowing, stream_skyline — ledger-fold
 # streaming twins sharing their batch forms' oracle texts verbatim),
 # window replica re-run and PRECHECK_r13_gate.json refreshed once
-# more:
-#     centroid_confusion, conversion_lag, gap_filled_daily,
+# more; one slot displaced to the r14 head in the eleventh wave
+# (centroid_confusion — r5-evidenced, bench-exercised) for the
+# eleventh-wave op (exact_matched_cohort), window replica re-run and
+# PRECHECK_r13_gate.json refreshed once more:
+#     conversion_lag, gap_filled_daily,
 #     ab_test_lift, pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
 #     kfold_assignment, negative_samples, pit_segment_rollup,
@@ -2459,17 +2462,19 @@ ORACLES["split_source_audit"] = f"""
 #     cooccurrence_drift, stream_zipf_fit, lm_dirichlet_scores,
 #     label_prop_communities, fellegi_sunter_linkage,
 #     ipf_weight_calibration, skyline_orders, winnowing_overlap,
-#     kcenter_coreset, stream_winnowing, stream_skyline
+#     kcenter_coreset, stream_winnowing, stream_skyline,
+#     exact_matched_cohort
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# twenty-four names displaced from r13 (six at the rotation swap,
+# twenty-five names displaced from r13 (six at the rotation swap,
 # three at the third-wave tail insertion, two each at the fourth-
 # through seventh-, ninth- and tenth-wave tail insertions, three at
-# the eighth), then the remaining r7-evidence queries in registration
-# order:
+# the eighth, one at the eleventh), then the remaining r7-evidence
+# queries in registration order:
+#     centroid_confusion,
 #     split_source_audit, ann_recall_profile,
 #     pack_sequences_boundaries, int8_quantization_profile,
 #     source_quantile_filter, incremental_components,
@@ -2489,7 +2494,7 @@ ORACLES["split_source_audit"] = f"""
 #     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
 #     rolling_distinct_users, fuzzy_name_matches, psi_drift,
-#     backfill_plan, schema_drift_report
+#     backfill_plan
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2503,13 +2508,15 @@ ORACLES["split_source_audit"] = f"""
 #  ddsketch_quantile_rollup — displaced by its eighth — plus
 #  incremental_components_fold, stream_semantic_dedup_probe —
 #  displaced by its ninth — plus source_dup_attribution_reused,
-#  cluster_aware_split_reused — displaced by its tenth — then the r8
+#  cluster_aware_split_reused — displaced by its tenth — plus
+#  schema_drift_report — displaced by its eleventh — then the r8
 #  block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# twenty-four names displaced past r14, then the oldest-evidence (r8)
+# twenty-five names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
+#     schema_drift_report,
 #     source_dup_attribution_reused, cluster_aware_split_reused,
 #     incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
@@ -2528,7 +2535,7 @@ ORACLES["split_source_audit"] = f"""
 #     small_quantity_revenue, big_orders, quantity_band_stats,
 #     price_tier_join, grouping_sets_stats, customers_intersect,
 #     customers_except, priority_union_all, latest_order_per_customer,
-#     drift_lag, top_n_per_group
+#     drift_lag
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
@@ -2536,7 +2543,7 @@ ORACLES["split_source_audit"] = f"""
 #  incremental_domain_quota by its seventh, semdedup_profile,
 #  domain_quota_sample, k_anonymity_profile by its eighth,
 #  ntile_quartiles, order_gaps by its ninth, running_total,
-#  moving_avg_range by its tenth.)
+#  moving_avg_range by its tenth, top_n_per_group by its eleventh.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2550,6 +2557,7 @@ ORACLES["split_source_audit"] = f"""
 #     stream_domain_quota, incremental_domain_quota,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     ntile_quartiles, order_gaps, running_total, moving_avg_range,
+#     top_n_per_group,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2561,24 +2569,26 @@ ORACLES["split_source_audit"] = f"""
 #     bloom_pruned_join, salted_join_agg, kmv_set_ops,
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
 #     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
-#     lsh_band_sweep, rm3_query_expansion
+#     lsh_band_sweep
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
 #  degree_distribution_profile, cuped_adjusted_lift by its seventh,
 #  sql_recursive_cte, stream_cusum_changepoint, winsorized_stats by
 #  its eighth, cms_join_size_estimate, seasonal_naive_eval by its
-#  ninth, cusum_changepoint, stream_bootstrap_ci by its tenth.)
+#  ninth, cusum_changepoint, stream_bootstrap_ci by its tenth,
+#  rm3_query_expansion by its eleventh.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the
-# eleven names displaced past r16 by the r13 sixth- through tenth-wave
-# ripples, the remaining r9-evidence queries, then the oldest
-# r10-evidence queries in registration order:
+# twelve names displaced past r16 by the r13 sixth- through
+# eleventh-wave ripples, the remaining r9-evidence queries, then the
+# oldest r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     cms_join_size_estimate, seasonal_naive_eval,
 #     cusum_changepoint, stream_bootstrap_ci,
+#     rm3_query_expansion,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2591,7 +2601,7 @@ ORACLES["split_source_audit"] = f"""
 #     capture_recapture_estimate, eb_shrunk_rates, sorted_neighborhood_pairs,
 #     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
 #     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
-#     vocab_cover_sources, largest_remainder_allocation, markov_removal_attribution
+#     vocab_cover_sources, largest_remainder_allocation
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
@@ -2599,10 +2609,10 @@ ORACLES["split_source_audit"] = f"""
 #  displaced by its eighth — plus quantile_normalize_profile,
 #  spearman_user_metrics — displaced by its ninth — plus
 #  changepoint_slopes, aa_test_calibration — displaced by its tenth —
-#  then the remaining 10 r10-evidence queries and the r11/r12 blocks
-#  in evidence-age order.)
+#  plus markov_removal_attribution — displaced by its eleventh — then
+#  the remaining 10 r10-evidence queries and the r11/r12 blocks in
+#  evidence-age order.)
 _GATE_WINDOW = [
-    "centroid_confusion",
     "conversion_lag",
     "gap_filled_daily",
     "ab_test_lift",
@@ -2652,6 +2662,7 @@ _GATE_WINDOW = [
     "kcenter_coreset",
     "stream_winnowing",
     "stream_skyline",
+    "exact_matched_cohort",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4150,6 +4161,16 @@ ORACLES["stream_winnowing"] = _TEXTS["winnowing_overlap"]
 
 QUERIES["stream_skyline"] = replay.stream_skyline
 ORACLES["stream_skyline"] = _TEXTS["skyline_orders"]
+
+
+# Round-13 eleventh wave -----------------------------------------------------
+# exact_matched_cohort: stratified exact matching (coarsened exact
+# matching with integer activity bands) — equal-arm matched cohorts
+# per pre-activity band, md5-ranked selection, exact BIGINT outcome
+# sums (no division), band = -1 grand total; the observational-causal
+# companion to did/cuped/doubly-robust (operators/analytics.py).
+QUERIES["exact_matched_cohort"] = analytics.exact_matched_cohort
+ORACLES["exact_matched_cohort"] = _TEXTS["exact_matched_cohort"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

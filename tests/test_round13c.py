@@ -336,3 +336,71 @@ def test_stream_skyline_equals_batch(spark):
     # skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — the local
     # frontier fold must reach the batch frontier exactly
     assert stream == batch
+
+
+def test_exact_matched_cohort_matches_python(spark):
+    import hashlib
+    from datetime import datetime
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.analytics import (
+        exact_matched_cohort,
+    )
+
+    got = [tuple(r) for r in exact_matched_cohort(spark, SF_SMALL).collect()]
+    assert got and got[0][0] == -1  # grand-total row sorts first
+
+    t0 = datetime(2024, 1, 16)
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    pre: dict = {}
+    post: dict = {}
+    for r in ev:
+        if r.ts < t0:
+            d = pre.setdefault(r.user_id, [0, 0, 0])
+            d[0] += 1
+            if r.event_type == "error":
+                d[1] += 1
+            if r.event_type == "purchase":
+                d[2] += 1
+        elif r.event_type == "purchase":
+            post[r.user_id] = post.get(r.user_id, 0) + 1
+    users = [
+        (u, n // 5, e >= p, post.get(u, 0)) for u, (n, e, p) in pre.items()
+    ]
+    arms: dict = {}
+    for u, band, exp, out in users:
+        arms.setdefault((band, exp), []).append((u, out))
+    k_of: dict = {}
+    for band in {b for b, _ in arms}:
+        if (band, True) in arms and (band, False) in arms:
+            k_of[band] = min(len(arms[(band, True)]), len(arms[(band, False)]))
+
+    def rank_key(u):
+        h = int(hashlib.md5(f"match:{u}".encode()).hexdigest()[:8], 16)
+        return (h, u)
+
+    rows = {}
+    for band in sorted({b for b, _ in arms}):
+        n_exp = len(arms.get((band, True), []))
+        n_une = len(arms.get((band, False), []))
+        oe = oc = 0
+        k = k_of.get(band, 0)
+        if k:
+            sel_e = sorted(arms[(band, True)], key=lambda t: rank_key(t[0]))[:k]
+            sel_c = sorted(arms[(band, False)], key=lambda t: rank_key(t[0]))[:k]
+            oe = sum(o for _, o in sel_e)
+            oc = sum(o for _, o in sel_c)
+        rows[band] = (band, n_exp, n_une, k, oe, oc)
+    total = (
+        -1,
+        sum(r[1] for r in rows.values()),
+        sum(r[2] for r in rows.values()),
+        sum(r[3] for r in rows.values()),
+        sum(r[4] for r in rows.values()),
+        sum(r[5] for r in rows.values()),
+    )
+    want = [total] + [rows[b] for b in sorted(rows)]
+    assert got == want
+    # matched arms are size-balanced by construction
+    for band, _, _, k, _, _ in got:
+        assert k >= 0
