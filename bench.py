@@ -409,6 +409,9 @@ HEADLINE = [
     # r13 eleventh wave: stratified exact matching (equal-arm cohorts
     # per pre-activity band, md5-ranked selection, integer outcomes)
     "exact_matched_cohort",
+    # r13 twelfth wave: ER survivorship (SN link edges -> min-label CC
+    # -> deterministic attribute fusion)
+    "golden_record_fusion",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

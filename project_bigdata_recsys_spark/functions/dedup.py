@@ -1894,6 +1894,20 @@ def sorted_neighborhood_pairs(
     Exactness: candidates are a pure function of the sort order (total
     order on name, deterministic); verification is integer Levenshtein
     on both engines."""
+    cand = sn_candidates(spark, sf_dir, window)
+    return (
+        cand.filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+        .orderBy("dist", "name_a", "name_b")
+        .limit(50)
+    )
+
+
+def sn_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-neighborhood record set: distinct part names with
+    their counts plus the deterministic planted plural-typo variants —
+    shared by sorted_neighborhood_pairs (the candidate readout) and
+    golden_record_fusion (the survivorship readout)."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
@@ -1902,9 +1916,17 @@ def sorted_neighborhood_pairs(
         F.concat(F.col("p_name"), F.lit("s")).alias("p_name"),
         F.lit(0).cast("long").alias("n_parts"),
     )
-    recs = names.unionByName(planted)
+    return names.unionByName(planted)
+
+
+def sn_candidates(
+    spark: SparkSession, sf_dir: str, window: int = 3
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (name_a, name_b, dist) with
+    integer Levenshtein attached — the shared pair generator."""
     from pyspark.sql import Window
 
+    recs = sn_records(spark, sf_dir)
     blk = F.split(F.col("p_name"), " ").getItem(0)
     w = Window.partitionBy("blk").orderBy("p_name")
     seq = recs.select("p_name", blk.alias("blk"))
@@ -1923,13 +1945,89 @@ def sorted_neighborhood_pairs(
             F.col(f"n{i}").alias("name_b"),
         )
         cand = c if cand is None else cand.unionByName(c)
-    return (
-        cand.withColumn(
-            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.withColumn(
+        "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+    )
+
+
+def golden_record_fusion(
+    spark: SparkSession, sf_dir: str, link_dist: int = 1
+) -> DataFrame:
+    """Golden-record survivorship: turn pairwise link decisions into
+    FUSED canonical records — the final step of the entity-resolution
+    family that none of the pair generators provide (pairs say "these
+    two look alike"; a master-data consumer needs ONE surviving record
+    per entity with attributes fused by explicit rules).
+
+    Pipeline: sorted-neighborhood candidates at Levenshtein ≤
+    ``link_dist`` become link edges over the planted-variant record set
+    (sn_records); min-label connected components (the dedup family's CC
+    kernel, string labels) group linked names; each component fuses
+    deterministically — canonical name = shortest member (ties
+    lexicographic), survivor key = min real part key, total part count
+    = exact sum, max price in exact cents; planted variants carry NULL
+    part attributes and fuse away, which is the point.
+
+    Scale: candidates are the (w−1)·n sorted-neighborhood bound; CC
+    runs on the LINKED subgraph only (components here are
+    variant-clusters, never corpus-sized); attribute fusion is one
+    groupBy over members plus a row_number canonical pick per
+    component."""
+    from pyspark.sql import Window
+
+    edges = (
+        sn_candidates(spark, sf_dir)
+        .filter(F.col("dist") <= link_dist)
+        .select("name_a", "name_b")
+    )
+    cc = connected_components(edges, a_col="name_a", b_col="name_b").select(
+        F.col("doc_id").alias("member_name"),
+        F.col("cluster_id").alias("cluster"),
+    )
+    recs = sn_records(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    stats = part.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("min_key"),
+        F.max(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    members = (
+        cc.join(recs, cc.member_name == recs.p_name)
+        .join(stats, cc.member_name == stats.p_name, "left")
+        .select(
+            "cluster",
+            F.col("member_name").alias("name"),
+            "n_parts",
+            "min_key",
+            "price_cents",
         )
-        .filter(F.col("dist") <= max_dist)
-        .orderBy("dist", "name_a", "name_b")
-        .limit(50)
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.length("name"), F.asc("name")
+    )
+    canon = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("name").alias("canonical_name"))
+    )
+    fused = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("min_key").cast("long").alias("survivor_partkey"),
+        F.sum("n_parts").cast("long").alias("total_parts"),
+        F.max("price_cents").cast("long").alias("max_price_cents"),
+    )
+    return (
+        fused.filter(F.col("n_members") >= 2)
+        .join(canon, "cluster")
+        .select(
+            "canonical_name",
+            "n_members",
+            "survivor_partkey",
+            "total_parts",
+            "max_price_cents",
+        )
+        .orderBy("canonical_name")
     )
 
 

@@ -401,3 +401,61 @@ TEXTS['fellegi_sunter_linkage'] = """
     ORDER BY score_micro DESC, custkey_a ASC, custkey_b ASC
     LIMIT 50
 """
+
+TEXTS['golden_record_fusion'] = """
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name),
+    planted AS (
+        SELECT p_name || 's' AS p_name, CAST(0 AS BIGINT) AS n_parts
+        FROM names
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0),
+    recs AS (SELECT * FROM names UNION ALL SELECT * FROM planted),
+    seq AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM recs),
+    leads AS (
+        SELECT p_name, blk,
+               lead(p_name, 1) OVER (PARTITION BY blk ORDER BY p_name) AS n1,
+               lead(p_name, 2) OVER (PARTITION BY blk ORDER BY p_name) AS n2
+        FROM seq),
+    cand AS (
+        SELECT p_name AS name_a, n1 AS name_b FROM leads WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT p_name, n2 FROM leads WHERE n2 IS NOT NULL),
+    pr AS (SELECT name_a, name_b FROM cand
+           WHERE levenshtein(name_a, name_b) <= 1),
+    edges AS (SELECT name_a AS s, name_b AS d FROM pr
+              UNION SELECT name_b AS s, name_a AS d FROM pr),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.label FROM edges e JOIN reach ON reach.id = e.d),
+    cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    stats AS (
+        SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS min_key,
+               CAST(max(CAST(round(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM part GROUP BY p_name),
+    members AS (
+        SELECT cc.label AS cluster, cc.id AS name, r.n_parts,
+               st.min_key, st.price_cents
+        FROM cc JOIN recs r ON cc.id = r.p_name
+        LEFT JOIN stats st ON cc.id = st.p_name),
+    canon AS (
+        SELECT cluster, name AS canonical_name FROM (
+            SELECT cluster, name,
+                   row_number() OVER (PARTITION BY cluster
+                       ORDER BY length(name), name) AS rn
+            FROM members) WHERE rn = 1),
+    fused AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(min_key) AS BIGINT) AS survivor_partkey,
+               CAST(sum(n_parts) AS BIGINT) AS total_parts,
+               CAST(max(price_cents) AS BIGINT) AS max_price_cents
+        FROM members GROUP BY cluster)
+    SELECT canonical_name, n_members, survivor_partkey,
+           total_parts, max_price_cents
+    FROM fused JOIN canon USING (cluster)
+    WHERE n_members >= 2
+    ORDER BY canonical_name
+"""

@@ -2445,8 +2445,12 @@ ORACLES["split_source_audit"] = f"""
 # more; one slot displaced to the r14 head in the eleventh wave
 # (centroid_confusion — r5-evidenced, bench-exercised) for the
 # eleventh-wave op (exact_matched_cohort), window replica re-run and
-# PRECHECK_r13_gate.json refreshed once more:
-#     conversion_lag, gap_filled_daily,
+# PRECHECK_r13_gate.json refreshed once more; one slot displaced to
+# the r14 head in the twelfth wave (conversion_lag — r5-evidenced,
+# bench-exercised) for the twelfth-wave op (golden_record_fusion),
+# window replica re-run and PRECHECK_r13_gate.json refreshed once
+# more:
+#     gap_filled_daily,
 #     ab_test_lift, pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
 #     kfold_assignment, negative_samples, pit_segment_rollup,
@@ -2463,18 +2467,18 @@ ORACLES["split_source_audit"] = f"""
 #     label_prop_communities, fellegi_sunter_linkage,
 #     ipf_weight_calibration, skyline_orders, winnowing_overlap,
 #     kcenter_coreset, stream_winnowing, stream_skyline,
-#     exact_matched_cohort
+#     exact_matched_cohort, golden_record_fusion
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# twenty-five names displaced from r13 (six at the rotation swap,
+# twenty-six names displaced from r13 (six at the rotation swap,
 # three at the third-wave tail insertion, two each at the fourth-
 # through seventh-, ninth- and tenth-wave tail insertions, three at
-# the eighth, one at the eleventh), then the remaining r7-evidence
-# queries in registration order:
-#     centroid_confusion,
+# the eighth, one each at the eleventh and twelfth), then the
+# remaining r7-evidence queries in registration order:
+#     conversion_lag, centroid_confusion,
 #     split_source_audit, ann_recall_profile,
 #     pack_sequences_boundaries, int8_quantization_profile,
 #     source_quantile_filter, incremental_components,
@@ -2493,8 +2497,7 @@ ORACLES["split_source_audit"] = f"""
 #     union_dedup, anti_join_new_keys, semantic_contamination,
 #     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
-#     rolling_distinct_users, fuzzy_name_matches, psi_drift,
-#     backfill_plan
+#     rolling_distinct_users, fuzzy_name_matches, psi_drift
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2509,14 +2512,14 @@ ORACLES["split_source_audit"] = f"""
 #  incremental_components_fold, stream_semantic_dedup_probe —
 #  displaced by its ninth — plus source_dup_attribution_reused,
 #  cluster_aware_split_reused — displaced by its tenth — plus
-#  schema_drift_report — displaced by its eleventh — then the r8
-#  block.)
+#  schema_drift_report — displaced by its eleventh — plus
+#  backfill_plan — displaced by its twelfth — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# twenty-five names displaced past r14, then the oldest-evidence (r8)
+# twenty-six names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
-#     schema_drift_report,
+#     backfill_plan, schema_drift_report,
 #     source_dup_attribution_reused, cluster_aware_split_reused,
 #     incremental_components_fold, stream_semantic_dedup_probe,
 #     stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
@@ -2535,7 +2538,6 @@ ORACLES["split_source_audit"] = f"""
 #     small_quantity_revenue, big_orders, quantity_band_stats,
 #     price_tier_join, grouping_sets_stats, customers_intersect,
 #     customers_except, priority_union_all, latest_order_per_customer,
-#     drift_lag
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
@@ -2543,7 +2545,8 @@ ORACLES["split_source_audit"] = f"""
 #  incremental_domain_quota by its seventh, semdedup_profile,
 #  domain_quota_sample, k_anonymity_profile by its eighth,
 #  ntile_quartiles, order_gaps by its ninth, running_total,
-#  moving_avg_range by its tenth, top_n_per_group by its eleventh.)
+#  moving_avg_range by its tenth, top_n_per_group by its eleventh,
+#  drift_lag by its twelfth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2557,7 +2560,7 @@ ORACLES["split_source_audit"] = f"""
 #     stream_domain_quota, incremental_domain_quota,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     ntile_quartiles, order_gaps, running_total, moving_avg_range,
-#     top_n_per_group,
+#     top_n_per_group, drift_lag,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2568,27 +2571,27 @@ ORACLES["split_source_audit"] = f"""
 #     ols_trend_per_group, target_encoding_oof, calibration_bins,
 #     bloom_pruned_join, salted_join_agg, kmv_set_ops,
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
-#     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean,
-#     lsh_band_sweep
+#     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
 #  degree_distribution_profile, cuped_adjusted_lift by its seventh,
 #  sql_recursive_cte, stream_cusum_changepoint, winsorized_stats by
 #  its eighth, cms_join_size_estimate, seasonal_naive_eval by its
 #  ninth, cusum_changepoint, stream_bootstrap_ci by its tenth,
-#  rm3_query_expansion by its eleventh.)
+#  rm3_query_expansion by its eleventh, lsh_band_sweep by its
+#  twelfth.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the
-# twelve names displaced past r16 by the r13 sixth- through
-# eleventh-wave ripples, the remaining r9-evidence queries, then the
+# thirteen names displaced past r16 by the r13 sixth- through
+# twelfth-wave ripples, the remaining r9-evidence queries, then the
 # oldest r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
 #     sql_recursive_cte, stream_cusum_changepoint, winsorized_stats,
 #     cms_join_size_estimate, seasonal_naive_eval,
 #     cusum_changepoint, stream_bootstrap_ci,
-#     rm3_query_expansion,
+#     rm3_query_expansion, lsh_band_sweep,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2601,7 +2604,7 @@ ORACLES["split_source_audit"] = f"""
 #     capture_recapture_estimate, eb_shrunk_rates, sorted_neighborhood_pairs,
 #     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
 #     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
-#     vocab_cover_sources, largest_remainder_allocation
+#     vocab_cover_sources
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
@@ -2609,11 +2612,11 @@ ORACLES["split_source_audit"] = f"""
 #  displaced by its eighth — plus quantile_normalize_profile,
 #  spearman_user_metrics — displaced by its ninth — plus
 #  changepoint_slopes, aa_test_calibration — displaced by its tenth —
-#  plus markov_removal_attribution — displaced by its eleventh — then
-#  the remaining 10 r10-evidence queries and the r11/r12 blocks in
+#  plus markov_removal_attribution — displaced by its eleventh — plus
+#  largest_remainder_allocation — displaced by its twelfth — then the
+#  remaining 10 r10-evidence queries and the r11/r12 blocks in
 #  evidence-age order.)
 _GATE_WINDOW = [
-    "conversion_lag",
     "gap_filled_daily",
     "ab_test_lift",
     "pareto_curve",
@@ -2663,6 +2666,7 @@ _GATE_WINDOW = [
     "stream_winnowing",
     "stream_skyline",
     "exact_matched_cohort",
+    "golden_record_fusion",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4171,6 +4175,18 @@ ORACLES["stream_skyline"] = _TEXTS["skyline_orders"]
 # companion to did/cuped/doubly-robust (operators/analytics.py).
 QUERIES["exact_matched_cohort"] = analytics.exact_matched_cohort
 ORACLES["exact_matched_cohort"] = _TEXTS["exact_matched_cohort"]
+
+
+# Round-13 twelfth wave ------------------------------------------------------
+# golden_record_fusion: entity-resolution survivorship — sorted-
+# neighborhood link edges (Levenshtein <= 1 over the planted-variant
+# record set) grouped by the dedup family's min-label CC kernel
+# (string labels), then per-component deterministic attribute fusion
+# (shortest-name canonical, min real part key survivor, exact count
+# and cent maxima); the oracle replays CC as a recursive reach
+# fixpoint (functions/dedup.py).
+QUERIES["golden_record_fusion"] = dedup.golden_record_fusion
+ORACLES["golden_record_fusion"] = _TEXTS["golden_record_fusion"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

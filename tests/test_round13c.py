@@ -404,3 +404,87 @@ def test_exact_matched_cohort_matches_python(spark):
     # matched arms are size-balanced by construction
     for band, _, _, k, _, _ in got:
         assert k >= 0
+
+
+def test_golden_record_fusion_matches_python_union_find(spark):
+    import hashlib
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        golden_record_fusion,
+    )
+
+    got = [tuple(r) for r in golden_record_fusion(spark, SF_SMALL).collect()]
+    assert got, "no fused records (planted variants guarantee some)"
+
+    part = load_table(spark, SF_SMALL, "part").collect()
+    names: dict = {}
+    stats: dict = {}
+    for r in part:
+        names[r.p_name] = names.get(r.p_name, 0) + 1
+        cents = int(round(r.p_retailprice * 100))
+        mk, mc = stats.get(r.p_name, (None, None))
+        stats[r.p_name] = (
+            r.p_partkey if mk is None else min(mk, r.p_partkey),
+            cents if mc is None else max(mc, cents),
+        )
+    recs = dict(names)
+    for n in list(names):
+        h = int(hashlib.md5(f"sn:{n}".encode()).hexdigest()[:8], 16)
+        if h % 3 == 0:
+            recs[n + "s"] = recs.get(n + "s", 0) + 0  # planted, count 0
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    # sorted-neighborhood candidates, window 3
+    by_blk: dict = {}
+    for n in recs:
+        by_blk.setdefault(n.split(" ")[0], []).append(n)
+    parent = {n: n for n in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for blk in by_blk.values():
+        blk.sort()
+        for i, a in enumerate(blk):
+            for b in blk[i + 1 : i + 3]:
+                if lev(a, b) <= 1:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for n in recs:
+        comps.setdefault(find(n), []).append(n)
+    want = []
+    for members in comps.values():
+        if len(members) < 2:
+            continue
+        canonical = min(members, key=lambda n: (len(n), n))
+        keys = [stats[n][0] for n in members if n in stats]
+        cents = [stats[n][1] for n in members if n in stats]
+        want.append(
+            (
+                canonical,
+                len(members),
+                min(keys) if keys else None,
+                sum(names.get(n, 0) for n in members),
+                max(cents) if cents else None,
+            )
+        )
+    want.sort(key=lambda t: t[0])
+    assert got == want
