@@ -412,6 +412,10 @@ HEADLINE = [
     # r13 twelfth wave: ER survivorship (SN link edges -> min-label CC
     # -> deterministic attribute fusion)
     "golden_record_fusion",
+    # r13 thirteenth wave: the raking cell-ledger fold (shared IPF
+    # kernel + oracle) and Burrows' Delta stylometric source distance
+    "stream_ipf",
+    "burrows_delta",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -1797,6 +1797,16 @@ def ipf_weight_calibration(
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    return ipf_from_cells(cells, n_iters=n_iters, unit=unit)
+
+
+def ipf_from_cells(
+    cells: DataFrame, n_iters: int = 3, unit: int = 1_000_000
+) -> DataFrame:
+    """The IPF scaling kernel over a (lang, source, n_docs) cell frame —
+    shared by the batch form and the streaming cell-ledger fold (count
+    cells merge exactly across micro-batches, so the folded frame feeds
+    the identical iterations)."""
     cells = cells.withColumn("w", (F.col("n_docs") * F.lit(unit)).cast("long"))
     totals = cells.agg(
         F.sum("w").cast("long").alias("wt"),

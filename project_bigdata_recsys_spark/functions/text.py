@@ -2691,3 +2691,125 @@ def winnowing_overlap(
     docs = load_table(spark, sf_dir, "documents")
     fps = persist_tracked(winnowing_fingerprints(docs, k, w))
     return winnowing_pairs_from_fps(fps, max_df, top_k)
+
+
+def burrows_delta(
+    spark: SparkSession, sf_dir: str, n_terms: int = 30, top_k: int = 20
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources — the
+    classic authorship-attribution measure applied as corpus QA: two
+    crawl sources with near-zero Delta over the most-frequent-word
+    profile are stylistically the same feed (mirror, scraper clone, or
+    template farm) even when no document is an exact or near duplicate,
+    which is exactly the signal the dedup family cannot see.
+
+    Method (Burrows 2002): take the corpus's ``n_terms`` most frequent
+    terms, compute each source's per-term rate, z-score each term
+    across sources, and Delta(a, b) = mean |z_a − z_b|.
+
+    Exactness: rates are exact integer floor divisions to micro units
+    (``cnt·10⁶ div total``), per-term means and squared deviations stay
+    exact BIGINT arithmetic, and the only float per (source, term) is
+    ONE sqrt feeding ONE rounded division (the lm_dirichlet freezing
+    discipline) — pair Deltas are then exact integer sums of frozen
+    z-scores, floor-divided to micro.  Constant-rate terms (std = 0)
+    pin z = 0 in BOTH engines.
+
+    Scale: one token explosion feeds both the vocabulary TakeOrdered
+    top-N and the (source, term) counts (map-side combined); the
+    z-score statistics aggregate over |sources| rows per term and the
+    pair join is |sources|² over the TINY profile frame — never over
+    the corpus."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        ).filter(F.length("term") > 0)
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(n_terms)
+        .select("term")
+    )
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # dense (source × term) grid: missing terms are rate 0, which must
+    # participate in the mean/std like any other observation
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "term"], "left")
+        .na.fill({"cnt": 0})
+        .select(
+            "source",
+            "term",
+            F.expr("CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                   " div CAST(total AS DECIMAL(38,0))").alias("rate"),
+        )
+    )
+    stats = grid.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("rate").cast("long").alias("rate_sum"),
+    )
+    centered = (
+        grid.join(F.broadcast(stats), "term")
+        .withColumn("mean_r", F.expr("rate_sum div n_src"))
+        .withColumn("dev", F.col("rate") - F.col("mean_r"))
+    )
+    ssq = centered.groupBy("term").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("ssq"),
+        F.max("n_src").cast("long").alias("n_src"),
+    )
+    z = (
+        centered.join(F.broadcast(ssq.select("term", "ssq")), "term")
+        .withColumn(
+            "z_micro",
+            F.when(F.col("ssq") == 0, F.lit(0).cast("long")).otherwise(
+                F.round(
+                    F.col("dev")
+                    * 1e6
+                    / F.sqrt(F.col("ssq") / F.col("n_src"))
+                ).cast("long")
+            ),
+        )
+        .select("source", "term", "z_micro")
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("a.z_micro") - F.col("b.z_micro")))
+            .cast("long")
+            .alias("abs_z_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        pair.select(
+            "source_a",
+            "source_b",
+            F.expr("CAST(abs_z_sum AS DECIMAL(38,0))"
+                   " div CAST(n_terms AS DECIMAL(38,0))").alias("delta_micro"),
+            "n_terms",
+        )
+        .orderBy(F.asc("delta_micro"), F.asc("source_a"), F.asc("source_b"))
+        .limit(top_k)
+    )

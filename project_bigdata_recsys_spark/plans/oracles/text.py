@@ -1036,3 +1036,60 @@ TEXTS['winnowing_overlap'] = """
                 // least(n_fp_a, n_fp_b) AS BIGINT) AS containment_ppm
     FROM p ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 20
 """
+
+TEXTS['burrows_delta'] = """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tf AS (SELECT source, term FROM toks WHERE length(term) > 0),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS freq FROM tf GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT 30)),
+    totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS total
+        FROM tf GROUP BY source),
+    counts AS (
+        SELECT source, tf.term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tf JOIN vocab ON tf.term = vocab.term
+        GROUP BY source, tf.term),
+    grid AS (
+        SELECT t.source, v.term,
+               CAST((CAST(COALESCE(c.cnt, 0) AS HUGEINT) * 1000000)
+                    // t.total AS BIGINT) AS rate
+        FROM totals t CROSS JOIN vocab v
+        LEFT JOIN counts c ON c.source = t.source AND c.term = v.term),
+    stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_src,
+               CAST(sum(rate) AS BIGINT) AS rate_sum
+        FROM grid GROUP BY term),
+    centered AS (
+        SELECT g.source, g.term, s.n_src,
+               g.rate - (s.rate_sum // s.n_src) AS dev
+        FROM grid g JOIN stats s ON g.term = s.term),
+    ssq AS (
+        SELECT term, CAST(sum(dev * dev) AS BIGINT) AS ssq,
+               CAST(max(n_src) AS BIGINT) AS n_src
+        FROM centered GROUP BY term),
+    z AS (
+        SELECT c.source, c.term,
+               CASE WHEN q.ssq = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(c.dev * 1e6
+                              / sqrt(q.ssq / q.n_src)) AS BIGINT)
+               END AS z_micro
+        FROM centered c JOIN ssq q ON c.term = q.term),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(abs(a.z_micro - b.z_micro)) AS BIGINT) AS abs_z_sum,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM z a JOIN z b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST((CAST(abs_z_sum AS HUGEINT) * 1) // n_terms AS BIGINT)
+               AS delta_micro,
+           n_terms
+    FROM pair
+    ORDER BY delta_micro ASC, source_a ASC, source_b ASC
+    LIMIT 20
+"""

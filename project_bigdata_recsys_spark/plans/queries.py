@@ -2449,9 +2449,12 @@ ORACLES["split_source_audit"] = f"""
 # the r14 head in the twelfth wave (conversion_lag — r5-evidenced,
 # bench-exercised) for the twelfth-wave op (golden_record_fusion),
 # window replica re-run and PRECHECK_r13_gate.json refreshed once
-# more:
-#     gap_filled_daily,
-#     ab_test_lift, pareto_curve, forget_users_plan,
+# more; two slots displaced to the r14 head in the thirteenth wave
+# (gap_filled_daily, ab_test_lift — r5-evidenced, bench-exercised) for
+# the thirteenth-wave pair (stream_ipf — the raking cell ledger fold,
+# shared oracle; burrows_delta — stylometric source distance), window
+# replica re-run and PRECHECK_r13_gate.json refreshed once more:
+#     pareto_curve, forget_users_plan,
 #     event_transitions, multi_touch_attribution, decayed_popularity,
 #     kfold_assignment, negative_samples, pit_segment_rollup,
 #     snapshot_diff, item_pagerank, video_frame_profile,
@@ -2467,17 +2470,20 @@ ORACLES["split_source_audit"] = f"""
 #     label_prop_communities, fellegi_sunter_linkage,
 #     ipf_weight_calibration, skyline_orders, winnowing_overlap,
 #     kcenter_coreset, stream_winnowing, stream_skyline,
-#     exact_matched_cohort, golden_record_fusion
+#     exact_matched_cohort, golden_record_fusion, stream_ipf,
+#     burrows_delta
 # (recomputed at rotation time from the r01..r12 union; the 11
 # r4-evidence queries named by VERDICT r12 task 2 are all retained.)
 #
 # Round-14 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r14.json is green): the
-# twenty-six names displaced from r13 (six at the rotation swap,
+# twenty-eight names displaced from r13 (six at the rotation swap,
 # three at the third-wave tail insertion, two each at the fourth-
-# through seventh-, ninth- and tenth-wave tail insertions, three at
-# the eighth, one each at the eleventh and twelfth), then the
-# remaining r7-evidence queries in registration order:
+# through seventh-, ninth-, tenth- and thirteenth-wave tail
+# insertions, three at the eighth, one each at the eleventh and
+# twelfth), then the remaining r7-evidence queries in registration
+# order:
+#     gap_filled_daily, ab_test_lift,
 #     conversion_lag, centroid_confusion,
 #     split_source_audit, ann_recall_profile,
 #     pack_sequences_boundaries, int8_quantization_profile,
@@ -2497,7 +2503,7 @@ ORACLES["split_source_audit"] = f"""
 #     union_dedup, anti_join_new_keys, semantic_contamination,
 #     stream_semantic_dedup, item_pagerank_personalized, prefix_cache_savings,
 #     packing_efficiency_sweep, monthly_growth, embedding_dim_profile,
-#     rolling_distinct_users, fuzzy_name_matches, psi_drift
+#     rolling_distinct_users
 # (r15 onward continues with bm25_scores, vocab_coverage_curve,
 #  item_triangles — displaced by the r13 third wave — plus
 #  cms_heavy_hitters, item_similar_neighbors, lang_source_chi2,
@@ -2513,12 +2519,14 @@ ORACLES["split_source_audit"] = f"""
 #  displaced by its ninth — plus source_dup_attribution_reused,
 #  cluster_aware_split_reused — displaced by its tenth — plus
 #  schema_drift_report — displaced by its eleventh — plus
-#  backfill_plan — displaced by its twelfth — then the r8 block.)
+#  backfill_plan — displaced by its twelfth — plus fuzzy_name_matches,
+#  psi_drift — displaced by its thirteenth — then the r8 block.)
 #
 # Round-15 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r15.json is green): the
-# twenty-six names displaced past r14, then the oldest-evidence (r8)
+# twenty-eight names displaced past r14, then the oldest-evidence (r8)
 # queries in registration order:
+#     fuzzy_name_matches, psi_drift,
 #     backfill_plan, schema_drift_report,
 #     source_dup_attribution_reused, cluster_aware_split_reused,
 #     incremental_components_fold, stream_semantic_dedup_probe,
@@ -2537,7 +2545,7 @@ ORACLES["split_source_audit"] = f"""
 #     paginated_orders, shipping_priority, local_supplier_volume,
 #     small_quantity_revenue, big_orders, quantity_band_stats,
 #     price_tier_join, grouping_sets_stats, customers_intersect,
-#     customers_except, priority_union_all, latest_order_per_customer,
+#     customers_except
 # (r16 block below; als_ranking_eval, stream_kmv_distinct displaced to
 #  its head by the r13 fourth-wave ripple, ks_value_drift,
 #  mann_whitney_drift by its fifth, ranking_metrics,
@@ -2546,7 +2554,8 @@ ORACLES["split_source_audit"] = f"""
 #  domain_quota_sample, k_anonymity_profile by its eighth,
 #  ntile_quartiles, order_gaps by its ninth, running_total,
 #  moving_avg_range by its tenth, top_n_per_group by its eleventh,
-#  drift_lag by its twelfth.)
+#  drift_lag by its twelfth, priority_union_all,
+#  latest_order_per_customer by its thirteenth.)
 #
 # Round-16 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r16.json is green): the
@@ -2560,7 +2569,8 @@ ORACLES["split_source_audit"] = f"""
 #     stream_domain_quota, incremental_domain_quota,
 #     semdedup_profile, domain_quota_sample, k_anonymity_profile,
 #     ntile_quartiles, order_gaps, running_total, moving_avg_range,
-#     top_n_per_group, drift_lag,
+#     top_n_per_group, drift_lag, priority_union_all,
+#     latest_order_per_customer,
 #     trending_items, doc_repetition_profile, kmv_distinct_rollup,
 #     perplexity_buckets, domain_reweight, hybrid_search,
 #     l_diversity_profile, ucb_ranking, session_ngrams,
@@ -2571,7 +2581,7 @@ ORACLES["split_source_audit"] = f"""
 #     ols_trend_per_group, target_encoding_oof, calibration_bins,
 #     bloom_pruned_join, salted_join_agg, kmv_set_ops,
 #     stream_welch_drift, embedding_correlation_pairs, url_canonical_dedup,
-#     dp_noisy_counts, exact_auc_by_group, bootstrap_ci_mean
+#     dp_noisy_counts
 # (r17 block below; neyman_allocation_plan, rendezvous_shard_plan
 #  displaced to its head by the r13 sixth-wave ripple,
 #  degree_distribution_profile, cuped_adjusted_lift by its seventh,
@@ -2579,12 +2589,12 @@ ORACLES["split_source_audit"] = f"""
 #  its eighth, cms_join_size_estimate, seasonal_naive_eval by its
 #  ninth, cusum_changepoint, stream_bootstrap_ci by its tenth,
 #  rm3_query_expansion by its eleventh, lsh_band_sweep by its
-#  twelfth.)
+#  twelfth, exact_auc_by_group, bootstrap_ci_mean by its thirteenth.)
 #
 # Round-17 rotation schedule (write-ahead, same discipline;
 # schedule only — counts once CORRECTNESS_r17.json is green): the
-# thirteen names displaced past r16 by the r13 sixth- through
-# twelfth-wave ripples, the remaining r9-evidence queries, then the
+# fifteen names displaced past r16 by the r13 sixth- through
+# thirteenth-wave ripples, the remaining r9-evidence queries, then the
 # oldest r10-evidence queries in registration order:
 #     neyman_allocation_plan, rendezvous_shard_plan,
 #     degree_distribution_profile, cuped_adjusted_lift,
@@ -2592,6 +2602,7 @@ ORACLES["split_source_audit"] = f"""
 #     cms_join_size_estimate, seasonal_naive_eval,
 #     cusum_changepoint, stream_bootstrap_ci,
 #     rm3_query_expansion, lsh_band_sweep,
+#     exact_auc_by_group, bootstrap_ci_mean,
 #     benford_audit, conformal_interval_eval, dsir_importance_sample,
 #     acf_ljung_box, bradley_terry_ratings, order_part_hits,
 #     textrank_keywords, kcore_profile, collocation_llr,
@@ -2603,8 +2614,7 @@ ORACLES["split_source_audit"] = f"""
 #     holt_forecast_eval, stream_sprt_monitor, overdispersion_profile,
 #     capture_recapture_estimate, eb_shrunk_rates, sorted_neighborhood_pairs,
 #     shapley_channel_attribution, sequence_entropy_profile, join_order_advisor,
-#     source_kl_divergence, rake_keyphrases, cv_paired_ttest,
-#     vocab_cover_sources
+#     source_kl_divergence, rake_keyphrases
 # (r18 onward continues with stream_holt_forecast, bh_fdr_correction —
 #  displaced from this block's tail by the r13 sixth-wave ripple —
 #  plus seasonal_indices, term_burstiness — displaced by its seventh —
@@ -2613,12 +2623,11 @@ ORACLES["split_source_audit"] = f"""
 #  spearman_user_metrics — displaced by its ninth — plus
 #  changepoint_slopes, aa_test_calibration — displaced by its tenth —
 #  plus markov_removal_attribution — displaced by its eleventh — plus
-#  largest_remainder_allocation — displaced by its twelfth — then the
-#  remaining 10 r10-evidence queries and the r11/r12 blocks in
-#  evidence-age order.)
+#  largest_remainder_allocation — displaced by its twelfth — plus
+#  cv_paired_ttest, vocab_cover_sources — displaced by its thirteenth
+#  — then the remaining 10 r10-evidence queries and the r11/r12
+#  blocks in evidence-age order.)
 _GATE_WINDOW = [
-    "gap_filled_daily",
-    "ab_test_lift",
     "pareto_curve",
     "forget_users_plan",
     "event_transitions",
@@ -2667,6 +2676,8 @@ _GATE_WINDOW = [
     "stream_skyline",
     "exact_matched_cohort",
     "golden_record_fusion",
+    "stream_ipf",
+    "burrows_delta",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -4187,6 +4198,23 @@ ORACLES["exact_matched_cohort"] = _TEXTS["exact_matched_cohort"]
 # fixpoint (functions/dedup.py).
 QUERIES["golden_record_fusion"] = dedup.golden_record_fusion
 ORACLES["golden_record_fusion"] = _TEXTS["golden_record_fusion"]
+
+
+# Round-13 thirteenth wave ---------------------------------------------------
+# stream_ipf: the raking cell table maintained BY THE STREAM — partial
+# (lang, source, cnt) ledger appends merged exactly, feeding the
+# SHARED IPF kernel (curation.ipf_from_cells) and the SHARED oracle
+# text, so the gate hash proves stream ≡ batch for count→calibrate
+# (streaming/replay.py).
+# burrows_delta: Burrows' Delta stylometric distance between sources —
+# the "same feed in disguise" detector the dedup family cannot see;
+# exact integer rates/means/deviations, one frozen sqrt-division per
+# (source, term), exact integer pair Deltas (functions/text.py).
+QUERIES["stream_ipf"] = replay.stream_ipf
+ORACLES["stream_ipf"] = _TEXTS["ipf_weight_calibration"]
+
+QUERIES["burrows_delta"] = text.burrows_delta
+ORACLES["burrows_delta"] = _TEXTS["burrows_delta"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -2047,3 +2047,47 @@ def stream_skyline(
         .select("segment", "o_orderkey", "price_cents", "order_date")
         .orderBy("segment", "price_cents", "o_orderkey")
     )
+
+
+def stream_ipf(spark: SparkSession, sf_dir: str, n_waves: int = 3) -> DataFrame:
+    """Streaming twin of curation.ipf_weight_calibration — the raking
+    CELL TABLE maintained by the stream: each micro-batch appends its
+    partial (lang, source, cnt) counts to a parquet ledger (count cells
+    merge exactly, the stream_zipf_fit discipline) and the post-replay
+    merge feeds the SHARED IPF kernel (curation.ipf_from_cells) — so
+    the shared oracle text proves stream ≡ batch for the whole
+    count→calibrate pipeline, with the iterations still running on the
+    |cells| frame, never the corpus."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.curation import ipf_from_cells
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    work, stream = _staged_waves(
+        spark,
+        docs,
+        "doc_id",
+        "doc_id long, lang string, source string",
+        n_waves,
+        "spark_ipf_stream_",
+    )
+    ledger = os.path.join(work, "ledger")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    _run_ledger_fold(spark, stream, fold, "stream_ipf", n_waves)
+    cells = (
+        spark.read.parquet(ledger)
+        .groupBy("lang", "source")
+        .agg(F.sum("cnt").cast("long").alias("n_docs"))
+    )
+    return ipf_from_cells(cells)

@@ -64,6 +64,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "bloom_pruned_join",  # Aggregate(l_returnflag): ≤ #returnflags rows
     "cooccurrence_drift",  # Distinct(month): ≤ calendar-month-span rows
     "ipf_weight_calibration",  # Aggregate(lang, source): ≤ |langs|·|sources| cell rows
+    "stream_ipf",  # same IPF kernel over the folded cell ledger: ≤ |langs|·|sources| rows
 }
 
 

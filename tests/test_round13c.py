@@ -488,3 +488,70 @@ def test_golden_record_fusion_matches_python_union_find(spark):
         )
     want.sort(key=lambda t: t[0])
     assert got == want
+
+
+def test_stream_ipf_equals_batch(spark):
+    from project_bigdata_recsys_spark.functions.curation import (
+        ipf_weight_calibration,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import stream_ipf
+
+    batch = [tuple(r) for r in ipf_weight_calibration(spark, SF_SMALL).collect()]
+    stream = [tuple(r) for r in stream_ipf(spark, SF_SMALL).collect()]
+    # count cells merge exactly across micro-batches, so the folded
+    # cell table feeds the shared kernel to a BIT-identical result
+    assert stream == batch
+
+
+def test_burrows_delta_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import burrows_delta
+
+    got = [tuple(r) for r in burrows_delta(spark, SF_SMALL).collect()]
+    assert got
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    tf: dict = {}
+    freq: dict = {}
+    totals: dict = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            if not t:
+                continue
+            freq[t] = freq.get(t, 0) + 1
+            totals[r.source] = totals.get(r.source, 0) + 1
+            tf[(r.source, t)] = tf.get((r.source, t), 0) + 1
+    vocab = sorted(freq, key=lambda t: (-freq[t], t))[:30]
+    srcs = sorted(totals)
+    rate = {
+        (s, t): tf.get((s, t), 0) * 1_000_000 // totals[s]
+        for s in srcs
+        for t in vocab
+    }
+    z: dict = {}
+    for t in vocab:
+        vals = [rate[(s, t)] for s in srcs]
+        mean = sum(vals) // len(srcs)
+        devs = {s: rate[(s, t)] - mean for s in srcs}
+        ssq = sum(d * d for d in devs.values())
+        for s in srcs:
+            if ssq == 0:
+                z[(s, t)] = 0
+            else:
+                import math
+
+                v = devs[s] * 1e6 / math.sqrt(ssq / len(srcs))
+                z[(s, t)] = int(
+                    Decimal(repr(v)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+    pairs = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sab = sum(abs(z[(a, t)] - z[(b, t)]) for t in vocab)
+            pairs.append((a, b, sab // len(vocab), len(vocab)))
+    pairs.sort(key=lambda r: (r[2], r[0], r[1]))
+    assert got == pairs[:20]
