@@ -1806,8 +1806,18 @@ def ipf_from_cells(
     """The IPF scaling kernel over a (lang, source, n_docs) cell frame —
     shared by the batch form and the streaming cell-ledger fold (count
     cells merge exactly across micro-batches, so the folded frame feeds
-    the identical iterations)."""
-    cells = cells.withColumn("w", (F.col("n_docs") * F.lit(unit)).cast("long"))
+    the identical iterations).
+
+    The cell frame is persisted before fan-out: it has TWO consumers
+    (the grand-total/axis-cardinality aggregate and the iteration
+    chain), and without the persist each consumer re-derives it from
+    the corpus scan — a plan-shape test pins the single-scan contract
+    (tests/test_round13c.py)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    cells = persist_tracked(
+        cells.withColumn("w", (F.col("n_docs") * F.lit(unit)).cast("long"))
+    )
     totals = cells.agg(
         F.sum("w").cast("long").alias("wt"),
         F.countDistinct("lang").cast("long").alias("nl"),

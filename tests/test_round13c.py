@@ -555,3 +555,54 @@ def test_burrows_delta_matches_python(spark):
             pairs.append((a, b, sab // len(vocab), len(vocab)))
     pairs.sort(key=lambda r: (r[2], r[0], r[1]))
     assert got == pairs[:20]
+
+
+def test_skyline_plan_is_one_window_sort_no_join_per_row(spark):
+    """The scale contract of the sort-filter skyline: the customer
+    dimension broadcasts (the orders side never shuffles for it) and
+    the two dominance frames share ONE window sort per segment — never
+    a per-segment self-join or NOT EXISTS."""
+    from project_bigdata_recsys_spark.operators.analytics import skyline_orders
+
+    plan = skyline_orders(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") <= 2  # both frames in one window region
+
+
+def test_fellegi_weights_are_broadcast_not_recomputed_per_pair(spark):
+    """The six frozen ln(m/u) weights must reach the pair fan-out as a
+    1-row broadcast — any plan that recomputes the u-statistics per
+    pair (or sort-merge-joins them in) breaks the Σ|b|² cost model."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        fellegi_sunter_linkage,
+    )
+
+    plan = (
+        fellegi_sunter_linkage(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 never global-sorts
+
+
+def test_ipf_iterations_stay_on_the_cell_table(spark):
+    """The only corpus-sized operator in the IPF plan must be the one
+    initial (lang, source) aggregation: the cell frame has two
+    consumers (the totals aggregate and the iteration chain), and both
+    must read the PERSISTED cells (InMemoryTableScan), not re-derive
+    them from the corpus scan — without the persist this plan read
+    documents twice (found by this test's first version)."""
+    from project_bigdata_recsys_spark.functions.curation import (
+        ipf_weight_calibration,
+    )
+
+    plan = (
+        ipf_weight_calibration(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
