@@ -54,13 +54,23 @@ def run_gate_precheck(
             re.M,
         )
         if mm:
+            # 'rows' is check_oracle's prefix for rows-only entries;
+            # normalize to the name sweep_evidence.py writes so the two
+            # evidence formats agree (ADVICE r13).
+            status = {"ok": "ok", "rows": "rows-only"}.get(
+                mm.group(1), mm.group(1)
+            )
             queries[name] = {
-                "status": "ok" if mm.group(1) == "ok" else mm.group(1),
+                "status": status,
                 "rows": int(mm.group(2)) if mm.group(2) else None,
                 "sec": float(mm.group(3)),
             }
         else:
-            queries[name] = {"status": "MISSING"}
+            # FAIL lines that die before timing (e.g. a raise inside the
+            # query builder) carry no '(N.Ns)' suffix — still a FAIL,
+            # not MISSING (ADVICE r13).
+            mf = re.search(rf"^FAIL +{re.escape(name)}[: ]", out, re.M)
+            queries[name] = {"status": "FAIL" if mf else "MISSING"}
     tail = re.search(r"(\d+) ok, (\d+) fail, (\d+) rows-only", out)
     doc = {
         "what": what,
