@@ -1916,6 +1916,11 @@ def sn_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_name"), F.lit("s")).alias("p_name"),
         F.lit(0).cast("long").alias("n_parts"),
     )
+    # A planted variant that happens to equal a REAL part name would put
+    # duplicate p_name rows in the union and fan out every downstream
+    # members join (ADVICE r13) — anti-join keeps the real row only.
+    # TPC-H vocab has no such collisions today; this guards other data.
+    planted = planted.join(names.select("p_name"), "p_name", "left_anti")
     return names.unionByName(planted)
 
 
@@ -2293,8 +2298,13 @@ def fellegi_sunter_linkage(
     for f, u in (("seg", "u_seg"), ("band", "u_band"), ("suf", "u_suf")):
         den = F.col("n") * F.col("n")
         agree = F.log((F.lit(m_num) * den) / (F.lit(m_den) * F.col(u)))
+        # a field constant across ALL records has u = n², making the
+        # disagreement denominator 0 → ln(inf) poisoning every pair
+        # score; GREATEST(...,1) caps the weight instead (ADVICE r13,
+        # same guard as the IPF kernel)
         disagree = F.log(
-            (F.lit(m_den - m_num) * den) / (F.lit(m_den) * (den - F.col(u)))
+            (F.lit(m_den - m_num) * den)
+            / (F.lit(m_den) * F.greatest(den - F.col(u), F.lit(1)))
         )
         w_cols.append(F.round(agree * 1e6).cast("long").alias(f"wa_{f}"))
         w_cols.append(F.round(disagree * 1e6).cast("long").alias(f"wd_{f}"))

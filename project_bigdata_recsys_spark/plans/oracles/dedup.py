@@ -277,7 +277,8 @@ TEXTS['sorted_neighborhood_pairs'] = """
     planted AS (
         SELECT p_name || 's' AS p_name, CAST(0 AS BIGINT) AS n_parts
         FROM names
-        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0),
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0
+          AND p_name || 's' NOT IN (SELECT p_name FROM names)),
     recs AS (SELECT * FROM names UNION ALL SELECT * FROM planted),
     seq AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM recs),
     leads AS (
@@ -375,11 +376,11 @@ TEXTS['fellegi_sunter_linkage'] = """
     wts AS (
         SELECT
             CAST(round(ln((19 * n * n) / (20.0 * u_seg)) * 1e6) AS BIGINT) AS wa_seg,
-            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_seg))) * 1e6) AS BIGINT) AS wd_seg,
+            CAST(round(ln((1 * n * n) / (20.0 * greatest(n * n - u_seg, 1))) * 1e6) AS BIGINT) AS wd_seg,
             CAST(round(ln((19 * n * n) / (20.0 * u_band)) * 1e6) AS BIGINT) AS wa_band,
-            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_band))) * 1e6) AS BIGINT) AS wd_band,
+            CAST(round(ln((1 * n * n) / (20.0 * greatest(n * n - u_band, 1))) * 1e6) AS BIGINT) AS wd_band,
             CAST(round(ln((19 * n * n) / (20.0 * u_suf)) * 1e6) AS BIGINT) AS wa_suf,
-            CAST(round(ln((1 * n * n) / (20.0 * (n * n - u_suf))) * 1e6) AS BIGINT) AS wd_suf
+            CAST(round(ln((1 * n * n) / (20.0 * greatest(n * n - u_suf, 1))) * 1e6) AS BIGINT) AS wd_suf
         FROM useg, uband, usuf, nt),
     pairs AS (
         SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
@@ -409,7 +410,8 @@ TEXTS['golden_record_fusion'] = """
     planted AS (
         SELECT p_name || 's' AS p_name, CAST(0 AS BIGINT) AS n_parts
         FROM names
-        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0),
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0
+          AND p_name || 's' NOT IN (SELECT p_name FROM names)),
     recs AS (SELECT * FROM names UNION ALL SELECT * FROM planted),
     seq AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM recs),
     leads AS (

@@ -1907,21 +1907,34 @@ def _staged_waves(
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir, exist_ok=True)
     now = _time.time()
+    n_staged = 0
     for wv in range(n_waves):
         tmp = os.path.join(work, f"tmp{wv}")
         df.filter(F.col(key_col) % n_waves == wv).coalesce(1).write.parquet(
             tmp
         )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        # an empty wave may legitimately produce NO part file (Spark is
+        # not contractually bound to emit a schema-only file from an
+        # empty coalesce(1) write), and an empty staged file would also
+        # weaken the >= n_waves commit-count gate — skip it and let the
+        # caller derive the commit floor from n_staged (ADVICE r13)
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if not parts:
+            continue
         staged = os.path.join(in_dir, f"{wv:03d}.parquet")
-        shutil.copyfile(part, staged)
+        shutil.copyfile(parts[0], staged)
         os.utime(staged, (now - 100 + wv, now - 100 + wv))
+        n_staged += 1
+    if n_staged == 0:
+        raise AssertionError(
+            f"{prefix}: every staged wave was empty — nothing to replay"
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    return work, stream
+    return work, stream, n_staged
 
 
 def _run_ledger_fold(
@@ -1982,7 +1995,7 @@ def stream_winnowing(
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    work, stream = _staged_waves(
+    work, stream, n_staged = _staged_waves(
         spark,
         docs,
         "doc_id",
@@ -1997,7 +2010,7 @@ def stream_winnowing(
             return
         winnowing_fingerprints(batch_df).write.mode("append").parquet(ledger)
 
-    _run_ledger_fold(spark, stream, fold, "stream_winnowing", n_waves)
+    _run_ledger_fold(spark, stream, fold, "stream_winnowing", n_staged)
     fps = spark.read.parquet(ledger)
     return winnowing_pairs_from_fps(fps)
 
@@ -2024,7 +2037,7 @@ def stream_skyline(
     )
 
     base = skyline_base(spark, sf_dir)
-    work, stream = _staged_waves(
+    work, stream, n_staged = _staged_waves(
         spark,
         base,
         "o_orderkey",
@@ -2040,7 +2053,7 @@ def stream_skyline(
             return
         skyline_filter(batch_df).write.mode("append").parquet(ledger)
 
-    _run_ledger_fold(spark, stream, fold, "stream_skyline", n_waves)
+    _run_ledger_fold(spark, stream, fold, "stream_skyline", n_staged)
     merged = spark.read.parquet(ledger)
     return (
         skyline_filter(merged)
@@ -2064,7 +2077,7 @@ def stream_ipf(spark: SparkSession, sf_dir: str, n_waves: int = 3) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
     )
-    work, stream = _staged_waves(
+    work, stream, n_staged = _staged_waves(
         spark,
         docs,
         "doc_id",
@@ -2084,7 +2097,7 @@ def stream_ipf(spark: SparkSession, sf_dir: str, n_waves: int = 3) -> DataFrame:
             .parquet(ledger)
         )
 
-    _run_ledger_fold(spark, stream, fold, "stream_ipf", n_waves)
+    _run_ledger_fold(spark, stream, fold, "stream_ipf", n_staged)
     cells = (
         spark.read.parquet(ledger)
         .groupBy("lang", "source")

@@ -432,7 +432,12 @@ def test_golden_record_fusion_matches_python_union_find(spark):
     for n in list(names):
         h = int(hashlib.md5(f"sn:{n}".encode()).hexdigest()[:8], 16)
         if h % 3 == 0:
-            recs[n + "s"] = recs.get(n + "s", 0) + 0  # planted, count 0
+            # a planted variant colliding with a REAL name is dropped by
+            # the sn_records anti-join (ADVICE r13); the dict replica
+            # must see the same collision-free vocabulary to be a fair
+            # comparison, so assert it rather than silently collapse
+            assert n + "s" not in names, f"planted collision: {n}s"
+            recs[n + "s"] = 0  # planted, count 0
 
     def lev(a, b):
         if abs(len(a) - len(b)) > 1:
