@@ -594,6 +594,20 @@ def main() -> None:
 
     doc_unigram_scores(spark, sf_dir).count()
 
+    # prior committed per-query numbers, read BEFORE this run overwrites
+    # the detail file — the reference for the warm-retime adjudicator
+    prior_detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_timings: dict[str, float] = {}
+    try:
+        with open(prior_detail_path) as fh:
+            prior_doc = json.load(fh)
+        if prior_doc.get("sf") == sf:
+            prior_timings = prior_doc.get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -615,6 +629,40 @@ def main() -> None:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
 
+    # Warm-retime adjudicator (r13 verdict task #4): streaming-family
+    # entries (ledger/checkpoint IO) bounce 2-3x run-to-run on this box
+    # while their code is unchanged; three rounds of BENCH_NOTES
+    # adjudicated the same signature by hand.  Any entry reading >2x its
+    # committed prior time (and costing enough to matter) is re-timed
+    # once, warm, in the same session; both numbers and a verdict land
+    # in the artifact so no prose adjudication is needed.  Headline
+    # `timings` keep the honest first-run numbers — the retime is
+    # evidence, not a substitution.
+    warm_retimes: dict[str, dict] = {}
+    for name, t_first in timings.items():
+        t_prior = prior_timings.get(name)
+        if not t_prior or t_first <= 2 * t_prior or t_first < 2.0:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        t_warm = round(time.time() - t0, 3)
+        if name not in _SHARE_WITH_NEXT:
+            release_tracked()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        warm_retimes[name] = {
+            "first": t_first,
+            "warm": t_warm,
+            "prior": t_prior,
+            "verdict": (
+                "transient (warm retime back within 2x of prior — "
+                "ambient/IO spike, not code)"
+                if t_warm <= 2 * t_prior
+                else "persistent (warm retime still >2x prior — "
+                "investigate as a real regression)"
+            ),
+        }
+
     release_shared()
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE: the r6 driver artifact came back
@@ -627,7 +675,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "headline_queries_total", "value": total,
-             "unit": "sec", "queries": timings, "sf": sf},
+             "unit": "sec", "queries": timings, "sf": sf,
+             "warm_retimes": warm_retimes},
             fh, indent=1,
         )
     # cross-round anchor subsets: the r1 headline set and whatever
@@ -684,6 +733,7 @@ def main() -> None:
                 "frozen_subset_ratio": frozen_ratio,
                 "frozen_subset_flag": frozen_flag,
                 "frozen_subset_advisory": frozen_advisory,
+                "warm_retimes": warm_retimes,
                 "anchor_normalized_ratio": anchor_normalized_ratio,
                 "anchor_band_sec": list(anchor_band),
                 "ambient_ok": ambient_ok,
