@@ -1924,14 +1924,16 @@ def sn_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return names.unionByName(planted)
 
 
-def sn_candidates(
-    spark: SparkSession, sf_dir: str, window: int = 3
-) -> DataFrame:
-    """Sorted-neighborhood candidate pairs (name_a, name_b, dist) with
-    integer Levenshtein attached — the shared pair generator."""
+def sn_window_pairs(recs: DataFrame, window: int = 3) -> DataFrame:
+    """Sorted-neighborhood adjacency over an arbitrary record frame
+    (any frame with a ``p_name`` column): per leading-token block, each
+    name pairs with its ``window − 1`` successors in sort order, with
+    integer Levenshtein attached.  A pure function of the block's FULL
+    membership — which is what lets the streaming fold recompute only
+    touched blocks and still converge to the batch adjacency exactly.
+    Returns (blk, name_a, name_b, dist)."""
     from pyspark.sql import Window
 
-    recs = sn_records(spark, sf_dir)
     blk = F.split(F.col("p_name"), " ").getItem(0)
     w = Window.partitionBy("blk").orderBy("p_name")
     seq = recs.select("p_name", blk.alias("blk"))
@@ -1946,12 +1948,23 @@ def sn_candidates(
     cand = None
     for i in range(1, window):
         c = leads.filter(F.col(f"n{i}").isNotNull()).select(
+            "blk",
             F.col("p_name").alias("name_a"),
             F.col(f"n{i}").alias("name_b"),
         )
         cand = c if cand is None else cand.unionByName(c)
     return cand.withColumn(
         "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+    )
+
+
+def sn_candidates(
+    spark: SparkSession, sf_dir: str, window: int = 3
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (name_a, name_b, dist) with
+    integer Levenshtein attached — the shared pair generator."""
+    return sn_window_pairs(sn_records(spark, sf_dir), window).select(
+        "name_a", "name_b", "dist"
     )
 
 
@@ -1978,13 +1991,25 @@ def golden_record_fusion(
     variant-clusters, never corpus-sized); attribute fusion is one
     groupBy over members plus a row_number canonical pick per
     component."""
-    from pyspark.sql import Window
-
     edges = (
         sn_candidates(spark, sf_dir)
         .filter(F.col("dist") <= link_dist)
         .select("name_a", "name_b")
     )
+    return golden_records_from_edges(spark, sf_dir, edges)
+
+
+def golden_records_from_edges(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    """The survivorship kernel shared by golden_record_fusion (batch
+    edges) and the streaming linkage fold (ledger-maintained edges):
+    min-label CC over the link edges, then per-component deterministic
+    attribute fusion.  Output is a pure function of the edge SET, so
+    any maintenance path that converges to the batch edges inherits the
+    batch oracle verbatim."""
+    from pyspark.sql import Window
+
     cc = connected_components(edges, a_col="name_a", b_col="name_b").select(
         F.col("doc_id").alias("member_name"),
         F.col("cluster_id").alias("cluster"),

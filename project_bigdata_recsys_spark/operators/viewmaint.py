@@ -113,14 +113,21 @@ def resolve_join_view(
     fact_ledger_dir: str,
     dim_ledger_dir: str,
     customer: DataFrame,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Merge-on-read resolution of the view: base rows not superseded by
     the fact ledger, plus the ledger's latest-wins rows enriched from
     the dim, with dim-ledger segment overrides applied last.  Every join
     the base participates in is a BROADCAST of ledger-bounded data — the
-    base is one scan, zero exchanges (asserted in tests)."""
+    base is one scan, zero exchanges (asserted in tests).
+
+    ``as_of_seq`` bounds the replay to ledger rows with sequence number
+    <= the bound (snapshot time travel); None resolves HEAD.  The
+    filter rides the ledger scans — plan shape is unchanged."""
     base = spark.read.parquet(base_dir)
     lf = _read_ledger(spark, fact_ledger_dir, FACT_LEDGER_SCHEMA)
+    if lf is not None and as_of_seq is not None:
+        lf = lf.filter(F.col("seq") <= as_of_seq)
     if lf is not None:
         lf_current = _latest_wins(lf, ["o_orderkey"], "seq")
         resolved = base.join(
@@ -131,6 +138,8 @@ def resolve_join_view(
     else:
         resolved = base
     ld = _read_ledger(spark, dim_ledger_dir, DIM_LEDGER_SCHEMA)
+    if ld is not None and as_of_seq is not None:
+        ld = ld.filter(F.col("dseq") <= as_of_seq)
     if ld is not None:
         ld_current = _latest_wins(ld, ["c_custkey"], "dseq")
         resolved = resolved.join(
@@ -477,5 +486,89 @@ def stream_join_view_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirs["fact_ledger"],
         dirs["dim_ledger"],
         load_table(spark, sf_dir, "customer"),
+    )
+    return profile_join_view(resolved, sf_dir)
+
+
+def fact_delta_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND generation of fact changes (seq 2): ~2% price bumps on
+    an independent md5 cohort (``jv-upd2``), naturally overlapping the
+    epoch-1 cohort so latest-wins resolution at HEAD differs from the
+    as-of-1 state on the overlap — the rows a broken time-travel read
+    would get wrong."""
+    from project_bigdata_recsys_spark.operators.snapshot import (
+        bump_price_cents,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    orders = _orders_projected(spark, sf_dir)
+    return orders.filter(
+        hash_uniform(F.col("o_orderkey"), "jv-upd2:") < 0.02
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        bump_price_cents(bump_price_cents(F.col("o_totalprice"))).alias(
+            "o_totalprice"
+        ),
+        "part",
+        F.lit(2).alias("seq"),
+    )
+
+
+def dim_delta_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation dim change (dseq 2): ~1% of customers move to
+    segment 'MOVED2' (cohort ``jv-dim2``), partially overlapping the
+    epoch-1 'MOVED' cohort."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(
+        hash_uniform(F.col("c_custkey"), "jv-dim2:") < 0.01
+    ).select(
+        "c_custkey",
+        F.lit("MOVED2").alias("new_segment"),
+        F.lit(2).alias("dseq"),
+    )
+
+
+def join_view_time_travel(
+    spark: SparkSession, sf_dir: str, as_of_seq: int = 1
+) -> DataFrame:
+    """Gate query: snapshot time-travel READ of the merge-on-read view
+    (r13 verdict stretch) — the read-side complement of backfill_plan /
+    table_diff.  Both ledgers hold TWO delta generations (epoch 1 =
+    the standard jv-upd/jv-new/jv-dim cohorts, epoch 2 = jv-upd2 double
+    bumps and jv-dim2 'MOVED2' moves, appended O(delta), base never
+    touched); resolution replays ledger rows only up to ``as_of_seq``.
+
+    Correctness contract: the as-of-1 state is definitionally the
+    join_view_mor end state, so this query shares that oracle VERBATIM
+    — the hash match proves the sequence-bounded read excludes every
+    epoch-2 row exactly (a leak would surface as a 'MOVED2' segment
+    row or drifted totals on the double-bumped overlap cohort).
+
+    Scale: identical plan shape to resolve_join_view — the seq filter
+    rides the ledger scan (ledger-bounded, broadcast side), the base
+    still sees zero exchanges; time travel costs nothing beyond the
+    ledger predicate, which is the point of keeping sequence numbers
+    IN the ledger rows (the Hudi/Iceberg commit-timeline contract from
+    plain parquet)."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    dirs = setup_join_view(spark, sf_dir)
+    fact_delta_epoch2(spark, sf_dir).write.mode("append").parquet(
+        dirs["fact_ledger"]
+    )
+    dim_delta_epoch2(spark, sf_dir).write.mode("append").parquet(
+        dirs["dim_ledger"]
+    )
+    resolved = resolve_join_view(
+        spark,
+        dirs["base"],
+        dirs["fact_ledger"],
+        dirs["dim_ledger"],
+        load_table(spark, sf_dir, "customer"),
+        as_of_seq=as_of_seq,
     )
     return profile_join_view(resolved, sf_dir)

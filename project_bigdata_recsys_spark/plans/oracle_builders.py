@@ -2081,3 +2081,51 @@ def _kcenter_oracle(k: int = 5) -> str:
         FROM asg WHERE rn = 1
         GROUP BY sel_order, center_id ORDER BY sel_order
     """
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled DuckDB twin of functions.text.bpe_train_merges: each
+    iteration is a (pairs, counts, best, re-segment) CTE quartet over
+    the wrapped-symbol vocabulary; merge application is the same plain
+    left-to-right string replace the Spark side uses, so greedy BPE
+    semantics match byte for byte."""
+    ctes = [
+        """words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]{2,}$')
+        GROUP BY w)""",
+        r"""v0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '>\1< ', 'g')) AS repr, freq
+        FROM words)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+        SELECT toks[i] AS pa, toks[i + 1] AS pb, freq
+        FROM (SELECT string_split(repr, ' ') AS toks, freq FROM v{i - 1}),
+             unnest(range(1, len(toks))) t(i))""")
+        ctes.append(f"""c{i} AS (
+        SELECT substr(pa, 2, length(pa) - 2) AS sym_a,
+               substr(pb, 2, length(pb) - 2) AS sym_b,
+               CAST(sum(freq) AS BIGINT) AS n_pairs
+        FROM p{i} GROUP BY 1, 2)""")
+        ctes.append(f"""b{i} AS (
+        SELECT sym_a, sym_b, n_pairs FROM c{i}
+        ORDER BY n_pairs DESC, sym_a, sym_b LIMIT 1)""")
+        if i < n_merges:
+            ctes.append(f"""v{i} AS (
+        SELECT replace(repr, '>' || sym_a || '< >' || sym_b || '<',
+                       '>' || sym_a || sym_b || '<') AS repr, freq
+        FROM v{i - 1} CROSS JOIN b{i})""")
+    readout = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, sym_a, sym_b, n_pairs"
+        f" FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + readout
+        + "\n    ORDER BY merge_rank\n"
+    )

@@ -56,10 +56,12 @@ from project_bigdata_recsys_spark.operators import (
     viewmaint,
     windows,
 )
+from project_bigdata_recsys_spark.operators import experiments
 from project_bigdata_recsys_spark.sources import multimodal
 from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
     _absorption_oracle,
+    _bpe_train_oracle,
     _analyze_table_oracle,
     _ann_index_diff_oracle,
     _ann_recall_oracle,
@@ -2371,9 +2373,9 @@ _GATE_WINDOW = [
     "item_pagerank_personalized",
     "prefix_cache_savings",
     "packing_efficiency_sweep",
-    "monthly_growth",
-    "embedding_dim_profile",
-    "rolling_distinct_users",
+    "bpe_train_merges",
+    "stream_golden_record",
+    "join_view_time_travel",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -2418,7 +2420,7 @@ ORACLES['fuzzy_name_matches'] = _TEXTS['fuzzy_name_matches']
 QUERIES["gap_filled_daily"] = relational.gap_filled_daily
 ORACLES['gap_filled_daily'] = _TEXTS['gap_filled_daily']
 
-QUERIES["ab_test_lift"] = analytics.ab_test_lift
+QUERIES["ab_test_lift"] = experiments.ab_test_lift
 ORACLES['ab_test_lift'] = _TEXTS['ab_test_lift']
 
 QUERIES["pareto_curve"] = analytics.pareto_curve
@@ -2996,7 +2998,7 @@ ORACLES['exact_auc_by_group'] = _TEXTS['exact_auc_by_group']
 # Poisson bootstrap CI (round 8): all B replicas in ONE pass via
 # per-(row, replica) Poisson(1) weights — md5-uniform draws through
 # the frozen 12-dp inverse-CDF table (analytics.POISSON1_CDF).
-QUERIES["bootstrap_ci_mean"] = analytics.bootstrap_ci_mean
+QUERIES["bootstrap_ci_mean"] = experiments.bootstrap_ci_mean
 ORACLES["bootstrap_ci_mean"] = f"""
     WITH ev AS (
         SELECT event_id, event_type,
@@ -3130,12 +3132,12 @@ ORACLES["degree_distribution_profile"] = f"""
 # CUPED variance-reduced A/B readout (round 8): θ = cov/var from
 # pooled integer-cent moments; adjusted means collapse algebraically —
 # no per-row adjusted value, identical double shapes.
-QUERIES["cuped_adjusted_lift"] = analytics.cuped_adjusted_lift
+QUERIES["cuped_adjusted_lift"] = experiments.cuped_adjusted_lift
 ORACLES['cuped_adjusted_lift'] = _TEXTS['cuped_adjusted_lift']
 
 # Neyman-optimal allocation (round 8): n_h ∝ N_h·S_h with per-stratum
 # weights frozen to integers before the total fold.
-QUERIES["neyman_allocation_plan"] = analytics.neyman_allocation_plan
+QUERIES["neyman_allocation_plan"] = experiments.neyman_allocation_plan
 ORACLES['neyman_allocation_plan'] = _TEXTS['neyman_allocation_plan']
 
 # Rendezvous sharding plan (round 8): highest-random-weight placement;
@@ -3278,12 +3280,12 @@ ORACLES['stream_benford_values'] = _TEXTS['stream_benford_values']
 # Difference-in-differences lift (round 8, session 3): four BIGINT
 # cent-moment groups, means rounded before the DiD fold, micro-frozen
 # variance terms.
-QUERIES["did_lift_estimate"] = analytics.did_lift_estimate
+QUERIES["did_lift_estimate"] = experiments.did_lift_estimate
 ORACLES['did_lift_estimate'] = _TEXTS['did_lift_estimate']
 
 # Wald SPRT monitor (round 8, session 3): integer micro literal
 # log-likelihood steps, BIGINT path cumsum, integer decisions.
-QUERIES["sprt_ab_monitor"] = analytics.sprt_ab_monitor
+QUERIES["sprt_ab_monitor"] = experiments.sprt_ab_monitor
 ORACLES["sprt_ab_monitor"] = f"""
     WITH daily AS (
         SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
@@ -3293,16 +3295,16 @@ ORACLES["sprt_ab_monitor"] = f"""
         FROM events GROUP BY 1),
     path AS (
         SELECT day, n, k,
-               CAST(sum(k * ({analytics.SPRT_LA_MICRO})
-                        + (n - k) * ({analytics.SPRT_LB_MICRO}))
+               CAST(sum(k * ({experiments.SPRT_LA_MICRO})
+                        + (n - k) * ({experiments.SPRT_LB_MICRO}))
                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS llr_micro
         FROM daily)
     SELECT day, n, k,
            round(llr_micro / 1e6, 6) AS llr,
-           CASE WHEN llr_micro >= {analytics.SPRT_THRESH_MICRO}
+           CASE WHEN llr_micro >= {experiments.SPRT_THRESH_MICRO}
                 THEN 'accept_h1'
-                WHEN llr_micro <= -{analytics.SPRT_THRESH_MICRO}
+                WHEN llr_micro <= -{experiments.SPRT_THRESH_MICRO}
                 THEN 'accept_h0'
                 ELSE 'continue' END AS decision
     FROM path ORDER BY day
@@ -3350,7 +3352,7 @@ ORACLES['capture_recapture_estimate'] = _TEXTS['capture_recapture_estimate']
 
 # Empirical-Bayes beta-binomial shrinkage (round 8, session 3): MoM
 # prior from micro-frozen per-user rates; 6-dp shrunken rates.
-QUERIES["eb_shrunk_rates"] = analytics.eb_shrunk_rates
+QUERIES["eb_shrunk_rates"] = experiments.eb_shrunk_rates
 ORACLES['eb_shrunk_rates'] = _TEXTS['eb_shrunk_rates']
 
 # Sorted-neighborhood linkage (round 8, session 3): the merge/purge
@@ -3421,7 +3423,7 @@ ORACLES['changepoint_slopes'] = _TEXTS['changepoint_slopes']
 
 # A/A-test calibration (round 8, session 3): 20 md5 null experiments,
 # exact Welch z per split, micro-frozen summary moments.
-QUERIES["aa_test_calibration"] = analytics.aa_test_calibration
+QUERIES["aa_test_calibration"] = experiments.aa_test_calibration
 ORACLES['aa_test_calibration'] = _TEXTS['aa_test_calibration']
 
 # Quantile normalization (round 8, session 3): per-mille grid mapping
@@ -3442,13 +3444,13 @@ ORACLES['price_elasticity'] = _TEXTS['price_elasticity']
 
 # Doubly-robust ATE (round 8, session 3): per-stratum 6-dp models,
 # micro-frozen AIPW terms, exact integer folds.
-QUERIES["doubly_robust_ate"] = analytics.doubly_robust_ate
+QUERIES["doubly_robust_ate"] = experiments.doubly_robust_ate
 ORACLES['doubly_robust_ate'] = _TEXTS['doubly_robust_ate']
 
 # PPS + Horvitz-Thompson (round 8, session 3): md5-uniform inclusion
 # draws at pi ∝ size; frozen per-row contributions; shipped with its
 # own exact-total validation.
-QUERIES["pps_horvitz_thompson"] = analytics.pps_horvitz_thompson
+QUERIES["pps_horvitz_thompson"] = experiments.pps_horvitz_thompson
 ORACLES['pps_horvitz_thompson'] = _TEXTS['pps_horvitz_thompson']
 
 # Day-of-week seasonal indices (round 8, session 3): integer weekday
@@ -3473,12 +3475,12 @@ ORACLES['bh_fdr_correction'] = _TEXTS['bh_fdr_correction']
 
 # ICC / design effect (round 8, session 3): one-way ANOVA identities
 # from BIGINT moments; micro-frozen per-user s^2/n terms.
-QUERIES["icc_profile"] = analytics.icc_profile
+QUERIES["icc_profile"] = experiments.icc_profile
 ORACLES['icc_profile'] = _TEXTS['icc_profile']
 
 # MDE power table (round 8, session 3): offline z literals, pooled
 # cent variance, one sqrt per plan row.
-QUERIES["mde_power_analysis"] = analytics.mde_power_analysis
+QUERIES["mde_power_analysis"] = experiments.mde_power_analysis
 ORACLES['mde_power_analysis'] = _TEXTS['mde_power_analysis']
 
 # Sessionization gap sweep (round 8, session 3): one delta pass,
@@ -3880,7 +3882,7 @@ ORACLES["stream_skyline"] = _TEXTS["skyline_orders"]
 # per pre-activity band, md5-ranked selection, exact BIGINT outcome
 # sums (no division), band = -1 grand total; the observational-causal
 # companion to did/cuped/doubly-robust (operators/analytics.py).
-QUERIES["exact_matched_cohort"] = analytics.exact_matched_cohort
+QUERIES["exact_matched_cohort"] = experiments.exact_matched_cohort
 ORACLES["exact_matched_cohort"] = _TEXTS["exact_matched_cohort"]
 
 
@@ -3911,6 +3913,36 @@ ORACLES["stream_ipf"] = _TEXTS["ipf_weight_calibration"]
 
 QUERIES["burrows_delta"] = text.burrows_delta
 ORACLES["burrows_delta"] = _TEXTS["burrows_delta"]
+
+
+
+# Round-14 first wave ---------------------------------------------------------
+# bpe_train_merges: iterated BPE tokenizer training (r13 verdict task 5)
+# — the fixed-iteration merge loop bpe_pair_counts stops short of; one
+# corpus scan builds the persisted word-frequency vocabulary, then each
+# of the 8 rounds is a vocab-sized pair count, a 1-row winner collect,
+# and a plain-replace re-segmentation whose left-to-right semantics are
+# greedy BPE on both engines (functions/text.py).
+QUERIES["bpe_train_merges"] = text.bpe_train_merges
+ORACLES["bpe_train_merges"] = _bpe_train_oracle(8)
+
+
+# stream_golden_record: incremental ER linkage fold (r13 verdict task
+# 6) — block-partitioned record ledger + touched-block adjacency
+# replacement (dynamic partition overwrite), O(affected) per batch;
+# converges to the batch adjacency exactly, so the batch survivorship
+# oracle is shared verbatim (streaming/replay.py).
+QUERIES["stream_golden_record"] = replay.stream_golden_record
+ORACLES["stream_golden_record"] = _TEXTS["golden_record_fusion"]
+
+
+# join_view_time_travel: sequence-bounded snapshot read of the MOR join
+# view (r13 verdict stretch) — two delta generations live in the
+# ledgers; resolution at as_of_seq=1 must equal join_view_mor's
+# full-recompute oracle verbatim, proving epoch-2 rows are excluded
+# exactly (operators/viewmaint.py).
+QUERIES["join_view_time_travel"] = viewmaint.join_view_time_travel
+ORACLES["join_view_time_travel"] = _TEXTS["join_view_mor"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

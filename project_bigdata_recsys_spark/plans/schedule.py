@@ -17,6 +17,14 @@ PRECHECK_r14_gate.json — the rotation counts once CORRECTNESS_r14.json
 is green.  Tail insertions for round-14 entrants displace names from
 this block's tail to the r15 head, recorded here per wave.
 
+R14 FIRST WAVE: three slots displaced to the r15 head (monthly_growth,
+embedding_dim_profile, rolling_distinct_users — r7-evidenced,
+bench-exercised) for the first-wave trio (bpe_train_merges — iterated
+BPE tokenizer training, verdict task 5; stream_golden_record — the
+incremental ER linkage fold, verdict task 6; join_view_time_travel —
+sequence-bounded MOR snapshot reads, verdict task 7 stretch); window
+replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

@@ -1329,6 +1329,8 @@ def stream_bootstrap_ci(
     side-read."""
     from project_bigdata_recsys_spark.operators.analytics import (
         POISSON1_CDF,
+    )
+    from project_bigdata_recsys_spark.operators.experiments import (
         bootstrap_ci_readout,
     )
     from project_bigdata_recsys_spark.sources.ingest import hash_uniform
@@ -1454,12 +1456,12 @@ def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events, purchases) counts as complete-mode streaming state
     (#days × 2 counters), the log-likelihood path and accept/continue
     decisions read out through the shared
-    ``analytics.sprt_path_from_daily`` kernel — the anytime-valid
+    ``experiments.sprt_path_from_daily`` kernel — the anytime-valid
     experiment monitor in the form it would actually run: state grows
     one row per day, the decision updates every micro-batch, and the
     streamed path is bit-identical to the batch monitor (same micro
     literals, same oracle)."""
-    from project_bigdata_recsys_spark.operators.analytics import (
+    from project_bigdata_recsys_spark.operators.experiments import (
         sprt_path_from_daily,
     )
 
@@ -2104,3 +2106,84 @@ def stream_ipf(spark: SparkSession, sf_dir: str, n_waves: int = 3) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("n_docs"))
     )
     return ipf_from_cells(cells)
+
+
+def stream_golden_record(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3, link_dist: int = 1
+) -> DataFrame:
+    """Incremental entity-resolution fold (r13 verdict task 6): the
+    sorted-neighborhood record set arrives as ``n_waves`` micro-batches
+    and the linkage state is MAINTAINED, never recomputed corpus-wide —
+    the streaming twin the batch-only ER family (fellegi_sunter_linkage,
+    golden_record_fusion) was missing.
+
+    Per micro-batch: new records append to a block-partitioned record
+    ledger; the sorted-neighborhood adjacency is recomputed ONLY for
+    the blocks the batch touched (a block's window-3 adjacency is a
+    pure function of that block's full membership — sn_window_pairs)
+    and REPLACES those blocks in a block-partitioned pair store via
+    dynamic partition overwrite.  Work per batch is O(records in
+    touched blocks) — new×settled within touched blocks only, never
+    old×old across the store (the update_components O(affected)
+    contract).  Replacement, not append, because a later insert BETWEEN
+    two records can evict their pair from the window-3 adjacency;
+    since membership only grows, a touched block always rewrites at
+    least one pair row, so dynamic overwrite never leaves stale state.
+
+    Once every wave lands, each block's last recompute saw its complete
+    membership, so the pair store equals the batch adjacency EXACTLY
+    and the shared survivorship kernel (golden_records_from_edges)
+    inherits the batch oracle verbatim — the gate hash proves
+    fold ≡ batch, the same contract as every ledger-fold twin here."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        golden_records_from_edges,
+        hash32,
+        sn_records,
+        sn_window_pairs,
+    )
+
+    recs = sn_records(spark, sf_dir).withColumn(
+        "wk", hash32(F.col("p_name"), "snw:")
+    )
+    work, stream, n_staged = _staged_waves(
+        spark,
+        recs,
+        "wk",
+        "p_name string, n_parts long, wk long",
+        n_waves,
+        "spark_goldrec_stream_",
+    )
+    rec_dir = os.path.join(work, "records")
+    pair_dir = os.path.join(work, "pairs")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.drop("wk").withColumn(
+            "blk", F.split(F.col("p_name"), " ").getItem(0)
+        )
+        batch.write.mode("append").partitionBy("blk").parquet(rec_dir)
+        # bounded: distinct leading tokens of part names (the block
+        # vocabulary — dozens, not corpus-sized); used only to
+        # partition-prune the ledger read
+        touched = [
+            r.blk for r in batch.select("blk").distinct().collect()
+        ]
+        members = spark.read.parquet(rec_dir).filter(
+            F.col("blk").isin(touched)
+        )
+        (
+            sn_window_pairs(members.select("p_name"))
+            .write.mode("overwrite")
+            .partitionBy("blk")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(pair_dir)
+        )
+
+    _run_ledger_fold(spark, stream, fold, "stream_golden_record", n_staged)
+    edges = (
+        spark.read.parquet(pair_dir)
+        .filter(F.col("dist") <= link_dist)
+        .select("name_a", "name_b")
+    )
+    return golden_records_from_edges(spark, sf_dir, edges)

@@ -409,7 +409,7 @@ def test_ab_test_lift_partitions_users(spark):
     """The two arms cover every active user exactly once and the rates
     are well-formed."""
     from project_bigdata_recsys_spark.catalog import load_table as _lt
-    from project_bigdata_recsys_spark.operators.analytics import ab_test_lift
+    from project_bigdata_recsys_spark.operators.experiments import ab_test_lift
 
     n_users = (
         _lt(spark, SF_SMALL, "events").select("user_id").distinct().count()

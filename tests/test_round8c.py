@@ -25,7 +25,7 @@ def test_dsir_selects_target_like_raw_docs(spark):
 def test_acf_lag_zero_normalization(spark):
     """ACF values are correlations: |r_k| <= 1, and the Ljung-Box Q is
     nonnegative and nondecreasing in the lag within each series."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.acf_ljung_box(spark, SF_SMALL).collect()
     assert rows, "events must span multiple days"
@@ -68,7 +68,7 @@ def test_bradley_terry_ranks_by_strength(spark):
     """MM fixpoint sanity: ratings are sum-normalized to 1 at every
     iteration, every item has games, and the top-rated item is not
     winless."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.bradley_terry_ratings(spark, SF_SMALL).collect()
     assert len(rows) >= 2
@@ -151,7 +151,7 @@ def test_pinball_quantile_ordering(spark):
     """Order statistics are monotone in q, and the q50 predictor's
     pinball loss is the scaled MAE of the train median — never worse
     than the q10/q90 losses evaluated at their own asymmetry."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.pinball_quantile_eval(spark, SF_SMALL).collect()
     assert rows
@@ -201,7 +201,7 @@ def test_absorption_monotone_in_steps(spark):
     """Hitting probabilities are monotone in the horizon, the target
     state is pinned at 1 throughout, and every state eventually has a
     path to purchase on this corpus."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.absorption_funnel_prob(spark, SF_SMALL).collect()
     by = {r["state"]: r for r in rows}
@@ -244,9 +244,9 @@ def test_stream_benford_matches_batch_of_same_column(spark):
 def test_did_components_reconcile(spark):
     """The DiD estimate must equal the fold of its own reported group
     means, and the SE must be positive."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    r = analytics.did_lift_estimate(spark, SF_SMALL).collect()[0]
+    r = experiments.did_lift_estimate(spark, SF_SMALL).collect()[0]
     manual = round(
         (r["mean_t_post"] - r["mean_t_pre"])
         - (r["mean_c_post"] - r["mean_c_pre"]),
@@ -259,22 +259,22 @@ def test_did_components_reconcile(spark):
 def test_sprt_path_is_cumulative(spark):
     """The LLR path is the running fold of per-day steps: recompute
     each day's increment from (n, k) and the embedded micro literals."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    rows = analytics.sprt_ab_monitor(spark, SF_SMALL).collect()
+    rows = experiments.sprt_ab_monitor(spark, SF_SMALL).collect()
     assert rows
     acc = 0
     for r in rows:
         acc += (
-            r["k"] * analytics.SPRT_LA_MICRO
-            + (r["n"] - r["k"]) * analytics.SPRT_LB_MICRO
+            r["k"] * experiments.SPRT_LA_MICRO
+            + (r["n"] - r["k"]) * experiments.SPRT_LB_MICRO
         )
         assert abs(r["llr"] - round(acc / 1e6, 6)) < 1e-9
         expected = (
             "accept_h1"
-            if acc >= analytics.SPRT_THRESH_MICRO
+            if acc >= experiments.SPRT_THRESH_MICRO
             else "accept_h0"
-            if acc <= -analytics.SPRT_THRESH_MICRO
+            if acc <= -experiments.SPRT_THRESH_MICRO
             else "continue"
         )
         assert r["decision"] == expected
@@ -297,7 +297,7 @@ def test_mann_kendall_agrees_with_theil_sen_sign(spark):
     """When MK declares a trend at 5%, the Theil-Sen median slope must
     carry the same sign — the two robust-trend views cannot disagree
     on direction."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     mk = {
         r["event_type"]: r
@@ -319,7 +319,7 @@ def test_woe_iv_bins_partition_events(spark):
     """Ten equal-count-ish bins covering every event exactly once, and
     the IV total reconciles with the per-bin WoE fold."""
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.woe_iv_profile(spark, SF_SMALL).collect()
     assert [r["bin"] for r in rows] == list(range(1, 11))
@@ -339,7 +339,7 @@ def test_holt_weights_match_recursion(spark):
     """The embedded micro literals must equal a fresh run of the Holt
     recursion on unit-impulse series — the offline unrolling is
     re-derivable, not hand-tuned."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     W, alpha, beta = 28, 0.3, 0.1
     l = [0.0] * W
@@ -366,11 +366,11 @@ def test_holt_weights_match_recursion(spark):
 def test_stream_sprt_matches_batch(spark):
     """The streamed SPRT path must be row-identical to the batch
     monitor — same days, same llr, same decisions."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
     from project_bigdata_recsys_spark.streaming import replay
 
     batch = [
-        tuple(r) for r in analytics.sprt_ab_monitor(spark, SF_SMALL).collect()
+        tuple(r) for r in experiments.sprt_ab_monitor(spark, SF_SMALL).collect()
     ]
     streamed = [
         tuple(r) for r in replay.stream_sprt_monitor(spark, SF_SMALL).collect()
@@ -382,7 +382,7 @@ def test_overdispersion_moments_exact(spark):
     """Dispersion index = var/mean of the zero-filled daily series —
     recomputed directly from the events table."""
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.overdispersion_profile(spark, SF_SMALL).collect()
     assert rows
@@ -410,7 +410,7 @@ def test_capture_recapture_recovers_population(spark):
     """Chapman's estimator from two independent 30% md5 captures must
     land within sampling error of the true distinct count (wide band —
     LP variance is large at this population size)."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     r = analytics.capture_recapture_estimate(spark, SF_SMALL).collect()[0]
     assert r["m"] <= min(r["n1"], r["n2"])
@@ -422,9 +422,9 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark):
     """Every shrunken rate sits strictly between its raw rate and the
     prior mean alpha/(alpha+beta) — the defining property of the
     beta-binomial posterior mean."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    rows = analytics.eb_shrunk_rates(spark, SF_SMALL).collect()
+    rows = experiments.eb_shrunk_rates(spark, SF_SMALL).collect()
     assert rows
     a, b = rows[0]["alpha"], rows[0]["beta"]
     pm = a / (a + b)
@@ -452,7 +452,7 @@ def test_shapley_efficiency_axiom(spark):
     """Shapley values are efficient: they sum to v(grand coalition)
     minus v(empty set) — recomputed directly from per-user masks."""
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.shapley_channel_attribution(spark, SF_SMALL).collect()
     assert len(rows) == 4
@@ -483,7 +483,7 @@ def test_sequence_entropy_bounded(spark):
     [0, 1]; the modal next step is a real successor."""
     import math
 
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.sequence_entropy_profile(spark, SF_SMALL).collect()
     assert rows
@@ -585,7 +585,7 @@ def test_markov_removal_effects_valid(spark):
     """Removing any channel can only hurt conversion (effects in
     (0, 1]), base probability is shared, and attribution shares sum
     to 1."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.markov_removal_attribution(spark, SF_SMALL).collect()
     assert len(rows) == 4
@@ -600,7 +600,7 @@ def test_changepoint_slopes_reconcile_with_cusum(spark):
     """The segmented readout localizes at the SAME peak the shared
     CUSUM kernel reports on the zero-filled grid, and segment day
     counts tile the full range."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.changepoint_slopes(spark, SF_SMALL).collect()
     assert rows
@@ -616,9 +616,9 @@ def test_aa_calibration_null_experiments(spark):
     """Twenty null splits: every z is finite, the false-positive rate
     stays within a generous binomial band of 5%, and summary columns
     are shared."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    rows = analytics.aa_test_calibration(spark, SF_SMALL).collect()
+    rows = experiments.aa_test_calibration(spark, SF_SMALL).collect()
     assert len(rows) == 20
     assert len({(r["fp_rate"], r["mean_z"], r["var_z"]) for r in rows}) == 1
     assert rows[0]["fp_rate"] <= 0.3
@@ -640,7 +640,7 @@ def test_spearman_matches_scipy_free_reference(spark):
     """Recompute Spearman with pure-Python midranks from raw events —
     the engine's integer double-rank fold must agree to 1e-6."""
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     r = analytics.spearman_user_metrics(spark, SF_SMALL).collect()[0]
     ev = load_table(spark, SF_SMALL, "events").collect()
@@ -679,7 +679,7 @@ def test_spearman_matches_scipy_free_reference(spark):
 def test_price_elasticity_r2_bounded(spark):
     """R-squared sits in [0, 1] and every type has enough parts for a
     slope."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.price_elasticity(spark, SF_SMALL).collect()
     assert rows
@@ -692,9 +692,9 @@ def test_doubly_robust_near_naive_under_randomization(spark):
     """With a true md5 coin, DR and naive diff-in-means estimate the
     same (null) effect — they must agree within a small band, and both
     mu estimates stay near the population mean."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    r = analytics.doubly_robust_ate(spark, SF_SMALL).collect()[0]
+    r = experiments.doubly_robust_ate(spark, SF_SMALL).collect()[0]
     assert abs(r["ate_dr"] - r["ate_naive"]) <= max(
         0.25 * abs(r["ate_naive"]), 1.0
     )
@@ -705,9 +705,9 @@ def test_pps_ht_estimator_close_to_truth(spark):
     """Horvitz-Thompson from a ~5% PPS sample must land within 25% of
     the exact total (HT variance on this size-skew is small because
     big orders enter with high probability)."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    r = analytics.pps_horvitz_thompson(spark, SF_SMALL).collect()[0]
+    r = experiments.pps_horvitz_thompson(spark, SF_SMALL).collect()[0]
     assert 0 < r["n_sampled"] < r["n_pop"]
     assert abs(r["rel_err"]) < 0.25
 
@@ -716,7 +716,7 @@ def test_seasonal_indices_average_to_one(spark):
     """Weighted by day counts, the seasonal indices of each type must
     average to exactly 1 (the multiplicative-decomposition identity),
     and all seven weekdays are present."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.seasonal_indices(spark, SF_SMALL).collect()
     by: dict = {}
@@ -746,7 +746,7 @@ def test_burstiness_content_words_under_poisson(spark):
 def test_stream_holt_matches_batch(spark):
     """The streamed Holt backtest must be row-identical to the batch
     operator — same kernel, same literals, same numbers."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
     from project_bigdata_recsys_spark.streaming import replay
 
     batch = [
@@ -779,9 +779,9 @@ def test_bh_stepup_is_contiguous_and_thresholds_rederive(spark):
 def test_icc_explains_aa_clustering(spark):
     """ICC sits in [0, 1); design effect >= 1 and reconciles with its
     own formula from the reported columns."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
-    r = analytics.icc_profile(spark, SF_SMALL).collect()[0]
+    r = experiments.icc_profile(spark, SF_SMALL).collect()[0]
     assert 0 <= r["icc"] < 1
     assert r["design_effect"] >= 1
     manual = round(1.0 + (r["avg_cluster_size"] - 1.0) * r["icc"], 2)
@@ -793,12 +793,12 @@ def test_mde_shrinks_with_sample_size(spark):
     literals re-derive from the inverse normal CDF."""
     from statistics import NormalDist
 
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     nd = NormalDist()
-    assert round(1e6 * nd.inv_cdf(0.975)) == analytics.MDE_Z_ALPHA_MICRO
-    assert round(1e6 * nd.inv_cdf(0.8)) == analytics.MDE_Z_BETA_MICRO
-    rows = analytics.mde_power_analysis(spark, SF_SMALL).collect()
+    assert round(1e6 * nd.inv_cdf(0.975)) == experiments.MDE_Z_ALPHA_MICRO
+    assert round(1e6 * nd.inv_cdf(0.8)) == experiments.MDE_Z_BETA_MICRO
+    rows = experiments.mde_power_analysis(spark, SF_SMALL).collect()
     ordered = sorted(rows, key=lambda r: r["n_per_arm"])
     mdes = [r["mde_abs"] for r in ordered]
     assert mdes == sorted(mdes, reverse=True)
@@ -832,7 +832,7 @@ def test_freshness_anchor_is_corpus_max(spark):
 
 def test_stream_mann_kendall_matches_batch(spark):
     """Streamed MK verdict row-identical to the batch test."""
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
     from project_bigdata_recsys_spark.streaming import replay
 
     batch = [
@@ -852,7 +852,7 @@ def test_negbin_reduces_to_poisson_when_underdispersed(spark):
     exceed the Poisson one (the defining clumping signature)."""
     import math
 
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.negbin_fit_profile(spark, SF_SMALL).collect()
     assert rows
@@ -885,7 +885,7 @@ def test_theil_zero_iff_equal_and_bounded(spark):
     import math
 
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators import analytics
+    from project_bigdata_recsys_spark.operators import analytics, experiments
 
     rows = analytics.theil_inequality_index(spark, SF_SMALL).collect()
     by = {r["segment"]: r for r in rows}
