@@ -2368,3 +2368,96 @@ def fellegi_sunter_linkage(
     return scored.orderBy(
         F.desc("score_micro"), F.asc("custkey_a"), F.asc("custkey_b")
     ).limit(top_k)
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Broder CONTAINMENT near-duplicate detection — the asymmetric
+    complement of the Jaccard family: containment(A→B) = |A∩B| / |A|
+    finds a document EMBEDDED in another (quotation, truncated mirror,
+    boilerplate-wrapped copy) that Jaccard structurally misses (a half
+    doc inside a full doc caps Jaccard near 0.5, far below any dedup
+    bar, while its containment is ~1.0).
+
+    Candidates come from a df-capped rare-shingle join, NOT minhash
+    bands: minhash collision probability tracks JACCARD, so subset
+    pairs with low Jaccard rarely band-collide — the standard reason
+    containment search keeps its own index.  Pairs sharing at least
+    one shingle with document frequency <= ``df_cap`` are candidates
+    (Σ df² over capped shingles, never n² — the winnowing pair-join
+    bound); exact intersection runs on candidates only.
+
+    Planted data (url_canonical_dedup discipline): the corpus has no
+    true subset pairs, so every doc_id % 9 == 0 document re-appears
+    truncated to its first half (>= 3 tokens, so shingles exist) under
+    the standard +1e6 planted offset — the operator must surface each
+    truncation against its original at containment ~1.0.
+
+    Exactness: shingle arrays are DISTINCT on both engines; containment
+    and Jaccard are single divisions rounded to 6 dp; ordering is a
+    total order on (doc_a, doc_b)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    planted = docs.filter(F.col("doc_id") % 9 == 0).select(
+        planted_id("doc_id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    (F.size(toks) / 2).cast("int"), F.lit(3)
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    sh_tbl = corpus.select(
+        "doc_id",
+        F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0).alias(
+            "sh"
+        ),
+    ).filter(F.size("sh") > 0)
+    exploded = sh_tbl.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("g")
+    )
+    rx = exploded.join(rare, "g")
+    cand = (
+        rx.alias("a")
+        .join(
+            rx.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2846,8 +2846,6 @@ def bpe_train_merges(
     depth stays linear in ``n_merges`` (the Lloyd/pagerank loop
     precedent).  Ties break on (count DESC, sym_a, sym_b) — a total
     order, so the learned merge table is deterministic."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
-
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -2855,6 +2853,19 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    return bpe_merges_from_vocab(spark, words, n_merges)
+
+
+def bpe_merges_from_vocab(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> DataFrame:
+    """The BPE merge-training kernel over a (w, freq) vocabulary frame —
+    shared by bpe_train_merges (vocabulary from one corpus scan) and
+    stream_bpe_vocab (vocabulary folded from a word-count ledger); the
+    merge table is a pure function of the vocabulary, so any fold that
+    reconstructs the exact counts inherits the batch oracle verbatim."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     cur = persist_tracked(
         words.select(
             F.trim(F.regexp_replace(F.col("w"), "(.)", ">$1< ")).alias(
@@ -2904,3 +2915,77 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, sym_a string, sym_b string, n_pairs long"
     ).orderBy("merge_rank")
+
+
+def kneser_ney_bigram(
+    spark: SparkSession, sf_dir: str, top_k: int = 30
+) -> DataFrame:
+    """Kneser–Ney smoothed bigram language model — the standard n-gram
+    smoothing (Kneser & Ney 1995, Chen & Goodman 1999) whose defining
+    trait is the CONTINUATION count: the backoff mass for a word is
+    proportional to how many distinct left contexts it follows, not its
+    raw frequency ("Francisco" is frequent but follows only "San", so
+    it gets almost no backoff mass).  Complements lm_dirichlet_scores
+    (Dirichlet QL, document-level) and unigram_logloss with the
+    context-level smoother every classic LM pipeline ships.
+
+    With discount D = 3/4:
+        p(w2|w1) = (c12 − D)/c(w1·) + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/T
+    Multiplying through by 4·c(w1·)·T makes every term an exact BIGINT:
+        num = (4·c12 − 3)·T + 3·N1+(w1·)·N1+(·w2),  den = 4·c(w1·)·T
+    and the single frozen division is DECIMAL(38) micro floor-div (the
+    burrows_delta discipline) — identical integers on both engines,
+    zero libm calls.
+
+    Scale: ONE corpus scan explodes adjacent token pairs (the only
+    corpus-sized shuffle, keyed by bigram); c(w1·), N1+(w1·), N1+(·w2)
+    and T are aggregations OVER THE BIGRAM TABLE (vocabulary-bounded);
+    the readout is a top-k heap.  No per-row Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> struct(element_at(split(text, ' '), i) AS w1,"
+            "             element_at(split(text, ' '), i + 1) AS w2))"
+        )
+    ).alias("p")
+    bigrams = (
+        docs.select(pair)
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    bigrams = persist_tracked(bigrams)
+    left = bigrams.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1dot"),
+        F.count(F.lit(1)).cast("long").alias("n_post"),
+    )
+    right = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre")
+    )
+    total = bigrams.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    scored = (
+        bigrams.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "(CAST(4 * c12 - 3 AS DECIMAL(38, 0)) * t_types"
+                " + CAST(3 * n_post AS DECIMAL(38, 0)) * n_pre) * 1000000"
+                " div (CAST(4 * c1dot AS DECIMAL(38, 0)) * t_types)"
+            )
+            .cast("long")
+            .alias("p_kn_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .select("w1", "w2", F.col("c12").alias("n_bigram"), "p_kn_micro")
+        .limit(top_k)
+    )

@@ -2129,3 +2129,50 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
         + readout
         + "\n    ORDER BY merge_rank\n"
     )
+
+
+def _containment_oracle(
+    n: int = 3, df_cap: int = 4, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of functions.dedup.containment_pairs: planted
+    half-doc corpus, df-capped rare-shingle candidates, exact
+    containment/Jaccard on candidates only."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                   greatest(len(string_split(text, ' ')) // 2, 3)), ' ')
+                   AS text
+        FROM documents WHERE doc_id % 9 = 0),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    shl AS (SELECT doc_id,
+             list_filter(list_distinct(
+               CASE WHEN len(t) >= {n}
+                    THEN list_transform(range(1, len(t) - {n - 2}),
+                             i -> array_to_string(
+                                      list_slice(t, i, i + {n - 1}), ' '))
+                    ELSE [] END), s -> length(s) > 0) AS sh
+           FROM toks),
+    sh2 AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {df_cap}),
+    rx AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rx a JOIN rx b
+               ON a.g = b.g AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(ga.sh, gb.sh)) * 1.0
+                     / least(len(ga.sh), len(gb.sh)), 6) AS containment,
+               round(len(list_intersect(ga.sh, gb.sh)) * 1.0
+                     / (len(ga.sh) + len(gb.sh)
+                        - len(list_intersect(ga.sh, gb.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN sh2 ga ON ga.doc_id = c.doc_a
+        JOIN sh2 gb ON gb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, containment, jaccard
+    FROM scored WHERE containment >= {threshold}
+    ORDER BY doc_a, doc_b
+"""

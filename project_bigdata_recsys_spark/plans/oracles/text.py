@@ -1093,3 +1093,27 @@ TEXTS['burrows_delta'] = """
     ORDER BY delta_micro ASC, source_a ASC, source_b ASC
     LIMIT 20
 """
+
+TEXTS['kneser_ney_bigram'] = """
+    WITH prs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT string_split(text, ' ') AS t FROM documents),
+             unnest(range(1, len(t))) u(i)
+        WHERE length(t[i]) > 0 AND length(t[i + 1]) > 0),
+    bigrams AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM prs GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1dot,
+                   CAST(count(*) AS BIGINT) AS n_post
+            FROM bigrams GROUP BY w1),
+    rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_pre
+            FROM bigrams GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bigrams)
+    SELECT w1, w2, c12 AS n_bigram,
+           CAST(((4 * c12 - 3)::HUGEINT * t_types
+                 + 3::HUGEINT * n_post * n_pre) * 1000000
+                // (4::HUGEINT * c1dot * t_types) AS BIGINT) AS p_kn_micro
+    FROM bigrams JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 30
+"""

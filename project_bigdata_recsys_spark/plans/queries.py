@@ -62,6 +62,7 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
     _absorption_oracle,
     _bpe_train_oracle,
+    _containment_oracle,
     _analyze_table_oracle,
     _ann_index_diff_oracle,
     _ann_recall_oracle,
@@ -2370,9 +2371,9 @@ _GATE_WINDOW = [
     "anti_join_new_keys",
     "semantic_contamination",
     "stream_semantic_dedup",
-    "item_pagerank_personalized",
-    "prefix_cache_savings",
-    "packing_efficiency_sweep",
+    "stream_bpe_vocab",
+    "containment_pairs",
+    "kneser_ney_bigram",
     "bpe_train_merges",
     "stream_golden_record",
     "join_view_time_travel",
@@ -3943,6 +3944,29 @@ ORACLES["stream_golden_record"] = _TEXTS["golden_record_fusion"]
 # exactly (operators/viewmaint.py).
 QUERIES["join_view_time_travel"] = viewmaint.join_view_time_travel
 ORACLES["join_view_time_travel"] = _TEXTS["join_view_mor"]
+
+
+# Round-14 second wave --------------------------------------------------------
+# stream_bpe_vocab: BPE training from a stream-maintained word-count
+# ledger (the stream_ipf cell pattern) feeding the shared merge kernel
+# — gate hash proves stream-fed ≡ scan-fed tokenizer training
+# (streaming/replay.py).
+# containment_pairs: Broder containment near-dup — asymmetric subset
+# detection the Jaccard family misses; df-capped rare-shingle
+# candidates (Σ df², never n²), planted half-doc truncations
+# (functions/dedup.py).
+QUERIES["stream_bpe_vocab"] = replay.stream_bpe_vocab
+ORACLES["stream_bpe_vocab"] = ORACLES["bpe_train_merges"]
+
+QUERIES["containment_pairs"] = dedup.containment_pairs
+ORACLES["containment_pairs"] = _containment_oracle()
+
+# kneser_ney_bigram: KN-smoothed bigram LM with exact-integer
+# continuation counts — one corpus scan, vocabulary-bounded smoothing
+# aggregates, single frozen DECIMAL(38) micro division
+# (functions/text.py).
+QUERIES["kneser_ney_bigram"] = text.kneser_ney_bigram
+ORACLES["kneser_ney_bigram"] = _TEXTS["kneser_ney_bigram"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -25,6 +25,15 @@ incremental ER linkage fold, verdict task 6; join_view_time_travel —
 sequence-bounded MOR snapshot reads, verdict task 7 stretch); window
 replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
 
+R14 SECOND WAVE: three slots displaced to the r15 head
+(item_pagerank_personalized, prefix_cache_savings,
+packing_efficiency_sweep — r7-evidenced, bench-exercised) for the
+second-wave trio (stream_bpe_vocab — BPE training from a folded
+word-count ledger, shared bpe_train_merges oracle; containment_pairs —
+Broder containment near-dup over df-capped rare-shingle candidates;
+kneser_ney_bigram — exact-integer KN-smoothed bigram LM); window
+replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

@@ -2187,3 +2187,56 @@ def stream_golden_record(
         .select("name_a", "name_b")
     )
     return golden_records_from_edges(spark, sf_dir, edges)
+
+
+def stream_bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3, n_merges: int = 8
+) -> DataFrame:
+    """BPE tokenizer training from a STREAM-maintained vocabulary: the
+    corpus arrives as ``n_waves`` micro-batches, each folding O(batch)
+    partial word counts into a ledger (the stream_ipf cell-ledger
+    pattern — counts merge exactly, so arrival order cannot matter);
+    the merge loop (bpe_merges_from_vocab) then trains on the folded
+    vocabulary and shares bpe_train_merges' 8-iteration unrolled oracle
+    VERBATIM — the gate hash proves stream-fed ≡ scan-fed tokenizer
+    training.
+
+    This is the deployment shape for continuous corpora: the crawl
+    keeps the vocabulary ledger current; retraining the merge table
+    costs only the vocab-sized loop, never a corpus rescan."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.text import (
+        bpe_merges_from_vocab,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work, stream, n_staged = _staged_waves(
+        spark,
+        docs,
+        "doc_id",
+        "doc_id long, text string",
+        n_waves,
+        "spark_bpevocab_stream_",
+    )
+    ledger = os.path.join(work, "vocab")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.col("w").rlike("^[a-z]{2,}$"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    _run_ledger_fold(spark, stream, fold, "stream_bpe_vocab", n_staged)
+    words = (
+        spark.read.parquet(ledger)
+        .groupBy("w")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    return bpe_merges_from_vocab(spark, words, n_merges)
