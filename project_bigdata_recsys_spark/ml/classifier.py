@@ -306,24 +306,14 @@ def target_encoding_oof(
     )
 
 
-def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability diagram (calibration curve) for a purchase-propensity
-    score — the eval that catches a model whose RANKING is fine but
-    whose probabilities are off (AUC can't see it; a miscalibrated
-    propensity poisons any downstream expected-value decision).  Score:
-    Laplace-smoothed early-half purchase rate per user,
-    (purchases+1)/(events+2); outcome: did the user purchase in the
-    late half.  Users first seen late get the 0.5 prior — present, not
-    dropped.
-
-    Per fixed-width decile bin of the predicted score: count, mean
-    predicted, observed rate, and the bin's Brier score — all derived
-    from integer folds (scores lift to 1e-6 units; Brier's Σ(p−y)²
-    expands to Σp² − 2Σpy + Σy over those integers) so both engines
-    hash-match.
-
-    Scale: one per-user aggregation, one ≤11-row bin aggregation.  The
-    split anchor is the broadcast 1-row midpoint; no windows."""
+def propensity_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared purchase-propensity eval fixture: per user, the
+    late-half purchase outcome ``y``, the Laplace-smoothed early-half
+    score in 1e-6 units ``p_micro``, and its fixed-width decile ``bin``
+    — consumed by calibration_bins (reliability diagram),
+    brier_decomposition (Murphy decomposition) and
+    isotonic_calibration_pav (monotone recalibration), so the three
+    evals are provably over the SAME forecasts."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.col("ts").cast("double") / 86400.0)
@@ -366,6 +356,28 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bin", F.floor(F.col("p_micro") / 100000).cast("long")
     )
+    return scored
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for a purchase-propensity
+    score — the eval that catches a model whose RANKING is fine but
+    whose probabilities are off (AUC can't see it; a miscalibrated
+    propensity poisons any downstream expected-value decision).  Score:
+    Laplace-smoothed early-half purchase rate per user,
+    (purchases+1)/(events+2); outcome: did the user purchase in the
+    late half.  Users first seen late get the 0.5 prior — present, not
+    dropped.
+
+    Per fixed-width decile bin of the predicted score: count, mean
+    predicted, observed rate, and the bin's Brier score — all derived
+    from integer folds (scores lift to 1e-6 units; Brier's Σ(p−y)²
+    expands to Σp² − 2Σpy + Σy over those integers) so both engines
+    hash-match.
+
+    Scale: one per-user aggregation, one ≤11-row bin aggregation.  The
+    split anchor is the broadcast 1-row midpoint; no windows."""
+    scored = propensity_scored(spark, sf_dir)
     folds = scored.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("p_micro").cast("long").alias("__sp"),
@@ -675,3 +687,283 @@ def cv_paired_ttest(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def pr_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PR-AUC per segment — the precision-recall
+    companion to exact_auc_by_group, and the curve that matters under
+    class imbalance (ROC-AUC stays flattering when negatives dominate;
+    the PR curve collapses, which is why retrieval and fraud evals
+    report it).  Same probe task, so the two areas are directly
+    comparable per group: does order price separate finished from open
+    orders, per priority.
+
+    Contract: trapezoidal area over the THRESHOLD-SWEEP PR curve — one
+    point per distinct score level (descending), precision anchored at
+    1.0 before the first level (the sklearn convention).  Computed
+    from the same (group, cents) histogram as the ROC twin: per-level
+    cumulative TP/total via one ordered window, per-level precision
+    frozen to micro by integer floor-div, then the trapezoid sum folds
+    as Σ ΔTP·(prec_k + prec_{k−1}) — exact BIGINTs with ONE final
+    DECIMAL(38) division by 2·n_pos.
+
+    Scale: histogram aggregation (distinct cents × group), per-group
+    ordered cumsum windows over HISTOGRAM-level rows (value-domain
+    bounded, never row-count), a #groups-row readout."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    hist = orders.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("grp").orderBy(F.desc("cents"))
+    cum = hist.select(
+        "grp",
+        "cents",
+        F.sum("t").over(w).alias("c"),
+        F.sum("tp").over(w).alias("ctp"),
+    ).select(
+        "grp",
+        "cents",
+        "c",
+        "ctp",
+        F.expr(
+            "CAST(ctp AS DECIMAL(38, 0)) * 1000000"
+            " div CAST(c AS DECIMAL(38, 0))"
+        )
+        .cast("long")
+        .alias("prec_micro"),
+    )
+    stepped = cum.select(
+        "grp",
+        (F.col("ctp") - F.coalesce(F.lag("ctp").over(wl), F.lit(0))).alias(
+            "dtp"
+        ),
+        "prec_micro",
+        F.coalesce(F.lag("prec_micro").over(wl), F.lit(1000000)).alias(
+            "prev_prec_micro"
+        ),
+    )
+    folds = stepped.groupBy("grp").agg(
+        F.sum(
+            F.col("dtp") * (F.col("prec_micro") + F.col("prev_prec_micro"))
+        )
+        .cast("long")
+        .alias("__area2"),
+        F.sum("dtp").cast("long").alias("n_pos"),
+    )
+    totals = orders.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        folds.join(totals, "grp")
+        .select(
+            "grp",
+            "n_pos",
+            (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
+            F.expr(
+                "CAST(__area2 AS DECIMAL(38, 0))"
+                " div CAST(2 * n_pos AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("pr_auc_micro"),
+            F.expr(
+                "CAST(n_pos AS DECIMAL(38, 0)) * 1000000"
+                " div CAST(n_total AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("prevalence_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over binned
+    forecasts: BRIER-ish = RELIABILITY − RESOLUTION + UNCERTAINTY —
+    the readout that says WHY a probabilistic score is bad
+    (miscalibrated? uninformative? or just a hard base rate?), where
+    calibration_bins only draws the curve.  Same propensity fixture
+    (propensity_scored), so the decomposition explains that exact
+    diagram.
+
+    All-integer folding: with per-bin (n_b, Σp_micro, Σy) and global
+    (N, SY),
+      reliability = Σ_b (Σp_micro,b − 1e6·SYb)²/n_b / (N·1e12)
+      resolution  = Σ_b (SYb·N − SY·n_b)²/n_b / N³
+      uncertainty = SY·(N − SY)/N²
+    every numerator is exact DECIMAL(38) arithmetic; each term takes
+    one micro floor-division (per-bin for the two sums, then one final
+    fold) — deterministic on both engines.  The raw-score Brier (exact,
+    unbinned) is emitted alongside; reliability/resolution are the
+    BINNED decomposition (the standard practice), so the identity holds
+    up to within-bin forecast variance, which is the binning's price,
+    not an engine artifact.
+
+    Scale: one per-user aggregation, one ≤11-row bin fold, a 1-row
+    readout."""
+    scored = propensity_scored(spark, sf_dir)
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("p_micro").cast("long").alias("sp_b"),
+        F.sum("y").cast("long").alias("sy_b"),
+        F.sum(F.col("p_micro") * F.col("p_micro"))
+        .cast("long")
+        .alias("spp_b"),
+        F.sum(F.col("p_micro") * F.col("y")).cast("long").alias("spy_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("sy_b").cast("long").alias("sy"),
+        F.sum("spp_b").cast("long").alias("spp"),
+        F.sum("spy_b").cast("long").alias("spy"),
+    )
+    folded = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(sp_b AS DECIMAL(38, 0)) - CAST(sy_b AS DECIMAL(38, 0))"
+                " * 1000000) * (CAST(sp_b AS DECIMAL(38, 0))"
+                " - CAST(sy_b AS DECIMAL(38, 0)) * 1000000)"
+                " div CAST(n_b AS DECIMAL(38, 0))"
+            )
+        ).alias("__rel_num"),
+        F.sum(
+            F.expr(
+                "(CAST(sy_b AS DECIMAL(38, 0)) * n - CAST(sy AS"
+                " DECIMAL(38, 0)) * n_b) * (CAST(sy_b AS DECIMAL(38, 0))"
+                " * n - CAST(sy AS DECIMAL(38, 0)) * n_b) * 1000000"
+                " div CAST(n_b AS DECIMAL(38, 0))"
+            )
+        ).alias("__res_num"),
+        F.first("n").alias("n"),
+        F.first("sy").alias("sy"),
+        F.first("spp").alias("spp"),
+        F.first("spy").alias("spy"),
+    )
+    return folded.select(
+        F.col("n").alias("n_users"),
+        F.col("sy").alias("n_pos"),
+        F.expr(
+            "CAST((spp - 2000000 * spy) AS DECIMAL(38, 0))"
+            " + CAST(sy AS DECIMAL(38, 0)) * 1000000000000"
+        )
+        .cast("decimal(38,0)")
+        .alias("__bn"),
+        "__rel_num",
+        "__res_num",
+    ).select(
+        "n_users",
+        "n_pos",
+        F.expr(
+            "CAST(__bn div (CAST(n_users AS DECIMAL(38, 0)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr(
+            "CAST(__rel_num div (CAST(n_users AS DECIMAL(38, 0)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("reliability_micro"),
+        F.expr(
+            "CAST(__res_num div (CAST(n_users AS DECIMAL(38, 0))"
+            " * n_users * n_users) AS BIGINT)"
+        ).alias("resolution_micro"),
+        F.expr(
+            "CAST(CAST(n_pos AS DECIMAL(38, 0)) * (n_users - n_pos)"
+            " * 1000000 div (CAST(n_users AS DECIMAL(38, 0)) * n_users)"
+            " AS BIGINT)"
+        ).alias("uncertainty_micro"),
+    )
+
+
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the binned propensity forecasts —
+    the nonparametric monotone fit every calibration stack offers next
+    to Platt scaling, distributed here via the MINIMAX characterization
+    instead of the sequential pool-adjacent-violators scan:
+
+        fit(i) = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+
+    which is embarrassingly parallel over (j, k) ranges and needs no
+    ordered state.  The domain is the ≤11 calibration BINS (never raw
+    users), so the (j, i, k) range enumeration is bin³ ≤ 1331 rows —
+    bounded by the bin domain by construction, the same contract as the
+    #event-types² transition matrices.  Range averages come from bin
+    prefix sums; each avg freezes once to micro by integer floor-div,
+    and max-of-min over frozen integers is engine-independent.
+
+    Output per bin: users, raw observed rate, and the isotonic fit —
+    monotone non-decreasing by construction (pinned against a pure
+    Python PAV in tests)."""
+    from pyspark.sql import Window
+
+    scored = propensity_scored(spark, sf_dir)
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("sy_b"),
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n_b",
+        "sy_b",
+        F.sum("n_b").over(wp).alias("cn"),
+        F.sum("sy_b").over(wp).alias("cy"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n_b")).alias("cn_lo"),
+        (F.col("cy") - F.col("sy_b")).alias("cy_lo"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    ranges = (
+        lo.join(hi, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "CAST((cy_hi - cy_lo) AS DECIMAL(38, 0)) * 1000000"
+                " div CAST((cn_hi - cn_lo) AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("avg_micro"),
+        )
+    )
+    idx = bins.select(F.col("bin").alias("i"), "n_b", "sy_b")
+    inner = (
+        idx.join(
+            ranges,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.first("n_b").alias("n_b"),
+            F.first("sy_b").alias("sy_b"),
+            F.min("avg_micro").alias("min_avg"),
+        )
+    )
+    fit = inner.groupBy("i").agg(
+        F.first("n_b").alias("n_users"),
+        F.first("sy_b").alias("n_pos"),
+        F.max("min_avg").alias("isotonic_micro"),
+    )
+    return fit.select(
+        F.col("i").alias("bin"),
+        "n_users",
+        F.round(F.col("n_pos") / F.col("n_users").cast("double"), 6).alias(
+            "observed_rate"
+        ),
+        "isotonic_micro",
+    ).orderBy("bin")

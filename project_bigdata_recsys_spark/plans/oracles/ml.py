@@ -489,3 +489,149 @@ TEXTS['aa_test_calibration'] = """
     FROM per_split CROSS JOIN summary
     ORDER BY split_id
 """
+
+# shared propensity fixture (propensity_scored) for the Brier
+# decomposition and isotonic recalibration twins
+_PROPENSITY_CTES = """ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN day <= m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ne,
+               CAST(sum(CASE WHEN day <= m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pe,
+               CAST(max(CASE WHEN day > m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev CROSS JOIN mid GROUP BY user_id),
+    scored AS (
+        SELECT y,
+               CAST(round(1000000.0 * (pe + 1) / (ne + 2)) AS BIGINT)
+                   AS p_micro
+        FROM per_user),
+    binned AS (
+        SELECT CAST(floor(p_micro / 100000) AS BIGINT) AS bin, y, p_micro
+        FROM scored)"""
+
+TEXTS['pr_auc_by_group'] = """
+    WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    hist AS (
+        SELECT grp, cents, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(pos) AS BIGINT) AS tp
+        FROM o GROUP BY grp, cents),
+    cum AS (
+        SELECT grp, cents,
+               sum(t) OVER (PARTITION BY grp ORDER BY cents DESC) AS c,
+               sum(tp) OVER (PARTITION BY grp ORDER BY cents DESC) AS ctp
+        FROM hist),
+    prec AS (
+        SELECT grp, cents, c, ctp,
+               CAST(ctp::HUGEINT * 1000000 // c::HUGEINT AS BIGINT)
+                   AS prec_micro
+        FROM cum),
+    stepped AS (
+        SELECT grp,
+               ctp - coalesce(lag(ctp) OVER
+                   (PARTITION BY grp ORDER BY cents DESC), 0) AS dtp,
+               prec_micro,
+               coalesce(lag(prec_micro) OVER
+                   (PARTITION BY grp ORDER BY cents DESC), 1000000)
+                   AS prev_prec_micro
+        FROM prec),
+    folds AS (
+        SELECT grp,
+               CAST(sum(dtp * (prec_micro + prev_prec_micro)) AS BIGINT)
+                   AS area2,
+               CAST(sum(dtp) AS BIGINT) AS n_pos
+        FROM stepped GROUP BY grp),
+    totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_total
+               FROM o GROUP BY grp)
+    SELECT f.grp, f.n_pos,
+           CAST(t.n_total - f.n_pos AS BIGINT) AS n_neg,
+           CAST(f.area2::HUGEINT // (2::HUGEINT * f.n_pos) AS BIGINT)
+               AS pr_auc_micro,
+           CAST(f.n_pos::HUGEINT * 1000000 // t.n_total::HUGEINT AS BIGINT)
+               AS prevalence_micro
+    FROM folds f JOIN totals t USING (grp)
+    ORDER BY grp
+"""
+
+TEXTS['brier_decomposition'] = f"""
+    WITH {_PROPENSITY_CTES},
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(p_micro) AS BIGINT) AS sp_b,
+               CAST(sum(y) AS BIGINT) AS sy_b,
+               CAST(sum(p_micro * p_micro) AS BIGINT) AS spp_b,
+               CAST(sum(p_micro * y) AS BIGINT) AS spy_b
+        FROM binned GROUP BY bin),
+    tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(sy_b) AS BIGINT)
+                   AS sy,
+               CAST(sum(spp_b) AS BIGINT) AS spp,
+               CAST(sum(spy_b) AS BIGINT) AS spy
+        FROM bins),
+    folded AS (
+        SELECT
+            sum((sp_b::HUGEINT - sy_b::HUGEINT * 1000000)
+                * (sp_b::HUGEINT - sy_b::HUGEINT * 1000000)
+                // n_b::HUGEINT) AS rel_num,
+            sum((sy_b::HUGEINT * n - sy::HUGEINT * n_b)
+                * (sy_b::HUGEINT * n - sy::HUGEINT * n_b) * 1000000
+                // n_b::HUGEINT) AS res_num,
+            first(n) AS n, first(sy) AS sy,
+            first(spp) AS spp, first(spy) AS spy
+        FROM bins CROSS JOIN tot)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(sy AS BIGINT) AS n_pos,
+           CAST((spp::HUGEINT - 2000000::HUGEINT * spy
+                 + sy::HUGEINT * 1000000000000)
+                // (n::HUGEINT * 1000000) AS BIGINT) AS brier_micro,
+           CAST(rel_num // (n::HUGEINT * 1000000) AS BIGINT)
+               AS reliability_micro,
+           CAST(res_num // (n::HUGEINT * n * n) AS BIGINT)
+               AS resolution_micro,
+           CAST(sy::HUGEINT * (n - sy) * 1000000 // (n::HUGEINT * n)
+                AS BIGINT) AS uncertainty_micro
+    FROM folded
+"""
+
+TEXTS['isotonic_calibration_pav'] = f"""
+    WITH {_PROPENSITY_CTES},
+    bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(y) AS BIGINT) AS sy_b
+        FROM binned GROUP BY bin),
+    pref AS (
+        SELECT bin, n_b, sy_b,
+               sum(n_b) OVER (ORDER BY bin) AS cn,
+               sum(sy_b) OVER (ORDER BY bin) AS cy
+        FROM bins),
+    lo AS (SELECT bin AS j, cn - n_b AS cn_lo, cy - sy_b AS cy_lo
+           FROM pref),
+    hi AS (SELECT bin AS k, cn AS cn_hi, cy AS cy_hi FROM pref),
+    ranges AS (
+        SELECT j, k,
+               CAST((cy_hi - cy_lo)::HUGEINT * 1000000
+                    // (cn_hi - cn_lo)::HUGEINT AS BIGINT) AS avg_micro
+        FROM lo JOIN hi ON j <= k),
+    inner_min AS (
+        SELECT b.bin AS i, b.n_b, b.sy_b, r.j,
+               min(r.avg_micro) AS min_avg
+        FROM bins b JOIN ranges r ON r.j <= b.bin AND r.k >= b.bin
+        GROUP BY b.bin, b.n_b, b.sy_b, r.j)
+    SELECT i AS bin, CAST(n_b AS BIGINT) AS n_users,
+           round(sy_b / CAST(n_b AS DOUBLE), 6) AS observed_rate,
+           CAST(max(min_avg) AS BIGINT) AS isotonic_micro
+    FROM inner_min
+    GROUP BY i, n_b, sy_b
+    ORDER BY bin
+"""

@@ -57,6 +57,7 @@ from project_bigdata_recsys_spark.operators import (
     windows,
 )
 from project_bigdata_recsys_spark.operators import experiments
+from project_bigdata_recsys_spark.ml import classifier
 from project_bigdata_recsys_spark.sources import multimodal
 from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
@@ -2367,9 +2368,9 @@ _GATE_WINDOW = [
     "multiway_join",
     "rollup_totals",
     "scalar_functions",
-    "union_dedup",
-    "anti_join_new_keys",
-    "semantic_contamination",
+    "isotonic_calibration_pav",
+    "brier_decomposition",
+    "pr_auc_by_group",
     "stream_semantic_dedup",
     "stream_bpe_vocab",
     "containment_pairs",
@@ -3967,6 +3968,26 @@ ORACLES["containment_pairs"] = _containment_oracle()
 # (functions/text.py).
 QUERIES["kneser_ney_bigram"] = text.kneser_ney_bigram
 ORACLES["kneser_ney_bigram"] = _TEXTS["kneser_ney_bigram"]
+
+
+# Round-14 third wave ---------------------------------------------------------
+# pr_auc_by_group: exact trapezoidal PR-AUC per segment from the same
+# value histogram as the ROC twin — one frozen micro division per score
+# level, one final DECIMAL(38) fold (ml/classifier.py).
+# brier_decomposition: Murphy reliability/resolution/uncertainty over
+# the shared propensity fixture, all-integer numerators, HUGEINT/
+# DECIMAL(38) floor-divisions (ml/classifier.py).
+# isotonic_calibration_pav: PAV recalibration via the minimax range-
+# average characterization — bin-domain-bounded (j,i,k) enumeration,
+# never per-user state (ml/classifier.py).
+QUERIES["pr_auc_by_group"] = classifier.pr_auc_by_group
+ORACLES["pr_auc_by_group"] = _TEXTS["pr_auc_by_group"]
+
+QUERIES["brier_decomposition"] = classifier.brier_decomposition
+ORACLES["brier_decomposition"] = _TEXTS["brier_decomposition"]
+
+QUERIES["isotonic_calibration_pav"] = classifier.isotonic_calibration_pav
+ORACLES["isotonic_calibration_pav"] = _TEXTS["isotonic_calibration_pav"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

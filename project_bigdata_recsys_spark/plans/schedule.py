@@ -34,6 +34,15 @@ Broder containment near-dup over df-capped rare-shingle candidates;
 kneser_ney_bigram — exact-integer KN-smoothed bigram LM); window
 replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
 
+R14 THIRD WAVE: three slots displaced to the r15 head
+(semantic_contamination, anti_join_new_keys, union_dedup —
+r7-evidenced, bench-exercised) for the third-wave trio
+(pr_auc_by_group — exact trapezoidal PR-AUC per segment;
+brier_decomposition — Murphy reliability/resolution/uncertainty over
+the shared propensity fixture; isotonic_calibration_pav — minimax PAV
+recalibration, bin-domain bounded); window replica re-run and
+PRECHECK_r14_gate.json refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

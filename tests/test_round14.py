@@ -139,3 +139,118 @@ def test_join_view_time_travel_excludes_epoch2(spark):
     segments = {r.segment for r in head_two}
     assert "MOVED2" in segments, "HEAD must see the epoch-2 dim move"
     assert [tuple(r) for r in head_two] != head_single
+
+
+def test_isotonic_pav_matches_sequential_pav(spark):
+    from project_bigdata_recsys_spark.ml.classifier import (
+        isotonic_calibration_pav,
+        propensity_scored,
+    )
+
+    got = [
+        (r.bin, r.n_users, r.isotonic_micro)
+        for r in isotonic_calibration_pav(spark, SF_SMALL).collect()
+    ]
+    rows = propensity_scored(spark, SF_SMALL).collect()
+    agg: dict = {}
+    for r in rows:
+        n, s = agg.get(r.bin, (0, 0))
+        agg[r.bin] = (n + 1, s + r.y)
+    bins = sorted(agg)
+    # classic sequential pool-adjacent-violators on (n, sum_y) blocks,
+    # then freeze each pooled average to micro exactly as the operator
+    blocks = [[b, agg[b][0], agg[b][1]] for b in bins]
+    i = 0
+    while i < len(blocks) - 1:
+        # violation when avg(i) > avg(i+1): compare as cross products
+        if blocks[i][2] * blocks[i + 1][1] > blocks[i + 1][2] * blocks[i][1]:
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    # assign each original bin the micro average of its pooled block
+    fit: dict = {}
+    k = 0
+    starts = [blk[0] for blk in blocks]
+    for b in bins:
+        while k + 1 < len(blocks) and starts[k + 1] <= b:
+            k += 1
+        fit[b] = blocks[k][2] * 1000000 // blocks[k][1]
+    want = [(b, agg[b][0], fit[b]) for b in bins]
+    assert got == want
+    # monotone non-decreasing by construction
+    fits = [f for _, _, f in got]
+    assert fits == sorted(fits)
+
+
+def test_pr_auc_matches_brute_force(spark):
+    from collections import defaultdict
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.ml.classifier import pr_auc_by_group
+
+    got = {
+        r.grp: (r.n_pos, r.n_neg, r.pr_auc_micro)
+        for r in pr_auc_by_group(spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    by_grp: dict = defaultdict(list)
+    for o in orders:
+        by_grp[o.o_orderpriority].append(
+            (int(round(o.o_totalprice * 100)), 1 if o.o_orderstatus == "F" else 0)
+        )
+    for grp, rows in by_grp.items():
+        # threshold sweep over distinct cents descending
+        levels: dict = defaultdict(lambda: [0, 0])
+        for cents, pos in rows:
+            levels[cents][0] += 1
+            levels[cents][1] += pos
+        c = ctp = 0
+        prev_prec = 1000000
+        area2 = 0
+        for cents in sorted(levels, reverse=True):
+            t, tp = levels[cents]
+            c += t
+            ctp += tp
+            prec = ctp * 1000000 // c
+            area2 += tp * (prec + prev_prec)
+            prev_prec = prec
+        n_pos = sum(p for _, p in rows)
+        want = (n_pos, len(rows) - n_pos, area2 // (2 * n_pos))
+        assert got[grp] == want, grp
+
+
+def test_brier_decomposition_consistent_with_bins(spark):
+    from project_bigdata_recsys_spark.ml.classifier import (
+        brier_decomposition,
+        propensity_scored,
+    )
+
+    r = brier_decomposition(spark, SF_SMALL).collect()[0]
+    rows = propensity_scored(spark, SF_SMALL).collect()
+    n = len(rows)
+    sy = sum(x.y for x in rows)
+    assert (r.n_users, r.n_pos) == (n, sy)
+    # uncertainty is the exact base-rate variance in micro
+    assert r.uncertainty_micro == sy * (n - sy) * 1000000 // (n * n)
+    # python recompute of the binned reliability / resolution
+    agg: dict = {}
+    for x in rows:
+        nb, sp, syb = agg.get(x.bin, (0, 0, 0))
+        agg[x.bin] = (nb + 1, sp + x.p_micro, syb + x.y)
+    rel_num = sum(
+        (sp - syb * 1000000) ** 2 // nb for nb, sp, syb in agg.values()
+    )
+    res_num = sum(
+        (syb * n - sy * nb) ** 2 * 1000000 // nb
+        for nb, sp, syb in agg.values()
+    )
+    assert r.reliability_micro == rel_num // (n * 1000000)
+    assert r.resolution_micro == res_num // (n * n * n)
+    # decomposition sanity: REL - RES + UNC approximates the raw Brier
+    # within the within-bin-variance budget (binning's price)
+    approx = r.reliability_micro - r.resolution_micro + r.uncertainty_micro
+    assert abs(approx - r.brier_micro) <= 110000
