@@ -1086,3 +1086,69 @@ def label_prop_communities(
         .orderBy(F.desc("n_members"), F.asc("label"))
         .limit(top_k)
     )
+
+
+def local_clustering_profile(
+    spark: SparkSession, sf_dir: str, k: int = 25, max_degree: int = 512
+) -> DataFrame:
+    """Local clustering coefficient per item — cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) over the co-purchase graph: the node-level
+    cliquishness readout that separates "hub of one community" (high
+    cc) from "bridge between communities" (low cc at equal degree),
+    which the global triangle count (item_triangles) cannot see.
+
+    Reuses the degree-ordered-orientation triangle kernel (every
+    triangle generated exactly once, wedge fan-out bounded O(√m)) and
+    the shared oriented-edge frame — no new corpus-sized work beyond
+    one per-node corner fold and a degree join.  cc freezes once to
+    micro by exact integer floor-div (2·T·1e6 div d(d−1)); the top-k
+    heap orders on (cc_micro DESC, n_triangles DESC, key) — total.
+    ``max_degree`` bounds the readout to non-hub nodes the way the
+    Adamic-Adar center cap does (a 100 TB hub's cc is ~0 and
+    uninteresting; the cap documents that, it does not hide a cost —
+    the kernel already paid the oriented bound)."""
+    oriented = shared_oriented_edges(spark, sf_dir)
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("vdeg").alias("ydeg")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("z"), F.col("vdeg").alias("zdeg")
+    )
+    wedges = e1.join(e2, "u").where(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
+    )
+    closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closer, ["y", "z"]).select(
+        F.col("u").alias("x"), "y", "z"
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        oriented.select(F.col("u").alias("l_partkey"))
+        .unionAll(oriented.select(F.col("v").alias("l_partkey")))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        per_node.join(deg, "l_partkey")
+        .filter((F.col("degree") >= 2) & (F.col("degree") <= max_degree))
+        .select(
+            "l_partkey",
+            "degree",
+            "n_triangles",
+            F.expr(
+                "CAST(2 * n_triangles AS DECIMAL(38, 0)) * 1000000"
+                " div CAST(degree * (degree - 1) AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("cc_micro"),
+        )
+        .orderBy(
+            F.desc("cc_micro"), F.desc("n_triangles"), F.asc("l_partkey")
+        )
+        .limit(k)
+    )

@@ -736,3 +736,105 @@ def compaction_plan(
         .filter(F.col("n_files") >= 2)
         .orderBy("month", "bin_id")
     )
+
+
+def vacuum_retention_plan(
+    spark: SparkSession, sf_dir: str, keep_last: int = 3
+) -> DataFrame:
+    """Snapshot VACUUM planning — the retention decision every
+    versioned-table format runs before physically deleting files
+    (Delta VACUUM / Iceberg expire_snapshots), expressed as an
+    inspectable query (the compaction_plan discipline: plan first,
+    touch 100 TB second).
+
+    Model: table versions are the order months in chronological order
+    (dense rank 1..V); each (month, day) row group is a file ADDED at
+    its month's version, and an md5 cohort (~40%, salt ``vac:``) is
+    logically REMOVED 1-3 versions later (a rewrite superseded it) —
+    removed files stay on disk for time travel until vacuumed.  With a
+    keep-last-``keep_last`` policy the retention floor is V−keep_last+1:
+    a file is DELETABLE iff its removal version ≤ the floor (no
+    retained snapshot can reference it); everything else is pinned by
+    time travel even if already dead at HEAD.
+
+    Output per version: files added, files removed, files deletable
+    now, and the reclaimable row count — the review artifact an ops
+    runbook diffs before running the destructive pass.
+
+    Scale: one fact aggregation to (month, day) files; the version
+    rank is a window over the ≤#months frame (audited bounded global
+    window); everything after is file-manifest-sized."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import hash32
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("f_rows"))
+    months = (
+        files.select("month")
+        .distinct()
+        .withColumn(
+            "v", F.dense_rank().over(Window.orderBy("month")).cast("long")
+        )
+    )
+    vmax = months.agg(F.max("v").alias("vmax"))
+    h = hash32(F.col("day"), "vac:")
+    manifest = (
+        files.join(months, "month")
+        .crossJoin(F.broadcast(vmax))
+        .select(
+            "day",
+            "f_rows",
+            F.col("v").alias("added_v"),
+            F.when(
+                (h % 10 < 4) & (F.col("v") + 1 + (h % 3) <= F.col("vmax")),
+                F.col("v") + 1 + (h % 3),
+            )
+            .cast("long")
+            .alias("removed_v"),
+            (F.col("vmax") - F.lit(keep_last) + 1).alias("floor_v"),
+        )
+    )
+    added = manifest.groupBy(F.col("added_v").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_added")
+    )
+    removed = (
+        manifest.filter(F.col("removed_v").isNotNull())
+        .groupBy(F.col("removed_v").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(F.col("removed_v") <= F.col("floor_v"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_deletable"),
+            F.sum(
+                F.when(
+                    F.col("removed_v") <= F.col("floor_v"), F.col("f_rows")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("reclaim_rows"),
+        )
+    )
+    return (
+        months.select("v")
+        .join(added, "v", "left")
+        .join(removed, "v", "left")
+        .select(
+            "v",
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_deletable", F.lit(0))
+            .cast("long")
+            .alias("n_deletable"),
+            F.coalesce("reclaim_rows", F.lit(0))
+            .cast("long")
+            .alias("reclaim_rows"),
+        )
+        .orderBy("v")
+    )

@@ -160,3 +160,36 @@ SQL_RECURSIVE_CTE_TEXT = """
     FROM cal c LEFT JOIN daily d ON d.day = c.day
     ORDER BY c.day
 """
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity: correlated LATERAL subquery (SQL:1999 /
+    Spark 3.2+ lateral join) — per customer, the top-2 highest-value
+    orders, written as a LATERAL derived table rather than the window
+    idiom, because that is the surface a migrating SQL user will type.
+    Catalyst decorrelates the LATERAL into a ranked join (no per-row
+    re-scan); DuckDB runs the identical text.
+
+    Money is integer cents end-to-end (the sql_in_subquery lesson);
+    the LIMIT under LATERAL carries a total order (price cents DESC,
+    order key) so the kept rows are engine-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.price_cents
+        FROM customer c,
+        LATERAL (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                     o.o_orderkey
+            LIMIT 2
+        ) l
+        WHERE c.c_nationkey = 1
+        ORDER BY c.c_custkey, l.price_cents DESC, l.o_orderkey
+        LIMIT 200
+        """
+    )

@@ -240,3 +240,36 @@ TEXTS['label_prop_communities'] = """
     FROM l3 GROUP BY label
     ORDER BY n_members DESC, label ASC LIMIT 50
 """
+
+TEXTS['local_clustering_profile'] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM und e1
+        JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    corners AS (
+        SELECT x AS l_partkey FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    per_node AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY l_partkey),
+    deg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT src AS l_partkey FROM und
+              UNION ALL SELECT dst FROM und)
+        GROUP BY l_partkey)
+    SELECT p.l_partkey, d.degree, p.n_triangles,
+           CAST((2::HUGEINT * p.n_triangles * 1000000)
+                // (d.degree::HUGEINT * (d.degree - 1)) AS BIGINT)
+               AS cc_micro
+    FROM per_node p JOIN deg d USING (l_partkey)
+    WHERE d.degree >= 2 AND d.degree <= 512
+    ORDER BY cc_micro DESC, p.n_triangles DESC, p.l_partkey
+    LIMIT 25
+"""

@@ -3128,3 +3128,64 @@ TEXTS['exact_matched_cohort'] = """
         FROM bands)
     ORDER BY band
 """
+
+TEXTS['vacuum_retention_plan'] = """
+    WITH files AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS f_rows
+        FROM orders GROUP BY 1, 2),
+    months AS (
+        SELECT month,
+               CAST(dense_rank() OVER (ORDER BY month) AS BIGINT) AS v
+        FROM (SELECT DISTINCT month FROM files)),
+    vm AS (SELECT max(v) AS vmax FROM months),
+    manifest AS (
+        SELECT f.day, f.f_rows, m.v AS added_v,
+               CASE WHEN ('0x' || substr(md5('vac:' || f.day), 1, 8))::BIGINT
+                         % 10 < 4
+                     AND m.v + 1 + ('0x' || substr(md5('vac:' || f.day), 1,
+                         8))::BIGINT % 3 <= vm.vmax
+                    THEN m.v + 1 + ('0x' || substr(md5('vac:' || f.day), 1,
+                         8))::BIGINT % 3
+               END AS removed_v,
+               vm.vmax - {keep_last} + 1 AS floor_v
+        FROM files f JOIN months m USING (month) CROSS JOIN vm),
+    added AS (SELECT added_v AS v, CAST(count(*) AS BIGINT) AS n_added
+              FROM manifest GROUP BY added_v),
+    removed AS (
+        SELECT removed_v AS v,
+               CAST(count(*) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN removed_v <= floor_v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletable,
+               CAST(sum(CASE WHEN removed_v <= floor_v THEN f_rows
+                        ELSE 0 END) AS BIGINT) AS reclaim_rows
+        FROM manifest WHERE removed_v IS NOT NULL GROUP BY removed_v)
+    SELECT m.v,
+           CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(r.n_deletable, 0) AS BIGINT) AS n_deletable,
+           CAST(coalesce(r.reclaim_rows, 0) AS BIGINT) AS reclaim_rows
+    FROM (SELECT DISTINCT v FROM months) m
+    LEFT JOIN added a ON a.v = m.v
+    LEFT JOIN removed r ON r.v = m.v
+    ORDER BY m.v
+""".replace('{keep_last}', '3')
+
+TEXTS['sql_lateral_topk'] = """
+        SELECT c.c_custkey, l.o_orderkey, l.price_cents
+        FROM customer c,
+        LATERAL (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                     o.o_orderkey
+            LIMIT 2
+        ) l
+        WHERE c.c_nationkey = 1
+        ORDER BY c.c_custkey, l.price_cents DESC, l.o_orderkey
+        LIMIT 200
+"""

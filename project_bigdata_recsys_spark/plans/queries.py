@@ -2365,9 +2365,9 @@ _GATE_WINDOW = [
     "derived_projection",
     "top_k_orders",
     "null_handling",
-    "multiway_join",
-    "rollup_totals",
-    "scalar_functions",
+    "local_clustering_profile",
+    "sql_lateral_topk",
+    "vacuum_retention_plan",
     "isotonic_calibration_pav",
     "brier_decomposition",
     "pr_auc_by_group",
@@ -3988,6 +3988,26 @@ ORACLES["brier_decomposition"] = _TEXTS["brier_decomposition"]
 
 QUERIES["isotonic_calibration_pav"] = classifier.isotonic_calibration_pav
 ORACLES["isotonic_calibration_pav"] = _TEXTS["isotonic_calibration_pav"]
+
+
+# Round-14 fourth wave --------------------------------------------------------
+# vacuum_retention_plan: snapshot VACUUM planning under keep-last-N —
+# the expire_snapshots review artifact; deterministic md5 file
+# lifecycle over the (month, day) manifest (operators/maintenance.py).
+# sql_lateral_topk: correlated LATERAL derived-table parity — the
+# migrating-SQL-user surface; Catalyst decorrelates to a ranked join,
+# identical text on both engines (operators/sqlsurface.py).
+# local_clustering_profile: per-node clustering coefficient from the
+# degree-ordered-orientation triangle kernel + shared oriented edges;
+# one exact micro floor-div per node (functions/graph.py).
+QUERIES["vacuum_retention_plan"] = maintenance.vacuum_retention_plan
+ORACLES["vacuum_retention_plan"] = _TEXTS["vacuum_retention_plan"]
+
+QUERIES["sql_lateral_topk"] = sqlsurface.sql_lateral_topk
+ORACLES["sql_lateral_topk"] = _TEXTS["sql_lateral_topk"]
+
+QUERIES["local_clustering_profile"] = graph.local_clustering_profile
+ORACLES["local_clustering_profile"] = _TEXTS["local_clustering_profile"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

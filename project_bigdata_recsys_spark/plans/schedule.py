@@ -43,6 +43,14 @@ the shared propensity fixture; isotonic_calibration_pav — minimax PAV
 recalibration, bin-domain bounded); window replica re-run and
 PRECHECK_r14_gate.json refreshed at the insertion.
 
+R14 FOURTH WAVE: three slots displaced to the r15 head
+(scalar_functions, rollup_totals, multiway_join — r7-evidenced,
+bench-exercised) for the fourth-wave trio (vacuum_retention_plan —
+keep-last-N snapshot expiry planning; sql_lateral_topk — correlated
+LATERAL derived-table parity; local_clustering_profile — per-node
+clustering coefficient over the oriented triangle kernel); window
+replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

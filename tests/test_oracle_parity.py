@@ -66,6 +66,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "ipf_weight_calibration",  # Aggregate(lang, source): ≤ |langs|·|sources| cell rows
     "stream_ipf",  # same IPF kernel over the folded cell ledger: ≤ |langs|·|sources| rows
     "isotonic_calibration_pav",  # Aggregate(bin): ≤ 11 propensity-decile rows
+    "vacuum_retention_plan",  # Distinct(month): ≤ ~100 version rows
 }
 
 
