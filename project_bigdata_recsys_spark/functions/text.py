@@ -2989,3 +2989,71 @@ def kneser_ney_bigram(
         .select("w1", "w2", F.col("c12").alias("n_bigram"), "p_kn_micro")
         .limit(top_k)
     )
+
+
+def bpe_fertility_after_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """End-to-end application of the LEARNED merge table: train the
+    ``n_merges`` BPE merges (bpe_train_merges), then segment every
+    source's vocabulary with them and report fertility — symbols per
+    word after merging — per source.  This is the readout a tokenizer
+    team actually ships (tokenizer_fertility_audit measures a FIXED
+    regex tokenizer; this measures the trained one), and it closes the
+    train→apply loop so the merge table is proven usable, not just
+    correct.
+
+    The merge table is collected once (bounded: ``n_merges`` rows —
+    the Lloyd centroid contract) and applied as ``n_merges`` chained
+    replace() expressions over the per-source vocabulary — vocabulary-
+    sized work, the corpus is scanned once for per-source word counts.
+    Fertility freezes once to micro by exact integer floor-div."""
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_train_merges(spark, sf_dir, n_merges).collect()
+    sw = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seg = sw.select(
+        "source",
+        F.trim(F.regexp_replace(F.col("w"), "(.)", ">$1< ")).alias("repr"),
+        "freq",
+        F.length("w").cast("long").alias("n_chars"),
+    )
+    for r in merge_rows:
+        seg = seg.withColumn(
+            "repr",
+            F.replace(
+                F.col("repr"),
+                F.lit(f">{r.sym_a}< >{r.sym_b}<"),
+                F.lit(f">{r.sym_a}{r.sym_b}<"),
+            ),
+        )
+    n_sym = F.size(F.split(F.col("repr"), " "))
+    return (
+        seg.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * n_sym).cast("long").alias("n_symbols"),
+            F.sum(F.col("freq") * F.col("n_chars"))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_symbols",
+            "n_chars",
+            F.expr(
+                "CAST(n_symbols AS DECIMAL(38, 0)) * 1000000"
+                " div CAST(n_words AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("symbols_per_word_micro"),
+        )
+        .orderBy("source")
+    )

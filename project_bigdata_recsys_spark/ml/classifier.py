@@ -710,8 +710,6 @@ def pr_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: histogram aggregation (distinct cents × group), per-group
     ordered cumsum windows over HISTOGRAM-level rows (value-domain
     bounded, never row-count), a #groups-row readout."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -721,6 +719,17 @@ def pr_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("t"),
         F.sum("pos").cast("long").alias("tp"),
     )
+    return pr_auc_from_hist(hist)
+
+
+def pr_auc_from_hist(hist: DataFrame) -> DataFrame:
+    """The PR-AUC kernel over a (grp, cents, t, tp) value histogram —
+    shared by pr_auc_by_group (histogram from one scan) and
+    stream_pr_auc (histogram folded from a per-batch ledger; counts
+    merge exactly, so the area is a pure function of the histogram and
+    the batch oracle is inherited verbatim)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("grp")
         .orderBy(F.desc("cents"))
@@ -762,8 +771,8 @@ def pr_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__area2"),
         F.sum("dtp").cast("long").alias("n_pos"),
     )
-    totals = orders.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
+    totals = hist.groupBy("grp").agg(
+        F.sum("t").cast("long").alias("n_total")
     )
     return (
         folds.join(totals, "grp")

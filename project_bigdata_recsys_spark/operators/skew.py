@@ -221,3 +221,85 @@ def rendezvous_shard_plan(spark, sf_dir: str, n_shards: int = 8):
         )
         .orderBy("shard")
     )
+
+
+def skew_salt_advisor(
+    spark, sf_dir: str, hot_factor: int = 4, max_salts: int = 32, top_k: int = 20
+):
+    """The PLANNER companion to :func:`salted_join`: given a join-key
+    histogram, recommend a per-key salt factor — the artifact an ops
+    review reads before turning salting on (skew_report says WHICH keys
+    are hot; this says WHAT to do about each).
+
+    Planted skew (the planted-data discipline — the synthetic corpus is
+    deliberately uniform, so pathological keys are planted): ~25% of
+    lineitem rows remap to sentinel key 1 and ~10% to key 2 (md5 cohort,
+    salt ``skew:``), the power-law-user / null-sentinel shape AQE's
+    split cannot fully absorb.
+
+    Rule: a key is HOT when its row count >= ``hot_factor`` × the exact
+    lower median per-key count (median via histogram-cumsum order
+    statistic, never an approximate percentile); its salt factor is
+    ceil(count / (hot_factor × median)) capped at ``max_salts`` — i.e.
+    spread the key until each salt bucket carries at most a
+    hot-threshold's worth of rows.
+
+    Scale: one key aggregation; the median reads a count-of-counts
+    histogram (value-domain bounded, audited global window); the
+    readout is a top-k heap."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    u = hash_uniform(
+        F.col("l_orderkey") * 16 + F.col("l_linenumber"), "skew:"
+    )
+    keyed = li.select(
+        F.when(u < 0.25, F.lit(1))
+        .when(u < 0.35, F.lit(2))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("key")
+    )
+    per_key = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hist = per_key.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("keys_at_n")
+    )
+    wcum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_key.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    med = (
+        hist.withColumn("cum", F.sum("keys_at_n").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n_keys") + 1)
+        .agg(F.min("n").cast("long").alias("median_n"))
+    )
+    return (
+        per_key.crossJoin(F.broadcast(med))
+        .filter(F.col("n") >= F.col("median_n") * hot_factor)
+        .select(
+            "key",
+            F.col("n").alias("n_rows"),
+            "median_n",
+            F.expr(
+                "CAST(n AS DECIMAL(38, 0)) * 1000000"
+                " div CAST(median_n AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("skew_ratio_micro"),
+            F.least(
+                F.expr(
+                    f"CAST((n + {hot_factor} * median_n - 1)"
+                    f" div ({hot_factor} * median_n) AS BIGINT)"
+                ),
+                F.lit(max_salts).cast("long"),
+            ).alias("n_salts"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )

@@ -2083,12 +2083,12 @@ def _kcenter_oracle(k: int = 5) -> str:
     """
 
 
-def _bpe_train_oracle(n_merges: int = 8) -> str:
-    """Unrolled DuckDB twin of functions.text.bpe_train_merges: each
-    iteration is a (pairs, counts, best, re-segment) CTE quartet over
-    the wrapped-symbol vocabulary; merge application is the same plain
-    left-to-right string replace the Spark side uses, so greedy BPE
-    semantics match byte for byte."""
+def _bpe_ctes(n_merges: int = 8, full_chain: bool = False) -> list:
+    """The shared CTE chain of the BPE family oracles: global word
+    vocabulary, wrapped-symbol v0, then per merge i the (pairs, counts,
+    best, re-segment) quartet.  ``full_chain`` also emits the final
+    re-segmented vocabulary v{n} (the fertility readout needs it; the
+    merge-table readout does not)."""
     ctes = [
         """words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -2112,11 +2112,19 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
         ctes.append(f"""b{i} AS (
         SELECT sym_a, sym_b, n_pairs FROM c{i}
         ORDER BY n_pairs DESC, sym_a, sym_b LIMIT 1)""")
-        if i < n_merges:
+        if i < n_merges or full_chain:
             ctes.append(f"""v{i} AS (
         SELECT replace(repr, '>' || sym_a || '< >' || sym_b || '<',
                        '>' || sym_a || sym_b || '<') AS repr, freq
         FROM v{i - 1} CROSS JOIN b{i})""")
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled DuckDB twin of functions.text.bpe_train_merges: merge
+    application is the same plain left-to-right string replace the
+    Spark side uses, so greedy BPE semantics match byte for byte."""
+    ctes = _bpe_ctes(n_merges)
     readout = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, sym_a, sym_b, n_pairs"
         f" FROM b{i}"
@@ -2176,3 +2184,44 @@ def _containment_oracle(
     FROM scored WHERE containment >= {threshold}
     ORDER BY doc_a, doc_b
 """
+
+
+def _bpe_fertility_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of functions.text.bpe_fertility_after_merges: the
+    shared merge-training chain (global vocabulary) plus a per-source
+    vocabulary that replays the SAME n learned replaces, then the
+    fertility rollup."""
+    ctes = _bpe_ctes(n_merges, full_chain=False)
+    # drop the final unused v{n-1}? keep: b_i need v_{i-1}; we need b_1..b_n
+    ctes.append(r"""sw AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE regexp_matches(w, '^[a-z]{2,}$')
+        GROUP BY source, w)""")
+    ctes.append(r"""sv0 AS (
+        SELECT source, trim(regexp_replace(w, '(.)', '>\1< ', 'g')) AS repr,
+               freq, length(w) AS n_chars
+        FROM sw)""")
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""sv{i} AS (
+        SELECT source,
+               replace(repr, '>' || sym_a || '< >' || sym_b || '<',
+                       '>' || sym_a || sym_b || '<') AS repr,
+               freq, n_chars
+        FROM sv{i - 1} CROSS JOIN b{i})""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * len(string_split(repr, ' '))) AS BIGINT)
+               AS n_symbols,
+           CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(freq * len(string_split(repr, ' ')))::HUGEINT * 1000000
+                // sum(freq)::HUGEINT AS BIGINT) AS symbols_per_word_micro
+    FROM sv{n_merges}
+    GROUP BY source ORDER BY source
+"""
+    )

@@ -3189,3 +3189,37 @@ TEXTS['sql_lateral_topk'] = """
         ORDER BY c.c_custkey, l.price_cents DESC, l.o_orderkey
         LIMIT 200
 """
+
+TEXTS['skew_salt_advisor'] = """
+    WITH keyed AS (
+        SELECT CASE
+                 WHEN ('0x' || substr(md5('skew:' ||
+                      CAST(l_orderkey * 16 + l_linenumber AS VARCHAR)),
+                      1, 8))::BIGINT / 4294967296.0 < 0.25 THEN 1
+                 WHEN ('0x' || substr(md5('skew:' ||
+                      CAST(l_orderkey * 16 + l_linenumber AS VARCHAR)),
+                      1, 8))::BIGINT / 4294967296.0 < 0.35 THEN 2
+                 ELSE l_suppkey
+               END AS key
+        FROM lineitem),
+    per_key AS (
+        SELECT CAST(key AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n
+        FROM keyed GROUP BY key),
+    hist AS (SELECT n, CAST(count(*) AS BIGINT) AS keys_at_n
+             FROM per_key GROUP BY n),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM per_key),
+    med AS (
+        SELECT CAST(min(n) AS BIGINT) AS median_n
+        FROM (SELECT n, sum(keys_at_n) OVER (ORDER BY n) AS cum
+              FROM hist) c CROSS JOIN tot
+        WHERE cum * 2 >= n_keys + 1)
+    SELECT p.key, p.n AS n_rows, m.median_n,
+           CAST(p.n::HUGEINT * 1000000 // m.median_n::HUGEINT AS BIGINT)
+               AS skew_ratio_micro,
+           CAST(least((p.n + 4 * m.median_n - 1) // (4 * m.median_n),
+                      32) AS BIGINT) AS n_salts
+    FROM per_key p CROSS JOIN med m
+    WHERE p.n >= m.median_n * 4
+    ORDER BY p.n DESC, p.key
+    LIMIT 20
+"""

@@ -62,6 +62,7 @@ from project_bigdata_recsys_spark.sources import multimodal
 from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
     _absorption_oracle,
+    _bpe_fertility_oracle,
     _bpe_train_oracle,
     _containment_oracle,
     _analyze_table_oracle,
@@ -2362,9 +2363,9 @@ _GATE_WINDOW = [
     "distinct_counts",
     "conditional_pivot",
     "time_range_filter",
-    "derived_projection",
-    "top_k_orders",
-    "null_handling",
+    "stream_pr_auc",
+    "skew_salt_advisor",
+    "bpe_fertility_after_merges",
     "local_clustering_profile",
     "sql_lateral_topk",
     "vacuum_retention_plan",
@@ -4008,6 +4009,26 @@ ORACLES["sql_lateral_topk"] = _TEXTS["sql_lateral_topk"]
 
 QUERIES["local_clustering_profile"] = graph.local_clustering_profile
 ORACLES["local_clustering_profile"] = _TEXTS["local_clustering_profile"]
+
+
+# Round-14 fifth wave ---------------------------------------------------------
+# bpe_fertility_after_merges: apply the LEARNED merge table to every
+# source's vocabulary and report post-merge fertility — closes the
+# tokenizer train→apply loop (functions/text.py).
+# skew_salt_advisor: per-hot-key salt-factor planning over planted
+# pathological skew — exact lower-median via histogram cumsum, the
+# salted_join review artifact (operators/skew.py).
+# stream_pr_auc: the (grp, cents) value histogram folded from
+# micro-batches; shared kernel, shared pr_auc_by_group oracle
+# (streaming/replay.py).
+QUERIES["bpe_fertility_after_merges"] = text.bpe_fertility_after_merges
+ORACLES["bpe_fertility_after_merges"] = _bpe_fertility_oracle(8)
+
+QUERIES["skew_salt_advisor"] = skew.skew_salt_advisor
+ORACLES["skew_salt_advisor"] = _TEXTS["skew_salt_advisor"]
+
+QUERIES["stream_pr_auc"] = replay.stream_pr_auc
+ORACLES["stream_pr_auc"] = _TEXTS["pr_auc_by_group"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

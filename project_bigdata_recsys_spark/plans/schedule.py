@@ -51,6 +51,15 @@ LATERAL derived-table parity; local_clustering_profile — per-node
 clustering coefficient over the oriented triangle kernel); window
 replica re-run and PRECHECK_r14_gate.json refreshed at the insertion.
 
+R14 FIFTH WAVE: three slots displaced to the r15 head (null_handling,
+top_k_orders, derived_projection — r7-evidenced, bench-exercised) for
+the fifth-wave trio (bpe_fertility_after_merges — the learned merge
+table applied per source, closing the tokenizer train→apply loop;
+skew_salt_advisor — per-hot-key salt planning over planted skew;
+stream_pr_auc — the value-histogram ledger fold sharing
+pr_auc_by_group's oracle); window replica re-run and
+PRECHECK_r14_gate.json refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

@@ -2240,3 +2240,59 @@ def stream_bpe_vocab(
         .agg(F.sum("freq").cast("long").alias("freq"))
     )
     return bpe_merges_from_vocab(spark, words, n_merges)
+
+
+def stream_pr_auc(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """PR-AUC maintained by the stream: orders arrive as ``n_waves``
+    micro-batches, each folding its partial (grp, cents) value
+    histogram into a ledger — histograms are exactly mergeable (the
+    stream_ipf cell contract), so the folded histogram equals the
+    one-scan histogram and the shared kernel (pr_auc_from_hist)
+    inherits pr_auc_by_group's oracle verbatim.  The deployment shape
+    for a continuously-evaluated ranking metric: the stream keeps the
+    histogram current; the curve recomputes from histogram-level rows
+    (value-domain bounded), never from raw history."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.ml.classifier import pr_auc_from_hist
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    work, stream, n_staged = _staged_waves(
+        spark,
+        orders,
+        "o_orderkey",
+        "o_orderkey long, grp string, cents long, pos int",
+        n_waves,
+        "spark_prauc_stream_",
+    )
+    ledger = os.path.join(work, "hist")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy("grp", "cents")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("t"),
+                F.sum("pos").cast("long").alias("tp"),
+            )
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    _run_ledger_fold(spark, stream, fold, "stream_pr_auc", n_staged)
+    hist = (
+        spark.read.parquet(ledger)
+        .groupBy("grp", "cents")
+        .agg(
+            F.sum("t").cast("long").alias("t"),
+            F.sum("tp").cast("long").alias("tp"),
+        )
+    )
+    return pr_auc_from_hist(hist)

@@ -67,6 +67,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "stream_ipf",  # same IPF kernel over the folded cell ledger: ≤ |langs|·|sources| rows
     "isotonic_calibration_pav",  # Aggregate(bin): ≤ 11 propensity-decile rows
     "vacuum_retention_plan",  # Distinct(month): ≤ ~100 version rows
+    "skew_salt_advisor",  # Aggregate(n): ≤ #distinct-key-count rows
 }
 
 
