@@ -416,6 +416,32 @@ HEADLINE = [
     # kernel + oracle) and Burrows' Delta stylometric source distance
     "stream_ipf",
     "burrows_delta",
+    # r14 first wave: iterated BPE merge training (8 vocab-sized
+    # rounds), the incremental ER linkage fold (touched-block adjacency
+    # replacement), and sequence-bounded MOR time travel
+    "bpe_train_merges",
+    "stream_golden_record",
+    "join_view_time_travel",
+    # r14 second wave: stream-fed BPE vocabulary fold, Broder
+    # containment over df-capped rare shingles, KN bigram LM
+    "stream_bpe_vocab",
+    "containment_pairs",
+    "kneser_ney_bigram",
+    # r14 third wave: exact PR-AUC, Murphy Brier decomposition,
+    # minimax-PAV isotonic recalibration (shared propensity fixture)
+    "pr_auc_by_group",
+    "brier_decomposition",
+    "isotonic_calibration_pav",
+    # r14 fourth wave: vacuum retention planning, LATERAL SQL parity,
+    # per-node clustering coefficient off the oriented triangle kernel
+    "vacuum_retention_plan",
+    "sql_lateral_topk",
+    "local_clustering_profile",
+    # r14 fifth wave: learned-merge fertility readout, salt-factor
+    # advisor under planted skew, histogram-ledger streamed PR-AUC
+    "bpe_fertility_after_merges",
+    "skew_salt_advisor",
+    "stream_pr_auc",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the
