@@ -2401,6 +2401,17 @@ def containment_pairs(
     Exactness: shingle arrays are DISTINCT on both engines; containment
     and Jaccard are single divisions rounded to 6 dp; ordering is a
     total order on (doc_a, doc_b)."""
+    sh_tbl = containment_shingles(spark, sf_dir, n)
+    return containment_from_shingles(sh_tbl, df_cap, threshold)
+
+
+def containment_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """The containment fixture: documents plus planted half-doc
+    truncations, reduced to (doc_id, distinct-shingle array) — shared
+    by containment_pairs (one scan) and stream_containment (per-batch
+    shingling into a ledger)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     planted = docs.filter(F.col("doc_id") % 9 == 0).select(
@@ -2417,12 +2428,21 @@ def containment_pairs(
         ).alias("text"),
     )
     corpus = docs.unionByName(planted)
-    sh_tbl = corpus.select(
+    return corpus.select(
         "doc_id",
         F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0).alias(
             "sh"
         ),
     ).filter(F.size("sh") > 0)
+
+
+def containment_from_shingles(
+    sh_tbl: DataFrame, df_cap: int = 4, threshold: float = 0.8
+) -> DataFrame:
+    """The containment readout kernel over a (doc_id, sh) frame —
+    values are a pure function of the shingle SETS (array_intersect /
+    size are order-independent), so a ledger fold that reconstructs the
+    per-doc shingle rows inherits the batch oracle verbatim."""
     exploded = sh_tbl.select("doc_id", F.explode("sh").alias("g"))
     rare = (
         exploded.groupBy("g")

@@ -2908,3 +2908,104 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         )
         .orderBy("sel_order")
     )
+
+
+def mmr_diversified_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    depth: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the classic diversity rerank every RAG stack applies to its ANN
+    shortlist: greedily select the candidate maximizing
+    λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 1/2, so near-
+    duplicates of an already-selected hit are pushed down even when
+    their raw relevance is high (recs_diversity_profile MEASURES
+    shortlist redundancy; this one FIXES it).
+
+    Exactness: relevance and pairwise similarity freeze once to micro
+    (round(cos·1e6), the calibration_bins pattern), so with λ = 1/2 the
+    argmax is over exact integers rel_micro − max_sim_micro with a
+    vec_id tie-break — a total order both engines replay; the oracle
+    unrolls the identical k−1 greedy rounds (the kcenter_coreset
+    discipline).
+
+    Scale: the shortlist is the broadcast-sized top-``depth`` frame
+    (ONE corpus scan + TakeOrdered heap — the expensive part, shared
+    with every ANN probe); each greedy round is one scan OF THE
+    SHORTLIST with the selected set as broadcast literals and a 1-row
+    TakeOrdered collect (bounded by k, the rerank budget).  The corpus
+    is never rescanned after the shortlist."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel_micro = F.round(
+        cosine(F.col("embedding"), F.col("q_emb")) * 1000000.0
+    ).cast("long")
+    shortlist = persist_tracked(
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "embedding", rel_micro.alias("rel_micro"))
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(depth)
+    )
+    first = (
+        shortlist.orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )  # bounded: one row per greedy round, k rounds total
+    selected = [
+        (
+            1,
+            int(first.vec_id),
+            int(first.rel_micro),
+            0,
+            [float(x) for x in first.embedding],
+        )
+    ]
+    for rank in range(2, k + 1):
+        sim_cols = [
+            F.round(
+                cosine(F.col("embedding"), F.array(*[F.lit(v) for v in semb]))
+                * 1000000.0
+            ).cast("long")
+            for _, _, _, _, semb in selected
+        ]
+        max_sim = (
+            sim_cols[0] if len(sim_cols) == 1 else F.greatest(*sim_cols)
+        )
+        nxt = (
+            shortlist.filter(
+                ~F.col("vec_id").isin([vid for _, vid, _, _, _ in selected])
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "rel_micro",
+                max_sim.alias("ms"),
+            )
+            .orderBy(
+                F.desc(F.col("rel_micro") - F.col("ms")), F.asc("vec_id")
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (
+                rank,
+                int(nxt.vec_id),
+                int(nxt.rel_micro),
+                int(nxt.ms),
+                [float(x) for x in nxt.embedding],
+            )
+        )
+    return spark.createDataFrame(
+        [(r, v, rm, ms, rm - ms) for r, v, rm, ms, _ in selected],
+        "rank int, vec_id long, rel_micro long, max_sim_micro long,"
+        " mmr_micro long",
+    ).orderBy("rank")

@@ -1090,3 +1090,55 @@ def exact_matched_cohort(
         .unionByName(total)
         .orderBy("band")
     )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch detection — the first gate every
+    experimentation platform runs before reading ANY lift number: if
+    the 50/50 assignment didn't land 50/50, the randomization is
+    broken (redirect bug, bot filter applied to one arm, logging loss)
+    and all downstream estimates are invalid.  Chi-square goodness of
+    fit against the declared split, per segment and overall.
+
+    A mismatch is PLANTED (the skew-advisor discipline: the md5
+    assignment is honest-uniform, so a broken randomizer is simulated):
+    treatment assignment uses u < 0.52 instead of 0.50, the ~2% drift
+    a real SRM incident shows.  With o = treatment count and n total,
+    the 1-df statistic reduces to χ² = (2o − n)²/n — exact integers
+    with one micro floor-division; verdict thresholds at the 0.05
+    critical value 3.841 (frozen micro literal, the MDE_Z discipline).
+
+    Scale: one customer scan, one #segments-row fold plus a grand-total
+    row (band = '__all')."""
+    customer = load_table(spark, sf_dir, "customer")
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    assigned = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        (hash_uniform(F.col("c_custkey"), "srm:") < 0.52)
+        .cast("int")
+        .alias("treat"),
+    )
+    per_seg = assigned.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("treat").cast("long").alias("o"),
+    )
+    total = assigned.agg(
+        F.lit("__all").alias("segment"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("treat").cast("long").alias("o"),
+    )
+    folded = per_seg.unionByName(total)
+    chi2 = F.expr(
+        "CAST((2 * o - n) AS DECIMAL(38, 0)) * (2 * o - n) * 1000000"
+        " div CAST(n AS DECIMAL(38, 0))"
+    ).cast("long")
+    return folded.select(
+        "segment",
+        "n",
+        F.col("o").alias("n_treatment"),
+        chi2.alias("chi2_micro"),
+        F.when(chi2 > 3841000, F.lit("SRM")).otherwise(F.lit("ok")).alias(
+            "verdict"
+        ),
+    ).orderBy("segment")

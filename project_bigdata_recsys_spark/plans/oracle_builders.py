@@ -2225,3 +2225,61 @@ def _bpe_fertility_oracle(n_merges: int = 8) -> str:
     GROUP BY source ORDER BY source
 """
     )
+
+
+def _mmr_oracle(
+    query_vec_id: int = 0, depth: int = 50, k: int = 10
+) -> str:
+    """Unrolled DuckDB twin of functions.similarity.mmr_diversified_
+    rerank: shortlist CTE, then k−1 greedy (max-sim, select, accumulate)
+    CTE triples — the kcenter unroll pattern with a correlated max
+    instead of GROUP BY on a list column."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) * 1000000.0)"
+        )
+
+    ctes = [
+        f"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id = {query_vec_id})""",
+        f"""cands AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               CAST({cos('CAST(embedding AS DOUBLE[])', 'q.q_emb')}
+                    AS BIGINT) AS rel_micro
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> {query_vec_id}
+        ORDER BY rel_micro DESC, vec_id LIMIT {depth})""",
+        """s1 AS (SELECT vec_id, emb, rel_micro,
+                      CAST(0 AS BIGINT) AS max_sim_micro
+              FROM cands ORDER BY rel_micro DESC, vec_id LIMIT 1)""",
+        "sel1 AS MATERIALIZED (SELECT vec_id, emb FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""m{i} AS (
+        SELECT c.vec_id, c.emb, c.rel_micro,
+               (SELECT CAST(max({cos('c.emb', 's.emb')}) AS BIGINT)
+                FROM sel{i - 1} s) AS ms
+        FROM cands c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+        SELECT vec_id, emb, rel_micro, ms AS max_sim_micro
+        FROM m{i} ORDER BY rel_micro - ms DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+        SELECT vec_id, emb FROM sel{i - 1}
+        UNION ALL SELECT vec_id, emb FROM s{i})""")
+    readout = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, rel_micro,"
+        f" max_sim_micro, rel_micro - max_sim_micro AS mmr_micro"
+        f" FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + readout
+        + "\n    ORDER BY rank\n"
+    )

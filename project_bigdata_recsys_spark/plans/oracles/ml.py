@@ -635,3 +635,26 @@ TEXTS['isotonic_calibration_pav'] = f"""
     GROUP BY i, n_b, sy_b
     ORDER BY bin
 """
+
+TEXTS['srm_check'] = """
+    WITH assigned AS (
+        SELECT c_mktsegment AS segment,
+               CASE WHEN ('0x' || substr(md5('srm:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 < 0.52 THEN 1 ELSE 0 END AS treat
+        FROM customer),
+    folded AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(treat) AS BIGINT) AS o
+        FROM assigned GROUP BY segment
+        UNION ALL
+        SELECT '__all', CAST(count(*) AS BIGINT), CAST(sum(treat) AS BIGINT)
+        FROM assigned)
+    SELECT segment, n, o AS n_treatment,
+           CAST((2 * o - n)::HUGEINT * (2 * o - n) * 1000000 // n::HUGEINT
+                AS BIGINT) AS chi2_micro,
+           CASE WHEN (2 * o - n)::HUGEINT * (2 * o - n) * 1000000
+                     // n::HUGEINT > 3841000
+                THEN 'SRM' ELSE 'ok' END AS verdict
+    FROM folded ORDER BY segment
+"""

@@ -63,6 +63,7 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _DD_SHINGLES,
     _absorption_oracle,
     _bpe_fertility_oracle,
+    _mmr_oracle,
     _bpe_train_oracle,
     _containment_oracle,
     _analyze_table_oracle,
@@ -2360,9 +2361,9 @@ _GATE_WINDOW = [
     "cdc_current_view",
     "course_stats",
     "user_activity",
-    "distinct_counts",
-    "conditional_pivot",
-    "time_range_filter",
+    "stream_containment",
+    "srm_check",
+    "mmr_diversified_rerank",
     "stream_pr_auc",
     "skew_salt_advisor",
     "bpe_fertility_after_merges",
@@ -4029,6 +4030,27 @@ ORACLES["skew_salt_advisor"] = _TEXTS["skew_salt_advisor"]
 
 QUERIES["stream_pr_auc"] = replay.stream_pr_auc
 ORACLES["stream_pr_auc"] = _TEXTS["pr_auc_by_group"]
+
+
+# Round-14 sixth wave ---------------------------------------------------------
+# mmr_diversified_rerank: Maximal Marginal Relevance over the ANN
+# shortlist — k−1 greedy rounds on the broadcast-sized top-depth frame
+# with micro-frozen integer scores; the oracle unrolls the identical
+# rounds (functions/similarity.py).
+QUERIES["mmr_diversified_rerank"] = similarity.mmr_diversified_rerank
+ORACLES["mmr_diversified_rerank"] = _mmr_oracle()
+
+# srm_check: sample-ratio-mismatch chi-square gate with a planted 52/48
+# drift — exact (2o−n)²/n integers, frozen critical value
+# (operators/experiments.py).
+# stream_containment: per-batch shingle rows appended to a postings
+# ledger; the df-capped kernel runs at readout where rarity is knowable
+# — shared containment_pairs oracle (streaming/replay.py).
+QUERIES["srm_check"] = experiments.srm_check
+ORACLES["srm_check"] = _TEXTS["srm_check"]
+
+QUERIES["stream_containment"] = replay.stream_containment
+ORACLES["stream_containment"] = ORACLES["containment_pairs"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -60,6 +60,15 @@ stream_pr_auc — the value-histogram ledger fold sharing
 pr_auc_by_group's oracle); window replica re-run and
 PRECHECK_r14_gate.json refreshed at the insertion.
 
+R14 SIXTH WAVE: three slots displaced to the r15 head
+(time_range_filter, conditional_pivot, distinct_counts —
+r7-evidenced, bench-exercised) for the sixth-wave trio
+(mmr_diversified_rerank — greedy MMR over the ANN shortlist, unrolled
+oracle; srm_check — the sample-ratio-mismatch chi-square gate;
+stream_containment — postings-ledger fold sharing the containment
+oracle); window replica re-run and PRECHECK_r14_gate.json refreshed
+at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

@@ -2296,3 +2296,44 @@ def stream_pr_auc(
         )
     )
     return pr_auc_from_hist(hist)
+
+
+def stream_containment(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """Containment detection over a STREAMED corpus: each micro-batch
+    shingles its documents (planted half-docs included — the shared
+    containment fixture) and APPENDS (doc_id, shingle-array) rows to a
+    ledger — no state store, no cross-batch shuffle (the
+    stream_winnowing discipline; a document arrives exactly once, so
+    the ledger IS the shingle index an incremental containment service
+    persists).  The post-replay readout runs the shared df-capped
+    kernel; document frequencies are computed on the COMPLETE ledger,
+    which matters because a shingle's rarity is only knowable at
+    readout (df grows as batches land) — maintaining a "rare" index
+    incrementally would have to retract pairs when a shingle crosses
+    the cap, so the postings-ledger + readout split is the honest
+    contract.  Oracle shared verbatim with containment_pairs."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        containment_from_shingles,
+        containment_shingles,
+    )
+
+    sh = containment_shingles(spark, sf_dir)
+    work, stream, n_staged = _staged_waves(
+        spark,
+        sh,
+        "doc_id",
+        "doc_id long, sh array<string>",
+        n_waves,
+        "spark_containment_stream_",
+    )
+    ledger = os.path.join(work, "shingles")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(ledger)
+
+    _run_ledger_fold(spark, stream, fold, "stream_containment", n_staged)
+    return containment_from_shingles(spark.read.parquet(ledger))

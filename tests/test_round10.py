@@ -180,32 +180,34 @@ def test_hard_negatives_are_cross_label_and_exactly_k(spark):
 @pytest.mark.parametrize(
     "rnd,stop",
     [
-        ("12", r"# \(r13"),
-        ("13", r"# \(recomputed"),
-        ("14", r"# \(r15"),
-        ("15", r"# \(r16"),
-        ("16", r"# \(r17"),
-        ("17", r"# \(r18"),
+        ("12", r"\(r13 continues"),
+        ("13", r"\(recomputed"),
+        ("14", r"\(r15 onward"),
+        ("15", r"\(r16 block"),
+        ("16", r"\(r17 block"),
+        ("17", r"\(r18 onward"),
     ],
 )
 def test_write_ahead_schedule_names_are_registered(rnd, stop):
-    """The write-ahead rotations above _GATE_WINDOW are only worth their
-    session-loss insurance if every name in them resolves; a typo would
-    surface as a driver KeyError one round later."""
+    """The write-ahead rotations (now in plans/schedule.py, r13 verdict
+    task 3) are only worth their session-loss insurance if every name in
+    them resolves; a typo would surface as a driver KeyError one round
+    later.  Name-list lines are the indented ones — prose in the
+    schedule docstring is flush-left."""
     import re
 
     from project_bigdata_recsys_spark.plans.queries import QUERIES
 
     src = open(
-        os.path.join(PKG, "plans", "queries.py"), encoding="utf-8"
+        os.path.join(PKG, "plans", "schedule.py"), encoding="utf-8"
     ).read()
     block = re.search(
-        rf"# Round-{rnd} rotation schedule.*?{stop}", src, re.S
+        rf"Round-{rnd} rotation schedule.*?{stop}", src, re.S
     ).group(0)
     names = []
     for line in block.splitlines():
-        if line.startswith("#     "):
-            names += [x.strip() for x in line[6:].split(",") if x.strip()]
+        if line.startswith("    ") and line.strip():
+            names += [x.strip() for x in line.split(",") if x.strip()]
     assert len(names) == 50 and len(set(names)) == 50, len(names)
     missing = [n for n in names if n not in QUERIES]
     assert missing == [], f"r{rnd} schedule names not in QUERIES: {missing}"
