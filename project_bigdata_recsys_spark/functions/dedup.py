@@ -2481,3 +2481,107 @@ def containment_from_shingles(
         .filter(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation for entity resolution — the audit
+    an ER team runs BEFORE trusting any linkage output: for each
+    candidate-generation strategy, pairs completeness (recall of the
+    known true matches) versus reduction ratio (fraction of the n²
+    comparison space pruned).  The planted plural-typo variants ARE
+    the ground truth (each planted name's true match is its original,
+    collision-free by the sn_records anti-join), so recall is exact,
+    not sampled — the advantage of the planted-data discipline.
+
+    Strategies audited: (a) sorted-neighborhood window-3 (the
+    sn_candidates generator — near-perfect recall, adjacency puts a
+    variant next to its original); (b) (first-char, length div 4)
+    blocking — cheaper, but a variant one character LONGER than its
+    original can cross a length-band boundary and be lost, which is
+    exactly the recall/reduction trade this audit quantifies.
+
+    Scale: both strategies' candidate counts are Σ block² bounds over
+    bounded blocks; the truth join is planted-cohort-sized; the
+    readout is 2 rows.  All ratios freeze once to micro by integer
+    floor-div."""
+    recs = sn_records(spark, sf_dir).select("p_name")
+    n_rec = recs.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    real = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    # the truth set replays the sn_records planting exactly: cohort
+    # originals paired with their plural variants, collision cases
+    # excluded the same way the record set excludes them
+    truth = (
+        real.filter(hash32(F.col("p_name"), "sn:") % 3 == 0)
+        .select(
+            F.col("p_name").alias("name_a"),
+            F.concat(F.col("p_name"), F.lit("s")).alias("name_b"),
+        )
+        .join(
+            real.select(F.col("p_name").alias("name_b")),
+            "name_b",
+            "left_anti",
+        )
+    )
+    sn_cand = sn_window_pairs(recs).select("name_a", "name_b")
+    blk = recs.select(
+        "p_name",
+        F.substring("p_name", 1, 1).alias("c1"),
+        F.expr("length(p_name) div 4").alias("lb"),
+    )
+    a = blk.alias("a")
+    b = blk.alias("b")
+    blk_cand = a.join(
+        b,
+        (F.col("a.c1") == F.col("b.c1"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+    )
+
+    def audit(name: str, cand: DataFrame) -> DataFrame:
+        # candidates are already canonical (name_a < name_b on both
+        # generators: SN emits sort-order successors, blocking enforces
+        # a < b), and truth pairs are (orig, orig||'s') with orig <
+        # orig||'s' by prefix order — so the match join is direct
+        found = cand.join(truth, ["name_a", "name_b"], "left_semi")
+        counts = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+            )
+            .crossJoin(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+            )
+            .crossJoin(F.broadcast(n_rec))
+        )
+        return counts.select(
+            F.lit(name).alias("strategy"),
+            "n_records",
+            "n_candidates",
+            "n_truth",
+            "n_found",
+            F.expr(
+                "CAST(n_found AS DECIMAL(38, 0)) * 1000000"
+                " div CAST(n_truth AS DECIMAL(38, 0))"
+            )
+            .cast("long")
+            .alias("recall_micro"),
+            F.expr(
+                "(CAST(n_records AS DECIMAL(38, 0)) * (n_records - 1)"
+                " div 2 - n_candidates) * 1000000"
+                " div (CAST(n_records AS DECIMAL(38, 0))"
+                " * (n_records - 1) div 2)"
+            )
+            .cast("long")
+            .alias("reduction_micro"),
+        )
+
+    return (
+        audit("sorted_neighborhood_w3", sn_cand)
+        .unionByName(audit("char1_lenband4", blk_cand))
+        .orderBy("strategy")
+    )

@@ -268,6 +268,19 @@ def skew_salt_advisor(
     per_key = keyed.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return salt_plan_from_counts(per_key, hot_factor, max_salts, top_k)
+
+
+def salt_plan_from_counts(
+    per_key, hot_factor: int = 4, max_salts: int = 32, top_k: int = 20
+):
+    """The advisor kernel over a (key, n) count frame — shared by
+    skew_salt_advisor (one scan) and stream_skew_monitor (counts folded
+    from a per-batch ledger; counts merge exactly, so the plan is a
+    pure function of the histogram and the batch oracle is inherited
+    verbatim)."""
+    from pyspark.sql import Window
+
     hist = per_key.groupBy("n").agg(
         F.count(F.lit(1)).cast("long").alias("keys_at_n")
     )

@@ -461,3 +461,59 @@ TEXTS['golden_record_fusion'] = """
     WHERE n_members >= 2
     ORDER BY canonical_name
 """
+
+TEXTS['blocking_quality_audit'] = """
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name),
+    planted AS (
+        SELECT p_name || 's' AS p_name, CAST(0 AS BIGINT) AS n_parts
+        FROM names
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0
+          AND p_name || 's' NOT IN (SELECT p_name FROM names)),
+    recs AS (SELECT p_name FROM names UNION ALL SELECT p_name FROM planted),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM recs),
+    truth AS (
+        SELECT p_name AS name_a, p_name || 's' AS name_b
+        FROM names
+        WHERE ('0x' || substr(md5('sn:' || p_name), 1, 8))::BIGINT % 3 = 0
+          AND p_name || 's' NOT IN (SELECT p_name FROM names)),
+    seq AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM recs),
+    leads AS (
+        SELECT p_name, blk,
+               lead(p_name, 1) OVER (PARTITION BY blk ORDER BY p_name) AS n1,
+               lead(p_name, 2) OVER (PARTITION BY blk ORDER BY p_name) AS n2
+        FROM seq),
+    sn_cand AS (
+        SELECT p_name AS name_a, n1 AS name_b FROM leads WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT p_name, n2 FROM leads WHERE n2 IS NOT NULL),
+    blk2 AS (SELECT p_name, substr(p_name, 1, 1) AS c1,
+                    length(p_name) // 4 AS lb
+             FROM recs),
+    blk_cand AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM blk2 a JOIN blk2 b
+          ON a.c1 = b.c1 AND a.lb = b.lb AND a.p_name < b.p_name),
+    m AS (
+        SELECT 'sorted_neighborhood_w3' AS strategy,
+               (SELECT CAST(count(*) AS BIGINT) FROM sn_cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM sn_cand c
+                JOIN truth t USING (name_a, name_b)) AS n_found
+        UNION ALL
+        SELECT 'char1_lenband4',
+               (SELECT CAST(count(*) AS BIGINT) FROM blk_cand),
+               (SELECT CAST(count(*) AS BIGINT) FROM truth),
+               (SELECT CAST(count(*) AS BIGINT) FROM blk_cand c
+                JOIN truth t USING (name_a, name_b)))
+    SELECT strategy, nr.n_records, m.n_candidates, m.n_truth, m.n_found,
+           CAST(m.n_found::HUGEINT * 1000000 // m.n_truth::HUGEINT
+                AS BIGINT) AS recall_micro,
+           CAST((nr.n_records::HUGEINT * (nr.n_records - 1) // 2
+                 - m.n_candidates) * 1000000
+                // (nr.n_records::HUGEINT * (nr.n_records - 1) // 2)
+                AS BIGINT) AS reduction_micro
+    FROM m CROSS JOIN nr
+    ORDER BY strategy
+"""

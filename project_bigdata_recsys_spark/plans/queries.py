@@ -2358,9 +2358,9 @@ _GATE_WINDOW = [
     "incremental_agg_merge",
     "hll_daily_rollup",
     "dedup_keep_best",
-    "cdc_current_view",
+    "blocking_quality_audit",
     "course_stats",
-    "user_activity",
+    "stream_skew_monitor",
     "stream_containment",
     "srm_check",
     "mmr_diversified_rerank",
@@ -4051,6 +4051,20 @@ ORACLES["srm_check"] = _TEXTS["srm_check"]
 
 QUERIES["stream_containment"] = replay.stream_containment
 ORACLES["stream_containment"] = ORACLES["containment_pairs"]
+
+
+# Round-14 seventh wave -------------------------------------------------------
+# blocking_quality_audit: pairs-completeness vs reduction-ratio audit
+# of two ER blocking strategies against the planted ground truth —
+# exact recall, no sampling (functions/dedup.py).
+# stream_skew_monitor: per-batch key-count partials folded into a
+# ledger feeding the shared salt-plan kernel; shares
+# skew_salt_advisor's oracle verbatim (streaming/replay.py).
+QUERIES["blocking_quality_audit"] = dedup.blocking_quality_audit
+ORACLES["blocking_quality_audit"] = _TEXTS["blocking_quality_audit"]
+
+QUERIES["stream_skew_monitor"] = replay.stream_skew_monitor
+ORACLES["stream_skew_monitor"] = _TEXTS["skew_salt_advisor"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

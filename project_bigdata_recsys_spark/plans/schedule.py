@@ -69,6 +69,14 @@ stream_containment — postings-ledger fold sharing the containment
 oracle); window replica re-run and PRECHECK_r14_gate.json refreshed
 at the insertion.
 
+R14 SEVENTH WAVE: two slots displaced to the r15 head
+(cdc_current_view, user_activity — r7-evidenced, bench-exercised) for
+the seventh-wave pair (blocking_quality_audit — exact pairs-
+completeness vs reduction-ratio audit of two ER blocking strategies;
+stream_skew_monitor — the folded key-histogram salt plan, shared
+advisor oracle); window replica re-run and PRECHECK_r14_gate.json
+refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

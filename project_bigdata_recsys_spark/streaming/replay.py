@@ -2337,3 +2337,64 @@ def stream_containment(
 
     _run_ledger_fold(spark, stream, fold, "stream_containment", n_staged)
     return containment_from_shingles(spark.read.parquet(ledger))
+
+
+def stream_skew_monitor(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """The salt advisor maintained BY THE STREAM: lineitem rows arrive
+    as ``n_waves`` micro-batches, each folding partial per-key counts
+    (the planted-skew keying shared with skew_salt_advisor) into a
+    ledger; the advisor kernel (salt_plan_from_counts) then reads the
+    merged histogram — counts merge exactly, so the recommended plan
+    is identical to the one-scan form and the batch oracle is shared
+    verbatim.  The deployment shape for continuous skew monitoring:
+    the stream keeps the key histogram current; re-planning costs a
+    histogram-sized fold, never a fact-table rescan."""
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.operators.skew import (
+        salt_plan_from_counts,
+    )
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    u = hash_uniform(
+        F.col("l_orderkey") * 16 + F.col("l_linenumber"), "skew:"
+    )
+    keyed = li.select(
+        F.col("l_orderkey"),
+        F.when(u < 0.25, F.lit(1))
+        .when(u < 0.35, F.lit(2))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("key"),
+    )
+    work, stream, n_staged = _staged_waves(
+        spark,
+        keyed,
+        "l_orderkey",
+        "l_orderkey long, key long",
+        n_waves,
+        "spark_skewmon_stream_",
+    )
+    ledger = os.path.join(work, "counts")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    _run_ledger_fold(spark, stream, fold, "stream_skew_monitor", n_staged)
+    per_key = (
+        spark.read.parquet(ledger)
+        .groupBy("key")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return salt_plan_from_counts(per_key)

@@ -68,6 +68,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "isotonic_calibration_pav",  # Aggregate(bin): ≤ 11 propensity-decile rows
     "vacuum_retention_plan",  # Distinct(month): ≤ ~100 version rows
     "skew_salt_advisor",  # Aggregate(n): ≤ #distinct-key-count rows
+    "stream_skew_monitor",  # same kernel over the folded count ledger
 }
 
 
