@@ -1142,3 +1142,110 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "verdict"
         ),
     ).orderBy("segment")
+
+
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve — the standard evaluation for UPLIFT models (Radcliffe
+    2007): rank users by a targeting score, and at each cumulative
+    score decile compare treated vs control conversions to measure how
+    much incremental conversion the top of the ranking captures.  The
+    missing member of the experiment family: ab_test_lift reads ONE
+    average effect; the Qini curve reads WHO should be targeted.
+
+    Fixture: the shared propensity score (propensity_scored) is the
+    targeting score and its late-half purchase outcome is the
+    conversion; treatment is an independent md5 coin (salt ``qini:``),
+    so the expected curve is the diagonal — the readout's job is
+    exactness, and a real uplift model would be dropped in unchanged.
+
+    Per cumulative decile (descending score): treated/control counts
+    and conversions (exact BIGINTs via one ≤11-row cumulative window)
+    and the Qini statistic q(k) = Yt_k − Yc_k·Nt_k/Nc_k frozen once to
+    micro by integer floor-div.
+
+    Scale: one per-user aggregation (the shared fixture), a ≤11-row
+    bin fold and cumulative window (audited bounded), an ≤11-row
+    readout."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    # same construction as propensity_scored, with the user id carried
+    # through — the treatment coin must key on the user, and the shared
+    # fixture drops the id after scoring
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    anchor = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0)
+        .cast("long")
+        .alias("__mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("__mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("__ne"),
+            F.sum(
+                F.when(
+                    (F.col("day") <= F.col("__mid")) & (F.col("is_p") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__pe"),
+            F.max(
+                F.when(
+                    (F.col("day") > F.col("__mid")) & (F.col("is_p") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    p_micro = F.round(
+        F.lit(1000000.0) * (F.col("__pe") + 1) / (F.col("__ne") + 2)
+    ).cast("long")
+    rows = per_user.select(
+        "y",
+        F.floor(p_micro / 100000).cast("long").alias("bin"),
+        (hash_uniform(F.col("user_id"), "qini:") < 0.5)
+        .cast("int")
+        .alias("treat"),
+    )
+    bins = rows.groupBy("bin").agg(
+        F.sum("treat").cast("long").alias("nt"),
+        F.sum(1 - F.col("treat")).cast("long").alias("nc"),
+        F.sum(F.col("treat") * F.col("y")).cast("long").alias("yt"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("long").alias("yc"),
+    )
+    wcum = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "bin",
+        F.sum("nt").over(wcum).alias("nt_k"),
+        F.sum("nc").over(wcum).alias("nc_k"),
+        F.sum("yt").over(wcum).alias("yt_k"),
+        F.sum("yc").over(wcum).alias("yc_k"),
+    )
+    return cum.select(
+        "bin",
+        "nt_k",
+        "nc_k",
+        "yt_k",
+        "yc_k",
+        F.expr(
+            "(CAST(yt_k AS DECIMAL(38, 0)) * greatest(nc_k, 1)"
+            " - CAST(yc_k AS DECIMAL(38, 0)) * nt_k) * 1000000"
+            " div CAST(greatest(nc_k, 1) AS DECIMAL(38, 0))"
+        )
+        .cast("long")
+        .alias("qini_micro"),
+    ).orderBy(F.desc("bin"))

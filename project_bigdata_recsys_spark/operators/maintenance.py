@@ -838,3 +838,81 @@ def vacuum_retention_plan(
         )
         .orderBy("v")
     )
+
+
+#: Exact in-memory payload model per table: 8 bytes per fixed-width
+#: column (bigint/double/timestamp; int counted 4) plus the exact
+#: string bytes — the unambiguous cross-engine size proxy the advisor
+#: sizes partitions with (parquet-on-disk sizes compress unpredictably
+#: and differ per writer; the UNCOMPRESSED row payload is what a
+#: shuffle partition actually holds in executor memory).
+_ADVISOR_TABLES: dict[str, tuple[int, tuple[str, ...]]] = {
+    "lineitem": (8 * 9 + 4, ("l_returnflag", "l_linestatus")),
+    "orders": (8 * 4, ("o_orderstatus", "o_orderpriority")),
+    "customer": (8 * 2 + 4, ("c_name", "c_mktsegment")),
+    "events": (8 * 4, ("event_type", "props")),
+    "documents": (8 * 2, ("text", "lang", "source")),
+}
+
+
+def shuffle_partition_advisor(
+    spark: SparkSession,
+    sf_dir: str,
+    scan_target_bytes: int = 128 * 1024 * 1024,
+    shuffle_target_bytes: int = 64 * 1024 * 1024,
+    min_parts: int = 32,
+    max_parts: int = 2000,
+) -> DataFrame:
+    """Partition-sizing advisor — the pre-flight every 100 TB job should
+    run instead of inheriting ``spark.sql.shuffle.partitions=200``: from
+    each table's EXACT uncompressed payload bytes (fixed-width columns
+    at engine width + exact string lengths — one scan per table),
+    recommend (a) the file-scan partition count at a 128 MiB target
+    (what ``spark.sql.files.maxPartitionBytes`` is tuned against) and
+    (b) the shuffle partition count at a 64 MiB post-shuffle target,
+    clamped to [min_parts, max_parts] — the sizing rule the session
+    config and docs/SCALE.md state in prose, made computable and
+    diffable across corpus growth.
+
+    Every number is exact integer arithmetic (ceil via (a+b−1) div b),
+    so the advisor itself is oracle-gated like any operator — a sizing
+    tool you cannot trust to reproduce is not a tool."""
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    outs = []
+    for tbl, (fixed, strs) in _ADVISOR_TABLES.items():
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count(F.lit(1)) * F.lit(fixed)
+                + sum(
+                    (F.sum(F.length(F.col(c))) for c in strs),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("est_bytes"),
+        )
+        outs.append(agg.select(F.lit(tbl).alias("table_name"), "*"))
+    stats = outs[0]
+    for o in outs[1:]:
+        stats = stats.unionByName(o)
+    ceil_scan = F.expr(
+        f"CAST((est_bytes + {scan_target_bytes} - 1)"
+        f" div {scan_target_bytes} AS BIGINT)"
+    )
+    ceil_shuf = F.expr(
+        f"CAST((est_bytes + {shuffle_target_bytes} - 1)"
+        f" div {shuffle_target_bytes} AS BIGINT)"
+    )
+    return stats.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.greatest(ceil_scan, F.lit(1).cast("long")).alias("scan_partitions"),
+        F.least(
+            F.greatest(ceil_shuf, F.lit(min_parts).cast("long")),
+            F.lit(max_parts).cast("long"),
+        ).alias("shuffle_partitions"),
+    ).orderBy("table_name")

@@ -658,3 +658,51 @@ TEXTS['srm_check'] = """
                 THEN 'SRM' ELSE 'ok' END AS verdict
     FROM folded ORDER BY segment
 """
+
+TEXTS['qini_uplift_curve'] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN day <= m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ne,
+               CAST(sum(CASE WHEN day <= m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pe,
+               CAST(max(CASE WHEN day > m AND is_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev CROSS JOIN mid GROUP BY user_id),
+    rows_ AS (
+        SELECT y,
+               CAST(floor(CAST(round(1000000.0 * (pe + 1) / (ne + 2))
+                               AS BIGINT) / 100000) AS BIGINT) AS bin,
+               CASE WHEN ('0x' || substr(md5('qini:' ||
+                    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 < 0.5 THEN 1 ELSE 0 END AS treat
+        FROM per_user),
+    bins AS (
+        SELECT bin,
+               CAST(sum(treat) AS BIGINT) AS nt,
+               CAST(sum(1 - treat) AS BIGINT) AS nc,
+               CAST(sum(treat * y) AS BIGINT) AS yt,
+               CAST(sum((1 - treat) * y) AS BIGINT) AS yc
+        FROM rows_ GROUP BY bin),
+    cum AS (
+        SELECT bin,
+               sum(nt) OVER (ORDER BY bin DESC) AS nt_k,
+               sum(nc) OVER (ORDER BY bin DESC) AS nc_k,
+               sum(yt) OVER (ORDER BY bin DESC) AS yt_k,
+               sum(yc) OVER (ORDER BY bin DESC) AS yc_k
+        FROM bins)
+    SELECT bin, CAST(nt_k AS BIGINT) AS nt_k, CAST(nc_k AS BIGINT) AS nc_k,
+           CAST(yt_k AS BIGINT) AS yt_k, CAST(yc_k AS BIGINT) AS yc_k,
+           CAST((yt_k::HUGEINT * greatest(nc_k, 1)
+                 - yc_k::HUGEINT * nt_k) * 1000000
+                // greatest(nc_k, 1)::HUGEINT AS BIGINT) AS qini_micro
+    FROM cum ORDER BY bin DESC
+"""

@@ -3223,3 +3223,37 @@ TEXTS['skew_salt_advisor'] = """
     ORDER BY p.n DESC, p.key
     LIMIT 20
 """
+
+TEXTS['shuffle_partition_advisor'] = """
+    WITH stats AS (
+        SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * 76 + sum(length(l_returnflag))
+                    + sum(length(l_linestatus)) AS BIGINT) AS est_bytes
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 32 + sum(length(o_orderstatus))
+                    + sum(length(o_orderpriority)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 20 + sum(length(c_name))
+                    + sum(length(c_mktsegment)) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'events', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 32 + sum(length(event_type))
+                    + sum(length(props)) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 16 + sum(length(text)) + sum(length(lang))
+                    + sum(length(source)) AS BIGINT)
+        FROM documents)
+    SELECT table_name, n_rows, est_bytes,
+           CAST(greatest((est_bytes + 134217727) // 134217728, 1)
+                AS BIGINT) AS scan_partitions,
+           CAST(least(greatest((est_bytes + 67108863) // 67108864, 32),
+                      2000) AS BIGINT) AS shuffle_partitions
+    FROM stats ORDER BY table_name
+"""

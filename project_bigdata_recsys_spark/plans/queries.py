@@ -2359,7 +2359,7 @@ _GATE_WINDOW = [
     "hll_daily_rollup",
     "dedup_keep_best",
     "blocking_quality_audit",
-    "course_stats",
+    "qini_uplift_curve",
     "stream_skew_monitor",
     "stream_containment",
     "srm_check",
@@ -2373,7 +2373,7 @@ _GATE_WINDOW = [
     "isotonic_calibration_pav",
     "brier_decomposition",
     "pr_auc_by_group",
-    "stream_semantic_dedup",
+    "shuffle_partition_advisor",
     "stream_bpe_vocab",
     "containment_pairs",
     "kneser_ney_bigram",
@@ -4065,6 +4065,21 @@ ORACLES["blocking_quality_audit"] = _TEXTS["blocking_quality_audit"]
 
 QUERIES["stream_skew_monitor"] = replay.stream_skew_monitor
 ORACLES["stream_skew_monitor"] = _TEXTS["skew_salt_advisor"]
+
+
+# Round-14 eighth wave --------------------------------------------------------
+# qini_uplift_curve: cumulative-decile uplift evaluation (Radcliffe
+# Qini) over the shared propensity fixture with an independent md5
+# treatment coin — exact integers, one frozen micro division per
+# decile (operators/experiments.py).
+# shuffle_partition_advisor: partition-sizing pre-flight from exact
+# uncompressed payload bytes — the sizing rule the session config
+# states in prose, made computable (operators/maintenance.py).
+QUERIES["qini_uplift_curve"] = experiments.qini_uplift_curve
+ORACLES["qini_uplift_curve"] = _TEXTS["qini_uplift_curve"]
+
+QUERIES["shuffle_partition_advisor"] = maintenance.shuffle_partition_advisor
+ORACLES["shuffle_partition_advisor"] = _TEXTS["shuffle_partition_advisor"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

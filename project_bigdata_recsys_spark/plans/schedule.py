@@ -77,6 +77,15 @@ stream_skew_monitor — the folded key-histogram salt plan, shared
 advisor oracle); window replica re-run and PRECHECK_r14_gate.json
 refreshed at the insertion.
 
+R14 EIGHTH WAVE (final — the r7-evidence displacement budget is now
+exhausted; every remaining window name is r6-evidenced and stays):
+two slots displaced to the r15 head (course_stats,
+stream_semantic_dedup — r7-evidenced, bench-exercised) for the
+eighth-wave pair (qini_uplift_curve — cumulative-decile uplift
+evaluation; shuffle_partition_advisor — exact-payload partition
+sizing pre-flight); window replica re-run and PRECHECK_r14_gate.json
+refreshed at the insertion.
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then

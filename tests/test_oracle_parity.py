@@ -69,6 +69,7 @@ _GLOBAL_WINDOW_AUDITED = {
     "vacuum_retention_plan",  # Distinct(month): ≤ ~100 version rows
     "skew_salt_advisor",  # Aggregate(n): ≤ #distinct-key-count rows
     "stream_skew_monitor",  # same kernel over the folded count ledger
+    "qini_uplift_curve",  # Aggregate(bin): ≤ 11 propensity-decile rows
 }
 
 
