@@ -442,6 +442,19 @@ HEADLINE = [
     "bpe_fertility_after_merges",
     "skew_salt_advisor",
     "stream_pr_auc",
+    # r14 sixth wave: greedy MMR over the ANN shortlist, the SRM
+    # chi-square gate, postings-ledger streamed containment
+    "mmr_diversified_rerank",
+    "srm_check",
+    "stream_containment",
+    # r14 seventh wave: ER blocking-quality audit (exact recall vs
+    # reduction), folded key-histogram salt planning
+    "blocking_quality_audit",
+    "stream_skew_monitor",
+    # r14 eighth wave: Qini uplift curve, exact-payload partition
+    # sizing pre-flight
+    "qini_uplift_curve",
+    "shuffle_partition_advisor",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

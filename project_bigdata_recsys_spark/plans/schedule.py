@@ -86,6 +86,20 @@ evaluation; shuffle_partition_advisor — exact-payload partition
 sizing pre-flight); window replica re-run and PRECHECK_r14_gate.json
 refreshed at the insertion.
 
+R15 BLOCK AS RECOMPUTED AFTER THE R14 WAVES (supersedes the head of
+the round-15 schedule below; the original block's last 22 names slide
+to the r16 head): the twenty-two r14-displaced names in wave order —
+    monthly_growth, embedding_dim_profile, rolling_distinct_users,
+    item_pagerank_personalized, prefix_cache_savings,
+    packing_efficiency_sweep, semantic_contamination,
+    anti_join_new_keys, union_dedup, scalar_functions, rollup_totals,
+    multiway_join, null_handling, top_k_orders, derived_projection,
+    time_range_filter, conditional_pivot, distinct_counts,
+    cdc_current_view, user_activity, course_stats,
+    stream_semantic_dedup
+— then the round-15 schedule's first 28 names (fuzzy_name_matches
+through doc_fingerprints in its listed order).
+
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,
 ucb_ranking, ewma_anomalies + stream twin, quality_lr_score, ...) then
