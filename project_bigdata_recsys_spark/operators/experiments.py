@@ -89,6 +89,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("arm")
     )
 
+
 def bootstrap_ci_mean(
     spark: SparkSession, sf_dir: str, n_replicas: int = 200
 ) -> DataFrame:
@@ -151,6 +152,7 @@ def bootstrap_ci_mean(
     )
     return bootstrap_ci_readout(replica_sums, point, n_replicas)
 
+
 def bootstrap_ci_readout(
     replica_sums: DataFrame, point: DataFrame, n_replicas: int = 200
 ) -> DataFrame:
@@ -193,6 +195,7 @@ def bootstrap_ci_readout(
         )
         .orderBy("event_type")
     )
+
 
 def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout — the modern experimentation
@@ -306,6 +309,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_reduction"),
     ).orderBy("arm")
 
+
 def neyman_allocation_plan(
     spark: SparkSession, sf_dir: str, budget: int = 1000
 ) -> DataFrame:
@@ -362,6 +366,7 @@ def neyman_allocation_plan(
         )
         .orderBy("event_type")
     )
+
 
 def did_lift_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences lift estimate — the observational
@@ -463,6 +468,7 @@ def did_lift_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did / se, 4).alias("z_score"),
     )
 
+
 def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald's SPRT as a daily conversion monitor: the sequential test
     that lets an experiment stop EARLY with controlled error — the
@@ -498,6 +504,7 @@ def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sprt_path_from_daily(daily)
 
+
 def sprt_path_from_daily(daily: DataFrame) -> DataFrame:
     """Shared SPRT readout over a (day, n, k) frame — the kernel behind
     :func:`sprt_ab_monitor` and its streaming twin
@@ -523,6 +530,7 @@ def sprt_path_from_daily(daily: DataFrame) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
 
 def eb_shrunk_rates(
     spark: SparkSession, sf_dir: str, k: int = 15
@@ -583,6 +591,7 @@ def eb_shrunk_rates(
     return shrunk.orderBy(
         F.desc("eb_rate"), F.asc("user_id")
     ).limit(k)
+
 
 def aa_test_calibration(
     spark: SparkSession, sf_dir: str, n_splits: int = 20
@@ -689,6 +698,7 @@ def aa_test_calibration(
         .orderBy("split_id")
     )
 
+
 def doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doubly-robust (AIPW) average-treatment-effect estimate — the
     modern default causal estimator that completes the family
@@ -772,6 +782,7 @@ def doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu1 - mu0, 4).alias("ate_dr"),
     )
 
+
 def pps_horvitz_thompson(
     spark: SparkSession, sf_dir: str, frac: float = 0.05
 ) -> DataFrame:
@@ -831,6 +842,7 @@ def pps_horvitz_thompson(
             ).alias("rel_err"),
         )
     )
+
 
 def icc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intraclass correlation + design effect of event value under
@@ -901,6 +913,7 @@ def icc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 + (mbar - 1.0) * icc, 4).alias("design_effect"),
     )
 
+
 def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-detectable-effect power analysis for a two-arm test on
     event value: at alpha = 0.05 (two-sided) and 80% power,
@@ -955,6 +968,7 @@ def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde_c / 100.0, 4).alias("mde_abs"),
         F.round(mde_c / F.col("mu_c"), 6).alias("mde_rel"),
     ).orderBy("n_per_arm")
+
 
 def exact_matched_cohort(
     spark: SparkSession, sf_dir: str, band_width: int = 5
@@ -1092,6 +1106,7 @@ def exact_matched_cohort(
     )
 
 
+
 def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio mismatch detection — the first gate every
     experimentation platform runs before reading ANY lift number: if
@@ -1142,6 +1157,7 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "verdict"
         ),
     ).orderBy("segment")
+
 
 
 def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
