@@ -343,7 +343,7 @@ def test_exact_matched_cohort_matches_python(spark):
     from datetime import datetime
 
     from project_bigdata_recsys_spark.catalog import load_table
-    from project_bigdata_recsys_spark.operators.analytics import (
+    from project_bigdata_recsys_spark.operators.experiments import (
         exact_matched_cohort,
     )
 
