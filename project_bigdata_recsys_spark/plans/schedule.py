@@ -98,7 +98,36 @@ to the r16 head): the twenty-two r14-displaced names in wave order —
     cdc_current_view, user_activity, course_stats,
     stream_semantic_dedup
 — then the round-15 schedule's first 28 names (fuzzy_name_matches
-through doc_fingerprints in its listed order).
+through doc_fingerprints in its listed order).  The EXPLICIT 50-name
+block, validated against the registry (50 unique, all registered):
+    monthly_growth, embedding_dim_profile, rolling_distinct_users,
+    item_pagerank_personalized, prefix_cache_savings,
+    packing_efficiency_sweep, semantic_contamination,
+    anti_join_new_keys, union_dedup, scalar_functions,
+    rollup_totals, multiway_join, null_handling, top_k_orders,
+    derived_projection, time_range_filter, conditional_pivot,
+    distinct_counts, cdc_current_view, user_activity,
+    course_stats, stream_semantic_dedup, fuzzy_name_matches,
+    psi_drift, backfill_plan, schema_drift_report,
+    source_dup_attribution_reused, cluster_aware_split_reused,
+    incremental_components_fold, stream_semantic_dedup_probe,
+    stream_cdc_current, ann_rerank, ddsketch_quantile_rollup,
+    bm25_scores, vocab_coverage_curve, item_triangles,
+    concurrent_events_peak, label_agreement_kappa,
+    stream_late_data_audit, stream_merge_apply, bpe_pair_counts,
+    rerank_uplift_profile, stream_value_quantiles,
+    merge_upsert_profile, cms_heavy_hitters,
+    item_similar_neighbors, lang_source_chi2, doc_quality_profile,
+    lang_profile, doc_fingerprints
+(The 22 r14 displacements also push the original r15 block's last 22
+names — token_stats, lang_id_confusion, pii_redaction_profile,
+semi_join_filter, cooccurrence_pairs, sample_deterministic,
+data_quality_report, cube_totals, percentile_stats,
+pivot_status_by_priority, cheapest_order_per_customer, time_rollup,
+paginated_orders, shipping_priority, local_supplier_volume,
+small_quantity_revenue, big_orders, quantity_band_stats,
+price_tier_join, grouping_sets_stats, customers_intersect,
+customers_except — to the r16 head.)
 
 Round-9 rotation (VERDICT r8 task #1): all 50 slots go to queries
 with ZERO prior driver evidence — the r8 session-2 wave (ips_eval,

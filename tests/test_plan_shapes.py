@@ -625,3 +625,71 @@ def test_salted_join_is_shuffle_join_on_salt(spark):
     assert "__salt" in plan
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_containment_pairs_no_cartesian_and_capped_join(spark):
+    """The containment candidate join must be a hash join on the rare
+    shingle (never a cartesian), and exact verification must join the
+    shingle arrays by doc id — candidate-sized, not corpus²."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    plan = _physical(containment_pairs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kneser_ney_readout_is_take_ordered(spark):
+    """The KN top-k must be a heap (TakeOrderedAndProject), never a
+    global sort of the bigram table."""
+    from project_bigdata_recsys_spark.functions.text import (
+        kneser_ney_bigram,
+    )
+
+    plan = _physical(kneser_ney_bigram(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_lateral_decorrelates_to_join(spark):
+    """Catalyst must decorrelate the LATERAL derived table into a
+    ranked join — the optimized plan may carry no correlated-subquery
+    node (a per-customer re-scan would be the O(n·m) trap)."""
+    from project_bigdata_recsys_spark.operators.sqlsurface import (
+        sql_lateral_topk,
+    )
+
+    df = sql_lateral_topk(spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LateralJoin" not in optimized
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_fertility_single_corpus_scan_for_sources(spark):
+    """Applying the learned merges must touch the documents table a
+    bounded number of times: once for the (source, word) counts plus
+    the merge-training scan — never once per merge round."""
+    from project_bigdata_recsys_spark.functions.text import (
+        bpe_fertility_after_merges,
+    )
+
+    df = bpe_fertility_after_merges(spark, SF_SMALL, n_merges=4)
+    plan = _physical(df)
+    assert plan.count("FileScan parquet") <= 2, (
+        "merge application must be expression-only over the per-source"
+        " vocabulary, not a re-scan per round"
+    )
+
+
+def test_vacuum_plan_joins_broadcast(spark):
+    """The vacuum manifest rollup joins version frames that are months-
+    sized — every join must broadcast, nothing may sort-merge."""
+    from project_bigdata_recsys_spark.operators.maintenance import (
+        vacuum_retention_plan,
+    )
+
+    plan = _physical(vacuum_retention_plan(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
