@@ -544,6 +544,61 @@ def frozen_subset_verdict(
     )
 
 
+#: Session bench ledger (r14 verdict task #8): every run appends its
+#: (anchor, frozen ratio, ambient flag) here and the stdout line carries
+#: the min/max frozen ratio across the ledger's IN-BAND runs — the
+#: "two in-band runs bracketing 1.0" conclusion the r14 verdict had to
+#: assemble by hand from BENCH_NOTES now falls out of the artifact
+#: itself.  The filename carries the round so each round's bracket
+#: starts clean (rotate it alongside _GATE_WINDOW).
+SESSION_LEDGER = "BENCH_LEDGER_r15.jsonl"
+
+
+def record_session_bracket(
+    anchor: float,
+    frozen_total: float,
+    frozen_ratio: float | None,
+    ambient_ok: bool,
+    sf: float,
+) -> dict:
+    """Append this run to the session ledger and summarize the in-band
+    bracket so far (same-sf runs only; out-of-band anchors are recorded
+    but excluded from the bracket — they measure the host)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), SESSION_LEDGER
+    )
+    entry = {
+        "ts": round(time.time(), 1),
+        "sf": sf,
+        "anchor": anchor,
+        "frozen_subset_total": frozen_total,
+        "frozen_subset_ratio": frozen_ratio,
+        "ambient_ok": ambient_ok,
+    }
+    with open(path, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+    ratios = []
+    with open(path) as fh:
+        for line in fh:
+            try:
+                e = json.loads(line)
+            except ValueError:
+                continue
+            if e.get("ambient_ok") and e.get("sf") == sf and (
+                e.get("frozen_subset_ratio") is not None
+            ):
+                ratios.append(e["frozen_subset_ratio"])
+    if not ratios:
+        return {"ledger": SESSION_LEDGER, "in_band_runs": 0}
+    return {
+        "ledger": SESSION_LEDGER,
+        "in_band_runs": len(ratios),
+        "frozen_ratio_min": min(ratios),
+        "frozen_ratio_max": max(ratios),
+        "brackets_baseline": min(ratios) <= 1.0 <= max(ratios),
+    }
+
+
 #: After these queries, the inter-query cache release is SKIPPED so a
 #: persist_shared frame survives into the immediately-following entry.
 _SHARE_WITH_NEXT = {
@@ -753,6 +808,9 @@ def main() -> None:
     frozen_ratio, frozen_flag, frozen_advisory = frozen_subset_verdict(
         frozen_subset_total, ambient_ok
     )
+    session_bracket = record_session_bracket(
+        r1_anchor, frozen_subset_total, frozen_ratio, ambient_ok, sf
+    )
     # host load at start/end: this box is shared, and measured co-tenant
     # load swings totals ~2x run-to-run; numbers only compare at similar
     # load.  "queries" carries the 10 slowest only — full map in detail.
@@ -772,6 +830,7 @@ def main() -> None:
                 "frozen_subset_ratio": frozen_ratio,
                 "frozen_subset_flag": frozen_flag,
                 "frozen_subset_advisory": frozen_advisory,
+                "session_bracket": session_bracket,
                 "warm_retimes": warm_retimes,
                 "anchor_normalized_ratio": anchor_normalized_ratio,
                 "anchor_band_sec": list(anchor_band),

@@ -1029,58 +1029,61 @@ ORACLES["split_source_audit"] = f"""
 # (the round-5 late-wave mistake) — pins the window explicitly.
 # Rotation history and the write-ahead r15-r17 schedules live in
 # plans/schedule.py (documentation-only module; VERDICT r13 task 3).
-# The window below is the executed round-14 block from that schedule.
+# The window below is the executed round-15 block from that schedule:
+# the twenty-two r14-displaced names in wave order, then the round-15
+# schedule's first 28 names — pulling the entire r7-evidence bucket
+# forward (VERDICT r14 task 2).
 _GATE_WINDOW = [
-    "gap_filled_daily",
-    "ab_test_lift",
-    "conversion_lag",
-    "centroid_confusion",
-    "split_source_audit",
-    "ann_recall_profile",
-    "pack_sequences_boundaries",
-    "int8_quantization_profile",
-    "source_quantile_filter",
-    "incremental_components",
-    "shuffled_export_manifest",
-    "label_centroid_outliers",
-    "nearest_centroid_agreement",
-    "source_vocabulary_profile",
-    "source_triage_report",
-    "source_dup_attribution",
-    "boilerplate_suffix_profile",
-    "length_bucketed_batches",
-    "novelty_profile",
-    "source_mixture",
-    "unigram_logloss",
-    "sessionize",
-    "approx_profile",
-    "csv_roundtrip_ingest",
-    "pricing_summary",
-    "incremental_agg_merge",
-    "hll_daily_rollup",
-    "dedup_keep_best",
-    "blocking_quality_audit",
-    "qini_uplift_curve",
-    "stream_skew_monitor",
-    "stream_containment",
-    "srm_check",
-    "mmr_diversified_rerank",
-    "stream_pr_auc",
-    "skew_salt_advisor",
-    "bpe_fertility_after_merges",
-    "local_clustering_profile",
-    "sql_lateral_topk",
-    "vacuum_retention_plan",
-    "isotonic_calibration_pav",
-    "brier_decomposition",
-    "pr_auc_by_group",
-    "shuffle_partition_advisor",
-    "stream_bpe_vocab",
-    "containment_pairs",
-    "kneser_ney_bigram",
-    "bpe_train_merges",
-    "stream_golden_record",
-    "join_view_time_travel",
+    "monthly_growth",
+    "embedding_dim_profile",
+    "rolling_distinct_users",
+    "item_pagerank_personalized",
+    "prefix_cache_savings",
+    "packing_efficiency_sweep",
+    "semantic_contamination",
+    "anti_join_new_keys",
+    "union_dedup",
+    "scalar_functions",
+    "rollup_totals",
+    "multiway_join",
+    "null_handling",
+    "top_k_orders",
+    "derived_projection",
+    "time_range_filter",
+    "conditional_pivot",
+    "distinct_counts",
+    "cdc_current_view",
+    "user_activity",
+    "course_stats",
+    "stream_semantic_dedup",
+    "fuzzy_name_matches",
+    "psi_drift",
+    "backfill_plan",
+    "schema_drift_report",
+    "source_dup_attribution_reused",
+    "cluster_aware_split_reused",
+    "incremental_components_fold",
+    "stream_semantic_dedup_probe",
+    "stream_cdc_current",
+    "ann_rerank",
+    "ddsketch_quantile_rollup",
+    "bm25_scores",
+    "vocab_coverage_curve",
+    "item_triangles",
+    "concurrent_events_peak",
+    "label_agreement_kappa",
+    "stream_late_data_audit",
+    "stream_merge_apply",
+    "bpe_pair_counts",
+    "rerank_uplift_profile",
+    "stream_value_quantiles",
+    "merge_upsert_profile",
+    "cms_heavy_hitters",
+    "item_similar_neighbors",
+    "lang_source_chi2",
+    "doc_quality_profile",
+    "lang_profile",
+    "doc_fingerprints",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)

@@ -9,7 +9,18 @@ to live as a ~300-line comment above ``_GATE_WINDOW`` (VERDICT r13
 task 3: move the schedule out of the registry module).  Nothing here
 is imported; edits here never change gate behavior.
 
-ROUND-14 EXECUTION NOTE (this round): the window now holds the 50-name
+ROUND-15 EXECUTION NOTE (this round): the window now holds the 50-name
+r15 block verbatim — the twenty-two r14-displaced names in wave order
+followed by the round-15 schedule's first 28 names, exactly the
+"R15 BLOCK AS RECOMPUTED AFTER THE R14 WAVES" list below; local
+sf0.01 gate-window sweep output committed as PRECHECK_r15_gate.json —
+the rotation counts once CORRECTNESS_r15.json is green.  This block
+retires the entire r7-evidence bucket (VERDICT r14 task 2): every
+remaining window name's prior driver evidence is r7 or r8.  Tail
+insertions for round-15 entrants displace names from this block's
+tail to the r16 head, recorded here per wave.
+
+ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as
 scheduled below); local sf0.01 gate-window sweep output committed as
