@@ -3009,3 +3009,541 @@ def mmr_diversified_rerank(
         "rank int, vec_id long, rel_micro long, max_sim_micro long,"
         " mmr_micro long",
     ).orderBy("rank")
+
+
+def _ivf_coarse_ranked(emb: DataFrame, n_cells: int):
+    """Shared coarse quantizer of the IVF-PQ family: md5-rank sampled
+    centroids (the ivf_centroid_knn seed discipline — data values, no
+    engine RNG, bit-exact in DuckDB) and the fully-ranked assignment
+    frame (vec_id, label, embedding, cell, c_emb, cs, rn): rn = 1 is the
+    home cell, rn <= p the p-probe set.  Returns (centroids, ranked)."""
+    from pyspark.sql import Window
+
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = emb.orderBy(md5_key, "vec_id").limit(n_cells)
+    w_cell = Window.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
+    centroids = seeds.select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("cell", F.row_number().over(w_cell))
+    with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
+    cent_norm = centroids.withColumn("c_norm", l2_norm(F.col("c_emb")))
+    scored = with_norm.crossJoin(F.broadcast(cent_norm)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cell",
+        "c_emb",
+        F.round(
+            dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("v_norm") * F.col("c_norm")),
+            6,
+        ).alias("cs"),
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_best))
+    return centroids, ranked
+
+
+def _residual(a: Column, b: Column) -> Column:
+    """Element-wise float64 residual a − b (zip_with — JVM-side, no
+    Python), the quantity IVF-PQ encodes instead of the raw vector."""
+    return F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def _pq_residual_frames(
+    residuals: DataFrame, m_sub: int, k_codes: int, sub_dim: int
+):
+    """PQ codebook trained on RESIDUALS plus the per-vector code frame.
+
+    ``residuals`` carries (vec_id, cell, r) where r = embedding − home
+    centroid.  The codebook is md5-rank sampled residual vectors split
+    into ``m_sub`` sub-vectors (pq_codebook's discipline applied to the
+    residual space — faiss's IVF-PQ trains its product quantizer on
+    residuals for exactly the recall reason the profile query measures);
+    codes are the per-(vec_id, m) argmin with the 9-dp/code tie-break
+    contract shared with pq_knn.  Returns (book, codes)."""
+    from pyspark.sql import Window
+
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = residuals.orderBy(md5_key, "vec_id").limit(k_codes)
+    w_code = Window.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
+    coded = seeds.select(
+        F.col("vec_id").alias("seed_id"), F.col("r").alias("s_emb")
+    ).withColumn("code", F.row_number().over(w_code))
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    book = coded.select(
+        "code",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("s_emb"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "c_sub"),
+    )
+    vec_subs = residuals.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("r"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "v_sub"),
+    )
+    d2 = (
+        dot(F.col("v_sub"), F.col("v_sub"))
+        - 2 * dot(F.col("v_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    w_best = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(d2, 9).asc(), F.col("code").asc()
+    )
+    codes = (
+        vec_subs.join(F.broadcast(book), "m")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+    return book, codes
+
+
+def ivf_pq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the faiss IVFPQ shape: a coarse md5-sampled
+    Voronoi quantizer routes each vector to a home cell, the product
+    quantizer encodes its RESIDUAL (vector − home centroid) into
+    ``m_sub`` byte codes, and a query probes its ``n_probe`` nearest
+    cells with a per-cell ADC table built from the QUERY's residual
+    against that cell's centroid.  Composes :func:`ivf_centroid_knn`
+    (the coarse stage) with :func:`pq_knn` (the code stage); residual
+    encoding is what makes the shared codebook accurate across cells —
+    the recall uplift :func:`ivf_pq_recall_profile` measures.
+
+    Everything is deterministic and DuckDB-reproducible: sampled
+    centroids and codebook rows are data values, assignments use the
+    rounded-cosine/cell tie-break, sub-quantizer argmins the 9-dp/code
+    tie-break, ADC sums round to 6 dp — the pq_knn contract verbatim.
+
+    Shape at scale: centroids (n_cells) and the residual codebook
+    (m_sub × k_codes) broadcast; assignment + residual + encoding is ONE
+    corpus scan; the probe touches only the n_probe cells' code rows
+    (persist the codes partitioned by cell — build_ivf_pq_index — and
+    this is partition pruning, the inverted-list read of a real IVF);
+    only rerank_factor × k raw vectors are fetched for the exact rerank.
+    Reference parity: the reference has no ANN index at all (its
+    nearest-neighbor surface is the in-memory candidate loop of
+    core-logic/run_consumer.py:213-260); this is the 100 TB
+    replacement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+    centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
+    residuals = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    )
+    book, codes = _pq_residual_frames(residuals, m_sub, k_codes, sub_dim)
+
+    # query side: its n_probe nearest cells, one residual (and hence one
+    # ADC table) PER probed cell — m_sub x k_codes x n_probe rows, tiny
+    q_cells = (
+        ranked.filter(
+            (F.col("vec_id") == query_vec_id) & (F.col("rn") <= n_probe)
+        )
+        .select("cell", _residual(F.col("embedding"), F.col("c_emb")).alias("qr"))
+    )
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    q_subs = q_cells.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("qr"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "q_sub"),
+    )
+    adc = q_subs.join(book, "m").select(
+        "cell",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(rerank_factor * k)
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(shortlist.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def build_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> None:
+    """Persist the IVF-PQ index: centroids/ (cell, c_emb — n_cells
+    rows), codebook/ (m, code, c_sub — m_sub × k_codes rows), and
+    codes/ (vec_id, cell, m, code) PARTITIONED BY cell, so a probe's
+    inverted-list read is parquet partition pruning (the build_ann_index
+    precedent).  Encode once per corpus version; queries never touch raw
+    vectors until their final rerank.  At 100 TB the codes relation is
+    ~m_sub small ints per vector — the scan that replaces brute force —
+    and each probe reads only n_probe / n_cells of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+    centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
+    centroids.select("cell", "c_emb").write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    residuals = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    )
+    book, codes = _pq_residual_frames(residuals, m_sub, k_codes, sub_dim)
+    book.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def query_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Probe the persisted IVF-PQ index: rank the stored centroids
+    against the query (n_cells rows — driver-free, one broadcast join),
+    build the per-probed-cell ADC tables from the stored codebook, and
+    shortlist over the stored codes — the cell partition filter is
+    pushed into the parquet scan, so only the probed inverted lists are
+    read.  Row-identical to the inline ivf_pq_knn by construction
+    (test-pinned, the query_pq_index precedent)."""
+    from pyspark.sql import Window
+
+    book = spark.read.parquet(f"{index_dir}/codebook")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_sub = book.agg(F.max("m")).head()[0] + 1
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+
+    q_emb = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_raw")
+    )
+    cent_norm = centroids.withColumn("c_norm", l2_norm(F.col("c_emb")))
+    w_cell = Window.orderBy(F.desc("cs"), F.asc("cell"))
+    q_cells = (
+        q_emb.crossJoin(F.broadcast(cent_norm))
+        .select(
+            "cell",
+            "c_emb",
+            "q_raw",
+            F.round(
+                dot(F.col("q_raw"), F.col("c_emb"))
+                / (l2_norm(F.col("q_raw")) * F.col("c_norm")),
+                6,
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= n_probe)
+        .select("cell", _residual(F.col("q_raw"), F.col("c_emb")).alias("qr"))
+    )
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    q_subs = q_cells.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("qr"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "q_sub"),
+    )
+    adc = q_subs.join(book, "m").select(
+        "cell",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(rerank_factor * k)
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(shortlist.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_recall_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Candidate-recall uplift of IVF-PQ's residual coding over flat PQ
+    at the SAME shortlist budget (rerank_factor × k) — the ann_rerank
+    readout pattern: per query, |shortlist ∩ exact top-k| / k for both
+    index shapes plus the uplift.  Flat PQ quantizes raw vectors with
+    one global codebook; IVF-PQ quantizes residuals, so the same
+    k_codes of codebook capacity describes the much smaller residual
+    ball — the uplift column is that geometry made measurable.  One
+    corpus encode per index shape (both single scans), per-query ADC
+    tables broadcast, truth is the exact windowed top-k — everything on
+    the pq_knn determinism contract, so the profile itself is
+    oracle-gated.
+
+    The ``cell_ceiling`` column decomposes the two effects IVF-PQ
+    mixes: it is the recall an EXACT search restricted to the probed
+    cells would achieve — the coarse quantizer's pruning loss, the
+    best any in-cell code can do.  recall_ivf_pq reads against that
+    ceiling (coding quality), not against 1.0; on a near-uniform
+    corpus with few sampled cells the ceiling itself is the binding
+    constraint, which is exactly what this readout is for."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+    shortlist_n = rerank_factor * k
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    # exact truth: brute-force cosine per query, top-k
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    truth = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    # flat-PQ shortlist: global codebook over RAW vectors (pq_knn's
+    # encode), per-query ADC, windowed top-shortlist
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    flat_book = pq_codebook(emb, m_sub, k_codes, sub_dim)
+    vec_subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                subs,
+                lambda m: F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim),
+            )
+        ).alias("m", "v_sub"),
+    )
+    d2 = (
+        dot(F.col("v_sub"), F.col("v_sub"))
+        - 2 * dot(F.col("v_sub"), F.col("c_sub"))
+        + dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    w_best = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(d2, 9).asc(), F.col("code").asc()
+    )
+    flat_codes = (
+        vec_subs.join(F.broadcast(flat_book), "m")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q_subs_flat = queries.select(
+        "query_id",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("q_emb"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "q_sub"),
+    )
+    adc_flat = q_subs_flat.join(flat_book, "m").select(
+        "query_id",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("vec_id")
+    )
+    flat_short = (
+        flat_codes.join(F.broadcast(adc_flat), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist_n)
+        .select("query_id", "vec_id")
+    )
+
+    # IVF-PQ shortlist: coarse cells + residual codebook + per-(query,
+    # probed cell) ADC — ivf_pq_knn's exact arithmetic, multi-query form
+    centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
+    residuals = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    )
+    res_book, res_codes = _pq_residual_frames(
+        residuals, m_sub, k_codes, sub_dim
+    )
+    q_cells = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("qr"),
+    )
+    q_subs_ivf = q_cells.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("qr"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "q_sub"),
+    )
+    adc_ivf = q_subs_ivf.join(res_book, "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    ivf_short = (
+        res_codes.join(F.broadcast(adc_ivf), ["cell", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist_n)
+        .select("query_id", "vec_id")
+    )
+
+    # pruning ceiling: every corpus vector whose HOME cell is probed —
+    # the candidate set an exact in-cell search would see
+    in_cells = residuals.select("vec_id", "cell").join(
+        F.broadcast(q_cells.select("query_id", "cell")), "cell"
+    ).select("query_id", "vec_id")
+
+    hits_flat = (
+        truth.join(flat_short, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_flat"))
+    )
+    hits_ivf = (
+        truth.join(ivf_short, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ivf"))
+    )
+    hits_ceiling = (
+        truth.join(in_cells, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ceil"))
+    )
+    base = queries.select("query_id")
+    return (
+        base.join(hits_flat, "query_id", "left")
+        .join(hits_ivf, "query_id", "left")
+        .join(hits_ceiling, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_flat"), F.lit(0)) / k, 4).alias(
+                "recall_pq"
+            ),
+            F.round(F.coalesce(F.col("n_ivf"), F.lit(0)) / k, 4).alias(
+                "recall_ivf_pq"
+            ),
+            F.round(F.coalesce(F.col("n_ceil"), F.lit(0)) / k, 4).alias(
+                "cell_ceiling"
+            ),
+            F.round(
+                (
+                    F.coalesce(F.col("n_ivf"), F.lit(0))
+                    - F.coalesce(F.col("n_flat"), F.lit(0))
+                )
+                / k,
+                4,
+            ).alias("uplift"),
+        )
+        .orderBy("query_id")
+    )

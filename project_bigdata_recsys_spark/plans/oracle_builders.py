@@ -2283,3 +2283,261 @@ def _mmr_oracle(
         + readout
         + "\n    ORDER BY rank\n"
     )
+
+
+def _ivf_pq_core_sql(
+    n_cells: int, m_sub: int, k_codes: int, sub_dim: int, dim: int
+) -> str:
+    """Shared CTE chain of the IVF-PQ oracles: coarse md5-sampled
+    centroids, rounded-cosine home-cell assignment, element-wise
+    residuals, the residual-trained codebook, and the per-vector code
+    frame — the SQL twin of similarity._ivf_coarse_ranked +
+    _pq_residual_frames."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    return f"""
+        emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        cents AS (
+            SELECT vec_id AS seed_id, e AS c_emb,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+            FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
+        assign AS (
+            SELECT m.vec_id, m.label, m.e, c.cell, c.c_emb,
+                   round(list_dot_product(m.e, c.c_emb)
+                         / (sqrt(list_dot_product(m.e, m.e))
+                            * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6)
+                       AS cs
+            FROM emb m CROSS JOIN cents c),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cell) AS rn
+            FROM assign),
+        homes AS (
+            SELECT vec_id, cell,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> e[i] - c_emb[i]) AS r
+            FROM ranked WHERE rn = 1),
+        rseeds AS (
+            SELECT vec_id AS seed_id, r AS s_emb FROM homes
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+        rcoded AS (
+            SELECT s_emb,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(seed_id AS VARCHAR)), seed_id)
+                       AS INTEGER) AS code
+            FROM rseeds),
+        rbook AS (
+            SELECT code, CAST(mm AS INTEGER) AS m, s_emb[{lo} : {w}] AS c_sub
+            FROM (SELECT code, s_emb, unnest(range(0, {m_sub})) AS mm
+                  FROM rcoded)),
+        rsubs AS (
+            SELECT vec_id, cell, CAST(mm AS INTEGER) AS m,
+                   r[{lo} : {w}] AS v_sub
+            FROM (SELECT vec_id, cell, r, unnest(range(0, {m_sub})) AS mm
+                  FROM homes)),
+        rdists AS (
+            SELECT vec_id, cell, m, code,
+                   round(list_dot_product(v_sub, v_sub)
+                         - 2 * list_dot_product(v_sub, c_sub)
+                         + list_dot_product(c_sub, c_sub), 9) AS d2
+            FROM rsubs JOIN rbook USING (m)),
+        rcodes AS (
+            SELECT vec_id, cell, m, code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM rdists)
+            WHERE rn = 1)"""
+
+
+def _ivf_pq_oracle(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    sub_dim: int = 8,
+    dim: int = 64,
+    rerank_factor: int = 4,
+) -> str:
+    """SQL twin of similarity.ivf_pq_knn: coarse cells, residual
+    codebook, per-probed-cell ADC, exact cosine rerank."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    return f"""
+        WITH {_ivf_pq_core_sql(n_cells, m_sub, k_codes, sub_dim, dim)},
+        qcells AS (
+            SELECT cell,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> e[i] - c_emb[i]) AS qr
+            FROM ranked WHERE vec_id = {query_vec_id} AND rn <= {n_probe}),
+        qsub AS (
+            SELECT cell, CAST(mm AS INTEGER) AS m, qr[{lo} : {w}] AS q_sub
+            FROM (SELECT cell, qr, unnest(range(0, {m_sub})) AS mm
+                  FROM qcells)),
+        adc AS (
+            SELECT cell, m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM qsub JOIN rbook USING (m)),
+        short AS (
+            SELECT c.vec_id, round(sum(a.d2), 6) AS approx_d2
+            FROM rcodes c JOIN adc a USING (cell, m, code)
+            WHERE c.vec_id <> {query_vec_id}
+            GROUP BY c.vec_id
+            ORDER BY approx_d2, c.vec_id
+            LIMIT {rerank_factor * k}),
+        q AS (SELECT e AS q_emb FROM emb WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(e.e, q.q_emb)
+                     / (sqrt(list_dot_product(e.e, e.e))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6)
+                   AS cos_sim
+        FROM emb e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
+def _ivf_pq_recall_oracle(
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    sub_dim: int = 8,
+    dim: int = 64,
+    rerank_factor: int = 4,
+) -> str:
+    """SQL twin of similarity.ivf_pq_recall_profile: exact top-k truth,
+    flat-PQ shortlist (raw-vector global codebook), IVF-PQ shortlist
+    (residual codebook over probed cells), per-query recall and
+    uplift."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    shortlist_n = rerank_factor * k
+    return f"""
+        WITH {_ivf_pq_core_sql(n_cells, m_sub, k_codes, sub_dim, dim)},
+        queries AS (
+            SELECT vec_id AS query_id, e AS q_emb FROM emb
+            WHERE vec_id < {n_queries}),
+        truth AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(e.e, q.q_emb)
+                                 / (sqrt(list_dot_product(e.e, e.e))
+                                    * sqrt(list_dot_product(q.q_emb, q.q_emb))),
+                                 6) DESC, e.vec_id) AS rn
+                FROM emb e CROSS JOIN queries q
+                WHERE e.vec_id <> q.query_id)
+            WHERE rn <= {k}),
+        fseeds AS (
+            SELECT vec_id AS seed_id, e AS s_emb FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
+        fcoded AS (
+            SELECT s_emb,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(seed_id AS VARCHAR)), seed_id)
+                       AS INTEGER) AS code
+            FROM fseeds),
+        fbook AS (
+            SELECT code, CAST(mm AS INTEGER) AS m, s_emb[{lo} : {w}] AS c_sub
+            FROM (SELECT code, s_emb, unnest(range(0, {m_sub})) AS mm
+                  FROM fcoded)),
+        fsubs AS (
+            SELECT vec_id, CAST(mm AS INTEGER) AS m, e[{lo} : {w}] AS v_sub
+            FROM (SELECT vec_id, e, unnest(range(0, {m_sub})) AS mm FROM emb)),
+        fdists AS (
+            SELECT vec_id, m, code,
+                   round(list_dot_product(v_sub, v_sub)
+                         - 2 * list_dot_product(v_sub, c_sub)
+                         + list_dot_product(c_sub, c_sub), 9) AS d2
+            FROM fsubs JOIN fbook USING (m)),
+        fcodes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM fdists)
+            WHERE rn = 1),
+        fqsub AS (
+            SELECT query_id, CAST(mm AS INTEGER) AS m,
+                   q_emb[{lo} : {w}] AS q_sub
+            FROM (SELECT query_id, q_emb, unnest(range(0, {m_sub})) AS mm
+                  FROM queries)),
+        fadc AS (
+            SELECT query_id, m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM fqsub JOIN fbook USING (m)),
+        fshort AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, vec_id) AS srn
+                FROM (SELECT a.query_id, c.vec_id,
+                             round(sum(a.d2), 6) AS approx_d2
+                      FROM fcodes c JOIN fadc a USING (m, code)
+                      WHERE c.vec_id <> a.query_id
+                      GROUP BY a.query_id, c.vec_id))
+            WHERE srn <= {shortlist_n}),
+        iqcells AS (
+            SELECT vec_id AS query_id, cell,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> e[i] - c_emb[i]) AS qr
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+        iqsub AS (
+            SELECT query_id, cell, CAST(mm AS INTEGER) AS m,
+                   qr[{lo} : {w}] AS q_sub
+            FROM (SELECT query_id, cell, qr, unnest(range(0, {m_sub})) AS mm
+                  FROM iqcells)),
+        iadc AS (
+            SELECT query_id, cell, m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM iqsub JOIN rbook USING (m)),
+        ishort AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, vec_id) AS srn
+                FROM (SELECT a.query_id, c.vec_id,
+                             round(sum(a.d2), 6) AS approx_d2
+                      FROM rcodes c JOIN iadc a USING (cell, m, code)
+                      WHERE c.vec_id <> a.query_id
+                      GROUP BY a.query_id, c.vec_id))
+            WHERE srn <= {shortlist_n}),
+        in_cells AS (
+            SELECT c.query_id, h.vec_id
+            FROM homes h
+            JOIN (SELECT DISTINCT query_id, cell FROM iqcells) c
+              USING (cell)),
+        hits_flat AS (
+            SELECT t.query_id, count(*) AS n_flat
+            FROM truth t JOIN fshort s USING (query_id, vec_id)
+            GROUP BY t.query_id),
+        hits_ivf AS (
+            SELECT t.query_id, count(*) AS n_ivf
+            FROM truth t JOIN ishort s USING (query_id, vec_id)
+            GROUP BY t.query_id),
+        hits_ceiling AS (
+            SELECT t.query_id, count(*) AS n_ceil
+            FROM truth t JOIN in_cells s USING (query_id, vec_id)
+            GROUP BY t.query_id)
+        SELECT q.query_id,
+               round(COALESCE(f.n_flat, 0) / {k}, 4) AS recall_pq,
+               round(COALESCE(i.n_ivf, 0) / {k}, 4) AS recall_ivf_pq,
+               round(COALESCE(c.n_ceil, 0) / {k}, 4) AS cell_ceiling,
+               round((COALESCE(i.n_ivf, 0) - COALESCE(f.n_flat, 0)) / {k}, 4)
+                   AS uplift
+        FROM queries q
+        LEFT JOIN hits_flat f USING (query_id)
+        LEFT JOIN hits_ivf i USING (query_id)
+        LEFT JOIN hits_ceiling c USING (query_id)
+        ORDER BY q.query_id
+    """

@@ -78,6 +78,8 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _incremental_oracle,
     _ivf_lloyd_oracle,
     _ivf_oracle,
+    _ivf_pq_oracle,
+    _ivf_pq_recall_oracle,
     _kcore_oracle,
     _knn_graph_oracle,
     _lloyd_prefix_sql,
@@ -1082,8 +1084,8 @@ _GATE_WINDOW = [
     "item_similar_neighbors",
     "lang_source_chi2",
     "doc_quality_profile",
-    "lang_profile",
-    "doc_fingerprints",
+    "knn_ivf_pq",
+    "ivf_pq_recall_profile",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -2784,6 +2786,20 @@ ORACLES["qini_uplift_curve"] = _TEXTS["qini_uplift_curve"]
 
 QUERIES["shuffle_partition_advisor"] = maintenance.shuffle_partition_advisor
 ORACLES["shuffle_partition_advisor"] = _TEXTS["shuffle_partition_advisor"]
+
+
+# Round-15 first wave ---------------------------------------------------------
+# knn_ivf_pq: the faiss IVF-PQ composition — coarse md5-sampled cells
+# + product quantization of RESIDUALS, per-probed-cell ADC tables,
+# exact rerank (functions/similarity.py; VERDICT r14 task 4).
+# ivf_pq_recall_profile: candidate recall of flat PQ vs IVF-PQ at the
+# same shortlist budget, with the probed-cell exact-search ceiling
+# that separates pruning loss from coding quality.
+QUERIES["knn_ivf_pq"] = similarity.ivf_pq_knn
+ORACLES["knn_ivf_pq"] = _ivf_pq_oracle()
+
+QUERIES["ivf_pq_recall_profile"] = similarity.ivf_pq_recall_profile
+ORACLES["ivf_pq_recall_profile"] = _ivf_pq_recall_oracle()
 
 
 # Apply the rotation: this must remain the LAST statement touching

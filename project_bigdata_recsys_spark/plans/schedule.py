@@ -20,6 +20,15 @@ remaining window name's prior driver evidence is r7 or r8.  Tail
 insertions for round-15 entrants displace names from this block's
 tail to the r16 head, recorded here per wave.
 
+R15 FIRST WAVE: two slots displaced to the r16 head (lang_profile,
+doc_fingerprints — r7-evidenced, bench-exercised) for the first-wave
+pair (knn_ivf_pq — the faiss IVF-PQ composition, coarse md5-sampled
+cells + residual product quantization + per-probed-cell ADC, verdict
+task 4; ivf_pq_recall_profile — flat-PQ vs IVF-PQ candidate recall at
+the same shortlist budget with the probed-cell exact-search ceiling);
+window replica re-run and PRECHECK_r15_gate.json refreshed at the
+insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as

@@ -585,3 +585,51 @@ def test_pq_index_probe_matches_inline(spark, tmp_path):
     inline = pq_knn(spark, SF_SMALL, k=10).collect()
     probed = query_pq_index(spark, idx, SF_SMALL, k=10).collect()
     assert inline == probed
+
+
+def test_ivf_pq_index_probe_matches_inline(spark, tmp_path):
+    """Persisted IVF-PQ index probe must be row-identical to the inline
+    ivf_pq_knn (same coarse cells, same residual codebook, same
+    per-cell ADC, same rerank) — the query_pq_index precedent."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_knn,
+        query_ivf_pq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(spark, SF_SMALL, idx)
+    inline = ivf_pq_knn(spark, SF_SMALL, k=10).collect()
+    probed = query_ivf_pq_index(spark, idx, SF_SMALL, k=10).collect()
+    assert inline == probed
+    # the codes relation is partitioned by cell — the probe's
+    # inverted-list read is a directory prune, not a full scan
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/codes"))
+
+
+def test_ivf_pq_exact_rerank_and_ceiling_invariant(spark):
+    """Everything ivf_pq_knn returns carries the EXACT cosine (only the
+    shortlist is approximate), and the recall profile obeys its own
+    decomposition: in-cell PQ recall can never beat the probed-cell
+    exact-search ceiling."""
+    from project_bigdata_recsys_spark.functions.similarity import (
+        ivf_pq_knn,
+        ivf_pq_recall_profile,
+    )
+
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in knn_brute_force(spark, SF_SMALL, k=500).collect()
+    }
+    a = ivf_pq_knn(spark, SF_SMALL, k=10).collect()
+    b = ivf_pq_knn(spark, SF_SMALL, k=10).collect()
+    assert a == b
+    for r in a:
+        assert abs(exact[r.vec_id] - r.cos_sim) < 1e-6
+    prof = ivf_pq_recall_profile(spark, SF_SMALL).collect()
+    assert len(prof) == 5
+    for r in prof:
+        assert r.recall_ivf_pq <= r.cell_ceiling + 1e-9
+        assert abs(r.uplift - (r.recall_ivf_pq - r.recall_pq)) < 1e-9
