@@ -455,6 +455,20 @@ HEADLINE = [
     # sizing pre-flight
     "qini_uplift_curve",
     "shuffle_partition_advisor",
+    # r15 first wave: IVF-PQ composed ANN (residual PQ over coarse
+    # cells, per-probed-cell ADC + exact rerank) and its recall
+    # decomposition vs flat PQ / the probed-cell exact ceiling
+    "knn_ivf_pq",
+    "ivf_pq_recall_profile",
+    # r15 second wave: manifest-driven schema-evolution read (two
+    # drifted physical snapshots resolved at scan time) and the Arrow
+    # Python UDTF surface (LATERAL fan-out, plan-pinned Arrow eval)
+    "schema_evolution_read",
+    "udtf_token_rows",
+    # r15 third wave: persisted incremental containment index
+    # (O(batch) postings/df-ledger admission, probe-time cap-crossing
+    # retraction)
+    "containment_index_pairs",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2451,6 +2451,19 @@ def containment_from_shingles(
         .select("g")
     )
     rx = exploded.join(rare, "g")
+    return _containment_readout(sh_tbl, rx, threshold)
+
+
+def _containment_readout(
+    sh_tbl: DataFrame, rx: DataFrame, threshold: float
+) -> DataFrame:
+    """Pair materialization from rare-shingle postings ``rx`` =
+    (doc_id, g): self-join on the shingle (Σ df² over the capped
+    postings, the winnowing bound) → exact intersection on the full
+    shingle arrays.  Shared by the inline kernel (rare computed from
+    the same frame) and the persisted-index probe (rare computed from
+    the df LEDGER — which is what makes cap-crossing retraction a
+    probe-time filter instead of a stored-pair rewrite)."""
     cand = (
         rx.alias("a")
         .join(
@@ -2481,6 +2494,107 @@ def containment_from_shingles(
         .filter(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: shingle-hash bucket fan for the containment index postings layout —
+#: the bands/kb precedent: a batch probe's distinct (gb) keys become a
+#: partition-pruning filter, so small probes read few directories.
+_CONTAIN_INDEX_GB = 64
+
+
+def update_containment_index(
+    spark: SparkSession, sh_batch: DataFrame, index_dir: str
+) -> None:
+    """O(batch) admission of a shingled batch into the persisted
+    containment index (VERDICT r14 task 7 — the incremental service
+    stream_containment's docstring said an honest implementation would
+    need): nothing already indexed is re-read or re-hashed.  Layout:
+
+      postings/   (doc_id, g) partitioned by gb = hash32(g) % 64 —
+                  the inverted shingle lists a probe joins against.
+      df_ledger/  (g, df_delta) per-batch shingle document-frequency
+                  DELTAS; the current global df of any shingle is the
+                  ledger fold Σ df_delta, knowable without touching
+                  postings.
+      docs/       (doc_id, sh) full shingle arrays for the exact
+                  intersection pass on surviving candidates.
+
+    The cap-crossing problem — a shingle rare yesterday (df ≤ cap) can
+    cross the cap as batches land, invalidating pairs it alone
+    supported — is solved by NEVER storing pairs: the index stores
+    postings + df deltas, and :func:`probe_containment_index`
+    materializes pairs against the CURRENT ledger fold, so a crossed
+    shingle is excluded the moment its fold exceeds the cap (implicit
+    retraction, no rewrite of anything already on disk)."""
+    postings = sh_batch.select(
+        "doc_id", F.explode("sh").alias("g")
+    ).withColumn("gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int"))
+    postings.write.mode("append").partitionBy("gb").parquet(
+        f"{index_dir}/postings"
+    )
+    # per-batch df deltas: shingle arrays are distinct per doc, so the
+    # batch count IS the batch's contribution to global df
+    postings.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("df_delta")
+    ).write.mode("append").parquet(f"{index_dir}/df_ledger")
+    sh_batch.select("doc_id", "sh").write.mode("append").parquet(
+        f"{index_dir}/docs"
+    )
+
+
+def probe_containment_index(
+    spark: SparkSession,
+    index_dir: str,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment pairs valid under the index's CURRENT df state: fold
+    the df ledger, keep shingles with global df ≤ ``df_cap``, join the
+    postings against that rare set, and run the shared exact-readout
+    kernel.  Row-identical to :func:`containment_from_shingles` over
+    the union of all admitted batches (asserted in tests), because the
+    ledger fold equals the inline document frequency as long as each
+    document is admitted exactly once — and pairs supported only by a
+    shingle that has since crossed the cap are absent, which is the
+    retraction semantics stored-pair designs have to implement as a
+    compensating delete."""
+    df_now = (
+        spark.read.parquet(f"{index_dir}/df_ledger")
+        .groupBy("g")
+        .agg(F.sum("df_delta").alias("df"))
+    )
+    rare = df_now.filter(F.col("df") <= df_cap).select("g")
+    rx = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(rare, "g")
+        .select("doc_id", "g")
+    )
+    sh_tbl = spark.read.parquet(f"{index_dir}/docs")
+    return _containment_readout(sh_tbl, rx, threshold)
+
+
+def containment_index_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_waves: int = 3,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Gate form of the persisted containment index: admit the shared
+    containment fixture in ``n_waves`` deterministic waves
+    (doc_id % n_waves — each document exactly once), then probe.  The
+    output must equal :func:`containment_pairs` bit-for-bit, so the
+    oracle is shared verbatim — the probe ≡ inline discipline of
+    probe_dedup_index / query_pq_index."""
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    sh = containment_shingles(spark, sf_dir)
+    index_dir = scratch_dir("contain_idx")
+    for w in range(n_waves):
+        update_containment_index(
+            spark, sh.filter(F.col("doc_id") % n_waves == w), index_dir
+        )
+    return probe_containment_index(spark, index_dir, df_cap, threshold)
 
 
 def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,3 +193,48 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 200
         """
     )
+
+
+def udtf_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF (Spark 4 ``@udtf(useArrow=True)``)
+    closing SURVEY §2.11's optional UDTF checkbox: tokenize each
+    document into (pos, token) rows via a LATERAL table-function call —
+    the surface a user reaches for when per-row fan-out needs real
+    Python (sentence segmenters, parser libraries, stateful span
+    logic) rather than an expressible split.
+
+    Honesty note, measured: for THIS job the built-in
+    ``posexplode(split(text, ' '))`` stays inside whole-stage codegen
+    and beats the UDTF (~2x at sf0.1) — the UDTF is the right tool
+    only when the per-row expansion cannot be written as built-in
+    expressions.  The gate therefore runs the UDTF path and checks it
+    against exactly that built-in equivalent (DuckDB:
+    unnest + generate_subscripts), proving the two surfaces agree.
+
+    Scale: ArrowEvalPythonUDTF is per-partition, batch-wise (Arrow
+    transfer, no Python pickling per row), no shuffle; column pruning
+    still reaches the parquet scan (plan-tested) so a 100-TB corpus
+    streams (doc_id, text) only.  The trailing sort is presentation
+    order for the bounded gate, not part of the operator.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class TokenRows:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("udtf_token_rows", TokenRows)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL udtf_token_rows(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

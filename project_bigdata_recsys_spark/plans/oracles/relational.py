@@ -3257,3 +3257,37 @@ TEXTS['shuffle_partition_advisor'] = """
                       2000) AS BIGINT) AS shuffle_partitions
     FROM stats ORDER BY table_name
 """
+
+TEXTS['schema_evolution_read'] = """
+    WITH v1 AS (
+        SELECT 1 AS version, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               -1 AS priority_rank
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    v2 AS (
+        SELECT 2 AS version, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                   AS priority_rank
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(version AS INTEGER) AS version, status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(total_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN priority_rank = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backfilled,
+           CAST(sum(CASE WHEN priority_rank <> -1
+                         THEN priority_rank ELSE 0 END)
+                AS BIGINT) AS sum_rank
+    FROM u GROUP BY version, status
+    ORDER BY version, status
+"""
+
+TEXTS['udtf_token_rows'] = """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    ORDER BY doc_id, pos
+"""

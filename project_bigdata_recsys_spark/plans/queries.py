@@ -1081,11 +1081,11 @@ _GATE_WINDOW = [
     "stream_value_quantiles",
     "merge_upsert_profile",
     "cms_heavy_hitters",
-    "item_similar_neighbors",
-    "lang_source_chi2",
-    "doc_quality_profile",
+    "containment_index_pairs",
     "knn_ivf_pq",
     "ivf_pq_recall_profile",
+    "schema_evolution_read",
+    "udtf_token_rows",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)
@@ -2800,6 +2800,32 @@ ORACLES["knn_ivf_pq"] = _ivf_pq_oracle()
 
 QUERIES["ivf_pq_recall_profile"] = similarity.ivf_pq_recall_profile
 ORACLES["ivf_pq_recall_profile"] = _ivf_pq_recall_oracle()
+
+
+# Round-15 second wave --------------------------------------------------------
+# schema_evolution_read: the lakehouse family's missing read-side piece
+# (VERDICT r14 task 5) — two physically-written parquet snapshots with
+# drifted schemas (rename, int32->int64 widening, added column) resolved
+# to one logical schema by a column-mapping manifest at read time, no
+# rewrite; gated on the per-(version, status) profile of the unified
+# table.  udtf_token_rows: SURVEY §2.11's optional UDTF checkbox — a
+# Spark-4 Arrow-optimized Python UDTF fanned out via LATERAL, gated
+# against the built-in split-equivalent (DuckDB unnest) it must agree
+# with (plan test pins ArrowEvalPythonUDTF + pruned scan).
+QUERIES["schema_evolution_read"] = maintenance.schema_evolution_read
+ORACLES["schema_evolution_read"] = _TEXTS["schema_evolution_read"]
+
+QUERIES["udtf_token_rows"] = sqlsurface.udtf_token_rows
+ORACLES["udtf_token_rows"] = _TEXTS["udtf_token_rows"]
+
+# containment_index_pairs: the persisted incremental containment index
+# (update = O(batch) postings + df-delta appends; probe = pair
+# materialization against the CURRENT df-ledger fold, so a shingle
+# crossing the df cap retracts its pairs implicitly — the honest
+# incremental contract stream_containment's docstring called out).
+# Probe ≡ inline, so the containment_pairs oracle is shared verbatim.
+QUERIES["containment_index_pairs"] = dedup.containment_index_pairs
+ORACLES["containment_index_pairs"] = ORACLES["containment_pairs"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

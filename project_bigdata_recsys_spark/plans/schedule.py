@@ -29,6 +29,25 @@ the same shortlist budget with the probed-cell exact-search ceiling);
 window replica re-run and PRECHECK_r15_gate.json refreshed at the
 insertion.
 
+R15 SECOND WAVE: two slots displaced to the r16 head (lang_source_chi2,
+doc_quality_profile — doc_quality_profile is additionally in the frozen
+bench subset, so it stays exercised every bench run) for the
+second-wave pair (schema_evolution_read — manifest-driven column-mapping
+resolution of two drifted parquet snapshots, the lakehouse read-side
+piece, verdict task 5; udtf_token_rows — Spark-4 Arrow Python UDTF via
+LATERAL gated against the built-in split equivalent, closing SURVEY
+§2.11's optional UDTF checkbox, verdict task 6); window replica re-run
+and PRECHECK_r15_gate.json refreshed at the insertion.
+
+R15 THIRD WAVE: one slot displaced to the r16 head
+(item_similar_neighbors — r8-evidenced, bench-exercised) for
+containment_index_pairs (the persisted incremental containment index:
+O(batch) postings + df-delta ledger admission, probe-time exclusion of
+cap-crossed shingles = implicit pair retraction, verdict task 7;
+probe ≡ inline so the containment_pairs oracle is shared verbatim);
+window replica re-run and PRECHECK_r15_gate.json refreshed at the
+insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as
