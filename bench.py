@@ -469,6 +469,15 @@ HEADLINE = [
     # (O(batch) postings/df-ledger admission, probe-time cap-crossing
     # retraction)
     "containment_index_pairs",
+    # r15 fourth wave: tie-corrected Mann-Whitney U (integer midranks
+    # over the per-segment value histogram) and the stream-maintained
+    # containment index (per-batch O(batch) admission + probe)
+    "mann_whitney_test",
+    "stream_containment_index",
+    # r15 fifth wave: histogram-ledger streamed U test and the
+    # two-layout partition-spec evolution read
+    "stream_mann_whitney",
+    "partition_evolution_read",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

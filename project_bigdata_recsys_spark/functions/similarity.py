@@ -764,47 +764,149 @@ def knn_rp_lsh(
     )
 
 
+#: plane id of the in-bucket SORT projection — outside every bucket
+#: plane (p < 16), so the ordering direction is independent of the
+#: bucketing directions.
+_SORT_PLANE = 997
+
+
+def _sort_projection(col: Column) -> Column:
+    """1-D Rademacher projection ordering bucket members for the banded
+    candidate window — same deterministic weight family as the bucket
+    planes (plane 997, table 0), so DuckDB computes the identical
+    value."""
+
+    def w():
+        return lambda x, i: x.cast("double") * _rp_weight(i, _SORT_PLANE, 0)
+
+    return F.aggregate(
+        F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), w()),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _banded_candidates(posd: DataFrame, band: int) -> DataFrame:
+    """Directed candidate edges from a positioned bucket relation
+    (vec_id, t, bucket, pos): pairs within ``band`` positions of each
+    other in the sort-projection order.  The join is equi on
+    (t, bucket, block) with the right side exploded to its three
+    adjacent blocks, so the pair stream is O(n · band · tables) — the
+    occ² blowup of the naive in-bucket self-join never materializes
+    (at sf1 the probe measured Σocc² = 411M generated pairs on
+    cone-clustered data; this kernel generates ≤ n · 2band · tables).
+
+    WHY a band instead of the whole bucket: sign-random-projection
+    buckets cannot subdivide a tight co-directional cluster (every
+    origin hyperplane leaves the cone on one side), so bucket occupancy
+    grows linearly with corpus size on clustered embeddings no matter
+    how many planes are used — the in-bucket join is then quadratic.
+    Ordering members by an independent 1-D projection and connecting
+    each vector to its band neighbors is the classic sorted-projection
+    refinement: true nearest neighbors project close together, so they
+    stay within the band, while the pair count is linear by
+    construction.  The exact-cosine rerank downstream is unchanged."""
+    a = posd.select(
+        F.col("vec_id").alias("src_id"),
+        "t",
+        "bucket",
+        F.col("pos").alias("pa"),
+        F.floor(F.col("pos") / band).cast("long").alias("blk"),
+    )
+    blk = F.floor(F.col("pos") / band).cast("long")
+    b = posd.select(
+        F.col("vec_id").alias("nbr_id"),
+        "t",
+        "bucket",
+        F.col("pos").alias("pb"),
+        F.explode(F.array(blk - 1, blk, blk + 1)).alias("blk"),
+    )
+    return (
+        a.join(b, ["t", "bucket", "blk"])
+        .filter(
+            (F.col("src_id") != F.col("nbr_id"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= band)
+        )
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+
+
+def occupancy_planes(n: int, target: int = 32, floor: int = 6, cap: int = 16) -> int:
+    """Occupancy-bounded RP-LSH plane count: the smallest L with
+    n / 2^L ≤ ``target``, clamped to [floor, cap] — pure integer
+    arithmetic (bit_length), so DuckDB's ``length(bin(x))`` computes
+    the identical value and the rule itself is oracle-checkable.
+
+    WHY: with FIXED planes the bucket count is constant, so occupancy
+    grows linearly with the corpus and the in-bucket pair join grows
+    QUADRATICALLY — the sf1 scale probe measured knn_graph at 73x for
+    10x rows before this rule (SCALEPROBE_r15.json).  Holding expected
+    occupancy constant keeps the pair join linear in n.  At the gate
+    and bench scales (≤ 2k vectors) L stays at the floor, so every
+    committed plan and oracle hash is unchanged."""
+    x = (n + target - 1) // target - 1
+    return min(cap, max(floor, x.bit_length()))
+
+
 def knn_graph_lsh(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
     n_tables: int = 4,
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    band: int = 64,
 ) -> DataFrame:
     """Approximate kNN GRAPH: top-k neighbors for EVERY vector at once —
     the building block curation pipelines need for diversity sampling,
     semantic cluster maps, and graph-based dedup, where one-query-at-a-
     time probes (:func:`knn_rp_lsh`) don't scale to "all vectors".
 
-    Shape: the corpus hashes once into (t, bucket) rows; a self-join per
-    (t, bucket) emits DIRECTED candidate edges (both orientations — each
-    side needs its own top-k); dedup across tables; exact-cosine rerank;
-    per-source row_number keeps the top-k.  Never an n² stage: pairs
-    exist only inside buckets, exactly like the near-dup pair path.  At
-    100 TB the bucket join runs against the persisted
-    :func:`build_ann_index` relation instead of re-hashing.
+    Shape: the corpus hashes once into (t, bucket) rows (plane count
+    occupancy-scaled with the corpus — :func:`occupancy_planes`);
+    inside each bucket, members are ORDERED by an independent 1-D sort
+    projection and DIRECTED candidate edges connect vectors within
+    ``band`` positions (:func:`_banded_candidates` — O(n·band·tables)
+    pairs by construction); dedup across tables; exact-cosine rerank;
+    per-source row_number keeps the top-k.
+
+    The band exists because of a measured failure mode
+    (SCALEPROBE_r15.json): sign-random-projection buckets cannot split
+    a tight co-directional cluster, so on clustered embeddings bucket
+    occupancy grows linearly with the corpus and the plain in-bucket
+    self-join grows QUADRATICALLY — the sf1 probe read 59x wall time
+    for 10x rows (Σocc² = 411M pairs).  With the band the pair stream
+    is linear in n at any clustering.  At 100 TB the positioned bucket
+    relation comes from the persisted :func:`build_ann_index` instead
+    of re-hashing (:func:`knn_graph_from_index`, row-identical).
 
     Output: (src_id, rank, nbr_id, cos_sim) — deterministic (md5-derived
-    buckets, rounded cosine, total tie-order), so the DuckDB oracle
-    reproduces the whole graph."""
+    buckets, rounded sort keys, rounded cosine, total tie-order), so the
+    DuckDB oracle reproduces the whole graph."""
     from pyspark.sql import Window
 
     from project_bigdata_recsys_spark.caching import persist_tracked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist both multi-consumer frames: the bucket relation feeds BOTH
-    # sides of the self-join and the norm frame both rerank branches —
-    # Spark has no cross-branch CSE, so unpersisted the 24-projection
-    # RP hash (the dominant cost) runs twice (measured ~2x at sf0.1)
-    buckets = persist_tracked(rp_index_rows(emb, n_tables, n_planes))
-    a = buckets.select(F.col("vec_id").alias("src_id"), "t", "bucket")
-    b = buckets.select(F.col("vec_id").alias("nbr_id"), "t", "bucket")
-    cand = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id")
-        .distinct()
+    if n_planes is None:
+        # occupancy-bounded width: one count (index metadata in the
+        # persisted form — build_ann_index knows its corpus size), the
+        # same integer rule the oracle computes via length(bin(x))
+        n_planes = occupancy_planes(emb.count())
+    proj = emb.select(
+        "vec_id", F.round(_sort_projection(F.col("embedding")), 6).alias("sp")
     )
+    # persist both multi-consumer frames: the positioned bucket relation
+    # feeds BOTH sides of the banded join and the norm frame both rerank
+    # branches — Spark has no cross-branch CSE, so unpersisted the
+    # RP hash (the dominant cost) runs twice (measured ~2x at sf0.1)
+    wpos = Window.partitionBy("t", "bucket").orderBy("sp", "vec_id")
+    posd = persist_tracked(
+        rp_index_rows(emb, n_tables, n_planes)
+        .join(proj, "vec_id")
+        .withColumn("pos", F.row_number().over(wpos))
+    )
+    cand = _banded_candidates(posd, band)
     with_norm = persist_tracked(
         emb.withColumn("v_norm", l2_norm(F.col("embedding")))
     )
@@ -845,30 +947,36 @@ def knn_graph_from_index(
     sf_dir: str,
     index_dir: str,
     k: int = 3,
+    band: int = 64,
 ) -> DataFrame:
     """The kNN graph built from the PERSISTED ANN index instead of
     re-hashing the corpus: :func:`build_ann_index`'s (t, bucket) rows
-    self-join per partition-colocated bucket, then the same exact-cosine
-    rerank and per-source top-k as :func:`knn_graph_lsh` — row-identical
-    by construction (same deterministic buckets), asserted in tests.
+    take the same sort-projection positions and banded candidate join
+    as :func:`knn_graph_lsh`, then the same exact-cosine rerank and
+    per-source top-k — row-identical by construction (same
+    deterministic buckets, same sort keys), asserted in tests.
 
     This is the 100 TB nightly-graph shape: hash once per corpus
-    version, rebuild the graph from the stored relation; the self-join
-    shuffles only (vec_id, t, bucket) rows, never embeddings."""
+    version, rebuild the graph from the stored relation; the banded
+    join shuffles only (vec_id, t, bucket, pos) rows, never
+    embeddings.  NOTE: the stored index is bucket rows only, so the
+    inline and index forms must agree on the plane-count rule — the
+    index carries whatever width it was built with."""
     from pyspark.sql import Window
 
     from project_bigdata_recsys_spark.caching import persist_tracked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = spark.read.parquet(index_dir)
-    a = buckets.select(F.col("vec_id").alias("src_id"), "t", "bucket")
-    b = buckets.select(F.col("vec_id").alias("nbr_id"), "t", "bucket")
-    cand = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id")
-        .distinct()
+    proj = emb.select(
+        "vec_id", F.round(_sort_projection(F.col("embedding")), 6).alias("sp")
     )
+    wpos = Window.partitionBy("t", "bucket").orderBy("sp", "vec_id")
+    posd = persist_tracked(
+        spark.read.parquet(index_dir)
+        .join(proj, "vec_id")
+        .withColumn("pos", F.row_number().over(wpos))
+    )
+    cand = _banded_candidates(posd, band)
     with_norm = persist_tracked(
         emb.withColumn("v_norm", l2_norm(F.col("embedding")))
     )

@@ -1265,3 +1265,125 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qini_micro"),
     ).orderBy(F.desc("bin"))
+
+
+def mann_whitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per segment — the nonparametric
+    arm-comparison every experimentation platform offers next to the
+    t-test, because revenue-per-user is heavy-tailed and zero-inflated
+    and a mean test is dominated by whales.  Exact tie handling via
+    midranks (the textbook average-rank correction), tie-corrected
+    normal approximation for the z readout.
+
+    All rank arithmetic is INTEGER: with cl = #values strictly below x
+    and t = #ties at x, the doubled midrank is rank2 = 2·cl + t + 1, so
+    the doubled treatment rank-sum R2, the doubled statistic
+    u2 = R2 − n1(n1+1), its doubled mean mu2 = n1·n2, and the tie term
+    Σ(t³−t) are exact BIGINTs on both engines; only the final z divides
+    into doubles (rounded 6 dp, the cos_sim discipline).
+
+    Scale: one per-user aggregation of the event stream; the midrank
+    window runs over the per-(segment, value) HISTOGRAM — bounded by
+    distinct per-user outcomes ≤ |users|, never the fact scan (the
+    pr_auc_from_hist discipline) — and everything after is a
+    per-segment fold to ≤ 6 rows."""
+    seg = mwu_user_frame(spark, sf_dir)
+    both = seg.unionByName(seg.withColumn("segment", F.lit("__all")))
+    hist = both.groupBy("segment", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("treat").cast("long").alias("t1"),
+    )
+    return mwu_from_hist(hist)
+
+
+def mwu_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U-test fixture: one (segment, x, treat) row per event-stream
+    user — outcome x = exact purchase micros, arm by the md5 coin,
+    segment from the customer dim.  Shared by the batch test and the
+    streaming ledger fold (a user's row is complete here, so waves
+    staged on user_id carry exact per-batch histogram partials)."""
+    from project_bigdata_recsys_spark.sources.ingest import hash_uniform
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    micros = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 1000000).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_user = events.groupBy("user_id").agg(
+        F.sum(micros).cast("long").alias("x")
+    )
+    return per_user.join(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "user_id",
+    ).select(
+        "user_id",
+        "segment",
+        "x",
+        (hash_uniform(F.col("user_id"), "mwu:") < 0.5)
+        .cast("int")
+        .alias("treat"),
+    )
+
+
+def mwu_from_hist(hist: DataFrame) -> DataFrame:
+    """The U-test readout over a (segment, x, t, t1) value histogram —
+    shared by mann_whitney_test (histogram from one scan) and
+    stream_mann_whitney (histogram folded from a per-batch ledger;
+    counts merge exactly, so the statistic is a pure function of the
+    histogram and the batch oracle is inherited verbatim — the
+    pr_auc_from_hist precedent)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "segment",
+        "t",
+        "t1",
+        (
+            2 * F.coalesce(F.sum("t").over(w), F.lit(0).cast("long"))
+            + F.col("t")
+            + 1
+        ).alias("rank2"),
+    )
+    per_seg = ranked.groupBy("segment").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t1") * F.col("rank2")).cast("long").alias("r2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    n2 = (n - n1).alias("n2")
+    u2 = (F.col("r2") - n1 * (n1 + 1)).alias("u2")
+    var = (
+        (n1.cast("double") * (n - n1))
+        * ((n + 1) - F.col("ties") / (n.cast("double") * (n - 1)))
+        / 12.0
+    )
+    z = F.round(
+        F.when(
+            var > 0,
+            (F.col("r2") - n1 * (n1 + 1) - n1 * (n - n1))
+            / (2.0 * F.sqrt(var)),
+        ).otherwise(0.0),
+        6,
+    ).alias("z")
+    return per_seg.select(
+        "segment",
+        n1.alias("n_treatment"),
+        n2,
+        u2,
+        z,
+        F.when(F.abs(z) > 1.959964, F.lit("significant"))
+        .otherwise(F.lit("ns"))
+        .alias("verdict"),
+    ).orderBy("segment")

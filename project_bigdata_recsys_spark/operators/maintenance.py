@@ -1040,3 +1040,71 @@ def schema_evolution_read(
         )
         .orderBy("version", "status")
     )
+
+
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution read (the layout twin of
+    :func:`schema_evolution_read`): Iceberg evolves a table's PARTITION
+    spec without rewriting history — files written under the old spec
+    keep their layout, new files use the new one, and every read plans
+    pruning PER SPEC.  Model: early events (day ≤ data-derived
+    midpoint) were written partitioned by month (spec 1); later events
+    by (month, event_type) (spec 2 — the operator realized queries
+    filter on event_type and evolved the spec).  Both snapshots are
+    REALLY written to scratch with those layouts; the read applies the
+    same predicate (event_type = 'purchase') to both sides — a
+    DIRECTORY PRUNE on spec 2 (PartitionFilters, asserted in tests), a
+    row-level filter on spec 1 (the column is data there) — and the
+    gated output is the per-(spec, month) purchase profile, proving
+    the two pruning regimes return consistent data.
+
+    Scale: one event scan per snapshot write, then each read side scans
+    only its matching files (spec 2 reads |purchase partitions| of the
+    data); the profile is a map-side-combinable fold to ≤ #months × 2
+    rows.  Money is exact micros end-to-end."""
+    from project_bigdata_recsys_spark.caching import scratch_dir
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.floor(F.col("ts").cast("double") / 86400.0)
+        .cast("long")
+        .alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("micros"),
+    )
+    mid = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2.0).cast("long").alias("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid))
+    base = scratch_dir("partevo")
+    tagged.filter(F.col("day") <= F.col("m")).select(
+        "month", "event_type", "micros"
+    ).write.mode("overwrite").partitionBy("month").parquet(f"{base}/spec1")
+    tagged.filter(F.col("day") > F.col("m")).select(
+        "month", "event_type", "micros"
+    ).write.mode("overwrite").partitionBy("month", "event_type").parquet(
+        f"{base}/spec2"
+    )
+
+    def profile(df: DataFrame, spec: int) -> DataFrame:
+        return (
+            df.filter(F.col("event_type") == "purchase")
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                F.sum("micros").cast("long").alias("sum_micros"),
+            )
+            .select(
+                F.lit(spec).cast("int").alias("spec"),
+                "month",
+                "n_purchases",
+                "sum_micros",
+            )
+        )
+
+    return (
+        profile(spark.read.parquet(f"{base}/spec1"), 1)
+        .unionByName(profile(spark.read.parquet(f"{base}/spec2"), 2))
+        .orderBy("spec", "month")
+    )

@@ -560,15 +560,27 @@ def _ivf_lloyd_oracle(
 
 
 def _knn_graph_oracle(
-    k: int = 3, n_tables: int = 4, n_planes: int = 6
+    k: int = 3, n_tables: int = 4, max_planes: int = 16, band: int = 64
 ) -> str:
     """SQL twin of functions.similarity.knn_graph_lsh: the same bucket
-    arithmetic as _rp_lsh_pairs_oracle, but DIRECTED candidate edges and
-    a per-source top-k window instead of a threshold filter."""
+    arithmetic as _rp_lsh_pairs_oracle, but DIRECTED candidate edges
+    from the BANDED sort-projection window and a per-source top-k
+    window instead of a threshold filter.
+
+    Mirrors both sf1-probe fixes (SCALEPROBE_r15.json): (1) the Spark
+    side auto-scales its plane count with the corpus
+    (similarity.occupancy_planes); the SQL computes the FULL
+    ``max_planes``-bit bucket and masks to the low L bits, where
+    L = greatest(6, least(16, length(bin((n+31)//32 - 1)))) — bit p's
+    contribution is (1<<p), so the masked wide bucket IS the L-plane
+    bucket.  (2) in-bucket candidates are limited to pairs within
+    ``band`` positions of the plane-997 sort projection (tight
+    co-directional clusters make raw in-bucket joins quadratic; the
+    band keeps the pair stream linear)."""
 
     def bucket(t: int) -> str:
         terms = []
-        for p in range(n_planes):
+        for p in range(max_planes):
             w = (
                 f"(CASE WHEN ((i * 31 + {p * 17} + {t * 101}) * 2654435761)"
                 f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
@@ -580,6 +592,11 @@ def _knn_graph_oracle(
             terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
         return " + ".join(terms)
 
+    # the sort projection: plane 997, table 0 -> i*31 + 997*17
+    w_sort = (
+        f"(CASE WHEN ((i * 31 + {997 * 17}) * 2654435761)"
+        f" % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+    )
     buck = "\n            UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM b"
         for t in range(n_tables)
@@ -587,11 +604,27 @@ def _knn_graph_oracle(
     return f"""
         WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings),
-        buck AS ({buck}),
+        nc AS (SELECT greatest(6, least({max_planes},
+                   length(bin((count(*) + 31) // 32 - 1)))) AS planes
+               FROM embeddings),
+        sp AS (SELECT vec_id,
+                      round(list_sum(list_transform(range(0, len(emb)),
+                          i -> emb[i + 1] * {w_sort})), 6) AS sp
+               FROM b),
+        buck0 AS ({buck}),
+        posd AS (SELECT k.vec_id, k.t,
+                        k.bucket & ((1::BIGINT << nc.planes) - 1) AS bucket,
+                        sp.sp
+                 FROM buck0 k CROSS JOIN nc JOIN sp ON sp.vec_id = k.vec_id),
+        pos AS (SELECT vec_id, t, bucket,
+                       row_number() OVER (PARTITION BY t, bucket
+                           ORDER BY sp, vec_id) AS pos
+                FROM posd),
         cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
-                 FROM buck x JOIN buck y
+                 FROM pos x JOIN pos y
                    ON x.t = y.t AND x.bucket = y.bucket
-                      AND x.vec_id <> y.vec_id),
+                      AND x.vec_id <> y.vec_id
+                      AND abs(x.pos - y.pos) <= {band}),
         scored AS (
             SELECT cand.src_id, cand.nbr_id,
                    round(list_dot_product(ea.emb, eb.emb)

@@ -706,3 +706,56 @@ TEXTS['qini_uplift_curve'] = """
                 // greatest(nc_k, 1)::HUGEINT AS BIGINT) AS qini_micro
     FROM cum ORDER BY bin DESC
 """
+
+TEXTS['mann_whitney_test'] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS x
+        FROM events GROUP BY user_id),
+    seg0 AS (
+        SELECT c.c_mktsegment AS segment, p.x,
+               CASE WHEN ('0x' || substr(md5('mwu:' ||
+                    CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 < 0.5 THEN 1 ELSE 0 END AS treat
+        FROM per_user p JOIN customer c ON p.user_id = c.c_custkey),
+    both_ AS (
+        SELECT segment, x, treat FROM seg0
+        UNION ALL SELECT '__all', x, treat FROM seg0),
+    hist AS (
+        SELECT segment, x, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(treat) AS BIGINT) AS t1
+        FROM both_ GROUP BY segment, x),
+    ranked AS (
+        SELECT segment, t, t1,
+               2 * COALESCE(sum(t) OVER (PARTITION BY segment ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS rank2
+        FROM hist),
+    per_seg AS (
+        SELECT segment, CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(t1) AS BIGINT) AS n1,
+               CAST(sum(t1 * rank2) AS BIGINT) AS r2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM ranked GROUP BY segment),
+    stats AS (
+        SELECT segment, n, n1, r2, ties,
+               CAST(n1 AS DOUBLE) * (n - n1)
+                 * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1)))
+                 / 12.0 AS var
+        FROM per_seg),
+    fin AS (
+        SELECT segment, n1 AS n_treatment,
+               CAST(n - n1 AS BIGINT) AS n2,
+               CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+               round(CASE WHEN var > 0 THEN
+                     (r2 - n1 * (n1 + 1) - n1 * (n - n1))
+                       / (2.0 * sqrt(var))
+                     ELSE 0.0 END, 6) AS z
+        FROM stats)
+    SELECT segment, n_treatment, n2, u2, z,
+           CASE WHEN abs(z) > 1.959964 THEN 'significant' ELSE 'ns' END
+               AS verdict
+    FROM fin ORDER BY segment
+"""

@@ -3291,3 +3291,23 @@ TEXTS['udtf_token_rows'] = """
     FROM documents
     ORDER BY doc_id, pos
 """
+
+TEXTS['partition_evolution_read'] = """
+    WITH ev AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+               event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS micros
+        FROM events),
+    mid AS (
+        SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS m
+        FROM ev),
+    u AS (
+        SELECT CASE WHEN day <= m THEN 1 ELSE 2 END AS spec, month, micros
+        FROM ev CROSS JOIN mid
+        WHERE event_type = 'purchase')
+    SELECT CAST(spec AS INTEGER) AS spec, month,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(micros) AS BIGINT) AS sum_micros
+    FROM u GROUP BY spec, month ORDER BY spec, month
+"""

@@ -1077,10 +1077,10 @@ _GATE_WINDOW = [
     "stream_late_data_audit",
     "stream_merge_apply",
     "bpe_pair_counts",
-    "rerank_uplift_profile",
-    "stream_value_quantiles",
-    "merge_upsert_profile",
-    "cms_heavy_hitters",
+    "stream_mann_whitney",
+    "partition_evolution_read",
+    "mann_whitney_test",
+    "stream_containment_index",
     "containment_index_pairs",
     "knn_ivf_pq",
     "ivf_pq_recall_profile",
@@ -2826,6 +2826,37 @@ ORACLES["udtf_token_rows"] = _TEXTS["udtf_token_rows"]
 # Probe ≡ inline, so the containment_pairs oracle is shared verbatim.
 QUERIES["containment_index_pairs"] = dedup.containment_index_pairs
 ORACLES["containment_index_pairs"] = ORACLES["containment_pairs"]
+
+
+# Round-15 fourth wave --------------------------------------------------------
+# mann_whitney_test: tie-corrected Mann-Whitney U per segment — exact
+# integer midrank arithmetic (doubled ranks) over the per-(segment,
+# value) histogram, z from the tie-corrected normal approximation
+# (operators/experiments.py).  stream_containment_index: the persisted
+# containment index maintained by the stream — per-micro-batch O(batch)
+# admission through update_containment_index, probe-time cap-crossing
+# retraction; shares the containment_pairs oracle verbatim.
+QUERIES["mann_whitney_test"] = experiments.mann_whitney_test
+ORACLES["mann_whitney_test"] = _TEXTS["mann_whitney_test"]
+
+QUERIES["stream_containment_index"] = replay.stream_containment_index
+ORACLES["stream_containment_index"] = ORACLES["containment_pairs"]
+
+
+# Round-15 fifth wave ---------------------------------------------------------
+# stream_mann_whitney: the U test maintained by the stream — per-batch
+# (segment, value) histogram partials into a ledger, exact BIGINT merge
+# at readout, shared midrank kernel; batch oracle inherited verbatim.
+# partition_evolution_read: Iceberg-style partition-spec evolution —
+# early events written partitioned by month, later by (month,
+# event_type); one predicate read across both layouts (directory prune
+# on the new spec, row filter on the old), gated on the per-(spec,
+# month) purchase profile.
+QUERIES["stream_mann_whitney"] = replay.stream_mann_whitney
+ORACLES["stream_mann_whitney"] = _TEXTS["mann_whitney_test"]
+
+QUERIES["partition_evolution_read"] = maintenance.partition_evolution_read
+ORACLES["partition_evolution_read"] = _TEXTS["partition_evolution_read"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

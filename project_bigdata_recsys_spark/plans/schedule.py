@@ -48,6 +48,27 @@ probe ≡ inline so the containment_pairs oracle is shared verbatim);
 window replica re-run and PRECHECK_r15_gate.json refreshed at the
 insertion.
 
+R15 FOURTH WAVE: two slots displaced to the r16 head
+(merge_upsert_profile, cms_heavy_hitters — r8-evidenced,
+bench-exercised) for the fourth-wave pair (mann_whitney_test —
+tie-corrected Mann-Whitney U per segment, integer doubled-midrank
+arithmetic over the per-(segment, value) histogram;
+stream_containment_index — the persisted containment index maintained
+per micro-batch, probe-time cap-crossing retraction, containment_pairs
+oracle shared verbatim); window replica re-run and
+PRECHECK_r15_gate.json refreshed at the insertion.
+
+R15 FIFTH WAVE: two slots displaced to the r16 head
+(rerank_uplift_profile, stream_value_quantiles — r8-evidenced,
+bench-exercised) for the fifth-wave pair (stream_mann_whitney — the U
+test as a per-batch histogram-partial ledger fold sharing the midrank
+kernel and the batch oracle verbatim; partition_evolution_read —
+Iceberg-style partition-spec evolution, one predicate read across an
+old month-partitioned layout and a new (month, event_type) layout,
+directory prune vs row filter, gated on the per-(spec, month)
+profile); window replica re-run and PRECHECK_r15_gate.json refreshed
+at the insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as

@@ -2339,6 +2339,97 @@ def stream_containment(
     return containment_from_shingles(spark.read.parquet(ledger))
 
 
+def stream_containment_index(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """The persisted containment index maintained BY THE STREAM — the
+    production form of what stream_containment's raw shingle ledger
+    stands in for: each micro-batch is admitted through
+    ``update_containment_index`` (O(batch) postings + df-delta + doc
+    appends, nothing already indexed re-read), and the readout is
+    ``probe_containment_index`` against the resulting on-disk state.
+    Because the probe materializes pairs from the CURRENT df-ledger
+    fold, a shingle whose document frequency crossed the cap in a LATER
+    batch than the pair-supporting one is excluded exactly as the batch
+    kernel would — the implicit retraction that makes the incremental
+    index honest.  Oracle shared verbatim with containment_pairs."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        containment_shingles,
+        probe_containment_index,
+        update_containment_index,
+    )
+
+    sh = containment_shingles(spark, sf_dir)
+    work, stream, n_staged = _staged_waves(
+        spark,
+        sh,
+        "doc_id",
+        "doc_id long, sh array<string>",
+        n_waves,
+        "spark_containment_idx_stream_",
+    )
+    index_dir = os.path.join(work, "index")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_containment_index(spark, batch_df, index_dir)
+
+    _run_ledger_fold(
+        spark, stream, fold, "stream_containment_index", n_staged
+    )
+    return probe_containment_index(spark, index_dir)
+
+
+def stream_mann_whitney(
+    spark: SparkSession, sf_dir: str, n_waves: int = 3
+) -> DataFrame:
+    """Mann-Whitney U maintained by the stream: users arrive in waves
+    (staged on user_id, so each user's outcome row is complete in its
+    batch), each micro-batch appends its per-(segment, value) histogram
+    partial to a ledger, and the readout merges partials (exact BIGINT
+    count sums) before running the shared midrank kernel.  The
+    statistic is a pure function of the value histogram, so the batch
+    oracle is inherited verbatim (the stream_pr_auc discipline)."""
+    from project_bigdata_recsys_spark.operators.experiments import (
+        mwu_from_hist,
+        mwu_user_frame,
+    )
+
+    users = mwu_user_frame(spark, sf_dir)
+    work, stream, n_staged = _staged_waves(
+        spark,
+        users,
+        "user_id",
+        "user_id long, segment string, x long, treat int",
+        n_waves,
+        "spark_mwu_stream_",
+    )
+    ledger = os.path.join(work, "hist")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        both = batch_df.unionByName(
+            batch_df.withColumn("segment", F.lit("__all"))
+        )
+        both.groupBy("segment", "x").agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum("treat").cast("long").alias("t1"),
+        ).write.mode("append").parquet(ledger)
+
+    _run_ledger_fold(spark, stream, fold, "stream_mann_whitney", n_staged)
+    hist = (
+        spark.read.parquet(ledger)
+        .groupBy("segment", "x")
+        .agg(
+            F.sum("t").cast("long").alias("t"),
+            F.sum("t1").cast("long").alias("t1"),
+        )
+    )
+    return mwu_from_hist(hist)
+
+
 def stream_skew_monitor(
     spark: SparkSession, sf_dir: str, n_waves: int = 3
 ) -> DataFrame:

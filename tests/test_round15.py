@@ -173,3 +173,97 @@ def test_containment_index_cap_crossing_retracts(spark, tmp_path):
     assert any(
         d.startswith("gb=") for d in _os.listdir(f"{idx}/postings")
     )
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    """The doubled-midrank integer arithmetic must reproduce a plain
+    textbook Mann-Whitney (float midranks, tie-corrected z) computed in
+    Python on the collected per-user frame — an independent recompute,
+    not the oracle's mirrored SQL."""
+    import math
+
+    from project_bigdata_recsys_spark.operators.experiments import (
+        mann_whitney_test,
+        mwu_user_frame,
+    )
+
+    got = {r.segment: r for r in mann_whitney_test(spark, SF_SMALL).collect()}
+    rows = mwu_user_frame(spark, SF_SMALL).collect()
+    segs = {r.segment for r in rows} | {"__all"}
+    for seg in segs:
+        sub = [
+            (r.x, r.treat)
+            for r in rows
+            if seg == "__all" or r.segment == seg
+        ]
+        xs = sorted(x for x, _ in sub)
+        n = len(sub)
+        n1 = sum(t for _, t in sub)
+        n2 = n - n1
+        # midrank of value v = avg of its 1-based positions
+        first = {}
+        count = {}
+        for i, v in enumerate(xs):
+            first.setdefault(v, i + 1)
+            count[v] = count.get(v, 0) + 1
+        midrank = {v: first[v] + (count[v] - 1) / 2.0 for v in first}
+        r1 = sum(midrank[x] for x, t in sub if t == 1)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        ties = sum(t**3 - t for t in count.values())
+        var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        # fully-tied segment (e.g. no purchases): the operator defines
+        # z = 0 rather than 0/0 — mirror that here
+        z = (
+            (u1 - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else 0.0
+        )
+        g = got[seg]
+        assert g.n_treatment == n1 and g.n2 == n2
+        assert g.u2 == round(2 * u1)
+        assert abs(g.z - z) < 1e-5, (seg, g.z, z)
+
+
+def test_stream_mann_whitney_equals_batch(spark):
+    from project_bigdata_recsys_spark.operators.experiments import (
+        mann_whitney_test,
+    )
+    from project_bigdata_recsys_spark.streaming.replay import (
+        stream_mann_whitney,
+    )
+
+    assert (
+        stream_mann_whitney(spark, SF_SMALL).collect()
+        == mann_whitney_test(spark, SF_SMALL).collect()
+    )
+
+
+def test_partition_evolution_new_spec_read_is_pruned(spark):
+    """The evolved-layout side must be a directory prune: every file
+    the purchase-filtered scan reads lives under an
+    event_type=purchase partition directory."""
+    from project_bigdata_recsys_spark.caching import scratch_dir
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("micros"),
+    )
+    base = scratch_dir("partevo_test")
+    ev.write.mode("overwrite").partitionBy("month", "event_type").parquet(
+        f"{base}/spec2"
+    )
+    scan = spark.read.parquet(f"{base}/spec2").filter(
+        F.col("event_type") == "purchase"
+    )
+    # the predicate must land in PartitionFilters (directory prune),
+    # not as a post-scan row filter (inputFiles() reflects the
+    # pre-pruning listing, so the plan is the evidence)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    part = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part and "purchase" in part[0], plan
+    # and the pruned read returns exactly the purchase rows
+    assert scan.count() == ev.filter(
+        F.col("event_type") == "purchase"
+    ).count()
