@@ -1,4 +1,4 @@
-"""Regenerate PRECHECK_r13_gate.json-style evidence for the current gate.
+"""Regenerate PRECHECK_r{N}_gate.json evidence for the current gate.
 
 Runs the driver-gate replica (tools/check_oracle.py) on the FIRST 50
 ``queries()`` entries — exactly the window the driver checks — parses
@@ -9,7 +9,8 @@ rule).
 
     python tools/gate_precheck.py [out_json] [--what "context sentence"]
 
-Defaults: out_json = PRECHECK_r13_gate.json in the repo root; the
+Defaults: out_json = PRECHECK_r15_gate.json in the repo root (bump per
+round — r13/r14 files are HISTORICAL evidence, never overwrite them); the
 ``what`` sentence should say which wave/rotation this run covers.
 """
 
@@ -102,7 +103,7 @@ if __name__ == "__main__":
         i = args.index("--what")
         what = args[i + 1]
         del args[i : i + 2]
-    out = args[0] if args else os.path.join(REPO, "PRECHECK_r13_gate.json")
+    out = args[0] if args else os.path.join(REPO, "PRECHECK_r15_gate.json")
     doc = run_gate_precheck(out, what)
     print(doc["result"])
     bad = [k for k, v in doc["queries"].items() if v.get("status") != "ok"]
