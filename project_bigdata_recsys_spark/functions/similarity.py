@@ -3133,6 +3133,16 @@ def _ivf_coarse_ranked(emb: DataFrame, n_cells: int):
     centroids = seeds.select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("c_emb")
     ).withColumn("cell", F.row_number().over(w_cell))
+    return centroids, _ivf_assign(emb, centroids)
+
+
+def _ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Rounded-cosine cell assignment of ``emb`` against GIVEN
+    centroids — factored out so the incremental admission path
+    (:func:`update_ivf_pq_index`) assigns new batches against the
+    STORED centroids with the exact expressions the build used."""
+    from pyspark.sql import Window
+
     with_norm = emb.withColumn("v_norm", l2_norm(F.col("embedding")))
     cent_norm = centroids.withColumn("c_norm", l2_norm(F.col("c_emb")))
     scored = with_norm.crossJoin(F.broadcast(cent_norm)).select(
@@ -3148,8 +3158,7 @@ def _ivf_coarse_ranked(emb: DataFrame, n_cells: int):
         ).alias("cs"),
     )
     w_best = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_best))
-    return centroids, ranked
+    return scored.withColumn("rn", F.row_number().over(w_best))
 
 
 def _residual(a: Column, b: Column) -> Column:
@@ -3172,16 +3181,25 @@ def _pq_residual_frames(
     residuals for exactly the recall reason the profile query measures);
     codes are the per-(vec_id, m) argmin with the 9-dp/code tie-break
     contract shared with pq_knn.  Returns (book, codes)."""
+    book = _pq_codebook(residuals, k_codes, m_sub, sub_dim)
+    return book, _pq_encode(residuals, book, m_sub, sub_dim)
+
+
+def _pq_codebook(
+    seed_residuals: DataFrame, k_codes: int, m_sub: int, sub_dim: int
+) -> DataFrame:
+    """The md5-rank sampled residual codebook (code, m, c_sub) — the
+    TRAIN half, separated so the incremental path can freeze it."""
     from pyspark.sql import Window
 
     md5_key = F.md5(F.col("vec_id").cast("string"))
-    seeds = residuals.orderBy(md5_key, "vec_id").limit(k_codes)
+    seeds = seed_residuals.orderBy(md5_key, "vec_id").limit(k_codes)
     w_code = Window.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
     coded = seeds.select(
         F.col("vec_id").alias("seed_id"), F.col("r").alias("s_emb")
     ).withColumn("code", F.row_number().over(w_code))
     subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
-    book = coded.select(
+    return coded.select(
         "code",
         F.posexplode(
             F.transform(
@@ -3189,6 +3207,17 @@ def _pq_residual_frames(
             )
         ).alias("m", "c_sub"),
     )
+
+
+def _pq_encode(
+    residuals: DataFrame, book: DataFrame, m_sub: int, sub_dim: int
+) -> DataFrame:
+    """Per-(vec_id, m) argmin against a GIVEN codebook with the
+    9-dp/code tie-break contract — the ENCODE half, shared by the
+    one-shot build and the frozen-quantizer incremental admission."""
+    from pyspark.sql import Window
+
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
     vec_subs = residuals.select(
         "vec_id",
         "cell",
@@ -3206,13 +3235,12 @@ def _pq_residual_frames(
     w_best = Window.partitionBy("vec_id", "m").orderBy(
         F.round(d2, 9).asc(), F.col("code").asc()
     )
-    codes = (
+    return (
         vec_subs.join(F.broadcast(book), "m")
         .withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "m", "code")
     )
-    return book, codes
 
 
 def ivf_pq_knn(
@@ -3322,6 +3350,7 @@ def build_ivf_pq_index(
     n_cells: int = 8,
     m_sub: int = 8,
     k_codes: int = 16,
+    subset: Column | None = None,
 ) -> None:
     """Persist the IVF-PQ index: centroids/ (cell, c_emb — n_cells
     rows), codebook/ (m, code, c_sub — m_sub × k_codes rows), and
@@ -3332,6 +3361,12 @@ def build_ivf_pq_index(
     ~m_sub small ints per vector — the scan that replaces brute force —
     and each probe reads only n_probe / n_cells of it."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if subset is not None:
+        # incremental contract (faiss add()): quantizers train on, and
+        # the initial build encodes, ONLY this corpus version; later
+        # batches are admitted by update_ivf_pq_index with the
+        # quantizers frozen
+        emb = emb.filter(subset)
     dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
     sub_dim = dim // m_sub
     centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
@@ -3654,4 +3689,71 @@ def ivf_pq_recall_profile(
             ).alias("uplift"),
         )
         .orderBy("query_id")
+    )
+
+
+def update_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    subset: Column,
+    m_sub: int = 8,
+) -> None:
+    """O(batch) admission of new vectors into the persisted IVF-PQ
+    index — faiss's ``add()`` contract: the coarse centroids and the
+    residual codebook are FROZEN (read from the index, never
+    retrained); the batch is assigned to its home cell against the
+    stored centroids, residual-encoded against the stored codebook
+    with the identical 9-dp argmin, and the codes APPEND to the
+    cell-partitioned relation.  Cost: |batch| × n_cells broadcast
+    scoring + |batch| × (m_sub·k_codes) broadcast encoding — nothing
+    already indexed is touched.  Quantizer staleness is the documented
+    trade (retrain cadence is an ops decision, the vacuum/compaction
+    discipline); :func:`ivf_pq_incremental_knn` gates exactly this
+    train-once-admit-rest pipeline against its SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(subset)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    book = spark.read.parquet(f"{index_dir}/codebook")
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+    ranked = _ivf_assign(emb, centroids)
+    residuals = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    )
+    _pq_encode(residuals, book, m_sub, sub_dim).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+
+
+def ivf_pq_incremental_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_waves: int = 3,
+) -> DataFrame:
+    """Gate form of the incremental IVF-PQ pipeline: build the index on
+    the first deterministic wave (vec_id % 3 == 0 — quantizers train
+    on and encode that corpus version only), admit the remaining waves
+    through :func:`update_ivf_pq_index` with the quantizers frozen,
+    then probe.  The SQL twin mirrors the whole pipeline by restricting
+    the two seed samples to the wave-0 subset while encoding/probing
+    over ALL vectors — so the gate proves the frozen-quantizer
+    admission math end-to-end, including the recall consequence of
+    stale quantizers (the shortlist the probe returns IS the stale-
+    quantizer shortlist; the rerank stays exact)."""
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    index_dir = scratch_dir("ivfpq_incr")
+    build_ivf_pq_index(
+        spark, sf_dir, index_dir, subset=F.col("vec_id") % n_waves == 0
+    )
+    for wave in range(1, n_waves):
+        update_ivf_pq_index(
+            spark, sf_dir, index_dir, F.col("vec_id") % n_waves == wave
+        )
+    return query_ivf_pq_index(
+        spark, index_dir, sf_dir, query_vec_id=query_vec_id, k=k
     )

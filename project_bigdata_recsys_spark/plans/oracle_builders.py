@@ -2319,13 +2319,21 @@ def _mmr_oracle(
 
 
 def _ivf_pq_core_sql(
-    n_cells: int, m_sub: int, k_codes: int, sub_dim: int, dim: int
+    n_cells: int,
+    m_sub: int,
+    k_codes: int,
+    sub_dim: int,
+    dim: int,
+    seed_where: str = "",
 ) -> str:
     """Shared CTE chain of the IVF-PQ oracles: coarse md5-sampled
     centroids, rounded-cosine home-cell assignment, element-wise
     residuals, the residual-trained codebook, and the per-vector code
     frame — the SQL twin of similarity._ivf_coarse_ranked +
-    _pq_residual_frames."""
+    _pq_residual_frames.  ``seed_where`` (e.g. "WHERE vec_id % 3 = 0")
+    restricts BOTH seed samples to a training subset while assignment
+    and encoding still run over all vectors — the frozen-quantizer
+    incremental pipeline of ivf_pq_incremental_knn."""
     lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
     return f"""
         emb AS (
@@ -2335,7 +2343,7 @@ def _ivf_pq_core_sql(
             SELECT vec_id AS seed_id, e AS c_emb,
                    row_number() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-            FROM emb
+            FROM emb {seed_where}
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}),
         assign AS (
             SELECT m.vec_id, m.label, m.e, c.cell, c.c_emb,
@@ -2354,7 +2362,7 @@ def _ivf_pq_core_sql(
                                   i -> e[i] - c_emb[i]) AS r
             FROM ranked WHERE rn = 1),
         rseeds AS (
-            SELECT vec_id AS seed_id, r AS s_emb FROM homes
+            SELECT vec_id AS seed_id, r AS s_emb FROM homes {seed_where}
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}),
         rcoded AS (
             SELECT s_emb,
@@ -2395,12 +2403,16 @@ def _ivf_pq_oracle(
     sub_dim: int = 8,
     dim: int = 64,
     rerank_factor: int = 4,
+    seed_where: str = "",
 ) -> str:
     """SQL twin of similarity.ivf_pq_knn: coarse cells, residual
-    codebook, per-probed-cell ADC, exact cosine rerank."""
+    codebook, per-probed-cell ADC, exact cosine rerank.  With
+    ``seed_where`` it is instead the twin of ivf_pq_incremental_knn
+    (quantizers trained on the subset, everything encoded/probed)."""
     lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
     return f"""
-        WITH {_ivf_pq_core_sql(n_cells, m_sub, k_codes, sub_dim, dim)},
+        WITH {_ivf_pq_core_sql(n_cells, m_sub, k_codes, sub_dim, dim,
+                               seed_where)},
         qcells AS (
             SELECT cell,
                    list_transform(range(1, {dim + 1}),

@@ -1076,7 +1076,7 @@ _GATE_WINDOW = [
     "label_agreement_kappa",
     "stream_late_data_audit",
     "stream_merge_apply",
-    "bpe_pair_counts",
+    "ivf_pq_incremental_knn",
     "stream_mann_whitney",
     "partition_evolution_read",
     "mann_whitney_test",
@@ -2857,6 +2857,19 @@ ORACLES["stream_mann_whitney"] = _TEXTS["mann_whitney_test"]
 
 QUERIES["partition_evolution_read"] = maintenance.partition_evolution_read
 ORACLES["partition_evolution_read"] = _TEXTS["partition_evolution_read"]
+
+
+# Round-15 sixth wave ---------------------------------------------------------
+# ivf_pq_incremental_knn: the faiss add() contract for the IVF-PQ index
+# — quantizers train on the first deterministic wave only, later waves
+# are admitted by update_ivf_pq_index with centroids+codebook frozen
+# (O(batch) broadcast assignment/encoding, cell-partitioned appends),
+# then the standard probe.  The oracle mirrors the whole pipeline by
+# restricting both seed samples to the wave-0 subset.
+QUERIES["ivf_pq_incremental_knn"] = similarity.ivf_pq_incremental_knn
+ORACLES["ivf_pq_incremental_knn"] = _ivf_pq_oracle(
+    seed_where="WHERE vec_id % 3 = 0"
+)
 
 
 # Apply the rotation: this must remain the LAST statement touching

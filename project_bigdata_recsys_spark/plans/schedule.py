@@ -69,6 +69,15 @@ directory prune vs row filter, gated on the per-(spec, month)
 profile); window replica re-run and PRECHECK_r15_gate.json refreshed
 at the insertion.
 
+R15 SIXTH WAVE: one slot displaced to the r16 head (bpe_pair_counts —
+r13-evidenced, bench-exercised) for ivf_pq_incremental_knn (the faiss
+add() contract: quantizers trained on the deterministic wave-0 subset,
+later waves admitted through update_ivf_pq_index with centroids and
+codebook frozen, O(batch) broadcast assignment/encoding and
+cell-partitioned code appends; oracle = _ivf_pq_oracle with both seed
+samples restricted to the wave-0 subset); window replica re-run and
+PRECHECK_r15_gate.json refreshed at the insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as
