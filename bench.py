@@ -478,6 +478,12 @@ HEADLINE = [
     # two-layout partition-spec evolution read
     "stream_mann_whitney",
     "partition_evolution_read",
+    # r15 sixth/seventh waves: frozen-quantizer IVF-PQ admission, the
+    # n_probe tuning sweep (one encode, per-point shortlists), and the
+    # Arrow grouped-agg pandas UDAF
+    "ivf_pq_incremental_knn",
+    "ivf_pq_nprobe_sweep",
+    "udaf_trimmed_mean",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

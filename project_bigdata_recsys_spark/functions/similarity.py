@@ -3757,3 +3757,144 @@ def ivf_pq_incremental_knn(
     return query_ivf_pq_index(
         spark, index_dir, sf_dir, query_vec_id=query_vec_id, k=k
     )
+
+
+def ivf_pq_nprobe_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple = (1, 2, 4, 8),
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """The n_probe TUNING CURVE of the IVF-PQ index — the sweep every
+    deployment runs before fixing its probe budget (the lsh_band_sweep
+    idiom): for each n_probe, mean recall@k of the ADC shortlist
+    against the exact top-k, the probed-cell exact-search ceiling, and
+    the candidate volume the probe pays for it.
+
+    ONE corpus encode serves every sweep point: a vector's codes live
+    in its home cell only, so its ADC score is probe-independent — the
+    probe budget merely gates WHICH home cells are admitted.  The
+    scored frame carries each candidate's home-cell rank for its
+    query, and each sweep point is a filter (cell_rank ≤ p) + bounded
+    window over that one persisted frame.  At 100 TB the sweep costs
+    one index encode plus #probes shortlist reads — never #probes
+    re-encodes."""
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
+    sub_dim = dim // m_sub
+    shortlist_n = rerank_factor * k
+    max_p = max(probes)
+    denom = float(n_queries * k)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    truth = persist_tracked(
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
+    residuals = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cell",
+        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    )
+    res_book, res_codes = _pq_residual_frames(
+        residuals, m_sub, k_codes, sub_dim
+    )
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    q_cells = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= max_p)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("rn").alias("cell_rank"),
+        _residual(F.col("embedding"), F.col("c_emb")).alias("qr"),
+    )
+    q_subs = q_cells.select(
+        "query_id",
+        "cell",
+        "cell_rank",
+        F.posexplode(
+            F.transform(
+                subs, lambda m: F.slice(F.col("qr"), m * sub_dim + 1, sub_dim)
+            )
+        ).alias("m", "q_sub"),
+    )
+    adc = q_subs.join(res_book, "m").select(
+        "query_id",
+        "cell",
+        "cell_rank",
+        "m",
+        "code",
+        (
+            dot(F.col("q_sub"), F.col("q_sub"))
+            - 2 * dot(F.col("q_sub"), F.col("c_sub"))
+            + dot(F.col("c_sub"), F.col("c_sub"))
+        ).alias("d2"),
+    )
+    scored = persist_tracked(
+        res_codes.join(F.broadcast(adc), ["cell", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(F.sum("d2"), 6).alias("approx_d2"),
+            F.max("cell_rank").alias("cell_rank"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("vec_id")
+    )
+    out = None
+    for p in probes:
+        cand = scored.filter(F.col("cell_rank") <= p)
+        short = (
+            cand.withColumn("srn", F.row_number().over(w_short))
+            .filter(F.col("srn") <= shortlist_n)
+            .select("query_id", "vec_id")
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                truth.join(short, ["query_id", "vec_id"]).agg(
+                    F.count(F.lit(1)).alias("n_hit")
+                )
+            )
+            .crossJoin(
+                truth.join(
+                    cand.select("query_id", "vec_id"),
+                    ["query_id", "vec_id"],
+                ).agg(F.count(F.lit(1)).alias("n_ceil"))
+            )
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.round(F.lit(p) / n_cells, 4).alias("probed_frac"),
+                "n_candidates",
+                F.round(F.col("n_hit") / denom, 4).alias("recall"),
+                F.round(F.col("n_ceil") / denom, 4).alias("cell_ceiling"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")

@@ -20,7 +20,9 @@ for SQL-text users and coverage of the decorrelation machinery.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from project_bigdata_recsys_spark.catalog import load_table
 
@@ -238,3 +240,50 @@ def udtf_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-aggregate pandas UDF (the UDAF corner of SURVEY
+    §2.11's UDx surface, next to udtf_token_rows' UDTF): per-source
+    10%-trimmed mean of document length — a robust-statistics kernel a
+    user would reach for when the built-in aggregate doesn't exist.
+    Arrow ships each group's column as ONE pandas Series (no per-row
+    pickling); the plan pins the dedicated AggregateInPandas node.
+
+    Determinism: trimming is by VALUE order, and a trimmed MEAN is
+    tie-insensitive (whichever tied row is cut, the dropped value is
+    equal), so the result is independent of intra-group arrival order
+    — the property that makes a partition-order-dependent UDAF safe to
+    oracle-check.  The small-int sums are exact in float64 on both
+    engines.
+
+    Scale: partial aggregation does NOT apply to pandas UDAFs (each
+    group's full series must reach one task), so this is the
+    documented trade vs built-in aggregates — fine for bounded groups
+    (≤ |sources| here), wrong for skewed billion-row groups; the
+    docstring is the advisory."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: pandas is imported at module level — with PEP-563 deferred
+    # annotations, pandas_udf resolves the 'pd.Series' type hint from
+    # the function's module globals at decoration time
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values().reset_index(drop=True)
+        cut = len(s) // 10
+        kept = s.iloc[cut : len(s) - cut] if len(s) - 2 * cut > 0 else s
+        return float(kept.mean())
+
+    docs = load_table(spark, sf_dir, "documents")
+    # a grouped-agg pandas UDF cannot share an .agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count runs as a
+    # separate partial-aggregated pass and joins on the tiny key frame
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    trimmed = docs.groupBy("source").agg(
+        F.round(trimmed_mean(F.col("n_chars")), 4).alias(
+            "trimmed_mean_chars"
+        )
+    )
+    return counts.join(trimmed, "source").orderBy("source")

@@ -2586,3 +2586,89 @@ def _ivf_pq_recall_oracle(
         LEFT JOIN hits_ceiling c USING (query_id)
         ORDER BY q.query_id
     """
+
+
+def _ivf_pq_nprobe_sweep_oracle(
+    probes: tuple = (1, 2, 4, 8),
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    sub_dim: int = 8,
+    dim: int = 64,
+    rerank_factor: int = 4,
+) -> str:
+    """SQL twin of similarity.ivf_pq_nprobe_sweep: one encode, a
+    probe-independent scored frame carrying each candidate's home-cell
+    rank, then one filtered shortlist + recall readout per sweep
+    point (unrolled UNION ALL blocks)."""
+    lo, w = f"mm*{sub_dim}+1", f"mm*{sub_dim}+{sub_dim}"
+    shortlist_n = rerank_factor * k
+    max_p = max(probes)
+    denom = f"{n_queries * k}.0"
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT CAST({p} AS INTEGER) AS n_probe,
+               round({p} / {n_cells}.0, 4) AS probed_frac,
+               (SELECT CAST(count(*) AS BIGINT) FROM scored
+                WHERE cell_rank <= {p}) AS n_candidates,
+               round((SELECT count(*) FROM truth t
+                      JOIN (SELECT query_id, vec_id FROM (
+                                SELECT query_id, vec_id,
+                                       row_number() OVER (
+                                           PARTITION BY query_id
+                                           ORDER BY approx_d2, vec_id) AS srn
+                                FROM scored WHERE cell_rank <= {p})
+                            WHERE srn <= {shortlist_n}) s
+                        ON t.query_id = s.query_id
+                       AND t.vec_id = s.vec_id) / {denom}, 4) AS recall,
+               round((SELECT count(*) FROM truth t
+                      JOIN scored c
+                        ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+                       AND c.cell_rank <= {p}) / {denom}, 4)
+                   AS cell_ceiling"""
+        for p in probes
+    )
+    return f"""
+        WITH {_ivf_pq_core_sql(n_cells, m_sub, k_codes, sub_dim, dim)},
+        queries AS (
+            SELECT vec_id AS query_id, e AS q_emb FROM emb
+            WHERE vec_id < {n_queries}),
+        truth AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           round(list_dot_product(e.e, q.q_emb)
+                                 / (sqrt(list_dot_product(e.e, e.e))
+                                    * sqrt(list_dot_product(q.q_emb, q.q_emb))),
+                                 6) DESC, e.vec_id) AS rn
+                FROM emb e CROSS JOIN queries q
+                WHERE e.vec_id <> q.query_id)
+            WHERE rn <= {k}),
+        qcells AS (
+            SELECT vec_id AS query_id, cell, rn AS cell_rank,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> e[i] - c_emb[i]) AS qr
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {max_p}),
+        qsub AS (
+            SELECT query_id, cell, cell_rank, CAST(mm AS INTEGER) AS m,
+                   qr[{lo} : {w}] AS q_sub
+            FROM (SELECT query_id, cell, cell_rank, qr,
+                         unnest(range(0, {m_sub})) AS mm
+                  FROM qcells)),
+        adc AS (
+            SELECT query_id, cell, cell_rank, m, code,
+                   list_dot_product(q_sub, q_sub)
+                   - 2 * list_dot_product(q_sub, c_sub)
+                   + list_dot_product(c_sub, c_sub) AS d2
+            FROM qsub JOIN rbook USING (m)),
+        scored AS (
+            SELECT a.query_id, c.vec_id,
+                   round(sum(a.d2), 6) AS approx_d2,
+                   max(a.cell_rank) AS cell_rank
+            FROM rcodes c JOIN adc a USING (cell, m, code)
+            WHERE c.vec_id <> a.query_id
+            GROUP BY a.query_id, c.vec_id)
+        SELECT * FROM ({rows})
+        ORDER BY n_probe
+    """

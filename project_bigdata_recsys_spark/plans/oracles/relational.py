@@ -3311,3 +3311,18 @@ TEXTS['partition_evolution_read'] = """
            CAST(sum(micros) AS BIGINT) AS sum_micros
     FROM u GROUP BY spec, month ORDER BY spec, month
 """
+
+TEXTS['udaf_trimmed_mean'] = """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS trimmed_mean_chars
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY source ORDER BY source
+"""

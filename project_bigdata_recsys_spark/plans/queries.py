@@ -78,6 +78,7 @@ from project_bigdata_recsys_spark.plans.oracle_builders import (  # noqa: F401
     _incremental_oracle,
     _ivf_lloyd_oracle,
     _ivf_oracle,
+    _ivf_pq_nprobe_sweep_oracle,
     _ivf_pq_oracle,
     _ivf_pq_recall_oracle,
     _kcore_oracle,
@@ -1074,8 +1075,8 @@ _GATE_WINDOW = [
     "item_triangles",
     "concurrent_events_peak",
     "label_agreement_kappa",
-    "stream_late_data_audit",
-    "stream_merge_apply",
+    "ivf_pq_nprobe_sweep",
+    "udaf_trimmed_mean",
     "ivf_pq_incremental_knn",
     "stream_mann_whitney",
     "partition_evolution_read",
@@ -2870,6 +2871,21 @@ QUERIES["ivf_pq_incremental_knn"] = similarity.ivf_pq_incremental_knn
 ORACLES["ivf_pq_incremental_knn"] = _ivf_pq_oracle(
     seed_where="WHERE vec_id % 3 = 0"
 )
+
+
+# Round-15 seventh wave -------------------------------------------------------
+# ivf_pq_nprobe_sweep: the probe-budget tuning curve — ONE corpus
+# encode (scores are probe-independent; the budget only gates which
+# home cells are admitted), then a filtered shortlist + recall readout
+# per sweep point (the lsh_band_sweep idiom).  udaf_trimmed_mean: the
+# UDAF corner of the §2.11 UDx surface — Arrow grouped-agg pandas UDF
+# (AggregateInPandas, plan-pinned), value-order trimming so the result
+# is arrival-order independent and exactly oracle-checkable.
+QUERIES["ivf_pq_nprobe_sweep"] = similarity.ivf_pq_nprobe_sweep
+ORACLES["ivf_pq_nprobe_sweep"] = _ivf_pq_nprobe_sweep_oracle()
+
+QUERIES["udaf_trimmed_mean"] = sqlsurface.udaf_trimmed_mean
+ORACLES["udaf_trimmed_mean"] = _TEXTS["udaf_trimmed_mean"]
 
 
 # Apply the rotation: this must remain the LAST statement touching

@@ -78,6 +78,16 @@ cell-partitioned code appends; oracle = _ivf_pq_oracle with both seed
 samples restricted to the wave-0 subset); window replica re-run and
 PRECHECK_r15_gate.json refreshed at the insertion.
 
+R15 SEVENTH WAVE: two slots displaced to the r16 head
+(stream_late_data_audit, stream_merge_apply — r13-evidenced,
+bench-exercised) for the seventh-wave pair (ivf_pq_nprobe_sweep — the
+probe-budget tuning curve from ONE corpus encode, per-point filtered
+shortlists over a probe-independent scored frame;
+udaf_trimmed_mean — the Arrow grouped-agg pandas UDAF corner of the
+§2.11 UDx surface, ArrowAggregatePython plan-pinned, value-order
+trimming so the statistic is arrival-order independent); window
+replica re-run and PRECHECK_r15_gate.json refreshed at the insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as

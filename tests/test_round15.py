@@ -267,3 +267,43 @@ def test_partition_evolution_new_spec_read_is_pruned(spark):
     assert scan.count() == ev.filter(
         F.col("event_type") == "purchase"
     ).count()
+
+
+def test_udaf_trimmed_mean_plan_is_arrow_aggregate(spark):
+    """The grouped-agg pandas UDF must evaluate via the Arrow
+    aggregate node (ArrowAggregatePython — batch transfer, not per-row
+    pickling) and its value must equal an exact window-trimmed
+    recompute with built-in aggregates."""
+    from project_bigdata_recsys_spark.operators.sqlsurface import (
+        udaf_trimmed_mean,
+    )
+
+    df = udaf_trimmed_mean(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowAggregatePython" in plan, plan
+
+    from pyspark.sql import Window
+
+    from project_bigdata_recsys_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(wn.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    builtin = (
+        ranked.filter(
+            (F.col("rn") > F.floor(F.col("n") / 10))
+            & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+        )
+        .groupBy("source")
+        .agg(F.round(F.avg("n_chars"), 4).alias("trimmed_mean_chars"))
+    )
+    got = {r.source: r.trimmed_mean_chars for r in df.collect()}
+    exp = {r.source: r.trimmed_mean_chars for r in builtin.collect()}
+    assert got == exp
