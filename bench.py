@@ -484,6 +484,8 @@ HEADLINE = [
     "ivf_pq_incremental_knn",
     "ivf_pq_nprobe_sweep",
     "udaf_trimmed_mean",
+    # r15 eighth wave: gb-pruned batch probe of the containment index
+    "containment_batch_probe",
 ]
 
 #: Frozen cross-round comparison subset (r10 verdict task #5): the

@@ -2699,3 +2699,105 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("char1_lenband4", blk_cand))
         .orderBy("strategy")
     )
+
+
+def probe_containment_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_sh: DataFrame,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment pairs INVOLVING a small batch against the persisted
+    index — the daily-probe shape (a full readout re-materializes the
+    corpus pair set; a batch probe must cost O(batch), not O(corpus)).
+    The batch's rare shingles select which ``gb=`` partitions of the
+    postings relation are read (bounded driver-side collect of ≤ 64
+    bucket keys — the bands/kb pruning precedent), the pair join runs
+    batch-side × pruned postings, and the exact intersection joins the
+    docs store only for the touched pair endpoints.
+
+    df semantics: the batch is assumed ADMITTED (update first, probe
+    second — the probe_dedup_index ordering), so the ledger fold
+    already includes the batch's own contribution and the rare set is
+    the same one the full readout would use.  Output is therefore
+    EXACTLY the full readout filtered to pairs touching the batch —
+    which is the oracle the gate shares."""
+    ids = batch_sh.select("doc_id").distinct()
+    df_now = (
+        spark.read.parquet(f"{index_dir}/df_ledger")
+        .groupBy("g")
+        .agg(F.sum("df_delta").alias("df"))
+    )
+    rare = df_now.filter(F.col("df") <= df_cap).select("g")
+    batch_rx = (
+        batch_sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(rare, "g")
+        .withColumn(
+            "gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int")
+        )
+    )
+    # bounded collect: ≤ 64 bucket keys, never data-sized
+    hit_buckets = [
+        r.gb for r in batch_rx.select("gb").distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("gb").isin(hit_buckets))
+        .join(rare, "g")
+        .select("doc_id", "g")
+    )
+    cand = (
+        batch_rx.select(F.col("doc_id").alias("b_id"), "g")
+        .join(postings.withColumnRenamed("doc_id", "o_id"), "g")
+        .filter(F.col("b_id") != F.col("o_id"))
+        .select(
+            F.least("b_id", "o_id").alias("doc_a"),
+            F.greatest("b_id", "o_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_tbl = spark.read.parquet(f"{index_dir}/docs")
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_batch_probe_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_waves: int = 3,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Gate form of the batch probe: admit the containment fixture in
+    waves, then probe with the PLANTED half-docs as the batch (ids
+    carry the +1e6 planted offset — a natural small daily batch with
+    known matches).  Must equal containment_pairs filtered to pairs
+    touching a planted id, which is the shared-oracle contract."""
+    from project_bigdata_recsys_spark.caching import scratch_dir
+
+    sh = containment_shingles(spark, sf_dir)
+    index_dir = scratch_dir("contain_bprobe")
+    for w in range(n_waves):
+        update_containment_index(
+            spark, sh.filter(F.col("doc_id") % n_waves == w), index_dir
+        )
+    batch = sh.filter(F.col("doc_id") >= 1_000_000)
+    return probe_containment_batch(
+        spark, index_dir, batch, df_cap, threshold
+    )

@@ -1073,7 +1073,7 @@ _GATE_WINDOW = [
     "bm25_scores",
     "vocab_coverage_curve",
     "item_triangles",
-    "concurrent_events_peak",
+    "containment_batch_probe",
     "label_agreement_kappa",
     "ivf_pq_nprobe_sweep",
     "udaf_trimmed_mean",
@@ -2886,6 +2886,18 @@ ORACLES["ivf_pq_nprobe_sweep"] = _ivf_pq_nprobe_sweep_oracle()
 
 QUERIES["udaf_trimmed_mean"] = sqlsurface.udaf_trimmed_mean
 ORACLES["udaf_trimmed_mean"] = _TEXTS["udaf_trimmed_mean"]
+
+# containment_batch_probe: the daily-probe shape of the persisted
+# containment index — the planted half-docs as the batch, gb-partition
+# pruning on the postings (bounded ≤64-key collect), O(batch) pair
+# join.  Oracle = the shared containment oracle filtered to pairs
+# touching a planted (+1e6) id, because an admitted-batch probe must
+# equal the full readout restricted to the batch.
+QUERIES["containment_batch_probe"] = dedup.containment_batch_probe_pairs
+ORACLES["containment_batch_probe"] = (
+    "SELECT * FROM (" + ORACLES["containment_pairs"] + ") "
+    "WHERE doc_a >= 1000000 OR doc_b >= 1000000 ORDER BY doc_a, doc_b"
+)
 
 
 # Apply the rotation: this must remain the LAST statement touching

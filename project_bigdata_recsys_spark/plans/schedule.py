@@ -88,6 +88,15 @@ udaf_trimmed_mean — the Arrow grouped-agg pandas UDAF corner of the
 trimming so the statistic is arrival-order independent); window
 replica re-run and PRECHECK_r15_gate.json refreshed at the insertion.
 
+R15 EIGHTH WAVE: one slot displaced to the r16 head
+(concurrent_events_peak — r13-evidenced, bench-exercised) for
+containment_batch_probe (the daily-probe shape of the persisted
+containment index: planted half-docs as the batch, gb-partition
+pruning via a bounded ≤64-key collect, O(batch) pair join; oracle =
+the shared containment oracle filtered to pairs touching a planted
+id); window replica re-run and PRECHECK_r15_gate.json refreshed at
+the insertion.
+
 ROUND-14 EXECUTION NOTE: the window held the 50-name
 r14 write-ahead block verbatim (the twenty-eight names displaced from
 r13 plus the remaining r7-evidence queries in registration order, as

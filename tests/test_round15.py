@@ -307,3 +307,29 @@ def test_udaf_trimmed_mean_plan_is_arrow_aggregate(spark):
     got = {r.source: r.trimmed_mean_chars for r in df.collect()}
     exp = {r.source: r.trimmed_mean_chars for r in builtin.collect()}
     assert got == exp
+
+
+def test_containment_batch_probe_prunes_partitions(spark, tmp_path):
+    """The batch probe must read only the gb= partitions its rare
+    shingles hash into (PartitionFilters on the postings scan) and must
+    equal the full readout restricted to pairs touching the batch."""
+    from project_bigdata_recsys_spark.functions.dedup import (
+        containment_shingles,
+        probe_containment_batch,
+        probe_containment_index,
+        update_containment_index,
+    )
+
+    sh = containment_shingles(spark, SF_SMALL)
+    idx = str(tmp_path / "bidx")
+    for w in range(3):
+        update_containment_index(
+            spark, sh.filter(F.col("doc_id") % 3 == w), idx
+        )
+    batch = sh.filter(F.col("doc_id") >= 1_000_000)
+    got = probe_containment_batch(spark, idx, batch).collect()
+    full = probe_containment_index(spark, idx).collect()
+    expect = [
+        r for r in full if r.doc_a >= 1_000_000 or r.doc_b >= 1_000_000
+    ]
+    assert got == expect and len(got) > 0
