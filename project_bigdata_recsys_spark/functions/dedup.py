@@ -2401,7 +2401,11 @@ def containment_pairs(
     Exactness: shingle arrays are DISTINCT on both engines; containment
     and Jaccard are single divisions rounded to 6 dp; ordering is a
     total order on (doc_a, doc_b)."""
-    sh_tbl = containment_shingles(spark, sf_dir, n)
+    # persist: the shingle frame feeds the rare-df aggregation, the
+    # candidate join, and both sides of the exact readout — unpersisted,
+    # each consumer re-runs the full corpus shingling (4 extra scans of
+    # the documents parquet; guide §5 persist-on-reuse)
+    sh_tbl = persist_tracked(containment_shingles(spark, sf_dir, n))
     return containment_from_shingles(sh_tbl, df_cap, threshold)
 
 
@@ -2464,6 +2468,10 @@ def _containment_readout(
     the same frame) and the persisted-index probe (rare computed from
     the df LEDGER — which is what makes cap-crossing retraction a
     probe-time filter instead of a stored-pair rewrite)."""
+    # persist: rx feeds BOTH sides of the candidate self-join; without
+    # it each side re-runs the posting derivation (inline: explode +
+    # df aggregation + join; probe: postings scan + ledger fold + join)
+    rx = persist_tracked(rx)
     cand = (
         rx.alias("a")
         .join(
@@ -2529,9 +2537,13 @@ def update_containment_index(
     postings = sh_batch.select(
         "doc_id", F.explode("sh").alias("g")
     ).withColumn("gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int"))
-    postings.write.mode("append").partitionBy("gb").parquet(
-        f"{index_dir}/postings"
-    )
+    # repartition by the partition column before the partitionBy write:
+    # without it every map task emits a file per gb value it sees (up to
+    # tasks × 64 tiny files PER WAVE); hash-clustering on gb bounds the
+    # layout at 64 files per admission (guide §6 small-files)
+    postings.repartition("gb").write.mode("append").partitionBy(
+        "gb"
+    ).parquet(f"{index_dir}/postings")
     # per-batch df deltas: shingle arrays are distinct per doc, so the
     # batch count IS the batch's contribution to global df
     postings.groupBy("g").agg(
@@ -2588,7 +2600,9 @@ def containment_index_pairs(
     probe_dedup_index / query_pq_index."""
     from project_bigdata_recsys_spark.caching import scratch_dir
 
-    sh = containment_shingles(spark, sf_dir)
+    # persist: each admission wave filters this frame, so unpersisted
+    # the corpus is re-shingled once per wave (guide §5)
+    sh = persist_tracked(containment_shingles(spark, sf_dir))
     index_dir = scratch_dir("contain_idx")
     for w in range(n_waves):
         update_containment_index(

@@ -2590,19 +2590,24 @@ def winnowing_fingerprints(
         F.posexplode(gram_txt).alias("pos", "gram"),
     ).select("doc_id", "ng", "pos", hash32(F.col("gram")).alias("h"))
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    cnt = Window.partitionBy("doc_id")
-    fps_set = (
+    # after the sliding-window pass the data is already hash-partitioned
+    # by doc_id, so the per-doc dedup + count both run as ONE exchange-
+    # free aggregation (groupBy doc_id reuses the window's partitioning;
+    # collect_set ≡ DISTINCT per doc, size ≡ the count window) — the
+    # previous .distinct() + count-window formulation paid two more
+    # full shuffles of the fingerprint rows (guide §2.4)
+    return (
         hashed.select(
             "doc_id", "ng", "pos", F.min("h").over(win).alias("fp")
         )
         .filter(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return fps_set.select(
-        "doc_id",
-        F.count(F.lit(1)).over(cnt).cast("int").alias("n_fp"),
-        "fp",
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("int").alias("n_fp"),
+            F.explode("fps").alias("fp"),
+        )
     )
 
 
@@ -2612,13 +2617,17 @@ def winnowing_pairs_from_fps(
     """Pair-overlap readout over a (doc_id, n_fp, fp) fingerprint frame
     — the df-capped fingerprint join + exact floor-division containment
     shared by the batch and streaming winnowing forms."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     rare = (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("fp")
     )
-    pruned = fps.join(rare, "fp")
+    # persist: pruned feeds both sides of the pair self-join; without it
+    # each side re-runs the df aggregation + join (guide §5)
+    pruned = persist_tracked(fps.join(rare, "fp"))
     a = pruned.alias("a")
     b = pruned.alias("b")
     pairs = (

@@ -893,10 +893,7 @@ def stream_domain_quota(
     case when domains reach web cardinality — session.py's
     SPARK_GRAFT_STATE_STORE toggle); each micro-batch shuffles only its
     own rows by domain.  Output per source: docs, admitted, rejected."""
-    import glob as _glob
     import hashlib
-    import shutil
-    import time as _time
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -918,19 +915,14 @@ def stream_domain_quota(
         F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
     )
 
-    work = scratch_dir(prefix="spark_domain_quota_")
-    in_dir = os.path.join(work, "in")
-    os.makedirs(in_dir, exist_ok=True)
-    now = _time.time()
-    for w in range(n_waves):
-        tmp = os.path.join(work, f"tmp{w}")
-        dom.filter(F.col("doc_id") % n_waves == w).coalesce(1).write.parquet(
-            tmp
-        )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        staged = os.path.join(in_dir, f"{w:03d}.parquet")
-        shutil.copyfile(part, staged)
-        os.utime(staged, (now - 100 + w, now - 100 + w))
+    work, stream, _n_staged = _staged_waves(
+        spark,
+        dom,
+        "doc_id",
+        "doc_id long, source string, domain_idx long",
+        n_waves,
+        "spark_domain_quota_",
+    )
 
     out_schema = StructType(
         [
@@ -968,12 +960,6 @@ def stream_domain_quota(
             }
         )
 
-    schema = spark.read.parquet(in_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in_dir)
-    )
     decided = stream.groupBy("domain_idx").applyInPandasWithState(
         admit,
         outputStructType=out_schema,
@@ -1020,10 +1006,6 @@ def stream_kmv_distinct(
     Scale: state is ≤ k doubles per week (KB); each batch shuffles only
     its own rows by week.  Output per week: n_sketch, kmv_estimate,
     n_exact, rel_err (exact twin is the gate readout only)."""
-    import glob as _glob
-    import shutil
-    import time as _time
-
     import pandas as pd
     from pyspark.sql import Window as W
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1051,19 +1033,14 @@ def stream_kmv_distinct(
         "week", "event_id", hash_uniform(F.col("user_id"), "kmv:").alias("u")
     )
 
-    work = scratch_dir(prefix="spark_kmv_stream_")
-    in_dir = os.path.join(work, "in")
-    os.makedirs(in_dir, exist_ok=True)
-    now = _time.time()
-    for w in range(n_waves):
-        tmp = os.path.join(work, f"tmp{w}")
-        hashed.filter(
-            F.col("event_id") % n_waves == w
-        ).coalesce(1).write.parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        staged = os.path.join(in_dir, f"{w:03d}.parquet")
-        shutil.copyfile(part, staged)
-        os.utime(staged, (now - 100 + w, now - 100 + w))
+    work, stream, _n_staged = _staged_waves(
+        spark,
+        hashed,
+        "event_id",
+        "week string, event_id long, u double",
+        n_waves,
+        "spark_kmv_stream_",
+    )
 
     out_schema = StructType(
         [
@@ -1098,12 +1075,6 @@ def stream_kmv_distinct(
             }
         )
 
-    schema = spark.read.parquet(in_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(in_dir)
-    )
     folded = stream.groupBy("week").applyInPandasWithState(
         fold,
         outputStructType=out_schema,
@@ -1808,10 +1779,6 @@ def stream_zipf_fit(
     lang, token) — bounded by batches × |vocab|; a nightly compaction
     (groupBy sum, overwrite) keeps it flat, which is exactly what the
     final merge here computes."""
-    import glob as _glob
-    import shutil
-    import time as _time
-
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.functions.text import (
         tokens,
@@ -1821,26 +1788,15 @@ def stream_zipf_fit(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    work = scratch_dir(prefix="spark_zipf_stream_")
-    in_dir = os.path.join(work, "in")
-    ledger = os.path.join(work, "ledger")
-    os.makedirs(in_dir, exist_ok=True)
-    now = _time.time()
-    for w in range(n_waves):
-        tmp = os.path.join(work, f"tmp{w}")
-        docs.filter(F.col("doc_id") % n_waves == w).coalesce(1).write.parquet(
-            tmp
-        )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        staged = os.path.join(in_dir, f"{w:03d}.parquet")
-        shutil.copyfile(part, staged)
-        os.utime(staged, (now - 100 + w, now - 100 + w))
-
-    stream = (
-        spark.readStream.schema("doc_id long, lang string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
+    work, stream, n_staged = _staged_waves(
+        spark,
+        docs,
+        "doc_id",
+        "doc_id long, lang string, text string",
+        n_waves,
+        "spark_zipf_stream_",
     )
+    ledger = os.path.join(work, "ledger")
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1856,31 +1812,7 @@ def stream_zipf_fit(
             .parquet(ledger)
         )
 
-    ck = os.path.join(scratch_dir(prefix="spark_ck_"), "ck")
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "stream_zipf_fit: availableNow replay did not finish in 600s"
-            + (f" (query error: {q.exception()})" if q.exception() else "")
-        )
-    n_commits = len(
-        [
-            f
-            for f in os.listdir(os.path.join(ck, "commits"))
-            if not f.startswith(".")
-        ]
-    )
-    if n_commits < n_waves:
-        raise AssertionError(
-            f"stream_zipf_fit: expected >={n_waves} micro-batch folds,"
-            f" got {n_commits} checkpoint commits"
-        )
+    _run_ledger_fold(spark, stream, fold, "stream_zipf_fit", n_staged)
     freqs = (
         spark.read.parquet(ledger)
         .groupBy("lang", "token")
@@ -1900,7 +1832,18 @@ def _staged_waves(
     """Stage ``df`` as n_waves mtime-ordered single-file parquet waves
     (``key % n_waves``) and open a maxFilesPerTrigger=1 file stream over
     them — the shared harness of the ledger-fold family
-    (stream_zipf_fit, stream_winnowing, stream_skyline)."""
+    (stream_zipf_fit, stream_winnowing, stream_skyline).
+
+    Staging is ONE parallel job: the wave number becomes a partition
+    column, ``repartition`` by it puts every wave entirely in one task
+    (hash partitioning by value — exactly one part file per wave
+    directory), and a single ``partitionBy`` write lands all waves.
+    The previous per-wave ``filter(...).coalesce(1)`` loop recomputed
+    the ENTIRE upstream pipeline once per wave, and the coalesce
+    collapsed each of those recomputes to a single task (guide §2.4 /
+    §2.6 — n_waves serial full passes where one shuffle suffices);
+    callers staging an expensive upstream (containment shingling,
+    sn_records, per-row md5 hashing) paid it n_waves times."""
     import glob as _glob
     import shutil
     import time as _time
@@ -1910,19 +1853,24 @@ def _staged_waves(
     os.makedirs(in_dir, exist_ok=True)
     now = _time.time()
     n_staged = 0
+    tmp = os.path.join(work, "tmpwaves")
+    (
+        df.withColumn("_wv", (F.col(key_col) % n_waves).cast("int"))
+        .repartition(F.col("_wv"))
+        .write.partitionBy("_wv")
+        .parquet(tmp)
+    )
     for wv in range(n_waves):
-        tmp = os.path.join(work, f"tmp{wv}")
-        df.filter(F.col(key_col) % n_waves == wv).coalesce(1).write.parquet(
-            tmp
-        )
-        # an empty wave may legitimately produce NO part file (Spark is
-        # not contractually bound to emit a schema-only file from an
-        # empty coalesce(1) write), and an empty staged file would also
-        # weaken the >= n_waves commit-count gate — skip it and let the
-        # caller derive the commit floor from n_staged (ADVICE r13)
-        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        # an empty wave legitimately produces NO partition directory —
+        # skip it and let the caller derive the commit floor from
+        # n_staged (ADVICE r13)
+        parts = _glob.glob(os.path.join(tmp, f"_wv={wv}", "part-*.parquet"))
         if not parts:
             continue
+        if len(parts) > 1:  # hash-partitioning invariant: 1 task per wave
+            raise AssertionError(
+                f"{prefix}: wave {wv} staged as {len(parts)} files"
+            )
         staged = os.path.join(in_dir, f"{wv:03d}.parquet")
         shutil.copyfile(parts[0], staged)
         os.utime(staged, (now - 100 + wv, now - 100 + wv))
