@@ -1065,11 +1065,13 @@ def build_dedup_index(
     # derive bands from the PERSISTED signatures: the build reads the tiny
     # signature table back instead of re-running the shingle+md5 pass
     stored_sigs = spark.read.parquet(f"{index_dir}/signatures")
+    # cluster on the partition key first: bounds the band-index layout
+    # at one file per (band_no, kb) dir instead of tasks × dirs (§6)
     minhash_band_rows(stored_sigs, n_hashes).withColumn(
         "kb", (F.col("k1") % _DEDUP_INDEX_KB).cast("int")
-    ).write.mode("overwrite").partitionBy("band_no", "kb").parquet(
-        f"{index_dir}/bands"
-    )
+    ).repartition("band_no", "kb").write.mode("overwrite").partitionBy(
+        "band_no", "kb"
+    ).parquet(f"{index_dir}/bands")
 
 
 def _incremental_funnel(
@@ -2743,8 +2745,14 @@ def probe_containment_batch(
         .groupBy("g")
         .agg(F.sum("df_delta").alias("df"))
     )
-    rare = df_now.filter(F.col("df") <= df_cap).select("g")
-    batch_rx = (
+    # persist: the rare set feeds the batch-side join AND the pruned
+    # postings join; unpersisted each consumer re-folds the df ledger
+    # (guide §5 persist-on-reuse)
+    rare = persist_tracked(df_now.filter(F.col("df") <= df_cap).select("g"))
+    # persist: batch_rx feeds the bounded bucket collect and the pair
+    # join; unpersisted the second consumer re-runs batch explode +
+    # ledger join
+    batch_rx = persist_tracked(
         batch_sh.select("doc_id", F.explode("sh").alias("g"))
         .join(rare, "g")
         .withColumn(
@@ -2805,7 +2813,10 @@ def containment_batch_probe_pairs(
     touching a planted id, which is the shared-oracle contract."""
     from project_bigdata_recsys_spark.caching import scratch_dir
 
-    sh = containment_shingles(spark, sf_dir)
+    # persist: each admission wave filters this frame 3× (postings, df
+    # ledger, docs writes) and the probe batch filters it again —
+    # unpersisted, the corpus is re-shingled ~10× (guide §5)
+    sh = persist_tracked(containment_shingles(spark, sf_dir))
     index_dir = scratch_dir("contain_bprobe")
     for w in range(n_waves):
         update_containment_index(

@@ -661,9 +661,13 @@ def build_ann_index(
     Rademacher planes mean index and probe always agree, with no stored
     plane matrix to version."""
     emb = load_table(spark, sf_dir, "embeddings")
-    rp_index_rows(emb, n_tables, n_planes).write.mode("overwrite").partitionBy(
+    # cluster on the partition key before the partitioned write: without
+    # it every map task emits a file per (t, bucket) it sees (tasks ×
+    # n_tables·2^n_planes tiny files); hash-clustering bounds the layout
+    # at one file per partition dir (guide §6 small-files)
+    rp_index_rows(emb, n_tables, n_planes).repartition(
         "t", "bucket"
-    ).parquet(index_dir)
+    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(index_dir)
 
 
 def query_ann_index(
@@ -3279,14 +3283,22 @@ def ivf_pq_knn(
     nearest-neighbor surface is the in-memory candidate loop of
     core-logic/run_consumer.py:213-260); this is the 100 TB
     replacement."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
     sub_dim = dim // m_sub
     centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
-    residuals = ranked.filter(F.col("rn") == 1).select(
-        "vec_id",
-        "cell",
-        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    # persist: residuals feed BOTH the codebook's sampled-seed lineage
+    # and the full encode; unpersisted, the corpus × centroids
+    # assignment (crossJoin + per-vec window) runs twice inside the one
+    # shortlist action (guide §5 persist-on-reuse)
+    residuals = persist_tracked(
+        ranked.filter(F.col("rn") == 1).select(
+            "vec_id",
+            "cell",
+            _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+        )
     )
     book, codes = _pq_residual_frames(residuals, m_sub, k_codes, sub_dim)
 
@@ -3360,6 +3372,8 @@ def build_ivf_pq_index(
     vectors until their final rerank.  At 100 TB the codes relation is
     ~m_sub small ints per vector — the scan that replaces brute force —
     and each probe reads only n_probe / n_cells of it."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
     if subset is not None:
         # incremental contract (faiss add()): quantizers train on, and
@@ -3373,16 +3387,24 @@ def build_ivf_pq_index(
     centroids.select("cell", "c_emb").write.mode("overwrite").parquet(
         f"{index_dir}/centroids"
     )
-    residuals = ranked.filter(F.col("rn") == 1).select(
-        "vec_id",
-        "cell",
-        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    # persist: the codebook write and the codes write each evaluate the
+    # residual frame (and the codes write's broadcast codebook lineage
+    # evaluates it a third time) — one corpus × centroids assignment
+    # instead of three (guide §5 persist-on-reuse)
+    residuals = persist_tracked(
+        ranked.filter(F.col("rn") == 1).select(
+            "vec_id",
+            "cell",
+            _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+        )
     )
     book, codes = _pq_residual_frames(residuals, m_sub, k_codes, sub_dim)
     book.write.mode("overwrite").parquet(f"{index_dir}/codebook")
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_dir}/codes"
-    )
+    # cluster on the partition key first: one file per cell dir instead
+    # of tasks × n_cells (guide §6 small-files)
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/codes")
 
 
 def query_ivf_pq_index(
@@ -3509,6 +3531,8 @@ def ivf_pq_recall_profile(
     constraint, which is exactly what this readout is for."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.limit(1).select(F.size("embedding").alias("d")).head().d
     sub_dim = dim // m_sub
@@ -3517,11 +3541,14 @@ def ivf_pq_recall_profile(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
 
-    # exact truth: brute-force cosine per query, top-k
+    # exact truth: brute-force cosine per query, top-k.  persist: the
+    # truth frame joins all THREE hit readouts (flat, ivf, ceiling) —
+    # unpersisted, the corpus × queries brute-force pass runs three
+    # times inside the one readout action (guide §5 persist-on-reuse)
     w_truth = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
-    truth = (
+    truth = persist_tracked(
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -3537,9 +3564,11 @@ def ivf_pq_recall_profile(
     )
 
     # flat-PQ shortlist: global codebook over RAW vectors (pq_knn's
-    # encode), per-query ADC, windowed top-shortlist
+    # encode), per-query ADC, windowed top-shortlist.  persist: the
+    # codebook feeds the encode AND the query ADC; its lineage is a
+    # corpus TakeOrdered, so unpersisted each consumer re-scans
     subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
-    flat_book = pq_codebook(emb, m_sub, k_codes, sub_dim)
+    flat_book = persist_tracked(pq_codebook(emb, m_sub, k_codes, sub_dim))
     vec_subs = emb.select(
         "vec_id",
         F.posexplode(
@@ -3595,12 +3624,17 @@ def ivf_pq_recall_profile(
     )
 
     # IVF-PQ shortlist: coarse cells + residual codebook + per-(query,
-    # probed cell) ADC — ivf_pq_knn's exact arithmetic, multi-query form
+    # probed cell) ADC — ivf_pq_knn's exact arithmetic, multi-query
+    # form.  persist: residuals feed the codebook sample, the encode,
+    # and the cell-ceiling membership — three corpus × centroids
+    # assignment passes collapsed to one
     centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
-    residuals = ranked.filter(F.col("rn") == 1).select(
-        "vec_id",
-        "cell",
-        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    residuals = persist_tracked(
+        ranked.filter(F.col("rn") == 1).select(
+            "vec_id",
+            "cell",
+            _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+        )
     )
     res_book, res_codes = _pq_residual_frames(
         residuals, m_sub, k_codes, sub_dim
@@ -3722,9 +3756,13 @@ def update_ivf_pq_index(
         "cell",
         _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
     )
-    _pq_encode(residuals, book, m_sub, sub_dim).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+    # cluster on the partition key first: one file per touched cell per
+    # admission instead of tasks × cells (guide §6 small-files)
+    _pq_encode(residuals, book, m_sub, sub_dim).repartition(
+        "cell"
+    ).write.mode("append").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
 
 
 def ivf_pq_incremental_knn(
@@ -3816,10 +3854,14 @@ def ivf_pq_nprobe_sweep(
     )
 
     centroids, ranked = _ivf_coarse_ranked(emb, n_cells)
-    residuals = ranked.filter(F.col("rn") == 1).select(
-        "vec_id",
-        "cell",
-        _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+    # persist: residuals feed the codebook's sampled-seed lineage and
+    # the encode — one corpus × centroids assignment instead of two
+    residuals = persist_tracked(
+        ranked.filter(F.col("rn") == 1).select(
+            "vec_id",
+            "cell",
+            _residual(F.col("embedding"), F.col("c_emb")).alias("r"),
+        )
     )
     res_book, res_codes = _pq_residual_frames(
         residuals, m_sub, k_codes, sub_dim

@@ -206,7 +206,12 @@ def build_span_index(
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ").alias("first_occ"))
         .withColumn("sb", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
     )
-    verdict.write.mode("overwrite").partitionBy("sb").parquet(index_dir)
+    # cluster on the partition key first: the groupBy leaves verdict
+    # hash-partitioned by h, so an unclustered write emits up to tasks ×
+    # 256 sb files; one shuffle bounds it at one file per dir (guide §6)
+    verdict.repartition("sb").write.mode("overwrite").partitionBy(
+        "sb"
+    ).parquet(index_dir)
 
 
 def probe_span_index(

@@ -51,7 +51,22 @@ def _run_replay(sdf, spark: SparkSession, mode: str) -> DataFrame:
             "processing-time state TTL is armed (it forces no-data "
             "micro-batches until every timeout fires)"
         )
-    return spark.table(name)
+    return _drain_sink(spark, name)
+
+
+def _drain_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Snapshot a finished memory sink to scratch parquet and DROP the
+    sink table.  Memory sinks hold every emitted row in the driver for
+    the session's lifetime; a bench session running ~45 bounded replays
+    accumulates them into real driver heap/GC pressure that taxes every
+    later query (guide §5 — the driver should do almost no data work).
+    Parquet-backing also gives every caller self-join-safe attribute
+    ids — the workaround stream_bootstrap_ci / stream_cusum_changepoint
+    had to hand-roll against memory-sink frames, now centralized."""
+    out = os.path.join(scratch_dir(prefix="spark_sink_"), "sink")
+    spark.table(name).write.mode("overwrite").parquet(out)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out)
 
 
 def _run_replay_incremental(
@@ -120,7 +135,7 @@ def _run_replay_incremental(
             )
     finally:
         q.stop()
-    return spark.table(name)
+    return _drain_sink(spark, name)
 
 
 def stream_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,9 +482,13 @@ def prepare_semantic_index(
         work = scratch_dir(prefix="spark_semantic_dedup_")
         index_dir = os.path.join(work, "ann_index")
         vec_dir = os.path.join(work, "train_vectors")
-        rp_index_rows(train, n_tables, n_planes).write.mode(
-            "overwrite"
-        ).partitionBy("t", "bucket").parquet(index_dir)
+        # cluster on the partition key first: bounds the index layout at
+        # one file per (t, bucket) dir instead of tasks × dirs (guide §6)
+        rp_index_rows(train, n_tables, n_planes).repartition(
+            "t", "bucket"
+        ).write.mode("overwrite").partitionBy("t", "bucket").parquet(
+            index_dir
+        )
         train.select(
             F.col("vec_id").alias("train_id"),
             F.col("embedding").alias("emb_t"),
@@ -1567,10 +1586,13 @@ def stream_update_ann_index(
 
     # nightly base index over the settled corpus (own scratch copy —
     # the fold MUTATES it; never point this at the shared
-    # prepare_semantic_index memo other queries probe)
+    # prepare_semantic_index memo other queries probe).  Clustered on
+    # the partition key first: one file per (t, bucket) dir (guide §6)
     rp_index_rows(
         emb.filter(F.col("vec_id") < split_at), n_tables, n_planes
-    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(index_dir)
+    ).repartition("t", "bucket").write.mode("overwrite").partitionBy(
+        "t", "bucket"
+    ).parquet(index_dir)
 
     emb.filter(F.col("vec_id") >= split_at).repartition(
         n_arrival_files
@@ -1665,9 +1687,13 @@ def stream_ann_compaction(
     max_vec = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     split_at = int(max_vec * split_frac) if max_vec is not None else 0
 
+    # cluster on the partition key first: bounds the base-index layout
+    # at one file per (t, bucket) dir instead of tasks × dirs (guide §6)
     rp_index_rows(
         emb.filter(F.col("vec_id") < split_at), n_tables, n_planes
-    ).write.mode("overwrite").partitionBy("t", "bucket").parquet(index_dir)
+    ).repartition("t", "bucket").write.mode("overwrite").partitionBy(
+        "t", "bucket"
+    ).parquet(index_dir)
 
     emb.filter(F.col("vec_id") >= split_at).repartition(
         n_arrival_files
