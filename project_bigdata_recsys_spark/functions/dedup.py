@@ -2536,9 +2536,16 @@ def update_containment_index(
     materializes pairs against the CURRENT ledger fold, so a crossed
     shingle is excluded the moment its fold exceeds the cap (implicit
     retraction, no rewrite of anything already on disk)."""
-    postings = sh_batch.select(
-        "doc_id", F.explode("sh").alias("g")
-    ).withColumn("gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int"))
+    # persist: the exploded postings feed the partitioned write AND the
+    # df-delta aggregation — unpersisted, the batch is re-shingled and
+    # re-exploded per write (guide §5 persist-on-reuse)
+    postings = persist_tracked(
+        sh_batch.select(
+            "doc_id", F.explode("sh").alias("g")
+        ).withColumn(
+            "gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int")
+        )
+    )
     # repartition by the partition column before the partitionBy write:
     # without it every map task emits a file per gb value it sees (up to
     # tasks × 64 tiny files PER WAVE); hash-clustering on gb bounds the
