@@ -1990,7 +1990,20 @@ def ann_index_diff(
     # ONCE and carve both snapshot memberships out of the hashed
     # relation with filters — T0 and T1 overlap on ~95% of the base,
     # and the RP projections are the expensive part
-    hashed = rp_index_rows(emb, n_tables, n_planes).persist()
+    # cluster by the layout key BEFORE persisting: both snapshot writes
+    # below are then shuffle-free AND land one file per (t, bucket) dir
+    # instead of tasks × dirs small files (guide §6) — filters preserve
+    # the hash partitioning, so one shuffle serves both writes.  The
+    # explicit task count keeps the ~256 directories written in
+    # parallel (an AQE-coalesced bare repartition(col) collapses this
+    # small-byte frame to 1-2 tasks — the merge-family rationale)
+    hashed = (
+        rp_index_rows(emb, n_tables, n_planes)
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "t", "bucket"
+        )
+        .persist()
+    )
     try:
         hashed.filter(F.col("vec_id") < split_at).write.mode(
             "overwrite"

@@ -389,7 +389,12 @@ def merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("part"),
     )
     target = os.path.join(scratch_dir(prefix="spark_merge_gate_"), "t")
-    orders.write.mode("overwrite").partitionBy("part").parquet(target)
+    # explicit task count before the partitioned write, same rationale
+    # (and measured win) as the streaming-merge target below: a bare
+    # write fans every task across all ~80 month directories
+    orders.repartition(
+        spark.sparkContext.defaultParallelism, F.col("part")
+    ).write.mode("overwrite").partitionBy("part").parquet(target)
 
     key = F.col("o_orderkey")
     bumped = orders.filter(hash_uniform(key, "merge-upd:") < 0.05).select(
@@ -1073,19 +1078,31 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 1000000).cast("long").alias("micros"),
     )
+    # NOT persisted: ev is consumed three times (midpoint aggregate +
+    # both spec writes), but it is a narrow projection of a columnar
+    # scan — measured at sf0.1, caching it costs MORE than the repeated
+    # scans (3.2 s persisted vs 1.6 s rescanned; guide §5 caveat:
+    # don't cache cheap-to-recompute scans)
     mid = ev.agg(
         F.floor((F.min("day") + F.max("day")) / 2.0).cast("long").alias("m")
     )
     tagged = ev.crossJoin(F.broadcast(mid))
     base = scratch_dir("partevo")
+    # cluster on the partition key(s) before each partitioned write:
+    # unclustered, every map task emits a file per directory it sees
+    # (tasks × dirs small files; guide §6) — the explicit task count
+    # keeps the directories written in parallel (merge-family rationale)
+    par = spark.sparkContext.defaultParallelism
     tagged.filter(F.col("day") <= F.col("m")).select(
         "month", "event_type", "micros"
-    ).write.mode("overwrite").partitionBy("month").parquet(f"{base}/spec1")
+    ).repartition(par, F.col("month")).write.mode("overwrite").partitionBy(
+        "month"
+    ).parquet(f"{base}/spec1")
     tagged.filter(F.col("day") > F.col("m")).select(
         "month", "event_type", "micros"
-    ).write.mode("overwrite").partitionBy("month", "event_type").parquet(
-        f"{base}/spec2"
-    )
+    ).repartition(par, F.col("month"), F.col("event_type")).write.mode(
+        "overwrite"
+    ).partitionBy("month", "event_type").parquet(f"{base}/spec2")
 
     def profile(df: DataFrame, spec: int) -> DataFrame:
         return (
