@@ -392,7 +392,8 @@ def source_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.dedup import (
-        shared_components,
+        connected_components,
+        simhash_near_pairs_for,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -407,15 +408,10 @@ def source_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", F.substring(F.md5("term"), 1, 16).alias("h"))
     vp = vocabulary_rollup(hashed).select("source", "ttr")
 
-    # attribution block LOADS the nightly CC labeling instead of
-    # re-running simhash pairs + CC: shared_components is built from
-    # the identical corpus-wide simhash kernel (sort=False, default
-    # band cap — simhash_features' tokens_col path is documented and
-    # test-pinned identical), so the labeling is the same frame the
-    # inline recompute produced; production triage reads the dedup
-    # job's table, never re-derives it (guide §1.2 — remove whole
-    # passes first; the pair+CC recompute was ~half this query's cost)
-    members = shared_components(spark, sf_dir).join(
+    pairs = simhash_near_pairs_for(
+        per_doc.select("doc_id", "toks"), sort=False, tokens_col="toks"
+    )
+    members = connected_components(pairs).join(
         per_doc.select("doc_id", "source"), "doc_id"
     )
     att = attribution_rollup(members).select("source", "cross_rate")
