@@ -486,6 +486,8 @@ def item_triangles(
     counts explode each triangle to its 3 corners (bounded ×3), and
     the top-k is a TakeOrdered heap, never a global sort.
     """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     oriented = (
         shared_oriented_edges(spark, sf_dir)
         if edges is None
@@ -510,10 +512,23 @@ def item_triangles(
     corners = tris.select(
         F.explode(F.array("x", "y", "z")).alias("l_partkey")
     )
-    per_node = corners.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    # persist: per_node feeds BOTH the readout and the grand total —
+    # unmaterialized, `tris` is a common subexpression Spark re-executes
+    # per consumer, so the whole wedge join ran TWICE (guide §5
+    # persist-on-reuse; plan before/after in plans/r15/).  The total is
+    # derived from per_node (Σ corner counts = 3·|triangles|, exact
+    # integer div) instead of a second count over `tris`, so the
+    # persisted frame is |V| rows, never the triangle set itself.
+    per_node = persist_tracked(
+        corners.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
     )
-    total = tris.agg(F.count(F.lit(1)).cast("long").alias("total_triangles"))
+    total = per_node.agg(
+        F.expr("sum(n_triangles) div 3")
+        .cast("long")
+        .alias("total_triangles")
+    )
     return (
         per_node.crossJoin(F.broadcast(total))
         .orderBy(F.desc("n_triangles"), "l_partkey")
