@@ -255,7 +255,13 @@ def als_ranking_eval(
         ratingCol="strength",
     )
     model = als.fit(train)
-    recs = model.recommendForAllUsers(k_max).select(
+    # persist: the top-K frame feeds BOTH the hit-rank join and the
+    # coverage count — unmaterialized, each consumer re-runs the full
+    # blocked factor product inside recommendForAllUsers (the plan's
+    # CartesianProduct pair appeared twice; guide §5 persist-on-reuse).
+    # |users| rows (one K-array each), bounded.
+    raw_recs = persist_tracked(model.recommendForAllUsers(k_max))
+    recs = raw_recs.select(
         "user_id",
         F.posexplode("recommendations").alias("__pos", "__rec"),
     ).select(
@@ -266,7 +272,7 @@ def als_ranking_eval(
     hit_rank = test.join(recs, ["user_id", "item_id"], "left").select(
         "user_id", "fr"
     )
-    covered = recs.select("user_id").distinct()
+    covered = raw_recs.select("user_id").distinct()
 
     per_k = hit_rank.select(
         "fr", F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")
