@@ -222,8 +222,16 @@ def item_pmi(spark: SparkSession, sf_dir: str, k: int = 25, min_pairs: int = 3) 
     joins for the margins, and N folded in as a broadcast 1-row
     aggregate — no driver-side count.  min_pairs floors the co-count so
     rare-pair noise (PMI's known failure mode) can't top the ranking."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # persist: basket feeds BOTH self-join sides plus the margin and
+    # basket-count rollups — unmaterialized, each consumer re-scans
+    # lineitem and re-runs the distinct shuffle (guide §5
+    # persist-on-reuse; 2 int columns, MEMORY_AND_DISK spill).
+    basket = persist_tracked(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
     a = basket.alias("a")
     b = basket.alias("b")
     pair_counts = (
@@ -239,7 +247,11 @@ def item_pmi(spark: SparkSession, sf_dir: str, k: int = 25, min_pairs: int = 3) 
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_pairs)
     )
-    margins = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # persist: the per-part margin rollup is broadcast twice (a-side and
+    # b-side); |parts| rows.
+    margins = persist_tracked(
+        basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    )
     n_row = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")
     )
@@ -285,11 +297,22 @@ def association_rules(
     Same bounded basket self-join as item_pmi; margins and the basket
     count broadcast; min_cooccur floors the pair count before ranking so
     singleton-pair noise can't dominate lift."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # persist: basket feeds both self-join sides plus the margin and
+    # basket-count rollups — unmaterialized, the plan scanned lineitem
+    # SEVEN times (guide §5 persist-on-reuse; 2 int columns,
+    # MEMORY_AND_DISK spill).
+    basket = persist_tracked(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
     a = basket.alias("a")
     b = basket.alias("b")
-    half = (
+    # persist: the directed-rule union consumes `half` twice — without
+    # materialization the whole basket self-join runs twice.  Bounded by
+    # the min_cooccur support floor.
+    half = persist_tracked(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -305,7 +328,10 @@ def association_rules(
     rules = half.selectExpr("x AS antecedent", "y AS consequent", "c_ab").unionByName(
         half.selectExpr("y AS antecedent", "x AS consequent", "c_ab")
     )
-    margins = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # persist: broadcast twice (antecedent and consequent margins).
+    margins = persist_tracked(
+        basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    )
     n_row = basket.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")
     )
@@ -358,10 +384,15 @@ def item_communities(
     Thresholding BEFORE clustering is the scale control: it prunes the
     graph to strong edges (the same role banding plays for text pairs),
     so CC rounds run over thousands of edges, not the full pair space."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.dedup import connected_components
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # persist: both self-join sides — one lineitem scan + one distinct
+    # shuffle instead of two (guide §5).
+    basket = persist_tracked(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
     a = basket.alias("a")
     b = basket.alias("b")
     pairs = (
