@@ -268,12 +268,18 @@ def curation_funnel(
         with_exact_percent_rank,
     )
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         planted_id("doc_id").alias("doc_id"), "text", "lang"
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
-    uniq = dedup_exact(corpus)
+    # persist: uniq feeds both the score→chunk→pack chain and the
+    # n_unique rollup — unmaterialized, each consumer re-runs the whole
+    # planted-union + exact-dedup join (4 document scans apiece; the
+    # funnel plan read documents 14x in total, guide §5).
+    uniq = persist_tracked(dedup_exact(corpus))
 
     feats = quality_features(F.col("text"))
     scored = uniq.select(
@@ -286,7 +292,11 @@ def curation_funnel(
         F.col("pr") >= keep_above
     )
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
-    kept_counted = kept.select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+    # persist: consumed by BOTH the chunk rollup and the pack window —
+    # materializing it tokenizes the kept texts once, not twice.
+    kept_counted = persist_tracked(
+        kept.select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+    )
 
     chunks = chunk_rows(
         kept_counted.select("doc_id", "text"), chunk_tokens, stride
