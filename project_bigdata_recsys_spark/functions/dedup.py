@@ -1910,9 +1910,17 @@ def sn_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     their counts plus the deterministic planted plural-typo variants —
     shared by sorted_neighborhood_pairs (the candidate readout) and
     golden_record_fusion (the survivorship readout)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     part = load_table(spark, sf_dir, "part")
-    names = part.groupBy("p_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts")
+    # persist: names feeds the union base, the planted-variant filter,
+    # AND the collision anti-join — unmaterialized, every consumer
+    # re-scans part and re-runs the name rollup (3 part scans per
+    # sn_records call; guide §5).  |distinct part names| rows, small.
+    names = persist_tracked(
+        part.groupBy("p_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts")
+        )
     )
     planted = names.filter(hash32(F.col("p_name"), "sn:") % 3 == 0).select(
         F.concat(F.col("p_name"), F.lit("s")).alias("p_name"),
