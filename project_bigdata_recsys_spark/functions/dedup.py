@@ -860,10 +860,20 @@ def update_components(
     component's star into the CC shuffle and 'incremental' was only
     true of the round count.
     """
-    prior = prior_labels.select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist both inputs: prior feeds the touched-label probe, the
+    # star expansion, AND the untouched anti-join (3 consumers), and
+    # delta feeds both endpoint projections plus the CC union —
+    # unmaterialized, each consumer re-runs the caller's full upstream
+    # (labeling load + singleton anti-join; band-probe candidate chain)
+    # per use (guide §5).  prior is 2 narrow columns; delta is O(batch).
+    prior = persist_tracked(
+        prior_labels.select(
+            F.col(id_col).alias("id"), F.col(label_col).alias("label")
+        )
     )
-    delta = new_pairs.select(F.col(a_col), F.col(b_col))
+    delta = persist_tracked(new_pairs.select(F.col(a_col), F.col(b_col)))
     delta_ids = (
         delta.select(F.col(a_col).alias("id"))
         .unionByName(delta.select(F.col(b_col).alias("id")))
