@@ -2400,9 +2400,15 @@ def semdedup_profile(
     Reference parity: the reference has no embedding dedup at all
     (nearest analogue: exact duplicate drop in core-logic ETL); this is
     a beyond-reference §2.12 training-data operator."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     ranked = lloyd_assignments(spark, sf_dir, n_cells, n_iters)
-    cells = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "cell", "embedding"
+    # persist: the home-cell assignment feeds the size rollup plus BOTH
+    # sides of the within-cell pair join — unmaterialized, each consumer
+    # re-runs the corpus × centroid assignment (crossJoin + argmax
+    # window) behind lloyd_assignments' lazy frame (guide §5).
+    cells = persist_tracked(
+        ranked.filter(F.col("rn") == 1).select("vec_id", "cell", "embedding")
     )
     sizes = cells.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
