@@ -84,7 +84,11 @@ def leave_one_out_split(inter: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     w = Window.partitionBy("user_id").orderBy(F.desc(key), F.col("item_id"))
-    ranked = inter.withColumn("__rn", F.row_number().over(w))
+    # persist: train and test are filters of the SAME ranked frame, and
+    # every downstream consumer of either re-ran the interactions scan +
+    # md5 window unmaterialized (guide §5) — one materialization serves
+    # all of them; the filters themselves are narrow.
+    ranked = persist_tracked(inter.withColumn("__rn", F.row_number().over(w)))
     test = ranked.filter(F.col("__rn") == 1).drop("__rn")
     train = ranked.filter(F.col("__rn") > 1).drop("__rn")
     return train, test
@@ -102,8 +106,9 @@ def ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate limit C — O(1) driver data, same class as the
     partition-metadata collects in operators/maintenance.py."""
     inter = interactions_from_star(spark, sf_dir).select("user_id", "item_id")
+    # train/test are narrow filters over the split's persisted ranked
+    # frame — its 3 consumers (degree, pop, train∩C) re-filter the cache
     train, test = leave_one_out_split(inter)
-    train = persist_tracked(train)  # 3 consumers: degree, pop, train∩C
 
     k_max = max(EVAL_KS)
     max_deg = train.groupBy("user_id").count().agg(
