@@ -375,8 +375,11 @@ def psi_drift(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFram
             .agg(F.count(F.lit(1)).cast("long").alias(f"n_{tag}"))
         )
 
+    # old-side shares read the percent-rank kernel's PERSISTED ranged
+    # frame (same rows, o_totalprice already materialized) instead of
+    # re-scanning orders — one corpus scan saved (guide §5/§6)
     joined = (
-        shares(orders, "old")
+        shares(ranked.select("o_totalprice"), "old")
         .join(shares(new, "new"), "bucket", "full_outer")
         .fillna(0, ["n_old", "n_new"])
     )
