@@ -798,7 +798,13 @@ def textrank_keywords(
         )
         .select("p.w1", "p.w2")
     )
-    half = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the symmetric union consumes `half` twice, and pagerank
+    # consumes `edges` three times (out-weights, normalization join,
+    # node set) — unmaterialized, the tokenize + pair-explode pass ran
+    # up to six times (guide §5).  Both frames are vocabulary-bounded.
+    half = persist_tracked(
         pairs.filter(F.col("w1") != F.col("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
@@ -810,7 +816,9 @@ def textrank_keywords(
     )
     # parallel adjacencies (a,b seen both ways) merge into one edge so
     # the oracle's symmetric-sum matches exactly
-    edges = edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    edges = persist_tracked(
+        edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
     ranks = pagerank(edges)
     return (
         ranks.select(
