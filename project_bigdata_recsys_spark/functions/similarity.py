@@ -2604,20 +2604,30 @@ def embedding_correlation_pairs(
     extreme dim counts swap in a mapInPandas X^T·X partial, same
     output contract), a broadcast join against the 64-row per-dim
     moment frame, TakeOrdered top-k."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
     arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vals = emb.select(
-        "vec_id",
-        F.posexplode(arr).alias("pos", "v"),
-    ).select(
-        "vec_id", "pos", F.round(F.col("v") * 1e6).cast("long").alias("vm")
+    # persist: vals feeds the per-dim moments plus BOTH sides of the
+    # vec_id self-join — unmaterialized, the corpus scan + 64-way
+    # posexplode ran three times (guide §5)
+    vals = persist_tracked(
+        emb.select(
+            "vec_id",
+            F.posexplode(arr).alias("pos", "v"),
+        ).select(
+            "vec_id", "pos", F.round(F.col("v") * 1e6).cast("long").alias("vm")
+        )
     )
-    per_dim = vals.groupBy("pos").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("vm").cast("long").alias("s1"),
-        F.sum(F.col("vm") * F.col("vm"))
-        .cast("decimal(38,0)")
-        .alias("s2"),
+    # persist: broadcast twice (i-side and j-side moment joins); 64 rows
+    per_dim = persist_tracked(
+        vals.groupBy("pos").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vm").cast("long").alias("s1"),
+            F.sum(F.col("vm") * F.col("vm"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
     )
     a = vals.select("vec_id", F.col("pos").alias("i"), F.col("vm").alias("vi"))
     b = vals.select("vec_id", F.col("pos").alias("j"), F.col("vm").alias("vj"))
