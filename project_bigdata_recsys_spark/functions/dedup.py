@@ -2467,6 +2467,10 @@ def containment_from_shingles(
     values are a pure function of the shingle SETS (array_intersect /
     size are order-independent), so a ledger fold that reconstructs the
     per-doc shingle rows inherits the batch oracle verbatim."""
+    # persist: sh_tbl feeds the posting explode plus BOTH exact-verify
+    # sides of the readout — inline callers re-ran the corpus
+    # shingling three times unmaterialized (guide §5)
+    sh_tbl = persist_tracked(sh_tbl)
     exploded = sh_tbl.select("doc_id", F.explode("sh").alias("g"))
     rare = (
         exploded.groupBy("g")
