@@ -2754,7 +2754,10 @@ def burrows_delta(
     )
     # dense (source × term) grid: missing terms are rate 0, which must
     # participate in the mean/std like any other observation
-    grid = (
+    # persist: grid feeds the mean stats AND the centered chain — each
+    # evaluation re-runs the corpus-cache totals/counts aggregations
+    # (guide §5); |sources| × n_terms rows, tiny
+    grid = persist_tracked(
         totals.crossJoin(F.broadcast(vocab))
         .join(counts, ["source", "term"], "left")
         .na.fill({"cnt": 0})
@@ -2778,7 +2781,8 @@ def burrows_delta(
         F.sum(F.col("dev") * F.col("dev")).cast("long").alias("ssq"),
         F.max("n_src").cast("long").alias("n_src"),
     )
-    z = (
+    # persist: z feeds both sides of the source-pair join; tiny frame
+    z = persist_tracked(
         centered.join(F.broadcast(ssq.select("term", "ssq")), "term")
         .withColumn(
             "z_micro",
