@@ -1104,9 +1104,17 @@ def _incremental_funnel(
     # hint: the corpus fingerprint set is O(corpus) — at 100 TB it cannot
     # ship to every executor (AQE still auto-broadcasts genuinely small
     # corpora on its own).
+    # persist both O(batch) frames: batch feeds the fp derivation plus
+    # the per-lang denominator, and survivors feeds the signature build,
+    # the near-dropped semi-join, AND the admitted anti-join —
+    # unmaterialized, each consumer re-ran the caller's batch synthesis
+    # and the exact join (the inline form scanned documents 28×; §5)
+    batch = persist_tracked(batch)
     batch_fp = batch.withColumn("fp", F.sha2("text", 256))
     exact_dropped = batch_fp.join(corpus_fp, "fp", "left_semi")
-    survivors = batch_fp.join(corpus_fp, "fp", "left_anti").drop("fp")
+    survivors = persist_tracked(
+        batch_fp.join(corpus_fp, "fp", "left_anti").drop("fp")
+    )
 
     # batch-side signatures: O(batch) hashing, persisted — feeds the band
     # explosion AND the est re-join (cache released by the session owner
@@ -1203,7 +1211,11 @@ def incremental_dedup_stats(
     the driver hash-checks the full funnel per lang."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     batch = planted_ingest_batch(docs)
-    corpus_fp = docs.select(F.sha2("text", 256).alias("fp")).distinct()
+    # persist: the digest set feeds both the exact semi- and anti-joins;
+    # 32-byte digests only (the indexed path reads it from parquet)
+    corpus_fp = persist_tracked(
+        docs.select(F.sha2("text", 256).alias("fp")).distinct()
+    )
     old_sigs = persist_tracked(
         minhash_signatures(fan_out(docs), n=n, n_hashes=n_hashes)
     )
