@@ -97,11 +97,18 @@ def train_als(
     item_idx = StringIndexer(
         inputCol="item_id", outputCol="item_idx", handleInvalid="skip"
     ).fit(raw)
-    indexed = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist_tracked, NOT cache+unpersist-at-return: the returned factor
+    # frames and id maps are LAZY views over this frame, so unpersisting
+    # before the caller's action made every downstream consumer re-run
+    # the star join + both StringIndexer transforms (8 lineitem/orders
+    # scans in als_top_recommendations).  The session owner releases it
+    # after the action (the caching.py contract).
+    indexed = persist_tracked(
         item_idx.transform(user_idx.transform(raw))
         .withColumn("user_idx", F.col("user_idx").cast("int"))
         .withColumn("item_idx", F.col("item_idx").cast("int"))
-        .cache()
     )
 
     train, test = indexed.randomSplit([0.8, 0.2], seed=seed)
@@ -139,7 +146,6 @@ def train_als(
     item_factors = model.itemFactors.join(
         F.broadcast(item_map), model.itemFactors.id == item_map.item_idx
     ).select("item_id", "features")
-    indexed.unpersist()
     return ALSResult(model, user_factors, item_factors, metrics, user_map, item_map)
 
 

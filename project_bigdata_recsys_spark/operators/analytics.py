@@ -2025,10 +2025,19 @@ def woe_iv_profile(
         .cast("int")
         .alias("bin"),
     )
-    binned = ev.join(binmap, "v").groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("good").cast("long").alias("n_good"),
-        F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: binned feeds the class-total rollup and the scored frame,
+    # and scored itself is consumed twice (IV fold + readout) — each
+    # re-evaluation cascaded down through the fact join and the
+    # range-shuffle cum kernel (12 events scans unmaterialized, §5).
+    # n_bins rows.
+    binned = persist_tracked(
+        ev.join(binmap, "v").groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("good").cast("long").alias("n_good"),
+            F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+        )
     )
     tot = binned.agg(
         F.sum("n_good").cast("long").alias("__G"),
