@@ -1488,16 +1488,24 @@ def fuzzy_name_candidates(names: DataFrame, max_dist: int = 2) -> DataFrame:
             )
         ).alias("g"),
     )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     gfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gf"))
-    ranked = grams.join(gfreq, "g").select(
-        "p_name",
-        "g",
-        F.row_number()
-        .over(Window.partitionBy("p_name").orderBy("gf", "g"))
-        .alias("__rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("p_name"))
-        .alias("__ng"),
+    # persist: ranked feeds the prefix-key filter AND the wildcard
+    # filter; blocked feeds both self-join sides — unmaterialized, the
+    # gram/frequency/window chain re-ran per consumer (10 part scans in
+    # fuzzy_name_matches; guide §5).  Both frames are |names|-bounded.
+    ranked = persist_tracked(
+        grams.join(gfreq, "g").select(
+            "p_name",
+            "g",
+            F.row_number()
+            .over(Window.partitionBy("p_name").orderBy("gf", "g"))
+            .alias("__rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("p_name"))
+            .alias("__ng"),
+        )
     )
     keys = ranked.filter(F.col("__rn") <= prefix_k).select("p_name", "g")
     wildcard = (
@@ -1505,7 +1513,9 @@ def fuzzy_name_candidates(names: DataFrame, max_dist: int = 2) -> DataFrame:
         .select("p_name", F.lit("\x00").alias("g"))
         .distinct()
     )
-    blocked = banded.join(keys.unionByName(wildcard), "p_name")
+    blocked = persist_tracked(
+        banded.join(keys.unionByName(wildcard), "p_name")
+    )
 
     a = blocked.select(
         F.col("p_name").alias("name_a"),
@@ -2683,7 +2693,12 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the truth set replays the sn_records planting exactly: cohort
     # originals paired with their plural variants, collision cases
     # excluded the same way the record set excludes them
-    truth = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: truth feeds the match semi-join and the truth count in
+    # BOTH strategy audits (4 evaluations, each re-scanning part twice
+    # through `real`); planted-cohort-sized
+    truth = persist_tracked(
         real.filter(hash32(F.col("p_name"), "sn:") % 3 == 0)
         .select(
             F.col("p_name").alias("name_a"),
@@ -2717,7 +2732,10 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidates are already canonical (name_a < name_b on both
         # generators: SN emits sort-order successors, blocking enforces
         # a < b), and truth pairs are (orig, orig||'s') with orig <
-        # orig||'s' by prefix order — so the match join is direct
+        # orig||'s' by prefix order — so the match join is direct.
+        # persist: cand feeds the match semi-join AND its own count —
+        # unmaterialized, the strategy's pair generation ran twice
+        cand = persist_tracked(cand)
         found = cand.join(truth, ["name_a", "name_b"], "left_semi")
         counts = (
             cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
