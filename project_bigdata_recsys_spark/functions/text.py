@@ -907,12 +907,23 @@ def global_value_cum(scored: DataFrame, score_col: str) -> DataFrame:
     the ~num-partitions-row offset frame."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n"))
     # explicit partition count: AQE never coalesces a user repartition,
-    # so both consumers of the range exchange see identical pids
+    # so both consumers of the range exchange see identical pids.
+    # PERSISTED for the same reason as with_exact_percent_rank's ranged
+    # frame: repartitionByRange samples its boundaries with an
+    # evaluation-dependent seed, and when the two consumer subtrees stop
+    # being exchange-reusable (e.g. the caller hands in a cached input),
+    # each samples separately — then __pid means different value ranges
+    # in the two branches and the offsets desynchronize (caught by the
+    # robust_outliers oracle when its input gained a persist).
     n_parts = scored.sparkSession.sparkContext.defaultParallelism
-    ranged = hist.repartitionByRange(n_parts, score_col).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = persist_tracked(
+        hist.repartitionByRange(n_parts, score_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     local = ranged.withColumn(
         "__lcum",

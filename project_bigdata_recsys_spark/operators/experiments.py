@@ -1027,7 +1027,13 @@ def exact_matched_cohort(
             .alias("post_pur")
         )
     )
-    users = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: users feeds the arm-size rollup and the matching window,
+    # and the band/total readout re-evaluates the chain again — each
+    # evaluation re-ran both pre/post event scans (8 events scans
+    # unmaterialized; guide §5).  One row per user, 4 narrow columns.
+    users = persist_tracked(
         pre.join(post, "user_id", "left")
         .na.fill({"post_pur": 0})
         .select(
@@ -1075,8 +1081,11 @@ def exact_matched_cohort(
             .alias("n_unexposed"),
         )
     )
-    bands = sizes.join(per_band, "band", "left").na.fill(
-        {"n_matched": 0, "out_exposed": 0, "out_control": 0}
+    # persist: feeds the grand-total fold and the readout; #bands rows
+    bands = persist_tracked(
+        sizes.join(per_band, "band", "left").na.fill(
+            {"n_matched": 0, "out_exposed": 0, "out_control": 0}
+        )
     )
     total = bands.agg(
         F.sum("n_exposed").cast("long").alias("n_exposed"),

@@ -215,16 +215,24 @@ def robust_outliers(spark: SparkSession, sf_dir: str, cutoff: float = 3.0) -> Da
         global_quantile_threshold,
     )
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     orders = load_table(spark, sf_dir, "orders")
-    vals = orders.select(F.col("o_totalprice").alias("v"))
+    # persist both passes' inputs: vals feeds the median kernel and the
+    # deviation join, dev feeds the MAD kernel and the outlier flagging
+    # — unmaterialized the plan scanned orders 9× (guide §5); one and
+    # three narrow columns respectively
+    vals = persist_tracked(orders.select(F.col("o_totalprice").alias("v")))
     med_row = global_quantile_threshold(vals, "v", 0.5)
     med = vals.crossJoin(
         F.broadcast(med_row.select(F.col("threshold").alias("median")))
     )
-    dev = med.select(
-        "v",
-        "median",
-        F.round(F.abs(F.col("v") - F.col("median")), 2).alias("d"),
+    dev = persist_tracked(
+        med.select(
+            "v",
+            "median",
+            F.round(F.abs(F.col("v") - F.col("median")), 2).alias("d"),
+        )
     )
     mad_row = global_quantile_threshold(
         dev.select(F.col("d").alias("v")), "v", 0.5
@@ -473,9 +481,17 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-15 contributing cells with the shared total and degrees of
     freedom on every row.
     """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("observed")
+    # persist: the contingency cells feed both margins and the scored
+    # frame, and scored feeds the chi2 total plus the readout — each
+    # re-evaluation re-scanned documents (8× unmaterialized; guide §5).
+    # #langs × #sources rows.
+    cells = persist_tracked(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("observed")
+        )
     )
     row_tot = cells.groupBy("lang").agg(
         F.sum("observed").cast("long").alias("lang_n")
@@ -492,7 +508,7 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (F.col("observed") - expected) * (
         F.col("observed") - expected
     ) / expected
-    scored = (
+    scored = persist_tracked(
         cells.join(F.broadcast(row_tot), "lang")
         .join(F.broadcast(col_tot), "source")
         .crossJoin(F.broadcast(n_row))
@@ -1220,7 +1236,12 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = base.agg(
         F.floor((F.min("day") + F.max("day")) / 2.0).cast("long").alias("mid")
     )
-    m = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the moment rollup feeds both the early and late splits —
+    # each evaluation re-scanned events through base + anchor (8 events
+    # scans unmaterialized; guide §5); 2·#types rows
+    m = persist_tracked(
         base.crossJoin(F.broadcast(anchor))
         .select(
             "event_type",
@@ -1266,12 +1287,15 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = spark.createDataFrame(
         BH_Z_MICRO, ["rank", "z_star_micro"]
     ).select(F.col("rank").cast("int").alias("rank"), "z_star_micro")
-    passed = ranked.join(F.broadcast(thresholds), "rank").withColumn(
-        "passes",
-        (
-            F.round(F.abs(F.col("z_score")) * 1e6).cast("long")
-            >= F.col("z_star_micro")
-        ).cast("int"),
+    # persist: feeds the step-up fold and the readout; #types rows
+    passed = persist_tracked(
+        ranked.join(F.broadcast(thresholds), "rank").withColumn(
+            "passes",
+            (
+                F.round(F.abs(F.col("z_score")) * 1e6).cast("long")
+                >= F.col("z_star_micro")
+            ).cast("int"),
+        )
     )
     kstar = passed.agg(
         F.coalesce(

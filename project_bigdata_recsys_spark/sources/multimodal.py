@@ -245,15 +245,28 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies are planted (media_id % 7 == 0 → re-id'd copy), exactly like
     the text-family gate queries; the oracle replicates the plant and
     the keep-min-id rule on payload equality."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     media = synthesize_media_table(spark, sf_dir)
     planted = media.filter(F.col("media_id") % 7 == 0).withColumn(
         "media_id", F.col("media_id") + 5_000_000
     )
     corpus = media.unionByName(planted)
-    fp = corpus.withColumn("fp", F.sha2("payload", 256))
+    # persist the digest projection (id, type, bytes, fp — the payload
+    # itself never materializes in the cache): it feeds the winner
+    # rollup, the keep semi-join, AND the per-type totals — each
+    # consumer re-synthesized the payload corpus unmaterialized (§5)
+    fp = persist_tracked(
+        corpus.select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            F.sha2("payload", 256).alias("fp"),
+        )
+    )
     winners = fp.groupBy("fp").agg(F.min("media_id").alias("media_id"))
     kept = fp.join(winners, ["fp", "media_id"], "left_semi")
-    totals = corpus.groupBy("media_type").agg(
+    totals = fp.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum("n_bytes").alias("total_bytes"),
     )
