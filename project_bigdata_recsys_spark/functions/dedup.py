@@ -900,14 +900,25 @@ def dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus ships none), run :func:`dedup_exact`, and report per-lang
     kept/dropped counts — verifying the keep-min-id winner rule, not just
     duplicate detection."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         planted_id("doc_id").alias("doc_id"), "text", "lang"
     )
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
-    kept = dedup_exact(corpus)
+    # digest frame persisted once: the winner rollup, the keep
+    # semi-join, and the per-lang input counts all need only
+    # (doc_id, lang, fp) — unmaterialized, the planted union + text
+    # scan ran per consumer (8 documents scans; guide §5).  Same
+    # keep-min-id semantics as dedup_exact, on digests instead of rows.
+    per_doc = persist_tracked(
+        corpus.select("doc_id", "lang", F.sha2("text", 256).alias("fp"))
+    )
+    winners = per_doc.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = per_doc.join(winners, "doc_id", "left_semi")
     return (
-        corpus.groupBy("lang")
+        per_doc.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_in"))
         .join(
             kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")), "lang"

@@ -214,8 +214,15 @@ def knn_lsh(
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id", "label", array_to_vector(_normalized()).alias("features")
+    # persist: the normalized vector frame feeds the LSH fit, the query
+    # lookup, and the neighbor probe — each re-ran the normalize scan
+    # (9 embeddings scans through MLlib's internals; guide §5)
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    normed = persist_tracked(
+        emb.select(
+            "vec_id", "label", array_to_vector(_normalized()).alias("features")
+        )
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_bigdata_recsys_spark.caching import persist_tracked
 from project_bigdata_recsys_spark.catalog import load_table
 
 #: Tiny fixed stopword list used by the quality score.  Deliberately small
@@ -1214,13 +1215,23 @@ def bm25_scores(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).where(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # persist the explosion and both rollups: tf feeds the doc-frequency
+    # rollup AND the scoring join, dl feeds the avgdl anchor AND the
+    # scoring join — unmaterialized, the corpus re-tokenized per
+    # consumer (5 documents scans; guide §5)
+    toks = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        ).where(F.length("term") > 0)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = persist_tracked(
+        toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dl = persist_tracked(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    )
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
         F.sum("tf").cast("long").alias("total_tf"),
@@ -1680,14 +1691,24 @@ def rm3_query_expansion(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).where(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # persist the explosion and both rollups: the docstring's "ONE token
+    # explosion feeds tf, dl, ..." was aspirational — nothing was
+    # materialized, so tf/dl re-tokenized the corpus per consumer
+    # (7 documents scans; guide §5)
+    toks = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        ).where(F.length("term") > 0)
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
+    tf = persist_tracked(
+        toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dl = persist_tracked(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("dl")
+        )
     )
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
@@ -1980,10 +2001,18 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.length("term") > 0)
-    st = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # persist: st feeds the vocab margin, the source margin, AND the
+    # grid join; vocab feeds its size, the corpus total, and the grid —
+    # unmaterialized, each consumer re-ran the tokenize pass (5
+    # documents scans; guide §5).  Both vocab-bounded.
+    st = persist_tracked(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
-    vocab = st.groupBy("term").agg(F.sum("n").cast("long").alias("nt"))
+    vocab = persist_tracked(
+        st.groupBy("term").agg(F.sum("n").cast("long").alias("nt"))
+    )
     v_size = vocab.agg(F.count(F.lit(1)).cast("long").alias("vsz"))
     corpus_tot = vocab.agg(F.sum("nt").cast("long").alias("ncorp"))
     src_tot = st.groupBy("source").agg(
