@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_bigdata_recsys_spark.caching import persist_tracked
 from project_bigdata_recsys_spark.catalog import load_table
 from project_bigdata_recsys_spark.functions.text import tokens
 
@@ -164,7 +165,12 @@ def corpus_mixture(
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
-    base = docs.select("doc_id", by, n_tok.alias("n_tokens"))
+    # persist: base feeds the domain sizes AND the md5-rank fill, and
+    # the quota frame is consumed by both the sampled join and the final
+    # readout — unmaterialized, every consumer re-tokenized the corpus
+    # (5 documents scans across the 5 mixture gate queries; guide §5).
+    # (doc_id, domain, n_tokens) — narrow, no text.
+    base = persist_tracked(docs.select("doc_id", by, n_tok.alias("n_tokens")))
 
     sizes = base.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
     weighted = sizes.withColumn("w_raw", F.pow("n_docs", F.lit(alpha)))
