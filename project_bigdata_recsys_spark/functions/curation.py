@@ -274,7 +274,6 @@ def curation_funnel(
         with_exact_percent_rank,
     )
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -298,14 +297,21 @@ def curation_funnel(
         F.col("pr") >= keep_above
     )
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0))
-    # persist: consumed by BOTH the chunk rollup and the pack window —
-    # materializing it tokenizes the kept texts once, not twice.
+    # persist the NARROW kept rollup only (doc_id, lang, n_tokens): it
+    # feeds the chunk stage's doc set and the pack window.  The chunk
+    # tokenization reads text back through the already-cached ``uniq``
+    # (ADVICE r15: carrying text here kept TWO corpus-text-sized caches
+    # live simultaneously — guide §5, cache footprint).
     kept_counted = persist_tracked(
-        kept.select("doc_id", "lang", "text", n_tok.alias("n_tokens"))
+        kept.select("doc_id", "lang", n_tok.alias("n_tokens"))
     )
 
     chunks = chunk_rows(
-        kept_counted.select("doc_id", "text"), chunk_tokens, stride
+        kept_counted.select("doc_id").join(
+            uniq.select("doc_id", "text"), "doc_id"
+        ),
+        chunk_tokens,
+        stride,
     )
     chunk_stats = chunks.agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -787,7 +793,6 @@ def split_source_audit(
     Output per (source, split): docs, clustered docs, docs in
     cross-source clusters, cross rate — the pre-training audit of "which
     split of which source carries mirrored content"."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.dedup import (
         connected_components,
         simhash_near_pairs_for,
@@ -1137,7 +1142,6 @@ def dsir_importance_sample(
     this extends its curation surface (SURVEY.md §2.12) with the
     published DSIR recipe re-expressed as two Spark aggregation passes.
     """
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -1234,7 +1238,6 @@ def vocab_cover_sources(
     the unigram vocabulary alone is coverable by one source); each step is one anti-join + one argmax over
     #sources rows; the covered set is localCheckpointed per step (the
     iterative-loop lineage discipline)."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -1421,7 +1424,6 @@ def quantile_normalize_profile(
         F.round(F.sum("v") / F.count(F.lit(1)), 4).alias("mean_pre"),
         F.round(F.sum("v_mapped") / F.count(F.lit(1)), 4).alias("mean_post"),
     )
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     per_source = persist_tracked(per_source)
     spread = per_source.agg(
@@ -1464,7 +1466,6 @@ def mixture_temperature_sweep(
     summing.  Scale: ONE corpus tokenization scan reduced to #sources
     rows, then a #alphas-way explode of a tiny frame — all downstream
     joins broadcast."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
@@ -1549,7 +1550,6 @@ def token_budget_planner(
     Scale: the corpus reduces to #sources rows before the window; the
     unpartitioned cumsum is bounded by source cardinality (audited,
     same class as largest_remainder_allocation)."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.text import doc_unigram_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1644,7 +1644,6 @@ def training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-only) plus the #sources-row memo rollup; all per-source
     frames meet in broadcast joins."""
     from project_bigdata_recsys_spark.functions.dedup import planted_id
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.text import (
         PII_PATTERNS,
         SECRET_PATTERNS,
@@ -1829,7 +1828,6 @@ def ipf_from_cells(
     chain), and without the persist each consumer re-derives it from
     the corpus scan — a plan-shape test pins the single-scan contract
     (tests/test_round13c.py)."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     cells = persist_tracked(
         cells.withColumn("w", (F.col("n_docs") * F.lit(unit)).cast("long"))

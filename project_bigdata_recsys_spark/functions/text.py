@@ -540,7 +540,6 @@ def with_exact_percent_rank(
     export manifest)."""
     from pyspark.sql import Window
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     n_range_parts = df.sparkSession.sparkContext.defaultParallelism
     ranged = persist_tracked(
@@ -908,7 +907,6 @@ def global_value_cum(scored: DataFrame, score_col: str) -> DataFrame:
     the ~num-partitions-row offset frame."""
     from pyspark.sql import Window
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n"))
     # explicit partition count: AQE never coalesces a user repartition,
@@ -1215,22 +1213,23 @@ def bm25_scores(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist the explosion and both rollups: tf feeds the doc-frequency
-    # rollup AND the scoring join, dl feeds the avgdl anchor AND the
-    # scoring join — unmaterialized, the corpus re-tokenized per
-    # consumer (5 documents scans; guide §5)
-    toks = persist_tracked(
+    # persist ONLY the rollups: tf feeds the doc-frequency rollup AND
+    # the scoring join; dl = Σ_term tf derives from the persisted tf
+    # frame (identical counts — tf partitions the token rows by term),
+    # so the corpus is tokenized once without caching the O(corpus-
+    # tokens) raw explosion (guide §5: don't cache what a bounded
+    # rollup derives; the r15 toks persist spilled its whole working
+    # set at scale for no residual consumer)
+    tf = persist_tracked(
         docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        ).where(F.length("term") > 0)
-    )
-    tf = persist_tracked(
-        toks.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
         )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dl = persist_tracked(
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     )
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
@@ -1584,7 +1583,6 @@ def quality_lr_score(
     weight table broadcast back (≤ n_buckets rows by construction —
     unlike a raw vocabulary this CANNOT outgrow the broadcast budget),
     one per-doc and one per-source aggregation.  No windows."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1691,24 +1689,19 @@ def rm3_query_expansion(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist the explosion and both rollups: the docstring's "ONE token
-    # explosion feeds tf, dl, ..." was aspirational — nothing was
-    # materialized, so tf/dl re-tokenized the corpus per consumer
-    # (7 documents scans; guide §5)
-    toks = persist_tracked(
+    # persist ONLY the rollups (the bm25_scores recipe): tf materializes
+    # the single token explosion, dl = Σ_term tf derives from it —
+    # identical counts, no O(corpus-tokens) cache (guide §5)
+    tf = persist_tracked(
         docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        ).where(F.length("term") > 0)
-    )
-    tf = persist_tracked(
-        toks.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
         )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dl = persist_tracked(
-        toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("dl")
-        )
+        tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     )
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
@@ -2321,7 +2314,6 @@ def zipf_fit_from_freqs(freqs: DataFrame, top_ranks: int = 100) -> DataFrame:
     corpus explode — the frame itself is only |lang|×|vocab|."""
     from pyspark.sql import Window
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     freqs = persist_tracked(freqs)
     totals = freqs.groupBy("lang").agg(
@@ -2408,7 +2400,6 @@ def heaps_fit_profile(
     anchor join, and bucket-count-sized everything downstream."""
     from pyspark.sql import Window
 
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     # persisted (tracked tier): anchors and doc_b both consume it, and
@@ -2657,7 +2648,6 @@ def winnowing_pairs_from_fps(
     """Pair-overlap readout over a (doc_id, n_fp, fp) fingerprint frame
     — the df-capped fingerprint join + exact floor-division containment
     shared by the batch and streaming winnowing forms."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     rare = (
         fps.groupBy("fp")
@@ -2735,7 +2725,6 @@ def winnowing_overlap(
     boilerplate — exactly the hot key the dedup family always excludes
     from pair generation), so pair work is Σ_fp df² over bounded df,
     never n²."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     fps = persist_tracked(winnowing_fingerprints(docs, k, w))
@@ -2769,7 +2758,6 @@ def burrows_delta(
     z-score statistics aggregate over |sources| rows per term and the
     pair join is |sources|² over the TINY profile frame — never over
     the corpus."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
     toks = persist_tracked(
@@ -2917,7 +2905,6 @@ def bpe_merges_from_vocab(
     stream_bpe_vocab (vocabulary folded from a word-count ledger); the
     merge table is a pure function of the vocabulary, so any fold that
     reconstructs the exact counts inherits the batch oracle verbatim."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     cur = persist_tracked(
         words.select(
@@ -3009,7 +2996,6 @@ def kneser_ney_bigram(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
-    from project_bigdata_recsys_spark.caching import persist_tracked
 
     bigrams = persist_tracked(bigrams)
     left = bigrams.groupBy("w1").agg(
