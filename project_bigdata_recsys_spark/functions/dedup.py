@@ -1574,13 +1574,57 @@ def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(
             scratch_dir(prefix="spark_cc_labeling_"), "components"
         )
+        # derive the pair set from the persisted band index instead of
+        # re-running simhash_features over the corpus: the index stores
+        # exactly the capped (doc_id, simhash, band_no, k) rows the
+        # inline generator explodes, so the expensive fingerprint pass
+        # (tokenize + md5-per-token + 64 vote sums) runs ONCE per
+        # session across the two shared artifacts (guide §5 — the r15
+        # tier paid it twice; measured ~10 s of the 20.7 s build)
+        bands = spark.read.parquet(
+            shared_simhash_bands(spark, sf_dir)
+        ).select("doc_id", "simhash", "band_no", "k")
         connected_components(
-            simhash_near_pairs_for(
-                load_table(spark, sf_dir, "documents"), sort=False
-            )
+            _simhash_pairs_from_bands(bands)
         ).write.mode("overwrite").parquet(path)
         _CC_LABELING[key] = path
     return spark.read.parquet(_CC_LABELING[key])
+
+
+def _simhash_pairs_from_bands(
+    bands: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Banded near-dup pairs from ALREADY-MATERIALIZED (doc_id, simhash,
+    band_no, k) rows — the tail of :func:`simhash_near_pairs_for` with
+    the fingerprint+explode subtree replaced by the stored band index
+    (which applied the same DEFAULT_MAX_BAND_KEY_DOCS cap at build
+    time).  Identical pair set: groups of one produce no pairs, so the
+    stored singleton rows only re-filter out here."""
+    doc_lists = (
+        bands.groupBy("band_no", "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    cands = (
+        bucket_pairs(doc_lists, ["band_no", "k"])
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    return (
+        cands.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 _SIMHASH_BANDS: dict[tuple[str, str], str] = {}

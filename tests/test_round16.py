@@ -55,3 +55,25 @@ def test_small_state_result_identical_to_session_width(spark, monkeypatch):
     monkeypatch.setattr(R, "_SMALL_STATE_PARTITIONS", 10_000)
     wide = _rows(R.stream_benford_values(spark, SF_SMALL))
     assert pinned == narrow == wide
+
+
+def test_simhash_pairs_from_bands_equals_inline(spark):
+
+    from project_bigdata_recsys_spark.catalog import load_table
+    from project_bigdata_recsys_spark.functions.dedup import (
+        _simhash_pairs_from_bands,
+        shared_simhash_bands,
+        simhash_near_pairs_for,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    inline = set(
+        map(tuple, simhash_near_pairs_for(docs, sort=False).collect())
+    )
+    bands = spark.read.parquet(
+        shared_simhash_bands(spark, SF_SMALL)
+    ).select("doc_id", "simhash", "band_no", "k")
+    from_index = set(
+        map(tuple, _simhash_pairs_from_bands(bands).collect())
+    )
+    assert inline == from_index and len(inline) > 0
