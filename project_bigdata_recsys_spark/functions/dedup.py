@@ -2529,7 +2529,11 @@ def containment_shingles(
         ).alias("text"),
     )
     corpus = docs.unionByName(planted)
-    return corpus.select(
+    # fan_out: the sf-scale corpus is ONE parquet split, so the
+    # tokenize+3-gram stage otherwise runs on a single core (the
+    # minhash_signatures precedent — no-op once the real corpus has
+    # >= parallelism splits)
+    return fan_out(corpus).select(
         "doc_id",
         F.filter(shingles(F.col("text"), n), lambda s: F.length(s) > 0).alias(
             "sh"
@@ -2635,9 +2639,12 @@ def update_containment_index(
     materializes pairs against the CURRENT ledger fold, so a crossed
     shingle is excluded the moment its fold exceeds the cap (implicit
     retraction, no rewrite of anything already on disk)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     # persist: the exploded postings feed the partitioned write AND the
     # df-delta aggregation — unpersisted, the batch is re-shingled and
-    # re-exploded per write (guide §5 persist-on-reuse)
+    # re-exploded per write (guide §5 persist-on-reuse); count() fully
+    # materializes the cache ONCE before the concurrent consumers read
     postings = persist_tracked(
         sh_batch.select(
             "doc_id", F.explode("sh").alias("g")
@@ -2645,21 +2652,40 @@ def update_containment_index(
             "gb", (hash32(F.col("g")) % _CONTAIN_INDEX_GB).cast("int")
         )
     )
+    postings.count()
+
     # repartition by the partition column before the partitionBy write:
     # without it every map task emits a file per gb value it sees (up to
     # tasks × 64 tiny files PER WAVE); hash-clustering on gb bounds the
     # layout at 64 files per admission (guide §6 small-files)
-    postings.repartition("gb").write.mode("append").partitionBy(
-        "gb"
-    ).parquet(f"{index_dir}/postings")
+    def _write_postings() -> None:
+        postings.repartition("gb").write.mode("append").partitionBy(
+            "gb"
+        ).parquet(f"{index_dir}/postings")
+
     # per-batch df deltas: shingle arrays are distinct per doc, so the
     # batch count IS the batch's contribution to global df
-    postings.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("df_delta")
-    ).write.mode("append").parquet(f"{index_dir}/df_ledger")
-    sh_batch.select("doc_id", "sh").write.mode("append").parquet(
-        f"{index_dir}/docs"
-    )
+    def _write_df_ledger() -> None:
+        postings.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("df_delta")
+        ).write.mode("append").parquet(f"{index_dir}/df_ledger")
+
+    def _write_docs() -> None:
+        sh_batch.select("doc_id", "sh").write.mode("append").parquet(
+            f"{index_dir}/docs"
+        )
+
+    # the three stores are disjoint directories and the writes share no
+    # lineage beyond the materialized cache — overlap them so a wave
+    # costs max(write) instead of sum(write) (guide §2.6: submit
+    # independent jobs from a thread pool; the scheduler back-fills)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(f)
+            for f in (_write_postings, _write_df_ledger, _write_docs)
+        ]
+        for fut in futures:
+            fut.result()
 
 
 def probe_containment_index(
