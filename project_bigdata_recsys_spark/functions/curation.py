@@ -937,14 +937,20 @@ def domain_quota_sample(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     u = hash_uniform(F.col("doc_id"), "domain:")
-    dom = docs.withColumn(
-        "domain_idx",
-        F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
+    # persist: dom feeds the per-domain counts AND the annotate join;
+    # the annotated frame feeds the under/over split — unmaterialized,
+    # each consumer re-scanned the corpus and re-hashed (4 documents
+    # scans; guide §5).  Narrow integer/string columns only.
+    dom = persist_tracked(
+        docs.withColumn(
+            "domain_idx",
+            F.floor(u * u * F.lit(float(n_domain_buckets))).cast("long"),
+        )
     )
     counts = dom.groupBy("domain_idx").agg(
         F.count(F.lit(1)).cast("long").alias("__n_dom")
     )
-    with_n = dom.join(counts, "domain_idx")
+    with_n = persist_tracked(dom.join(counts, "domain_idx"))
     under = with_n.filter(F.col("__n_dom") <= quota).withColumn(
         "kept", F.lit(1)
     )
@@ -1322,7 +1328,11 @@ def largest_remainder_allocation(
     from project_bigdata_recsys_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
+    # persist: the #sources-row token counts feed the total AND the
+    # quota frame, which itself feeds the leftover fold AND the ranked
+    # apportionment — unmaterialized, each consumer re-tokenized the
+    # corpus (4 documents scans; guide §5)
+    counts = persist_tracked(
         docs.select(
             "source", F.size(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)).alias("tk")
         )
@@ -1330,7 +1340,7 @@ def largest_remainder_allocation(
         .agg(F.sum("tk").cast("long").alias("n_tokens"))
     )
     tot = counts.agg(F.sum("n_tokens").cast("long").alias("w_all"))
-    quotas = counts.crossJoin(F.broadcast(tot)).select(
+    quotas = persist_tracked(counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
         F.expr(f"({budget} * n_tokens) div w_all").cast("long").alias("base"),
@@ -1341,7 +1351,7 @@ def largest_remainder_allocation(
         F.round(F.lit(float(budget)) * F.col("n_tokens") / F.col("w_all"), 4)
         .alias("quota"),
         F.col("w_all"),
-    )
+    ))
     leftover = quotas.groupBy("w_all").agg(
         (F.lit(budget) - F.sum("base")).cast("long").alias("extra_seats")
     )

@@ -1107,7 +1107,12 @@ def label_prop_communities(
     discipline for bounded lineage)."""
     from pyspark.sql import Window
 
-    edges = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the thresholded edge list feeds the label init plus one
+    # join per round (4 scans of the edge memo + filter otherwise;
+    # guide §5).  Two int columns.
+    edges = persist_tracked(
         shared_cooccurrence_edges(spark, sf_dir)
         .filter(F.col("w") >= min_weight)
         .select("src", "dst")

@@ -142,7 +142,14 @@ def embedding_near_dup_pairs_lsh(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    normed = emb.select("vec_id", _normalized().alias("unit"))
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the normalized vectors feed BOTH verification join
+    # sides — unmaterialized, each side re-scanned the corpus and
+    # re-ran the norm fold (guide §5)
+    normed = persist_tracked(
+        emb.select("vec_id", _normalized().alias("unit"))
+    )
     a = normed.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a"))
     b = normed.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b"))
     return (
@@ -1466,8 +1473,14 @@ def semantic_contamination(
     cosine — LSH bounds which pairs are EXAMINED (deterministic recall
     bound), precision is exact.
     """
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = rp_index_rows(emb, n_tables, n_planes)
+    # persist: the (vec_id, t, bucket) rows feed BOTH probe sides, and
+    # the norm-annotated vectors feed BOTH cosine sides —
+    # unmaterialized, each consumer re-ran the RP projections / norm
+    # folds over the corpus (5 embeddings scans; guide §5)
+    buckets = persist_tracked(rp_index_rows(emb, n_tables, n_planes))
     eval_b = buckets.filter(F.col("vec_id") >= split_at).select(
         F.col("vec_id").alias("eval_id"), "t", "bucket"
     )
@@ -1486,16 +1499,20 @@ def semantic_contamination(
     # ARE safe to hoist per vector (r7): l2_norm evaluated on the vector
     # side is the identical fold, just computed once per vector instead
     # of once per candidate pair — only the dot stays per-pair.
-    raw = emb.select("vec_id", "embedding")
+    raw = persist_tracked(
+        emb.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+        )
+    )
     ev = raw.select(
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").alias("emb_e"),
-        l2_norm(F.col("embedding")).alias("norm_e"),
+        F.col("__nrm").alias("norm_e"),
     )
     tr = raw.select(
         F.col("vec_id").alias("train_id"),
         F.col("embedding").alias("emb_t"),
-        l2_norm(F.col("embedding")).alias("norm_t"),
+        F.col("__nrm").alias("norm_t"),
     )
     cos = dot(F.col("emb_e"), F.col("emb_t")) / (
         F.col("norm_e") * F.col("norm_t")

@@ -1808,8 +1808,14 @@ def collocation_llr(
         )
         .select("p.w1", "p.w2")
     )
-    bi = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pair")
+    # persist: the bigram count frame feeds the left/right margins, the
+    # total, and the candidate filter — unmaterialized, each consumer
+    # re-ran the tokenize + pair explode over the corpus (4 documents
+    # scans; guide §5).  Distinct-bigram-bounded rows.
+    bi = persist_tracked(
+        pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pair")
+        )
     )
     left = bi.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_left"))
     right = bi.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_right"))
@@ -2547,19 +2553,26 @@ def lm_dirichlet_scores(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).where(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # persist ONLY the tf rollup (the bm25_scores recipe): dl, the term
+    # margins, and the corpus token total all derive from it by exact
+    # integer sums — one token explosion, no O(corpus-tokens) cache
+    # (guide §5; previously each consumer re-tokenized the corpus —
+    # 4 documents scans)
+    tf = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
     )
     df_t = tf.groupBy("term").agg(
         F.sum("tf").cast("long").alias("total_tf")
     )
-    corpus = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    corpus = tf.agg(F.sum("tf").cast("long").alias("c_total"))
     qterms = (
         df_t.orderBy(F.desc("total_tf"), "term")
         .limit(n_query_terms)

@@ -492,11 +492,21 @@ def conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("prio"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (hash32(F.col("o_orderkey").cast("string"), "conf:") % 4).alias("__b"),
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the narrow split projection feeds the train model, the
+    # calibration histogram, and the test coverage — unmaterialized,
+    # each split re-scanned the fact table and re-ran the md5 bucketing
+    # (6 orders scans; guide §5).  4 narrow columns.
+    orders = persist_tracked(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (hash32(F.col("o_orderkey").cast("string"), "conf:") % 4).alias(
+                "__b"
+            ),
+        )
     )
     train = orders.filter(F.col("__b") <= 1)
     calib = orders.filter(F.col("__b") == 2)
@@ -821,15 +831,22 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one per-user aggregation, one ≤11-row bin fold, a 1-row
     readout."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     scored = propensity_scored(spark, sf_dir)
-    bins = scored.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b"),
-        F.sum("p_micro").cast("long").alias("sp_b"),
-        F.sum("y").cast("long").alias("sy_b"),
-        F.sum(F.col("p_micro") * F.col("p_micro"))
-        .cast("long")
-        .alias("spp_b"),
-        F.sum(F.col("p_micro") * F.col("y")).cast("long").alias("spy_b"),
+    # persist: the ≤11-row bin fold feeds the global rollup AND the
+    # decomposition fold — unmaterialized, each re-ran the propensity
+    # fixture over the fact table (guide §5)
+    bins = persist_tracked(
+        scored.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("p_micro").cast("long").alias("sp_b"),
+            F.sum("y").cast("long").alias("sy_b"),
+            F.sum(F.col("p_micro") * F.col("p_micro"))
+            .cast("long")
+            .alias("spp_b"),
+            F.sum(F.col("p_micro") * F.col("y")).cast("long").alias("spy_b"),
+        )
     )
     tot = bins.agg(
         F.sum("n_b").cast("long").alias("n"),
@@ -914,10 +931,17 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python PAV in tests)."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     scored = propensity_scored(spark, sf_dir)
-    bins = scored.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b"),
-        F.sum("y").cast("long").alias("sy_b"),
+    # persist: the ≤11-row bin fold feeds the prefix sums AND the index
+    # frame — unmaterialized, each consumer re-ran the propensity
+    # fixture over the fact table (6 events scans; guide §5)
+    bins = persist_tracked(
+        scored.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("sy_b"),
+        )
     )
     wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     pref = bins.select(

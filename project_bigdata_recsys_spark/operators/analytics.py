@@ -1520,8 +1520,14 @@ def acf_ljung_box(
     exact below ~9e15 (double/BIGINT); at counts where n^2*C_k would
     pass 2^63 the same plan runs with DECIMAL(38,0) casts (the
     fixedpoint.sum_fixed widening convention)."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    counts = (
+    # persist: the (type, day) count frame feeds the bounds rollup, both
+    # self-join sides, and the clipped sums — unmaterialized, each
+    # consumer re-ran the fact aggregation (5 events scans; guide §5).
+    # #types × #days rows.
+    counts = persist_tracked(
         ev.select(
             "event_type",
             F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
@@ -1735,8 +1741,14 @@ def pinball_quantile_eval(
     windows partition per type over distinct count values."""
     from pyspark.sql import Window
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    counts = (
+    # persist: counts feeds the bounds rollup AND the grid join; the
+    # zero-filled series feeds the train histogram AND the test scoring
+    # — unmaterialized, each consumer re-ran the fact aggregation
+    # (4 events scans; guide §5).  Both frames are #types × #days rows.
+    counts = persist_tracked(
         ev.select(
             "event_type",
             F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
@@ -1754,11 +1766,13 @@ def pinball_quantile_eval(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
         F.floor((F.col("d0") + F.col("d1")) / 2).cast("long").alias("mid"),
     )
-    series = grid.join(counts, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        "mid",
-        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    series = persist_tracked(
+        grid.join(counts, ["event_type", "day"], "left").select(
+            "event_type",
+            "day",
+            "mid",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
     )
     train = series.filter(F.col("day") <= F.col("mid"))
     test = series.filter(F.col("day") > F.col("mid"))
@@ -2182,8 +2196,14 @@ def holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fact table → bounded zero-filled day grid; the fit joins 28
     grid rows per type to a broadcast 28-row weight table."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    counts = (
+    # persist: the kernel consumes the count frame twice (bounds rollup
+    # + grid join) — unmaterialized, the batch caller re-ran the fact
+    # aggregation per consumer (guide §5; the stream twin feeds a
+    # scratch-parquet frame instead, which re-reads cheaply)
+    counts = persist_tracked(
         ev.select(
             "event_type",
             F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
@@ -2208,11 +2228,17 @@ def holt_eval_from_counts(counts: DataFrame) -> DataFrame:
         "d1",
         F.explode(F.sequence(F.col("d1") - 34, F.col("d1"))).alias("day"),
     )
-    series = grid.join(counts, ["event_type", "day"], "left").select(
-        "event_type",
-        "d1",
-        "day",
-        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the 35-row-per-type zero-filled series feeds the train
+    # fit AND the test scoring (guide §5)
+    series = persist_tracked(
+        grid.join(counts, ["event_type", "day"], "left").select(
+            "event_type",
+            "d1",
+            "day",
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
     )
     weights = spark.createDataFrame(
         [
@@ -2486,12 +2512,20 @@ def sequence_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     steps = ev.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    counts = steps.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # persist: the #types² transition counts feed the out-mass rollup,
+    # the entropy join, and BOTH sides of the modal-next join —
+    # unmaterialized, each consumer re-ran the per-user lag window over
+    # the fact table (4 events scans; guide §5)
+    counts = persist_tracked(
+        steps.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
     outs = counts.groupBy("from_type").agg(
         F.sum("n").cast("long").alias("n_out"),
@@ -2896,8 +2930,13 @@ def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, one division per index rounded to 4 dp.
 
     Scale: fact table -> bounded day grid -> 7 rows per type."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    counts = (
+    # persist: counts feeds the bounds rollup AND the grid join; per_wd
+    # feeds the total rollup AND the index join (4 events scans -> 1;
+    # guide §5).  Both bounded frames.
+    counts = persist_tracked(
         ev.select(
             "event_type",
             F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
@@ -2918,9 +2957,11 @@ def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("day") + 4) % 7).cast("int").alias("weekday"),
         F.coalesce(F.col("y"), F.lit(0)).alias("y"),
     )
-    per_wd = series.groupBy("event_type", "weekday").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("y").cast("long").alias("s"),
+    per_wd = persist_tracked(
+        series.groupBy("event_type", "weekday").agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("y").cast("long").alias("s"),
+        )
     )
     tot = per_wd.groupBy("event_type").agg(
         F.sum("n_days").cast("long").alias("nt"),

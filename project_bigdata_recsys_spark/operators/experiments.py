@@ -246,7 +246,12 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         "control",
     ).otherwise("treatment")
-    per_user = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the per-user (x, y) frame feeds the pooled moments AND
+    # the per-arm rollup — unmaterialized, each re-ran the fact scan +
+    # per-user aggregation (guide §5).  |users| × 4 narrow columns.
+    per_user = persist_tracked(
         ev.crossJoin(F.broadcast(anchor))
         .withColumn("arm", arm)
         .groupBy("arm", "user_id")

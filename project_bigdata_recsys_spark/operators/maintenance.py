@@ -175,17 +175,27 @@ def forget_users_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.sources.ingest import hash_uniform
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    cohort = customer.filter(hash_uniform(F.col("c_custkey"), "forget:") < 0.02)
+    # persist: the cohort feeds its own count plus the orders and events
+    # broadcast joins (3 consumers re-scanned customer), and the doomed
+    # order keys feed their count plus the lineitem cascade — both are
+    # deletion-cohort-sized (guide §5 persist-on-reuse)
+    cohort = persist_tracked(
+        customer.filter(hash_uniform(F.col("c_custkey"), "forget:") < 0.02)
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     events = load_table(spark, sf_dir, "events").select("user_id")
 
-    doomed_orders = orders.join(
-        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey
-    ).select("o_orderkey")
+    doomed_orders = persist_tracked(
+        orders.join(
+            F.broadcast(cohort), orders.o_custkey == cohort.c_custkey
+        ).select("o_orderkey")
+    )
     rows = []
     for name, total_df, hit_df in [
         ("customer", customer, cohort),
@@ -659,6 +669,13 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__y").alias("max_y"),
         )
     )
+    # persist: stats feeds both probe scans AND the per-layout file
+    # count — unmaterialized, each consumer re-ran the two-layout union
+    # over the fact scan (6 orders scans; guide §5).  #files × layouts
+    # rows.
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    stats = persist_tracked(stats)
     probes = spark.range(16).select(F.col("id").cast("long").alias("c"))
     x_scan = (
         stats.crossJoin(F.broadcast(probes))
@@ -774,11 +791,19 @@ def vacuum_retention_plan(
     from project_bigdata_recsys_spark.catalog import load_table
     from project_bigdata_recsys_spark.functions.dedup import hash32
 
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     orders = load_table(spark, sf_dir, "orders")
-    files = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("f_rows"))
+    # persist: the ≤#days file manifest feeds the month spine AND the
+    # version-tagged manifest, which itself feeds the added/removed
+    # rollups — unmaterialized, each consumer re-ran the fact
+    # aggregation (7 orders scans; guide §5)
+    files = persist_tracked(
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("f_rows"))
+    )
     months = (
         files.select("month")
         .distinct()
@@ -788,7 +813,9 @@ def vacuum_retention_plan(
     )
     vmax = months.agg(F.max("v").alias("vmax"))
     h = hash32(F.col("day"), "vac:")
-    manifest = (
+    # persist: manifest feeds both the added and removed rollups plus
+    # the deletable arithmetic (≤#days rows)
+    manifest = persist_tracked(
         files.join(months, "month")
         .crossJoin(F.broadcast(vmax))
         .select(

@@ -954,10 +954,21 @@ def t_closeness_profile(
         "source",
         F.floor(F.col("n_chars") / band).cast("long").alias("len_band"),
     )
-    total = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist the sparse group×lang cell matrix and DERIVE the total and
+    # the global lang distribution from it (exact integer sums of the
+    # same rows) — unmaterialized, total/glob/sizes/joined each re-ran
+    # the fact aggregation (4 documents scans → 1; guide §5)
+    cells = persist_tracked(
+        docs.groupBy("source", "len_band", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    total = cells.agg(F.sum("cnt").cast("long").alias("__n"))
     glob = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        cells.groupBy("lang")
+        .agg(F.sum("cnt").cast("long").alias("__c"))
         .crossJoin(F.broadcast(total))
         .select(
             "lang",
@@ -965,9 +976,6 @@ def t_closeness_profile(
             .cast("long")
             .alias("q_micro"),
         )
-    )
-    cells = docs.groupBy("source", "len_band", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     sizes = cells.groupBy("source", "len_band").agg(
         F.sum("cnt").cast("long").alias("group_size")
@@ -1107,6 +1115,13 @@ def benford_readout(digits: DataFrame) -> DataFrame:
     frame — the kernel behind :func:`benford_audit` and its streaming
     twin (replay.stream_benford_values): expected fractions at 6 dp,
     chi-square terms micro-frozen before the fold."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the ≤9-row digit frame feeds the total AND the scored
+    # projection, and scored feeds the chi fold AND the output — for the
+    # batch caller each unmaterialized consumer re-scanned the fact
+    # table (guide §5)
+    digits = persist_tracked(digits)
     tot = digits.agg(F.sum("observed").cast("long").alias("__n"))
     # expected fraction log10(1 + 1/d) = ln(d+1)/ln(10) - ln(d)/ln(10),
     # rounded to 6 dp on both engines before any downstream arithmetic
@@ -1114,7 +1129,7 @@ def benford_readout(digits: DataFrame) -> DataFrame:
         (F.log(F.col("digit") + 1) - F.log(F.col("digit"))) / F.log(F.lit(10.0)),
         6,
     )
-    scored = digits.crossJoin(F.broadcast(tot)).select(
+    scored = persist_tracked(digits.crossJoin(F.broadcast(tot)).select(
         "digit",
         "observed",
         F.round(F.col("observed") / F.col("__n"), 6).alias("obs_frac"),
@@ -1127,7 +1142,7 @@ def benford_readout(digits: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("__chi"),
-    )
+    ))
     chi = scored.agg(
         F.round(F.sum("__chi") / 1_000_000.0, 4).alias("chi_square")
     )

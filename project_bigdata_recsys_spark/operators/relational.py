@@ -1725,7 +1725,12 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .agg(F.count(F.lit(1)).cast("long").alias("true_ol"))
     )
-    one = (
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: the 1-row stat frame feeds BOTH output steps —
+    # unmaterialized, r2 re-ran all five aggregations (14 scans → 7;
+    # guide §5)
+    one = persist_tracked(
         sc.crossJoin(F.broadcast(so))
         .crossJoin(F.broadcast(sl))
         .crossJoin(F.broadcast(t_co))

@@ -175,6 +175,13 @@ def rendezvous_shard_plan(spark, sf_dir: str, n_shards: int = 8):
             10,
         ).cast("long"),
     )
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
+    # persist: hw feeds BOTH ring assignments (each re-ran the distinct
+    # + explode + md5 otherwise), and the joined assignment feeds the
+    # audit plus both per-shard rollups (3 consumers re-running both
+    # windows; guide §5).  Rows: |keys| × (W+1) narrow / |keys| × 3.
+    hw = persist_tracked(hw)
     w_all = Window.partitionBy("key").orderBy(F.desc("h"), F.desc("w"))
     after = (
         hw.withColumn("rn", F.row_number().over(w_all))
@@ -188,7 +195,7 @@ def rendezvous_shard_plan(spark, sf_dir: str, n_shards: int = 8):
         .filter(F.col("rn") == 1)
         .select("key", F.col("w").alias("shard_before"))
     )
-    assigned = after.join(before, "key")
+    assigned = persist_tracked(after.join(before, "key"))
     audit = assigned.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys_total"),
         F.round(
