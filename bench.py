@@ -582,7 +582,7 @@ def frozen_subset_verdict(
 #: assemble by hand from BENCH_NOTES now falls out of the artifact
 #: itself.  The filename carries the round so each round's bracket
 #: starts clean (rotate it alongside _GATE_WINDOW).
-SESSION_LEDGER = "BENCH_LEDGER_r15.jsonl"
+SESSION_LEDGER = "BENCH_LEDGER_r16.jsonl"
 
 
 def record_session_bracket(

@@ -1032,61 +1032,61 @@ ORACLES["split_source_audit"] = f"""
 # (the round-5 late-wave mistake) — pins the window explicitly.
 # Rotation history and the write-ahead r15-r17 schedules live in
 # plans/schedule.py (documentation-only module; VERDICT r13 task 3).
-# The window below is the executed round-15 block from that schedule:
-# the twenty-two r14-displaced names in wave order, then the round-15
-# schedule's first 28 names — pulling the entire r7-evidence bucket
-# forward (VERDICT r14 task 2).
+# The window below is the executed round-16 block from that schedule:
+# the nineteen names the r13 ripple waves displaced past r15, the
+# remaining r8-evidence queries, then the oldest r9-evidence queries
+# in registration order (VERDICT r15 task 8).
 _GATE_WINDOW = [
-    "monthly_growth",
-    "embedding_dim_profile",
-    "rolling_distinct_users",
-    "item_pagerank_personalized",
-    "prefix_cache_savings",
-    "packing_efficiency_sweep",
-    "semantic_contamination",
-    "anti_join_new_keys",
-    "union_dedup",
-    "scalar_functions",
-    "rollup_totals",
-    "multiway_join",
-    "null_handling",
-    "top_k_orders",
-    "derived_projection",
-    "time_range_filter",
-    "conditional_pivot",
-    "distinct_counts",
-    "cdc_current_view",
-    "user_activity",
-    "course_stats",
-    "stream_semantic_dedup",
-    "fuzzy_name_matches",
-    "psi_drift",
-    "backfill_plan",
-    "schema_drift_report",
-    "source_dup_attribution_reused",
-    "cluster_aware_split_reused",
-    "incremental_components_fold",
-    "stream_semantic_dedup_probe",
-    "stream_cdc_current",
-    "ann_rerank",
-    "ddsketch_quantile_rollup",
-    "bm25_scores",
-    "vocab_coverage_curve",
-    "item_triangles",
-    "containment_batch_probe",
-    "label_agreement_kappa",
-    "ivf_pq_nprobe_sweep",
-    "udaf_trimmed_mean",
-    "ivf_pq_incremental_knn",
-    "stream_mann_whitney",
-    "partition_evolution_read",
-    "mann_whitney_test",
-    "stream_containment_index",
-    "containment_index_pairs",
-    "knn_ivf_pq",
-    "ivf_pq_recall_profile",
-    "schema_evolution_read",
-    "udtf_token_rows",
+    "als_ranking_eval",
+    "stream_kmv_distinct",
+    "ks_value_drift",
+    "mann_whitney_drift",
+    "ranking_metrics",
+    "bloom_membership_profile",
+    "stream_domain_quota",
+    "incremental_domain_quota",
+    "semdedup_profile",
+    "domain_quota_sample",
+    "k_anonymity_profile",
+    "ntile_quartiles",
+    "order_gaps",
+    "running_total",
+    "moving_avg_range",
+    "top_n_per_group",
+    "drift_lag",
+    "priority_union_all",
+    "latest_order_per_customer",
+    "trending_items",
+    "doc_repetition_profile",
+    "kmv_distinct_rollup",
+    "perplexity_buckets",
+    "domain_reweight",
+    "hybrid_search",
+    "l_diversity_profile",
+    "ucb_ranking",
+    "session_ngrams",
+    "quality_lr_score",
+    "ewma_anomalies",
+    "zorder_layout_profile",
+    "link_prediction_adamic_adar",
+    "ips_eval",
+    "recs_diversity_profile",
+    "compaction_plan",
+    "stream_ewma_anomalies",
+    "stream_pit_enrichment",
+    "welch_ttest_drift",
+    "t_closeness_profile",
+    "survival_km_curve",
+    "ols_trend_per_group",
+    "target_encoding_oof",
+    "calibration_bins",
+    "bloom_pruned_join",
+    "salted_join_agg",
+    "kmv_set_ops",
+    "stream_welch_drift",
+    "embedding_correlation_pairs",
+    "url_canonical_dedup",
+    "dp_noisy_counts",
 ]
 # (the window is applied ONCE, by the rebuild block at the very end of
 # this module — after every registration, including the ones below)

@@ -9,7 +9,16 @@ to live as a ~300-line comment above ``_GATE_WINDOW`` (VERDICT r13
 task 3: move the schedule out of the registry module).  Nothing here
 is imported; edits here never change gate behavior.
 
-ROUND-15 EXECUTION NOTE (this round): the window now holds the 50-name
+ROUND-16 EXECUTION NOTE (this round): the window now holds the 50-name
+r16 write-ahead block verbatim (the nineteen names the r13 ripple waves
+displaced past r15, the remaining r8-evidence queries, then the oldest
+r9-evidence queries in registration order — exactly the "Round-16
+rotation schedule" list below); local sf0.01 gate-window sweep output
+committed as PRECHECK_r16_gate.json — the rotation counts once
+CORRECTNESS_r16.json is green.  No tail insertions this round
+(optimization round — no new operators).
+
+ROUND-15 EXECUTION NOTE: the window held the 50-name
 r15 block verbatim — the twenty-two r14-displaced names in wave order
 followed by the round-15 schedule's first 28 names, exactly the
 "R15 BLOCK AS RECOMPUTED AFTER THE R14 WAVES" list below; local
