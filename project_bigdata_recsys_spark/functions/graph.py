@@ -117,11 +117,19 @@ def pagerank(
     exactly to the classic form."""
     from project_bigdata_recsys_spark.caching import persist_tracked
 
+    # co-partition the loop's two persisted operands on their join keys
+    # with an EXPLICIT partition count (user repartitions are exempt
+    # from AQE coalescing, so the cached partitioning is stable): the
+    # per-iteration contribution join then matches hash(src) against
+    # hash(node) without re-exchanging either side each round
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange; previously the SMJ re-shuffled both sides per iteration)
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     norm = persist_tracked(
-        edges.join(outw, "src").select(
-            "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
-        )
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .repartition(n_part, "src")
     )
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     if seeds is None:
@@ -146,13 +154,16 @@ def pagerank(
                 ),
             )
         )
-    base = persist_tracked(base)
+    base = persist_tracked(base.repartition(n_part, "node"))
     ranks = base.select("node", "tele", F.col("tele").alias("rank"))
     for _ in range(n_iterations):
         # ranks feeds BOTH sides of the update join (contrib and the
         # teleport base), so an unpersisted frame doubles its lineage
         # every iteration — persist makes it a leaf and keeps the plan
-        # linear in n_iterations.
+        # linear in n_iterations.  No explicit repartition here: each
+        # iterate is the update join's output, already hash(node,
+        # n_part)-partitioned (left side of the left join), so it stays
+        # co-partitioned with `norm` for the next round's join.
         ranks = persist_tracked(ranks)
         contrib = (
             norm.join(ranks, norm.src == ranks.node)
