@@ -277,7 +277,14 @@ def als_ranking_eval(
     hit_rank = test.join(recs, ["user_id", "item_id"], "left").select(
         "user_id", "fr"
     )
-    covered = raw_recs.select("user_id").distinct()
+    # coverage = users with >= 1 recommendation (ADVICE r15: ALS never
+    # emits an empty array for k_max >= 1, but count from the invariant,
+    # not the API's row set — identical result, documented semantics)
+    covered = (
+        raw_recs.filter(F.size("recommendations") > 0)
+        .select("user_id")
+        .distinct()
+    )
 
     per_k = hit_rank.select(
         "fr", F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")

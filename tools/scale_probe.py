@@ -40,6 +40,23 @@ from project_bigdata_recsys_spark.session import get_spark
 SF01 = "/root/testdata/sf0.1"
 FLAG_RATIO = 15.0
 
+#: r16 extension (VERDICT r15 task 7): the index/stream families whose
+#: sf0.1 costs are dominated by fixed job structure are exactly the ones
+#: that must PROVE O(batch)/linear behavior at 10x rows — the frozen
+#: subset alone only covers the relational cost classes.
+EXTRA_SUBSET = [
+    "containment_index_pairs",
+    "containment_batch_probe",
+    "stream_containment_index",
+    "knn_ivf_pq",
+    "ivf_pq_recall_profile",
+    "ivf_pq_incremental_knn",
+    "ivf_pq_nprobe_sweep",
+    "stream_zipf_fit",
+    "stream_domain_quota",
+    "stream_kmv_distinct",
+]
+
 
 def _sweep(spark) -> None:
     release_tracked()
@@ -71,10 +88,10 @@ def _prepare_shared(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
-def _time_subset(spark, sf_dir: str) -> tuple[dict, dict]:
+def _time_subset(spark, sf_dir: str, names=None) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in FROZEN_SUBSET:
+    for name in (names or FROZEN_SUBSET):
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         n = df.count() if name != "knn_brute_force" else len(df.collect())
@@ -96,7 +113,7 @@ def main() -> None:
         repo, "scaledata", "sf1"
     )
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        repo, "SCALEPROBE_r15.json"
+        repo, "SCALEPROBE_r16.json"
     )
     settle_max, settle_load, settle_wait = 240.0, 3.0, 0.0
     while settle_wait < settle_max and os.getloadavg()[0] > settle_load:
@@ -127,13 +144,17 @@ def main() -> None:
 
     result["prep_sec_sf0.1"] = _prepare_shared(spark, SF01)
     t01, r01 = _time_subset(spark, SF01)
+    e01, er01 = _time_subset(spark, SF01, EXTRA_SUBSET)
     result["prep_sec_sf1"] = _prepare_shared(spark, sf1_dir)
     t1, r1 = _time_subset(spark, sf1_dir)
+    e1, er1 = _time_subset(spark, sf1_dir, EXTRA_SUBSET)
+    t01 = {**t01, **e01}; r01 = {**r01, **er01}
+    t1 = {**t1, **e1}; r1 = {**r1, **er1}
     release_shared()
 
     queries = {}
     flagged = []
-    for name in FROZEN_SUBSET:
+    for name in (*FROZEN_SUBSET, *EXTRA_SUBSET):
         ratio = round(t1[name] / t01[name], 2) if t01[name] else None
         row_ratio = round(r1[name] / r01[name], 2) if r01[name] else None
         entry = {
@@ -149,6 +170,7 @@ def main() -> None:
             flagged.append(name)
         queries[name] = entry
     result["queries"] = queries
+    result["extra_subset"] = EXTRA_SUBSET
     result["total_sf0.1_sec"] = round(sum(t01.values()), 3)
     result["total_sf1_sec"] = round(sum(t1.values()), 3)
     result["total_ratio"] = round(
