@@ -1092,8 +1092,16 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one projection + one 9-group aggregation over the fact
     table; the chi-square join is a broadcast of a 9-row frame."""
+    from project_bigdata_recsys_spark.caching import persist_tracked
+
     orders = load_table(spark, sf_dir, "orders")
-    digits = (
+    # persist: the ≤9-row digit histogram feeds the kernel's total,
+    # scored projection, and chi fold — unmaterialized, each re-scanned
+    # the fact table (4 orders scans → 1; guide §5).  Persisted HERE,
+    # not in the shared kernel: the stream twin feeds a memory-sink
+    # snapshot whose re-read is a KB parquet scan, where a persist is
+    # pure barrier overhead.
+    digits = persist_tracked((
         orders.select(
             F.substring(
                 F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
@@ -1106,7 +1114,7 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("digit") >= 1)
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
-    )
+    ))
     return benford_readout(digits)
 
 
@@ -1115,13 +1123,6 @@ def benford_readout(digits: DataFrame) -> DataFrame:
     frame — the kernel behind :func:`benford_audit` and its streaming
     twin (replay.stream_benford_values): expected fractions at 6 dp,
     chi-square terms micro-frozen before the fold."""
-    from project_bigdata_recsys_spark.caching import persist_tracked
-
-    # persist: the ≤9-row digit frame feeds the total AND the scored
-    # projection, and scored feeds the chi fold AND the output — for the
-    # batch caller each unmaterialized consumer re-scanned the fact
-    # table (guide §5)
-    digits = persist_tracked(digits)
     tot = digits.agg(F.sum("observed").cast("long").alias("__n"))
     # expected fraction log10(1 + 1/d) = ln(d+1)/ln(10) - ln(d)/ln(10),
     # rounded to 6 dp on both engines before any downstream arithmetic
@@ -1129,7 +1130,7 @@ def benford_readout(digits: DataFrame) -> DataFrame:
         (F.log(F.col("digit") + 1) - F.log(F.col("digit"))) / F.log(F.lit(10.0)),
         6,
     )
-    scored = persist_tracked(digits.crossJoin(F.broadcast(tot)).select(
+    scored = digits.crossJoin(F.broadcast(tot)).select(
         "digit",
         "observed",
         F.round(F.col("observed") / F.col("__n"), 6).alias("obs_frac"),
@@ -1142,7 +1143,7 @@ def benford_readout(digits: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("__chi"),
-    ))
+    )
     chi = scored.agg(
         F.round(F.sum("__chi") / 1_000_000.0, 4).alias("chi_square")
     )
